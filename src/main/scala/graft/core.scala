@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine capability exposed through the driver contract.
+  *
+  * @param name   key in `SparkEntry.queries` (and SURVEY.md §2)
+  * @param fn     (session, sfDir) => result DataFrame
+  * @param oracle equivalent DuckDB SQL over the same parquet tables; None
+  *               for non-SQL-expressible ops (driver then does a weaker
+  *               rows-only check)
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw int64 nanos (exactly what DuckDB's
+    * epoch_ns(ts) yields, so oracle parity is bit-exact) and expose a
+    * microsecond TimestampType companion column for time semantics.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Shared helpers for oracle-exact arithmetic.
+  *
+  * The driver hash-compares our results against DuckDB. Double aggregation
+  * order differs between engines (partial aggregates), so raw sum(double)
+  * drifts in the low bits. Casting each row to DECIMAL(18,6) first makes
+  * the sum exact and associative — the source doubles carry <=6 decimal
+  * digits of true scale (TPC-H-style 2dp prices × 2dp rates), so the cast
+  * is lossless and both engines round identically. Cast back to double at
+  * the end so the output schema is a plain double on both sides.
+  */
+object OracleMath {
+  /** Order-insensitive, engine-exact sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Engine-exact average (decimal sum, then IEEE double division). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** SQL fragment equivalents for the DuckDB oracle. */
+  def sqlSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlAvg(expr: String): String =
+    s"(CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))"
+}

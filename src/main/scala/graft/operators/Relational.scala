@@ -1,0 +1,361 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.OracleMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational/analytic query surface (SURVEY.md §2.2).
+  *
+  * TPC-H-shaped coverage over the driver's star schema. Every query is
+  * declarative DataFrame code so Catalyst handles pushdown, pruning and
+  * join selection; dimension sides of joins are explicitly broadcast.
+  * Plan-shape intent per query is noted inline — these are the shapes
+  * that must hold at 100 TB (broadcast joins for dims, partial aggs,
+  * TakeOrderedAndProject for top-k).
+  */
+object Relational {
+
+  // -- q1: multi-key hash aggregation with map-side partial agg ------------
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_extendedprice")} AS avg_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- q6: selective scan; predicates must reach the parquet reader --------
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01 00:00:00").cast("timestamp") &&
+        $"l_discount" >= lit(0.05) && $"l_discount" <= lit(0.07) &&
+        $"l_quantity" < lit(24.0))
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+  private val q6Sql =
+    s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  // -- q3: dim ⋈ fact ⋈ fact with broadcast dim, then top-k ----------------
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(s, d)
+    val li   = Tables.lineitem(s, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // -- q5: snowflake multi-way join; whole dim chain broadcasts ------------
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust   = Tables.customer(s, d)
+    val sup    = Tables.supplier(s, d)
+    val ord    = Tables.orders(s, d)
+    val li     = Tables.lineitem(s, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // -- q_semi: EXISTS as left-semi join ------------------------------------
+  private def qSemi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+    val returned = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+    ord.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+  private val qSemiSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -- q_anti: NOT EXISTS as left-anti join ---------------------------------
+  private def qAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val ord  = Tables.orders(s, d).filter($"o_orderstatus" === "P")
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+  private val qAntiSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -- q_window: per-group top-n via row_number window ----------------------
+  private def qWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  private val qWindowSql =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // -- q_running: running sum / rank over event time ------------------------
+  private def qRunning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_ns", $"event_id")
+    Tables.events(s, d)
+      .filter($"user_id" < 50)
+      .withColumn("running_value",
+        sum($"value".cast("decimal(18,6)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("seq", row_number().over(w))
+      .select($"user_id", $"event_id", $"seq", $"running_value")
+      .orderBy($"user_id", $"seq")
+  }
+  private val qRunningSql =
+    """SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS seq,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |       OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS running_value
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, seq""".stripMargin
+
+  // -- q_topk: global top-k must plan as TakeOrderedAndProject --------------
+  private def qTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(10)
+  }
+  private val qTopKSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin
+
+  // -- q_distinct: exact distinct counting ----------------------------------
+  private def qDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_suppliers"))
+      .orderBy($"l_returnflag")
+  }
+  private val qDistinctSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -- q_rollup: hierarchical aggregation (grouping sets) -------------------
+  private def qRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+  private val qRollupSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // -- q_setops: intersect / except ------------------------------------------
+  private def qSetops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buyers  = Tables.orders(s, d).select($"o_custkey".as("custkey")).distinct()
+    val wealthy = Tables.customer(s, d).filter($"c_acctbal" > 5000.0)
+      .select($"c_custkey".as("custkey"))
+    buyers.intersect(wealthy)
+      .unionByName(
+        Tables.customer(s, d).select($"c_custkey".as("custkey"))
+          .exceptAll(Tables.orders(s, d).select($"o_custkey".as("custkey")).distinct())
+          .withColumn("custkey", -$"custkey"))
+      .orderBy($"custkey")
+  }
+  private val qSetopsSql =
+    """SELECT custkey FROM (
+      |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |   INTERSECT
+      |   SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0)
+      |  UNION ALL
+      |  (SELECT -custkey AS custkey FROM (
+      |     SELECT c_custkey AS custkey FROM customer
+      |     EXCEPT ALL
+      |     SELECT DISTINCT o_custkey AS custkey FROM orders))
+      |) ORDER BY custkey""".stripMargin
+
+  // -- q_case_pivot: conditional aggregation (manual pivot) ------------------
+  private def qCasePivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .agg(
+        dsum(when($"l_returnflag" === "R", $"l_quantity").otherwise(lit(0.0))).as("qty_returned"),
+        dsum(when($"l_returnflag" === "A", $"l_quantity").otherwise(lit(0.0))).as("qty_accepted"),
+        dsum(when($"l_returnflag" === "N", $"l_quantity").otherwise(lit(0.0))).as("qty_none"))
+      .orderBy($"l_linestatus")
+  }
+  private val qCasePivotSql =
+    s"""SELECT l_linestatus,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS qty_returned,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS qty_accepted,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS qty_none
+       |FROM lineitem
+       |GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+
+  // -- q_scalar_subquery: threshold from a scalar aggregate ------------------
+  // The scalar side is a 1-row DataFrame; Spark plans the comparison as a
+  // broadcast nested loop over one row — no shuffle of the fact table.
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val threshold = li.agg(davg($"l_extendedprice").as("avg_price"))
+    li.join(broadcast(threshold))
+      .filter($"l_extendedprice" > $"avg_price" * 1.5)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_expensive"))
+      .orderBy($"l_returnflag")
+  }
+  private val qScalarSubquerySql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_expensive
+       |FROM lineitem
+       |WHERE l_extendedprice > (SELECT ${sqlAvg("l_extendedprice")}
+       |                         FROM lineitem) * 1.5
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // -- q_large_join: fact ⋈ fact sort-merge (no broadcast hint on purpose) --
+  private def qLargeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus", $"l_linestatus")
+  }
+  private val qLargeJoinSql =
+    s"""SELECT o_orderstatus, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus, l_linestatus
+       |ORDER BY o_orderstatus, l_linestatus""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1, Some(q1Sql)),
+    QueryDef("q6_filter_agg", q6, Some(q6Sql)),
+    QueryDef("q3_join_agg", q3, Some(q3Sql)),
+    QueryDef("q5_multijoin", q5, Some(q5Sql)),
+    QueryDef("q4_semi_join", qSemi, Some(qSemiSql)),
+    QueryDef("q_anti_join", qAnti, Some(qAntiSql)),
+    QueryDef("q_window_topn_per_group", qWindow, Some(qWindowSql)),
+    QueryDef("q_window_running_sum", qRunning, Some(qRunningSql)),
+    QueryDef("q_topk", qTopK, Some(qTopKSql)),
+    QueryDef("q_distinct", qDistinct, Some(qDistinctSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_setops", qSetops, Some(qSetopsSql)),
+    QueryDef("q_case_pivot", qCasePivot, Some(qCasePivotSql)),
+    QueryDef("q_scalar_subquery", qScalarSubquery, Some(qScalarSubquerySql)),
+    QueryDef("q_large_join", qLargeJoin, Some(qLargeJoinSql)),
+  )
+}
