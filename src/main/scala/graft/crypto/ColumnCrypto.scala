@@ -1,0 +1,93 @@
+package graft.crypto
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level AES-GCM encrypt/decrypt as pure Catalyst expressions.
+  *
+  * Re-expression of the reference's per-column encryption loop
+  * (/root/reference/src/parquet_writer.cpp:137-170 and
+  * parquet_reader.cpp:96-150) on Spark's codegen'd `aes_encrypt` /
+  * `aes_decrypt` builtins: each value becomes `[12B IV][ct][16B tag]`
+  * — the same wire layout — but the work is a narrow per-row map that
+  * rides inside WholeStageCodegen, introduces no shuffle, and scales
+  * embarrassingly parallel to any number of executors.
+  */
+object ColumnCrypto {
+
+  /** Encrypt `cols` in place (cast to string first so any input type
+    * round-trips losslessly through ciphertext). Output type: BINARY.
+    */
+  def encryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
+    keys.foldLeft(df) { case (acc, (name, key)) =>
+      acc.withColumn(name, aes_encrypt(col(name).cast("string"), lit(key), lit("GCM")))
+    }
+
+  /** Decrypt BINARY ciphertext columns back to STRING (caller restores
+    * the original type from the manifest). */
+  def decryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
+    keys.foldLeft(df) { case (acc, (name, key)) =>
+      acc.withColumn(name, aes_decrypt(col(name), lit(key), lit("GCM")).cast("string"))
+    }
+
+  /** Decrypt that yields NULL (instead of failing the task) on a bad
+    * key or corrupted ciphertext — the distributed-friendly failure
+    * mode for exploratory reads. */
+  def tryDecryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
+    keys.foldLeft(df) { case (acc, (name, key)) =>
+      acc.withColumn(name, try_aes_decrypt(col(name), lit(key), lit("GCM")).cast("string"))
+    }
+}
+
+/** Column masking (reference README "Future Improvements" row —
+  * SURVEY.md §2.1 #12). All masks are deterministic codegen'd
+  * expressions, so masked columns stay joinable/groupable at scale.
+  */
+object Masking {
+  /** Full redaction. */
+  def redact: Column = lit("***")
+
+  /** Deterministic one-way mask: SHA-256 hex. Preserves equality
+    * (joins/dedup on masked values still work) without exposing data. */
+  def hashMask(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Keep the last `keep` chars, star the rest (card-number style). */
+  def partialMask(c: Column, keep: Int = 4): Column = {
+    val s = c.cast("string")
+    concat(repeat(lit("*"), greatest(length(s) - keep, lit(0))),
+      s.substr(greatest(length(s) - keep + 1, lit(1)), lit(keep)))
+  }
+
+  def maskColumns(df: DataFrame, masks: Map[String, Column => Column]): DataFrame =
+    masks.foldLeft(df) { case (acc, (name, m)) =>
+      acc.withColumn(name, m(org.apache.spark.sql.functions.col(name)))
+    }
+}
+
+/** Role-based column access (reference README "role-based decryption"
+  * row — SURVEY.md §2.1 #13): a role maps each column to an action;
+  * `apply` enforces it as a projection, so it can back a SQL view
+  * (`df.createOrReplaceTempView`) and enforcement is pure column
+  * pruning — the parquet scan never reads denied columns.
+  */
+object Rbac {
+  sealed trait Action
+  case object Allow extends Action
+  case object Deny extends Action
+  final case class Mask(m: Column => Column) extends Action
+
+  final case class Policy(roles: Map[String, Map[String, Action]]) {
+    def apply(df: DataFrame, role: String): DataFrame = {
+      val colActions = roles.getOrElse(role,
+        throw new IllegalArgumentException(s"unknown role $role"))
+      val projected = df.columns.toSeq.flatMap { name =>
+        colActions.getOrElse(name, Deny) match {
+          case Allow   => Some(org.apache.spark.sql.functions.col(name))
+          case Mask(m) => Some(m(org.apache.spark.sql.functions.col(name)).as(name))
+          case Deny    => None
+        }
+      }
+      df.select(projected: _*)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.crypto
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Encrypted-columnar dataset: parquet data files + an AES-GCM-encrypted
+  * JSON manifest, re-expressing the reference's file format
+  * (/root/reference/src/parquet_writer.cpp:172-240: encrypted footer with
+  * per-column key metadata + row count) Spark-first:
+  *
+  *  - data path: configured columns are `aes_encrypt`-ed per row inside
+  *    the scan/write pipeline (codegen, no shuffle, no extra pass) and
+  *    stored as parquet BINARY; everything else stays native parquet,
+  *    so pushdown/pruning on unencrypted columns is preserved;
+  *  - metadata path: column→key-resolution metadata (mode, wrapped DEK,
+  *    master key id, original type) goes into `_graft_manifest.enc`,
+  *    encrypted under the master key, alongside the data files (the "_"
+  *    prefix keeps every parquet reader from treating it as data);
+  *  - read path: decrypt manifest → unwrap only the keys for REQUESTED
+  *    columns → decrypt those; unrequested encrypted columns surface as
+  *    the literal `[ENCRYPTED]`, exactly the reference reader's contract
+  *    (/root/reference/src/parquet_reader.cpp:96-160).
+  *
+  * Manifest work is O(columns) on the driver; the row path is pure
+  * Catalyst expressions — the design scales to any executor count.
+  */
+object EncryptedParquet {
+
+  val Placeholder = "[ENCRYPTED]"
+  private val ManifestFile = "_graft_manifest.enc"
+
+  final case class ColumnMeta(
+      name: String, mode: String, origType: String,
+      wrappedDek: Option[String], masterKeyId: Option[String])
+  final case class Manifest(rowCount: Long, masterKeyId: String, columns: Seq[ColumnMeta])
+
+  // -- manifest JSON (hand-rolled: tiny, schema'd, zero extra deps) --------
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def manifestJson(m: Manifest): String = {
+    val cols = m.columns.map { c =>
+      val base = Seq(s"${jstr("name")}: ${jstr(c.name)}",
+        s"${jstr("mode")}: ${jstr(c.mode)}",
+        s"${jstr("orig_type")}: ${jstr(c.origType)}") ++
+        c.wrappedDek.map(w => s"${jstr("wrapped_dek")}: ${jstr(w)}") ++
+        c.masterKeyId.map(k => s"${jstr("master_key_id")}: ${jstr(k)}")
+      base.mkString("{", ", ", "}")
+    }.mkString("[", ", ", "]")
+    s"""{${jstr("row_count")}: ${m.rowCount}, ${jstr("master_key_id")}: ${jstr(m.masterKeyId)}, ${jstr("columns")}: $cols}"""
+  }
+
+  private def parseManifest(json: String): Manifest = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val cols = (0 until root.get("columns").size()).map { i =>
+      val c = root.get("columns").get(i)
+      ColumnMeta(
+        c.get("name").asText(), c.get("mode").asText(), c.get("orig_type").asText(),
+        Option(c.get("wrapped_dek")).map(_.asText()),
+        Option(c.get("master_key_id")).map(_.asText()))
+    }
+    Manifest(root.get("row_count").asLong(), root.get("master_key_id").asText(), cols)
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val blob = AesGcm.encrypt(Kms.masterKey(m.masterKeyId),
+      manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    val p = new Path(dir, ManifestFile)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(Base64.getEncoder.encode(blob)) finally out.close()
+  }
+
+  def readManifest(spark: SparkSession, dir: String, masterKeyId: String): Manifest = {
+    val p = new Path(dir, ManifestFile)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val json = new String(AesGcm.decrypt(Kms.masterKey(masterKeyId),
+      Base64.getDecoder.decode(raw)), StandardCharsets.UTF_8)
+    parseManifest(json)
+  }
+
+  /** Raw (still-encrypted) manifest bytes — for specs asserting the
+    * footer really is ciphertext. */
+  def rawManifestBytes(spark: SparkSession, dir: String): Array[Byte] = {
+    val p = new Path(dir, ManifestFile)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try Base64.getDecoder.decode(org.apache.commons.io.IOUtils.toByteArray(in))
+    finally in.close()
+  }
+
+  // -- write ---------------------------------------------------------------
+  def write(df: DataFrame, dir: String, config: CryptoConfig): Manifest = {
+    val spark = df.sparkSession
+    val present = df.columns.toSet
+    val resolved: Seq[(ColumnPolicy, ResolvedKey)] = config.columns
+      .filter(p => present.contains(p.column))
+      .map(p => p -> config.resolveKeyForWrite(p))
+    val keys = resolved.collect {
+      case (p, rk) if rk.mode != "plaintext" => p.column -> rk.key
+    }.toMap
+    resolved.collect { case (p, rk) if rk.mode == "plaintext" =>
+      System.err.println(s"[graft.crypto] WARN: no usable key for column " +
+        s"'${p.column}' — writing plaintext (reference fallback semantics)")
+    }
+    val origTypes = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val encrypted = ColumnCrypto.encryptColumns(df, keys)
+    encrypted.write.mode("overwrite").parquet(dir)
+    val rowCount = spark.read.parquet(dir).count()
+    val manifest = Manifest(rowCount, config.masterKeyId,
+      resolved.map { case (p, rk) =>
+        ColumnMeta(p.column, rk.mode, origTypes(p.column), rk.wrappedDek, rk.masterKeyId)
+      })
+    writeManifest(spark, dir, manifest)
+    manifest
+  }
+
+  // -- read ----------------------------------------------------------------
+  /** Read with selective decryption: decrypt only `request`ed encrypted
+    * columns (restoring their original types from the manifest);
+    * all other encrypted columns surface as `[ENCRYPTED]`.
+    */
+  def read(spark: SparkSession, dir: String, request: Seq[String],
+      config: CryptoConfig): DataFrame = {
+    val manifest = readManifest(spark, dir, config.masterKeyId)
+    val raw = spark.read.parquet(dir)
+    val byName = manifest.columns.map(c => c.name -> c).toMap
+    val projected = raw.columns.toSeq.map { name =>
+      byName.get(name).filter(_.mode != "plaintext") match {
+        case Some(meta) if request.contains(name) =>
+          val key = config.resolveKeyForRead(name, meta.mode, meta.wrappedDek, meta.masterKeyId)
+          aes_decrypt(col(name), lit(key), lit("GCM"))
+            .cast("string").cast(meta.origType).as(name)
+        case Some(_) => lit(Placeholder).as(name)
+        case None => col(name)
+      }
+    }
+    raw.select(projected: _*)
+  }
+
+  /** Decrypt every encrypted column (full round-trip read). */
+  def readAll(spark: SparkSession, dir: String, config: CryptoConfig): DataFrame = {
+    val manifest = readManifest(spark, dir, config.masterKeyId)
+    read(spark, dir, manifest.columns.map(_.name), config)
+  }
+}
+
+/** Distributed round-trip validation (reference /root/reference/src/main.cpp:63-103
+  * re-done scale-safe: an anti-join over all columns instead of a
+  * driver-side collect-and-compare loop — runs as a shuffle join, so it
+  * validates 100 TB as readily as 100 rows).
+  */
+object Validate {
+  /** Returns (total original rows, rows whose decrypted form differs). */
+  def roundTrip(original: DataFrame, decrypted: DataFrame): DataFrame = {
+    val cols = original.columns.toSeq
+    val mismatches = original.exceptAll(decrypted.select(cols.map(col): _*))
+    original.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(mismatches.agg(count(lit(1)).as("n_mismatch")))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.OracleMath._
+import graft.crypto._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the reference surface (SURVEY.md §2.1):
+  * encrypted columnar I/O. Each query exercises a write→read round trip
+  * through the graft.crypto package and reduces to an aggregate the
+  * DuckDB oracle can compute on the PLAINTEXT tables — equality proves
+  * the crypto path is lossless (and, for the length assertions, that
+  * ciphertexts have the `[12B IV][ct][16B tag]` GCM layout).
+  */
+object CryptoQueries {
+
+  /** Deterministic scratch dir per (query, sf) so re-runs overwrite. */
+  private def tmp(name: String, sfDir: String): String =
+    s"/tmp/graft_q/${name}_${new java.io.File(sfDir).getName}"
+
+  // -- 1: plain parquet write→read round trip ------------------------------
+  private def ioRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_parquet_roundtrip", d)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_returnflag")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val ioRoundtripSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- 2: column projection (scan must prune to ReadSchema) ----------------
+  private def ioProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderpriority")   // 1 of 6 columns → pruned scan
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+  private val ioProjectionSql =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -- 3: per-column AES-GCM encryption (ciphertext layout check) ----------
+  // GCM ciphertext = 12B IV + len(plaintext) + 16B tag, so the oracle can
+  // predict exact ciphertext lengths from plaintext lengths.
+  private def encryptColumns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Map(
+      "c_name" -> "0123456789abcdef".getBytes("UTF-8"),
+      "c_mktsegment" -> "fedcba9876543210fedcba9876543210".getBytes("UTF-8"))
+    ColumnCrypto.encryptColumns(Tables.customer(s, d), keys)
+      .agg(count(lit(1)).as("n"),
+        sum(length($"c_name")).as("name_ct_bytes"),
+        sum(length($"c_mktsegment")).as("seg_ct_bytes"))
+  }
+  private val encryptColumnsSql =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(LENGTH(c_name) + 28) AS BIGINT) AS name_ct_bytes,
+      |  CAST(SUM(LENGTH(c_mktsegment) + 28) AS BIGINT) AS seg_ct_bytes
+      |FROM customer""".stripMargin
+
+  // -- 4: full encrypt→write→read→decrypt round trip -----------------------
+  private def roundtripFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_roundtrip_full", d)
+    val cfg = CryptoConfig("master-rt",
+      Seq(ColumnPolicy("c_name", explicitKey = Some("0123456789abcdef")),
+        ColumnPolicy("c_acctbal", explicitKey = Some("abcdef0123456789")),
+        ColumnPolicy("c_mktsegment", kmsMasterKeyId = Some("mk-seg"))))
+    EncryptedParquet.write(Tables.customer(s, d), out, cfg)
+    EncryptedParquet.readAll(s, out, cfg)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"c_name").as("n_names"),
+        dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+  private val roundtripFullSql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  COUNT(DISTINCT c_name) AS n_names,
+       |  ${sqlSum("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -- 5: selective decrypt; unrequested columns stay [ENCRYPTED] ----------
+  private def selectiveDecrypt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_selective_decrypt", d)
+    val cfg = CryptoConfig("master-sel",
+      Seq(ColumnPolicy("c_name", explicitKey = Some("0123456789abcdef")),
+        ColumnPolicy("c_mktsegment", explicitKey = Some("abcdef0123456789"))))
+    EncryptedParquet.write(Tables.customer(s, d), out, cfg)
+    EncryptedParquet.read(s, out, request = Seq("c_name"), cfg)
+      .groupBy($"c_mktsegment")   // unrequested → the placeholder literal
+      .agg(count(lit(1)).as("n"), countDistinct($"c_name").as("n_names"))
+  }
+  private val selectiveDecryptSql =
+    """SELECT '[ENCRYPTED]' AS c_mktsegment, COUNT(*) AS n,
+      |  COUNT(DISTINCT c_name) AS n_names
+      |FROM customer""".stripMargin
+
+  // -- 6: KMS envelope encryption (wrapped DEKs in the manifest) -----------
+  private def kmsEnvelope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_kms_envelope", d)
+    val cfg = CryptoConfig("master-env",
+      Seq(ColumnPolicy("s_name", kmsMasterKeyId = Some("mk-sup-name")),
+        ColumnPolicy("s_acctbal", kmsMasterKeyId = Some("mk-sup-bal"))))
+    EncryptedParquet.write(Tables.supplier(s, d), out, cfg)
+    EncryptedParquet.readAll(s, out, cfg)
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"s_name").as("n_names"),
+        dsum($"s_acctbal").as("sum_bal"))
+  }
+  private val kmsEnvelopeSql =
+    s"""SELECT COUNT(*) AS n, COUNT(DISTINCT s_name) AS n_names,
+       |  ${sqlSum("s_acctbal")} AS sum_bal
+       |FROM supplier""".stripMargin
+
+  // -- 7: distributed round-trip validation (anti-join, no collect) --------
+  private def validate(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("crypto_validate", d)
+    val cfg = CryptoConfig("master-val",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-val")),
+        ColumnPolicy("c_acctbal", explicitKey = Some("0123456789abcdef"))))
+    val original = Tables.customer(s, d)
+    EncryptedParquet.write(original, out, cfg)
+    Validate.roundTrip(original, EncryptedParquet.readAll(s, out, cfg))
+  }
+  private val validateSql =
+    """SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM customer"""
+
+  // -- 8: column masking (redact / hash / partial) -------------------------
+  private def masking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Masking.maskColumns(Tables.customer(s, d), Map(
+      "c_name" -> (c => Masking.hashMask(c)),
+      "c_mktsegment" -> (_ => Masking.redact)))
+      .withColumn("name_tail", Masking.partialMask(col("c_name"), keep = 8))
+      .select($"c_custkey", $"c_name".as("name_hash"), $"c_mktsegment".as("seg_redacted"),
+        $"name_tail")
+      .orderBy($"c_custkey")
+  }
+  private val maskingSql =
+    """SELECT c_custkey, sha256(c_name) AS name_hash, '***' AS seg_redacted,
+      |  repeat('*', greatest(length(sha256(c_name)) - 8, 0))
+      |    || right(sha256(c_name), 8) AS name_tail
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -- 9: role-based column access as a view -------------------------------
+  private def rbacView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val policy = Rbac.Policy(Map(
+      "analyst" -> Map(
+        "c_custkey" -> Rbac.Allow,
+        "c_mktsegment" -> Rbac.Allow,
+        "c_name" -> Rbac.Mask(Masking.hashMask)),
+        // c_acctbal, c_nationkey absent → denied (pruned from the scan)
+      "admin" -> Map(
+        "c_custkey" -> Rbac.Allow, "c_name" -> Rbac.Allow,
+        "c_nationkey" -> Rbac.Allow, "c_acctbal" -> Rbac.Allow,
+        "c_mktsegment" -> Rbac.Allow)))
+    policy(Tables.customer(s, d), "analyst")
+      .createOrReplaceTempView("customer_analyst")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_name) AS n_name_hashes
+        |FROM customer_analyst GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+  private val rbacViewSql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  COUNT(DISTINCT sha256(c_name)) AS n_name_hashes
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -- 10: native Parquet Modular Encryption -------------------------------
+  private def modularParquet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_modular_parquet", d)
+    ModularEncryption.writeEncrypted(Tables.part(s, d), out,
+      columnKeys = Map("mk-part-cols" -> Seq("p_name", "p_retailprice")),
+      footerKeyId = "mk-part-footer")
+    ModularEncryption.readEncrypted(s, out)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), countDistinct($"p_name").as("n_names"),
+        dsum($"p_retailprice").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+  private val modularParquetSql =
+    s"""SELECT p_brand, COUNT(*) AS n, COUNT(DISTINCT p_name) AS n_names,
+       |  ${sqlSum("p_retailprice")} AS sum_price
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_parquet_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
+    QueryDef("io_column_projection", ioProjection, Some(ioProjectionSql)),
+    QueryDef("crypto_encrypt_columns", encryptColumns, Some(encryptColumnsSql)),
+    QueryDef("crypto_roundtrip_full", roundtripFull, Some(roundtripFullSql)),
+    QueryDef("crypto_selective_decrypt", selectiveDecrypt, Some(selectiveDecryptSql)),
+    QueryDef("crypto_kms_envelope", kmsEnvelope, Some(kmsEnvelopeSql)),
+    QueryDef("crypto_validate", validate, Some(validateSql)),
+    QueryDef("crypto_column_masking", masking, Some(maskingSql)),
+    QueryDef("crypto_rbac_view", rbacView, Some(rbacViewSql)),
+    QueryDef("crypto_modular_parquet", modularParquet, Some(modularParquetSql)),
+  )
+}
