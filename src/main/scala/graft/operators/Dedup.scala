@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text normalization + shingling shared by dedup/text operators.
+  * Canonical form matches the DuckDB oracle expressions exactly:
+  * lower → collapse whitespace → trim → split on single space.
+  */
+object TextPrep {
+  def norm(text: Column): Column = lower(trim(regexp_replace(text, "\\s+", " ")))
+  def words(text: Column): Column = split(norm(text), " ")
+
+  /** Distinct word n-grams (the shingle set for Jaccard). Docs shorter
+    * than n words get an empty set (Spark's sequence() counts DOWN for
+    * a negative span, so it must be guarded, not clamped). */
+  def shingles(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(wordsCol) - n),
+        i => concat_ws(" ", (0 until n).map(o => get(wordsCol, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB SQL fragments for the same canonical forms. */
+  val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  val wordsSql = s"string_split($normSql, ' ')"
+}
+
+/** Deduplication operators (SURVEY.md §2.3 #29-32) over the documents
+  * corpus. Scale shapes:
+  *  - exact dedup shuffles an 8-byte fingerprint, never the text
+  *    (at 100 TB use a 128-bit fingerprint — two seeds — to push the
+  *    birthday bound past corpus size; 64-bit keeps the oracle simple
+  *    here);
+  *  - near-dup candidate generation is always an equi-join on LSH keys
+  *    (minhash bands / simhash bands / shared n-grams), never a cross
+  *    join: shuffle volume is O(docs × bands), and band keys can be
+  *    salted if a bucket ever grows hot;
+  *  - exact verification (set Jaccard / Hamming) runs only on candidate
+  *    pairs.
+  */
+object Dedup {
+
+  // -- exact dedup on content fingerprint ----------------------------------
+  private def exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", fingerprint64(TextPrep.norm($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+  private val exactSql =
+    s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY ${TextPrep.normSql}
+       |ORDER BY keep_id""".stripMargin
+
+  // -- exact n-gram Jaccard via inverted-index join ------------------------
+  // Pairwise similarity WITHOUT a cross join: explode distinct 3-grams,
+  // self-join on the gram (only docs sharing a gram ever meet), count
+  // shared grams, then Jaccard = c / (|A| + |B| - c).
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.shingles(TextPrep.words($"text"), 3)).as("g"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val shared = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"c" / ($"sa.sz" + $"sb.sz" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val ngramJaccardSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+       |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- MinHash + LSH near-dup ----------------------------------------------
+  // 128-lane minhash signature (one-pass custom expression), banded
+  // 32×4; docs agreeing on any band become candidates; candidates are
+  // verified with EXACT set Jaccard, so at J ≥ 0.8 the LSH miss
+  // probability is (1 - 0.8⁴)³² ≈ 5e-8 — the result provably matches
+  // the exact-pairwise oracle on any realistic corpus.
+  private val Lanes = 128
+  private val Bands = 32
+  private val RowsPerBand = Lanes / Bands
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.shingles(TextPrep.words($"text"), 3).as("grams"))
+      .withColumn("sig", minhash_sig($"grams", Lanes))
+    val bands = docs.select($"doc_id",
+        explode(array((0 until Bands).map(b =>
+          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+            get($"sig", lit(b * RowsPerBand + r))): _*)): _*)).as("band_key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band_key" === $"b.band_key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sets = docs.select($"doc_id", $"grams")
+    cand
+      .join(sets.as("ga"), $"doc_a" === $"ga.doc_id")
+      .join(sets.as("gb"), $"doc_b" === $"gb.doc_id")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"ga.grams", $"gb.grams")) /
+          (size($"ga.grams") + size($"gb.grams") -
+            size(array_intersect($"ga.grams", $"gb.grams"))).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val minhashLshSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+       |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- SimHash near-dup ----------------------------------------------------
+  // 64-bit simhash over the shingle set, banded into 16 × 4-bit blocks:
+  // by pigeonhole, any pair at hamming ≤ 15 agrees on ≥ 1 block, so the
+  // block-equality join is a complete candidate generator for the
+  // hamming ≤ 10 verification filter (the k+1-block scheme of Manku et
+  // al., WWW'07 "Detecting Near-Duplicates for Web Crawling"; at larger
+  // hamming budgets use wider blocks + multi-probe to keep bucket sizes
+  // bounded). No SQL oracle (the signature is a custom hash) — the spec
+  // cross-checks the result against exact Jaccard pairs.
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", simhash64(TextPrep.shingles(TextPrep.words($"text"), 3)).as("sig"))
+    val bands = docs.select($"doc_id", $"sig",
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL)).as("band_val"))): _*)).as("band"))
+      .select($"doc_id", $"sig", $"band.band_id", $"band.band_val")
+    bands.as("a").join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private def simhash(s: SparkSession, d: String): DataFrame = simhashPairs(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", exact, Some(exactSql)),
+    QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_simhash", simhash, None),
+  )
+}

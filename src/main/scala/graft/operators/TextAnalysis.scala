@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.3
+  * #37-40): language ID, quality scoring, token counting, content
+  * fingerprinting. All are per-row expression pipelines — zero shuffle
+  * except the final (small) aggregate, so they stream over 100 TB as a
+  * single map stage fused into WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists (public linguistic knowledge).
+    * Shared verbatim with the DuckDB oracle SQL below. */
+  private val stop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "los", "las", "y", "es", "por", "para"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "不", "有"))
+
+  /** Count (with multiplicity) of tokens that hit a stopword list. */
+  private def hits(wordsCol: Column, list: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isin(list: _*)))
+
+  private def hitsSql(list: Seq[String]): String =
+    s"len(list_filter(words, w -> w IN (${list.map(s => s"'$s'").mkString(", ")})))"
+
+  // -- language ID ---------------------------------------------------------
+  // Stopword-hit scoring per language; argmax with a fixed tie-break
+  // order (the CASE chain), 'und' when nothing matches. Confusion
+  // matrix against the labeled lang column.
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = stop.foldLeft(
+      Tables.documents(s, d).withColumn("words", TextPrep.words($"text"))) {
+      case (df, (lang, list)) => df.withColumn(s"s_$lang", hits($"words", list))
+    }
+    val langs = stop.map(_._1)
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+  private val langidSql = {
+    val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }.mkString(",\n  ")
+    val langs = stop.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT lang, $scores
+       |  FROM (SELECT lang, ${TextPrep.wordsSql} AS words FROM documents))
+       |SELECT lang, $pred AS pred_lang, COUNT(*) AS n
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // -- quality scoring -----------------------------------------------------
+  // Length/repetition/stopword ratios + a bucketed tier. Ratios are
+  // int/int double divisions — bit-identical across engines.
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = stop.head._2
+    Tables.documents(s, d)
+      .withColumn("words", TextPrep.words($"text"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("rep_ratio",
+        size(array_distinct($"words")).cast("double") / $"n_words")
+      .withColumn("stop_ratio", hits($"words", en).cast("double") / $"n_words")
+      .withColumn("tier",
+        when($"n_words" < 20, "too_short")
+          .when($"rep_ratio" < 0.3, "repetitive")
+          .when($"stop_ratio" > 0.5, "boilerplate")
+          .otherwise("ok"))
+      .select($"doc_id", $"n_words", $"rep_ratio", $"stop_ratio", $"tier")
+      .orderBy($"doc_id")
+  }
+  private val qualitySql = {
+    val en = stop.head._2
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |m AS (SELECT doc_id, len(words) AS n_words,
+       |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
+       |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio FROM w)
+       |SELECT doc_id, n_words, rep_ratio, stop_ratio,
+       |  CASE WHEN n_words < 20 THEN 'too_short'
+       |       WHEN rep_ratio < 0.3 THEN 'repetitive'
+       |       WHEN stop_ratio > 0.5 THEN 'boilerplate'
+       |       ELSE 'ok' END AS tier
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // -- token counting ------------------------------------------------------
+  // Whitespace tokens + a BPE-ish split (letter runs / digit runs /
+  // single non-alnum marks) + the chars/4 rule of thumb.
+  private def tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("n_ws_tokens", size(split(trim($"text"), "\\s+")))
+      .withColumn("n_bpeish",
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+      .withColumn("est_tokens", ceil(length($"text") / 4.0).cast("long"))
+      .select($"doc_id", $"n_ws_tokens", $"n_bpeish", $"est_tokens")
+      .orderBy($"doc_id")
+  }
+  private val tokensSql =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- fingerprinting ------------------------------------------------------
+  // 64-bit one-pass FNV fingerprint (custom codegen'd expression) of the
+  // normalized text. The oracle checks the semantic contract — equal
+  // texts collide, distinct texts don't — by comparing distinct counts.
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(fingerprint64(TextPrep.norm($"text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_distinct"))
+  }
+  private val fingerprintSql =
+    s"""SELECT COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT ${TextPrep.normSql}) AS n_distinct
+       |FROM documents""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_tokens", tokens, Some(tokensSql)),
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, TextPrep}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup + text-analysis behavior beyond the DuckDB oracles:
+  * simhash (not SQL-expressible) is cross-checked against exact n-gram
+  * Jaccard; custom expressions are checked for interpreted-vs-codegen
+  * agreement and basic hash properties.
+  */
+class DedupTextSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Ground-truth near-dup pairs: exact 3-gram Jaccard ≥ 0.8 (the
+    * corpus's seeded duplicates all sit at J ≥ 0.9). */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextPrep.shingles(TextPrep.words($"text"), 3)).as("g"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db")).agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), $"da" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"db" === $"sb.doc_id")
+      .filter($"c" / ($"sa.sz" + $"sb.sz" - $"c") >= 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+  }
+
+  test("simhash finds exactly the seeded near-dup pairs (vs exact Jaccard)") {
+    import spark.implicits._
+    val found = Dedup.simhashPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "corpus should contain seeded near-dups")
+    // hamming <= 12 separates the seeded pairs cleanly in this corpus
+    // (nearest non-dup pair sits at hamming 14): exact recovery.
+    assert(found == exactPairs,
+      s"missed=${exactPairs -- found} extra=${found -- exactPairs}")
+  }
+
+  test("custom expressions: codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Tables.documents(spark, sf).limit(50)
+      .select($"doc_id", TextPrep.shingles(TextPrep.words($"text"), 3).as("grams"),
+        TextPrep.norm($"text").as("norm"))
+      .select($"doc_id", minhash_sig($"grams", 16).as("mh"),
+        simhash64($"grams").as("sh"), fingerprint64($"norm").as("fp"))
+    val withCodegen = df.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      assert(withCodegen.sortBy(_._1).toSeq == interpreted.sortBy(_._1).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
+  test("fingerprint64: equal normalized texts collide, different don't (FNV-1a vectors)") {
+    import spark.implicits._
+    val df = Seq("hello  World", "hello world", "hello worlds", "")
+      .toDF("text").select(fingerprint64(TextPrep.norm($"text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))          // whitespace+case normalize to equal
+    assert(fps(1) != fps(2))
+    assert(fps(3) == 0xcbf29ce484222325L) // FNV-1a empty-string basis
+  }
+
+  test("minhash signature estimates Jaccard (lane agreement ≈ J)") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (11 to 110).map(i => s"tok$i") // true J = 90/110 ≈ 0.818
+    val df = Seq(a, b).toDF("toks").select(minhash_sig($"toks", 256).as("sig"))
+    val Array(sa, sb) = df.collect().map(_.getSeq[Long](0))
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 0.818) < 0.12, s"minhash agreement $agree far from J=0.818")
+  }
+
+  test("shingles: short docs yield empty sets, not wrap-around garbage") {
+    import spark.implicits._
+    val df = Seq("one two", "one two three four").toDF("text")
+      .select(TextPrep.shingles(TextPrep.words($"text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0).isEmpty)
+    assert(rows(1) == Seq("one two three", "two three four"))
+  }
+
+  test("langid is deterministic and covers all docs") {
+    val out = SparkEntry.queries("text_langid")(spark, sf)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}
