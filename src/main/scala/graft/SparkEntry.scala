@@ -12,7 +12,8 @@ object SparkEntry {
   /** All engine capabilities, one QueryDef per SURVEY.md §2 row. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.CryptoQueries.defs ++
-      operators.Dedup.defs ++ operators.TextAnalysis.defs
+      operators.Dedup.defs ++ operators.TextAnalysis.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
