@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.{OracleMath, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.4).
+  *
+  * Streams are the same parquet events, consumed incrementally via the
+  * file source — the driver-contract queries run them to completion
+  * with Trigger.AvailableNow into a memory sink so they return a
+  * DataFrame like every other operator. At production scale the same
+  * code reads Kafka/files continuously; watermarks bound state, and the
+  * windowed aggregate's state is O(open windows × event types).
+  */
+object Streaming {
+
+  private val GapNs: Long = 12L * 3600 * 1000 * 1000 * 1000 // 12h session gap
+
+  /** Raw events stream with a proper event-time column. The parquet
+    * stores TIMESTAMP(NANOS) (read as int64 via nanosAsLong — see
+    * Tables.events); event time for watermarking is microsecond
+    * precision. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static pass defines the schema (ts arrives as int64 nanos)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // stream only the events file
+      .parquet(d)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // -- #42 watermarked tumbling-window aggregation -------------------------
+  private def windowedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n_events", $"sum_value")
+    runToMemory(agg, "graft_stream_windowed", OutputMode.Complete())
+      .orderBy($"win_start", $"event_type")
+  }
+  private val windowedAggSql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // -- #43 stateful sessionization ----------------------------------------
+  final case class Ev(user_id: Long, ts_ns: Long, value: Double)
+  final case class OpenSession(startNs: Long, lastNs: Long, n: Long, sum: Double)
+  // start_us: microseconds — DuckDB's parquet reader coerces
+  // TIMESTAMP(NANOS) to micros, so the oracle can't see nanos.
+  final case class SessionOut(user_id: Long, start_us: Long, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionizer for `flatMapGroupsWithState`: merges the
+    * batch's events (sorted by event time) into the carried open
+    * session, emits every session closed by a later event, keeps the
+    * last one open in state. State per key is O(1); closed sessions
+    * leave state immediately.
+    */
+  def sessionize(userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toIndexedSeq.sortBy(_.ts_ns)
+    var open = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.ts_ns - s.lastNs <= GapNs =>
+          open = Some(OpenSession(s.startNs, e.ts_ns, s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, s.startNs / 1000, s.n, s.sum)
+          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, e.value))
+        case None =>
+          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, e.value))
+      }
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Streaming sessionization; emits sessions closed within the data
+    * (each user's trailing open session stays in state). */
+  def sessionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sessions = eventsStream(s, d)
+      .select($"user_id", $"ts_ns", $"value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+    runToMemory(sessions.toDF(), "graft_stream_sessions", OutputMode.Append())
+      .orderBy($"user_id", $"start_us")
+  }
+
+  // -- batch twin of sessionization (gaps-and-islands) ---------------------
+  // Same sessions, derived with lag + running count — this one is fully
+  // SQL-expressible, so it carries the DuckDB oracle; the spec checks
+  // the streaming result against it.
+  def sessionBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns")
+    Tables.events(s, d)
+      .select($"user_id", $"ts_ns", $"value")
+      .withColumn("new_sess",
+        when($"ts_ns" - lag($"ts_ns", 1).over(w) <= GapNs, 0L).otherwise(1L))
+      .withColumn("sess_idx", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_idx")
+      .agg(expr("min(ts_ns) div 1000").as("start_us"), count(lit(1)).as("n_events"),
+        OracleMath.dsum($"value").as("sum_value"))
+      .select($"user_id", $"start_us", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_us")
+  }
+  private val sessionBatchSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+       |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+       |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) <= ${GapNs}
+       |         THEN 0 ELSE 1 END AS new_sess
+       |  FROM events),
+       |numbered AS (
+       |  SELECT user_id, ts_ns, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+       |  FROM marked)
+       |SELECT user_id, MIN(ts_ns) // 1000 AS start_us, COUNT(*) AS n_events,
+       |  ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM numbered GROUP BY user_id, sess_idx
+       |ORDER BY user_id, start_us""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
+    QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
+  )
+}
