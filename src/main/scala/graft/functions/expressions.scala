@@ -205,6 +205,10 @@ object GraftFunctions {
     graftshim.column(SimHash64(graftshim.expression(c)))
   def fingerprint64(c: Column): Column =
     graftshim.column(Fingerprint64(graftshim.expression(c)))
+  def shingles(c: Column, n: Int): Column =
+    graftshim.column(Shingles(graftshim.expression(c), n))
+  def vec_dot(a: Column, b: Column): Column =
+    graftshim.column(VecDot(graftshim.expression(a), graftshim.expression(b)))
 
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_minhash_sig", es => MinHashSig(es.head,
@@ -232,4 +236,113 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
       (es: Seq[Expression]) => Fingerprint64(es.head)))
   }
+}
+
+/** One-pass shingling: normalize (lower, collapse whitespace, trim),
+  * split, emit DISTINCT word n-grams. Semantically identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`
+  * over `split(lower(trim(regexp_replace(text,'\s+',' '))), ' ')` — but
+  * one compiled pass instead of re-running the regex split for every
+  * lambda element access (higher-order functions don't codegen and
+  * re-evaluate the split per element: O(words²) regex work per row).
+  * On the documents corpus this is the difference between an operator
+  * that scans 100 TB and one that dies re-tokenizing it.
+  */
+object ShingleUtil {
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.ShingleUtil.shingles($str, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** Dot product of two `array<float|double>` columns, accumulated in
+  * double LEFT-TO-RIGHT (index order) — the exact summation order the
+  * DuckDB oracles replay, and the same semantics as
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)`, which Spark runs
+  * interpreted (higher-order functions don't codegen). One compiled
+  * loop instead: the hot inner kernel of every similarity operator.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_dot"
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += get(a, i, left.dataType) * get(b, i, right.dataType)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(v: String, i: String, dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $v.getFloat($i)"
+    case _ => s"$v.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${genGet(a, i.toString, left.dataType)} * ${genGet(b, i.toString, right.dataType)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
 }

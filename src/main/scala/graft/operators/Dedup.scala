@@ -13,15 +13,14 @@ object TextPrep {
   def norm(text: Column): Column = lower(trim(regexp_replace(text, "\\s+", " ")))
   def words(text: Column): Column = split(norm(text), " ")
 
-  /** Distinct word n-grams (the shingle set for Jaccard). Docs shorter
-    * than n words get an empty set (Spark's sequence() counts DOWN for
-    * a negative span, so it must be guarded, not clamped). */
-  def shingles(wordsCol: Column, n: Int): Column =
-    when(size(wordsCol) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(wordsCol) - n),
-        i => concat_ws(" ", (0 until n).map(o => get(wordsCol, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word n-grams (the shingle set for Jaccard), via the
+    * one-pass codegen'd [[graft.functions.Shingles]] expression —
+    * equivalent to array_distinct(transform(sequence(...), ...)) over
+    * the normalized words, but without the per-element regex re-split
+    * that higher-order lambdas incur. Docs shorter than n words get an
+    * empty set. */
+  def shingleSet(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingles(norm(text), n)
 
   /** DuckDB SQL fragments for the same canonical forms. */
   val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
@@ -66,7 +65,7 @@ object Dedup {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, d)
-      .select($"doc_id", explode(TextPrep.shingles(TextPrep.words($"text"), 3)).as("g"))
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val shared = grams.as("a").join(grams.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
@@ -108,7 +107,7 @@ object Dedup {
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .select($"doc_id", TextPrep.shingles(TextPrep.words($"text"), 3).as("grams"))
+      .select($"doc_id", TextPrep.shingleSet($"text", 3).as("grams"))
       .withColumn("sig", minhash_sig($"grams", Lanes))
     val bands = docs.select($"doc_id",
         explode(array((0 until Bands).map(b =>
@@ -156,7 +155,7 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .select($"doc_id", simhash64(TextPrep.shingles(TextPrep.words($"text"), 3)).as("sig"))
+      .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
     val bands = docs.select($"doc_id", $"sig",
         explode(array((0 until 16).map(b =>
           struct(lit(b).as("band_id"),

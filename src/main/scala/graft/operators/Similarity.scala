@@ -5,15 +5,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Vector primitives over `array<float>` embedding columns — pure
-  * `functions._` expression pipelines (zip_with + aggregate), codegen'd,
-  * no UDFs. Elements are cast to double BEFORE multiply and summed
-  * left-to-right, which both Spark and DuckDB reproduce bit-exactly.
+/** Vector primitives over `array<float>` embedding columns, built on
+  * the codegen'd [[graft.functions.VecDot]] kernel (equivalent to
+  * `aggregate(zip_with(...))`, which would run interpreted). Elements
+  * are cast to double BEFORE multiply and summed left-to-right, which
+  * both Spark and DuckDB reproduce bit-exactly.
   */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(a, b)
   def norm(a: Column): Column = sqrt(dot(a, a))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -111,19 +111,25 @@ object Similarity {
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).withColumn("sig", signature($"embedding"))
-    val corpusBands = emb.select($"vec_id", $"embedding",
-      explode(bandsOf($"sig")).as("band"))
+    // bands carry only ids — dedup of candidates shuffles 2 longs per
+    // row, never the 64-float vectors (those are re-joined afterwards)
+    val corpusBands = emb.select($"vec_id", explode(bandsOf($"sig")).as("band"))
     val queryBands = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        explode(bandsOf($"sig")).as("qband"))
+      .select($"vec_id".as("query_id"), explode(bandsOf($"sig")).as("qband"))
     val cand = corpusBands.join(broadcast(queryBands),
         $"band.band_id" === $"qband.band_id" &&
           $"band.band_val" === $"qband.band_val" &&
           $"vec_id" =!= $"query_id")
-      .select($"query_id", $"qe", $"vec_id".as("neighbor_id"), $"embedding")
+      .select($"query_id", $"vec_id".as("neighbor_id"))
       .distinct()
+    val queries = Tables.embeddings(s, d).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val corpus = Tables.embeddings(s, d).select($"vec_id".as("nid"), $"embedding")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    cand.select($"query_id", $"neighbor_id",
+    cand
+      .join(broadcast(queries), $"query_id" === $"qid")
+      .join(corpus, $"neighbor_id" === $"nid")
+      .select($"query_id", $"neighbor_id",
         VectorOps.cosine($"qe", $"embedding").as("cos"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("cos6"))
@@ -215,15 +221,20 @@ object Similarity {
   private def embeddingDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).withColumn("sig", signature($"embedding"))
-    val bands = emb.select($"vec_id", $"embedding", explode(bandsOf($"sig")).as("band"))
+    val bands = emb.select($"vec_id", explode(bandsOf($"sig")).as("band"))
+    // candidate dedup on the id pair alone (2 longs/row); vectors are
+    // fetched after, so the wide arrays never enter the distinct shuffle
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band.band_id" === $"b.band.band_id" &&
           $"a.band.band_val" === $"b.band.band_val" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"a.embedding".as("ea"),
-        $"b.vec_id".as("vec_b"), $"b.embedding".as("eb"))
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
       .distinct()
-    cand.select($"vec_a", $"vec_b", VectorOps.cosine($"ea", $"eb").as("cos"))
+    val ea = Tables.embeddings(s, d).select($"vec_id".as("ia"), $"embedding".as("emb_a"))
+    val eb = Tables.embeddings(s, d).select($"vec_id".as("ib"), $"embedding".as("emb_b"))
+    cand
+      .join(ea, $"vec_a" === $"ia").join(eb, $"vec_b" === $"ib")
+      .select($"vec_a", $"vec_b", VectorOps.cosine($"emb_a", $"emb_b").as("cos"))
       .filter($"cos" >= 0.4)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos6"))
       .orderBy($"vec_a", $"vec_b")

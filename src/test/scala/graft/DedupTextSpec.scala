@@ -18,7 +18,7 @@ class DedupTextSpec extends AnyFunSuite {
   private lazy val exactPairs: Set[(Long, Long)] = {
     import spark.implicits._
     val grams = Tables.documents(spark, sf)
-      .select($"doc_id", explode(TextPrep.shingles(TextPrep.words($"text"), 3)).as("g"))
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db")).agg(count(lit(1)).as("c"))
@@ -42,7 +42,7 @@ class DedupTextSpec extends AnyFunSuite {
   test("custom expressions: codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Tables.documents(spark, sf).limit(50)
-      .select($"doc_id", TextPrep.shingles(TextPrep.words($"text"), 3).as("grams"),
+      .select($"doc_id", TextPrep.shingleSet($"text", 3).as("grams"),
         TextPrep.norm($"text").as("norm"))
       .select($"doc_id", minhash_sig($"grams", 16).as("mh"),
         simhash64($"grams").as("sh"), fingerprint64($"norm").as("fp"))
@@ -82,7 +82,7 @@ class DedupTextSpec extends AnyFunSuite {
   test("shingles: short docs yield empty sets, not wrap-around garbage") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("text")
-      .select(TextPrep.shingles(TextPrep.words($"text"), 3).as("sh"))
+      .select(TextPrep.shingleSet($"text", 3).as("sh"))
     val rows = df.collect().map(_.getSeq[String](0))
     assert(rows(0).isEmpty)
     assert(rows(1) == Seq("one two three", "two three four"))
