@@ -214,11 +214,14 @@ object GraftFunctions {
     ("graft_minhash_sig", es => MinHashSig(es.head,
       es(1).eval().asInstanceOf[Int])),
     ("graft_simhash64", es => SimHash64(es.head)),
-    ("graft_fingerprint64", es => Fingerprint64(es.head)))
+    ("graft_fingerprint64", es => Fingerprint64(es.head)),
+    ("graft_shingles", es => Shingles(es.head,
+      es(1).eval().asInstanceOf[Int])),
+    ("graft_vec_dot", es => VecDot(es.head, es(1))))
 
   /** Make the functions callable from SQL in an existing session. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "builtin")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
   }
 }
 
@@ -235,6 +238,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
       (es: Seq[Expression]) => Fingerprint64(es.head)))
+    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (es: Seq[Expression]) => Shingles(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (es: Seq[Expression]) => VecDot(es.head, es(1))))
   }
 }
 

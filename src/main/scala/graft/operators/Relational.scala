@@ -341,7 +341,22 @@ object Relational {
        |GROUP BY o_orderstatus, l_linestatus
        |ORDER BY o_orderstatus, l_linestatus""".stripMargin
 
+  // -- q_approx_distinct: HLL++ sketch distinct ------------------------------
+  // The 100 TB answer to count-distinct: mergeable fixed-size sketches
+  // (partial aggregation) instead of a distinct shuffle. No DuckDB
+  // oracle (sketch implementations differ across engines); the spec
+  // bounds the error against the exact count.
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.02).as("approx_suppliers"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q6_filter_agg", q6, Some(q6Sql)),
     QueryDef("q3_join_agg", q3, Some(q3Sql)),
