@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.OracleMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques made concrete (SURVEY.md §5): partition pruning,
+  * bucketed co-located joins, and salted skew joins. Each query's
+  * result has a plain DuckDB oracle (the technique must not change the
+  * answer — only the plan), and PlanSpec asserts the plan property the
+  * technique exists for.
+  */
+object ScaleOps {
+
+  private def tmp(name: String, sfDir: String): String =
+    s"/tmp/graft_q/${name}_${new java.io.File(sfDir).getName}"
+
+  // -- partitioned layout + partition pruning ------------------------------
+  // Hive-style partition directories: a filter on the partition column
+  // never touches non-matching files (PartitionFilters, not a data
+  // filter) — at 100 TB, date/tenant partitioning is the first-line
+  // data-skipping mechanism.
+  def partitionedOrders(s: SparkSession, d: String): String = {
+    val out = tmp("io_partition_pruning", d)
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(out)
+    out
+  }
+
+  private def partitionPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = partitionedOrders(s, d)
+    s.read.parquet(out)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+  }
+  private val partitionPruningSql =
+    s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  // -- bucketed co-located join --------------------------------------------
+  // Both fact tables bucketed on the join key at write time: the join
+  // reads co-located buckets and needs NO shuffle at read time — the
+  // pattern that amortizes one shuffle across every future join on that
+  // key. (Bucket metadata lives in the session catalog; at cluster
+  // scale this is a Hive-metastore/Iceberg table property.)
+  /** Writes both sides bucketed on the join key (external tables in the
+    * session catalog); idempotent per (session, sfDir). */
+  def ensureBucketedTables(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val wh = tmp("q_bucketed_join_wh", d)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_linestatus")
+      .write.mode("overwrite").option("path", s"$wh/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.mode("overwrite").option("path", s"$wh/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_ord_bucketed")
+  }
+
+  /** Join of the two bucketed tables alone — reads co-located buckets,
+    * so the plan must contain NO shuffle (PlanSpec asserts this). */
+  def bucketedJoinOnly(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+  }
+
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ensureBucketedTables(s, d)
+    bucketedJoinOnly(s)
+      .groupBy($"o_orderstatus", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus", $"l_linestatus")
+  }
+  private val bucketedJoinSql =
+    s"""SELECT o_orderstatus, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus, l_linestatus
+       |ORDER BY o_orderstatus, l_linestatus""".stripMargin
+
+  // -- salted skew join ----------------------------------------------------
+  // When one join key dominates (here: the synthetic hot key = every
+  // lineitem joined to its returnflag group stats), a plain shuffle
+  // join lands the hot key on one reducer. Salting: explode the small
+  // side S ways, scatter the big side with a random-free deterministic
+  // salt (key-derived, so the result is reproducible), join on
+  // (key, salt) — hot-key work spreads across S reducers. The answer is
+  // identical to the unsalted join, which is what the oracle checks.
+  private val Salts = 8
+
+  private def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    // big side: deterministic salt derived from row identity
+    val big = li.withColumn("salt",
+      pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(Salts)))
+    // small side: per-returnflag stats, exploded across all salts
+    val stats = li.groupBy($"l_returnflag")
+      .agg(davg($"l_discount").as("avg_disc"))
+      .withColumn("salt", explode(typedlit((0 until Salts).map(_.toLong))))
+    big.join(stats, Seq("l_returnflag", "salt"))
+      .filter($"l_discount" > $"avg_disc")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_above_avg"), dsum($"l_quantity").as("qty_above_avg"))
+      .orderBy($"l_returnflag")
+  }
+  private val saltedJoinSql =
+    s"""WITH stats AS (
+       |  SELECT l_returnflag, ${sqlAvg("l_discount")} AS avg_disc
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l.l_returnflag, COUNT(*) AS n_above_avg,
+       |  ${sqlSum("l_quantity")} AS qty_above_avg
+       |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+       |WHERE l.l_discount > s.avg_disc
+       |GROUP BY l.l_returnflag
+       |ORDER BY l.l_returnflag""".stripMargin
+
+  // -- CSV / JSON source round trips ---------------------------------------
+  // Schema'd text sources ride the same relation pipeline as parquet;
+  // aggregating after a write→read round trip proves lossless typed I/O.
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_csv_roundtrip", d)
+    val src = Tables.nation(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").schema(src.schema).csv(out)
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name").agg(count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+  private val csvRoundtripSql =
+    """SELECT r_name, COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_json_roundtrip", d)
+    val src = Tables.supplier(s, d)
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .agg(count(lit(1)).as("n"), dsum($"s_acctbal").as("sum_bal"),
+        countDistinct($"s_nationkey").as("n_nations"))
+  }
+  private val jsonRoundtripSql =
+    s"""SELECT COUNT(*) AS n, ${sqlSum("s_acctbal")} AS sum_bal,
+       |  COUNT(DISTINCT s_nationkey) AS n_nations
+       |FROM supplier""".stripMargin
+
+  // -- RBAC over encrypted data (reference "role-based decryption") --------
+  // Composition of the two reference future-work rows: the analyst role
+  // sees decrypted-but-masked PII and plain business columns; denied
+  // columns stay [ENCRYPTED] because their keys are never resolved.
+  private def rbacDecrypt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.crypto._
+    val out = tmp("crypto_rbac_decrypt", d)
+    val cfg = CryptoConfig("master-rbacdec",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-name")),
+        ColumnPolicy("c_acctbal", kmsMasterKeyId = Some("mk-bal"))))
+    EncryptedParquet.write(Tables.customer(s, d), out, cfg)
+    // role: may decrypt c_acctbal, NOT c_name
+    val visible = EncryptedParquet.read(s, out, request = Seq("c_acctbal"), cfg)
+    Rbac.Policy(Map("analyst" -> Map(
+        "c_custkey" -> Rbac.Allow,
+        "c_name" -> Rbac.Allow,          // still ciphertext placeholder
+        "c_mktsegment" -> Rbac.Allow,
+        "c_acctbal" -> Rbac.Mask(c => round(c, -2)))))  // coarse bucket
+      .apply(visible, "analyst")
+      .groupBy($"c_mktsegment", $"c_name")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bucketed_bal"))
+      .orderBy($"c_mktsegment")
+  }
+  private val rbacDecryptSql =
+    s"""SELECT c_mktsegment, '[ENCRYPTED]' AS c_name, COUNT(*) AS n,
+       |  ${sqlSum("round(c_acctbal, -2)")} AS sum_bucketed_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
+    QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("io_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("io_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    QueryDef("crypto_rbac_decrypt", rbacDecrypt, Some(rbacDecryptSql)),
+  )
+}
