@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.CryptoQueries.defs ++
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.ScaleOps.defs ++ streaming.Streaming.defs
+      operators.ScaleOps.defs ++ operators.Advanced.defs ++
+      streaming.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.OracleMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal joins + advanced analytics (SURVEY.md §2.5): as-of join,
+  * range join, time-bucketed rollups, exact percentiles, native
+  * pivot/unpivot, systematic sampling, and array aggregation.
+  *
+  * The two temporal joins are the operators Spark famously lacks as
+  * built-ins; both are expressed here as compositions that keep the
+  * 100 TB shape: ONE shuffle by the entity key, no nested-loop joins.
+  */
+object Advanced {
+
+  // -- q_asof_join: point-in-time join (purchases ← latest prior view) -----
+  // The scalable as-of formulation: union both sides tagged, one shuffle
+  // by (user), sort within partition by (time, side), and carry the last
+  // right-side value forward with a running `last(ignoreNulls)` window.
+  // No per-row probe, no nested loop — O(n log n) within each key, one
+  // Exchange total. Ties are impossible ((user_id, ts) is unique in the
+  // events table) but the (ts, side) sort makes `>=` semantics explicit:
+  // a view at exactly the purchase timestamp matches.
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // microseconds on both sides: DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to micros, so micro arithmetic is the exact unit
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us", lit(0).as("side"), $"ts_us".as("view_ts_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("side"),
+        lit(null).cast("long").as("view_ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("asof_view_ts_us", last($"view_ts_us", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"asof_view_ts_us").as("n_matched"),
+        sum($"ts_us" - $"asof_view_ts_us").as("sum_gap_us"))
+      .orderBy($"user_id")
+  }
+  // Oracle: the same semantics written as a correlated max per purchase
+  // (DuckDB's ASOF JOIN would also work; the explicit form documents the
+  // tie rule). Gap arithmetic is in integer microseconds — exact parity.
+  private val qAsofJoinSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'view'),
+      |     m AS (SELECT p.user_id, p.ts_us,
+      |             (SELECT MAX(v.ts_us) FROM v
+      |              WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us) AS asof_ts_us
+      |           FROM p)
+      |SELECT user_id, COUNT(*) AS n_purchases,
+      |  COUNT(asof_ts_us) AS n_matched,
+      |  SUM(ts_us - asof_ts_us) AS sum_gap_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -- q_range_join: interval join (clicks within 1h before a purchase) ----
+  // Range predicates alone plan as nested-loop joins; anchoring on the
+  // entity equi-key makes it a hash join with the range as a residual
+  // filter — the scalable pattern whenever a join key exists. (For pure
+  // interval overlap with no key, bin both sides to interval-width
+  // buckets and equi-join on bucket id.)
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // micro precision on both sides (see qAsofJoin) so the window
+    // boundary classifies identically in Spark and the oracle
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_us".as("c_ts_us"), $"value".as("c_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id")
+    val hourUs = 3600L * 1000 * 1000
+    purchases.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts_us" >= $"ts_us" - hourUs && $"c_ts_us" < $"ts_us")
+      .groupBy($"user_id")
+      .agg(countDistinct($"event_id").as("n_purchases_with_clicks"),
+        count(lit(1)).as("n_click_pairs"),
+        dsum($"c_value").as("sum_click_value"))
+      .orderBy($"user_id")
+  }
+  private val qRangeJoinSql =
+    s"""SELECT p.user_id,
+       |  COUNT(DISTINCT p.event_id) AS n_purchases_with_clicks,
+       |  COUNT(*) AS n_click_pairs,
+       |  ${sqlSum("c.value")} AS sum_click_value
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts_us >= p.ts_us - 3600000000
+       | AND c.ts_us < p.ts_us
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
+  // -- q_time_bucket: calendar-bucketed rollup over event time -------------
+  private def qTimeBucket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+  private val qTimeBucketSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // -- q_percentile: exact distributed quantiles ---------------------------
+  // Exact per-group quantiles via rank windows — semantics pinned on both
+  // engines (value at ceil(q*n) of the (price, orderkey, linenumber)
+  // total order), no interpolation-formula drift. At 100 TB the same
+  // report runs on approx_percentile sketches; this is the exact gate.
+  private def qPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      .agg(
+        max(when($"rn" <= ceil($"n" * 0.5), $"l_extendedprice")).as("p50"),
+        max(when($"rn" <= ceil($"n" * 0.95), $"l_extendedprice")).as("p95"),
+        max(when($"rn" <= ceil($"n" * 0.99), $"l_extendedprice")).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+  private val qPercentileSql =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MAX(CASE WHEN rn <= CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+      |  MAX(CASE WHEN rn <= CEIL(n * 0.95) THEN l_extendedprice END) AS p95,
+      |  MAX(CASE WHEN rn <= CEIL(n * 0.99) THEN l_extendedprice END) AS p99
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q_pivot_native: DataFrame pivot API (values pinned → single pass) ---
+  // Pinning the pivot values skips the extra distinct-collect job and
+  // keeps the plan a one-pass pivot aggregation.
+  private def qPivotNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("R", "A", "N"))
+      .agg(dsum($"l_quantity"))
+      .withColumnsRenamed(Map("R" -> "qty_r", "A" -> "qty_a", "N" -> "qty_n"))
+      .orderBy($"l_linestatus")
+  }
+  private val qPivotNativeSql =
+    s"""SELECT l_linestatus,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+       |  ${sqlSum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // -- q_unpivot: wide → long (melt) ---------------------------------------
+  private def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        dsum($"l_discount").as("sum_disc"))
+    wide.unpivot(
+        ids = Array($"l_linestatus"),
+        values = Array($"sum_qty", $"sum_price", $"sum_disc"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"l_linestatus", $"metric")
+  }
+  private val qUnpivotSql =
+    s"""WITH wide AS (
+       |  SELECT l_linestatus,
+       |    ${sqlSum("l_quantity")} AS sum_qty,
+       |    ${sqlSum("l_extendedprice")} AS sum_price,
+       |    ${sqlSum("l_discount")} AS sum_disc
+       |  FROM lineitem GROUP BY l_linestatus)
+       |SELECT l_linestatus, metric, value FROM (
+       |  SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+       |  UNION ALL
+       |  SELECT l_linestatus, 'sum_price', sum_price FROM wide
+       |  UNION ALL
+       |  SELECT l_linestatus, 'sum_disc', sum_disc FROM wide)
+       |ORDER BY l_linestatus, metric""".stripMargin
+
+  // -- q_sample_systematic: deterministic key-systematic sampling ----------
+  // Reproducible cross-engine sampling (unlike TABLESAMPLE/rand seeds):
+  // take keys in a fixed residue window. Embarrassingly parallel —
+  // evaluated at the scan, no shuffle added before the aggregation.
+  private def qSampleSystematic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter(pmod($"l_orderkey", lit(97L)) < 5)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"), davg($"l_extendedprice").as("avg_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val qSampleSystematicSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+       |  ${sqlAvg("l_extendedprice")} AS avg_price
+       |FROM lineitem WHERE l_orderkey % 97 < 5
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q_array_agg: array columns as first-class aggregation targets ------
+  // Per-label stats over the embedding vectors: L2 norm via the compiled
+  // VecDot expression (self dot product), plus an ordered array_agg
+  // sample. collect_list order is nondeterministic under parallelism —
+  // always sort_array before comparing/emitting.
+  private def qArrayAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(graft.functions.GraftFunctions.vec_dot($"embedding", $"embedding")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        davg($"norm").as("avg_norm"),
+        slice(sort_array(collect_list($"vec_id")), 1, 5).as("first_ids"))
+      .orderBy($"label")
+  }
+  private val qArrayAggSql =
+    s"""SELECT label, COUNT(*) AS n_vecs,
+       |  ${sqlAvg("sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")} AS avg_norm,
+       |  (array_agg(vec_id ORDER BY vec_id))[1:5] AS first_ids
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
+    QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
+    QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),
+    QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic assertions for the temporal-join / advanced-analytics
+  * operators (SURVEY.md §2.5) beyond the driver's DuckDB oracle:
+  * brute-force cross-checks on a single user for the joins, and
+  * order/shape invariants for the rest.
+  */
+class AdvancedSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_asof_join matches a brute-force point-in-time join for one user") {
+    val rows = q("q_asof_join").filter(col("user_id") === 7).collect()
+    assert(rows.length == 1)
+    val Row(_, nPurch: Long, nMatched: Long, sumGap: Any) = rows(0)
+
+    // brute force from the raw events of that user (small: collect ok in test)
+    val ev = Tables.events(spark, sf).filter(col("user_id") === 7)
+      .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val views = ev.filter(_._1 == "view").map(_._2).sorted
+    val purchases = ev.filter(_._1 == "purchase").map(_._2)
+    val gaps = purchases.flatMap { p =>
+      views.takeWhile(_ <= p).lastOption.map(v => p - v)
+    }
+    assert(nPurch == purchases.length)
+    assert(nMatched == gaps.length)
+    if (gaps.nonEmpty) assert(sumGap.asInstanceOf[Long] == gaps.sum)
+  }
+
+  test("q_range_join matches a brute-force interval join for one user") {
+    val rows = q("q_range_join").filter(col("user_id") === 7).collect()
+    val ev = Tables.events(spark, sf).filter(col("user_id") === 7)
+      .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val clicks = ev.filter(_._1 == "click").map(_._2)
+    val purchases = ev.filter(_._1 == "purchase").map(_._2)
+    val hourUs = 3600L * 1000 * 1000
+    val pairs = for {
+      p <- purchases; c <- clicks if c >= p - hourUs && c < p
+    } yield (p, c)
+    if (pairs.isEmpty) assert(rows.isEmpty, "no pairs expected for user 7")
+    else {
+      assert(rows.length == 1)
+      assert(rows(0).getLong(2) == pairs.length)
+      assert(rows(0).getLong(1) == pairs.map(_._1).distinct.length)
+    }
+  }
+
+  test("q_percentile: quantiles are ordered and bounded by the group max") {
+    val maxes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(max(col("l_extendedprice")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q("q_percentile").collect().foreach { r =>
+      val (flag, p50, p95, p99) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p95 && p95 <= p99, s"quantiles out of order for $flag")
+      assert(p99 <= maxes(flag))
+    }
+  }
+
+  test("q_pivot_native row sums equal the group totals") {
+    val pivoted = q("q_pivot_native").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) + r.getDouble(2) + r.getDouble(3))).toMap
+    val totals = Tables.lineitem(spark, sf).groupBy(col("l_linestatus"))
+      .agg(OracleMath.dsum(col("l_quantity")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    totals.foreach { case (k, t) =>
+      assert(math.abs(pivoted(k) - t) < 1e-6, s"pivot row sum drifted for $k")
+    }
+  }
+
+  test("q_unpivot emits 3 metric rows per linestatus, names pinned") {
+    val rows = q("q_unpivot").collect()
+    val byStatus = rows.groupBy(_.getString(0))
+    byStatus.values.foreach { g =>
+      assert(g.map(_.getString(1)).sorted.toSeq ==
+        Seq("sum_disc", "sum_price", "sum_qty"))
+    }
+  }
+
+  test("q_sample_systematic keeps ~5/97 of rows") {
+    val sampled = q("q_sample_systematic").agg(sum(col("n_sampled")))
+      .collect()(0).getLong(0).toDouble
+    val total = Tables.lineitem(spark, sf).count().toDouble
+    val rate = sampled / total
+    assert(rate > 0.02 && rate < 0.09, s"sampling rate $rate implausible for 5/97")
+  }
+
+  test("q_array_agg: first_ids sorted ascending, norms positive") {
+    q("q_array_agg").collect().foreach { r =>
+      val ids = r.getSeq[Long](3)
+      assert(ids.length <= 5 && ids == ids.sorted)
+      assert(r.getDouble(2) > 0.0, "avg_norm must be positive")
+    }
+  }
+
+  test("q_time_bucket day counts add up to the full table") {
+    val n = q("q_time_bucket").agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+}

@@ -95,6 +95,21 @@ class PlanSpec extends AnyFunSuite {
     // correctness vs the unsalted oracle is checked by Verify/DuckDB
   }
 
+  test("q_asof_join: ONE hash shuffle — window and groupBy share user_id partitioning") {
+    val p = plan("q_asof_join")
+    // formatted mode prints exchange specs as "Arguments: hashpartitioning(…)"
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"as-of join should shuffle by user once, found $hashExchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not nested-loop")
+  }
+
+  test("q_range_join is an equi-join with range residual, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
