@@ -144,30 +144,39 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -- SimHash near-dup ----------------------------------------------------
-  // 64-bit simhash over the shingle set, banded into 16 × 4-bit blocks:
-  // by pigeonhole, any pair at hamming ≤ 15 agrees on ≥ 1 block, so the
-  // block-equality join is a complete candidate generator for the
-  // hamming ≤ 10 verification filter (the k+1-block scheme of Manku et
-  // al., WWW'07 "Detecting Near-Duplicates for Web Crawling"; at larger
-  // hamming budgets use wider blocks + multi-probe to keep bucket sizes
-  // bounded). No SQL oracle (the signature is a custom hash) — the spec
-  // cross-checks the result against exact Jaccard pairs.
+  // 64-bit simhash over the shingle set, banded into k+1 = 13 blocks
+  // (12×5 bits + 1×4 bits): by pigeonhole, any pair at hamming ≤ 12
+  // agrees on ≥ 1 block, so the block-equality join is a COMPLETE
+  // candidate generator for the hamming ≤ 12 filter (the k+1-block
+  // scheme of Manku et al., WWW'07 "Detecting Near-Duplicates for Web
+  // Crawling"). Block width is the precision lever: a random pair
+  // collides on a 5-bit block with p=1/32 (vs 1 in expectation with
+  // 16×4-bit blocks, which made every pair a candidate); at larger
+  // corpora, widen blocks + multi-probe to keep buckets bounded. The
+  // hamming filter runs BEFORE the pair-dedup so the distinct only sees
+  // near-pairs, not the full candidate set. No SQL oracle (the
+  // signature is a custom hash) — the spec cross-checks the result
+  // against exact Jaccard pairs.
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
     import s.implicits._
+    val widths = Seq.fill(12)(5) :+ 4 // 13 blocks cover all 64 bits
+    val offsets = widths.scanLeft(0)(_ + _).init
     val docs = Tables.documents(s, d)
       .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
     val bands = docs.select($"doc_id", $"sig",
-        explode(array((0 until 16).map(b =>
+        explode(array(offsets.zipWithIndex.map { case (off, b) =>
           struct(lit(b).as("band_id"),
-            shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL)).as("band_val"))): _*)).as("band"))
+            shiftrightunsigned($"sig", off)
+              .bitwiseAND(lit((1L << widths(b)) - 1)).as("band_val"))
+        }: _*)).as("band"))
       .select($"doc_id", $"sig", $"band.band_id", $"band.band_val")
     bands.as("a").join(bands.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
-      .distinct()
       .filter($"hamming" <= maxHamming)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
   private def simhash(s: SparkSession, d: String): DataFrame = simhashPairs(s, d)
