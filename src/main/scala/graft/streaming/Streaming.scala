@@ -92,17 +92,66 @@ object Streaming {
     out.result().iterator
   }
 
+  /** Sessionization pipeline over any (streaming) Ev dataset — shared by
+    * the single-file driver query and the multi-batch spec, which feeds
+    * time-sliced files through `maxFilesPerTrigger=1` to prove state
+    * carries across micro-batches. */
+  def sessionizeDs(evs: org.apache.spark.sql.Dataset[Ev]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .toDF()
+  }
+
   /** Streaming sessionization; emits sessions closed within the data
     * (each user's trailing open session stays in state). */
   def sessionStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sessions = eventsStream(s, d)
-      .select($"user_id", $"ts_ns", $"value").as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
-    runToMemory(sessions.toDF(), "graft_stream_sessions", OutputMode.Append())
+    val sessions = sessionizeDs(
+      eventsStream(s, d).select($"user_id", $"ts_ns", $"value").as[Ev])
+    runToMemory(sessions, "graft_stream_sessions", OutputMode.Append())
       .orderBy($"user_id", $"start_us")
   }
+
+  // -- #44 watermarked stream-stream interval join -------------------------
+  // The streaming twin of q_range_join: purchases ⋈ clicks of the same
+  // user within the preceding hour, both sides watermarked so the join
+  // state is bounded (a click older than watermark − 1h can never match
+  // a future purchase and is evicted). The time-range condition on both
+  // event-time columns is what makes state cleanup possible — without
+  // the upper AND lower bound, state grows forever at 100 TB/day rates.
+  private def rangeJoinStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val purchases = eventsStream(s, d).filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = eventsStream(s, d).filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"value".as("c_value"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+        $"c_ts" < $"p_ts")
+    runToMemory(joined, "graft_stream_rjoin", OutputMode.Append())
+      .groupBy($"user_id")
+      .agg(countDistinct($"event_id").as("n_purchases_with_clicks"),
+        count(lit(1)).as("n_click_pairs"),
+        OracleMath.dsum($"c_value").as("sum_click_value"))
+      .orderBy($"user_id")
+  }
+  private val rangeJoinStreamSql =
+    s"""SELECT p.user_id,
+       |  COUNT(DISTINCT p.event_id) AS n_purchases_with_clicks,
+       |  COUNT(*) AS n_click_pairs,
+       |  ${OracleMath.sqlSum("c.value")} AS sum_click_value
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts_us >= p.ts_us - 3600000000
+       | AND c.ts_us < p.ts_us
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
   // -- batch twin of sessionization (gaps-and-islands) ---------------------
   // Same sessions, derived with lag + running count — this one is fully
@@ -145,5 +194,6 @@ object Streaming {
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
+    QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
   )
 }

@@ -29,6 +29,52 @@ class StreamMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization state carries across micro-batches (time-sliced files)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = new java.io.File("/tmp/graft_spec/stream_slices")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts_ns", $"value")
+    val (mn, mx) = ev.agg(min($"ts_ns"), max($"ts_ns")).as[(Long, Long)].collect()(0)
+    val step = (mx - mn) / 4 + 1
+    (0 until 4).foreach { i =>
+      ev.filter($"ts_ns" >= mn + i * step && $"ts_ns" < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(100) // distinct mtimes → deterministic oldest-first file order
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+      .as[Streaming.Ev]
+    val q = Streaming.sessionizeDs(stream)
+      .writeStream.format("memory").queryName("graft_multibatch_sessions")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      "each time-sliced file should form its own micro-batch")
+    val streamed = spark.table("graft_multibatch_sessions")
+      .select($"user_id", $"start_us", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Streaming.sessionBatch(spark, sf)
+      .select($"user_id", $"start_us", $"n_events")
+      .as[(Long, Long, Long)].collect()
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(streamed == batch.toSet -- lastPerUser,
+      "sessions spanning micro-batch boundaries must merge via carried state")
+  }
+
+  test("stream-stream interval join equals its batch twin") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("stream_range_join")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_range_join")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "watermarked stream-stream join must produce the batch join's rows")
+  }
+
   test("watermarked windowed agg covers every event exactly once") {
     val agg = SparkEntry.queries("stream_windowed_agg")(spark, sf)
     val total = agg.agg(sum("n_events")).collect()(0).getLong(0)
