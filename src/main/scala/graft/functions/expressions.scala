@@ -244,6 +244,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
       (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    // whole-operator extension: native as-of join (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

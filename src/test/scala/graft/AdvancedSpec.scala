@@ -52,6 +52,23 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of operator: inclusive match, latest-wins, null for unmatched") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("k", "t")
+    val r = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 6L, "c")).toDF("rk", "rt", "v")
+    val out = graft.plans.Asof.join(l, r, "k", "rk", "t", "rt")
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) null else x.getString(2)))
+      .toSet
+    assert(out == Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, null), (3L, 7L, null)))
+  }
+
+  test("native as-of agrees with the declarative union+window version") {
+    val native = q("q_asof_join_native").collect().map(_.toSeq).toSeq
+    val declarative = q("q_asof_join").collect().map(_.toSeq).toSeq
+    assert(native == declarative)
+  }
+
   test("q_percentile: quantiles are ordered and bounded by the group max") {
     val maxes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
       .agg(max(col("l_extendedprice")).as("mx"))

@@ -104,6 +104,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "as-of must not nested-loop")
   }
 
+  test("q_asof_join_native plans through the custom AsofJoinExec operator") {
+    val p = plan("q_asof_join_native")
+    assert(p.contains("AsofJoin"), s"custom strategy did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"),
+      "native path must not fall back to window/nested-loop")
+  }
+
   test("q_range_join is an equi-join with range residual, not a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
