@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ScaleOps.defs ++ operators.Advanced.defs ++
-      streaming.Streaming.defs
+      operators.Maintenance.defs ++ streaming.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

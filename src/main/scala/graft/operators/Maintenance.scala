@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.OracleMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators (SURVEY.md §2.6) — the jobs that keep a
+  * 100 TB parquet lake healthy: upsert/merge of a changes batch, and
+  * small-file compaction. Both are expressed so the data content is
+  * oracle-checkable (the maintenance must not change the answers).
+  */
+object Maintenance {
+
+  private def tmp(name: String, sfDir: String): String =
+    s"/tmp/graft_q/${name}_${new java.io.File(sfDir).getName}"
+
+  // -- q_merge_upsert: MERGE INTO semantics over plain parquet -------------
+  // Changes batch = deterministic function of the base table: every
+  // o_orderkey % 10 == 0 gets a 10% price bump (update), and a shifted
+  // copy of o_orderkey % 1000 == 0 arrives as new rows (insert). The
+  // merge is ONE shuffle of each side on the key (full-outer hash/SMJ +
+  // coalesce), never a driver loop. At lake scale the same join runs
+  // per-partition after pruning to partitions the changes touch —
+  // that's Delta/Iceberg MERGE's physical shape re-expressed on raw
+  // parquet.
+  private def upserted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+    val inserts = base.filter($"o_orderkey" % 1000 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+    val changes = updates.unionByName(inserts)
+    val cols = base.columns
+    base.as("b").join(changes.as("c"),
+        $"b.o_orderkey" === $"c.o_orderkey", "full_outer")
+      .select(cols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+  }
+
+  private def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    upserted(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+  private val qMergeUpsertSql =
+    s"""WITH changes AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 1000 = 0),
+       |merged AS (
+       |  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       |         COALESCE(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+       |         COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+       |  FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+       |SELECT o_orderpriority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -- io_compaction: small-file compaction --------------------------------
+  // Fragment the table into many small files (the pathology), compact
+  // into a few sized files, and prove the content is untouched. The
+  // compactor uses repartitionByRange on the sort key so the output
+  // files are both few AND range-clustered (min/max file stats stay
+  // selective for later scans) — a plain coalesce would preserve the
+  // random row placement and destroy data-skipping value.
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      files: Int, sortKey: String): Unit = {
+    val df = s.read.parquet(inDir)
+    df.repartitionByRange(files, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Fragmented + compacted layouts for the spec; returns (frag, compacted). */
+  def compactionDirs(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val frag = tmp("io_compaction_frag", d)
+    val compacted = tmp("io_compaction_out", d)
+    Tables.lineitem(s, d).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    compact(s, frag, compacted, files = 4, sortKey = "l_orderkey")
+    (frag, compacted)
+  }
+
+  private def qCompaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, compacted) = compactionDirs(s, d)
+    s.read.parquet(compacted)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+  private val qCompactionSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price,
+       |  COUNT(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
+  )
+}

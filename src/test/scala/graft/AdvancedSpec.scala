@@ -117,6 +117,27 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("io_compaction shrinks the file count and keeps every row") {
+    val (frag, compacted) = graft.operators.Maintenance.compactionDirs(spark, sf)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 64)
+    assert(parquetFiles(compacted) == 4)
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction must be a pure re-layout")
+  }
+
+  test("q_merge_upsert adds exactly the insert rows and keeps the rest") {
+    val merged = q("q_merge_upsert").agg(sum(col("n"))).collect()(0).getLong(0)
+    val base = Tables.orders(spark, sf).count()
+    val inserts = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 1000 === 0).count()
+    assert(merged == base + inserts)
+  }
+
   test("q_time_bucket day counts add up to the full table") {
     val n = q("q_time_bucket").agg(sum(col("n"))).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
