@@ -209,6 +209,8 @@ object GraftFunctions {
     graftshim.column(Shingles(graftshim.expression(c), n))
   def vec_dot(a: Column, b: Column): Column =
     graftshim.column(VecDot(graftshim.expression(a), graftshim.expression(b)))
+  def zorder64(a: Column, b: Column): Column =
+    graftshim.column(ZOrder64(graftshim.expression(a), graftshim.expression(b)))
 
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_minhash_sig", es => MinHashSig(es.head,
@@ -217,7 +219,8 @@ object GraftFunctions {
     ("graft_fingerprint64", es => Fingerprint64(es.head)),
     ("graft_shingles", es => Shingles(es.head,
       es(1).eval().asInstanceOf[Int])),
-    ("graft_vec_dot", es => VecDot(es.head, es(1))))
+    ("graft_vec_dot", es => VecDot(es.head, es(1))),
+    ("graft_zorder64", es => ZOrder64(es.head, es(1))))
 
   /** Make the functions callable from SQL in an existing session. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, b) =>
@@ -310,6 +313,45 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   * interpreted (higher-order functions don't codegen). One compiled
   * loop instead: the hot inner kernel of every similarity operator.
   */
+/** Morton (Z-order) interleave of the low 32 bits of two longs — the
+  * clustering key for multi-dimensional data skipping: sort/partition by
+  * z-value and BOTH dimensions' min/max parquet stats stay tight per
+  * file, so a 2-d box predicate prunes row groups on both axes (a
+  * single-column sort only ever prunes one). Standard bit-spreading via
+  * magic masks, one pass, codegen'd.
+  */
+case class ZOrder64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_zorder64"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrder64.interleave(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder64.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder64 {
+  @inline private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  /** even bits ← a, odd bits ← b */
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 case class VecDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
