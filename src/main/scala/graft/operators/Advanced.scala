@@ -233,6 +233,40 @@ object Advanced {
        |FROM lineitem WHERE l_orderkey % 97 < 5
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q_stratified_sample: exact per-class sampling -----------------------
+  // Class-balanced training-data selection: exactly K rows per class,
+  // chosen by a deterministic multiplicative hash (engine-reproducible,
+  // unlike rand(seed)). Exact-K needs a per-class rank (one shuffle on
+  // the class key); when expected-size is enough at 100 TB, drop the
+  // window and filter on `h < p * 2^32` — a pure scan like
+  // q_sample_systematic, no shuffle at all.
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = ($"l_orderkey" * 7 + $"l_linenumber") * 2654435761L % 4294967296L
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy(h.as("h"), $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 500)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum($"l_extendedprice").as("sum_price"),
+        davg($"l_discount").as("avg_disc"))
+      .orderBy($"l_returnflag")
+  }
+  private val qStratifiedSampleSql =
+    s"""WITH ranked AS (
+       |  SELECT l_returnflag, l_extendedprice, l_discount,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY (l_orderkey * 7 + l_linenumber) * 2654435761 % 4294967296,
+       |               l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |SELECT l_returnflag, COUNT(*) AS n_sampled,
+       |  ${sqlSum("l_extendedprice")} AS sum_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc
+       |FROM ranked WHERE rn <= 500
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -- q_array_agg: array columns as first-class aggregation targets ------
   // Per-label stats over the embedding vectors: L2 norm via the compiled
   // VecDot expression (self dot product), plus an ordered array_agg
@@ -263,6 +297,7 @@ object Advanced {
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),
+    QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
   )
 }

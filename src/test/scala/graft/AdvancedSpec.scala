@@ -109,6 +109,15 @@ class AdvancedSpec extends AnyFunSuite {
     assert(rate > 0.02 && rate < 0.09, s"sampling rate $rate implausible for 5/97")
   }
 
+  test("q_stratified_sample takes exactly min(500, class size) per class") {
+    val classSizes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_stratified_sample").collect().foreach { r =>
+      val expected = math.min(500L, classSizes(r.getString(0)))
+      assert(r.getLong(1) == expected, s"class ${r.getString(0)}")
+    }
+  }
+
   test("q_array_agg: first_ids sorted ascending, norms positive") {
     q("q_array_agg").collect().foreach { r =>
       val ids = r.getSeq[Long](3)
