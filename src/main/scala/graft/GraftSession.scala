@@ -31,6 +31,9 @@ object GraftSession {
   def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     functions.GraftFunctions.register(s)
+    if (!s.experimental.extraStrategies.contains(plans.AsofJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ plans.AsofJoinStrategy
     s
   }
 }

@@ -166,6 +166,22 @@ object Advanced {
       |  MAX(CASE WHEN rn <= CEIL(n * 0.99) THEN l_extendedprice END) AS p99
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q_quantile_sketch: mergeable-sketch quantiles (the 100 TB path) -----
+  // approx_percentile is a KLL-style mergeable sketch: fixed-size state,
+  // map-side partial aggregation, no per-group sort — the same scale
+  // story as HLL for count-distinct. No cross-engine oracle (sketch
+  // internals differ); the spec bounds its error against the exact
+  // rank-window quantiles of q_percentile.
+  private def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
   // -- q_pivot_native: DataFrame pivot API (values pinned → single pass) ---
   // Pinning the pivot values skips the extra distinct-collect job and
   // keeps the plan a one-pass pivot aggregation.
@@ -294,6 +310,7 @@ object Advanced {
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
+    QueryDef("q_quantile_sketch", qQuantileSketch, None),
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),

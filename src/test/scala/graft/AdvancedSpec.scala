@@ -81,6 +81,19 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quantile_sketch tracks the exact quantiles within relative error") {
+    val exact = q("q_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    q("q_quantile_sketch").collect().foreach { r =>
+      val (e50, e95, e99) = exact(r.getString(0))
+      Seq((r.getDouble(1), e50), (r.getDouble(2), e95), (r.getDouble(3), e99))
+        .foreach { case (approx, ex) =>
+          assert(math.abs(approx - ex) / ex < 0.05,
+            s"sketch quantile $approx drifted >5% from exact $ex")
+        }
+    }
+  }
+
   test("q_pivot_native row sums equal the group totals") {
     val pivoted = q("q_pivot_native").collect()
       .map(r => r.getString(0) -> (r.getDouble(1) + r.getDouble(2) + r.getDouble(3))).toMap
