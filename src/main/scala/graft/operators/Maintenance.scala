@@ -82,7 +82,9 @@ object Maintenance {
     import s.implicits._
     val frag = tmp("io_compaction_frag", d)
     val compacted = tmp("io_compaction_out", d)
-    Tables.lineitem(s, d).repartition(64)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
+      .repartition(64)
       .write.mode("overwrite").parquet(frag)
     compact(s, frag, compacted, files = 4, sortKey = "l_orderkey")
     (frag, compacted)

@@ -33,6 +33,18 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** Run `body` with stateful-operator partitioning sized to the KEY
+    * space instead of the core count — each state partition pays a
+    * fixed per-batch store-commit cost, so hundreds of near-empty state
+    * partitions dominate small-key streaming jobs (measured 3x on the
+    * stream-stream join). The partition count is baked into the
+    * checkpoint at first run, so this must wrap query construction. */
+  private def withStateParts[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -43,7 +55,7 @@ object Streaming {
   }
 
   // -- #42 watermarked tumbling-window aggregation -------------------------
-  private def windowedAgg(s: SparkSession, d: String): DataFrame = {
+  private def windowedAgg(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
     import s.implicits._
     val agg = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
@@ -107,7 +119,7 @@ object Streaming {
 
   /** Streaming sessionization; emits sessions closed within the data
     * (each user's trailing open session stays in state). */
-  def sessionStream(s: SparkSession, d: String): DataFrame = {
+  def sessionStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
     import s.implicits._
     val sessions = sessionizeDs(
       eventsStream(s, d).select($"user_id", $"ts_ns", $"value").as[Ev])
@@ -122,21 +134,10 @@ object Streaming {
   // a future purchase and is evicted). The time-range condition on both
   // event-time columns is what makes state cleanup possible — without
   // the upper AND lower bound, state grows forever at 100 TB/day rates.
-  private def rangeJoinStream(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // Stateful-operator partition count is baked into the checkpoint at
-    // first run; each state partition carries 4 join state stores whose
-    // per-batch commit is fixed-cost file I/O. Size it to the KEY space
-    // (~150 users), not the CPU count: at 32 partitions that's 256 tiny
-    // store commits of pure overhead per run (measured 3x slower than
-    // 4 partitions). On a real cluster the same tuning applies — state
-    // partitions ≈ keys / target-keys-per-store, not default
-    // parallelism.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try rangeJoinStreamInner(s, d)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  // stream-stream joins carry 4 state stores per partition → size even
+  // tighter than the single-store stateful ops
+  private def rangeJoinStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 4) { rangeJoinStreamInner(s, d) }
 
   private def rangeJoinStreamInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
