@@ -257,6 +257,21 @@ object Relational {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -- q_cube: full grouping-set lattice -------------------------------------
+  private def qCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+  private val qCubeSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_extendedprice")} AS sum_price, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // -- q_setops: intersect / except ------------------------------------------
   private def qSetops(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -368,6 +383,7 @@ object Relational {
     QueryDef("q_topk", qTopK, Some(qTopKSql)),
     QueryDef("q_distinct", qDistinct, Some(qDistinctSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_setops", qSetops, Some(qSetopsSql)),
     QueryDef("q_case_pivot", qCasePivot, Some(qCasePivotSql)),
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(qScalarSubquerySql)),
