@@ -321,7 +321,9 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   * magic masks, one pass, codegen'd.
   */
 case class ZOrder64(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_zorder64"

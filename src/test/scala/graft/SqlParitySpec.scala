@@ -81,5 +81,19 @@ class SqlParitySpec extends AnyFunSuite {
       .select($"doc_id", graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp"))
       .orderBy($"doc_id").limit(5).collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(api.toSeq == r.map(x => (x.getLong(0), x.getLong(1))).toSeq)
+    // zorder + vec_dot from SQL, agreeing with the direct implementations
+    val z = spark.sql("SELECT graft_zorder64(3, 5) AS z, " +
+      "graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()(0)
+    assert(z.getLong(0) == graft.functions.ZOrder64.interleave(3L, 5L))
+    assert(z.getDouble(1) == 11.0)
+  }
+
+  test("every driver-contract query key is documented in SURVEY.md §2") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(missing.isEmpty,
+      s"queries missing from the SURVEY.md inventory: $missing")
   }
 }
