@@ -59,7 +59,7 @@ object Advanced {
       |           FROM p)
       |SELECT user_id, COUNT(*) AS n_purchases,
       |  COUNT(asof_ts_us) AS n_matched,
-      |  SUM(ts_us - asof_ts_us) AS sum_gap_us
+      |  CAST(SUM(ts_us - asof_ts_us) AS BIGINT) AS sum_gap_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -- q_asof_join_native: same semantics through the custom operator ------
@@ -287,7 +287,9 @@ object Advanced {
   // Per-label stats over the embedding vectors: L2 norm via the compiled
   // VecDot expression (self dot product), plus an ordered array_agg
   // sample. collect_list order is nondeterministic under parallelism —
-  // always sort_array before comparing/emitting.
+  // always sort_array before comparing/emitting. The sample is emitted
+  // as a comma-joined string (not array<long>) so the cross-engine
+  // value-compare has a totally-ordered scalar on both sides.
   private def qArrayAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
@@ -295,13 +297,13 @@ object Advanced {
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         davg($"norm").as("avg_norm"),
-        slice(sort_array(collect_list($"vec_id")), 1, 5).as("first_ids"))
+        array_join(slice(sort_array(collect_list($"vec_id")), 1, 5), ",").as("first_ids"))
       .orderBy($"label")
   }
   private val qArrayAggSql =
     s"""SELECT label, COUNT(*) AS n_vecs,
        |  ${sqlAvg("sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")} AS avg_norm,
-       |  (array_agg(vec_id ORDER BY vec_id))[1:5] AS first_ids
+       |  array_to_string((array_agg(vec_id ORDER BY vec_id))[1:5], ',') AS first_ids
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

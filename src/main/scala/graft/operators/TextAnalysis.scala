@@ -22,27 +22,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "dans", "pour", "que"),
     "zh" -> Seq("的", "是", "在", "了", "我", "不", "有"))
 
-  /** Count (with multiplicity) of tokens that hit a stopword list. */
-  private def hits(wordsCol: Column, list: Seq[String]): Column =
-    size(filter(wordsCol, w => w.isin(list: _*)))
-
+  /** DuckDB oracle fragment: count (with multiplicity) of tokens that
+    * hit a stopword list. The Spark side computes ALL language counts in
+    * one compiled pass ([[graft.functions.StopwordScores]]) — the
+    * one-lambda-per-language spelling (`size(filter(words, IN))`) runs
+    * interpreted (higher-order functions don't codegen) and was 8×
+    * slower than the rest of the text suite at sf0.1. */
   private def hitsSql(list: Seq[String]): String =
     s"len(list_filter(words, w -> w IN (${list.map(s => s"'$s'").mkString(", ")})))"
 
   // -- language ID ---------------------------------------------------------
   // Stopword-hit scoring per language; argmax with a fixed tie-break
   // order (the CASE chain), 'und' when nothing matches. Confusion
-  // matrix against the labeled lang column.
+  // matrix against the labeled lang column. All five language scores
+  // come from ONE codegen'd scan of the token array.
   private def langid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scored = stop.foldLeft(
-      Tables.documents(s, d).withColumn("words", TextPrep.words($"text"))) {
-      case (df, (lang, list)) => df.withColumn(s"s_$lang", hits($"words", list))
-    }
     val langs = stop.map(_._1)
-    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
-    val pred = langs.foldRight(lit("und")) { (l, els) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    val scored = Tables.documents(s, d)
+      .withColumn("scores", stopword_scores(TextPrep.words($"text"), stop.map(_._2)))
+    val sc = langs.indices.map(i => $"scores"(i))
+    val best = sc.reduce((a, b) => greatest(a, b))
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
+      when(sc(i) === best && best > 0, lit(l)).otherwise(els)
     }
     scored.withColumn("pred_lang", pred)
       .groupBy($"lang", $"pred_lang")
@@ -73,7 +75,8 @@ object TextAnalysis {
       .withColumn("n_words", size($"words"))
       .withColumn("rep_ratio",
         size(array_distinct($"words")).cast("double") / $"n_words")
-      .withColumn("stop_ratio", hits($"words", en).cast("double") / $"n_words")
+      .withColumn("stop_ratio",
+        stopword_scores($"words", Seq(en))(0).cast("double") / $"n_words")
       .withColumn("tier",
         when($"n_words" < 20, "too_short")
           .when($"rep_ratio" < 0.3, "repetitive")
