@@ -114,9 +114,15 @@ object EncryptedParquet {
         s"'${p.column}' — writing plaintext (reference fallback semantics)")
     }
     val origTypes = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    // row count for the manifest piggybacks on the write itself via
+    // observe() — the naive spark.read.parquet(dir).count() would be a
+    // second full pass over the data (at 100 TB, another 100 TB read)
+    // just to stamp one manifest field
+    val obs = org.apache.spark.sql.Observation()
     val encrypted = ColumnCrypto.encryptColumns(df, keys)
+      .observe(obs, count(lit(1)).as("n_rows"))
     encrypted.write.mode("overwrite").parquet(dir)
-    val rowCount = spark.read.parquet(dir).count()
+    val rowCount = obs.get("n_rows").asInstanceOf[Long]
     val manifest = Manifest(rowCount, config.masterKeyId,
       resolved.map { case (p, rk) =>
         ColumnMeta(p.column, rk.mode, origTypes(p.column), rk.wrappedDek, rk.masterKeyId)

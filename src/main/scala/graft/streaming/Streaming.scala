@@ -22,15 +22,51 @@ object Streaming {
     * stores TIMESTAMP(NANOS) (read as int64 via nanosAsLong — see
     * Tables.events); event time for watermarking is microsecond
     * precision. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(s: SparkSession, d: String,
+      glob: String = "events.parquet"): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // static pass defines the schema (ts arrives as int64 nanos)
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = s.read.option("pathGlobFilter", glob).parquet(d).schema
     s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet") // stream only the events file
+      .option("pathGlobFilter", glob) // stream only the events file(s)
       .parquet(d)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Stage the events file into a temp dir together with ONE far-future
+    * heartbeat row. Bounded replays never advance the watermark past the
+    * last real window (watermark trails max event time), so in Append
+    * mode the trailing windows would stay open forever; the heartbeat —
+    * a punctuation event, the standard pattern for flushing event-time
+    * state on bounded/replayed streams — pushes the watermark past every
+    * real window. It is filtered out downstream OF the watermark node,
+    * so it advances time without touching any aggregate. Hardlinks the
+    * data file (no copy) when the temp dir is on the same filesystem.
+    * Returns (staged dir, heartbeat event time in ns).
+    */
+  private def stageWithHeartbeat(s: SparkSession, d: String): (String, Long) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(d, "events.parquet")
+    val tmp = Files.createTempDirectory("graft_stream_flush")
+    tmp.toFile.deleteOnExit()
+    try Files.createLink(tmp.resolve("events.parquet"), src)
+    catch { case _: Exception =>
+      Files.copy(src, tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val ev = s.read.parquet(src.toString)
+    val maxNs = ev.agg(max(col("ts"))).head().getLong(0)
+    val hbNs = maxNs + 3L * 3600 * 1000 * 1000 * 1000
+    val stage = tmp.resolve("_hb_stage").toString
+    ev.limit(1)
+      .withColumn("ts", lit(hbNs))
+      .withColumn("event_type", lit("__heartbeat"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, tmp.resolve("events_heartbeat.parquet"))
+    (tmp.toString, hbNs)
   }
 
   /** Run `body` with stateful-operator partitioning sized to the KEY
@@ -55,15 +91,35 @@ object Streaming {
   }
 
   // -- #42 watermarked tumbling-window aggregation -------------------------
-  private def windowedAgg(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+  // Append mode: each window row is emitted exactly once, when the
+  // watermark passes the window end, and its state is EVICTED — state
+  // size is O(open windows), bounded by the watermark delay, not by
+  // stream length. (Complete mode re-emits every window each batch and
+  // never evicts — unbounded state and driver-side output at
+  // 100 TB/day.) The heartbeat row (see stageWithHeartbeat) closes the
+  // trailing windows of the bounded replay.
+  /** Un-started streaming aggregate — shared by the driver query and the
+    * state-eviction spec (which runs its own sink to inspect progress). */
+  def windowedAggStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStream(s, d)
+    val (dir, hbNs) = stageWithHeartbeat(s, d)
+    // Drop the heartbeat via a predicate ON THE EVENT-TIME COLUMN:
+    // Catalyst pushes filters on other columns below the
+    // EventTimeWatermark node (where they'd drop the heartbeat before
+    // it can advance the watermark), but never predicates referencing
+    // the watermark column itself.
+    eventsStream(s, dir, glob = "events*.parquet")
       .withWatermark("ts", "1 hour")
+      .filter($"ts" < timestamp_micros(lit(hbNs / 1000)))
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
         $"event_type", $"n_events", $"sum_value")
-    runToMemory(agg, "graft_stream_windowed", OutputMode.Complete())
+  }
+
+  private def windowedAgg(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    runToMemory(windowedAggStream(s, d), "graft_stream_windowed", OutputMode.Append())
       .orderBy($"win_start", $"event_type")
   }
   private val windowedAggSql =

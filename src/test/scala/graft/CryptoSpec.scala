@@ -50,6 +50,32 @@ class CryptoSpec extends AnyFunSuite {
     intercept[Exception] { EncryptedParquet.readManifest(spark, out, "master-B") }
   }
 
+  test("write stamps the manifest row count in the same pass as the data write") {
+    val out = tmp("singlepass")
+    val cfg = CryptoConfig("m",
+      Seq(ColumnPolicy("c_name", explicitKey = Some("0123456789abcdef"))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // shuffle-free single-stage input: the write plan is exactly one
+      // job, so a manifest-count re-read would show as a second job
+      val df = spark.range(40).selectExpr("id", "concat('name-', id) AS c_name")
+      val m = EncryptedParquet.write(df, out, cfg)
+      assert(m.rowCount == 40, "observed row count must match the data written")
+      // listener bus is async — give posted events a beat to drain
+      val deadline = System.currentTimeMillis() + 2000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(200)
+      assert(jobs.get() == 1,
+        s"write must be ONE pass over the data (row count via observe, " +
+          s"not a re-read), saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("selective read: unrequested columns are the [ENCRYPTED] placeholder") {
     val out = tmp("selective")
     val cfg = CryptoConfig("m",

@@ -81,6 +81,26 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("append-mode windowed agg evicts all window state once the watermark passes") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val q = Streaming.windowedAggStream(spark, sf)
+      .writeStream.format("memory").queryName("graft_eviction_probe")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty, "expected a stateful operator in the progress log")
+    // state grows while windows are open, then the heartbeat-advanced
+    // watermark closes every window: Append emits each exactly once and
+    // the store ends EMPTY — the bounded-state property Complete mode
+    // (which never evicts) cannot provide
+    assert(stateRows.last == 0,
+      s"all window state must be evicted at end of replay, got ${stateRows.toSeq}")
+    val emitted = spark.table("graft_eviction_probe").count()
+    val expected = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(emitted == expected, "each closed window emitted exactly once")
+  }
+
   test("multimodal pipeline: stubbed decode is deterministic and batch plumbing holds") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf)
