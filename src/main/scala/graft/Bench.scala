@@ -1,12 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every driver-contract query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Mirrors the driver's
   * local[32] run; a warmup action first so the first timed query
   * doesn't absorb session/codegen/parquet-footer init.
+  *
+  * Failures are first-class: a query that throws is recorded with its
+  * elapsed time AND an `errors` entry + nonzero `n_errors`, so a crash
+  * can never read as a fast success.
   */
 object Bench {
+
+  final case class QueryResult(name: String, seconds: Double, error: Option[String])
+
+  /** Time one query (count() forces full execution). Never throws. */
+  def runOne(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => DataFrame): QueryResult = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).count(); None }
+      catch { case t: Throwable =>
+        Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
+    QueryResult(name, (System.nanoTime() - t0) / 1e9, err)
+  }
+
+  def runAll(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame]): Seq[QueryResult] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) => runOne(spark, sfDir, name, fn) }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  def toJson(results: Seq[QueryResult], sfDir: String): String = {
+    val qs = results.map(r => s"${jstr(r.name)}:${r.seconds}").mkString("{", ",", "}")
+    val errs = results.collect { case QueryResult(n, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_.seconds).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"n_errors":${results.count(_.error.isDefined)},"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,15 +60,11 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = runAll(spark, sfDir, SparkEntry.queries)
+    results.flatMap(r => r.error.map(e => r.name -> e)).foreach { case (n, e) =>
+      System.err.println(s"[graft.bench] FAILED $n: $e")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(toJson(results, sfDir))
     spark.stop()
   }
 }

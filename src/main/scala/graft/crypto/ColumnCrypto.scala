@@ -12,22 +12,29 @@ import org.apache.spark.sql.functions._
   * — the same wire layout — but the work is a narrow per-row map that
   * rides inside WholeStageCodegen, introduces no shuffle, and scales
   * embarrassingly parallel to any number of executors.
+  *
+  * Keys enter the plan as [[KeyHandle]] nodes, never `lit(key)`: a key
+  * literal would be rendered verbatim by `explain()`, the Spark UI SQL
+  * tab, and event logs. Plan strings show only `graft_key(column:<name>)`.
   */
 object ColumnCrypto {
+
+  private def keyCol(name: String, key: Array[Byte]) =
+    KeyHandle.column(s"column:$name", key)
 
   /** Encrypt `cols` in place (cast to string first so any input type
     * round-trips losslessly through ciphertext). Output type: BINARY.
     */
   def encryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
     keys.foldLeft(df) { case (acc, (name, key)) =>
-      acc.withColumn(name, aes_encrypt(col(name).cast("string"), lit(key), lit("GCM")))
+      acc.withColumn(name, aes_encrypt(col(name).cast("string"), keyCol(name, key), lit("GCM")))
     }
 
   /** Decrypt BINARY ciphertext columns back to STRING (caller restores
     * the original type from the manifest). */
   def decryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
     keys.foldLeft(df) { case (acc, (name, key)) =>
-      acc.withColumn(name, aes_decrypt(col(name), lit(key), lit("GCM")).cast("string"))
+      acc.withColumn(name, aes_decrypt(col(name), keyCol(name, key), lit("GCM")).cast("string"))
     }
 
   /** Decrypt that yields NULL (instead of failing the task) on a bad
@@ -35,7 +42,7 @@ object ColumnCrypto {
     * mode for exploratory reads. */
   def tryDecryptColumns(df: DataFrame, keys: Map[String, Array[Byte]]): DataFrame =
     keys.foldLeft(df) { case (acc, (name, key)) =>
-      acc.withColumn(name, try_aes_decrypt(col(name), lit(key), lit("GCM")).cast("string"))
+      acc.withColumn(name, try_aes_decrypt(col(name), keyCol(name, key), lit("GCM")).cast("string"))
     }
 }
 

@@ -70,8 +70,9 @@ object EncryptedParquet {
     Manifest(root.get("row_count").asLong(), root.get("master_key_id").asText(), cols)
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val blob = AesGcm.encrypt(Kms.masterKey(m.masterKeyId),
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest,
+      resolver: MasterKeyResolver): Unit = {
+    val blob = AesGcm.encrypt(resolver.resolve(m.masterKeyId),
       manifestJson(m).getBytes(StandardCharsets.UTF_8))
     val p = new Path(dir, ManifestFile)
     val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
@@ -79,12 +80,13 @@ object EncryptedParquet {
     try out.write(Base64.getEncoder.encode(blob)) finally out.close()
   }
 
-  def readManifest(spark: SparkSession, dir: String, masterKeyId: String): Manifest = {
+  def readManifest(spark: SparkSession, dir: String, masterKeyId: String,
+      resolver: MasterKeyResolver = DemoMasterKeyResolver): Manifest = {
     val p = new Path(dir, ManifestFile)
     val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    val json = new String(AesGcm.decrypt(Kms.masterKey(masterKeyId),
+    val json = new String(AesGcm.decrypt(resolver.resolve(masterKeyId),
       Base64.getDecoder.decode(raw)), StandardCharsets.UTF_8)
     parseManifest(json)
   }
@@ -127,7 +129,7 @@ object EncryptedParquet {
       resolved.map { case (p, rk) =>
         ColumnMeta(p.column, rk.mode, origTypes(p.column), rk.wrappedDek, rk.masterKeyId)
       })
-    writeManifest(spark, dir, manifest)
+    writeManifest(spark, dir, manifest, config.resolver)
     manifest
   }
 
@@ -138,14 +140,16 @@ object EncryptedParquet {
     */
   def read(spark: SparkSession, dir: String, request: Seq[String],
       config: CryptoConfig): DataFrame = {
-    val manifest = readManifest(spark, dir, config.masterKeyId)
+    val manifest = readManifest(spark, dir, config.masterKeyId, config.resolver)
     val raw = spark.read.parquet(dir)
     val byName = manifest.columns.map(c => c.name -> c).toMap
     val projected = raw.columns.toSeq.map { name =>
       byName.get(name).filter(_.mode != "plaintext") match {
         case Some(meta) if request.contains(name) =>
           val key = config.resolveKeyForRead(name, meta.mode, meta.wrappedDek, meta.masterKeyId)
-          aes_decrypt(col(name), lit(key), lit("GCM"))
+          // key rides in a KeyHandle (redacted in every plan rendering),
+          // never a Literal — see KeyHandle.scala
+          aes_decrypt(col(name), KeyHandle.column(s"column:$name", key), lit("GCM"))
             .cast("string").cast(meta.origType).as(name)
         case Some(_) => lit(Placeholder).as(name)
         case None => col(name)
@@ -156,7 +160,7 @@ object EncryptedParquet {
 
   /** Decrypt every encrypted column (full round-trip read). */
   def readAll(spark: SparkSession, dir: String, config: CryptoConfig): DataFrame = {
-    val manifest = readManifest(spark, dir, config.masterKeyId)
+    val manifest = readManifest(spark, dir, config.masterKeyId, config.resolver)
     read(spark, dir, manifest.columns.map(_.name), config)
   }
 }

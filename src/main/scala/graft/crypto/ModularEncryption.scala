@@ -24,11 +24,21 @@ class GraftKmsClient extends KmsClient {
 
   override def wrapKey(keyBytes: Array[Byte], masterKeyIdentifier: String): String =
     Base64.getEncoder.encodeToString(
-      AesGcm.encrypt(Kms.masterKey(masterKeyIdentifier), keyBytes))
+      AesGcm.encrypt(GraftKmsClient.resolver.resolve(masterKeyIdentifier), keyBytes))
 
   override def unwrapKey(wrappedKey: String, masterKeyIdentifier: String): Array[Byte] =
-    AesGcm.decrypt(Kms.masterKey(masterKeyIdentifier),
+    AesGcm.decrypt(GraftKmsClient.resolver.resolve(masterKeyIdentifier),
       Base64.getDecoder.decode(wrappedKey))
+}
+
+object GraftKmsClient {
+  /** Master-key source for the modular-encryption path. A static slot
+    * (not a constructor arg) because parquet-mr instantiates the client
+    * reflectively from the class name in
+    * `parquet.encryption.kms.client.class`; set it before write/read to
+    * plug a vault/HSM-backed [[MasterKeyResolver]].
+    */
+  @volatile var resolver: MasterKeyResolver = DemoMasterKeyResolver
 }
 
 /** Spark plumbing for Parquet Modular Encryption: per-write/per-read

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench must report failures as failures: a crashing query records an
+  * `errors` entry and bumps `n_errors` — it can never masquerade as a
+  * fast success (the r2 bench lost its join-query signal exactly this
+  * way).
+  */
+class BenchSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("a deliberately broken query surfaces as an error, not a fast time") {
+    val broken: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.read.parquet("/nonexistent/graft/bench/path")
+    val ok: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(10).toDF("id")
+
+    val results = Bench.runAll(spark, sf, Map("q_broken" -> broken, "q_ok" -> ok))
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("q_broken").error.isDefined, "broken query must record an error")
+    assert(byName("q_ok").error.isEmpty)
+
+    val json = Bench.toJson(results, sf)
+    assert(json.contains("\"n_errors\":1"), json)
+    assert(json.contains("\"q_broken\":\""), s"errors object must name the broken query: $json")
+    // the time is still recorded (for wall-clock accounting) but flagged
+    assert(json.contains("\"queries\":{"))
+  }
+
+  test("all-green run reports n_errors 0 and an empty errors object") {
+    val results = Bench.runAll(spark, sf,
+      Map("a" -> ((s, _) => s.range(5).toDF("id"))))
+    val json = Bench.toJson(results, sf)
+    assert(json.contains("\"n_errors\":0") && json.contains("\"errors\":{}"), json)
+  }
+}

@@ -32,9 +32,84 @@ class CryptoSpec extends AnyFunSuite {
       explicitKey = Some("short"), kmsMasterKeyId = Some("mk"))).mode == "kms")
     // no explicit/kms → fallback
     assert(cfg.resolveKeyForWrite(ColumnPolicy("c")).mode == "fallback")
-    // nothing valid at all → plaintext (reference warning semantics)
-    val bare = CryptoConfig("m", Seq(), fallbackKey = Some("bad"))
+    // nothing valid at all → plaintext ONLY under the opt-in fail-open
+    // reference parity mode
+    val bare = CryptoConfig("m", Seq(), fallbackKey = Some("bad"), failOpen = true)
     assert(bare.resolveKeyForWrite(ColumnPolicy("c")).mode == "plaintext")
+  }
+
+  test("strict mode (default): unresolvable key fails the write, never plaintext") {
+    // resolveKeyForWrite itself
+    val bare = CryptoConfig("m", Seq(), fallbackKey = Some("bad"))
+    val ex = intercept[KeyResolutionException] {
+      bare.resolveKeyForWrite(ColumnPolicy("c_name"))
+    }
+    assert(ex.getMessage.contains("c_name") && ex.getMessage.contains("failOpen"))
+    // and through the full write path: nothing lands on disk in cleartext
+    val out = tmp("strict")
+    intercept[KeyResolutionException] {
+      EncryptedParquet.write(cust.limit(5), out,
+        CryptoConfig("m", Seq(ColumnPolicy("c_name", explicitKey = Some("tooshort")))))
+    }
+  }
+
+  test("no key material in any plan rendering (explain / executed plan / SQL)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val keyUtf8 = "0123456789abcdef"
+    val keyHex = keyUtf8.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    val keys = Map("c_name" -> keyUtf8.getBytes("UTF-8"))
+    val enc = ColumnCrypto.encryptColumns(cust.limit(5), keys)
+    val dec = ColumnCrypto.decryptColumns(enc, keys)
+
+    // selective-read path too (EncryptedParquet.read resolves + injects keys)
+    val out = tmp("noleak")
+    val cfg = CryptoConfig("master-noleak",
+      Seq(ColumnPolicy("c_name", explicitKey = Some(keyUtf8)),
+        ColumnPolicy("c_mktsegment", kmsMasterKeyId = Some("mk-noleak"))))
+    EncryptedParquet.write(cust.limit(5), out, cfg)
+    val sel = EncryptedParquet.read(spark, out, Seq("c_name", "c_mktsegment"), cfg)
+    val kmsKeyHex = cfg.resolveKeyForRead("c_mktsegment", "kms",
+      EncryptedParquet.readManifest(spark, out, "master-noleak").columns
+        .find(_.name == "c_mktsegment").flatMap(_.wrappedDek),
+      Some("mk-noleak")).map(b => f"$b%02x").mkString
+
+    for (df <- Seq(enc, dec, sel)) {
+      val renderings = Seq(
+        df.queryExecution.explainString(ExplainMode.fromString("extended")),
+        df.queryExecution.explainString(ExplainMode.fromString("formatted")),
+        df.queryExecution.executedPlan.toString,
+        df.queryExecution.optimizedPlan.toString)
+      for (r <- renderings; leak <- Seq(keyUtf8, keyHex, kmsKeyHex)) {
+        assert(!r.toLowerCase.contains(leak.toLowerCase),
+          s"key material leaked into plan rendering:\n$r")
+      }
+      // the redacted handle is what should appear instead
+      assert(df.queryExecution.analyzed.toString.contains("graft_key("),
+        "expected the KeyHandle label in the plan")
+    }
+    // and the data path still works end-to-end with redacted handles
+    assert(sel.select("c_name").na.drop().count() == 5)
+  }
+
+  test("injectable master-key resolver: custom vault keys round-trip; demo keys don't open them") {
+    val vault = Map(
+      "mk-v1" -> "vvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvv".getBytes("UTF-8"),
+      "master-vault" -> "mmmmmmmmmmmmmmmmmmmmmmmmmmmmmmmm".getBytes("UTF-8"))
+    val custom = new MasterKeyResolver {
+      override def resolve(id: String): Array[Byte] =
+        vault.getOrElse(id, throw new IllegalArgumentException(s"no vault entry $id"))
+    }
+    val out = tmp("resolver")
+    val cfg = CryptoConfig("master-vault",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-v1"))),
+      resolver = custom)
+    EncryptedParquet.write(cust.limit(10), out, cfg)
+    val back = EncryptedParquet.readAll(spark, out, cfg)
+    assert(back.select("c_name").na.drop().count() == 10)
+    // the demo resolver derives DIFFERENT keys → manifest must not open
+    intercept[Exception] {
+      EncryptedParquet.readManifest(spark, out, "master-vault") // default = demo
+    }
   }
 
   test("manifest on disk is ciphertext, decrypts only with the right master key") {
@@ -54,15 +129,21 @@ class CryptoSpec extends AnyFunSuite {
     val out = tmp("singlepass")
     val cfg = CryptoConfig("m",
       Seq(ColumnPolicy("c_name", explicitKey = Some("0123456789abcdef"))))
+    // scope the count to THIS test's job group: the listener bus is
+    // shared and async, so late-dispatched events from earlier tests in
+    // the session would otherwise flake an exact-count assertion
+    val group = "graft-singlepass-" + System.nanoTime()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(js.properties).exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       // shuffle-free single-stage input: the write plan is exactly one
       // job, so a manifest-count re-read would show as a second job
+      spark.sparkContext.setJobGroup(group, "single-pass write spec")
       val df = spark.range(40).selectExpr("id", "concat('name-', id) AS c_name")
       val m = EncryptedParquet.write(df, out, cfg)
       assert(m.rowCount == 40, "observed row count must match the data written")
@@ -73,7 +154,10 @@ class CryptoSpec extends AnyFunSuite {
       assert(jobs.get() == 1,
         s"write must be ONE pass over the data (row count via observe, " +
           s"not a re-read), saw ${jobs.get()} jobs")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("selective read: unrequested columns are the [ENCRYPTED] placeholder") {
