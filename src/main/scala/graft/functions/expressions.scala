@@ -293,9 +293,16 @@ object GraftFunctions {
     ("graft_stopword_scores", es => StopwordScores(es.head,
       es.tail.map(_.eval().toString.split(",").toSeq))))
 
-  /** Make the functions callable from SQL in an existing session. */
-  def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  /** Make the functions callable from SQL in an existing session —
+    * scalar expressions, the `graft_asof_join` table function, and the
+    * as-of planner strategy (the TVF is useless without it). */
+  def register(spark: SparkSession): Unit = {
+    sqlFunctions.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_asof_join", graft.plans.Asof.sqlBuilder, "built-in")
+    graft.plans.Asof.ensureStrategy(spark)
   }
 }
 
@@ -322,8 +329,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StopwordScores].getName, "graft_stopword_scores"),
       (es: Seq[Expression]) => StopwordScores(es.head,
         es.tail.map(_.eval().toString.split(",").toSeq))))
-    // whole-operator extension: native as-of join (graft.plans)
+    // whole-operator extension: native as-of join (graft.plans) + its
+    // SQL table-valued function
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectTableFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsofJoinByName].getName, "graft_asof_join"),
+      graft.plans.Asof.sqlBuilder _))
   }
 }
 

@@ -82,6 +82,29 @@ object Advanced {
       .orderBy($"user_id")
   }
 
+  // -- q_asof_join_sql: the native operator through its SQL TVF ------------
+  // Same semantics + oracle a third time, reached the way a SQL-only
+  // user would: `graft_asof_join('purchases','views',...)` table
+  // function → AsofJoinByName → AsofJoinStrategy → AsofJoinExec. Pins
+  // the SQL front-end to the DataFrame front-end to the oracle.
+  private def qAsofJoinSqlTvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    ev.filter($"event_type" === "purchase").select($"user_id", $"ts_us")
+      .createOrReplaceTempView("graft_asof_purchases")
+    ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts_us".as("v_ts_us"))
+      .createOrReplaceTempView("graft_asof_views")
+    s.sql(
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  COUNT(v_ts_us) AS n_matched,
+        |  SUM(ts_us - v_ts_us) AS sum_gap_us
+        |FROM graft_asof_join('graft_asof_purchases', 'graft_asof_views',
+        |                     'user_id', 'v_user', 'ts_us', 'v_ts_us')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   // -- q_range_join: interval join (clicks within 1h before a purchase) ----
   // Range predicates alone plan as nested-loop joins; anchoring on the
   // entity equi-key makes it a hash join with the range as a residual
@@ -309,6 +332,7 @@ object Advanced {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),
+    QueryDef("q_asof_join_sql", qAsofJoinSqlTvf, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),

@@ -38,9 +38,38 @@ final case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** SQL-reachable form of the as-of join, built by the
+  * `graft_asof_join('left','right','lk','rk','lt','rt')` table function
+  * before its relations resolve. Key/time columns are Expression fields
+  * (initially `UnresolvedAttribute`s), so the stock analyzer resolves
+  * them against the children generically and — critically — they count
+  * toward `references`, which keeps ColumnPruning from stripping the
+  * key/time columns out of a child when the outer query doesn't project
+  * them. [[AsofJoinStrategy]] then checks side membership and types at
+  * planning time, failing fast with a message that lists the available
+  * columns.
+  */
+final case class AsofJoinByName(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinByName =
+    copy(left = newLeft, right = newRight)
+}
+
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      Asof.validateTypes(lk, rk, lt, rt)
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinByName(l, r, lkE, rkE, ltE, rtE) =>
+      val lk = Asof.sideAttr(lkE, l, "left_key", "left")
+      val lt = Asof.sideAttr(ltE, l, "left_time", "left")
+      val rk = Asof.sideAttr(rkE, r, "right_key", "right")
+      val rt = Asof.sideAttr(rtE, r, "right_time", "right")
+      Asof.validateTypes(lk, rk, lt, rt)
       AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
@@ -66,6 +95,11 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // belt-and-suspenders: the strategy validates before building this
+  // node, but a hand-constructed exec must fail here, at plan time, not
+  // as a ClassCastException deep inside the merge loop
+  Asof.validateTypes(leftKey, rightKey, leftTime, rightTime)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -118,28 +152,100 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
-/** DataFrame-level API. Columns are resolved by NAME against each side
-  * (avoids cross-side ambiguity); the strategy self-registers in the
-  * session on first use, and `GraftExtensions` injects it for
-  * `spark.sql.extensions`-configured clusters.
+/** DataFrame-level API + SQL table-valued function. Columns are
+  * resolved by NAME against each side (avoids cross-side ambiguity);
+  * the strategy self-registers in the session on first use, and
+  * `GraftExtensions` injects it for `spark.sql.extensions`-configured
+  * clusters.
+  *
+  * SQL surface (after `GraftFunctions.register(spark)` or via the
+  * extensions class):
+  * {{{
+  *   SELECT * FROM graft_asof_join('purchases', 'views',
+  *                                 'user_id', 'v_user', 'ts', 'v_ts')
+  * }}}
+  * where the first two arguments name tables/temp views and the last
+  * four name the key/time columns on each side. Column arguments
+  * resolve by name across BOTH inputs (the stock analyzer's generic
+  * resolution), so the two sides must use distinct key/time column
+  * names — alias inside a view when they clash.
   */
 object Asof {
-  def join(left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
-    val spark = left.sparkSession
+  import org.apache.spark.sql.catalyst.expressions.RowOrdering
+
+  private[plans] def attr(p: LogicalPlan, n: String): Attribute =
+    p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"as-of join: column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
+
+  /** An analyzer-resolved TVF argument must be a plain column reference
+    * belonging to the stated side. */
+  private[plans] def sideAttr(e: Expression, side: LogicalPlan,
+      arg: String, sideName: String): Attribute = e match {
+    case a: Attribute if side.outputSet.contains(a) => a
+    case a: Attribute => throw new IllegalArgumentException(
+      s"as-of join: $arg column '${a.name}' must come from the $sideName input " +
+        s"[${side.output.map(_.name).mkString(", ")}]")
+    case other => throw new IllegalArgumentException(
+      s"as-of join: $arg must resolve to a column reference, got: $other")
+  }
+
+  /** Key types must match exactly and time types must match exactly and
+    * be orderable — checked at PLAN time so a mismatch (e.g. INT keys
+    * joined to BIGINT keys) fails with a clear message instead of a
+    * ClassCastException inside the streaming merge.
+    */
+  private[plans] def validateTypes(leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute): Unit = {
+    def fail(what: String, l: Attribute, r: Attribute): Nothing =
+      throw new IllegalArgumentException(
+        s"as-of join: $what types must match exactly — left '${l.name}' is " +
+          s"${l.dataType.sql} but right '${r.name}' is ${r.dataType.sql}; " +
+          "cast one side before joining")
+    if (leftKey.dataType != rightKey.dataType) fail("key", leftKey, rightKey)
+    if (leftTime.dataType != rightTime.dataType) fail("time", leftTime, rightTime)
+    for (a <- Seq(leftKey, leftTime) if !RowOrdering.isOrderable(a.dataType))
+      throw new IllegalArgumentException(
+        s"as-of join: column '${a.name}' of type ${a.dataType.sql} is not orderable")
+  }
+
+  private[graft] def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
     }
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
     val lplan = left.queryExecution.analyzed
     val rplan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
-    graftshim.ofRows(spark, AsofJoinPlan(lplan, rplan,
-      attr(lplan, leftKey), attr(rplan, rightKey),
-      attr(lplan, leftTime), attr(rplan, rightTime)))
+    val (lk, lt) = (attr(lplan, leftKey), attr(lplan, leftTime))
+    val (rk, rt) = (attr(rplan, rightKey), attr(rplan, rightTime))
+    validateTypes(lk, rk, lt, rt)
+    graftshim.ofRows(spark, AsofJoinPlan(lplan, rplan, lk, rk, lt, rt))
+  }
+
+  /** Table-function builder: 6 foldable string arguments →
+    * [[AsofJoinByName]] over two [[UnresolvedRelation]]s. Registered as
+    * `graft_asof_join` by `GraftFunctions.register` /`GraftExtensions`.
+    */
+  def sqlBuilder(es: Seq[Expression]): LogicalPlan = {
+    if (es.length != 6 || es.exists(e => !e.foldable))
+      throw new IllegalArgumentException(
+        "graft_asof_join expects 6 string literals: " +
+          "(left_table, right_table, left_key, right_key, left_time, right_time)")
+    val a = es.map { e =>
+      val v = e.eval()
+      if (v == null) throw new IllegalArgumentException(
+        "graft_asof_join: arguments must be non-null strings")
+      v.toString
+    }
+    def rel(name: String) = org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+      name.split('.').toSeq)
+    def col(name: String) = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(name)
+    AsofJoinByName(rel(a(0)), rel(a(1)), col(a(2)), col(a(3)), col(a(4)), col(a(5)))
   }
 }

@@ -89,6 +89,58 @@ class SqlParitySpec extends AnyFunSuite {
     assert(z.getDouble(1) == 11.0)
   }
 
+  test("native as-of join is reachable from SQL and agrees with the DataFrame path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val quotes = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("q_id", "q_ts", "q_val")
+    val trades = Seq((1L, 15L), (1L, 25L), (2L, 3L), (3L, 9L))
+      .toDF("t_id", "t_ts")
+    trades.createOrReplaceTempView("sqlp_trades")
+    quotes.createOrReplaceTempView("sqlp_quotes")
+    val viaSql = spark.sql(
+      """SELECT t_id, t_ts, q_val
+        |FROM graft_asof_join('sqlp_trades', 'sqlp_quotes',
+        |                     't_id', 'q_id', 't_ts', 'q_ts')
+        |ORDER BY t_id, t_ts""".stripMargin)
+    // the SQL plan actually uses the native exec (nodeName = "AsofJoin")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin "),
+      viaSql.queryExecution.executedPlan.toString)
+    val viaApi = graft.plans.Asof.join(trades, quotes, "t_id", "q_id", "t_ts", "q_ts")
+      .select($"t_id", $"t_ts", $"q_val").orderBy($"t_id", $"t_ts")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    // expected semantics: latest quote at-or-before each trade; no-match → null
+    assert(viaApi.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 15L, "a"), (1L, 25L, "b"), (2L, 3L, null), (3L, 9L, null)))
+  }
+
+  test("as-of join rejects mismatched key/time types at plan time with a clear message") {
+    import spark.implicits._
+    val intKeys = Seq((1, 10L)).toDF("id", "ts")
+    val longKeys = Seq((1L, 5L)).toDF("id", "ts")
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.Asof.join(intKeys, longKeys, "id", "id", "ts", "ts")
+    }
+    assert(ex.getMessage.contains("INT") && ex.getMessage.contains("BIGINT"),
+      ex.getMessage)
+    // same guard on the SQL path (planning time, not execution time);
+    // TVF arguments resolve by name across BOTH inputs, so sides must
+    // use distinct column names (alias in the view otherwise)
+    graft.functions.GraftFunctions.register(spark)
+    intKeys.createOrReplaceTempView("sqlp_int_keys")
+    longKeys.toDF("lid", "lts").createOrReplaceTempView("sqlp_long_keys")
+    val ex2 = intercept[Throwable] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join('sqlp_int_keys', 'sqlp_long_keys',
+          |                              'id', 'lid', 'ts', 'lts')""".stripMargin)
+        .queryExecution.executedPlan
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex2).exists(m => m.contains("INT") && m.contains("BIGINT")),
+      s"expected a type-mismatch message, got: ${messages(ex2)}")
+  }
+
   test("every driver-contract query key is documented in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
