@@ -153,26 +153,55 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos6
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  // -- #36 IVF-style ANN ---------------------------------------------------
-  // Deterministic seed vectors act as centroids (k-medoid-style init —
-  // a full Lloyd's refinement would run the same assign step
-  // iteratively); every vector is assigned to its nearest cell, queries
-  // probe the 2 nearest cells.
+  // -- #36 IVF-style ANN, Lloyd-trained centroids --------------------------
+  // Deterministic seed medoids, then LloydIters assign→update rounds.
+  // The update keeps centroids ORACLE-REPLAYABLE across engines by two
+  // choices: (1) a centroid is the element-wise SUM of its member
+  // vectors, not the mean — cosine is scale-invariant, so the sum points
+  // exactly where the mean does, and skipping the division removes the
+  // engine-dependent float rounding it would introduce; (2) the sums run
+  // in DECIMAL, which is exact and order-independent, so Spark's partial
+  // aggregation and DuckDB's serial sum produce bit-identical centroids.
+  // Assign passes shuffle only (vec_id, cell_id, ccos) triples — the
+  // 64-float embeddings never ride the k× cross product; they are
+  // re-joined by key once per update.
+  private val LloydIters = 2
+
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids = emb.filter($"vec_id" % 50 === 7)
-      .select($"vec_id".as("cell_id"), $"embedding".as("ce"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"cell_id",
-        VectorOps.cosine($"embedding", $"ce").as("ccos"))
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cell_id")
+    // seed medoids, promoted to double so every generation of centroid
+    // (seeded or decimal-sum-trained) has one type
+    val c0 = emb.filter($"vec_id" % 50 === 7)
+      .select($"vec_id".as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+      emb.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"cell_id",
+          VectorOps.cosine($"embedding", $"ce").as("ccos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"cell_id")
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(emb, "vec_id")
+        .select($"cell_id", posexplode($"embedding"))
+        .toDF("cell_id", "i", "v")
+        .groupBy($"cell_id", $"i")
+        .agg(sum($"v".cast("double").cast("decimal(28,10)")).cast("double").as("s"))
+        .groupBy($"cell_id")
+        .agg(array_sort(collect_list(struct($"i", $"s"))).as("ps"))
+        .select($"cell_id", expr("transform(ps, p -> p.s)").as("ce"))
+
+    val trained = (1 to LloydIters).foldLeft(c0)((c, _) => update(assign(c)))
+    val assigned = assign(trained).join(emb, "vec_id")
+
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell_id")
-    val probed = queries.crossJoin(broadcast(centroids))
+    val probed = queries.crossJoin(broadcast(trained))
       .select($"query_id", $"qe", $"cell_id",
         VectorOps.cosine($"qe", $"ce").as("qcos"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
@@ -186,15 +215,33 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("cos6"))
       .orderBy($"query_id", $"rank")
   }
-  private val annIvfSql =
-    s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
-       |           WHERE vec_id % 50 = 7),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell_id FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
+
+  /** One oracle assign pass against centroid CTE `c`. */
+  private def assignSql(c: String): String =
+    s"""SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${VectorOps.cosineSql("e.embedding", "ce")} DESC, c.cell_id) AS rn
-       |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |    FROM embeddings e CROSS JOIN $c c) WHERE rn = 1""".stripMargin
+  /** One oracle Lloyd update from assignment CTE `a`: decimal sums. */
+  private def updateSql(a: String): String =
+    s"""SELECT cell_id, list(s ORDER BY i) AS ce FROM (
+       |    SELECT x.cell_id, t.i,
+       |      CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s
+       |    FROM $a x JOIN embeddings e ON x.vec_id = e.vec_id,
+       |         unnest(range(1, ${Dims + 1})) t(i)
+       |    GROUP BY x.cell_id, t.i) GROUP BY cell_id""".stripMargin
+
+  private val annIvfSql =
+    s"""WITH c0 AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS ce
+       |            FROM embeddings WHERE vec_id % 50 = 7),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (${updateSql("a1")}),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (${updateSql("a2")}),
+       |assigned AS (
+       |  SELECT f.vec_id, e.embedding, f.cell_id
+       |  FROM (${assignSql("c2")}) f JOIN embeddings e ON f.vec_id = e.vec_id),
        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |      WHERE vec_id % 50 = 0),
        |probed AS (
@@ -202,7 +249,7 @@ object Similarity {
        |    SELECT q.query_id, q.qe, c.cell_id,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ${VectorOps.cosineSql("qe", "ce")} DESC, c.cell_id) AS rn
-       |    FROM q CROSS JOIN c) WHERE rn <= 2),
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= 2),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${VectorOps.cosineSql("qe", "a.embedding")} AS cos

@@ -30,8 +30,10 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val (rl, ri) = (recall(lsh), recall(ivf))
     info(s"recall@3 vs exact top-5: lsh=$rl ivf=$ri")
-    assert(rl >= 0.3, s"LSH recall too low: $rl")
-    assert(ri >= 0.3, s"IVF recall too low: $ri")
+    assert(rl >= 0.45, s"LSH recall too low: $rl")
+    // Lloyd-trained centroids (2 deterministic iterations) measure
+    // 0.633 here vs the 0.3 floor the untrained medoids were held to
+    assert(ri >= 0.6, s"IVF recall too low: $ri")
     assert(exact.size == 10 && lsh.size == 10 && ivf.size == 10,
       "every query must return neighbors")
   }
