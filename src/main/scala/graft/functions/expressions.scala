@@ -221,23 +221,37 @@ case class StopwordScores(child: Expression, lists: Seq[Seq[String]])
     copy(child = newChild)
 }
 
-/** 64-bit FNV-1a content fingerprint over a string's UTF-8 bytes — a
-  * rolling byte-wise polynomial hash (h ← (h ⊕ byte)·FNV_PRIME), one
-  * pass, codegen'd. Used for compact document identity at 100 TB:
-  * dedup/shuffle on the 8-byte fingerprint instead of multi-KB texts.
+/** 64-bit content fingerprint over a string's UTF-8 bytes — a rolling
+  * byte-wise polynomial hash (h ← (h ⊕ byte)·MULT), one pass, codegen'd.
+  * Used for compact document identity at 100 TB: dedup/shuffle on the
+  * 8-byte fingerprint instead of multi-KB texts.
+  *
+  * `lane` selects an independent hash family member for multi-lane
+  * (128-bit) fingerprints. Lanes differ in the MULTIPLIER, not just the
+  * seed: two FNV chains with the same multiplier and different seeds
+  * satisfy h₁(x) − h₂(x) = (s₁ − s₂)·p^len for every input, so
+  * equal-length texts that collide in one lane would ALWAYS collide in
+  * the other — a seed-only second lane adds zero collision resistance.
+  *  - lane 0: FNV-1a (offset 0xcbf29ce484222325, prime 0x100000001b3)
+  *  - lane 1: same structure, Murmur64A multiplier 0xc6a4a7935bd1e995
   */
-case class Fingerprint64(child: Expression)
+case class Fingerprint64(child: Expression, lane: Int = 0)
     extends UnaryExpression {
+  require(lane == 0 || lane == 1, s"fingerprint lane must be 0 or 1, got $lane")
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_fingerprint64"
 
+  private val init = if (lane == 0) 0xcbf29ce484222325L else 0x9747b28c8e3c0e53L
+  private val mult = if (lane == 0) 0x100000001b3L else 0xc6a4a7935bd1e995L
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0xcbf29ce484222325L
+    var h = init
     var i = 0
     while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      h = (h ^ (bytes(i) & 0xffL)) * mult
       i += 1
     }
     h
@@ -250,9 +264,9 @@ case class Fingerprint64(child: Expression)
       val i = ctx.freshName("i")
       s"""
          |byte[] $bytes = $str.getBytes();
-         |long $h = 0xcbf29ce484222325L;
+         |long $h = ${init}L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h ^ ($bytes[$i] & 0xffL)) * 0x100000001b3L;
+         |  $h = ($h ^ ($bytes[$i] & 0xffL)) * ${mult}L;
          |}
          |${ev.value} = $h;
        """.stripMargin
@@ -270,6 +284,16 @@ object GraftFunctions {
     graftshim.column(SimHash64(graftshim.expression(c)))
   def fingerprint64(c: Column): Column =
     graftshim.column(Fingerprint64(graftshim.expression(c)))
+  /** 128-bit fingerprint: two multiplier-independent 64-bit lanes as a
+    * struct — at 100 TB doc counts the 64-bit birthday bound (~50%
+    * collision odds at 5×10⁹ docs) silently merges distinct documents;
+    * 128 bits pushes it past 10¹⁸. */
+  def fingerprint128(c: Column): Column = {
+    val e = graftshim.expression(c)
+    org.apache.spark.sql.functions.struct(
+      graftshim.column(Fingerprint64(e, 0)).as("h0"),
+      graftshim.column(Fingerprint64(e, 1)).as("h1"))
+  }
   def shingles(c: Column, n: Int): Column =
     graftshim.column(Shingles(graftshim.expression(c), n))
   def vec_dot(a: Column, b: Column): Column =

@@ -29,10 +29,11 @@ object TextPrep {
 
 /** Deduplication operators (SURVEY.md §2.3 #29-32) over the documents
   * corpus. Scale shapes:
-  *  - exact dedup shuffles an 8-byte fingerprint, never the text
-  *    (at 100 TB use a 128-bit fingerprint — two seeds — to push the
-  *    birthday bound past corpus size; 64-bit keeps the oracle simple
-  *    here);
+  *  - exact dedup shuffles a 16-byte (128-bit, two-lane) fingerprint,
+  *    never the text: past ~5×10⁹ docs a 64-bit key hits its birthday
+  *    bound and silently merges distinct documents, so the group key is
+  *    two multiplier-independent 64-bit hashes (see
+  *    [[graft.functions.Fingerprint64]]);
   *  - near-dup candidate generation is always an equi-join on LSH keys
   *    (minhash bands / simhash bands / shared n-grams), never a cross
   *    join: shuffle volume is O(docs × bands), and band keys can be
@@ -43,10 +44,12 @@ object TextPrep {
 object Dedup {
 
   // -- exact dedup on content fingerprint ----------------------------------
+  // The oracle groups by the normalized TEXT; equality of results proves
+  // the 128-bit fingerprint is collision-free on the corpus.
   private def exact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", fingerprint64(TextPrep.norm($"text")).as("fp"))
+      .select($"doc_id", fingerprint128(TextPrep.norm($"text")).as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select($"keep_id", $"n_copies")
@@ -151,26 +154,46 @@ object Dedup {
   // scheme of Manku et al., WWW'07 "Detecting Near-Duplicates for Web
   // Crawling"). Block width is the precision lever: a random pair
   // collides on a 5-bit block with p=1/32 (vs 1 in expectation with
-  // 16×4-bit blocks, which made every pair a candidate); at larger
-  // corpora, widen blocks + multi-probe to keep buckets bounded. The
-  // hamming filter runs BEFORE the pair-dedup so the distinct only sees
-  // near-pairs, not the full candidate set. No SQL oracle (the
-  // signature is a custom hash) — the spec cross-checks the result
-  // against exact Jaccard pairs.
+  // 16×4-bit blocks, which made every pair a candidate).
+  //
+  // Budgets ABOVE 12 use multi-probe instead of narrower blocks: with
+  // 13 blocks, a pair needs ≥ 26 differing bits before every block can
+  // hold ≥ 2 of them, so at any hamming ≤ 25 some block differs by AT
+  // MOST ONE bit — probing each block's exact value plus all 1-bit
+  // flips (≤ 6 keys per block) is therefore complete through hamming
+  // 25, at ~6× the join keys instead of the all-pairs blowup that
+  // 4-bit blocks caused. The hamming filter runs BEFORE the pair-dedup
+  // so the distinct only sees near-pairs, not the full candidate set.
+  // No SQL oracle (the signature is a custom hash) — specs cross-check
+  // against exact Jaccard pairs and brute-force hamming.
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
     import s.implicits._
+    require(maxHamming <= 25,
+      s"simhash banding is complete only to hamming 25 (got $maxHamming); " +
+        "re-band with wider blocks or deeper probing for larger budgets")
     val widths = Seq.fill(12)(5) :+ 4 // 13 blocks cover all 64 bits
     val offsets = widths.scanLeft(0)(_ + _).init
     val docs = Tables.documents(s, d)
       .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
-    val bands = docs.select($"doc_id", $"sig",
-        explode(array(offsets.zipWithIndex.map { case (off, b) =>
-          struct(lit(b).as("band_id"),
-            shiftrightunsigned($"sig", off)
-              .bitwiseAND(lit((1L << widths(b)) - 1)).as("band_val"))
-        }: _*)).as("band"))
+    def blockVal(b: Int): Column =
+      shiftrightunsigned($"sig", offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    val exact = docs.select($"doc_id", $"sig",
+        explode(array((0 until widths.size).map(b =>
+          struct(lit(b).as("band_id"), blockVal(b).as("band_val"))): _*)).as("band"))
       .select($"doc_id", $"sig", $"band.band_id", $"band.band_val")
-    bands.as("a").join(bands.as("b"),
+    // probe side: exact value + every 1-bit flip of each block (only
+    // needed beyond the pigeonhole budget of the plain block join)
+    val probeSide =
+      if (maxHamming <= 12) exact
+      else docs.select($"doc_id", $"sig",
+          explode(array((for {
+            b <- 0 until widths.size
+            flip <- 0 to widths(b) // 0 = no flip, k = flip bit k-1
+          } yield struct(lit(b).as("band_id"),
+            (if (flip == 0) blockVal(b)
+             else blockVal(b).bitwiseXOR(lit(1L << (flip - 1)))).as("band_val"))): _*)).as("band"))
+        .select($"doc_id", $"sig", $"band.band_id", $"band.band_val")
+    exact.as("a").join(probeSide.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),

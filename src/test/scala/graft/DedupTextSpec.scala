@@ -69,6 +69,49 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fps(3) == 0xcbf29ce484222325L) // FNV-1a empty-string basis
   }
 
+  test("simhash multi-probe is complete at hamming 16 (vs brute-force all pairs)") {
+    import spark.implicits._
+    // ground truth: all-pairs hamming over the corpus signatures (fine
+    // at spec scale; the operator exists precisely so production never
+    // does this)
+    val sigs = Tables.documents(spark, sf)
+      .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 16
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(spark, sf, maxHamming = 16)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"multi-probe candidates must be exactly the hamming<=16 pairs: " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "corpus should contain hamming<=16 pairs to make this spec real")
+  }
+
+  test("fingerprint128: lanes are multiplier-independent and collision-free on the corpus") {
+    import spark.implicits._
+    // (1) structural independence. A seed-only second FNV lane satisfies
+    // h1(x) − h0(x) = (s1 − s0)·p^len for ALL inputs, i.e. the lane
+    // DELTA is a function of length alone — same-length lane-0
+    // collisions would then always co-collide in lane 1. Distinct
+    // multipliers break that: assert the delta varies across
+    // same-length texts.
+    val texts = (0 until 32).map(i => f"payload-$i%04d") // all same length
+    val lanes = texts.toDF("t").select(fingerprint128($"t").as("fp"))
+      .select($"fp.h0", $"fp.h1").as[(Long, Long)].collect()
+    val deltas = lanes.map { case (h0, h1) => h1 - h0 }.toSet
+    assert(deltas.size == texts.size,
+      s"lane delta collapsed to ${deltas.size} values over ${texts.size} same-length " +
+        "texts — lanes behave like seed-only variants of one hash")
+    // (2) the 128-bit key is collision-free where the oracle can check:
+    // distinct combined fingerprints == distinct normalized texts
+    val docs = Tables.documents(spark, sf)
+    val nText = docs.select(TextPrep.norm($"text")).distinct().count()
+    val nFp = docs.select(fingerprint128(TextPrep.norm($"text"))).distinct().count()
+    assert(nFp == nText, s"fingerprint collisions: $nFp keys for $nText texts")
+  }
+
   test("minhash signature estimates Jaccard (lane agreement ≈ J)") {
     import spark.implicits._
     val a = (1 to 100).map(i => s"tok$i")
