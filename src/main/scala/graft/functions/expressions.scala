@@ -303,6 +303,38 @@ object GraftFunctions {
   def stopword_scores(c: Column, lists: Seq[Seq[String]]): Column =
     graftshim.column(StopwordScores(graftshim.expression(c), lists))
 
+  /** Validated SQL builder for graft_stopword_scores(words, 'w1,w2,…',
+    * …): every list argument must be a foldable non-null string of
+    * non-empty comma-separated tokens, and tokens must not repeat
+    * across lists — checked HERE, at function-build (analysis) time,
+    * with an actionable message, instead of surfacing later as an NPE
+    * in `eval` or the lookup-map `require` blowing up inside codegen.
+    * (Comma-containing stopwords are inexpressible in this form by
+    * design; none of the supported languages tokenize them.)
+    */
+  private[functions] def stopwordScoresBuilder(es: Seq[Expression]): Expression = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft_stopword_scores(words, 'w1,w2,…', …): $msg")
+    if (es.size < 2) fail("needs the token-array column and at least one stopword list")
+    val seen = scala.collection.mutable.HashMap[String, Int]()
+    val lists = es.tail.zipWithIndex.map { case (e, i) =>
+      val argNo = i + 2
+      if (!e.foldable) fail(s"argument $argNo must be a literal string, got: $e")
+      val v = e.eval()
+      if (v == null) fail(s"argument $argNo must not be NULL")
+      val toks = v.toString.split(",").map(_.trim).toSeq
+      if (toks.isEmpty || toks.exists(_.isEmpty))
+        fail(s"argument $argNo contains an empty stopword token ('${v.toString}')")
+      toks.foreach { t =>
+        seen.put(t, argNo).foreach(prev =>
+          fail(s"stopword '$t' appears in both argument $prev and argument $argNo " +
+            "— lists must be disjoint (a token votes for exactly one language)"))
+      }
+      toks
+    }
+    StopwordScores(es.head, lists)
+  }
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_minhash_sig", es => MinHashSig(es.head,
       es(1).eval().asInstanceOf[Int])),
@@ -314,8 +346,7 @@ object GraftFunctions {
     ("graft_zorder64", es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
-    ("graft_stopword_scores", es => StopwordScores(es.head,
-      es.tail.map(_.eval().toString.split(",").toSeq))))
+    ("graft_stopword_scores", stopwordScoresBuilder _))
 
   /** Make the functions callable from SQL in an existing session —
     * scalar expressions, the `graft_asof_join` table function, and the
@@ -351,8 +382,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VecDot(es.head, es(1))))
     ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_stopword_scores"),
       new ExpressionInfo(classOf[StopwordScores].getName, "graft_stopword_scores"),
-      (es: Seq[Expression]) => StopwordScores(es.head,
-        es.tail.map(_.eval().toString.split(",").toSeq))))
+      GraftFunctions.stopwordScoresBuilder _))
     // whole-operator extension: native as-of join (graft.plans) + its
     // SQL table-valued function
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

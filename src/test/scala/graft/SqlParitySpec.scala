@@ -89,6 +89,36 @@ class SqlParitySpec extends AnyFunSuite {
     assert(z.getDouble(1) == 11.0)
   }
 
+  test("graft_stopword_scores rejects bad SQL arguments at analysis time with clear messages") {
+    graft.functions.GraftFunctions.register(spark)
+    def analyzeError(sql: String): String = {
+      val t = intercept[Throwable] { spark.sql(sql).queryExecution.analyzed }
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    }
+    // non-literal list argument
+    assert(analyzeError(
+      "SELECT graft_stopword_scores(array('a'), CAST(rand() AS STRING))")
+      .contains("literal string"))
+    // NULL list
+    assert(analyzeError(
+      "SELECT graft_stopword_scores(array('a'), CAST(NULL AS STRING))")
+      .contains("NULL"))
+    // stray comma → empty token
+    assert(analyzeError(
+      "SELECT graft_stopword_scores(array('a'), 'the,,and')")
+      .contains("empty stopword token"))
+    // overlap across lists reports both argument positions
+    val overlap = analyzeError(
+      "SELECT graft_stopword_scores(array('a'), 'the,and', 'le,the')")
+    assert(overlap.contains("'the'") && overlap.contains("disjoint"), overlap)
+    // and the happy path still works
+    val ok = spark.sql(
+      "SELECT graft_stopword_scores(array('the','le','x'), 'the,and', 'le,la') AS s")
+      .collect()(0).getSeq[Int](0)
+    assert(ok == Seq(1, 1))
+  }
+
   test("native as-of join is reachable from SQL and agrees with the DataFrame path") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -79,6 +79,51 @@ class StreamMultimodalSpec extends AnyFunSuite {
     val agg = SparkEntry.queries("stream_windowed_agg")(spark, sf)
     val total = agg.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
+    // the heartbeat punctuation row advances the watermark but must
+    // never surface in the output (as a group of its own or otherwise)
+    assert(agg.filter(col("event_type") === "__heartbeat").isEmpty,
+      "heartbeat row leaked into the windowed aggregate output")
+  }
+
+  test("sessionization runs on the RocksDB state store with state metrics") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumnRenamed("ts", "ts_ns")
+      .select($"user_id", $"ts_ns", $"value").as[Streaming.Ev]
+    val q = Streaming.withRocksDBStateStore(spark) {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == Streaming.RocksDBProvider)
+      Streaming.sessionizeDs(stream)
+        .writeStream.format("memory").queryName("graft_rocksdb_sessions")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    // the conf is restored afterwards (provider choice is per-query)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      != Some(Streaming.RocksDBProvider))
+    // state really lives in RocksDB: the operator reports rocksdb
+    // custom metrics and processed state rows
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    assert(ops.nonEmpty, "expected a stateful operator in the progress log")
+    val metricKeys = ops.flatMap(_.customMetrics.asScala.keys).toSet
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected RocksDB state-store metrics, got: $metricKeys")
+    assert(ops.map(_.numRowsUpdated).sum > 0, "state rows must have been written")
+    // and the result is the same sessions the default provider produces
+    val streamed = spark.table("graft_rocksdb_sessions")
+      .select($"user_id", $"start_us", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Streaming.sessionBatch(spark, sf)
+      .select($"user_id", $"start_us", $"n_events")
+      .as[(Long, Long, Long)].collect()
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(streamed == batch.toSet -- lastPerUser,
+      "RocksDB-backed sessionization must emit the same closed sessions")
   }
 
   test("append-mode windowed agg evicts all window state once the watermark passes") {
