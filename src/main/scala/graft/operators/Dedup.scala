@@ -131,14 +131,20 @@ object Dedup {
       .filter($"jaccard" >= 0.8)
       .orderBy($"doc_a", $"doc_b")
   }
-  private val minhashLshSql =
-    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+  /** Shared oracle CTE chain: exact-Jaccard candidate machinery
+    * (normalized 3-gram inverted index), used by the minhash oracle and
+    * the connected-components oracle. */
+  private val jaccardCtes =
+    s"""docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
        |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
        |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
        |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2)
+       |           GROUP BY 1, 2)""".stripMargin
+
+  private val minhashLshSql =
+    s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
        |FROM shared
        |JOIN sizes sa ON sa.doc_id = doc_a
@@ -204,10 +210,76 @@ object Dedup {
   }
   private def simhash(s: SparkSession, d: String): DataFrame = simhashPairs(s, d)
 
+  // -- duplicate-cluster resolution (connected components) -----------------
+  // Near-dup PAIRS are not yet a dedup policy: keep-one needs the full
+  // duplicate CLUSTER (a~b and b~c put a,c in one cluster even though
+  // they never shared a bucket). Components via Pregel-style min-label
+  // propagation: every round each node adopts the minimum label among
+  // itself and its neighbors — O(cluster diameter) rounds, each one
+  // narrow (id, label) equi-join shuffle; the adjacency never
+  // concentrates on one machine, which is the 100 TB shape (GraphX CC
+  // is this same loop). Near-dup clusters at J ≥ 0.8 are near-cliques,
+  // so the diameter — and the round count — stays tiny. The driver
+  // loop runs one O(1)-row convergence aggregate per round, not a
+  // per-row collect. Oracle: DuckDB recursive-CTE transitive closure
+  // over the same exact-Jaccard ≥ 0.8 pairs the minhash oracle pins.
+  def componentLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.toDF("dst2", "src2").select($"src2".as("src"), $"dst2".as("dst")))
+      .cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src")).agg(min($"label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least($"label", coalesce($"nbr_min", $"label")).as("next_label"),
+          $"label".as("prev_label"))
+        .cache()
+      changed = next.filter($"next_label" < $"prev_label").count()
+      labels = next.select($"id", $"next_label".as("label"))
+      rounds += 1
+    }
+    labels
+  }
+
+  private def components(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    componentLabels(pairs)
+      .groupBy($"label".as("component"))
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list($"id")).as("m"))
+      .select($"component", $"n_docs",
+        expr("concat_ws(',', transform(m, x -> CAST(x AS STRING)))").as("members"))
+      .orderBy($"component")
+  }
+  private val componentsSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+       |SELECT component, COUNT(*) AS n_docs,
+       |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, None),
+    QueryDef("dedup_components", components, Some(componentsSql)),
   )
 }

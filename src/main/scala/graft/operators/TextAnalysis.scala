@@ -134,10 +134,61 @@ object TextAnalysis {
        |  COUNT(DISTINCT ${TextPrep.normSql}) AS n_distinct
        |FROM documents""".stripMargin
 
+  // -- TF-IDF term salience ------------------------------------------------
+  // Inverted-index shape: tf = per-(doc, term) counts (map-side partial
+  // agg), df = per-term doc counts over tf (the inverted index — shuffle
+  // rows are (term, count) pairs, never documents), corpus size rides a
+  // broadcast one-row cross join. The idf is the BM25-style RATIONAL
+  // form (N − df + ½)/(df + ½), not a logarithm: ln is not required to
+  // be correctly rounded and differs across libm builds, while +,−,×,÷
+  // are IEEE-exact — so the DuckDB oracle reproduces scores bit-for-bit
+  // (same monotonicity in df as log-idf, which is all ranking needs).
+  // Top-5 terms per doc, score-desc then term-asc for total order.
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term",
+        (($"tf" * ($"n_docs" - $"df" + lit(0.5))) / ($"df" + lit(0.5))).as("score"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"term", round($"score", 6).as("score6"))
+      .orderBy($"doc_id", $"rank")
+  }
+  private val tfidfSql =
+    s"""WITH words AS (
+       |  SELECT doc_id, w AS term FROM (
+       |    SELECT doc_id, unnest(${TextPrep.wordsSql}) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  -- 0.5::DOUBLE: a bare 0.5 is DECIMAL in DuckDB, which would
+       |  -- route the arithmetic through decimal rounding instead of
+       |  -- the IEEE double ops Spark uses
+       |  SELECT doc_id, term,
+       |    (tf * (n_docs - df + 0.5::DOUBLE)) / (df + 0.5::DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, round(score, 6) AS score6
+       |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
   )
 }

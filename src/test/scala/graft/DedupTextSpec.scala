@@ -112,6 +112,58 @@ class DedupTextSpec extends AnyFunSuite {
     assert(nFp == nText, s"fingerprint collisions: $nFp keys for $nText texts")
   }
 
+  test("duplicate clusters equal brute-force union-find over the near-dup pairs") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    // reference union-find on the driver (fine at spec scale)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      val sorted = ms.sorted
+      (sorted.min, sorted.size.toLong, sorted.mkString(","))
+    }.toSet
+    val got = SparkEntry.queries("dedup_components")(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == expected, s"components mismatch:\n got=$got\n exp=$expected")
+    // a transitive cluster exists iff some component spans > 1 pair —
+    // otherwise this spec degenerates to echoing the pairs
+    assert(expected.exists(_._2 > 2) || pairs.length == expected.size,
+      "expected at least one transitive (>2 docs) cluster or all-disjoint pairs")
+  }
+
+  test("tfidf: corpus-wide terms rank below doc-distinctive terms") {
+    import spark.implicits._
+    val top = SparkEntry.queries("text_tfidf")(spark, sf)
+      .as[(Long, Int, String, Double)].collect()
+    assert(top.nonEmpty)
+    // per-doc invariants: ranks are 1..k, scores non-increasing
+    top.groupBy(_._1).foreach { case (doc, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rows.length),
+        s"doc $doc ranks not contiguous")
+      assert(byRank.sliding(2).forall {
+        case Array(hi, lo) => hi._4 >= lo._4; case _ => true
+      }, s"doc $doc scores not monotone")
+    }
+    // df discrimination: a term present in (nearly) every doc should
+    // never be a top term — 'the' is in every seeded document
+    val nDocs = Tables.documents(spark, sf).count()
+    val dfOfThe = Tables.documents(spark, sf)
+      .select($"doc_id", explode(graft.operators.TextPrep.words($"text")).as("w"))
+      .filter($"w" === "the").select($"doc_id").distinct().count()
+    if (dfOfThe > nDocs * 9 / 10)
+      assert(!top.exists(_._3 == "the"), "'the' (df≈N) must not out-rank distinctive terms")
+  }
+
   test("minhash signature estimates Jaccard (lane agreement ≈ J)") {
     import spark.implicits._
     val a = (1 to 100).map(i => s"tok$i")
