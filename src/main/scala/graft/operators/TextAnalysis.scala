@@ -135,15 +135,19 @@ object TextAnalysis {
        |FROM documents""".stripMargin
 
   // -- TF-IDF term salience ------------------------------------------------
-  // Inverted-index shape: tf = per-(doc, term) counts (map-side partial
-  // agg), df = per-term doc counts over tf (the inverted index — shuffle
-  // rows are (term, count) pairs, never documents), corpus size rides a
-  // broadcast one-row cross join. The idf is the BM25-style RATIONAL
-  // form (N − df + ½)/(df + ½), not a logarithm: ln is not required to
-  // be correctly rounded and differs across libm builds, while +,−,×,÷
-  // are IEEE-exact — so the DuckDB oracle reproduces scores bit-for-bit
-  // (same monotonicity in df as log-idf, which is all ranking needs).
-  // Top-5 terms per doc, score-desc then term-asc for total order.
+  // Inverted-index shape with ONE tokenize pass: tf = per-(doc, term)
+  // counts (map-side partial agg), df = a COUNT window partitioned by
+  // term OVER the tf frame — deriving df from tf as a separate
+  // aggregate branch makes Catalyst re-scan and re-tokenize the corpus
+  // (no logical-subtree reuse), which at 100 TB doubles the dominant
+  // cost; the window is one narrow (doc, term, tf) shuffle instead.
+  // Corpus size rides a broadcast one-row cross join. The idf is the
+  // BM25-style RATIONAL form (N − df + ½)/(df + ½), not a logarithm:
+  // ln is not required to be correctly rounded and differs across
+  // libm builds, while +,−,×,÷ are IEEE-exact — so the DuckDB oracle
+  // reproduces scores bit-for-bit (same monotonicity in df as log-idf,
+  // which is all ranking needs). Top-5 terms per doc, score-desc then
+  // term-asc for total order.
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -151,10 +155,10 @@ object TextAnalysis {
       .select($"doc_id", explode(TextPrep.words($"text")).as("term"))
       .filter(length($"term") > 0)
     val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    tf.join(df_, "term")
+    withDf
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
         (($"tf" * ($"n_docs" - $"df" + lit(0.5))) / ($"df" + lit(0.5))).as("score"))
