@@ -144,6 +144,35 @@ class PlanSpec extends AnyFunSuite {
       s"z-order should out-prune the linear sort: z=$fromZ linear=$fromLinear total=$total")
   }
 
+  test("tfidf tokenizes the corpus once and computes top-k with partial group limits") {
+    val p = plan("text_tfidf")
+    // one Generate (the tokenize/explode) — df must NOT re-derive from a
+    // second tokenize branch
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 1, s"expected exactly one tokenize pass, got $generates:\n$p")
+    // scans: the tokenize scan + the one-row corpus count, nothing more
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <= 2 parquet scans, got $scans:\n$p")
+    // rank <= 5 runs as a group-limit BEFORE the final window sort
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per doc should use partial window group limits:\n$p")
+  }
+
+  test("component propagation shuffles narrow (id, label) rows only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one propagation round over a seeded edge list: the exchanged rows
+    // must be ids + labels, never anything wider
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.componentLabels(pairs)
+    val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"transitive chain 1-2-3 must converge to min label: $rows")
+    val p = labels.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"label propagation must stay an equi-join:\n$p")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
