@@ -163,6 +163,40 @@ object EncryptedParquet {
     val manifest = readManifest(spark, dir, config.masterKeyId, config.resolver)
     read(spark, dir, manifest.columns.map(_.name), config)
   }
+
+  /** Rotate the dataset's master key WITHOUT touching the data files —
+    * the payoff of envelope encryption: data columns are encrypted
+    * under per-column DEKs, so rotation only (1) unwraps each KMS DEK
+    * under its old master key, (2) re-wraps it under `newMasterKeyId`,
+    * and (3) re-encrypts the manifest under `newMasterKeyId`. O(columns)
+    * driver-side work whether the data is 100 KB or 100 TB. Explicit-key
+    * and fallback columns carry no wrapped material and pass through
+    * (their keys live in the reader's config, not the file).
+    *
+    * `newResolver` lets rotation also MOVE vaults (resolve old keys with
+    * `config.resolver`, wrap new ones with `newResolver`). After
+    * rotation, read with `config.copy(masterKeyId = newMasterKeyId,
+    * resolver = newResolver)`; the old master key opens nothing.
+    */
+  def rotateMasterKey(spark: SparkSession, dir: String, config: CryptoConfig,
+      newMasterKeyId: String,
+      newResolver: MasterKeyResolver = null): Manifest = {
+    val wrapWith = Option(newResolver).getOrElse(config.resolver)
+    val m = readManifest(spark, dir, config.masterKeyId, config.resolver)
+    val rotated = m.columns.map { c =>
+      (c.mode, c.wrappedDek, c.masterKeyId) match {
+        case ("kms", Some(w), Some(oldMid)) =>
+          val dek = Kms.unwrapFromBase64(w, oldMid, config.resolver)
+          val rewrapped = Base64.getEncoder.encodeToString(
+            AesGcm.encrypt(wrapWith.resolve(newMasterKeyId), dek))
+          c.copy(wrappedDek = Some(rewrapped), masterKeyId = Some(newMasterKeyId))
+        case _ => c
+      }
+    }
+    val next = Manifest(m.rowCount, newMasterKeyId, rotated)
+    writeManifest(spark, dir, next, wrapWith)
+    next
+  }
 }
 
 /** Distributed round-trip validation (reference /root/reference/src/main.cpp:63-103

@@ -28,6 +28,17 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"queries\":{"))
   }
 
+  test("min-of-N reps reports the minimum and still surfaces failures") {
+    var calls = 0
+    val counting: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => { calls += 1; s.range(3).toDF("id") }
+    val r = Bench.runOne(spark, sf, "q", counting, reps = 3)
+    assert(calls == 3 && r.error.isEmpty)
+    val broken: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.read.parquet("/nonexistent")
+    assert(Bench.runOne(spark, sf, "q", broken, reps = 2).error.isDefined)
+  }
+
   test("all-green run reports n_errors 0 and an empty errors object") {
     val results = Bench.runAll(spark, sf,
       Map("a" -> ((s, _) => s.range(5).toDF("id"))))

@@ -112,6 +112,41 @@ class CryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("master-key rotation rewrites only the manifest; old key opens nothing after") {
+    val out = tmp("rotate")
+    val cfg = CryptoConfig("master-old",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-old")),
+        ColumnPolicy("c_acctbal", explicitKey = Some("0123456789abcdef"))))
+    EncryptedParquet.write(cust.limit(20), out, cfg)
+    val before = EncryptedParquet.readAll(spark, out, cfg)
+      .select("c_name").na.drop().count()
+
+    // rotation must be a pure driver-side metadata operation: zero
+    // Spark jobs — the 100 TB of data files is never re-read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    Thread.sleep(300) // drain events from the write above (async bus)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      EncryptedParquet.rotateMasterKey(spark, out, cfg, "master-new")
+      Thread.sleep(300) // let any (unexpected) job events land
+      assert(jobs.get() == 0,
+        s"rotation must not touch data (0 jobs), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val newCfg = cfg.copy(masterKeyId = "master-new")
+    assert(EncryptedParquet.readAll(spark, out, newCfg)
+      .select("c_name").na.drop().count() == before)
+    // the old master key can no longer open the manifest
+    intercept[Exception] { EncryptedParquet.readManifest(spark, out, "master-old") }
+    // and the re-wrapped DEK decrypts the SAME data (wrap changed, DEK didn't)
+    val m = EncryptedParquet.readManifest(spark, out, "master-new")
+    assert(m.columns.find(_.name == "c_name").get.masterKeyId == Some("master-new"))
+  }
+
   test("manifest on disk is ciphertext, decrypts only with the right master key") {
     val out = tmp("manifest")
     val cfg = CryptoConfig("master-A",
