@@ -276,6 +276,53 @@ object Streaming {
        | AND c.ts_us < p.ts_us
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  // -- #43c streaming exact dedup (first-seen filter) ----------------------
+  // Dedup as an INGESTION step: new documents stream in, the first
+  // document per content fingerprint passes, later copies are dropped —
+  // the shape an LLM data pipeline actually runs (dedup continuously at
+  // ingest, not as a batch job over the full corpus). State per key is
+  // one boolean behind the 128-bit fingerprint (16 bytes + key
+  // overhead), so 10¹⁰ distinct documents is ~tens of GB of state —
+  // RocksDB territory (withRocksDBStateStore), never executor-heap-bound.
+  // Emission is deterministic: a micro-batch delivers every same-key row
+  // it contains together, so "first seen" = min doc_id of the earliest
+  // batch containing the fingerprint; with doc_id-ordered arrival that
+  // is the global min — exactly the batch dedup's keep rule, which is
+  // what makes this oracle-able (same SQL as exact dedup, keep_id only).
+  final case class Doc(doc_id: Long, h0: Long, h1: Long)
+
+  def firstSeen(key: (Long, Long), docs: Iterator[Doc],
+      state: GroupState[Boolean]): Iterator[Long] = {
+    if (state.exists) Iterator.empty // fingerprint already admitted
+    else { state.update(true); Iterator.single(docs.map(_.doc_id).min) }
+  }
+
+  /** First-seen dedup over any streaming Doc dataset — shared by the
+    * driver query and the multi-batch state-carry spec. */
+  def dedupDs(docs: org.apache.spark.sql.Dataset[Doc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(dc => (dc.h0, dc.h1))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(firstSeen)
+      .toDF("keep_id")
+  }
+
+  private def dedupStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    import graft.operators.TextPrep
+    val schema = s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select($"doc_id",
+        graft.functions.GraftFunctions.fingerprint128(TextPrep.norm($"text")).as("fp"))
+      .select($"doc_id", $"fp.h0", $"fp.h1").as[Doc]
+    runToMemory(dedupDs(docs), "graft_stream_dedup", OutputMode.Append())
+      .orderBy($"keep_id")
+  }
+  private val dedupStreamSql =
+    s"""SELECT MIN(doc_id) AS keep_id FROM documents
+       |GROUP BY ${graft.operators.TextPrep.normSql}
+       |ORDER BY keep_id""".stripMargin
+
   // -- batch twin of sessionization (gaps-and-islands) ---------------------
   // Same sessions, derived with lag + running count — this one is fully
   // SQL-expressible, so it carries the DuckDB oracle; the spec checks
@@ -318,5 +365,6 @@ object Streaming {
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
+    QueryDef("stream_dedup", dedupStream, Some(dedupStreamSql)),
   )
 }
