@@ -188,11 +188,73 @@ object TextAnalysis {
        |SELECT doc_id, rank, term, round(score, 6) AS score6
        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // -- end-to-end corpus preparation ---------------------------------------
+  // The composition a training-data pipeline actually runs, as ONE
+  // declarative plan: exact-dedup keep-first (128-bit fingerprint
+  // window) → language filter (predicted en) → quality filter (tier
+  // 'ok') → deterministic 50% systematic sample. Everything before the
+  // dedup window is a single codegen'd map stage over the corpus; the
+  // one shuffle is the fingerprint window (narrow rows), and the
+  // filters afterwards are pipelined — Catalyst fuses the whole thing,
+  // which is the point of expressing pipeline stages as columns rather
+  // than materialized intermediate datasets.
+  private def prepareCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val langs = stop.map(_._1)
+    val sc = langs.indices.map(i => $"scores" (i))
+    val best = sc.reduce((a, b) => greatest(a, b))
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
+      when(sc(i) === best && best > 0, lit(l)).otherwise(els)
+    }
+    Tables.documents(s, d)
+      .withColumn("words", TextPrep.words($"text"))
+      .withColumn("scores", stopword_scores($"words", stop.map(_._2)))
+      .withColumn("fp", fingerprint128(TextPrep.norm($"text")))
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .withColumn("n_words", size($"words"))
+      .withColumn("rep_ratio", size(array_distinct($"words")).cast("double") / $"n_words")
+      .withColumn("stop_ratio", $"scores" (0).cast("double") / $"n_words")
+      .withColumn("pred_lang", pred)
+      .filter($"doc_id" === $"keep_id") // exact-dedup: keep the first copy
+      .filter($"pred_lang" === "en")
+      .filter($"n_words" >= 20 && $"rep_ratio" >= 0.3 && $"stop_ratio" <= 0.5) // tier 'ok'
+      .filter($"doc_id" % 2 === 0) // engine-reproducible systematic sample
+      .select($"doc_id", $"n_words")
+      .orderBy($"doc_id")
+  }
+  private val prepareCorpusSql = {
+    val en = stop.head._2
+    val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }.mkString(",\n  ")
+    val langs = stop.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    // the oracle groups duplicates by normalized TEXT where Spark
+    // groups by the 128-bit fingerprint — equality of results re-proves
+    // the fingerprint collision-free on the corpus
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.normSql} AS norm_text,
+       |             ${TextPrep.wordsSql} AS words FROM documents),
+       |m AS (SELECT doc_id, norm_text, len(words) AS n_words,
+       |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
+       |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio,
+       |  $scores
+       |  FROM w),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY norm_text) AS keep_id FROM m)
+       |SELECT doc_id, n_words FROM k
+       |WHERE doc_id = keep_id
+       |  AND ($pred) = 'en'
+       |  AND n_words >= 20 AND rep_ratio >= 0.3 AND stop_ratio <= 0.5
+       |  AND doc_id % 2 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("pipeline_prepare_corpus", prepareCorpus, Some(prepareCorpusSql)),
   )
 }
