@@ -306,6 +306,33 @@ object Advanced {
        |FROM ranked WHERE rn <= 500
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q_source_cap: per-source document caps (anti-domination) ------------
+  // The Common-Crawl-shaped mix control: no single source may contribute
+  // more than K documents to a training corpus. row_number per source,
+  // keep rank ≤ K — Spark plans the rank filter as WindowGroupLimit, a
+  // per-partition partial top-K BEFORE the exchange, so each source
+  // ships at most K rows out of every map partition instead of sorting
+  // its full document set (the difference between capping a 10⁹-doc
+  // domain and shuffling it). doc_id order keeps it deterministic; swap
+  // the ORDER BY for the hash used in q_stratified_sample when the cap
+  // should be a random rather than first-K subset.
+  private def qSourceCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 30
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"doc_id", $"source")
+      .orderBy($"source", $"doc_id")
+  }
+  private val qSourceCapSql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin
+
   // -- q_array_agg: array columns as first-class aggregation targets ------
   // Per-label stats over the embedding vectors: L2 norm via the compiled
   // VecDot expression (self dot product), plus an ordered array_agg
@@ -341,6 +368,7 @@ object Advanced {
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
+    QueryDef("q_source_cap", qSourceCap, Some(qSourceCapSql)),
     QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
   )
 }
