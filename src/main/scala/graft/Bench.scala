@@ -17,7 +17,10 @@ object Bench {
   /** Time one query (count() forces full execution). Never throws.
     * With reps > 1 the MINIMUM time is reported — on a shared box the
     * min is the best estimator of the query's intrinsic cost (load
-    * spikes only ever add time); any failing rep fails the query. */
+    * spikes only ever add time); any failing rep fails the query. The
+    * minimum is taken over SUCCESSFUL reps only (a rep that fails fast
+    * must not report its crash time as the query's cost); if every rep
+    * failed, the min over all reps is reported alongside the error. */
   def runOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => DataFrame, reps: Int = 1): QueryResult = {
     val runs = (1 to math.max(1, reps)).map { _ =>
@@ -29,7 +32,9 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    QueryResult(name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    val succeeded = runs.filter(_._2.isEmpty)
+    val timed = if (succeeded.nonEmpty) succeeded else runs
+    QueryResult(name, timed.map(_._1).min, runs.flatMap(_._2).headOption)
   }
 
   def runAll(spark: SparkSession, sfDir: String,

@@ -180,8 +180,8 @@ object EncryptedParquet {
     */
   def rotateMasterKey(spark: SparkSession, dir: String, config: CryptoConfig,
       newMasterKeyId: String,
-      newResolver: MasterKeyResolver = null): Manifest = {
-    val wrapWith = Option(newResolver).getOrElse(config.resolver)
+      newResolver: Option[MasterKeyResolver] = None): Manifest = {
+    val wrapWith = newResolver.getOrElse(config.resolver)
     val m = readManifest(spark, dir, config.masterKeyId, config.resolver)
     val rotated = m.columns.map { c =>
       (c.mode, c.wrappedDek, c.masterKeyId) match {

@@ -224,7 +224,9 @@ object Dedup {
   // per-row collect. Oracle: DuckDB recursive-CTE transitive closure
   // over the same exact-Jaccard ≥ 0.8 pairs the minhash oracle pins.
   def componentLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    import pairs.sparkSession.implicits._
+    val s = pairs.sparkSession
+    val sc = s.sparkContext
+    import s.implicits._
     // cache + materialize the pair list BEFORE any plan forks off it:
     // edges is pairs ∪ reverse(pairs) and the loop re-reads edges every
     // round — without this, each uncached branch recomputes the entire
@@ -233,8 +235,22 @@ object Dedup {
     val p = pairs.toDF("src", "dst").cache()
     p.count()
     val edges = p.union(p.select($"dst".as("src"), $"src".as("dst"))).cache()
+    // Each round references `labels` THREE times (neighbor lookup, the
+    // carried prev_label, the pointer jump), and cache() does NOT
+    // truncate the logical plan — so chaining rounds directly triples
+    // the analyzed tree per round and the driver spends O(3^rounds) in
+    // the analyzer (this, not execution, was the measured 499s at
+    // sf0.1). localCheckpoint (eager) collapses each round's result to
+    // a constant-size LogicalRDD leaf: plans stay O(1), rounds stay two
+    // narrow (id,label) equi-joins. The superseded round's checkpoint
+    // blocks are dropped as soon as the next round materializes.
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def dropBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var before = persistedIds
     var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).cache()
+      .select($"id", $"id".as("label")).localCheckpoint()
+    var labelBlocks = persistedIds -- before
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -248,18 +264,28 @@ object Dedup {
       // pointer jump: also adopt the CURRENT label of the adopted label
       // (label(x) ← label(label(x))) — collapses label chains
       // geometrically, so long components converge in O(log diameter)
-      // rounds instead of O(diameter); each round stays two narrow
-      // (id, label) equi-joins
+      // rounds instead of O(diameter)
+      before = persistedIds
       val next = viaNbr.as("x")
         .join(labels.select($"id".as("jid"), $"label".as("jlabel")), $"l1" === $"jid", "left")
         .select($"x.id",
           least($"l1", coalesce($"jlabel", $"l1")).as("next_label"),
           $"prev_label")
-        .cache()
+        .localCheckpoint()
+      val nextBlocks = persistedIds -- before
       changed = next.filter($"next_label" < $"prev_label").count()
       labels = next.select($"id", $"next_label".as("label"))
+      dropBlocks(labelBlocks) // previous round is now dead
+      labelBlocks = nextBlocks
       rounds += 1
     }
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    // silent non-convergence would hand the caller SPLIT components that
+    // look like a correct answer
+    if (changed > 0) throw new IllegalStateException(
+      s"componentLabels did not converge after $maxRounds rounds " +
+        s"($changed labels still shrinking); raise maxRounds")
     labels
   }
 

@@ -64,10 +64,13 @@ object Streaming {
       }))
   }
 
-  private def stageWithHeartbeat(s: SparkSession, d: String): (String, Long) =
+  private def stageWithHeartbeat(s: SparkSession, d: String): (String, Long) = {
+    // every calling session must read the nanos-timestamp parquet, so the
+    // conf is set unconditionally — inside the computeIfAbsent miss branch
+    // a second session reusing a cached staging dir would skip it and fail
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stagedDirs.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val src = Paths.get(d, "events.parquet")
       val tmp = Files.createTempDirectory("graft_stream_flush")
       try Files.createLink(tmp.resolve("events.parquet"), src)
@@ -87,6 +90,7 @@ object Streaming {
       Files.move(part.toPath, tmp.resolve("events_heartbeat.parquet"))
       (tmp.toString, hbNs)
     })
+  }
 
   /** Run `body` with stateful-operator partitioning sized to the KEY
     * space instead of the core count — each state partition pays a

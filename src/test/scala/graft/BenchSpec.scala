@@ -39,6 +39,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.runOne(spark, sf, "q", broken, reps = 2).error.isDefined)
   }
 
+  test("a fast-failing rep never sets the reported time when another rep succeeds") {
+    var calls = 0
+    // rep 1 crashes instantly; rep 2 succeeds after a measurable sleep —
+    // the reported time must be the slow SUCCESSFUL rep's, not the crash's
+    val flaky: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => {
+        calls += 1
+        if (calls == 1) throw new RuntimeException("boom")
+        Thread.sleep(300)
+        s.range(3).toDF("id")
+      }
+    val r = Bench.runOne(spark, sf, "q_flaky", flaky, reps = 2)
+    assert(r.error.isDefined, "the failing rep must still be surfaced")
+    assert(r.seconds >= 0.3, s"time must come from the successful rep, got ${r.seconds}")
+  }
+
   test("all-green run reports n_errors 0 and an empty errors object") {
     val results = Bench.runAll(spark, sf,
       Map("a" -> ((s, _) => s.range(5).toDF("id"))))
