@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * of media scannable with column pruning (a query that never touches
   * `payload` never reads those parquet pages).
   *
-  * Decode/resize/frame-sample run per-partition over Iterator batches
-  * (the Scala analog of `mapInPandas` batch plumbing: explicit batch
-  * size, one codec init per partition, vectorizable inner loop). The
-  * actual codec call is STUBBED deterministically (`FakeCodec`) — the
-  * image/audio libraries are not in this container — but everything
-  * Spark-side (schema, encoders, partitioning, batch shape) is real.
+  * Decode/resize/sample run per-partition over Iterator batches (the
+  * Scala analog of `mapInPandas` batch plumbing: explicit batch size,
+  * one codec init per partition, vectorizable inner loop). The codecs
+  * are REAL for two of the three modalities — the JDK ships them:
+  *  - `image/png`: `javax.imageio` decode → mean-luminance feature →
+  *    genuine half-size resize through `Graphics2D`;
+  *  - `audio/wav`: `javax.sound.sampled` parse → PCM RMS level + true
+  *    decoded duration → 10 Hz frame sampling;
+  *  - `video/mp4`: STUB (the JDK has no container/video codec, and the
+  *    container has no external codec libs — disclosed): feature = mean
+  *    payload byte, frame sampling from declared metadata.
   */
 object Multimodal {
 
@@ -24,16 +29,111 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
       doc_id: Long, mime: String, payloadBytes: Int,
-      brightness: Double,       // stub: mean byte value of the payload
+      brightness: Double,       // image: mean RGB luminance; audio: RMS scaled to 0..255; video stub: mean payload byte
       resizedW: Int, resizedH: Int,
       framesSampled: Int)
 
-  /** STUB decode — a real build links an image/audio codec here. The
-    * fake is pure + deterministic so the pipeline is testable: feature
-    * = mean payload byte; "resize" halves dimensions; frame sampling
-    * takes 1 frame per second of fake duration, capped at 8. */
-  object FakeCodec {
-    def decode(r: MediaRow): MediaFeatures = {
+  /** JDK-native encode + decode. Everything here is deterministic (only
+    * integer math, IEEE +,*,sqrt and the PNG/WAV formats themselves),
+    * so features are bit-identical across partitionings and reruns. */
+  object JdkCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRate = 8000
+
+    /** Deterministic gradient PNG keyed by doc_id — a REAL png byte
+      * stream; the decoder round-trips it through ImageIO. */
+    def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((docId + x) % 256).toInt
+          val g = ((docId * 31 + y) % 256).toInt
+          val b = (x + y) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic 16-bit mono PCM WAV: sine at (220 + docId%220) Hz. */
+    def wavBytes(docId: Long, durationMs: Long): Array[Byte] = {
+      val n = (SampleRate * durationMs / 1000).toInt
+      val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (math.sin(2 * math.Pi * (220 + docId % 220) * i / SampleRate) * 12000).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real PNG decode: measured (not declared) dimensions, mean RGB
+      * luminance, and a genuine half-size resize. */
+    def decodeImage(r: MediaRow): MediaFeatures = {
+      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val brightness = sum.toDouble / (3L * w * h)
+      val rw = math.max(1, w / 2)
+      val rh = math.max(1, h / 2)
+      val resized = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      val g2 = resized.createGraphics()
+      g2.drawImage(img, 0, 0, rw, rh, null)
+      g2.dispose()
+      MediaFeatures(r.doc_id, r.meta.mime, r.payload.length, brightness,
+        resized.getWidth, resized.getHeight, 0)
+    }
+
+    /** Real WAV parse: frame count and duration come from the decoded
+      * stream, not the metadata; level = PCM RMS scaled to 0..255. */
+    def decodeAudio(r: MediaRow): MediaFeatures = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+      val frames = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      var sumSq = 0.0
+      var i = 0
+      while (i < frames) {
+        val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toDouble
+        sumSq += v * v
+        i += 1
+      }
+      val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames)
+      val durSec = frames.toDouble / ais.getFormat.getFrameRate
+      MediaFeatures(r.doc_id, r.meta.mime, r.payload.length,
+        rms / 32768.0 * 255.0, 0, 0,
+        math.min((durSec * 10).round.toInt, 8)) // 1 sampled frame / 100 ms, capped
+    }
+
+    /** Disclosed STUB for video (no mp4 parser in the JDK): feature =
+      * mean payload byte; "resize" halves declared dimensions; 1 frame
+      * per declared second, capped at 8. */
+    def stubVideo(r: MediaRow): MediaFeatures = {
       var sum = 0L
       var i = 0
       while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
@@ -42,30 +142,44 @@ object Multimodal {
         r.meta.width / 2, r.meta.height / 2,
         math.min((r.meta.durationMs / 1000).toInt, 8))
     }
+
+    def decode(r: MediaRow): MediaFeatures = r.meta.mime match {
+      case "image/png" => decodeImage(r)
+      case "audio/wav" => decodeAudio(r)
+      case _ => stubVideo(r)
+    }
   }
 
-  /** Deterministic media table derived from documents: payload = UTF-8
-    * text bytes; mime/dimensions keyed off doc_id. */
+  /** Deterministic media table derived from documents: REAL png/wav
+    * payloads (JDK-encoded) keyed off doc_id; mp4 rows carry an opaque
+    * deterministic byte blob for the stub path. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
-        struct(
-          element_at(typedlit(Seq("image/jpeg", "audio/wav", "video/mp4")),
-            ($"doc_id" % 3 + 1).cast("int")).as("mime"),
-          (lit(64) + ($"doc_id" % 16) * 16).cast("int").as("width"),
-          (lit(64) + ($"doc_id" % 9) * 16).cast("int").as("height"),
-          (($"doc_id" % 20) * 1000).as("durationMs")).as("meta"))
-      .as[MediaRow]
+    Tables.documents(s, d).select($"doc_id").as[Long].map { id =>
+      val w = (32 + (id % 16) * 8).toInt
+      val h = (32 + (id % 9) * 8).toInt
+      id % 3 match {
+        case 0 =>
+          MediaRow(id, JdkCodec.pngBytes(id, w, h), MediaMeta("image/png", w, h, 0L))
+        case 1 =>
+          val durMs = (id % 5) * 100 + 100 // 100..500 ms
+          MediaRow(id, JdkCodec.wavBytes(id, durMs), MediaMeta("audio/wav", 0, 0, durMs))
+        case _ =>
+          val blob = s"mp4-stub-$id".getBytes("UTF-8") ++
+            Array.fill(((id % 50) + 10).toInt)((id % 251).toByte)
+          MediaRow(id, blob, MediaMeta("video/mp4", w, h, (id % 20) * 1000))
+      }
+    }
   }
 
-  /** Batch decode: one codec per partition, fixed-size batches through
-    * the stub (the shape a vectorized decoder needs). */
+  /** Batch decode: one codec init per partition, fixed-size batches
+    * (the shape a vectorized decoder needs). */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec init" happens here in a real build
-      rows.grouped(batchSize).flatMap { batch => batch.map(FakeCodec.decode) }
+      // per-partition codec init: keep ImageIO off its temp-file cache
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch => batch.map(JdkCodec.decode) }
     }
   }
 
@@ -80,8 +194,8 @@ object Multimodal {
       .orderBy($"mime")
   }
 
-  // DuckDB can't replay the mapPartitions stub → rows-only check;
-  // MultimodalSpec pins the exact values instead.
+  // DuckDB can't replay the JDK codecs → rows-only check; the spec pins
+  // decode behavior on crafted payloads instead.
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_pipeline", pipeline, None),
   )

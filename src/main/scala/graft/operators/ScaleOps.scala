@@ -255,8 +255,57 @@ object ScaleOps {
        |  ${sqlSum("round(c_acctbal, -2)")} AS sum_bucketed_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // -- runtime Bloom-filter join pruning ------------------------------------
+  // A fact⋈fact join where one side carries a selective filter: Spark's
+  // InjectRuntimeFilter builds a Bloom filter over the filtered side's
+  // join keys and pushes a `bloom_filter_might_contain` predicate into
+  // the OTHER side's scan — at 100 TB the probe side drops ~97% of its
+  // rows BEFORE the shuffle, which is the single biggest shuffle-volume
+  // lever on selective fact⋈fact joins (Spark's distributed sideways
+  // information passing). Locally the rule is gated off by a 10 GB scan
+  // threshold, so the query scopes the confs (and disables broadcast so
+  // a shuffle join actually happens), materializes under them, then
+  // restores — the plan shape itself is pinned by PlanSpec.
+  /** Builds the bloom-pruned join under scoped confs; shared with the
+    * PlanSpec test that pins `bloom_filter_might_contain` in the plan. */
+  def withBloomConfs[A](s: SparkSession)(body: => A): A = {
+    val scoped = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.keys.map(k => k -> s.conf.getOption(k)).toMap
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  def bloomJoinPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = Tables.orders(s, d).filter($"o_totalprice" > 480000.0)
+    Tables.lineitem(s, d)
+      .join(hot, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+  private def bloomJoin(s: SparkSession, d: String): DataFrame =
+    withBloomConfs(s) {
+      // materialize INSIDE the conf scope so the runtime filter is
+      // actually planned + executed; callers get the finished result
+      bloomJoinPlan(s, d).localCheckpoint()
+    }
+  private val bloomJoinSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > 480000.0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
+    QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("q_zorder_skipping", zorderSkipping, Some(zorderSkippingSql)),

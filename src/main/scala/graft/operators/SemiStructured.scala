@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Semi-structured extraction + data-profiling operators.
+  *
+  *  - `q_json_extract`: parse a JSON string column with a DECLARED
+  *    schema (`from_json`) — one codegen'd parse per row, pushed into
+  *    the same map stage as the scan. At 100 TB the declared schema is
+  *    the difference between one pass and two: schema inference
+  *    (`spark.read.json` without a schema, or `schema_of_json` over the
+  *    data) reads everything once before the real job starts.
+  *  - `q_profile_stats`: per-column null / distinct / min / max profile
+  *    in ONE scan (a single multi-aggregate `agg`, unpivoted to long
+  *    form with `stack`), the data-quality gate a pipeline runs before
+  *    accepting a new drop. Exact `countDistinct` here because the
+  *    oracle must match bit-for-bit; the 100 TB variant flips those to
+  *    `approx_count_distinct` (mergeable HLL sketch, no expand) — same
+  *    plan shape, which `q_approx_distinct` already covers.
+  */
+object SemiStructured {
+
+  // -- JSON extraction -----------------------------------------------------
+  private def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        countDistinct($"k").as("n_distinct_k"))
+      .orderBy($"event_type")
+  }
+  private val jsonExtractSql =
+    """WITH e AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k, COUNT(DISTINCT k) AS n_distinct_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- one-pass column profile --------------------------------------------
+  private val NumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val StrCols = Seq("l_returnflag", "l_linestatus")
+
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = (NumCols ++ StrCols).flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row to one row per column; numeric columns
+    // carry min_v/max_v (double), string columns carry min_s/max_s —
+    // never cast doubles to strings (Java and DuckDB render doubles
+    // differently, e.g. 1.05E7 vs 10500000.0)
+    val rows =
+      NumCols.map(c =>
+        s"'$c', nn_$c, nd_$c, CAST(mn_$c AS DOUBLE), CAST(mx_$c AS DOUBLE), " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      StrCols.map(c =>
+        s"'$c', nn_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_$c, mx_$c")
+    one.selectExpr(
+        s"stack(${rows.size}, ${rows.mkString(", ")}) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v, min_s, max_s)")
+      .orderBy("col_name")
+  }
+  private val profileSql = {
+    val numRows = NumCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin)
+    val strRows = StrCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+         |  MIN($c) AS min_s, MAX($c) AS max_s
+         |FROM lineitem""".stripMargin)
+    (numRows ++ strRows).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q_profile_stats", profile, Some(profileSql)),
+  )
+}

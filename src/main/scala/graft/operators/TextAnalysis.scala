@@ -249,12 +249,111 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- PII detection + redaction -------------------------------------------
+  // The scrub step every training-data pipeline runs before anything
+  // else: find emails / phone numbers / IPv4 addresses, count them, and
+  // replace them with typed placeholders. Pure per-row regex expressions
+  // — zero shuffle, fused into one codegen'd map stage, so it streams
+  // over 100 TB exactly like the quality scorer. The corpus itself is
+  // synthetic word salad with no PII, so the query plants deterministic
+  // PII derived from (source, doc_id) first — detection and redaction
+  // then have non-trivial, engine-comparable work on every row (the
+  // oracle hash pins the redacted text via md5, so a single leaked or
+  // over-redacted character fails the row).
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** struct(n_emails, n_phones, n_ips, redacted) for any text column —
+    * the reusable scrub kernel (spec-tested on crafted strings). */
+  def piiScrub(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(c, lit(PhoneRe), lit(0))).as("n_phones"),
+    size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).as("n_ips"),
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]").as("redacted"))
+
+  private def pii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("aug",
+        concat($"text",
+          lit(" contact "), $"source", lit("@example.com"),
+          lit(" tel 555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.1")))
+      .withColumn("p", piiScrub($"aug"))
+      .select($"doc_id", $"p.n_emails", $"p.n_phones", $"p.n_ips",
+        md5($"p.redacted").as("red_md5"))
+      .orderBy($"doc_id")
+  }
+  private val piiSql =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact ' || source || '@example.com' ||
+       |    ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+       |    '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(aug, '$Ipv4Re')) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$Ipv4Re', '[IP]', 'g')) AS red_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+
+  // -- intra-document repetition removal -----------------------------------
+  // Gopher-style within-document dedup: drop every repeat of a token,
+  // KEEPING first-occurrence order (array_distinct's order guarantee
+  // differs across engines, so the order is carried explicitly: explode
+  // with position → min(position) per distinct token → reassemble sorted
+  // by that position). Shuffle rows are (doc_id, token, pos) — narrow —
+  // and the reassembly groups by doc_id, so state per group is one
+  // document, never the corpus. The same shape does line- or
+  // paragraph-level in-doc dedup by swapping the tokenizer.
+  /** (doc_id, n_unique, cleaned) over any (doc_id, text) frame — the
+    * reusable within-doc dedup (spec-tested on crafted docs); the driver
+    * query md5s `cleaned` so the oracle pins it per row. */
+  def repRemovalOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", posexplode(TextPrep.words($"text")).as(Seq("pos", "w")))
+      .groupBy($"doc_id", $"w").agg(min($"pos").as("first_pos"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_unique"),
+        collect_list(struct($"first_pos", $"w")).as("ps"))
+      .select($"doc_id", $"n_unique",
+        concat_ws(" ", expr("transform(array_sort(ps), x -> x.w)")).as("cleaned"))
+  }
+
+  private def repRemoval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    repRemovalOf(Tables.documents(s, d))
+      .select($"doc_id", $"n_unique", md5($"cleaned").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+  private val repRemovalSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |tok AS (SELECT doc_id, words[i] AS w, i
+       |        FROM docs, unnest(range(1, len(words) + 1)) t(i)),
+       |first AS (SELECT doc_id, w, MIN(i) AS first_pos FROM tok GROUP BY 1, 2)
+       |SELECT doc_id, COUNT(*) AS n_unique,
+       |  md5(string_agg(w, ' ' ORDER BY first_pos)) AS clean_md5
+       |FROM first GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("text_pii", pii, Some(piiSql)),
+    QueryDef("text_rep_removal", repRemoval, Some(repRemovalSql)),
     QueryDef("pipeline_prepare_corpus", prepareCorpus, Some(prepareCorpusSql)),
   )
 }

@@ -364,11 +364,94 @@ object Streaming {
        |FROM numbered GROUP BY user_id, sess_idx
        |ORDER BY user_id, start_us""".stripMargin
 
+  // -- #43d streaming incremental upsert (foreachBatch merge) --------------
+  // Maintains a per-user materialized aggregate — event count, exact
+  // decimal running sum, and the full latest event — incrementally: each
+  // micro-batch is pre-aggregated to ONE row per user touched (count /
+  // decimal-sum / max-by-struct are all mergeable), then merged into the
+  // target by a full-outer join on the key. That target-merge shape is
+  // exactly `MERGE INTO` against a lake table at 100 TB (foreachBatch is
+  // how Structured Streaming drives Delta/Iceberg MERGE); here the
+  // target is a localCheckpointed DataFrame, which also keeps the plan a
+  // constant-size leaf across batches instead of a growing join chain.
+  // Decimal partial sums make the merge order-insensitive, so the result
+  // is bit-equal to the batch oracle no matter how the stream is sliced
+  // into batches (the spec replays time-sliced files one per trigger).
+  private val upsertTarget = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Merge one pre-aggregated micro-batch into the running target. */
+  def mergeBatch(target: DataFrame, upd: DataFrame): DataFrame = {
+    import upd.sparkSession.implicits._
+    if (target == null) upd
+    else target.as("t").join(upd.as("u"), $"t.user_id" === $"u.user_id", "full_outer")
+      .select(
+        coalesce($"t.user_id", $"u.user_id").as("user_id"),
+        (coalesce($"t.n_events", lit(0L)) + coalesce($"u.n_events", lit(0L))).as("n_events"),
+        // decimal addition is exact and associative, so the merged sum is
+        // independent of batch slicing; the cast pins the target schema
+        // to one decimal type across batches (plain + widens precision)
+        (coalesce($"t.sum_dec", lit(0).cast("decimal(28,6)")) +
+          coalesce($"u.sum_dec", lit(0).cast("decimal(28,6)")))
+          .cast("decimal(28,6)").as("sum_dec"),
+        greatest($"t.last", $"u.last").as("last"))
+  }
+
+  /** One row per user in the batch: mergeable partial aggregates. */
+  def preAggBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.groupBy($"user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sum_dec"),
+      max(struct($"ts_ns", $"event_id", $"event_type", $"value")).as("last"))
+  }
+
+  /** Runs `src` through the incremental upsert to completion and returns
+    * the final per-user table — shared by the driver query and the
+    * multi-batch spec. */
+  def runUpsert(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    upsertTarget.set(null)
+    val q = src.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertTarget.set(mergeBatch(upsertTarget.get(), preAggBatch(batch)).localCheckpoint())
+      }
+      .start()
+    q.awaitTermination()
+    upsertTarget.get()
+      .select($"user_id", $"n_events", $"sum_dec".cast("double").as("sum_value"),
+        expr("last.ts_ns div 1000").as("last_us"),
+        $"last.event_type".as("last_type"), $"last.value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  private def upsertStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    runUpsert(eventsStream(s, d)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type", $"value"))
+  }
+  private val upsertStreamSql =
+    s"""WITH agg AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |    ${OracleMath.sqlSum("value")} AS sum_value
+       |  FROM events GROUP BY user_id),
+       |last AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS last_us,
+       |    event_type AS last_type, value AS last_value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+       |  FROM events)
+       |SELECT a.user_id AS user_id, n_events, sum_value, last_us, last_type, last_value
+       |FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+       |ORDER BY a.user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
     QueryDef("stream_dedup", dedupStream, Some(dedupStreamSql)),
+    QueryDef("stream_upsert", upsertStream, Some(upsertStreamSql)),
   )
 }

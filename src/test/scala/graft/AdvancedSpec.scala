@@ -164,4 +164,44 @@ class AdvancedSpec extends AnyFunSuite {
     val n = q("q_time_bucket").agg(sum(col("n"))).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("q_json_extract: declared-schema parse is total and malformed rows go null") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // crafted: valid, missing key, malformed, null
+    val parsed = Seq("""{"k": 7}""", """{"other": 1}""", "not json", null)
+      .toDF("props")
+      .select(from_json($"props", StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k")).as[Option[Long]].collect()
+    assert(parsed.toSeq == Seq(Some(7L), None, None, None))
+    // driver query totals cover every event row
+    val out = q("q_json_extract")
+    assert(out.agg(sum($"n")).collect()(0).getLong(0) == Tables.events(spark, sf).count())
+    // cross-check one group's sum_k against a regex-based extraction
+    val viaRegex = Tables.events(spark, sf)
+      .filter($"event_type" === "click")
+      .select(regexp_extract($"props", """"k": (\d+)""", 1).cast("long").as("k"))
+      .agg(sum($"k")).collect()(0).getLong(0)
+    val viaJson = out.filter($"event_type" === "click")
+      .collect()(0).getAs[Long]("sum_k")
+    assert(viaJson == viaRegex)
+  }
+
+  test("q_profile_stats matches directly computed column facts") {
+    import spark.implicits._
+    val out = q("q_profile_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val li = Tables.lineitem(spark, sf)
+    val (mn, mx, nd) = li.agg(min($"l_quantity"), max($"l_quantity"),
+      countDistinct($"l_quantity")).as[(Double, Double, Long)].collect()(0)
+    val r = out("l_quantity")
+    assert(r.getAs[Long]("n_nulls") == 0L)
+    assert(r.getAs[Long]("n_distinct") == nd)
+    assert(r.getAs[Double]("min_v") == mn && r.getAs[Double]("max_v") == mx)
+    assert(r.isNullAt(r.fieldIndex("min_s")), "numeric rows carry no string min")
+    val rf = out("l_returnflag")
+    assert(rf.getAs[String]("min_s") == "A" && rf.getAs[String]("max_s") == "R")
+    assert(rf.isNullAt(rf.fieldIndex("min_v")))
+  }
 }

@@ -188,4 +188,47 @@ class DedupTextSpec extends AnyFunSuite {
     val total = out.agg(sum("n")).collect()(0).getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("pii scrub: detects and redacts emails, phones, IPv4s on crafted text") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      ("reach john.doe+x@corp.io or jane@sub.example.org", 2, 0, 0,
+        "reach [EMAIL] or [EMAIL]"),
+      ("call 555-123-4567 now", 0, 1, 0, "call [PHONE] now"),
+      ("host 192.168.0.1 and 10.0.0.255", 0, 0, 2, "host [IP] and [IP]"),
+      ("clean text, no pii at all", 0, 0, 0, "clean text, no pii at all"),
+      // all three types in one string, each hit exactly once
+      ("a@b.co 1.2.3.4 999-000-1111", 1, 1, 1, "[EMAIL] [IP] [PHONE]"))
+    val out = rows.map(_._1).toDF("t")
+      .select(TextAnalysis.piiScrub($"t").as("p"))
+      .select($"p.n_emails", $"p.n_phones", $"p.n_ips", $"p.redacted")
+      .collect()
+    rows.zip(out).foreach { case ((in, e, ph, ip, red), r) =>
+      assert(r.getInt(0) == e && r.getInt(1) == ph && r.getInt(2) == ip,
+        s"counts for '$in': ${r.toSeq}")
+      assert(r.getString(3) == red, s"redaction for '$in': ${r.getString(3)}")
+    }
+  }
+
+  test("pii driver query plants and finds >=1 of each type per doc") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_pii")(spark, sf)
+    assert(out.filter($"n_emails" < 1 || $"n_phones" < 1 || $"n_ips" < 1).count() == 0)
+  }
+
+  test("repetition removal keeps first-occurrence order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "b a b c a b"),
+      (2L, "x x x"),
+      (3L, "one two three")).toDF("doc_id", "text")
+    val out = TextAnalysis.repRemovalOf(docs)
+      .orderBy($"doc_id")
+      .select($"n_unique", $"cleaned").as[(Long, String)].collect()
+    assert(out(0) == ((3L, "b a c")), out(0)) // first-seen order, not sorted
+    assert(out(1) == ((1L, "x")))
+    assert(out(2) == ((3L, "one two three"))) // no dups -> unchanged
+  }
 }

@@ -173,6 +173,25 @@ class PlanSpec extends AnyFunSuite {
       s"label propagation must stay an equi-join:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of the selective fact join") {
+    import graft.operators.ScaleOps
+    val (planStr, bloomed) = ScaleOps.withBloomConfs(spark) {
+      val df = ScaleOps.bloomJoinPlan(spark, sf)
+      (df.queryExecution.optimizedPlan.toString, df.collect())
+    }
+    assert(planStr.contains("might_contain") && planStr.contains("bloom_filter_agg"),
+      s"runtime bloom filter was not injected:\n$planStr")
+    // the filter is an optimization, never a semantics change
+    val plain = ScaleOps.bloomJoinPlan(spark, sf).collect()
+    assert(bloomed.toSeq == plain.toSeq,
+      "bloom-pruned join must return exactly the plain join's rows")
+    // confs were restored: a fresh plan must NOT carry the bloom filter
+    val after = ScaleOps.bloomJoinPlan(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!after.contains("might_contain"),
+      "withBloomConfs must restore the session confs on exit")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)

@@ -133,6 +133,44 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(kept == expected, "first-seen must respect arrival order + min-in-batch")
   }
 
+  test("incremental upsert merged across micro-batches equals the batch aggregate") {
+    import spark.implicits._
+    val dir = new java.io.File("/tmp/graft_spec/upsert_slices")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type", $"value")
+    // slice by event_id mod 4 — OUT of time order, so the merge's
+    // max-by-struct and decimal-sum must be genuinely order-insensitive
+    (0 until 4).foreach { i =>
+      ev.filter($"event_id" % 4 === i)
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(100)
+    }
+    val streamed = Streaming.runUpsert(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(dir.getPath))
+      .as[(Long, Long, Double, Long, String, Double)].collect().toSeq
+    // batch truth: count + exact decimal sum + latest event per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
+    val batch = ev
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        OracleMath.dsum($"value").as("sum_value"),
+        max(when($"rn" === 1,
+          struct(expr("ts_ns div 1000").as("us"), $"event_type", $"value"))).as("last"))
+      .select($"user_id", $"n_events", $"sum_value",
+        $"last.us", $"last.event_type", $"last.value")
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Long, String, Double)].collect().toSeq
+    assert(streamed == batch,
+      "per-user (count, exact sum, latest event) must be slice-independent")
+  }
+
   test("sessionization runs on the RocksDB state store with state metrics") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -194,23 +232,65 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(emitted == expected, "each closed window emitted exactly once")
   }
 
-  test("multimodal pipeline: stubbed decode is deterministic and batch plumbing holds") {
+  test("multimodal decode: real PNG codec measures pixels, not metadata") {
+    import Multimodal.{JdkCodec, MediaMeta, MediaRow}
+    // crafted 2x2 image with known pixels: brightness is exact
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF) // 255,255,255
+    img.setRGB(1, 0, 0x000000) // 0,0,0
+    img.setRGB(0, 1, 0x808080) // 128,128,128
+    img.setRGB(1, 1, 0x402000) // 64,32,0
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = JdkCodec.decodeImage(
+      MediaRow(1L, bos.toByteArray, MediaMeta("image/png", 999, 999, 0L)))
+    // (3*255 + 0 + 3*128 + 64+32+0) / 12 — from DECODED pixels; the
+    // bogus declared 999x999 must be ignored
+    assert(f.brightness == (3 * 255 + 3 * 128 + 96).toDouble / 12, f.brightness)
+    assert(f.resizedW == 1 && f.resizedH == 1)
+
+    // generated gradient PNGs round-trip: resize really halves measured dims
+    val gen = JdkCodec.decodeImage(
+      MediaRow(6L, JdkCodec.pngBytes(6L, 40, 24), MediaMeta("image/png", 40, 24, 0L)))
+    assert(gen.resizedW == 20 && gen.resizedH == 12)
+    assert(gen.brightness > 0 && gen.brightness < 255)
+  }
+
+  test("multimodal decode: real WAV codec derives duration and level from PCM") {
+    import Multimodal.{JdkCodec, MediaMeta, MediaRow}
+    val wav = JdkCodec.wavBytes(7L, 200L) // 200 ms @ 8 kHz mono 16-bit
+    val f = JdkCodec.decodeAudio(MediaRow(7L, wav, MediaMeta("audio/wav", 0, 0, 999999L)))
+    // duration comes from the DECODED stream (1600 frames), not the
+    // declared 999999 ms: 0.2 s * 10 frames/s = 2 sampled frames
+    assert(f.framesSampled == 2, f.framesSampled)
+    // a sine's RMS is amplitude/sqrt(2): 12000/1.414/32768*255 ≈ 66
+    assert(math.abs(f.brightness - 12000.0 / math.sqrt(2) / 32768.0 * 255.0) < 1.0,
+      f.brightness)
+  }
+
+  test("multimodal pipeline: decode is deterministic and batch plumbing holds") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.decodeFeatures(media, batchSize = 7) // odd size: exercises ragged tail
     val n = feats.count()
     assert(n == Tables.documents(spark, sf).count())
-    // payload is the utf-8 text; brightness = mean byte must be
-    // strictly inside (0, 255) and identical across runs
     val twice = Multimodal.decodeFeatures(media, batchSize = 64)
       .select($"doc_id", $"brightness").as[(Long, Double)].collect().toMap
     val once = feats.select($"doc_id", $"brightness").as[(Long, Double)].collect().toMap
     assert(once == twice, "decode must not depend on batch size/partitioning")
-    assert(once.values.forall(b => b > 0 && b < 255))
-    // metadata drives the stub deterministically
-    val r = feats.filter($"doc_id" === 5).collect()(0)
-    assert(r.mime == "video/mp4")    // 5 % 3 == 2 -> third mime
-    assert(r.framesSampled == 5)     // (5%20)*1000ms -> 5 frames
+    assert(once.values.forall(b => b >= 0 && b < 255))
+    // image rows: resize halves the REAL decoded dimensions
+    val img6 = feats.filter($"doc_id" === 6).collect()(0) // 6 % 3 == 0 -> png
+    assert(img6.mime == "image/png")
+    assert(img6.resizedW == (32 + (6 % 16) * 8) / 2 && img6.resizedH == (32 + (6 % 9) * 8) / 2)
+    // audio rows: sampled frames follow the decoded duration
+    val wav7 = feats.filter($"doc_id" === 7).collect()(0) // 7 % 3 == 1 -> wav
+    assert(wav7.mime == "audio/wav")
+    assert(wav7.framesSampled == ((7 % 5) * 100 + 100) / 100)
+    // video rows: the disclosed stub path
+    val vid5 = feats.filter($"doc_id" === 5).collect()(0) // 5 % 3 == 2 -> mp4 stub
+    assert(vid5.mime == "video/mp4")
+    assert(vid5.framesSampled == 5) // (5%20)*1000ms -> 5 frames
     // mm query returns one row per mime
     val q = SparkEntry.queries("mm_binary_pipeline")(spark, sf)
     assert(q.count() == 3)
