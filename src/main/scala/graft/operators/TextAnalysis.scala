@@ -310,25 +310,24 @@ object TextAnalysis {
 
   // -- intra-document repetition removal -----------------------------------
   // Gopher-style within-document dedup: drop every repeat of a token,
-  // KEEPING first-occurrence order (array_distinct's order guarantee
-  // differs across engines, so the order is carried explicitly: explode
-  // with position → min(position) per distinct token → reassemble sorted
-  // by that position). Shuffle rows are (doc_id, token, pos) — narrow —
-  // and the reassembly groups by doc_id, so state per group is one
-  // document, never the corpus. The same shape does line- or
-  // paragraph-level in-doc dedup by swapping the tokenizer.
+  // KEEPING first-occurrence order. A document always fits in one row,
+  // so this is per-row array work — `array_distinct` (which preserves
+  // first-occurrence order) — and the operator is a ZERO-shuffle map
+  // stage that streams over 100 TB. The tempting explode → min(pos) →
+  // regroup spelling shuffles every token twice (~60M exploded rows at
+  // sf0.1, measured 2× slower) to compute something row-local. The
+  // DuckDB oracle mirrors the order guarantee with an index lambda:
+  // list_filter(words, (x, i) -> list_position(words, x) = i). The same
+  // shape does line- or paragraph-level in-doc dedup by swapping the
+  // tokenizer.
   /** (doc_id, n_unique, cleaned) over any (doc_id, text) frame — the
     * reusable within-doc dedup (spec-tested on crafted docs); the driver
     * query md5s `cleaned` so the oracle pins it per row. */
   def repRemovalOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", posexplode(TextPrep.words($"text")).as(Seq("pos", "w")))
-      .groupBy($"doc_id", $"w").agg(min($"pos").as("first_pos"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_unique"),
-        collect_list(struct($"first_pos", $"w")).as("ps"))
-      .select($"doc_id", $"n_unique",
-        concat_ws(" ", expr("transform(array_sort(ps), x -> x.w)")).as("cleaned"))
+    docs.select($"doc_id", array_distinct(TextPrep.words($"text")).as("uw"))
+      .select($"doc_id", size($"uw").cast("long").as("n_unique"),
+        concat_ws(" ", $"uw").as("cleaned"))
   }
 
   private def repRemoval(s: SparkSession, d: String): DataFrame = {
@@ -339,12 +338,12 @@ object TextAnalysis {
   }
   private val repRemovalSql =
     s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
-       |tok AS (SELECT doc_id, words[i] AS w, i
-       |        FROM docs, unnest(range(1, len(words) + 1)) t(i)),
-       |first AS (SELECT doc_id, w, MIN(i) AS first_pos FROM tok GROUP BY 1, 2)
-       |SELECT doc_id, COUNT(*) AS n_unique,
-       |  md5(string_agg(w, ' ' ORDER BY first_pos)) AS clean_md5
-       |FROM first GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |u AS (SELECT doc_id,
+       |        list_filter(words, (x, i) -> list_position(words, x) = i) AS uw
+       |      FROM docs)
+       |SELECT doc_id, CAST(len(uw) AS BIGINT) AS n_unique,
+       |  md5(array_to_string(uw, ' ')) AS clean_md5
+       |FROM u ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_langid", langid, Some(langidSql)),
