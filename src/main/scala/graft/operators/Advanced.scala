@@ -356,8 +356,68 @@ object Advanced {
        |  array_to_string((array_agg(vec_id ORDER BY vec_id))[1:5], ',') AS first_ids
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // -- q_winsorize: percentile clipping (robust-stats cleaning) ------------
+  // Clip each group's values to its exact [p05, p95] — the outlier
+  // treatment a feature/metrics pipeline applies before aggregation.
+  // ONE shuffle: the window partitioning by event_type is reused by
+  // every window (rank, count, both thresholds) AND the final groupBy,
+  // so thresholds never join back through a second exchange. Quantile
+  // ranks use pure integer math — (n*5 + 99) div 100 — because
+  // ceil(n * 0.05) goes through a double 0.05 (= 0.05000...0003) and
+  // rounds UP on exact multiples in Spark while DuckDB's decimal 0.05
+  // stays exact: an engine-parity landmine, not a style choice. At
+  // 100 TB the same query runs on approx_percentile thresholds
+  // (mergeable sketch, no rank window); this is the exact twin.
+  /** Per-row winsorization kernel over any (group, tie, value) frame:
+    * attaches the group's exact p05/p95 and the clipped value. Public so
+    * the spec can pin exact thresholds on a crafted 1..100 series. */
+  def winsorized(df: DataFrame, group: String, tie: String, value: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val byG = Window.partitionBy(col(group))
+    val ordered = byG.orderBy(col(value), col(tie))
+    df.withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byG))
+      .withColumn("p05",
+        max(when($"rn" <= expr("(n * 5 + 99) div 100"), col(value))).over(byG))
+      .withColumn("p95",
+        max(when($"rn" <= expr("(n * 95 + 99) div 100"), col(value))).over(byG))
+      .withColumn("winsorized", least(greatest(col(value), $"p05"), $"p95"))
+  }
+
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    winsorized(Tables.events(s, d).select($"event_type", $"event_id", $"value"),
+        "event_type", "event_id", "value")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"value" < $"p05", 1)).as("n_clipped_low"),
+        count(when($"value" > $"p95", 1)).as("n_clipped_high"),
+        dsum($"winsorized").as("sum_winsorized"))
+      .orderBy($"event_type")
+  }
+  private val qWinsorizeSql =
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |t AS (
+       |  SELECT event_type, value,
+       |    MAX(CASE WHEN rn <= (n * 5 + 99) // 100 THEN value END)
+       |      OVER (PARTITION BY event_type) AS p05,
+       |    MAX(CASE WHEN rn <= (n * 95 + 99) // 100 THEN value END)
+       |      OVER (PARTITION BY event_type) AS p95
+       |  FROM r)
+       |SELECT event_type, COUNT(*) AS n_rows,
+       |  COUNT(CASE WHEN value < p05 THEN 1 END) AS n_clipped_low,
+       |  COUNT(CASE WHEN value > p95 THEN 1 END) AS n_clipped_high,
+       |  ${sqlSum("LEAST(GREATEST(value, p05), p95)")} AS sum_winsorized
+       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),
     QueryDef("q_asof_join_sql", qAsofJoinSqlTvf, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),

@@ -299,7 +299,77 @@ object Similarity {
        |SELECT vec_a, vec_b, round(cos, 6) AS cos6
        |FROM scored WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  // -- int8 scalar quantization with error accounting ----------------------
+  // The compression step before any large-scale ANN index: per-vector
+  // symmetric max-abs quantization to int8 (scale = max|x|/127,
+  // q = round(x/scale)) shrinks the corpus 4× (float32 → int8) while
+  // keeping cosine ranking nearly intact — and the error ACCOUNTING is
+  // what makes it an operator rather than a cast: per-vector RMSE and
+  // max-abs reconstruction error, aggregated per label. Everything is
+  // per-row higher-order-function math over the array (zero shuffle
+  // before the final tiny aggregate). Rounding is floor(x + 0.5) on
+  // BOTH engines — `round()` is HALF_UP in Spark but half-away-from-
+  // zero in DuckDB, another cross-engine landmine; floor is exact. The
+  // per-row left-to-right array fold is deterministic in both engines,
+  // and cross-row sums go through decimal.
+  /** Per-row quantization-error kernel over any frame with an `e`
+    * (array<double>) column: attaches scale, rmse, max_abs. Public so
+    * the spec can assert the |err| <= scale/2 bound row by row. */
+  def quantizeErrors(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("scale",
+        expr("array_max(transform(e, x -> abs(x)))") / 127.0)
+      .withColumn("err",
+        when($"scale" === 0.0, expr("transform(e, x -> CAST(0.0 AS DOUBLE))"))
+          .otherwise(expr(
+            "transform(e, x -> x - floor(x / scale + 0.5) * scale)")))
+      .withColumn("sq", expr(
+        "aggregate(err, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("rmse", sqrt($"sq" / size($"e")))
+      .withColumn("max_abs", expr("array_max(transform(err, x -> abs(x)))"))
+  }
+
+  private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantizeErrors(Tables.embeddings(s, d)
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum($"rmse".cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("avg_rmse"),
+        max($"max_abs").as("max_abs_err"))
+      .orderBy($"label")
+  }
+  private val quantizeInt8Sql =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT label, e,
+      |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT label, e,
+      |    CASE WHEN scale = 0.0
+      |         THEN list_transform(e, x -> CAST(0.0 AS DOUBLE))
+      |         ELSE list_transform(e, x -> x - floor(x / scale + 0.5) * scale)
+      |    END AS err
+      |  FROM s),
+      |m AS (
+      |  SELECT label,
+      |    sqrt(list_aggregate(list_transform(err, x -> x * x), 'sum')
+      |         / len(e)) AS rmse,
+      |    list_max(list_transform(err, x -> abs(x))) AS max_abs
+      |  FROM q)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(rmse AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_rmse,
+      |  MAX(max_abs) AS max_abs_err
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_bruteforce_topk", bruteforceTopk, Some(bruteforceTopkSql)),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfSql)),

@@ -165,6 +165,26 @@ class AdvancedSpec extends AnyFunSuite {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("winsorize: exact integer-math thresholds on a crafted 1..100 series") {
+    import spark.implicits._
+    val df = (1 to 100).map(v => ("g", v.toLong, v.toDouble)).toDF("g", "id", "value")
+    val w = graft.operators.Advanced.winsorized(df, "g", "id", "value")
+    val r = w.select($"p05", $"p95").distinct().collect()(0)
+    // rank05 = (100*5+99) div 100 = 5 -> value 5; rank95 = 95 -> value 95
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 95.0, r)
+    val clipped = w.select($"winsorized").as[Double].collect()
+    assert(clipped.min == 5.0 && clipped.max == 95.0)
+    assert(clipped.sum == 4 * 5.0 + (5 to 95).sum + 5 * 95.0)
+    // driver query: every group clips at most ~5% each side
+    val q5 = q("q_winsorize").collect()
+    q5.foreach { row =>
+      val n = row.getAs[Long]("n_rows")
+      assert(row.getAs[Long]("n_clipped_low") <= n * 5 / 100 + 1)
+      assert(row.getAs[Long]("n_clipped_high") <= n * 5 / 100 + 1)
+      assert(row.getAs[Long]("n_clipped_high") > 0, "p95 clip must engage")
+    }
+  }
+
   test("q_json_extract: declared-schema parse is total and malformed rows go null") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

@@ -56,4 +56,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.4 })
   }
+
+  test("int8 quantization: reconstruction error bounded by scale/2 on every vector") {
+    import spark.implicits._
+    val errs = graft.operators.Similarity.quantizeErrors(
+        Tables.embeddings(spark, sf)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
+      .select($"vec_id", $"scale", $"rmse", $"max_abs")
+      .collect()
+    assert(errs.nonEmpty)
+    errs.foreach { r =>
+      val (scale, rmse, maxAbs) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // round-to-nearest property: |x - q*scale| <= scale/2 per element
+      assert(maxAbs <= scale / 2 + 1e-12, s"vec ${r.getLong(0)}: $maxAbs > $scale/2")
+      assert(rmse <= maxAbs + 1e-12 && rmse >= 0)
+      assert(scale > 0, "corpus has no zero vectors, scale must be positive")
+    }
+    // crafted vector with exactly representable errors
+    val one = graft.operators.Similarity.quantizeErrors(
+        Seq(Seq(1.27, -0.635, 0.0)).toDF("e"))
+      .select($"scale", $"max_abs").collect()(0)
+    assert(math.abs(one.getDouble(0) - 0.01) < 1e-15) // 1.27/127
+    // -0.635/0.01 = -63.5 -> floor(-63.5+0.5) = -63 -> err = 0.005
+    assert(math.abs(one.getDouble(1) - 0.005) < 1e-12)
+  }
 }
