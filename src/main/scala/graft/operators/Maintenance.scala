@@ -104,8 +104,50 @@ object Maintenance {
        |  COUNT(DISTINCT l_orderkey) AS n_orders
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q_scd2: slowly-changing-dimension (type 2) history build ------------
+  // Rebuilds a versioned dimension from an event log: one row per
+  // (user, state) EPISODE with [valid_from, valid_to) microsecond
+  // validity and an is_current flag — the standard lake-warehouse
+  // dimension shape. Consecutive events with an unchanged state collapse
+  // (lag != current filters to change points); valid_to is the NEXT
+  // change's timestamp (lead), null while current. ONE shuffle: both
+  // windows and the change filter share the user_id partitioning. At
+  // 100 TB the same plan incrementally extends the open tail partition —
+  // closed episodes are immutable.
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("valid_from_us", expr("ts_ns div 1000"))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us", $"is_current")
+      .orderBy($"user_id", $"valid_from_us")
+  }
+  private val qScd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+      |  FROM e),
+      |chg AS (
+      |  SELECT user_id, ts_ns, event_id, event_type, ts_ns // 1000 AS valid_from_us
+      |  FROM c WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_us,
+      |  lead(valid_from_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL AS is_current
+      |FROM chg ORDER BY user_id, valid_from_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
+    QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
   )
 }

@@ -272,6 +272,31 @@ object Relational {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -- q_grouping_sets: ASYMMETRIC grouping sets -----------------------------
+  // Rollup/cube can't express {(flag, status), (flag), (status)} — no
+  // grand total, both one-column margins. The Dataset groupingSets API
+  // plans the same single-pass Expand as rollup; gid =
+  // grouping(a)*2 + grouping(b), composed identically in DuckDB (the
+  // engines' grouping_id() bit conventions are not worth trusting).
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg((grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("gid"),
+        dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+  private val qGroupingSetsSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // -- q_setops: intersect / except ------------------------------------------
   private def qSetops(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -383,6 +408,7 @@ object Relational {
     QueryDef("q_topk", qTopK, Some(qTopKSql)),
     QueryDef("q_distinct", qDistinct, Some(qDistinctSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_setops", qSetops, Some(qSetopsSql)),
     QueryDef("q_case_pivot", qCasePivot, Some(qCasePivotSql)),

@@ -303,8 +303,31 @@ object ScaleOps {
        |WHERE o_totalprice > 480000.0
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- ORC round trip ------------------------------------------------------
+  // Third columnar-source format (after parquet/CSV/JSON): Spark's ORC
+  // source has the same pushdown/pruning machinery as parquet. DuckDB
+  // can't read ORC, so the oracle runs the same aggregate over the
+  // ORIGINAL table — roundtrip fidelity IS the assertion.
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_orc_roundtrip", d)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter($"l_quantity" > 25.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+  private val orcRoundtripSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_quantity > 25.0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
+    QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),

@@ -165,6 +165,63 @@ class AdvancedSpec extends AnyFunSuite {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("q_scd2 episodes: one current row per user, contiguous non-overlapping validity") {
+    import spark.implicits._
+    val rows = q("q_scd2")
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us", $"is_current")
+      .collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.count(_.getBoolean(4)) == 1, s"user $u must have exactly one current row")
+      assert(sorted.last.isNullAt(3) && sorted.last.getBoolean(4),
+        s"user $u: the open episode is the last one")
+      // contiguous: each valid_to equals the next valid_from; no overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) == b.getLong(2), s"user $u: episodes must be contiguous")
+        case _ => ()
+      }
+      // consecutive episodes changed state (else they would have collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) != b.getString(1), s"user $u: no-op episode")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_grouping_sets margins agree with direct group-bys") {
+    import spark.implicits._
+    val out = q("q_grouping_sets").collect()
+    def gid(r: org.apache.spark.sql.Row): Long = r.getAs[Number]("gid").longValue
+    assert(out.map(gid).toSet == Set(0L, 1L, 2L),
+      "asymmetric sets: detail + both margins, no grand total")
+    // gid=1 (status grouped away): rows equal groupBy(l_returnflag)
+    val margin = out.filter(gid(_) == 1)
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val direct = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(margin == direct)
+    // detail rows (gid=0) sum to each margin
+    val detail = out.filter(gid(_) == 0)
+    detail.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == direct(flag))
+    }
+  }
+
+  test("io_orc_roundtrip equals the same aggregate straight off parquet") {
+    import spark.implicits._
+    val viaOrc = q("io_orc_roundtrip").collect().map(_.toSeq).toSeq
+    val direct = Tables.lineitem(spark, sf)
+      .filter($"l_quantity" > 25.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), graft.OracleMath.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag").collect().map(_.toSeq).toSeq
+    assert(viaOrc == direct, "ORC write/read must be content-preserving")
+  }
+
   test("winsorize: exact integer-math thresholds on a crafted 1..100 series") {
     import spark.implicits._
     val df = (1 to 100).map(v => ("g", v.toLong, v.toDouble)).toDF("g", "id", "value")
