@@ -88,8 +88,65 @@ object SemiStructured {
     (numRows ++ strRows).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // -- equi-width histogram ------------------------------------------------
+  // Distribution profile per group: one groupBy over (group, bucket)
+  // where bucket = floor(value / width) — a pure map-side expression, so
+  // the shuffle carries only (group, bucket, partial count). floor of an
+  // IEEE division is bit-identical across engines (no percentile sort,
+  // no second pass).
+  private val BucketWidth = 50000.0
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderstatus",
+        floor($"o_totalprice" / BucketWidth).cast("long").as("bucket"))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", $"bucket" * BucketWidth)
+      .orderBy($"o_orderstatus", $"bucket")
+  }
+  // NB: a bare 50000.0 literal is DECIMAL in both SQL dialects — the
+  // multiply must go through an explicit DOUBLE to match the DataFrame
+  private val histogramSql =
+    s"""SELECT o_orderstatus, CAST(floor(o_totalprice / $BucketWidth) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  CAST(floor(o_totalprice / $BucketWidth) AS BIGINT) * CAST($BucketWidth AS DOUBLE) AS bucket_lo
+       |FROM orders
+       |GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin
+
+  // -- join-key skew diagnostic --------------------------------------------
+  // The measurement that decides whether a join needs salting (SURVEY
+  // #46): per-key counts → the heaviest keys with their share of the
+  // table, plus the global skew factor max/avg carried on every row.
+  // One narrow (key, count) shuffle + a broadcast one-row total; at
+  // 100 TB this is the cheap pre-flight before choosing a join strategy.
+  private def keySkew(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum($"n").as("total"), count(lit(1)).as("n_keys"), max($"n").as("max_n"))
+    counts.crossJoin(broadcast(totals))
+      .select($"l_suppkey", $"n",
+        ($"n".cast("double") / $"total").as("share"),
+        ($"max_n" * $"n_keys".cast("double") / $"total").as("skew_factor"))
+      .orderBy($"n".desc, $"l_suppkey")
+      .limit(5)
+  }
+  private val keySkewSql =
+    """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys,
+      |             MAX(n) AS max_n FROM c)
+      |SELECT l_suppkey, n,
+      |  CAST(n AS DOUBLE) / total AS share,
+      |  max_n * CAST(n_keys AS DOUBLE) / total AS skew_factor
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, l_suppkey LIMIT 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_profile_stats", profile, Some(profileSql)),
+    QueryDef("q_histogram", histogram, Some(histogramSql)),
+    QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
   )
 }

@@ -171,6 +171,29 @@ class SqlParitySpec extends AnyFunSuite {
       s"expected a type-mismatch message, got: ${messages(ex2)}")
   }
 
+  test("round-4 operators are reachable via spark.sql with identical results") {
+    viewsReady()
+    sameResult(SparkEntry.queries("q_json_extract")(spark, sf),
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type, from_json(props, 'k BIGINT').k AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    sameResult(SparkEntry.queries("q_histogram")(spark, sf),
+      """SELECT o_orderstatus, CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * CAST(50000.0 AS DOUBLE) AS bucket_lo
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin)
+    sameResult(SparkEntry.queries("q_grouping_sets")(spark, sf),
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   test("every driver-contract query key is documented in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
