@@ -276,6 +276,120 @@ case class Fingerprint64(child: Expression, lane: Int = 0)
     copy(child = newChild)
 }
 
+/** One-pass int8 quantization statistics over an embedding array:
+  * returns struct(scale, rmse, max_abs) for per-vector symmetric
+  * max-abs quantization (scale = max|x|/127, q = floor(x/scale + 0.5)).
+  *
+  * The higher-order-function spelling — transform(abs) → array_max →
+  * transform(err) → aggregate(sq) → array_max(abs) — is FIVE
+  * interpreted lambda passes with three materialized intermediate
+  * arrays per row (HOFs don't codegen); on 100 TB of embeddings that
+  * is the hot path. This expression fuses everything into two compiled
+  * scans of the raw array (max pass, then error pass), zero
+  * allocations beyond the 3-field result row. Accepts array<float> or
+  * array<double>; floats are widened exactly like CAST(x AS DOUBLE),
+  * the error fold is left-to-right, and rounding is floor(x + 0.5) —
+  * bit-identical to the HOF chain and to the DuckDB oracle. A null
+  * element or an empty array yields NULL (matching the HOF chain's
+  * null propagation).
+  */
+case class QuantizeStats(child: Expression) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_quantize_stats needs array<float> or array<double>, got ${other.sql}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("rmse", DoubleType, nullable = false),
+    StructField("max_abs", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_quantize_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = math.abs(if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sq = 0.0
+    var maxErr = 0.0
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val err = x - math.floor(x / scale + 0.5) * scale
+        sq += err * err
+        val a = math.abs(err)
+        if (a > maxErr) maxErr = a
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, math.sqrt(sq / n), maxErr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val sq = ctx.freshName("sq")
+      val maxErr = ctx.freshName("maxErr")
+      val x = ctx.freshName("x")
+      val err = ctx.freshName("err")
+      val a = ctx.freshName("a")
+      val bad = ctx.freshName("bad")
+      val get = (idx: String) =>
+        if (elemIsFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = $arr.numElements();
+         |boolean $bad = ($n == 0);
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  double $a = Math.abs(${get(i)});
+         |  if ($a > $maxAbs) $maxAbs = $a;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $scale = $maxAbs / 127.0;
+         |  double $sq = 0.0;
+         |  double $maxErr = 0.0;
+         |  if ($scale != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = ${get(i)};
+         |      double $err = $x - Math.floor($x / $scale + 0.5) * $scale;
+         |      $sq += $err * $err;
+         |      double $a = Math.abs($err);
+         |      if ($a > $maxErr) $maxErr = $a;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $scale, Math.sqrt($sq / $n), $maxErr });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+}
+
 /** Column-API entry points + SQL registration for the custom exprs. */
 object GraftFunctions {
   def minhash_sig(c: Column, numHashes: Int): Column =
@@ -302,6 +416,8 @@ object GraftFunctions {
     graftshim.column(ZOrder64(graftshim.expression(a), graftshim.expression(b)))
   def stopword_scores(c: Column, lists: Seq[Seq[String]]): Column =
     graftshim.column(StopwordScores(graftshim.expression(c), lists))
+  def quantize_stats(c: Column): Column =
+    graftshim.column(QuantizeStats(graftshim.expression(c)))
 
   /** Validated SQL builder for graft_stopword_scores(words, 'w1,w2,…',
     * …): every list argument must be a foldable non-null string of
@@ -346,7 +462,8 @@ object GraftFunctions {
     ("graft_zorder64", es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
-    ("graft_stopword_scores", stopwordScoresBuilder _))
+    ("graft_stopword_scores", stopwordScoresBuilder _),
+    ("graft_quantize_stats", es => QuantizeStats(es.head)))
 
   /** Make the functions callable from SQL in an existing session —
     * scalar expressions, the `graft_asof_join` table function, and the

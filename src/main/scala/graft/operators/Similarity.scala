@@ -313,27 +313,24 @@ object Similarity {
   // per-row left-to-right array fold is deterministic in both engines,
   // and cross-row sums go through decimal.
   /** Per-row quantization-error kernel over any frame with an `e`
-    * (array<double>) column: attaches scale, rmse, max_abs. Public so
-    * the spec can assert the |err| <= scale/2 bound row by row. */
+    * (array<float> or array<double>) column: attaches scale, rmse,
+    * max_abs via the codegen'd one-pass [[graft.functions.QuantizeStats]]
+    * expression (the HOF spelling is five interpreted lambda passes with
+    * three intermediate arrays per row). Public so the spec can assert
+    * the |err| <= scale/2 bound row by row. */
   def quantizeErrors(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    df.withColumn("scale",
-        expr("array_max(transform(e, x -> abs(x)))") / 127.0)
-      .withColumn("err",
-        when($"scale" === 0.0, expr("transform(e, x -> CAST(0.0 AS DOUBLE))"))
-          .otherwise(expr(
-            "transform(e, x -> x - floor(x / scale + 0.5) * scale)")))
-      .withColumn("sq", expr(
-        "aggregate(err, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
-      .withColumn("rmse", sqrt($"sq" / size($"e")))
-      .withColumn("max_abs", expr("array_max(transform(err, x -> abs(x)))"))
+    df.withColumn("qs", graft.functions.GraftFunctions.quantize_stats($"e"))
+      .withColumn("scale", $"qs.scale")
+      .withColumn("rmse", $"qs.rmse")
+      .withColumn("max_abs", $"qs.max_abs")
+      .drop("qs")
   }
 
   private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     quantizeErrors(Tables.embeddings(s, d)
-        .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
+        .select($"vec_id", $"label", $"embedding".as("e")))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         (sum($"rmse".cast(org.apache.spark.sql.types.DecimalType(28, 12)))

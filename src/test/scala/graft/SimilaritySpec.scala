@@ -81,4 +81,39 @@ class SimilaritySpec extends AnyFunSuite {
     // -0.635/0.01 = -63.5 -> floor(-63.5+0.5) = -63 -> err = 0.005
     assert(math.abs(one.getDouble(1) - 0.005) < 1e-12)
   }
+
+  test("QuantizeStats: codegen and interpreted agree; HOF chain reproduced exactly") {
+    import spark.implicits._
+    val df = graft.operators.Similarity.quantizeErrors(
+        Tables.embeddings(spark, sf).limit(100).select($"vec_id", $"embedding".as("e")))
+      .select($"vec_id", $"scale", $"rmse", $"max_abs")
+    val withCodegen = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      assert(withCodegen.sortBy(_._1).toSeq == interpreted.sortBy(_._1).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    // the fused expression reproduces the five-pass HOF chain bit-for-bit
+    val hof = Tables.embeddings(spark, sf).limit(100)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))") / 127.0)
+      .withColumn("err", expr("transform(e, x -> x - floor(x / scale + 0.5) * scale)"))
+      .withColumn("sq", expr("aggregate(err, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .select($"vec_id", $"scale", sqrt($"sq" / size($"e")).as("rmse"),
+        expr("array_max(transform(err, x -> abs(x)))").as("max_abs"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(withCodegen.sortBy(_._1).toSeq == hof.sortBy(_._1).toSeq)
+    // null element / empty array -> NULL result (HOF-chain null semantics)
+    val edge = Seq(Seq.empty[Double]).toDF("e")
+      .unionAll(Seq(Seq(1.0, 2.0)).toDF("e").select(expr("transform(e, x -> CAST(NULL AS DOUBLE))").as("e")))
+      .select(graft.functions.GraftFunctions.quantize_stats($"e").as("qs")).collect()
+    assert(edge.forall(_.isNullAt(0)), "empty/null-element vectors must yield NULL")
+  }
 }
