@@ -192,6 +192,31 @@ class PlanSpec extends AnyFunSuite {
       "withBloomConfs must restore the session confs on exit")
   }
 
+  test("round-4 operators keep their claimed shuffle counts") {
+    // hashpartitioning exchanges only — the trailing orderBy's range
+    // exchange is presentation, not algorithm (simple-mode string keeps
+    // each Exchange inline with its partitioning)
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString).size
+    // per-row map stages: zero data shuffles
+    assert(hashExchanges("text_rep_removal") == 0,
+      "within-doc dedup is row-local; any hash exchange is a regression")
+    assert(hashExchanges("text_pii") == 0,
+      "pii scrub is row-local; any hash exchange is a regression")
+    assert(hashExchanges("sim_quantize_int8") == 1,
+      "quantization shuffles only the final per-label aggregate")
+    // windows + final groupBy share one key partitioning
+    assert(hashExchanges("q_winsorize") == 1,
+      "winsorize windows and aggregate must share the event_type exchange")
+    assert(hashExchanges("q_scd2") == 1,
+      "scd2 lag/lead windows must share the user_id exchange")
+    // single-scan profile: ONE parquet scan feeds every aggregate
+    val prof = plan("q_profile_stats")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(prof).size == 1,
+      s"profile must make one pass over the table:\n$prof")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
