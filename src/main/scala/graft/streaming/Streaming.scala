@@ -446,8 +446,83 @@ object Streaming {
        |FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
        |ORDER BY a.user_id""".stripMargin
 
+  // -- #43e streaming z-score anomaly detection ----------------------------
+  // Flags events more than 3σ above the user's PRIOR mean, online: state
+  // per user is (n, Σv, Σv²) — O(1), RocksDB-ready — folded in event
+  // order. The 3σ test is evaluated in EXACT integer arithmetic on
+  // 10⁻⁶-scaled values (v > μ + 3σ  ⟺  n·v−Σv > 0 ∧ (n·v−Σv)² >
+  // 9·(n·Σv²−(Σv)²), all in BigInt), not float+sqrt: a float boundary
+  // would let a 1-ulp engine difference flip a row, while the integer
+  // form is the same exact rational test DuckDB's HUGEINT window sums
+  // compute — which is what makes an ONLINE anomaly detector
+  // hash-oracle-able at all. Sums are slice-independent (integer adds
+  // commute), so the result is identical however the stream micro-batches.
+  final case class ZEv(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
+  // BigInt rides in state as strings: Σv² overflows Long at realistic
+  // event counts (6e4 events × (2e8)² ≈ 2.4e21) and Spark state
+  // encoders cap decimals at DecimalType(38,18)
+  final case class ZState(n: Long, s6: String, q12: String)
+  final case class Anomaly(user_id: Long, ts_us: Long, value: Double, n_prior: Long)
+
+  private val MinPrior = 30
+
+  /** Exact scale-6 integer of a double (same rounding as SQL
+    * CAST(value AS DECIMAL(18,6)) — scale-6 ties are not representable
+    * as doubles, so the half-mode never engages). */
+  private def v6(value: Double): BigInt =
+    BigDecimal(value).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+      .bigDecimal.movePointRight(6).toBigIntegerExact
+
+  def zscoreFold(userId: Long, events: Iterator[ZEv],
+      state: GroupState[ZState]): Iterator[Anomaly] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ns, e.event_id))
+    var (n, s, q) = state.getOption match {
+      case Some(z) => (z.n, BigInt(z.s6), BigInt(z.q12))
+      case None => (0L, BigInt(0), BigInt(0))
+    }
+    val out = Seq.newBuilder[Anomaly]
+    sorted.foreach { e =>
+      val v = v6(e.value)
+      val diff = n * v - s
+      if (n >= MinPrior && diff > 0 && diff * diff > 9 * (n * q - s * s))
+        out += Anomaly(userId, e.ts_ns / 1000, e.value, n)
+      n += 1; s += v; q += v * v
+    }
+    state.update(ZState(n, s.toString, q.toString))
+    out.result().iterator
+  }
+
+  private def zscoreStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    val anomalies = eventsStream(s, d)
+      .select($"user_id", $"ts_ns", $"event_id", $"value").as[ZEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(zscoreFold)
+    runToMemory(anomalies.toDF(), "graft_stream_zscore", OutputMode.Append())
+      .orderBy($"user_id", $"ts_us")
+  }
+  private val zscoreStreamSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v6
+       |  FROM events),
+       |w AS (
+       |  SELECT user_id, ts_ns, value, v6,
+       |    COUNT(*) OVER win AS np,
+       |    COALESCE(SUM(v6) OVER win, 0) AS s6,
+       |    COALESCE(SUM(v6 * v6) OVER win, 0) AS q12
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, ts_ns // 1000 AS ts_us, value, np AS n_prior
+       |FROM w
+       |WHERE np >= $MinPrior AND (np * v6 - s6) > 0
+       |  AND (np * v6 - s6) * (np * v6 - s6) > 9 * (np * q12 - s6 * s6)
+       |ORDER BY user_id, ts_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    QueryDef("stream_zscore", zscoreStream, Some(zscoreStreamSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),

@@ -171,6 +171,43 @@ class StreamMultimodalSpec extends AnyFunSuite {
       "per-user (count, exact sum, latest event) must be slice-independent")
   }
 
+  test("z-score anomalies are identical under time-sliced multi-batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = new java.io.File("/tmp/graft_spec/zscore_slices")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts_ns", $"event_id", $"value")
+    // slice by TIME (state folds in event order, so batches must arrive
+    // in time order — the file-source contract a replay provides)
+    val (mn, mx) = ev.agg(min($"ts_ns"), max($"ts_ns")).as[(Long, Long)].collect()(0)
+    val step = (mx - mn) / 4 + 1
+    (0 until 4).foreach { i =>
+      ev.filter($"ts_ns" >= mn + i * step && $"ts_ns" < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(100)
+    }
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath).as[Streaming.ZEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(Streaming.zscoreFold)
+      .toDF()
+      .writeStream.format("memory").queryName("graft_zscore_slices")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4, "4 micro-batches expected")
+    val sliced = spark.table("graft_zscore_slices")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val single = SparkEntry.queries("stream_zscore")(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(sliced == single,
+      "anomaly set must be independent of micro-batch slicing (exact integer state)")
+    assert(single.nonEmpty, "corpus should contain 3-sigma events")
+  }
+
   test("sessionization runs on the RocksDB state store with state metrics") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
