@@ -451,6 +451,9 @@ object GraftFunctions {
     StopwordScores(es.head, lists)
   }
 
+  private[functions] def sqlFunctionSeq: Seq[(String, Seq[Expression] => Expression)] =
+    sqlFunctions
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_minhash_sig", es => MinHashSig(es.head,
       es(1).eval().asInstanceOf[Int])),
@@ -482,24 +485,13 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (es: Seq[Expression]) => MinHashSig(es.head, es(1).eval().asInstanceOf[Int])))
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint64"),
-      new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
-      (es: Seq[Expression]) => Fingerprint64(es.head)))
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
-      (es: Seq[Expression]) => Shingles(es.head, es(1).eval().asInstanceOf[Int])))
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
-      (es: Seq[Expression]) => VecDot(es.head, es(1))))
-    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_stopword_scores"),
-      new ExpressionInfo(classOf[StopwordScores].getName, "graft_stopword_scores"),
-      GraftFunctions.stopwordScoresBuilder _))
+    // scalar functions come from the SAME list register() uses — the
+    // two paths used to be maintained by hand and drifted (zorder64 was
+    // temp-registered but never injected here)
+    GraftFunctions.sqlFunctionSeq.foreach { case (name, builder) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions.type].getName, name), builder))
+    }
     // whole-operator extension: native as-of join (graft.plans) + its
     // SQL table-valued function
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

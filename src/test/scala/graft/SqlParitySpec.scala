@@ -194,6 +194,40 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  test("GraftExtensions wires every SQL function and the as-of TVF without register()") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne orig, "extensions need a fresh session to bind")
+      // scalar functions present via injection alone — including the ones
+      // the hand-maintained list used to drop (zorder64, quantize_stats)
+      val r = s2.sql(
+        """SELECT graft_fingerprint64('') AS fp, graft_zorder64(3, 5) AS z,
+          |  graft_quantize_stats(array(CAST(1.27 AS DOUBLE))).scale AS sc""".stripMargin)
+        .collect()(0)
+      assert(r.getLong(0) == 0xcbf29ce484222325L) // FNV-1a basis
+      assert(r.getLong(1) == graft.functions.ZOrder64.interleave(3L, 5L))
+      assert(math.abs(r.getDouble(2) - 0.01) < 1e-15)
+      // the as-of TVF and its planner strategy ride the same hook
+      import s2.implicits._
+      Seq((1L, 15L)).toDF("t_id", "t_ts").createOrReplaceTempView("ext_trades")
+      Seq((1L, 10L, "a")).toDF("q_id", "q_ts", "q_val").createOrReplaceTempView("ext_quotes")
+      val asof = s2.sql(
+        """SELECT t_id, q_val FROM graft_asof_join('ext_trades', 'ext_quotes',
+          |  't_id', 'q_id', 't_ts', 'q_ts')""".stripMargin).collect()
+      assert(asof.map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((1L, "a")))
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("every driver-contract query key is documented in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
