@@ -144,8 +144,12 @@ object Streaming {
   // 100 TB/day.) The heartbeat row (see stageWithHeartbeat) closes the
   // trailing windows of the bounded replay.
   /** Un-started streaming aggregate — shared by the driver query and the
-    * state-eviction spec (which runs its own sink to inspect progress). */
-  def windowedAggStream(s: SparkSession, d: String): DataFrame = {
+    * state-eviction spec (which runs its own sink to inspect progress).
+    * `slide` < `dur` gives overlapping (sliding) windows: each event
+    * lands in dur/slide windows, state stays O(open windows) and evicts
+    * on the same watermark rule. */
+  def windowedAggStream(s: SparkSession, d: String,
+      dur: String = "1 hour", slide: String = "1 hour"): DataFrame = {
     import s.implicits._
     val (dir, hbNs) = stageWithHeartbeat(s, d)
     // Drop the heartbeat via a predicate ON THE EVENT-TIME COLUMN:
@@ -156,7 +160,7 @@ object Streaming {
     eventsStream(s, dir, glob = "events*.parquet")
       .withWatermark("ts", "1 hour")
       .filter($"ts" < timestamp_micros(lit(hbNs / 1000)))
-      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .groupBy(window($"ts", dur, slide), $"event_type")
       .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
       // NOTE: do NOT add a post-aggregate event_type != '__heartbeat'
       // guard here — a filter on a grouping column is pushed below the
@@ -180,6 +184,28 @@ object Streaming {
        |  ${OracleMath.sqlSum("value")} AS sum_value
        |FROM events
        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // -- #42b sliding (overlapping) windowed aggregation ----------------------
+  // 2-hour windows sliding every hour: each event feeds exactly two
+  // windows. Same Append-mode + heartbeat machinery as the tumbling
+  // aggregate — the heartbeat sits 3h past max event time, so with the
+  // 1h watermark delay even the longest trailing 2h window closes and
+  // its state evicts. Oracle: two window-start rows per event (trunc(t)
+  // and trunc(t) − 1h), grouped.
+  private def slidingAgg(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    runToMemory(windowedAggStream(s, d, dur = "2 hours", slide = "1 hour"),
+        "graft_stream_sliding", OutputMode.Append())
+      .orderBy($"win_start", $"event_type")
+  }
+  private val slidingAggSql =
+    s"""WITH x AS (
+       |  SELECT date_trunc('hour', ts) AS w, event_type, value FROM events
+       |  UNION ALL
+       |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+       |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       |  COUNT(*) AS n_events, ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   // -- #43 stateful sessionization ----------------------------------------
   final case class Ev(user_id: Long, ts_ns: Long, value: Double)
@@ -326,6 +352,41 @@ object Streaming {
     s"""SELECT MIN(doc_id) AS keep_id FROM documents
        |GROUP BY ${graft.operators.TextPrep.normSql}
        |ORDER BY keep_id""".stripMargin
+
+  // -- native session_window batch twin -------------------------------------
+  // Spark's built-in session operator (merging [ts, ts+gap) intervals)
+  // pinned against the same gaps-and-islands formulation the manual
+  // twin uses. Interval-merge semantics are STRICT (< gap continues a
+  // session; a gap of exactly 12h starts a new one), so the oracle uses
+  // `<` — the manual twin's `<=` differs only on exact-12h gaps, which
+  // nanosecond event times never produce, but the oracle should encode
+  // the operator's contract, not the corpus's luck.
+  private def sessionWindowNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", session_window($"ts", "12 hours"))
+      .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
+      .select($"user_id", expr("unix_micros(session_window.start)").as("start_us"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_us")
+  }
+  private val sessionWindowNativeSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value,
+       |    CASE WHEN epoch_ns(ts) // 1000
+       |           - lag(epoch_ns(ts) // 1000)
+       |             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) < ${GapNs / 1000}
+       |         THEN 0 ELSE 1 END AS new_sess
+       |  FROM events),
+       |numbered AS (
+       |  SELECT user_id, ts_us, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+       |  FROM marked)
+       |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events,
+       |  ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM numbered GROUP BY user_id, sess_idx
+       |ORDER BY user_id, start_us""".stripMargin
 
   // -- batch twin of sessionization (gaps-and-islands) ---------------------
   // Same sessions, derived with lag + running count — this one is fully
@@ -528,5 +589,7 @@ object Streaming {
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
     QueryDef("stream_dedup", dedupStream, Some(dedupStreamSql)),
     QueryDef("stream_upsert", upsertStream, Some(upsertStreamSql)),
+    QueryDef("stream_sliding_agg", slidingAgg, Some(slidingAggSql)),
+    QueryDef("q_session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
   )
 }

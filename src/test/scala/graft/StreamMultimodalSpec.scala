@@ -171,6 +171,25 @@ class StreamMultimodalSpec extends AnyFunSuite {
       "per-user (count, exact sum, latest event) must be slice-independent")
   }
 
+  test("native session_window agrees with the gaps-and-islands twin") {
+    import spark.implicits._
+    val native = SparkEntry.queries("q_session_window_native")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val manual = Streaming.sessionBatch(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(native == manual,
+      "session_window interval-merge must equal the lag-based formulation")
+  }
+
+  test("sliding windows cover every event exactly dur/slide times") {
+    import spark.implicits._
+    val agg = SparkEntry.queries("stream_sliding_agg")(spark, sf)
+    val total = agg.agg(sum($"n_events")).collect()(0).getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count(),
+      "2h windows sliding 1h: each event must land in exactly 2 windows")
+    assert(agg.filter($"event_type" === "__heartbeat").isEmpty)
+  }
+
   test("z-score anomalies are identical under time-sliced multi-batch replay") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
