@@ -145,9 +145,62 @@ object Maintenance {
       |    (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL AS is_current
       |FROM chg ORDER BY user_id, valid_from_us""".stripMargin
 
+  // -- io_snapshot_read: copy-on-write snapshot versioning (time travel) ---
+  // Delta/Iceberg's core idea on bare parquet: a table version is a
+  // MANIFEST (list of immutable files), a write adds new files plus a
+  // new manifest and never mutates old ones — so every prior version
+  // stays readable forever (time travel) and readers are isolated from
+  // in-flight writes. Here v2 rewrites ONLY the file group its update
+  // predicate touches (o_orderkey % 40 == 0 lives entirely in group
+  // g=0), exactly the partition-pruned COW rewrite a lake table does at
+  // 100 TB; groups g=1..3 are SHARED between the two manifests, not
+  // copied. The spec proves v1 is byte-stable after the v2 write.
+  def snapshotRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("snapshots", d)
+    val base = Tables.orders(s, d).withColumn("g", ($"o_orderkey" % 4).cast("int"))
+    base.write.mode("overwrite").partitionBy("g").parquet(s"$root/base")
+    // copy-on-write: only group 0 contains keys hit by the update
+    s.read.parquet(s"$root/base/g=0")
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 40 === 0, round($"o_totalprice" * 1.1, 2))
+          .otherwise($"o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/rewrite_g0_v2")
+    def manifest(v: Int, paths: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, s"manifest_v$v.txt"),
+        String.join("\n", paths: _*).getBytes("UTF-8"))
+    manifest(1, (0 to 3).map(g => s"$root/base/g=$g"))
+    manifest(2, s"$root/rewrite_g0_v2" +: (1 to 3).map(g => s"$root/base/g=$g"))
+    root
+  }
+  /** Time-travel read: the snapshot a version's manifest pins. */
+  def readSnapshot(s: SparkSession, root: String, version: Int): DataFrame = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, s"manifest_v$version.txt")), "UTF-8").split("\n")
+    s.read.parquet(files.toIndexedSeq: _*)
+  }
+  private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotRoot(s, d)
+    Seq(1, 2).map { v =>
+      readSnapshot(s, root, v)
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(v).as("version"), $"n", $"sum_price")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+  private val qSnapshotReadSql =
+    s"""SELECT 1 AS version, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT 2, COUNT(*), ${sqlSum(
+          "CASE WHEN o_orderkey % 40 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END")}
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
+    QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
   )
 }

@@ -325,8 +325,41 @@ object ScaleOps {
        |FROM lineitem WHERE l_quantity > 25.0
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- persisted HLL sketch table + lossless merge --------------------------
+  // THE approx-distinct pattern at 100 TB: sketch ONCE at ingest into a
+  // per-day sketch TABLE (a few KB per group instead of the raw key
+  // set), answer every later distinct question by merging sketches —
+  // `hll_union_agg` over pre-aggregated state, never a rescan of the
+  // raw data. DataSketches HLL union at equal lgK is LOSSLESS: merging
+  // the daily sketches gives the IDENTICAL estimate to sketching the
+  // raw week directly (the spec asserts exact equality, plus ≤3% error
+  // vs the true distinct). Rows-only for the driver (sketch binaries
+  // aren't SQL-expressible); the estimates themselves are deterministic.
+  def dailySketchTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val out = tmp("hll_sketches", d)
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("user_sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+  private def hllSketchMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dailySketchTable(s, d))
+      .groupBy(date_trunc("week", $"day").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(user_sketch))").as("approx_users"),
+        sum($"n_events").as("n_events"))
+      .select(date_format($"week", "yyyy-MM-dd").as("week_start"),
+        $"n_days", $"approx_users", $"n_events")
+      .orderBy($"week_start")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
+    QueryDef("q_hll_sketch_merge", hllSketchMerge, None),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
