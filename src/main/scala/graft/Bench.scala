@@ -68,14 +68,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table once (footer reads, codegen, JIT)
+    // warmup: touch every table once (footer reads, codegen, JIT) via
+    // the table-specific loaders — the generic load can't read events'
+    // TIMESTAMP(NANOS) column and its caught failure spams the log
     Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.count()
+      } catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_BENCH_REPS=N → min-of-N per query (variance control on
     // shared machines; default 1 keeps the driver contract unchanged)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val results = runAll(spark, sfDir, SparkEntry.queries, reps)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 → subset run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = runAll(spark, sfDir, selected, reps)
     results.flatMap(r => r.error.map(e => r.name -> e)).foreach { case (n, e) =>
       System.err.println(s"[graft.bench] FAILED $n: $e")
     }

@@ -24,6 +24,8 @@ object RunOne {
     if (args.length > 2 && args(2) == "explain")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    if (args.length > 2 && args(2) == "show")
+      df.show(50, truncate = false)
     spark.stop()
   }
 }

@@ -310,6 +310,12 @@ case class QuantizeStats(child: Expression) extends UnaryExpression {
     StructField("rmse", DoubleType, nullable = false),
     StructField("max_abs", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
+  // NULL on empty arrays / null elements regardless of child nullability
+  // (same convention as ArrayMax/ArrayMin); without this, a non-nullable
+  // input makes nullSafeCodeGen emit the non-nullable branch, whose
+  // assignment to ev.isNull doesn't compile and falls back to
+  // interpreted eval.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_quantize_stats"
 
   override def nullSafeEval(input: Any): Any = {
@@ -451,28 +457,31 @@ object GraftFunctions {
     StopwordScores(es.head, lists)
   }
 
-  private[functions] def sqlFunctionSeq: Seq[(String, Seq[Expression] => Expression)] =
+  private[functions] def sqlFunctionSeq: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     sqlFunctions
 
-  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    ("graft_minhash_sig", es => MinHashSig(es.head,
+  // (name, implementing expression class, builder) — the class rides
+  // along so DESCRIBE FUNCTION / catalog metadata points at the
+  // expression, not at this registry object
+  private val sqlFunctions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head,
       es(1).eval().asInstanceOf[Int])),
-    ("graft_simhash64", es => SimHash64(es.head)),
-    ("graft_fingerprint64", es => Fingerprint64(es.head)),
-    ("graft_shingles", es => Shingles(es.head,
+    ("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
+    ("graft_fingerprint64", classOf[Fingerprint64], es => Fingerprint64(es.head)),
+    ("graft_shingles", classOf[Shingles], es => Shingles(es.head,
       es(1).eval().asInstanceOf[Int])),
-    ("graft_vec_dot", es => VecDot(es.head, es(1))),
-    ("graft_zorder64", es => ZOrder64(es.head, es(1))),
+    ("graft_vec_dot", classOf[VecDot], es => VecDot(es.head, es(1))),
+    ("graft_zorder64", classOf[ZOrder64], es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
-    ("graft_stopword_scores", stopwordScoresBuilder _),
-    ("graft_quantize_stats", es => QuantizeStats(es.head)))
+    ("graft_stopword_scores", classOf[StopwordScores], stopwordScoresBuilder _),
+    ("graft_quantize_stats", classOf[QuantizeStats], es => QuantizeStats(es.head)))
 
   /** Make the functions callable from SQL in an existing session —
     * scalar expressions, the `graft_asof_join` table function, and the
     * as-of planner strategy (the TVF is useless without it). */
   def register(spark: SparkSession): Unit = {
-    sqlFunctions.foreach { case (name, b) =>
+    sqlFunctions.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
     }
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
@@ -488,9 +497,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scalar functions come from the SAME list register() uses — the
     // two paths used to be maintained by hand and drifted (zorder64 was
     // temp-registered but never injected here)
-    GraftFunctions.sqlFunctionSeq.foreach { case (name, builder) =>
+    GraftFunctions.sqlFunctionSeq.foreach { case (name, cls, builder) =>
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftFunctions.type].getName, name), builder))
+        new ExpressionInfo(cls.getName, name), builder))
     }
     // whole-operator extension: native as-of join (graft.plans) + its
     // SQL table-valued function

@@ -225,7 +225,6 @@ object Dedup {
   // over the same exact-Jaccard ≥ 0.8 pairs the minhash oracle pins.
   def componentLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val s = pairs.sparkSession
-    val sc = s.sparkContext
     import s.implicits._
     // cache + materialize the pair list BEFORE any plan forks off it:
     // edges is pairs ∪ reverse(pairs) and the loop re-reads edges every
@@ -244,13 +243,20 @@ object Dedup {
     // a constant-size LogicalRDD leaf: plans stay O(1), rounds stay two
     // narrow (id,label) equi-joins. The superseded round's checkpoint
     // blocks are dropped as soon as the next round materializes.
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def dropBlocks(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var before = persistedIds
+    // A localCheckpoint'd Dataset's logical plan is a LogicalRDD whose
+    // `rdd` IS the persisted checkpoint RDD — unpersist exactly that,
+    // never a before/after diff of the global persistent-RDD registry
+    // (a concurrent query's cache landing in the diff window would get
+    // its blocks dropped out from under it).
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    def dropBlocks(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("label")).localCheckpoint()
-    var labelBlocks = persistedIds -- before
+    var labelBlocks = checkpointRdds(labels)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -265,14 +271,13 @@ object Dedup {
       // (label(x) ← label(label(x))) — collapses label chains
       // geometrically, so long components converge in O(log diameter)
       // rounds instead of O(diameter)
-      before = persistedIds
       val next = viaNbr.as("x")
         .join(labels.select($"id".as("jid"), $"label".as("jlabel")), $"l1" === $"jid", "left")
         .select($"x.id",
           least($"l1", coalesce($"jlabel", $"l1")).as("next_label"),
           $"prev_label")
         .localCheckpoint()
-      val nextBlocks = persistedIds -- before
+      val nextBlocks = checkpointRdds(next)
       changed = next.filter($"next_label" < $"prev_label").count()
       labels = next.select($"id", $"next_label".as("label"))
       dropBlocks(labelBlocks) // previous round is now dead

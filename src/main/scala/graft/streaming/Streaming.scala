@@ -516,8 +516,12 @@ object Streaming {
   // would let a 1-ulp engine difference flip a row, while the integer
   // form is the same exact rational test DuckDB's HUGEINT window sums
   // compute — which is what makes an ONLINE anomaly detector
-  // hash-oracle-able at all. Sums are slice-independent (integer adds
-  // commute), so the result is identical however the stream micro-batches.
+  // hash-oracle-able at all. Only the (n, Σv, Σv²) state sums are
+  // slice-independent (integer adds commute); each event's verdict
+  // depends on which events were folded BEFORE it, so batch slicing
+  // must respect event-time order (the spec's time-sliced file replay)
+  // — an out-of-order slicing produces a different anomaly set than
+  // the in-order oracle.
   final case class ZEv(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   // BigInt rides in state as strings: Σv² overflows Long at realistic
   // event counts (6e4 events × (2e8)² ≈ 2.4e21) and Spark state
