@@ -14,7 +14,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.CryptoQueries.defs ++
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.SemiStructured.defs ++
+      operators.SemiStructured.defs ++ operators.Corpus.defs ++
       operators.ScaleOps.defs ++ operators.Advanced.defs ++
       operators.Maintenance.defs ++ streaming.Streaming.defs
 

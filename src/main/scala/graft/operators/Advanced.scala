@@ -415,7 +415,40 @@ object Advanced {
        |  ${sqlSum("LEAST(GREATEST(value, p05), p95)")} AS sum_winsorized
        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q_rolling_agg: trailing time-RANGE window ---------------------------
+  // Per-event trailing-1h sum/count per user — a RANGE frame over event
+  // time (value-bounded), not a ROWS frame: the frame holds every event
+  // with ts in [t − 1h, t] regardless of how many rows that is, and tie
+  // rows enter the frame together, so the result is order-deterministic
+  // without a tie-break. ONE shuffle (the user_id window partitioning);
+  // state per row is the in-frame aggregate, bounded by the time span,
+  // not the partition — the 100 TB shape for per-entity rolling
+  // features. Microsecond domain on both engines; decimal sum so
+  // partial-order float drift can't leak into the low bits.
+  private val RollingUs: Long = 3600L * 1000000L // trailing 1h, inclusive
+  private def qRollingAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-RollingUs, 0)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"), $"value")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+  private val qRollingAggSql =
+    s"""SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+       |  COUNT(*) OVER w AS n_1h,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+       |  RANGE BETWEEN $RollingUs PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training pipelines (round 5):
+  * chunking, cross-document segment dedup, vocabulary building, and
+  * benchmark decontamination. All oracled against DuckDB.
+  *
+  *  - `text_chunk`: overlapping fixed-size token windows (size 32,
+  *    stride 24) — the unit a training pipeline actually feeds a
+  *    model. Pure per-row array work (sequence → slice → join): the
+  *    explode multiplies rows because chunks ARE the output, but
+  *    nothing shuffles — a single map stage over 100 TB.
+  *  - `text_seg_dedup`: CCNet-style cross-document segment removal —
+  *    drop every full 8-token segment that appears in ≥ 2 distinct
+  *    documents (boilerplate headers/footers at web scale). The
+  *    frequency pass groups on the 128-bit segment fingerprint, so the
+  *    discovery shuffle carries (16-byte fp, doc_id) pairs — never
+  *    segment text; the frequent set (only repeated segments) is small
+  *    by construction and broadcast back, so removal is a broadcast
+  *    anti-join. Document text shuffles exactly once, to reassemble
+  *    kept segments in order.
+  *  - `text_vocab`: top-40 token vocabulary with corpus coverage — the
+  *    tokenizer-training / OOV-rate primitive. Narrow (token, count)
+  *    aggregate + TakeOrderedAndProject; the one-row total broadcasts.
+  *  - `q_decontaminate`: benchmark contamination check — training docs
+  *    sharing any 8-token shingle with the benchmark set (here: docs
+  *    with doc_id % 20 = 0). The benchmark side is small by definition
+  *    (test sets are KBs, the corpus is TBs), so its distinct grams
+  *    BROADCAST and the train side never shuffles: a broadcast
+  *    semi-join per gram, then a per-doc count. Gram sets come from the
+  *    codegen'd one-pass [[graft.functions.Shingles]] expression.
+  */
+object Corpus {
+
+  // -- text_chunk: overlapping token windows -------------------------------
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  private def chunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val C = ChunkSize
+    val S = ChunkStride
+    // starts at every stride multiple; a start survives iff it is the
+    // first chunk or the PREVIOUS chunk did not already cover the whole
+    // document (st - S + C < n) — no fully-redundant tail chunks
+    Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+      .select($"doc_id", $"w",
+        expr(s"filter(sequence(0, size(w) - 1, $S), st -> st = 0 OR st - $S + $C < size(w))")
+          .as("starts"))
+      .select($"doc_id", posexplode($"starts").as(Seq("chunk_id", "st")), $"w")
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        expr(s"slice(w, st + 1, $C)").as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  private val chunkSql = {
+    val C = ChunkSize
+    val S = ChunkStride
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |st AS (SELECT doc_id, w,
+       |  list_filter(range(0, len(w), $S), st -> st = 0 OR st - $S + $C < len(w)) AS starts
+       |  FROM docs),
+       |ch AS (SELECT doc_id, i - 1 AS chunk_id,
+       |  w[starts[i] + 1 : starts[i] + $C] AS chunk
+       |  FROM st, unnest(range(1, len(starts) + 1)) t(i))
+       |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // -- text_seg_dedup: cross-document segment removal ----------------------
+  private val SegLen = 8
+  private val SegMinDocs = 2
+
+  private def segDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = SegLen
+    // one row per NON-OVERLAPPING L-token segment, position-tagged; the
+    // final partial segment (< L tokens) is never a removal candidate
+    val segs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+      .select($"doc_id",
+        ceil(size($"w") / lit(L.toDouble)).cast("long").as("n_segs"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(w) / ${L}.0) as int) - 1, 1), " +
+            s"i -> array_join(slice(w, i * $L + 1, $L), ' '))")).as(Seq("seg_no", "seg")),
+        size($"w").as("n_words"))
+      .withColumn("is_full", ($"seg_no" + 1) * L <= $"n_words")
+    // discovery: group on the 128-bit fingerprint so the shuffle is
+    // (16-byte fp, doc_id) pairs, not text; ≥2-doc segments only
+    val withFp = segs.withColumn("fp", GraftFunctions.fingerprint128($"seg"))
+    val frequent = withFp.filter($"is_full")
+      .groupBy($"fp").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= SegMinDocs).select($"fp")
+    // removal: broadcast anti-join (the frequent set is small — only
+    // segments that actually repeat across documents)
+    withFp.join(broadcast(frequent), Seq("fp"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(first($"n_segs").as("n_segs"),
+        (first($"n_segs") - count(lit(1))).as("n_removed"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg)"),
+          " ").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+  private val segDedupSql = {
+    val L = SegLen
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |segs AS (SELECT doc_id, CAST(ceil(len(w) / ${L}.0) AS BIGINT) AS n_segs,
+       |    i AS seg_no, array_to_string(w[i * $L + 1 : i * $L + $L], ' ') AS seg,
+       |    len(w[i * $L + 1 : i * $L + $L]) = $L AS is_full
+       |  FROM docs, unnest(range(0, CAST(ceil(len(w) / ${L}.0) AS BIGINT))) t(i)),
+       |freq AS (SELECT seg FROM segs WHERE is_full
+       |  GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= $SegMinDocs),
+       |kept AS (SELECT * FROM segs
+       |  WHERE NOT (is_full AND seg IN (SELECT seg FROM freq)))
+       |SELECT doc_id, any_value(n_segs) AS n_segs,
+       |  any_value(n_segs) - COUNT(*) AS n_removed,
+       |  string_agg(seg, ' ' ORDER BY seg_no) AS text_clean
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -- text_vocab: top-K vocabulary + corpus coverage ----------------------
+  private val VocabTopK = 40
+
+  private def vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("tok"))
+    val counts = toks.groupBy($"tok")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select($"tok", $"n", $"n_docs",
+        ($"n".cast("double") / $"total").as("coverage"))
+      .orderBy($"n".desc, $"tok")
+      .limit(VocabTopK)
+  }
+  private val vocabSql =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS tok FROM documents),
+       |c AS (SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+       |      FROM toks GROUP BY tok),
+       |t AS (SELECT COUNT(*) AS total FROM toks)
+       |SELECT tok, n, n_docs, CAST(n AS DOUBLE) / total AS coverage
+       |FROM c CROSS JOIN t
+       |ORDER BY n DESC, tok LIMIT $VocabTopK""".stripMargin
+
+  // -- q_decontaminate: benchmark n-gram overlap ---------------------------
+  private val GramLen = 8
+  private val BenchMod = 20
+
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", GramLen)).as("g"))
+    val bench = grams.filter($"doc_id" % BenchMod === 0).select($"g").distinct()
+    grams.filter($"doc_id" % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+  private val decontaminateSql = {
+    val L = GramLen
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + ${L - 1}], ' ') AS g
+       |          FROM docs, unnest(range(1, len(w) - ${L - 2})) t(i)),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM grams
+       |WHERE doc_id % $BenchMod <> 0 AND g IN (SELECT g FROM bench)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_chunk", chunk, Some(chunkSql)),
+    QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
+    QueryDef("text_vocab", vocab, Some(vocabSql)),
+    QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+  )
+}

@@ -207,6 +207,38 @@ object Streaming {
        |  COUNT(*) AS n_events, ${OracleMath.sqlSum("value")} AS sum_value
        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  // -- #42c stream-static enrichment join ----------------------------------
+  // The enrichment shape every streaming pipeline has: events stream ⋈
+  // static dimension (nation, keyed by user_id % 25), then a
+  // watermarked windowed aggregate over the DIM attribute. The static
+  // side is stateless — Spark re-broadcasts the dim to each micro-batch
+  // (no join state at all, unlike the stream-stream interval join); at
+  // production scale the dim re-reads per batch, picking up slowly-
+  // changing updates for free. Watermark semantics pass through the
+  // join, so the same Append-mode + heartbeat eviction applies.
+  private def streamStaticJoin(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    val (dir, hbNs) = stageWithHeartbeat(s, d)
+    val dim = broadcast(Tables.nation(s, d)
+      .select($"n_nationkey".cast("long").as("nation_key"), $"n_name"))
+    val joined = eventsStream(s, dir, glob = "events*.parquet")
+      .withWatermark("ts", "1 hour")
+      .filter($"ts" < timestamp_micros(lit(hbNs / 1000)))
+      .withColumn("nation_key", $"user_id" % 25)
+      .join(dim, Seq("nation_key"))
+      .groupBy(window($"ts", "1 hour"), $"n_name")
+      .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"n_name", $"n_events", $"sum_value")
+    runToMemory(joined, "graft_stream_static_join", OutputMode.Append())
+      .orderBy($"win_start", $"n_name")
+  }
+  private val streamStaticJoinSql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  n_name, COUNT(*) AS n_events, ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM events JOIN nation ON user_id % 25 = n_nationkey
+       |GROUP BY 1, 2 ORDER BY win_start, n_name""".stripMargin
+
   // -- #43 stateful sessionization ----------------------------------------
   final case class Ev(user_id: Long, ts_ns: Long, value: Double)
   final case class OpenSession(startNs: Long, lastNs: Long, n: Long, sum: Double)
@@ -595,5 +627,6 @@ object Streaming {
     QueryDef("stream_upsert", upsertStream, Some(upsertStreamSql)),
     QueryDef("stream_sliding_agg", slidingAgg, Some(slidingAggSql)),
     QueryDef("q_session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
+    QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
   )
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 operators: corpus preparation (chunking, cross-doc segment
+  * dedup, vocabulary, decontamination) on crafted inputs with known
+  * answers, plus the rolling time-range window against a direct
+  * recomputation and the stream-static join against its batch twin.
+  */
+class CorpusSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Stage a crafted documents table under a temp sf-dir so the
+    * driver-contract query fns can read it like testdata. */
+  private def corpusDir(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("text_chunk: stride-overlap windows cover every token, no redundant tail") {
+    import spark.implicits._
+    // 80 tokens, size 32 / stride 24: starts 0,24,48 — start 72 must be
+    // dropped (the chunk at 48 already ends at 80)
+    val dir = corpusDir(Seq((1L, toks("t", 80)), (2L, toks("u", 10))))
+    val out = SparkEntry.queries("text_chunk")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)) == Seq((0L, 32L), (1L, 32L), (2L, 32L)))
+    assert(d1(0)._4.startsWith("t0 ") && d1(0)._4.endsWith(" t31"))
+    assert(d1(1)._4.startsWith("t24 ") && d1(1)._4.endsWith(" t55"))
+    assert(d1(2)._4.startsWith("t48 ") && d1(2)._4.endsWith(" t79"))
+    // every token appears in some chunk
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 80).map(i => s"t$i").toSet)
+    // short doc: one chunk, all tokens
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(c => (c._2, c._3, c._4)) == Seq((0L, 10L, toks("u", 10))))
+  }
+
+  test("text_seg_dedup: cross-doc segments removed, uniques and tails kept") {
+    import spark.implicits._
+    val seg1 = toks("s", 8)  // the repeated 8-token segment
+    val segB = toks("b", 8)  // unique to doc 2
+    val segC = toks("c", 8)  // unique to doc 3
+    val tail = "x y z"       // short tail, repeated across docs — exempt
+    val dir = corpusDir(Seq(
+      (1L, s"$seg1 $tail"),
+      (2L, s"$seg1 $segB $tail"),
+      (3L, s"$segC $tail"),
+      (4L, seg1)))           // all segments frequent, no tail → vanishes
+    val out = SparkEntry.queries("text_seg_dedup")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L),
+      "doc 4 (every segment removed, no tail) must drop out")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 2L, 1L, tail)))           // seg1 gone, tail kept
+    assert(byId(2L) == ((2L, 3L, 1L, s"$segB $tail"))) // order preserved
+    assert(byId(3L) == ((3L, 2L, 0L, s"$segC $tail"))) // nothing removed
+  }
+
+  test("text_vocab: exact counts, doc frequencies, coverage, tie-break") {
+    import spark.implicits._
+    val dir = corpusDir(Seq((1L, "a a b"), (2L, "b c")))
+    val out = SparkEntry.queries("text_vocab")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // ties (a=2, b=2) break by token; coverage is n / 5
+    assert(out == Seq(("a", 2L, 1L, 0.4), ("b", 2L, 2L, 0.4), ("c", 1L, 1L, 0.2)))
+  }
+
+  test("q_decontaminate: flags exactly the docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val bench8 = toks("w", 8)
+    val dir = corpusDir(Seq(
+      (0L, s"$bench8 extra tokens here"),  // benchmark (doc_id % 20 == 0)
+      (1L, s"p q $bench8"),                // shares exactly one 8-gram
+      (2L, toks("z", 12))))                // clean
+    val out = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L)), s"expected only doc 1 contaminated, got $out")
+  }
+
+  test("q_rolling_agg matches a direct interval-join recomputation") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_rolling_agg")(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"), $"value")
+    // brute-force twin: every (event, in-window event) pair
+    val recomputed = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.ts_us" >= $"a.ts_us" - 3600L * 1000000L && $"b.ts_us" <= $"a.ts_us")
+      .groupBy($"a.user_id", $"a.event_id")
+      .agg(count(lit(1)).as("n_1h"),
+        sum($"b.value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_1h"))
+    val got = out.select($"user_id", $"event_id", $"n_1h", $"sum_1h")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = recomputed.as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("stream_static_join equals its batch twin") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("stream_static_join")(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .withColumn("nation_key", $"user_id" % 25)
+      .join(Tables.nation(spark, sf)
+        .select($"n_nationkey".cast("long").as("nation_key"), $"n_name"), Seq("nation_key"))
+      .groupBy(window($"ts", "1 hour"), $"n_name")
+      .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss"),
+        $"n_name", $"n_events", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+}

@@ -220,6 +220,23 @@ class PlanSpec extends AnyFunSuite {
       s"profile must make one pass over the table:\n$prof")
     assert(!prof.contains("Expand"),
       s"profile must use the two-level (col,value) aggregate, not the multi-distinct Expand rewrite:\n$prof")
+    // round-5 corpus operators
+    assert(hashExchanges("text_chunk") == 0,
+      "chunking is row-local (explode is the output, not a shuffle)")
+    assert(hashExchanges("q_rolling_agg") == 1,
+      "rolling window shuffles once, on the user_id partitioning")
+    val dec = plan("q_decontaminate")
+    assert(dec.contains("BroadcastHashJoin LeftSemi"),
+      s"benchmark grams must broadcast (train side streams):\n$dec")
+    assert(hashExchanges("q_decontaminate") == 2,
+      "decontaminate shuffles only the bench distinct + the per-doc count")
+    val seg = plan("text_seg_dedup")
+    assert(seg.contains("BroadcastHashJoin LeftAnti"),
+      s"frequent segments must broadcast back as an anti-join:\n$seg")
+    assert(hashExchanges("text_seg_dedup") == 3,
+      "seg dedup: two-phase frequency discovery + one reassembly shuffle")
+    assert(plan("text_vocab").contains("TakeOrderedAndProject"),
+      "vocab top-K must be a partial top-K, not a global sort")
   }
 
   test("custom expressions run inside whole-stage codegen") {
