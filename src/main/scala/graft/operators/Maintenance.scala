@@ -197,10 +197,50 @@ object Maintenance {
        |FROM orders
        |ORDER BY version""".stripMargin
 
+  // -- q_cdc_diff: change feed between two snapshot versions ---------------
+  // CDC the way a lake table computes it: two versions differ only in
+  // the file groups their manifests disagree on, so the diff reads
+  // ONLY those files — here group g=0's old and rewritten copies —
+  // never the shared ones. A full-outer join on the key over just the
+  // churned files classifies each row insert/delete/update; at 100 TB
+  // the cost scales with the churn (one partition here), not the table.
+  private def qCdcDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotRoot(s, d)
+    def manifest(v: Int): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, s"manifest_v$v.txt")), "UTF-8")
+        .split("\n").toSet
+    val (v1, v2) = (manifest(1), manifest(2))
+    val removed = (v1 -- v2).toSeq.sorted // file groups only in v1
+    val added = (v2 -- v1).toSeq.sorted   // their rewritten replacements
+    val before = s.read.parquet(removed: _*)
+      .select($"o_orderkey", $"o_totalprice".as("old_price"))
+    val after = s.read.parquet(added: _*)
+      .select($"o_orderkey", $"o_totalprice".as("new_price"))
+    before.join(after, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when($"old_price".isNull, lit("insert"))
+          .when($"new_price".isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .filter($"op" =!= "update" || $"old_price" =!= $"new_price")
+      .select($"o_orderkey", $"op", $"old_price", $"new_price")
+      .orderBy($"o_orderkey")
+  }
+  // v2 rewrote group g=0 (o_orderkey % 4 = 0), changing only the
+  // % 40 = 0 rows — every change is an update
+  private val qCdcDiffSql =
+    s"""SELECT o_orderkey, 'update' AS op, o_totalprice AS old_price,
+       |  round(o_totalprice * 1.1, 2) AS new_price
+       |FROM orders
+       |WHERE o_orderkey % 40 = 0 AND round(o_totalprice * 1.1, 2) <> o_totalprice
+       |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
+    QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
   )
 }

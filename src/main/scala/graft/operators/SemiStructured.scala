@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -151,10 +151,104 @@ object SemiStructured {
       |FROM c CROSS JOIN t
       |ORDER BY n DESC, l_suppkey LIMIT 5""".stripMargin
 
+  // -- heavy hitters: Misra-Gries candidates + exact verification ----------
+  // The deterministic two-pass heavy-hitter pattern: pass 1 runs the
+  // mergeable Misra-Gries summary (graft.functions.MisraGriesAgg — m
+  // counters per partition, map-side partials, tiny merge) whose
+  // guarantee is NO FALSE NEGATIVES: every key with true frequency
+  // > n/(m+1) is in the summary. Pass 2 exact-counts ONLY the candidate
+  // keys (a broadcast semi-join, so the shuffle carries just candidate
+  // rows) and applies the threshold to TRUE counts — which keys survive
+  // merge-order wobble never matters, so the result is deterministic
+  // and oracle-able even though the sketch itself is not. At 100 TB
+  // this replaces a full per-key aggregate with one sketch pass + one
+  // filtered count.
+  private val HhM = 9          // MG counters → catches freq > n/10
+  private val HhDen = 10       // report keys with n * HhDen > total
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The testdata is uniform everywhere, so (like q_salted_skew_join)
+    // the skew is derived deterministically from row identity: half the
+    // rows share two hot keys (~25% each), the rest spread over a
+    // ~500-key tail (1000 % 4 = 0, so cold keys keep l_orderkey % 4 ∈
+    // {2,3}) — hundreds of distinct keys against 9 counters, so the
+    // sketch genuinely prunes (a uniform key set would fit entirely in
+    // the counters and never exercise the decrement/merge path).
+    val keyed = Tables.lineitem(s, d)
+      .select(when($"l_orderkey" % 4 < 2, concat(lit("hot_"), $"l_orderkey" % 2))
+        .otherwise(concat(lit("cold_"), $"l_orderkey" % 1000)).as("k"))
+    val summary = keyed.agg(
+      graft.functions.MisraGries.misra_gries($"k", HhM).as("mg"),
+      count(lit(1)).as("total"))
+    val candidates = summary.select(explode(map_keys($"mg")).as("k"), $"total")
+    keyed.join(broadcast(candidates), Seq("k"))
+      .groupBy($"k", $"total").agg(count(lit(1)).as("n"))
+      .filter($"n" * HhDen > $"total")
+      .select($"k", $"n", ($"n".cast("double") / $"total").as("share"))
+      .orderBy($"k")
+  }
+  private val heavyHittersSql =
+    s"""WITH keyed AS (SELECT CASE WHEN l_orderkey % 4 < 2
+       |    THEN 'hot_' || CAST(l_orderkey % 2 AS VARCHAR)
+       |    ELSE 'cold_' || CAST(l_orderkey % 1000 AS VARCHAR) END AS k
+       |  FROM lineitem),
+       |c AS (SELECT k, COUNT(*) AS n FROM keyed GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       |SELECT k, n, CAST(n AS DOUBLE) / total AS share
+       |FROM c CROSS JOIN t WHERE n * $HhDen > total
+       |ORDER BY k""".stripMargin
+
+  // -- row-level constraint validation (data-quality gate) -----------------
+  // Deequ/dbt-test shape: declarative rules evaluated in ONE scan — a
+  // per-rule violation flag is a map-side expression, the only
+  // aggregate is the global (rule, count) fold, zero data shuffle. A
+  // NULL rule verdict counts as a violation (a constraint that cannot
+  // be evaluated is not satisfied). The 100 TB posture for "did this
+  // drop pass the contract": one pass, a few dozen counters.
+  private def validateRules(s: SparkSession): Seq[(String, Column)] = {
+    import s.implicits._
+    Seq(
+      "discount_le_6pct" -> ($"l_discount" <= 0.06),
+      "price_over_1000" -> ($"l_extendedprice" > 1000.0),
+      "quantity_in_range" -> $"l_quantity".between(1.0, 50.0),
+      "tax_below_5pct" -> ($"l_tax" < 0.05))
+  }
+  private def validateRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = validateRules(s)
+    val aggs = rules.map { case (name, rule) =>
+      sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)).as(s"v_$name")
+    } :+ count(lit(1)).as("n_rows")
+    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) => s"'$name', v_$name" }
+    one.selectExpr("n_rows",
+        s"stack(${rules.size}, ${stacked.mkString(", ")}) AS (rule, n_violations)")
+      .select($"rule", $"n_violations",
+        ($"n_violations".cast("double") / $"n_rows").as("violation_rate"))
+      .orderBy($"rule")
+  }
+  private val validateRowsSql = {
+    val ruleSql = Seq(
+      "discount_le_6pct" -> "l_discount <= 0.06",
+      "price_over_1000" -> "l_extendedprice > 1000.0",
+      "quantity_in_range" -> "l_quantity BETWEEN 1.0 AND 50.0",
+      "tax_below_5pct" -> "l_tax < 0.05")
+    ruleSql.map { case (name, cond) =>
+      s"""SELECT '$name' AS rule,
+         |  CAST(SUM(CASE WHEN COALESCE($cond, false) THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_violations,
+         |  CAST(SUM(CASE WHEN COALESCE($cond, false) THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) AS violation_rate
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_profile_stats", profile, Some(profileSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
+    QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),
   )
 }

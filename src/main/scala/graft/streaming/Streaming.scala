@@ -338,6 +338,63 @@ object Streaming {
        | AND c.ts_us < p.ts_us
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  // -- #43g stream-stream LEFT OUTER interval join --------------------------
+  // Same interval join as #43b but OUTER: purchases with no click in
+  // their trailing 1h window must still emit (with nulls) — and they
+  // can only emit once the RIGHT watermark proves no matching click can
+  // still arrive, so this is the operator where watermark-driven state
+  // eviction is user-visible output, not just memory hygiene. On a
+  // bounded replay the trailing purchases would wait forever; the
+  // heartbeat row advances both sides' watermarks past every real
+  // event. The heartbeat must flow INTO the watermark nodes, so the
+  // side filters admit it (event_type ∈ {purchase|click, __heartbeat})
+  // and it is dropped AFTER the watermark by a predicate on the
+  // watermark column itself — the one filter shape Catalyst never
+  // pushes below EventTimeWatermark (see windowedAggStream).
+  private def outerJoinStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 4) {
+      import s.implicits._
+      val (dir, hbNs) = stageWithHeartbeat(s, d)
+      val hbCut = timestamp_micros(lit(hbNs / 1000))
+      val purchases = eventsStream(s, dir, glob = "events*.parquet")
+        .filter($"event_type".isin("purchase", "__heartbeat"))
+        .select($"user_id", $"event_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+        .filter($"p_ts" < hbCut)
+      val clicks = eventsStream(s, dir, glob = "events*.parquet")
+        .filter($"event_type".isin("click", "__heartbeat"))
+        .select($"user_id".as("c_user"), $"value".as("c_value"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+        .filter($"c_ts" < hbCut)
+      val joined = purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+          $"c_ts" < $"p_ts",
+        "left_outer")
+      runToMemory(joined, "graft_stream_ojoin", OutputMode.Append())
+        .groupBy($"user_id")
+        .agg(countDistinct($"event_id").as("n_purchases"),
+          countDistinct(when($"c_value".isNotNull, $"event_id")).as("n_matched_purchases"),
+          count($"c_value").as("n_click_pairs"),
+          OracleMath.dsum(coalesce($"c_value", lit(0.0))).as("sum_click_value"))
+        .orderBy($"user_id")
+    }
+  private val outerJoinStreamSql =
+    s"""SELECT p.user_id,
+       |  COUNT(DISTINCT p.event_id) AS n_purchases,
+       |  COUNT(DISTINCT CASE WHEN c.value IS NOT NULL THEN p.event_id END)
+       |    AS n_matched_purchases,
+       |  COUNT(c.value) AS n_click_pairs,
+       |  ${OracleMath.sqlSum("COALESCE(c.value, 0)")} AS sum_click_value
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+       |           WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts_us >= p.ts_us - 3600000000
+       | AND c.ts_us < p.ts_us
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   // -- #43c streaming exact dedup (first-seen filter) ----------------------
   // Dedup as an INGESTION step: new documents stream in, the first
   // document per content fingerprint passes, later copies are dropped —
@@ -628,5 +685,6 @@ object Streaming {
     QueryDef("stream_sliding_agg", slidingAgg, Some(slidingAggSql)),
     QueryDef("q_session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    QueryDef("stream_outer_join", outerJoinStream, Some(outerJoinStreamSql)),
   )
 }

@@ -237,6 +237,20 @@ class PlanSpec extends AnyFunSuite {
       "seg dedup: two-phase frequency discovery + one reassembly shuffle")
     assert(plan("text_vocab").contains("TakeOrderedAndProject"),
       "vocab top-K must be a partial top-K, not a global sort")
+    // validation gate: one scan, rule flags are map-side, zero data shuffle
+    val vr = plan("q_validate_rows")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(vr).size == 1 &&
+      hashExchanges("q_validate_rows") == 0,
+      s"constraint validation must be one scan + a global fold:\n$vr")
+    // heavy hitters: candidates broadcast; only the verified count shuffles
+    val hh = plan("q_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the exact pass:\n$hh")
+    assert(hashExchanges("q_heavy_hitters") == 1,
+      "only the candidate-filtered exact count may shuffle")
+    // CDC: exactly the two churned file sets are scanned
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan("q_cdc_diff")).size == 2,
+      "CDC diff must read only the manifests' differing file groups")
   }
 
   test("custom expressions run inside whole-stage codegen") {

@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.MisraGries.misra_gries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5b operators: the Misra-Gries aggregate's formal guarantees,
+  * heavy-hitter end-to-end determinism, CDC diff shape, constraint
+  * validation, and the stream-stream left-outer join.
+  */
+class SketchMaintSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Crafted stream: key i appears weight(i) times, interleaved (worst
+    * case for MG is adversarial interleaving, not runs). */
+  private def craftedKeys(weights: Map[String, Int]): Seq[String] = {
+    val rounds = weights.values.max
+    (0 until rounds).flatMap(r => weights.collect {
+      case (k, w) if w > r => k
+    }.toSeq.sorted)
+  }
+
+  test("Misra-Gries: superset guarantee and error bound on adversarial input") {
+    import spark.implicits._
+    val m = 5
+    // n = 1000: two true heavy hitters above n/(m+1) = 166, plus a
+    // 30-key near-uniform tail that constantly evicts counters
+    val weights = Map("hh_a" -> 300, "hh_b" -> 220) ++
+      (0 until 30).map(i => s"tail_$i" -> 16).toMap
+    val keys = craftedKeys(weights)
+    val n = keys.size
+    val df = keys.toDF("k").repartition(7) // force partial buffers + merges
+    val mg = df.agg(misra_gries($"k", m).as("mg"))
+      .selectExpr("mg").as[Map[String, Long]].head()
+    assert(mg.size <= m, s"summary must keep at most $m counters: $mg")
+    // no false negatives: every key with freq > n/(m+1) is present
+    for ((k, w) <- weights if w > n / (m + 1))
+      assert(mg.contains(k), s"true heavy hitter $k (freq $w, n=$n) missing from $mg")
+    // counts are lower bounds, within n/(m+1) of truth
+    for ((k, est) <- mg) {
+      val truth = weights(k)
+      assert(est <= truth, s"$k estimated $est above true count $truth")
+      assert(truth - est <= n / (m + 1),
+        s"$k estimate $est understates $truth by more than n/(m+1)=${n / (m + 1)}")
+    }
+  }
+
+  test("Misra-Gries: partition count does not change the verified heavy-hitter set") {
+    import spark.implicits._
+    val weights = Map("hot" -> 500) ++ (0 until 40).map(i => s"t_$i" -> 10).toMap
+    val keys = craftedKeys(weights)
+    val sets = Seq(1, 4, 13).map { parts =>
+      val df = keys.toDF("k").repartition(parts)
+      val mg = df.agg(misra_gries($"k", 4).as("mg"))
+        .selectExpr("mg").as[Map[String, Long]].head()
+      // the raw summary may differ by merge order; the VERIFIED set
+      // (exact counts of candidates over threshold) must not
+      val cand = mg.keySet.toSeq
+      keys.filter(cand.contains).groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 > keys.size / 5).keys.toSet
+    }
+    assert(sets.distinct.size == 1, s"verified sets diverged across partitionings: $sets")
+    assert(sets.head == Set("hot"))
+  }
+
+  test("q_heavy_hitters finds exactly the derived hot keys with exact counts") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("hot_0", "hot_1"), s"got $out")
+    // counts are EXACT (verification pass), not sketch estimates
+    val exact = Tables.lineitem(spark, sf).filter($"l_orderkey" % 4 < 2)
+      .groupBy(concat(lit("hot_"), $"l_orderkey" % 2).as("k"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    for ((k, n, _) <- out) assert(n == exact(k), s"$k: $n != ${exact(k)}")
+  }
+
+  test("q_cdc_diff: every change is an update on a % 40 key with the 1.1x price") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_cdc_diff")(spark, sf)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 == "update"), "COW rewrite changes rows in place")
+    assert(out.forall(r => r._1 % 40 == 0), "only % 40 keys were updated")
+    assert(out.forall(r => math.abs(r._4 - BigDecimal(r._3 * 1.1)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9))
+    // completeness: every % 40 key in the table appears in the feed
+    val all = Tables.orders(spark, sf).filter($"o_orderkey" % 40 === 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == all)
+  }
+
+  test("q_validate_rows matches a direct per-rule recomputation") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_validate_rows")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val discBad = li.filter(!($"l_discount" <= 0.06)).count()
+    assert(out("discount_le_6pct") == ((discBad, discBad.toDouble / total)))
+    val qtyBad = li.filter(!$"l_quantity".between(1.0, 50.0)).count()
+    assert(out("quantity_in_range") == ((qtyBad, qtyBad.toDouble / total)))
+    assert(out.size == 4)
+    // the gate must see real violations in this data (a vacuous gate
+    // proves nothing)
+    assert(out.values.exists(_._1 > 0) && out.values.exists(_._1 == 0L))
+  }
+
+  test("stream_outer_join: emits unmatched purchases and matches the batch twin") {
+    import spark.implicits._
+    val out = SparkEntry.queries("stream_outer_join")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // outer semantics are exercised: some purchases had no click in
+    // their window (else this collapses to the inner join)
+    assert(out.exists(r => r._3 < r._2),
+      "expected at least one user with unmatched purchases")
+    // batch twin equality (the DuckDB oracle asserts the same shape;
+    // this pins it inside the JVM too)
+    val batch = {
+      val p = Tables.events(spark, sf).filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts_ns".as("p_ns"))
+      val c = Tables.events(spark, sf).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"value".as("c_value"), $"ts_ns".as("c_ns"))
+      p.join(c, $"user_id" === $"c_user" &&
+          $"c_ns" >= $"p_ns" - 3600L * 1000000000L && $"c_ns" < $"p_ns", "left_outer")
+        .groupBy($"user_id")
+        .agg(countDistinct($"event_id").as("n_purchases"),
+          countDistinct(when($"c_value".isNotNull, $"event_id")).as("n_matched"),
+          count($"c_value").as("n_pairs"),
+          OracleMath.dsum(coalesce($"c_value", lit(0.0))).as("sum_v"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    }
+    assert(out.toSet == batch.toSet)
+  }
+}
