@@ -475,7 +475,15 @@ object GraftFunctions {
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
     ("graft_stopword_scores", classOf[StopwordScores], stopwordScoresBuilder _),
-    ("graft_quantize_stats", classOf[QuantizeStats], es => QuantizeStats(es.head)))
+    ("graft_quantize_stats", classOf[QuantizeStats], es => QuantizeStats(es.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression exactly as for built-in registry entries
+    ("graft_misra_gries", classOf[MisraGriesAgg], es => {
+      if (es.size != 2 || !es(1).foldable || es(1).eval() == null)
+        throw new IllegalArgumentException(
+          "graft_misra_gries(key, m): m must be a literal int")
+      MisraGriesAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   /** Make the functions callable from SQL in an existing session —
     * scalar expressions, the `graft_asof_join` table function, and the

@@ -236,11 +236,90 @@ object Maintenance {
        |WHERE o_orderkey % 40 = 0 AND round(o_totalprice * 1.1, 2) <> o_totalprice
        |ORDER BY o_orderkey""".stripMargin
 
+  // -- io_vacuum: retention-based physical cleanup -------------------------
+  // The other half of copy-on-write versioning: once old versions age
+  // out of retention, the file groups referenced ONLY by retired
+  // manifests are physically deleted (Delta VACUUM / Iceberg
+  // expire_snapshots). Deletion is manifest arithmetic — retired ∖
+  // live — no data is read to decide; shared groups survive because
+  // the live manifest still references them. The query returns the
+  // live version's aggregate AFTER the delete, proving the vacuum
+  // touched nothing the live manifest needs; the spec additionally
+  // proves the retired version is actually gone from disk.
+  def vacuum(root: String, retainVersions: Seq[Int]): Seq[String] = {
+    def manifest(v: Int): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, s"manifest_v$v.txt")), "UTF-8")
+        .split("\n").toSet
+    val all = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("manifest_v"))
+      .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt).toSeq
+    val live = retainVersions.flatMap(manifest).toSet
+    val dead = (all.diff(retainVersions).flatMap(manifest).toSet -- live).toSeq.sorted
+    dead.foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    dead
+  }
+  private def qVacuum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotRoot(s, d)
+    vacuum(root, retainVersions = Seq(2))
+    readSnapshot(s, root, 2)
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+  }
+  private val qVacuumSql =
+    s"""SELECT COUNT(*) AS n, ${sqlSum(
+        "CASE WHEN o_orderkey % 40 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END")}
+       |  AS sum_price
+       |FROM orders""".stripMargin
+
+  // -- io_schema_evolution: mergeSchema over heterogeneous files -----------
+  // Lake tables accrete columns: files written before a column existed
+  // must stay readable, surfacing NULL for it — no rewrite of old data
+  // (at 100 TB a backfill rewrite is the thing you architecturally
+  // refuse to do). Old-epoch files carry (o_orderkey, o_totalprice);
+  // new-epoch files add o_priority. `mergeSchema` unions the footers at
+  // planning time; the scan then pads old files per row-group, still
+  // vectorized, still pruned.
+  private def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("schema_evo", d)
+    val base = Tables.orders(s, d)
+    base.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    base.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice",
+        when($"o_totalprice" > 200000.0, lit("high")).otherwise(lit("normal"))
+          .as("o_priority"))
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce($"o_priority", lit("legacy")).as("priority"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"priority")
+  }
+  private val qSchemaEvolutionSql =
+    s"""WITH evolved AS (
+       |  SELECT o_totalprice,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+       |         WHEN o_totalprice > 200000.0 THEN 'high'
+       |         ELSE 'normal' END AS priority
+       |  FROM orders)
+       |SELECT priority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM evolved GROUP BY priority ORDER BY priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
+    QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
+    QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
   )
 }

@@ -75,6 +75,61 @@ class SketchMaintSpec extends AnyFunSuite {
     for ((k, n, _) <- out) assert(n == exact(k), s"$k: $n != ${exact(k)}")
   }
 
+  test("graft_misra_gries is callable from SQL and keeps the superset guarantee") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    craftedKeys(Map("hot" -> 400) ++ (0 until 25).map(i => s"t_$i" -> 12).toMap)
+      .toDF("k").createOrReplaceTempView("mg_keys")
+    val mg = spark.sql("SELECT graft_misra_gries(k, 4) AS mg FROM mg_keys")
+      .as[Map[String, Long]].head()
+    assert(mg.size <= 4 && mg.contains("hot"))
+  }
+
+  test("io_snapshot_read: v1 unchanged by the v2 COW write; shared groups not copied") {
+    import spark.implicits._
+    val root = graft.operators.Maintenance.snapshotRoot(spark, sf)
+    // time travel: v1 still reads as the ORIGINAL table after v2 landed
+    val v1 = graft.operators.Maintenance.readSnapshot(spark, root, 1)
+      .agg(count(lit(1)), OracleMath.dsum($"o_totalprice")).as[(Long, Double)].head()
+    val orig = Tables.orders(spark, sf)
+      .agg(count(lit(1)), OracleMath.dsum($"o_totalprice")).as[(Long, Double)].head()
+    assert(v1 == orig, "v2's copy-on-write must not mutate v1's files")
+    // untouched groups are SHARED between manifests (same paths), not copied
+    def manifest(v: Int): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, s"manifest_v$v.txt")), "UTF-8").split("\n").toSet
+    val shared = manifest(1) intersect manifest(2)
+    assert(shared == (1 to 3).map(g => s"$root/base/g=$g").toSet)
+  }
+
+  test("io_vacuum deletes exactly the retired version's files; live version intact") {
+    import spark.implicits._
+    val root = graft.operators.Maintenance.snapshotRoot(spark, sf)
+    val g0 = new java.io.File(s"$root/base/g=0")
+    assert(g0.exists, "snapshot staging must create the v1-only group")
+    val out = SparkEntry.queries("io_vacuum")(spark, sf)
+      .as[(Long, Double)].head()
+    assert(!g0.exists, "vacuum must physically delete the retired-only group")
+    assert(new java.io.File(s"$root/base/g=1").exists &&
+      new java.io.File(s"$root/rewrite_g0_v2").exists,
+      "groups referenced by the live manifest must survive")
+    // the live version still reads completely
+    val n2 = graft.operators.Maintenance.readSnapshot(spark, root, 2).count()
+    assert(out._1 == n2 && n2 == Tables.orders(spark, sf).count())
+  }
+
+  test("io_schema_evolution: legacy files surface NULL for the new column") {
+    import spark.implicits._
+    val out = SparkEntry.queries("io_schema_evolution")(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("high", "legacy", "normal"))
+    val total = Tables.orders(spark, sf).count()
+    assert(out.map(_._2).sum == total, "no row lost across schema epochs")
+    // legacy = exactly the even-key (old-epoch) rows
+    val even = Tables.orders(spark, sf).filter($"o_orderkey" % 2 === 0).count()
+    assert(out.find(_._1 == "legacy").get._2 == even)
+  }
+
   test("q_cdc_diff: every change is an update on a % 40 key with the 1.1x price") {
     import spark.implicits._
     val out = SparkEntry.queries("q_cdc_diff")(spark, sf)
