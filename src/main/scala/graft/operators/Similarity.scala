@@ -365,7 +365,150 @@ object Similarity {
       |  MAX(max_abs) AS max_abs_err
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
+  // -- #36c product quantization ANN ---------------------------------------
+  // PQ: split each 64-dim vector into M=4 16-dim subvectors, train a
+  // K-centroid codebook PER SUBSPACE (one Lloyd round, decimal-exact
+  // sums → IEEE mean, same replayability discipline as IVF), encode
+  // every vector as M small codes, and answer queries by ASYMMETRIC
+  // DISTANCE: the query's exact subvectors against the codebook entries
+  // its candidates point at — distance table lookups, never the raw
+  // corpus vectors. This is the memory-side scale lever (a 64-float
+  // vector becomes M codebook ids — here 4 bytes vs 256, and the
+  // codebooks are KBs broadcast everywhere); IVF prunes WHICH vectors
+  // to score, PQ shrinks WHAT is stored per vector — production ANN
+  // composes both. L2² throughout (subvectors are not normalized, so
+  // cosine is the wrong metric per subspace); the per-subspace partial
+  // distances are decimal-cast before the final sum so the 4-way
+  // add is order-independent across engines.
+  private val PqM = 16         // subspaces
+  private val PqSub = Dims / PqM
+  private val PqSeedMod = 16   // vec_id % 16 == 3 → seed centroids
+  private val PqShortlist = 20 // ADC candidates per query before re-rank
+
+  /** Exact left-to-right Σ(aᵢ−bᵢ)² over equal-length double arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  private def l2sqSql(a: String, b: String, n: Int): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // (vec_id, m, sub): the m-th 16-dim subvector, promoted to double
+    val subs = emb.select($"vec_id",
+      posexplode(array((0 until PqM).map(m =>
+        expr(s"transform(slice(embedding, ${m * PqSub + 1}, $PqSub), x -> CAST(x AS DOUBLE))")
+      ): _*)).as(Seq("m", "sub")))
+    val c0 = subs.filter($"vec_id" % PqSeedMod === 3)
+      .select($"m", $"vec_id".as("cell_id"), $"sub".as("ce"))
+
+    // nearest codebook entry per (vector, subspace); codebooks broadcast
+    def assign(codebook: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cell_id")
+      subs.join(broadcast(codebook), Seq("m"))
+        .select($"vec_id", $"m", $"cell_id", l2sq($"sub", $"ce").as("dist"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"m", $"cell_id")
+    }
+    // Lloyd update: per-dimension decimal sum → IEEE double mean (L2
+    // centroids are means; the division is double/long, bit-identical
+    // across engines given identical numerators)
+    val c1 = assign(c0).join(subs, Seq("vec_id", "m"))
+      .select($"m", $"cell_id", posexplode($"sub").as(Seq("i", "v")))
+      .groupBy($"m", $"cell_id", $"i")
+      .agg((sum($"v".cast("decimal(28,10)")).cast("double") / count(lit(1))).as("mean"))
+      .groupBy($"m", $"cell_id")
+      .agg(array_sort(collect_list(struct($"i", $"mean"))).as("ps"))
+      .select($"m", $"cell_id", expr("transform(ps, p -> p.mean)").as("ce"))
+
+    val codes = assign(c1)
+    val qsubs = subs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"m", $"sub".as("qsub"))
+    // ADC shortlist: query subvector × the codebook entry each
+    // candidate's code points at; partials decimal-cast so the M-way
+    // sum is exact. This phase touches only codes + codebooks — the
+    // compressed representation — never the stored vectors.
+    val parts = codes.join(broadcast(c1), Seq("m", "cell_id"))
+      .join(broadcast(qsubs), Seq("m"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", l2sq($"qsub", $"ce").as("part"))
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = parts.groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      .agg(sum($"part".cast("decimal(28,10)")).cast("double").as("adist"))
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    // exact re-rank of the shortlist (FAISS refine step): full vectors
+    // are fetched for ≤ PqShortlist candidates per query, nothing more
+    val full = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
+    val qfull = full.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"fe".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"d", $"neighbor_id")
+    shortlist
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .select($"query_id", $"neighbor_id", l2sq($"qe", $"fe").as("d"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id", round($"d", 6).as("d6"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val annPqSql = {
+    val sub = PqSub
+    s"""WITH subs AS (
+       |  SELECT vec_id, t.m,
+       |    list_transform(range(1, ${sub + 1}),
+       |      i -> CAST(embedding[t.m * $sub + i] AS DOUBLE)) AS sub
+       |  FROM embeddings, unnest(range(0, $PqM)) t(m)),
+       |c0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM subs
+       |       WHERE vec_id % $PqSeedMod = 3),
+       |a0 AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2sqSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
+       |    FROM subs s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+       |c1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
+       |    SELECT a.m, a.cell_id, t.i,
+       |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM a0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
+       |         unnest(range(1, ${sub + 1})) t(i)
+       |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |codes AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2sqSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
+       |    FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+       |      WHERE vec_id % 50 = 0),
+       |parts AS (
+       |  SELECT q.query_id, cd.vec_id,
+       |    ${l2sqSql("q.qsub", "c.ce", sub)} AS part
+       |  FROM codes cd
+       |  JOIN c1 c ON cd.m = c.m AND cd.cell_id = c.cell_id
+       |  JOIN q ON q.m = cd.m
+       |  WHERE cd.vec_id <> q.query_id),
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(SUM(CAST(part AS DECIMAL(28,10))) AS DOUBLE), vec_id) AS srank
+       |    FROM parts GROUP BY query_id, vec_id) WHERE srank <= $PqShortlist),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |reranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${l2sqSql("qv.fe", "nv.fe", Dims)} AS d
+       |  FROM shortlist s
+       |  JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |  JOIN fullv qv ON s.query_id = qv.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, round(d, 6) AS d6
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_bruteforce_topk", bruteforceTopk, Some(bruteforceTopkSql)),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshSql)),
