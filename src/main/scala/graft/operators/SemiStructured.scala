@@ -151,6 +151,67 @@ object SemiStructured {
       |FROM c CROSS JOIN t
       |ORDER BY n DESC, l_suppkey LIMIT 5""".stripMargin
 
+  // -- VARIANT extraction (Spark 4 semi-structured type) --------------------
+  // The schema-FLEXIBLE complement of q_json_extract's declared-schema
+  // parse: `parse_json` shreds the JSON once into the binary VARIANT
+  // encoding, and every later `variant_get` path access is a typed
+  // lookup into that encoding — no re-parse per field, no schema
+  // declared up front. At 100 TB this is the difference between paying
+  // the JSON parse once per row vs once per row PER FIELD; fields can
+  // be added to props without touching the pipeline.
+  private def variantExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private val variantExtractSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- recursive CTE (Spark 4 WITH RECURSIVE) --------------------------------
+  // Declarative iteration INSIDE one SQL statement — the engine runs
+  // the fixpoint loop (contrast dedup_components, where the driver
+  // loop owns convergence). Closure over a derived binary tree on
+  // user ids (child u → parent u div 2): per-user depth from root 0,
+  // folded to depth histogram. Each recursion step is a narrow
+  // (id, depth) equi-join — the same shape the driver-loop version
+  // shuffles, but planned and iterated by the engine.
+  private def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select("user_id").distinct()
+      .createOrReplaceTempView("graft_rcte_users")
+    s.sql(
+      """WITH RECURSIVE walk(user_id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT u.user_id, w.depth + 1
+        |  FROM graft_rcte_users u JOIN walk w
+        |    ON u.user_id DIV 2 = w.user_id AND u.user_id > w.user_id
+        |)
+        |SELECT depth, COUNT(*) AS n_users,
+        |  MIN(user_id) AS min_id, MAX(user_id) AS max_id
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+  private val recursiveCteSql =
+    """WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+      |walk(user_id, depth) AS (
+      |  SELECT CAST(0 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT u.user_id, w.depth + 1
+      |  FROM users u JOIN walk w
+      |    ON u.user_id // 2 = w.user_id AND u.user_id > w.user_id
+      |)
+      |SELECT depth, COUNT(*) AS n_users,
+      |  MIN(user_id) AS min_id, MAX(user_id) AS max_id
+      |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+
   // -- heavy hitters: Misra-Gries candidates + exact verification ----------
   // The deterministic two-pass heavy-hitter pattern: pass 1 runs the
   // mergeable Misra-Gries summary (graft.functions.MisraGriesAgg — m
@@ -250,5 +311,7 @@ object SemiStructured {
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),
+    QueryDef("q_variant_extract", variantExtract, Some(variantExtractSql)),
+    QueryDef("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
   )
 }

@@ -161,6 +161,39 @@ class SketchMaintSpec extends AnyFunSuite {
     assert(out.values.exists(_._1 > 0) && out.values.exists(_._1 == 0L))
   }
 
+  test("q_variant_extract agrees with a declared-schema parse of the same paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val out = SparkEntry.queries("q_variant_extract")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val twin = Tables.events(spark, sf)
+      .select($"event_type",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out == twin)
+  }
+
+  test("q_recursive_cte: engine fixpoint matches the closed-form tree depth") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_recursive_cte")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val users = Tables.events(spark, sf).select($"user_id").distinct()
+      .as[Long].collect().toSet
+    assert(users == (0L until users.size).toSet,
+      "depth recompute below assumes contiguous user ids (all ancestors present)")
+    // depth(u) = floor(log2(u)) + 1 for u >= 1; depth(0) = 0
+    def depth(u: Long): Int =
+      if (u == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(u)
+    val want = users.groupBy(depth).toSeq.sortBy(_._1)
+      .map { case (d, us) => (d, us.size.toLong, us.min, us.max) }
+    assert(out == want)
+  }
+
   test("stream_outer_join: emits unmatched purchases and matches the batch twin") {
     import spark.implicits._
     val out = SparkEntry.queries("stream_outer_join")(spark, sf)
