@@ -228,6 +228,56 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 operators are reachable via spark.sql with identical results") {
+    viewsReady()
+    graft.functions.GraftFunctions.register(spark)
+    sameResult(SparkEntry.queries("text_vocab")(spark, sf),
+      """WITH toks AS (SELECT doc_id,
+        |    explode(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |      FROM toks GROUP BY tok),
+        |t AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT tok, n, n_docs, CAST(n AS DOUBLE) / total AS coverage
+        |FROM c CROSS JOIN t ORDER BY n DESC, tok LIMIT 40""".stripMargin)
+    sameResult(SparkEntry.queries("q_rolling_agg")(spark, sf),
+      """SELECT user_id, event_id, ts_ns div 1000 AS ts_us, value,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns div 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin)
+    sameResult(SparkEntry.queries("q_validate_rows")(spark, sf),
+      """WITH v AS (SELECT
+        |    SUM(CASE WHEN COALESCE(l_discount <= 0.06, false) THEN 0L ELSE 1L END) AS v_discount_le_6pct,
+        |    SUM(CASE WHEN COALESCE(l_extendedprice > 1000.0, false) THEN 0L ELSE 1L END) AS v_price_over_1000,
+        |    SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1.0 AND 50.0, false) THEN 0L ELSE 1L END) AS v_quantity_in_range,
+        |    SUM(CASE WHEN COALESCE(l_tax < 0.05, false) THEN 0L ELSE 1L END) AS v_tax_below_5pct,
+        |    COUNT(*) AS n_rows
+        |  FROM lineitem)
+        |SELECT rule, n_violations,
+        |  CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+        |FROM v
+        |LATERAL VIEW stack(4,
+        |  'discount_le_6pct', v_discount_le_6pct,
+        |  'price_over_1000', v_price_over_1000,
+        |  'quantity_in_range', v_quantity_in_range,
+        |  'tax_below_5pct', v_tax_below_5pct) AS rule, n_violations
+        |ORDER BY rule""".stripMargin)
+    // the MG aggregate itself from SQL, verified exactly like the operator
+    sameResult(SparkEntry.queries("q_heavy_hitters")(spark, sf),
+      """WITH keyed AS (SELECT CASE WHEN l_orderkey % 4 < 2
+        |    THEN concat('hot_', l_orderkey % 2)
+        |    ELSE concat('cold_', l_orderkey % 1000) END AS k FROM lineitem),
+        |s AS (SELECT graft_misra_gries(k, 9) AS mg, COUNT(*) AS total FROM keyed),
+        |cand AS (SELECT explode(map_keys(mg)) AS k, total FROM s)
+        |SELECT k.k AS k, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) / any_value(c.total) AS share
+        |FROM keyed k JOIN cand c ON k.k = c.k
+        |GROUP BY k.k HAVING COUNT(*) * 10 > any_value(c.total)
+        |ORDER BY k""".stripMargin)
+  }
+
   test("every driver-contract query key is documented in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
