@@ -84,6 +84,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 → subset run for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        // a typo'd name silently shrinking the run to zero queries
+        // would print a plausible-looking success JSON
+        System.err.println(
+          s"[graft.bench] WARNING: unknown query names ignored: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = runAll(spark, sfDir, selected, reps)

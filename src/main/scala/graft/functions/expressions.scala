@@ -479,10 +479,21 @@ object GraftFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression exactly as for built-in registry entries
     ("graft_misra_gries", classOf[MisraGriesAgg], es => {
-      if (es.size != 2 || !es(1).foldable || es(1).eval() == null)
-        throw new IllegalArgumentException(
-          "graft_misra_gries(key, m): m must be a literal int")
-      MisraGriesAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
+      def fail(): Nothing = throw new IllegalArgumentException(
+        "graft_misra_gries(key, m): m must be a literal int")
+      if (es.size != 2 || !es(1).foldable) fail()
+      // exact integral values only — a string literal must get the
+      // friendly error (not a ClassCastException) and a fractional
+      // literal must not silently truncate (m changes the
+      // no-false-negative threshold n/(m+1))
+      val m = es(1).eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case _ => fail()
+      }
+      MisraGriesAgg(es.head, m)
     }))
 
   /** Make the functions callable from SQL in an existing session —

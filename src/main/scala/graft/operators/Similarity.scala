@@ -366,20 +366,20 @@ object Similarity {
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
   // -- #36c product quantization ANN ---------------------------------------
-  // PQ: split each 64-dim vector into M=4 16-dim subvectors, train a
-  // K-centroid codebook PER SUBSPACE (one Lloyd round, decimal-exact
+  // PQ: split each 64-dim vector into M=16 4-dim subvectors, train a
+  // 16-centroid codebook PER SUBSPACE (one Lloyd round, decimal-exact
   // sums → IEEE mean, same replayability discipline as IVF), encode
-  // every vector as M small codes, and answer queries by ASYMMETRIC
-  // DISTANCE: the query's exact subvectors against the codebook entries
-  // its candidates point at — distance table lookups, never the raw
-  // corpus vectors. This is the memory-side scale lever (a 64-float
-  // vector becomes M codebook ids — here 4 bytes vs 256, and the
-  // codebooks are KBs broadcast everywhere); IVF prunes WHICH vectors
-  // to score, PQ shrinks WHAT is stored per vector — production ANN
-  // composes both. L2² throughout (subvectors are not normalized, so
-  // cosine is the wrong metric per subspace); the per-subspace partial
-  // distances are decimal-cast before the final sum so the 4-way
-  // add is order-independent across engines.
+  // every vector as M small code indices, and answer queries by
+  // ASYMMETRIC DISTANCE: per-query lookup tables over the codebooks,
+  // never the raw corpus vectors — then an exact re-rank of the top-20
+  // shortlist. This is the memory-side scale lever (a 64-float vector
+  // becomes 16 codebook ids — 16 bytes vs 256, and the codebooks are
+  // KBs broadcast everywhere); IVF prunes WHICH vectors to score, PQ
+  // shrinks WHAT is stored per vector — production ANN composes both.
+  // L2² throughout (subvectors are not normalized, so cosine is the
+  // wrong metric per subspace); the M per-subspace partials sum in
+  // fixed m order on both engines, which is deterministic without
+  // decimal casts.
   private val PqM = 16         // subspaces
   private val PqSub = Dims / PqM
   // FIXED-size codebook: 16 seeds drawn from a bounded id range — a
