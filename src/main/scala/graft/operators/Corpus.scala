@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   // -- text_chunk: overlapping token windows -------------------------------
-  private val ChunkSize = 32
-  private val ChunkStride = 24
+  // shared with pipeline_chunked_corpus (TextAnalysis) — one source of
+  // truth for the chunk geometry
+  private[operators] val ChunkSize = 32
+  private[operators] val ChunkStride = 24
 
   private def chunk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -198,7 +198,10 @@ object TextAnalysis {
   // filters afterwards are pipelined — Catalyst fuses the whole thing,
   // which is the point of expressing pipeline stages as columns rather
   // than materialized intermediate datasets.
-  private def prepareCorpus(s: SparkSession, d: String): DataFrame = {
+  /** The shared dedup→language→quality→sample prefix: survivors with
+    * their token arrays. Both the summary query and the chunked
+    * variant compose on top, so the pipeline definition exists once. */
+  private def preparedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val langs = stop.map(_._1)
@@ -220,33 +223,77 @@ object TextAnalysis {
       .filter($"pred_lang" === "en")
       .filter($"n_words" >= 20 && $"rep_ratio" >= 0.3 && $"stop_ratio" <= 0.5) // tier 'ok'
       .filter($"doc_id" % 2 === 0) // engine-reproducible systematic sample
-      .select($"doc_id", $"n_words")
-      .orderBy($"doc_id")
   }
-  private val prepareCorpusSql = {
+  private def prepareCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    preparedDocs(s, d).select($"doc_id", $"n_words").orderBy($"doc_id")
+  }
+
+  // -- end-to-end: prepared corpus → model-input chunks ---------------------
+  // The full path from raw documents to training examples in ONE plan:
+  // the prepare pipeline's survivors flow straight into the stride-24 /
+  // size-32 token windows (Corpus.ChunkSize geometry) without
+  // materializing an intermediate corpus — the chunk explode fuses into
+  // the same stage as the post-window filters, so the only shuffle in
+  // the whole pipeline is still the dedup fingerprint window.
+  private def chunkedCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val C = Corpus.ChunkSize
+    val S = Corpus.ChunkStride
+    preparedDocs(s, d)
+      .select($"doc_id",
+        expr(s"filter(sequence(0, size(words) - 1, $S), st -> st = 0 OR st - $S + $C < size(words))")
+          .as("starts"), $"words")
+      .select($"doc_id", posexplode($"starts").as(Seq("chunk_id", "st")), $"words")
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        expr(s"slice(words, st + 1, $C)").as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  /** Shared oracle CTE prefix ending in `kept(doc_id, words, n_words)`
+    * — the SQL twin of [[preparedDocs]]. The oracle groups duplicates
+    * by normalized TEXT where Spark groups by the 128-bit fingerprint —
+    * equality of results re-proves the fingerprint collision-free on
+    * the corpus. */
+  private val preparedDocsCtes = {
     val en = stop.head._2
     val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }.mkString(",\n  ")
     val langs = stop.map(_._1)
     val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
-    // the oracle groups duplicates by normalized TEXT where Spark
-    // groups by the 128-bit fingerprint — equality of results re-proves
-    // the fingerprint collision-free on the corpus
-    s"""WITH w AS (SELECT doc_id, ${TextPrep.normSql} AS norm_text,
+    s"""w AS (SELECT doc_id, ${TextPrep.normSql} AS norm_text,
        |             ${TextPrep.wordsSql} AS words FROM documents),
-       |m AS (SELECT doc_id, norm_text, len(words) AS n_words,
+       |m AS (SELECT doc_id, norm_text, words, len(words) AS n_words,
        |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
        |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio,
        |  $scores
        |  FROM w),
-       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY norm_text) AS keep_id FROM m)
-       |SELECT doc_id, n_words FROM k
-       |WHERE doc_id = keep_id
-       |  AND ($pred) = 'en'
-       |  AND n_words >= 20 AND rep_ratio >= 0.3 AND stop_ratio <= 0.5
-       |  AND doc_id % 2 = 0
-       |ORDER BY doc_id""".stripMargin
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY norm_text) AS keep_id FROM m),
+       |kept AS (SELECT doc_id, words, n_words FROM k
+       |  WHERE doc_id = keep_id
+       |    AND ($pred) = 'en'
+       |    AND n_words >= 20 AND rep_ratio >= 0.3 AND stop_ratio <= 0.5
+       |    AND doc_id % 2 = 0)""".stripMargin
+  }
+  private val prepareCorpusSql =
+    s"""WITH $preparedDocsCtes
+       |SELECT doc_id, n_words FROM kept ORDER BY doc_id""".stripMargin
+  private val chunkedCorpusSql = {
+    val C = Corpus.ChunkSize
+    val S = Corpus.ChunkStride
+    s"""WITH $preparedDocsCtes,
+       |st AS (SELECT doc_id, words,
+       |  list_filter(range(0, len(words), $S), st -> st = 0 OR st - $S + $C < len(words)) AS starts
+       |  FROM kept),
+       |ch AS (SELECT doc_id, i - 1 AS chunk_id,
+       |  words[starts[i] + 1 : starts[i] + $C] AS chunk
+       |  FROM st, unnest(range(1, len(starts) + 1)) t(i))
+       |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   }
 
   // -- PII detection + redaction -------------------------------------------
@@ -354,5 +401,6 @@ object TextAnalysis {
     QueryDef("text_pii", pii, Some(piiSql)),
     QueryDef("text_rep_removal", repRemoval, Some(repRemovalSql)),
     QueryDef("pipeline_prepare_corpus", prepareCorpus, Some(prepareCorpusSql)),
+    QueryDef("pipeline_chunked_corpus", chunkedCorpus, Some(chunkedCorpusSql)),
   )
 }

@@ -251,6 +251,11 @@ class PlanSpec extends AnyFunSuite {
     // CDC: exactly the two churned file sets are scanned
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan("q_cdc_diff")).size == 2,
       "CDC diff must read only the manifests' differing file groups")
+    // full raw-docs→chunks pipeline: the dedup fingerprint window is
+    // still the ONLY data shuffle — chunking fuses into the same stage
+    // as the post-window filters
+    assert(hashExchanges("pipeline_chunked_corpus") == 1,
+      "chunked corpus pipeline must shuffle once (the dedup window)")
   }
 
   test("custom expressions run inside whole-stage codegen") {
