@@ -37,10 +37,11 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   // -- text_chunk: overlapping token windows -------------------------------
-  // shared with pipeline_chunked_corpus (TextAnalysis) — one source of
-  // truth for the chunk geometry
-  private[operators] val ChunkSize = 32
-  private[operators] val ChunkStride = 24
+  // shared with pipeline_chunked_corpus (TextAnalysis) and
+  // stream_chunked_ingest (Streaming) — one source of truth for the
+  // chunk geometry
+  private[graft] val ChunkSize = 32
+  private[graft] val ChunkStride = 24
 
   private def chunk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

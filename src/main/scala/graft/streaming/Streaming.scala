@@ -442,6 +442,60 @@ object Streaming {
        |GROUP BY ${graft.operators.TextPrep.normSql}
        |ORDER BY keep_id""".stripMargin
 
+  // -- #43h streaming chunked ingest ----------------------------------------
+  // The streaming twin of pipeline_chunked_corpus's tail: documents
+  // stream in, the first copy per 128-bit fingerprint passes the
+  // first-seen gate (O(1) state/key, same as stream_dedup), survivors
+  // are enriched with their token arrays from the document store
+  // (stateless broadcast join per micro-batch) and exploded into
+  // stride-24/size-32 training chunks — chunking is a stateless map, so
+  // it adds ZERO state to the ingest pipeline. This is dedup-at-ingest
+  // feeding model-input prep continuously instead of as a batch job.
+  private def chunkedIngest(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    import graft.operators.TextPrep
+    val C = graft.operators.Corpus.ChunkSize
+    val S = graft.operators.Corpus.ChunkStride
+    val schema = s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select($"doc_id",
+        graft.functions.GraftFunctions.fingerprint128(TextPrep.norm($"text")).as("fp"))
+      .select($"doc_id", $"fp.h0", $"fp.h1").as[Doc]
+    val store = broadcast(s.read.option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select($"doc_id".as("keep_id"), TextPrep.words($"text").as("words")))
+    val chunked = dedupDs(docs)
+      .join(store, Seq("keep_id"))
+      .select($"keep_id",
+        expr(s"filter(sequence(0, size(words) - 1, $S), st -> st = 0 OR st - $S + $C < size(words))")
+          .as("starts"), $"words")
+      .select($"keep_id", posexplode($"starts").as(Seq("chunk_id", "st")), $"words")
+      .select($"keep_id", $"chunk_id".cast("long").as("chunk_id"),
+        expr(s"slice(words, st + 1, $C)").as("chunk"))
+      .select($"keep_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+    runToMemory(chunked, "graft_stream_chunked", OutputMode.Append())
+      .orderBy($"keep_id", $"chunk_id")
+  }
+  private val chunkedIngestSql = {
+    val C = graft.operators.Corpus.ChunkSize
+    val S = graft.operators.Corpus.ChunkStride
+    s"""WITH kept AS (SELECT MIN(doc_id) AS keep_id FROM documents
+       |  GROUP BY ${graft.operators.TextPrep.normSql}),
+       |w AS (SELECT k.keep_id, ${graft.operators.TextPrep.wordsSql} AS words
+       |      FROM kept k JOIN documents ON doc_id = k.keep_id),
+       |st AS (SELECT keep_id, words,
+       |  list_filter(range(0, len(words), $S), st -> st = 0 OR st - $S + $C < len(words)) AS starts
+       |  FROM w),
+       |ch AS (SELECT keep_id, i - 1 AS chunk_id,
+       |  words[starts[i] + 1 : starts[i] + $C] AS chunk
+       |  FROM st, unnest(range(1, len(starts) + 1)) t(i))
+       |SELECT keep_id, chunk_id, len(chunk) AS n_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM ch ORDER BY keep_id, chunk_id""".stripMargin
+  }
+
   // -- native session_window batch twin -------------------------------------
   // Spark's built-in session operator (merging [ts, ts+gap) intervals)
   // pinned against the same gaps-and-islands formulation the manual
@@ -686,5 +740,6 @@ object Streaming {
     QueryDef("q_session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_outer_join", outerJoinStream, Some(outerJoinStreamSql)),
+    QueryDef("stream_chunked_ingest", chunkedIngest, Some(chunkedIngestSql)),
   )
 }
