@@ -15,6 +15,17 @@ object Maintenance {
   private def tmp(name: String, sfDir: String): String =
     s"/tmp/graft_q/${name}_${new java.io.File(sfDir).getName}"
 
+  /** Engine-exact 2dp rounding of the snapshot rewrite's 1.1× price:
+    * floor(x·100 + 0.5) / 100 on BOTH engines. `round(x, 2)` is NOT
+    * portable — Spark rounds the double's SHORTEST DECIMAL rendering
+    * (BigDecimal.valueOf: "315506.785" → .79) while DuckDB rounds the
+    * exact binary value (…78499999997 → .78); at sf0.1 one row lands
+    * on such a boundary and flips the hash. */
+  private def bumpedPrice(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1.1) * 100.0 + 0.5) / 100.0
+  private val bumpedPriceSql =
+    "floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100 + 0.5) / 100"
+
   // -- q_merge_upsert: MERGE INTO semantics over plain parquet -------------
   // Changes batch = deterministic function of the base table: every
   // o_orderkey % 10 == 0 gets a 10% price bump (update), and a shifted
@@ -164,8 +175,18 @@ object Maintenance {
       java.nio.file.Paths.get(root, s"manifest_v$version.txt")), "UTF-8")
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
 
-  /** True iff every manifest exists and every path it lists does. */
+  // bump when the staged CONTENT changes (e.g. the rewrite's rounding
+  // formula) — an intact-looking layout staged by older code would
+  // otherwise silently serve stale data to the oracle compare
+  private val SnapshotFormat = "v2-floor-rounding"
+
+  /** True iff the layout was staged by THIS code version, every
+    * manifest exists, and every path each manifest lists does. */
   private def snapshotIntact(root: String): Boolean = {
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    if (!java.nio.file.Files.exists(marker) ||
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != SnapshotFormat)
+      return false
     val vs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("manifest_v"))
       .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt)
@@ -186,7 +207,7 @@ object Maintenance {
     // copy-on-write: only group 0 contains keys hit by the update
     s.read.parquet(s"$root/base/g=0")
       .withColumn("o_totalprice",
-        when($"o_orderkey" % 40 === 0, round($"o_totalprice" * 1.1, 2))
+        when($"o_orderkey" % 40 === 0, bumpedPrice($"o_totalprice"))
           .otherwise($"o_totalprice"))
       .write.mode("overwrite").parquet(s"$root/rewrite_g0_v2")
     def manifest(v: Int, paths: Seq[String]): Unit =
@@ -194,6 +215,10 @@ object Maintenance {
         String.join("\n", paths: _*).getBytes("UTF-8"))
     manifest(1, (0 to 3).map(g => s"$root/base/g=$g"))
     manifest(2, s"$root/rewrite_g0_v2" +: (1 to 3).map(g => s"$root/base/g=$g"))
+    // marker LAST: a crash mid-staging leaves no marker → restage
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "staging_format.txt"),
+      SnapshotFormat.getBytes("UTF-8"))
     root
   }
   /** Time-travel read: the snapshot a version's manifest pins. */
@@ -213,7 +238,7 @@ object Maintenance {
        |FROM orders
        |UNION ALL
        |SELECT 2, COUNT(*), ${sqlSum(
-          "CASE WHEN o_orderkey % 40 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END")}
+          s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}
        |FROM orders
        |ORDER BY version""".stripMargin
 
@@ -247,9 +272,9 @@ object Maintenance {
   // % 40 = 0 rows — every change is an update
   private val qCdcDiffSql =
     s"""SELECT o_orderkey, 'update' AS op, o_totalprice AS old_price,
-       |  round(o_totalprice * 1.1, 2) AS new_price
+       |  $bumpedPriceSql AS new_price
        |FROM orders
-       |WHERE o_orderkey % 40 = 0 AND round(o_totalprice * 1.1, 2) <> o_totalprice
+       |WHERE o_orderkey % 40 = 0 AND $bumpedPriceSql <> o_totalprice
        |ORDER BY o_orderkey""".stripMargin
 
   // -- io_vacuum: retention-based physical cleanup -------------------------
@@ -287,7 +312,7 @@ object Maintenance {
   }
   private val qVacuumSql =
     s"""SELECT COUNT(*) AS n, ${sqlSum(
-        "CASE WHEN o_orderkey % 40 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END")}
+        s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}
        |  AS sum_price
        |FROM orders""".stripMargin
 

@@ -137,8 +137,8 @@ class SketchMaintSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_._2 == "update"), "COW rewrite changes rows in place")
     assert(out.forall(r => r._1 % 40 == 0), "only % 40 keys were updated")
-    assert(out.forall(r => math.abs(r._4 - BigDecimal(r._3 * 1.1)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9))
+    assert(out.forall(r =>
+      r._4 == math.floor(r._3 * 1.1 * 100.0 + 0.5) / 100.0))
     // completeness: every % 40 key in the table appears in the feed
     val all = Tables.orders(spark, sf).filter($"o_orderkey" % 40 === 0)
       .select($"o_orderkey").as[Long].collect().toSet
