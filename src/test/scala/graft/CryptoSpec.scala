@@ -248,6 +248,27 @@ class CryptoSpec extends AnyFunSuite {
     assert(dec.select("c_name").na.drop().count() == 30)
   }
 
+  test("modular encryption keeps pushdown and column pruning on plaintext columns") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val out = tmp("modular_pushdown")
+    ModularEncryption.writeEncrypted(cust, out,
+      columnKeys = Map("mk-c" -> Seq("c_name")), footerKeyId = "mk-f")
+    // the 100 TB property: encrypting a column must not cost the scan
+    // its optimizations elsewhere — filters on PLAINTEXT columns still
+    // push into the reader, and an unencrypted-column projection never
+    // decodes the encrypted chunks
+    val df = ModularEncryption.readEncrypted(spark, out)
+      .filter(org.apache.spark.sql.functions.col("c_custkey") > 100)
+      .select("c_custkey", "c_nationkey")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), GreaterThan(c_custkey,100)]"),
+      s"plaintext-column filter must reach the encrypted-parquet scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("c_name"),
+      s"projection must prune the encrypted column from the scan:\n$readSchema")
+    assert(df.count() == cust.filter("c_custkey > 100").count())
+  }
+
   test("masking: hash is deterministic, partial keeps tail, redact constant") {
     import spark.implicits._
     val df = Seq(("4111111111111111", "s")).toDF("card", "x")
