@@ -46,7 +46,7 @@ object Maintenance {
     val cols = base.columns
     base.as("b").join(changes.as("c"),
         $"b.o_orderkey" === $"c.o_orderkey", "full_outer")
-      .select(cols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+      .select(cols.toIndexedSeq.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
   }
 
   private def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
