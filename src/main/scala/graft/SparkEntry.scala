@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.SemiStructured.defs ++ operators.Corpus.defs ++
+      operators.Behavioral.defs ++
       operators.ScaleOps.defs ++ operators.Advanced.defs ++
       operators.Maintenance.defs ++ streaming.Streaming.defs
 

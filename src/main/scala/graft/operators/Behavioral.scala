@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics and training-mix planning (round 5):
+  * ordered funnels, cohort retention, token-budget sequence packing,
+  * and source-mixture rebalancing. All DuckDB-oracled.
+  *
+  * Scale shapes:
+  *  - `q_funnel`: each stage is a per-user min-aggregate; stages chain
+  *    through equi-joins ON user_id, so every shuffle in the chain
+  *    reuses the same hash partitioning — AQE coalesces them into one
+  *    exchange lineage, and no stage ever materializes more than one
+  *    row per user. Timestamps stay integer microseconds end-to-end:
+  *    the stage predicate (strictly-after) is exact, never a float
+  *    comparison.
+  *  - `q_retention`: cohort assignment is a per-user min; the activity
+  *    matrix is a (cohort, offset) countDistinct over (user, week)
+  *    pairs that were already deduplicated map-side. Weeks are integer
+  *    epoch-week numbers (epoch_ns div ns-per-week) — calendar-free,
+  *    so both engines bucket identically.
+  *  - `q_pack_sequences`: GPT-style concat-and-split packing. The
+  *    running token offset is a windowed sum PARTITIONED BY source —
+  *    one shuffle, bounded window state — never a global single-
+  *    partition cumsum (the classic packing scale trap; global packing
+  *    at 100 TB is per-partition pack + partial-sum offset merge, which
+  *    is exactly what the per-source form models). A document spanning
+  *    a sequence boundary contributes to BOTH sequences (split, not
+  *    padded), so every sequence except a source's last is exactly
+  *    full: the explode emits ≤ 1 + n_tokens/budget rows per doc.
+  *  - `q_mixture_weights`: DoReMi-style source re-weighting toward a
+  *    uniform target with an upsampling cap. All shares are computed in
+  *    EXACT integer arithmetic over a common denominator (cap test
+  *    `total < capS·tokens`, effective mass `min(total, cap·S·tokens)`)
+  *    and only the final presentation ratios divide as doubles — one
+  *    division per output cell, so engine partial-agg order can never
+  *    drift the result. The per-source aggregate is the only shuffle;
+  *    the S-row summary then broadcasts.
+  */
+object Behavioral {
+
+  // -- q_funnel: ordered conversion funnel ---------------------------------
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", expr("ts_ns div 1000").as("ts_us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("v_ts"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts_us" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts_us").as("c_ts"), first($"v_ts").as("v_ts"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts_us" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts_us").as("p_ts"), first($"v_ts").as("v_ts"))
+    val s1 = v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"),
+      lit(0L).as("total_latency_us"))
+    val s2 = c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users"),
+      sum($"c_ts" - $"v_ts").as("total_latency_us"))
+    val s3 = p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users"),
+      sum($"p_ts" - $"v_ts").as("total_latency_us"))
+    s1.unionAll(s2).unionAll(s3).orderBy($"stage")
+  }
+  private val funnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, ANY_VALUE(v_ts) AS v_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, ANY_VALUE(v_ts) AS v_ts
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |       CAST(0 AS BIGINT) AS total_latency_us FROM v
+      |UNION ALL
+      |SELECT '2_click', COUNT(*), CAST(SUM(c_ts - v_ts) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*), CAST(SUM(p_ts - v_ts) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // -- q_retention: weekly cohort retention matrix -------------------------
+  private val NsPerWeek = 7L * 86400L * 1000L * 1000L * 1000L
+
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weeks = Tables.events(s, d)
+      .select($"user_id", expr(s"ts_ns div ${NsPerWeek}L").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  private val retentionSql =
+    s"""WITH wk AS (SELECT DISTINCT user_id, epoch_ns(ts) // ${NsPerWeek} AS week
+       |            FROM events),
+       |co AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+       |SELECT cohort_week, week - cohort_week AS week_offset,
+       |       COUNT(DISTINCT wk.user_id) AS n_users
+       |FROM wk JOIN co ON wk.user_id = co.user_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q_pack_sequences: token-budget concat-and-split packing -------------
+  private[graft] val PackBudget = 256L
+
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = PackBudget
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", size(TextPrep.words($"text")).cast("long").as("n"))
+      .filter($"n" > 0) // Spark's sequence() would step BACKWARD on n=0
+      .withColumn("cum", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("seq_id", explode(expr(s"sequence(cum div $B, (cum + n - 1) div $B)")))
+      .withColumn("tok", least(($"seq_id" + 1) * B, $"cum" + $"n")
+        - greatest($"seq_id" * B, $"cum"))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      .orderBy($"source", $"seq_id")
+  }
+  private val packSequencesSql = {
+    val B = PackBudget
+    s"""WITH docs AS (SELECT source, doc_id, len(${TextPrep.wordsSql}) AS n
+       |              FROM documents),
+       |cum AS (SELECT source, doc_id, n,
+       |  CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM docs WHERE n > 0),
+       |pieces AS (SELECT source, doc_id, n, cum, seq_id,
+       |    least((seq_id + 1) * $B, cum + n) - greatest(seq_id * $B, cum) AS tok
+       |  FROM cum, unnest(range(cum // $B, (cum + n - 1) // $B + 1)) t(seq_id))
+       |SELECT source, seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |FROM pieces GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // -- q_mixture_weights: capped uniform-target source re-weighting --------
+  /** Max upsampling factor: a rare source is repeated at most this many
+    * times toward the uniform target (epoch-cap in LLM data mixing). */
+  private[graft] val MixtureCap = 2L
+
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = MixtureCap
+    val perSrc = Tables.documents(s, d)
+      .select($"source", size(TextPrep.words($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val tot = perSrc.agg(sum($"n_tokens").as("total"),
+      count(lit(1)).as("n_sources"))
+    // exact integer mass over common denominator S: uncapped mass of a
+    // source toward uniform is total/S tokens; capping upsampling at
+    // `cap` bounds it by cap·tokens — min(total, cap·S·tokens) in S-ths
+    val massed = perSrc.crossJoin(broadcast(tot))
+      .withColumn("eff_num", least($"total", lit(cap) * $"n_sources" * $"n_tokens"))
+    val wsum = Window.partitionBy(lit(1))
+    massed
+      .withColumn("share", $"n_tokens".cast("double") / $"total")
+      .withColumn("weight",
+        least($"total".cast("double") / ($"n_sources" * $"n_tokens"), lit(cap.toDouble)))
+      .withColumn("resampled_share",
+        $"eff_num".cast("double") / sum($"eff_num").over(wsum))
+      .select($"source", $"n_docs", $"n_tokens", $"share", $"weight",
+        $"resampled_share")
+      .orderBy($"source")
+  }
+  private val mixtureWeightsSql = {
+    val cap = MixtureCap
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(${TextPrep.wordsSql})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |  -- SUM→HUGEINT recast: the driver schema-compares vs Spark's BIGINT
+       |tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM per),
+       |m AS (SELECT per.*, total, n_sources,
+       |    least(total, $cap * n_sources * n_tokens) AS eff_num
+       |  FROM per CROSS JOIN tot)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total AS share,
+       |  least(CAST(total AS DOUBLE) / (n_sources * n_tokens),
+       |        CAST($cap AS DOUBLE)) AS weight,
+       |  CAST(eff_num AS DOUBLE) / SUM(eff_num) OVER () AS resampled_share
+       |FROM m ORDER BY source""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel", funnel, Some(funnelSql)),
+    QueryDef("q_retention", retention, Some(retentionSql)),
+    QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
+  )
+}

@@ -351,6 +351,62 @@ object Maintenance {
        |SELECT priority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
        |FROM evolved GROUP BY priority ORDER BY priority""".stripMargin
 
+  // -- io_deletion_vectors: merge-on-read deletes --------------------------
+  // The CoW snapshot (io_snapshot_read) rewrites a whole file group to
+  // change one row; a delete touching rows in EVERY file would rewrite
+  // the table. Merge-on-read (Delta deletion vectors / Iceberg position
+  // deletes) writes only the POSITIONS of deleted rows — a
+  // (file, row_index) sidecar, KBs against TBs — and readers subtract
+  // it with an anti-join. Delete cost = one scan + tiny write, ZERO
+  // data rewrite; read cost = a broadcast anti-join (the DV is small by
+  // construction — it only lists deleted rows). Compaction later folds
+  // DVs into data files, exactly like io_compaction.
+  private val DvDeletePred = "l_quantity >= 49.0"
+
+  /** Stages the base table (4 files) and writes the deletion vector for
+    * [[DvDeletePred]]; returns the root. Idempotent per (name, sfDir). */
+  def dvRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("io_deletion_vectors", d)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/base")
+    // the "DELETE WHERE": scan base, record positions only
+    s.read.parquet(s"$root/base")
+      .filter(expr(DvDeletePred))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/dv")
+    root
+  }
+
+  /** MoR read: base minus DV positions (broadcast anti-join). */
+  def readWithDv(s: SparkSession, root: String): DataFrame = {
+    val base = s.read.parquet(s"$root/base")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+    base.join(broadcast(s.read.parquet(s"$root/dv")),
+        Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+  }
+
+  private def qDeletionVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = dvRoot(s, d)
+    readWithDv(s, root)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val qDeletionVectorsSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE NOT ($DvDeletePred)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
@@ -359,5 +415,6 @@ object Maintenance {
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
+    QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
   )
 }

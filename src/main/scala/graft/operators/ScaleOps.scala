@@ -39,6 +39,52 @@ object ScaleOps {
     s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // -- dynamic partition pruning -------------------------------------------
+  // The fact's partition filter is unknown at plan time — it comes from
+  // a predicate on the DIM side of a join. Static pruning can't help;
+  // DPP turns the dim side's surviving join keys into a runtime filter
+  // on the fact's FILE LISTING (reusing the join's broadcast), so the
+  // fact scan touches only matching partitions. At 100 TB star-schema
+  // scale this is the mechanism that makes "join the last-week dim
+  // slice" read a week, not the decade. PlanSpec pins
+  // `dynamicpruningexpression` in the fact scan's PartitionFilters.
+  /** Stages a priority dim table derived from the data (distinct
+    * priorities + their numeric urgency); returns its path. */
+  def dppDim(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dim = tmp("q_dpp_dim", d)
+    Tables.orders(s, d).select($"o_orderpriority").distinct()
+      .withColumn("urgency", split($"o_orderpriority", "-")(0).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(dim)
+    dim
+  }
+
+  /** The partitioned-fact ⋈ filtered-dim join alone (for PlanSpec). */
+  def dppJoinOnly(s: SparkSession, fact: String, dim: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(fact)
+      .join(s.read.parquet(dim).filter($"urgency" <= 2), "o_orderpriority")
+  }
+
+  private def dppJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = partitionedOrders(s, d)
+    val dim = dppDim(s, d)
+    dppJoinOnly(s, fact, dim)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+  private val dppJoinSql =
+    s"""WITH dim AS (SELECT DISTINCT o_orderpriority,
+       |    CAST(split_part(o_orderpriority, '-', 1) AS INT) AS urgency
+       |  FROM orders)
+       |SELECT o.o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders o JOIN dim USING (o_orderpriority)
+       |WHERE urgency <= 2
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- bucketed co-located join --------------------------------------------
   // Both fact tables bucketed on the join key at write time: the join
   // reads co-located buckets and needs NO shuffle at read time — the
@@ -359,6 +405,7 @@ object ScaleOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
+    QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),
     QueryDef("q_hll_sketch_merge", hllSketchMerge, None),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),

@@ -304,8 +304,37 @@ object SemiStructured {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
   }
 
+  // -- q_collate_group: collation-aware grouping (Spark 4) -----------------
+  // Case-insensitive semantics declared IN THE TYPE: grouping under the
+  // UTF8_LCASE collation folds case at compare time, and the collation
+  // travels with the column through joins/sorts/aggs — no lower()
+  // shadow column to keep in sync (the pre-collation idiom, which
+  // silently breaks the moment one code path forgets the wrapper).
+  // Still codegen'd + map-side-combinable like any hash aggregate; the
+  // output casts back to UTF8_BINARY so the result schema stays
+  // engine-neutral. Mixed-case input derived deterministically from
+  // the data (even custkeys see UPPER, odd see lower).
+  private def collateGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    Tables.customer(s, d)
+      .withColumn("seg", when($"c_custkey" % 2 === 0, upper($"c_mktsegment"))
+        .otherwise(lower($"c_mktsegment")))
+      .groupBy(collate($"seg", "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+      .select(collate(lower($"k"), "UTF8_BINARY").as("segment"), $"n", $"sum_bal")
+      .orderBy($"segment")
+  }
+  private val collateGroupSql =
+    s"""WITH c AS (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+       |    ELSE lower(c_mktsegment) END AS seg, c_acctbal FROM customer)
+       |SELECT lower(seg) AS segment, COUNT(*) AS n,
+       |  ${graft.OracleMath.sqlSum("c_acctbal")} AS sum_bal
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),
     QueryDef("q_profile_stats", profile, Some(profileSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),

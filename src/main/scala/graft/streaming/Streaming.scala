@@ -728,8 +728,72 @@ object Streaming {
        |  AND (np * v6 - s6) * (np * v6 - s6) > 9 * (np * q12 - s6 * s6)
        |ORDER BY user_id, ts_us""".stripMargin
 
+  // -- #43i streaming redelivery dedup (dropDuplicatesWithinWatermark) ------
+  // Exactly-once ingest over an at-least-once transport (Kafka
+  // redelivery, retried file drops): the SAME events file is staged
+  // twice and the built-in dropDuplicatesWithinWatermark emits each
+  // event_id once, dropping the redelivered copies — whether they land
+  // in the same micro-batch (in-batch state check) or a later one
+  // (cross-batch state). Contrast with stream_dedup
+  // (flatMapGroupsWithState, NoTimeout — state lives forever): here
+  // eviction is DECLARATIVE — a key's guard survives only until the
+  // watermark passes its event time + delay, so state is bounded by the
+  // REDELIVERY HORIZON (the delay), not by stream length. That is the
+  // correct bound for transport dedup: a transport redelivers within
+  // minutes, so state is O(events per delay window) even on an
+  // unbounded stream. Output is deterministic because duplicates are
+  // bit-identical rows — whichever copy wins, the row is the same.
+  // The heartbeat is excluded by a WATERMARK-COLUMN predicate between
+  // the watermark node and the dedup (any other column's filter gets
+  // pushed below the watermark node and would kill it): the staged
+  // heartbeat clones a real row's event_id, and without the filter the
+  // far-future clone could race the real row into the dedup state.
+  private[graft] def stageRedelivered(s: SparkSession, d: String): (String, Long) = {
+    val (base, hbNs) = stageWithHeartbeat(s, d)
+    stagedDirs.computeIfAbsent("redeliver:" + d, _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = Files.createTempDirectory("graft_stream_redeliver")
+      for ((src, dst) <- Seq(
+          "events.parquet" -> "events.parquet",
+          "events.parquet" -> "events_redelivered.parquet",
+          "events_heartbeat.parquet" -> "events_heartbeat.parquet")) {
+        val from = Paths.get(base, src)
+        try Files.createLink(tmp.resolve(dst), from)
+        catch { case _: Exception =>
+          Files.copy(from, tmp.resolve(dst), StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      (tmp.toString, hbNs)
+    })
+  }
+
+  /** Un-started redelivery-dedup stream — shared with the eviction spec. */
+  def redeliveryDedupStream(s: SparkSession, dir: String, hbNs: Long,
+      delay: String = "48 hours"): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir, glob = "events*.parquet")
+      .withWatermark("ts", delay)
+      .filter($"ts" < timestamp_micros(lit(hbNs / 1000)))
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"user_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"), $"value")
+  }
+
+  private def dedupWatermark(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val (dir, hbNs) = stageRedelivered(s, d)
+      runToMemory(redeliveryDedupStream(s, dir, hbNs),
+        "graft_stream_dedup_wm", OutputMode.Append())
+        .orderBy($"event_id")
+    }
+  private val dedupWatermarkSql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),
     QueryDef("stream_zscore", zscoreStream, Some(zscoreStreamSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 batch 2: event-sequence analytics (funnel, retention),
+  * training-mix planning (sequence packing, mixture weights), lake
+  * merge-on-read deletes, collation-aware grouping, and the
+  * redelivery-dedup stream — each on crafted inputs with hand-computed
+  * answers.
+  */
+class BehavioralSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Stage crafted (event_id, ts_ns, user_id, event_type) events under a
+    * temp sf-dir shaped like testdata. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_behav_ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Stage crafted (doc_id, source, text) documents under a temp sf-dir. */
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_behav_doc").toString
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("q_funnel: stage order is strict — click before view doesn't convert") {
+    import spark.implicits._
+    val us = 1000L // 1 microsecond in ns
+    val dir = eventsDir(Seq(
+      // user 1: full ordered funnel (click +1us, purchase +2us after view)
+      (1L, 1 * us, 1L, "view"), (2L, 2 * us, 1L, "click"), (3L, 3 * us, 1L, "purchase"),
+      // user 2: click BEFORE view — must not count as converted
+      (4L, 1 * us, 2L, "click"), (5L, 2 * us, 2L, "view"),
+      // user 3: purchase without click — funnel stops at view
+      (6L, 1 * us, 3L, "view"), (7L, 2 * us, 3L, "purchase"),
+      // user 4: click at the SAME instant as view — strictly-after fails
+      (8L, 1 * us, 4L, "view"), (9L, 1 * us, 4L, "click")))
+    val out = SparkEntry.queries("q_funnel")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("1_view", 4L, 0L), ("2_click", 1L, 1L), ("3_purchase", 1L, 2L)))
+  }
+
+  test("q_retention: cohort = first week, offsets count distinct returning users") {
+    import spark.implicits._
+    val wk = 7L * 86400L * 1000L * 1000L * 1000L
+    val dir = eventsDir(Seq(
+      // user 1: cohort week 0, active weeks 0, 1, 3
+      (1L, 0 * wk + 5, 1L, "view"), (2L, 1 * wk + 5, 1L, "view"),
+      (3L, 3 * wk + 5, 1L, "view"),
+      // two events same week — still ONE distinct user-week
+      (4L, 0 * wk + 9, 1L, "click"),
+      // user 2: cohort week 1, active weeks 1, 2
+      (5L, 1 * wk + 5, 2L, "view"), (6L, 2 * wk + 5, 2L, "view")))
+    val out = SparkEntry.queries("q_retention")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("q_pack_sequences: concat-and-split fills every non-final sequence exactly") {
+    import spark.implicits._
+    // budget 256; source s: 100 + 200 + 30 tokens. Doc 2 spans the
+    // boundary: 156 tokens close sequence 0 at exactly 256, 44 spill
+    // into sequence 1, which doc 3 then joins. Source t packs alone.
+    val dir = docsDir(Seq(
+      (1L, "s", toks("a", 100)), (2L, "s", toks("b", 200)),
+      (3L, "s", toks("c", 30)), (4L, "t", toks("d", 10))))
+    val out = SparkEntry.queries("q_pack_sequences")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s", 0L, 2L, 256L), ("s", 1L, 2L, 74L), ("t", 0L, 1L, 10L)))
+  }
+
+  test("q_mixture_weights: cap binds on rare sources, masses stay exact") {
+    import spark.implicits._
+    // tokens 10 / 100 / 1000; uniform target = 370 each. Sources a and
+    // b would need >2x upsampling — the cap binds; c is downsampled.
+    val dir = docsDir(Seq(
+      (1L, "a", toks("a", 10)), (2L, "b", toks("b", 100)),
+      (3L, "c", toks("c", 1000))))
+    val out = SparkEntry.queries("q_mixture_weights")(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val byS = out.map(r => r._1 -> r).toMap
+    assert(byS("a")._5 == 2.0 && byS("b")._5 == 2.0, "cap must bind on a and b")
+    assert(byS("c")._5 == 1110.0 / 3000.0)
+    // effective masses 60 / 600 / 1110 (in source-count-ths), sum 1770
+    assert(byS("a")._6 == 60.0 / 1770.0)
+    assert(byS("b")._6 == 600.0 / 1770.0)
+    assert(byS("c")._6 == 1110.0 / 1770.0)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-12)
+    // rebalancing direction: rare sources gain share, dominant loses
+    assert(byS("a")._6 > byS("a")._4 && byS("c")._6 < byS("c")._4)
+  }
+
+  test("io_deletion_vectors: delete rewrites no data, DV stays tiny, read subtracts") {
+    import spark.implicits._
+    val root = operators.Maintenance.dvRoot(spark, sf)
+    def files(sub: String) = new java.io.File(s"$root/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val baseRows = spark.read.parquet(s"$root/base").count()
+    val deleted = spark.read.parquet(s"$root/base")
+      .filter(expr("l_quantity >= 49.0")).count()
+    val dv = spark.read.parquet(s"$root/dv")
+    assert(dv.count() == deleted, "DV lists exactly the deleted positions")
+    assert(dv.select($"file_path").distinct().count() > 1,
+      "delete touches several files — CoW would have rewritten them all")
+    // merge-on-read: base minus DV == predicate filter, row for row
+    val mor = operators.Maintenance.readWithDv(spark, root)
+    assert(mor.count() == baseRows - deleted)
+    assert(mor.filter(expr("l_quantity >= 49.0")).count() == 0)
+    // the whole point: the DV sidecar is a sliver of the data size
+    val baseBytes = files("base").map(_.length()).sum
+    val dvBytes = files("dv").map(_.length()).sum
+    assert(dvBytes < baseBytes / 10,
+      s"DV must be far smaller than the data it deletes from ($dvBytes vs $baseBytes)")
+  }
+
+  test("q_collate_group: UTF8_LCASE grouping folds case without a shadow column") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_collate_group")(spark, sf)
+    // output schema is engine-neutral plain string (collation cast away)
+    assert(out.schema("segment").dataType == org.apache.spark.sql.types.StringType)
+    val got = out.select($"segment", $"n").as[(String, Long)].collect().toMap
+    val want = Tables.customer(spark, sf)
+      .groupBy(lower($"c_mktsegment").as("seg")).count()
+      .as[(String, Long)].collect().toMap
+    assert(got == want, "collated grouping must equal explicit lower() grouping")
+    assert(got.keys.forall(k => k == k.toLowerCase))
+  }
+
+  test("stream_dedup_watermark: redelivered file adds zero rows, state evicts") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // the staged dir replays events.parquet TWICE; output must equal the
+    // single-copy table exactly
+    val out = SparkEntry.queries("stream_dedup_watermark")(spark, sf)
+    val evN = Tables.events(spark, sf).count()
+    assert(out.count() == evN, "each redelivered event emitted exactly once")
+    assert(out.select($"event_id").distinct().count() == evN)
+    // eviction probe: short delay → the heartbeat's watermark passes
+    // every event_id's (event time + delay) and the store ends EMPTY —
+    // the bounded-state property the NoTimeout flatMapGroups dedup
+    // (stream_dedup) deliberately trades away
+    val (dir, hbNs) = streaming.Streaming.stageRedelivered(spark, sf)
+    val q = streaming.Streaming.redeliveryDedupStream(spark, dir, hbNs, delay = "1 hour")
+      .writeStream.format("memory").queryName("graft_dedup_wm_probe")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty && stateRows.max > 0,
+      "dedup keys must pass through the state store")
+    assert(stateRows.last == 0,
+      s"redelivery-horizon state must evict at end of replay, got ${stateRows.toSeq}")
+  }
+}

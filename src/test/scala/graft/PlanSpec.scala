@@ -256,6 +256,20 @@ class PlanSpec extends AnyFunSuite {
     // as the post-window filters
     assert(hashExchanges("pipeline_chunked_corpus") == 1,
       "chunked corpus pipeline must shuffle once (the dedup window)")
+    // round-5 batch 2
+    assert(hashExchanges("q_pack_sequences") == 2,
+      "packing: the per-source cumsum window + the (source, seq) aggregate")
+    assert(hashExchanges("q_retention") <= 3,
+      "retention: user-week distinct, cohort min, cohort-offset count")
+  }
+
+  test("q_dpp_join: dim filter prunes the fact's partitions at RUNTIME") {
+    val fact = operators.ScaleOps.partitionedOrders(spark, sf)
+    val dim = operators.ScaleOps.dppDim(spark, sf)
+    val p = operators.ScaleOps.dppJoinOnly(spark, fact, dim)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan must carry a dynamic partition filter from the dim side:\n$p")
   }
 
   test("custom expressions run inside whole-stage codegen") {
