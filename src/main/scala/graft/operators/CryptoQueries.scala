@@ -197,7 +197,36 @@ object CryptoQueries {
        |  ${sqlSum("p_retailprice")} AS sum_price
        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // -- crypto-shredding: GDPR erasure by key destruction -------------------
+  // Stage per-tenant envelope encryption (tenant = c_nationkey), forget
+  // tenant 7 by deleting ONE keystore row (zero data IO), then read:
+  // live tenants decrypt losslessly (the oracle proves it against the
+  // plaintext table), the shredded tenant's names are unrecoverable.
+  private val ShreddedTenant = 7L
+
+  private def cryptoShred(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tmp("crypto_shred", d)
+    TenantShred.stage(s, Tables.customer(s, d), "c_nationkey", "c_name", root)
+    TenantShred.shred(s, root, ShreddedTenant)
+    TenantShred.read(s, root, "c_name")
+      .groupBy($"tenant_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"c_name" =!= TenantShred.Masked, 1L).otherwise(0L))
+          .as("names_readable"),
+        min($"c_name").as("min_name"))
+      .orderBy($"tenant_id")
+  }
+  private val cryptoShredSql =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS tenant_id, COUNT(*) AS n,
+       |  CAST(CASE WHEN c_nationkey = $ShreddedTenant THEN 0
+       |       ELSE COUNT(*) END AS BIGINT) AS names_readable,
+       |  CASE WHEN c_nationkey = $ShreddedTenant THEN '${TenantShred.Masked}'
+       |       ELSE MIN(c_name) END AS min_name
+       |FROM customer GROUP BY c_nationkey ORDER BY tenant_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("crypto_shred", cryptoShred, Some(cryptoShredSql)),
     QueryDef("io_parquet_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
     QueryDef("io_column_projection", ioProjection, Some(ioProjectionSql)),
     QueryDef("crypto_encrypt_columns", encryptColumns, Some(encryptColumnsSql)),

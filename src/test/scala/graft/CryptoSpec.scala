@@ -289,4 +289,36 @@ class CryptoSpec extends AnyFunSuite {
     assert(v.select("c_name").limit(1).collect()(0).getString(0).matches("[0-9a-f]{64}"))
     intercept[IllegalArgumentException] { policy(cust, "nosuchrole") }
   }
+
+  test("crypto-shredding: key deletion erases a tenant with zero data IO") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_shred").toString
+    TenantShred.stage(spark, cust, "c_nationkey", "c_name", root)
+    // disk holds ciphertext only: no staged name equals its plaintext
+    val joined = spark.read.parquet(s"$root/data")
+      .select($"c_custkey", $"c_name".as("ct"))
+      .join(cust.select($"c_custkey", $"c_name"), "c_custkey")
+    assert(joined.filter($"ct".cast("string") === $"c_name").count() == 0)
+    // keystore persists only wrapped DEKs (56B = 16B key + 12B IV + 16B
+    // tag + base64 overhead — never a raw 16B key)
+    val ksCountBefore = spark.read.parquet(s"$root/keystore")
+      .filter(length(unbase64($"wrapped_dek")) > 16).count() // wrapped ≠ raw 16B key
+    assert(ksCountBefore == cust.select($"c_nationkey").distinct().count())
+    val dataFiles = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    TenantShred.shred(spark, root, 3L)
+    // the forget touched NO data file — pure keystore arithmetic
+    val after = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == dataFiles, "shred must not rewrite or touch data files")
+    assert(ksCountBefore - spark.read.parquet(s"$root/keystore").count() == 1)
+    // read: exactly tenant 3 masked, everyone else decrypts losslessly
+    val out = TenantShred.read(spark, root, "c_name")
+    assert(out.filter($"c_name" === TenantShred.Masked)
+      .select($"tenant_id").distinct().as[Long].collect().toSeq == Seq(3L))
+    val live = out.filter($"tenant_id" =!= 3L)
+      .select($"c_custkey", $"c_name".as("dec"))
+      .join(cust.select($"c_custkey", $"c_name"), "c_custkey")
+    assert(live.filter($"dec" =!= $"c_name").count() == 0, "live tenants must round-trip")
+  }
 }

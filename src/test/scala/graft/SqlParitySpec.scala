@@ -278,6 +278,53 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY k""".stripMargin)
   }
 
+  test("round-5 batch-2 operators are reachable via spark.sql with identical results") {
+    viewsReady()
+    sameResult(SparkEntry.queries("q_funnel")(spark, sf),
+      """WITH ev AS (SELECT user_id, event_type, ts_ns div 1000 AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, any_value(v_ts) AS v_ts
+        |      FROM ev JOIN v ON ev.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, any_value(v_ts) AS v_ts
+        |      FROM ev JOIN c ON ev.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users, 0L AS total_latency_us FROM v
+        |UNION ALL SELECT '2_click', COUNT(*), SUM(c_ts - v_ts) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*), SUM(p_ts - v_ts) FROM p
+        |ORDER BY stage""".stripMargin)
+    sameResult(SparkEntry.queries("q_retention")(spark, sf),
+      """WITH wk AS (SELECT DISTINCT user_id, ts_ns div 604800000000000L AS week
+        |            FROM events),
+        |co AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       COUNT(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN co ON wk.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    sameResult(SparkEntry.queries("q_pack_sequences")(spark, sf),
+      """WITH docs AS (SELECT source, doc_id,
+        |    cast(size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (SELECT source, doc_id, n,
+        |  COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cum
+        |  FROM docs WHERE n > 0),
+        |pieces AS (SELECT source, doc_id, n, cum,
+        |    explode(sequence(cum div 256, (cum + n - 1) div 256)) AS seq_id
+        |  FROM cum)
+        |SELECT source, seq_id, COUNT(*) AS n_docs,
+        |  SUM(least((seq_id + 1) * 256, cum + n) - greatest(seq_id * 256, cum)) AS n_tokens
+        |FROM pieces GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    sameResult(SparkEntry.queries("q_collate_group")(spark, sf),
+      """WITH c AS (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |    ELSE lower(c_mktsegment) END AS seg, c_acctbal FROM customer)
+        |SELECT collate(lower(collate(seg, 'UTF8_LCASE')), 'UTF8_BINARY') AS segment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM c GROUP BY collate(seg, 'UTF8_LCASE') ORDER BY segment""".stripMargin)
+  }
+
   test("every driver-contract query key is documented in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
