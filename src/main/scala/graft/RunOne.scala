@@ -17,10 +17,15 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    val t0 = System.nanoTime()
+    val reps = sys.env.getOrElse("GRAFT_RUNONE_REPS", "1").toInt
+    var n = 0L
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      n = df.count()
+      println(f"[runone] $name rows=$n rep=$r time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     val df = fn(spark, sfDir)
-    val n = df.count()
-    println(f"[runone] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     if (args.length > 2 && args(2) == "explain")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

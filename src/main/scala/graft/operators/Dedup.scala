@@ -183,10 +183,13 @@ object Dedup {
       .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
     def blockVal(b: Int): Column =
       shiftrightunsigned($"sig", offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    // posexplode over a flat long array: the position IS the band id —
+    // a 13-entry named_struct array here generates a Janino method big
+    // enough that its one-time compile dominated the query (9s of a 13s
+    // first run at sf0.1; steady-state is 4.6s)
     val exact = docs.select($"doc_id", $"sig",
-        explode(array((0 until widths.size).map(b =>
-          struct(lit(b).as("band_id"), blockVal(b).as("band_val"))): _*)).as("band"))
-      .select($"doc_id", $"sig", $"band.band_id", $"band.band_val")
+        posexplode(array((0 until widths.size).map(blockVal): _*))
+          .as(Seq("band_id", "band_val")))
     // probe side: exact value + every 1-bit flip of each block (only
     // needed beyond the pigeonhole budget of the plain block join)
     val probeSide =
