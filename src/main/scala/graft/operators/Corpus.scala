@@ -181,7 +181,46 @@ object Corpus {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- text_lm_score: corpus bigram-LM familiarity -------------------------
+  // The shape of LM-based quality filtering (CCNet's wikipedia-LM
+  // perplexity gate) with the LM trained ON the corpus itself: score =
+  // average corpus frequency of the document's bigrams. Repetitive
+  // boilerplate scores high, novel/garbled text scores low. Exactness:
+  // the per-bigram counts and the per-doc mass are integers; the single
+  // final division is the only float op, so the oracle hash-matches.
+  // Scale: the bigram count rides a WINDOW over the bigram partitioning
+  // (one shuffle, reusing the tfidf df-via-window pattern) instead of a
+  // count table + join-back (two); the per-doc aggregate is the second
+  // and last shuffle. At 100 TB the window key becomes the 128-bit
+  // bigram fingerprint so shuffle rows stay 16 bytes — string keys here
+  // keep the oracle joinable.
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+      .filter(size($"w") >= 2) // sequence() would step backward on 1-word docs
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    bigrams
+      .withColumn("bg_n", count(lit(1)).over(Window.partitionBy($"bg")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bg_n").as("familiarity_mass"))
+      .withColumn("familiarity", $"familiarity_mass".cast("double") / $"n_bigrams")
+      .orderBy($"doc_id")
+  }
+  private val lmScoreSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+       |       FROM docs, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+       |cnt AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY bg) AS bg_n FROM bg)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(bg_n) AS BIGINT) AS familiarity_mass,
+       |  CAST(SUM(bg_n) AS DOUBLE) / COUNT(*) AS familiarity
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),

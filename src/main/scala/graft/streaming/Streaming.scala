@@ -791,9 +791,79 @@ object Streaming {
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // -- #43j streaming conversion funnel ------------------------------------
+  // Real-time funnel tracking: per-user state machine (first view →
+  // first strictly-later click → first strictly-later purchase) that
+  // EMITS the conversion row the moment the purchase lands — the
+  // streaming twin of q_funnel's per-user chain, with O(1) state (three
+  // microsecond stamps) per user instead of three joins. Strictness is
+  // compared in MICROSECONDS, the same unit as the batch oracle. Events
+  // are folded in (ts, event_id) order within each batch (same
+  // in-order-replay contract as stream_zscore / sessionize), so the
+  // emitted set equals the batch funnel's converted users exactly. A
+  // completed user's state is a terminal marker; further events are
+  // ignored (no re-emission).
+  final case class FEv(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+  final case class FState(vUs: Long, cUs: Long, pUs: Long)
+  final case class Conversion(user_id: Long, v_ts_us: Long, c_ts_us: Long, p_ts_us: Long)
+
+  def funnelFold(userId: Long, events: Iterator[FEv],
+      state: GroupState[FState]): Iterator[Conversion] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ns, e.event_id))
+    var st = state.getOption.getOrElse(FState(-1L, -1L, -1L))
+    val out = Seq.newBuilder[Conversion]
+    sorted.foreach { e =>
+      val us = e.ts_ns / 1000
+      if (st.pUs < 0) e.event_type match {
+        case "view" if st.vUs < 0 => st = st.copy(vUs = us)
+        case "click" if st.cUs < 0 && st.vUs >= 0 && us > st.vUs =>
+          st = st.copy(cUs = us)
+        case "purchase" if st.cUs >= 0 && us > st.cUs =>
+          st = st.copy(pUs = us)
+          out += Conversion(userId, st.vUs, st.cUs, us)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Funnel pipeline over any streaming FEv dataset — shared by the
+    * driver query and the multi-batch state-carry spec (time-sliced
+    * files + maxFilesPerTrigger=1). */
+  def funnelDs(evs: org.apache.spark.sql.Dataset[FEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(funnelFold)
+      .toDF()
+  }
+
+  private def funnelStreamQuery(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val evs = eventsStream(s, d)
+        .select($"user_id", $"ts_ns", $"event_id", $"event_type").as[FEv]
+      runToMemory(funnelDs(evs), "graft_stream_funnel", OutputMode.Append())
+        .orderBy($"user_id")
+    }
+  private val funnelStreamSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, ANY_VALUE(v_ts) AS v_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, ANY_VALUE(c_ts) AS c_ts,
+      |             ANY_VALUE(v_ts) AS v_ts
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id)
+      |SELECT user_id, v_ts AS v_ts_us, c_ts AS c_ts_us, p_ts AS p_ts_us
+      |FROM p ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),
+    QueryDef("stream_funnel", funnelStreamQuery, Some(funnelStreamSql)),
     QueryDef("stream_zscore", zscoreStream, Some(zscoreStreamSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),

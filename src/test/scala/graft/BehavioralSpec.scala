@@ -145,6 +145,69 @@ class BehavioralSpec extends AnyFunSuite {
     assert(got.keys.forall(k => k == k.toLowerCase))
   }
 
+  test("text_lm_score: repeated bigrams score high, novel text scores low") {
+    import spark.implicits._
+    // docs 1 and 2 share every bigram ("a b", "b c"); doc 3 is all-novel
+    val dir = docsDir(Seq(
+      (1L, "s", "a b c"), (2L, "s", "a b c"), (3L, "s", "x y z")))
+    val out = SparkEntry.queries("text_lm_score")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // shared bigrams each appear 4x in the corpus (2 docs x 2 bigrams
+    // counted per occurrence: "a b" in doc1 + doc2 = count 2; mass per
+    // doc = 2 + 2 = 4 over 2 bigrams -> familiarity 2.0; novel doc = 1.0
+    assert(out == Seq((1L, 2L, 4L, 2.0), (2L, 2L, 4L, 2.0), (3L, 2L, 2L, 1.0)))
+  }
+
+  test("stream_funnel: conversions emit on purchase, state carries across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // whole-table replay equals the batch funnel's converted-user set
+    val streamed = SparkEntry.queries("stream_funnel")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    val batch = spark.sql(
+      """WITH ev AS (SELECT user_id, event_type, ts_ns div 1000 AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, any_value(v_ts) AS v_ts
+        |      FROM ev JOIN v ON ev.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, any_value(c_ts) AS c_ts,
+        |             any_value(v_ts) AS v_ts
+        |      FROM ev JOIN c ON ev.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id)
+        |SELECT user_id, v_ts, c_ts, p_ts FROM p ORDER BY user_id""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch, "streamed conversions must equal the batch funnel")
+    // state carry: view / click / purchase arrive in three separate
+    // micro-batches; the conversion may only emit in the LAST batch
+    val us = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_slices").toFile
+    Seq(
+      Seq((1L, 1 * us, 1L, "view"), (2L, 1 * us, 2L, "view")),
+      Seq((3L, 2 * us, 1L, "click"), (4L, 2 * us, 2L, "purchase")), // u2: no click
+      Seq((5L, 3 * us, 1L, "purchase"))).foreach { rows =>
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(100) // distinct mtimes → deterministic file order
+    }
+    val schema = spark.read.parquet(dir.getPath).schema
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+      .withColumnRenamed("ts", "ts_ns")
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type")
+      .as[streaming.Streaming.FEv]
+    val q = streaming.Streaming.funnelDs(evs)
+      .writeStream.format("memory").queryName("graft_funnel_slices")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("graft_funnel_slices")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, 3L)),
+      s"user 1 converts across three batches, user 2 must not (purchase w/o click): $out")
+  }
+
   test("stream_dedup_watermark: redelivered file adds zero rows, state evicts") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import spark.implicits._
