@@ -447,7 +447,58 @@ object Advanced {
        |  RANGE BETWEEN $RollingUs PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // -- q_gap_fill: time-series densification + forward fill ----------------
+  // Sensor/metric pipelines need a DENSE series from sparse events:
+  // every hour in each user's [first, last] range gets a row, absent
+  // hours carry n_events = 0 and the last observed running value
+  // (forward fill). Scale shape: the spine is generated per user from
+  // its own span (sequence + explode — rows bounded by span, no global
+  // calendar cross join); the sparse aggregate, the spine join, and the
+  // fill window all share the user_id hash partitioning, so the plan is
+  // one aggregate shuffle + one join shuffle and a partition-local
+  // window. Hours are integer epoch-hours (calendar-free, engine-
+  // identical); the fill is last(ignoreNulls) — order-deterministic.
+  private val NsPerHour = 3600L * 1000 * 1000 * 1000
+
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .select($"user_id", expr(s"ts_ns div ${NsPerHour}L").as("h"), $"value")
+      .groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+    val spine = hourly.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(expr("sequence(h0, h1)")).as("h"))
+    val fillW = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h".as("hour"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        ($"n_events".isNull).as("filled"),
+        last($"sum_value", ignoreNulls = true).over(fillW).as("running_value"))
+      .orderBy($"user_id", $"hour")
+  }
+  private val qGapFillSql =
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_ns(ts) // ${NsPerHour} AS h,
+       |    COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id, h0 + i AS h
+       |  FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+       |        FROM hourly GROUP BY user_id) s,
+       |       unnest(range(0, h1 - h0 + 1)) t(i))
+       |SELECT s.user_id, s.h AS hour,
+       |  COALESCE(n_events, 0) AS n_events,
+       |  n_events IS NULL AS filled,
+       |  last_value(sum_value IGNORE NULLS)
+       |    OVER (PARTITION BY s.user_id ORDER BY s.h
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+       |FROM spine s LEFT JOIN hourly USING (user_id, h)
+       |ORDER BY user_id, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)),

@@ -86,23 +86,29 @@ object Behavioral {
 
   private def retention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val weeks = Tables.events(s, d)
+    // cohort = window-min over the distinct (user, week) pairs (no
+    // groupBy + join back); after the distinct, each user contributes
+    // at most ONE row per offset, so the final count is a plain
+    // count(*) — no countDistinct, no multi-distinct Expand rewrite.
+    // Three shuffles total: the pair distinct, the user window, the
+    // (cohort, offset) count.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    Tables.events(s, d)
       .select($"user_id", expr(s"ts_ns div ${NsPerWeek}L").as("week"))
       .distinct()
-    val cohort = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
-    weeks.join(cohort, "user_id")
+      .withColumn("cohort_week", min($"week").over(w))
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_week", $"week_offset")
   }
   private val retentionSql =
     s"""WITH wk AS (SELECT DISTINCT user_id, epoch_ns(ts) // ${NsPerWeek} AS week
        |            FROM events),
-       |co AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+       |co AS (SELECT user_id, week,
+       |         MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
        |SELECT cohort_week, week - cohort_week AS week_offset,
-       |       COUNT(DISTINCT wk.user_id) AS n_users
-       |FROM wk JOIN co ON wk.user_id = co.user_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |       COUNT(*) AS n_users
+       |FROM co GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -- q_pack_sequences: token-budget concat-and-split packing -------------
   private[graft] val PackBudget = 256L

@@ -145,6 +145,25 @@ class BehavioralSpec extends AnyFunSuite {
     assert(got.keys.forall(k => k == k.toLowerCase))
   }
 
+  test("q_gap_fill: every hour in the span appears, gaps forward-fill") {
+    import spark.implicits._
+    val hr = 3600L * 1000 * 1000 * 1000
+    val dir = eventsDir(Seq(
+      // user 1: hours 10 (two events) and 13 (one) — 11, 12 are gaps
+      (1L, 10 * hr + 5, 1L, "view"), (2L, 10 * hr + 9, 1L, "view"),
+      (3L, 13 * hr + 5, 1L, "view"),
+      // user 2: single hour — span of one, nothing to fill
+      (4L, 20 * hr + 5, 2L, "view")))
+    val out = SparkEntry.queries("q_gap_fill")(spark, dir)
+      .as[(Long, Long, Long, Boolean, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 2L, false, 2.0), // value=1.0 per event, dsum = 2.0
+      (1L, 11L, 0L, true, 2.0),  // gap: carries hour 10's running value
+      (1L, 12L, 0L, true, 2.0),
+      (1L, 13L, 1L, false, 1.0),
+      (2L, 20L, 1L, false, 1.0)))
+  }
+
   test("text_lm_score: repeated bigrams score high, novel text scores low") {
     import spark.implicits._
     // docs 1 and 2 share every bigram ("a b", "b c"); doc 3 is all-novel

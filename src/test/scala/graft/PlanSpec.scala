@@ -257,10 +257,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges("pipeline_chunked_corpus") == 1,
       "chunked corpus pipeline must shuffle once (the dedup window)")
     // round-5 batch 2
-    assert(hashExchanges("q_pack_sequences") == 2,
-      "packing: the per-source cumsum window + the (source, seq) aggregate")
-    assert(hashExchanges("q_retention") <= 3,
-      "retention: user-week distinct, cohort min, cohort-offset count")
+    // ONE shuffle: hashpartitioning(source) from the cumsum window also
+    // satisfies the (source, seq_id) aggregate's clustering (subset-key
+    // co-location), so the final groupBy adds NO exchange
+    assert(hashExchanges("q_pack_sequences") == 1,
+      "packing: the per-source cumsum window partitioning must be reused by the aggregate")
+    assert(hashExchanges("q_retention") == 3,
+      "retention: pair distinct, cohort window, cohort-offset count — no join-back, no Expand")
   }
 
   test("q_dpp_join: dim filter prunes the fact's partitions at RUNTIME") {
