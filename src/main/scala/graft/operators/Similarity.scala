@@ -167,45 +167,62 @@ object Similarity {
   // re-joined by key once per update.
   private val LloydIters = 2
 
+  /** Seed medoids, promoted to double so every generation of centroid
+    * (seeded or decimal-sum-trained) has one type. */
+  private def ivfSeeds(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.filter($"vec_id" % 50 === 7)
+      .select($"vec_id".as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+  }
+
+  /** Nearest coarse centroid per vector (cosine; centroids broadcast). */
+  private def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"cell_id",
+        VectorOps.cosine($"embedding", $"ce").as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cell_id")
+  }
+
+  /** Lloyd update (decimal element-wise SUM — see section comment). */
+  private def ivfUpdate(emb: DataFrame, assigned: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    assigned.join(emb, "vec_id")
+      .select($"cell_id", posexplode($"embedding"))
+      .toDF("cell_id", "i", "v")
+      .groupBy($"cell_id", $"i")
+      .agg(sum($"v".cast("double").cast("decimal(28,10)")).cast("double").as("s"))
+      .groupBy($"cell_id")
+      .agg(array_sort(collect_list(struct($"i", $"s"))).as("ps"))
+      .select($"cell_id", expr("transform(ps, p -> p.s)").as("ce"))
+  }
+
+  private def ivfTrain(emb: DataFrame): DataFrame =
+    (1 to LloydIters).foldLeft(ivfSeeds(emb))((c, _) =>
+      ivfUpdate(emb, ivfAssign(emb, c)))
+
+  /** Top-`nProbe` coarse cells per query (cosine; centroids broadcast). */
+  private def ivfProbe(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell_id")
+    queries.crossJoin(broadcast(centroids))
+      .select($"query_id", $"qe", $"cell_id",
+        VectorOps.cosine($"qe", $"ce").as("qcos"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"query_id", $"qe", $"cell_id")
+  }
+
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    // seed medoids, promoted to double so every generation of centroid
-    // (seeded or decimal-sum-trained) has one type
-    val c0 = emb.filter($"vec_id" % 50 === 7)
-      .select($"vec_id".as("cell_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
-
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
-      emb.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"cell_id",
-          VectorOps.cosine($"embedding", $"ce").as("ccos"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"cell_id")
-    }
-
-    def update(assigned: DataFrame): DataFrame =
-      assigned.join(emb, "vec_id")
-        .select($"cell_id", posexplode($"embedding"))
-        .toDF("cell_id", "i", "v")
-        .groupBy($"cell_id", $"i")
-        .agg(sum($"v".cast("double").cast("decimal(28,10)")).cast("double").as("s"))
-        .groupBy($"cell_id")
-        .agg(array_sort(collect_list(struct($"i", $"s"))).as("ps"))
-        .select($"cell_id", expr("transform(ps, p -> p.s)").as("ce"))
-
-    val trained = (1 to LloydIters).foldLeft(c0)((c, _) => update(assign(c)))
-    val assigned = assign(trained).join(emb, "vec_id")
-
+    val trained = ivfTrain(emb)
+    val assigned = ivfAssign(emb, trained).join(emb, "vec_id")
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell_id")
-    val probed = queries.crossJoin(broadcast(trained))
-      .select($"query_id", $"qe", $"cell_id",
-        VectorOps.cosine($"qe", $"ce").as("qcos"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
-      .select($"query_id", $"qe", $"cell_id")
+    val probed = ivfProbe(queries, trained, nProbe = 2)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     probed.join(assigned, "cell_id")
       .filter($"vec_id" =!= $"query_id")
@@ -411,79 +428,86 @@ object Similarity {
   private def l2FastSql(a: String, b: String, n: Int): String =
     s"(${dotNSql(a, a, n)} - 2 * ${dotNSql(a, b, n)} + ${dotNSql(b, b, n)})"
 
-  private def annPq(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    // (vec_id, m, sub): the m-th 16-dim subvector, promoted to double
-    val subs = emb.select($"vec_id",
-      posexplode(array((0 until PqM).map(m =>
-        expr(s"transform(slice(embedding, ${m * PqSub + 1}, $PqSub), x -> CAST(x AS DOUBLE))")
+  /** (vec_id, m, sub, sn): the m-th `subLen`-dim subvector, promoted to
+    * double, with its ‖sub‖² computed once per row. `mCount = 1,
+    * subLen = Dims` degenerates to the whole vector — which is exactly
+    * a coarse (IVF) quantizer under the same L2 + decimal-mean Lloyd
+    * machinery (see annIvfPq). */
+  private def pqSubsM(emb: DataFrame, mCount: Int, subLen: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id",
+      posexplode(array((0 until mCount).map(m =>
+        expr(s"transform(slice(embedding, ${m * subLen + 1}, $subLen), x -> CAST(x AS DOUBLE))")
       ): _*)).as(Seq("m", "sub")))
-      .withColumn("sn", VectorOps.dot($"sub", $"sub")) // ‖sub‖², once per row
+      .withColumn("sn", VectorOps.dot($"sub", $"sub"))
+  }
+  private def pqSubs(emb: DataFrame): DataFrame = pqSubsM(emb, PqM, PqSub)
+
+  /** Nearest codebook entry per (vector, subspace); codebooks broadcast.
+    * The argmin is min(struct(dist, cell_id)) — a hash aggregate with
+    * map-side partials, so the shuffle carries one row per (vector,
+    * subspace), not one per (vector, subspace, centroid) the way a
+    * row_number window would (K× the rows INTO a sort). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    val cb = codebook.withColumn("cn", VectorOps.dot($"ce", $"ce"))
+    subs.join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m",
+        struct(l2Fast($"sn", $"sub", $"ce", $"cn").as("dist"),
+          $"cell_id".as("cell_id")).as("dc"))
+      .groupBy($"vec_id", $"m").agg(min($"dc").as("mn"))
+      .select($"vec_id", $"m", $"mn.cell_id".as("cell_id"))
+  }
+
+  /** Seeded codebook + ONE Lloyd round: per-dimension decimal sum →
+    * IEEE double mean (L2 centroids are means; the division is
+    * double/long, bit-identical across engines given identical
+    * numerators). */
+  private def pqTrainCodebook(subs: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
     val c0 = subs.filter($"vec_id" % PqSeedMod === 3 && $"vec_id" < PqSeedCap)
       .select($"m", $"vec_id".as("cell_id"), $"sub".as("ce"))
-
-    // nearest codebook entry per (vector, subspace); codebooks broadcast.
-    // The argmin is min(struct(dist, cell_id)) — a hash aggregate with
-    // map-side partials, so the shuffle carries one row per (vector,
-    // subspace), not one per (vector, subspace, centroid) the way a
-    // row_number window would (K× the rows INTO a sort).
-    def assign(codebook: DataFrame): DataFrame = {
-      val cb = codebook.withColumn("cn", VectorOps.dot($"ce", $"ce"))
-      subs.join(broadcast(cb), Seq("m"))
-        .select($"vec_id", $"m",
-          struct(l2Fast($"sn", $"sub", $"ce", $"cn").as("dist"),
-            $"cell_id".as("cell_id")).as("dc"))
-        .groupBy($"vec_id", $"m").agg(min($"dc").as("mn"))
-        .select($"vec_id", $"m", $"mn.cell_id".as("cell_id"))
-    }
-    // Lloyd update: per-dimension decimal sum → IEEE double mean (L2
-    // centroids are means; the division is double/long, bit-identical
-    // across engines given identical numerators)
-    val c1 = assign(c0).join(subs, Seq("vec_id", "m"))
+    pqAssign(subs, c0).join(subs, Seq("vec_id", "m"))
       .select($"m", $"cell_id", posexplode($"sub").as(Seq("i", "v")))
       .groupBy($"m", $"cell_id", $"i")
       .agg((sum($"v".cast("decimal(28,10)")).cast("double") / count(lit(1))).as("mean"))
       .groupBy($"m", $"cell_id")
       .agg(array_sort(collect_list(struct($"i", $"mean"))).as("ps"))
       .select($"m", $"cell_id", expr("transform(ps, p -> p.mean)").as("ce"))
+  }
 
-    // PACKED codes — the point of PQ storage: ONE row per vector whose
-    // payload is M small code indices (j = (cell_id − 3) / 16 on the
-    // fixed seed grid), 4-16 bytes, not M rows of (vec, m, cell). This
-    // is what "the corpus fits in memory as codes" means physically.
-    val codes = assign(c1)
+  /** PACKED codes — the point of PQ storage: ONE row per vector whose
+    * payload is M small code indices (j = (cell_id − 3) / 16 on the
+    * fixed seed grid), 4-16 bytes, not M rows of (vec, m, cell). This
+    * is what "the corpus fits in memory as codes" means physically. */
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    pqAssign(subs, codebook)
       .select($"vec_id", $"m", (($"cell_id" - 3) / PqSeedMod).cast("int").as("j"))
       .groupBy($"vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, j))), p -> p.j)").as("code"))
+  }
+
+  /** Per-query ADC distance TABLES tab[m][j], packed and broadcastable:
+    * l2 computed once per (query, subspace, centroid). */
+  private def pqDtabWide(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
     val qsubs = subs.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("query_id"), $"m", $"sub".as("qsub"), $"sn".as("qn"))
-    // ADC via DISTANCE TABLES: l2 computed once per (query, subspace,
-    // centroid) — queries × M × K rows — packed per query as tab[m][j]
-    // and broadcast. The exhaustive scan is then ONE row per
-    // (vector, query) doing M in-register array lookups: no distance
-    // kernel per candidate (which re-evaluated corpus × M × queries
-    // times, 8.4s), no 8M-row join fan-out, no K×-row argmin sort
-    // (together 8.4s → 2.7s at sf0.1). The M lookups sum in fixed m
-    // order, so the result is deterministic without decimal casts.
-    val dtab = qsubs
-      .join(broadcast(c1.withColumn("cn", VectorOps.dot($"ce", $"ce"))), Seq("m"))
+    qsubs
+      .join(broadcast(codebook.withColumn("cn", VectorOps.dot($"ce", $"ce"))), Seq("m"))
       .select($"query_id", $"m", (($"cell_id" - 3) / PqSeedMod).cast("int").as("j"),
         l2Fast($"qn", $"qsub", $"ce", $"cn").as("part"))
-    val dtabWide = dtab
       .groupBy($"query_id", $"m")
       .agg(expr("transform(array_sort(collect_list(struct(j, part))), p -> p.part)").as("trow"))
       .groupBy($"query_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, trow))), p -> p.trow)").as("tab"))
-    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
-    val shortlist = codes.crossJoin(broadcast(dtabWide))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
-      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
-      .select($"query_id", $"neighbor_id")
-    // exact re-rank of the shortlist (FAISS refine step): full vectors
-    // are fetched for ≤ PqShortlist candidates per query, nothing more
+  }
+
+  /** Exact re-rank of a (query_id, neighbor_id) shortlist on the full
+    * vectors (FAISS refine step): fetches ≤ shortlist rows per query. */
+  private def pqRerank(emb: DataFrame, shortlist: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val full = emb.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
     val qfull = full.filter($"vec_id" % 50 === 0)
@@ -496,6 +520,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id", round($"d", 6).as("d6"))
       .orderBy($"query_id", $"rank")
+  }
+
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val subs = pqSubs(emb)
+    val c1 = pqTrainCodebook(subs)
+    val codes = pqCodes(subs, c1)
+    // ADC via DISTANCE TABLES: l2 computed once per (query, subspace,
+    // centroid) — queries × M × K rows — packed per query as tab[m][j]
+    // and broadcast. The exhaustive scan is then ONE row per
+    // (vector, query) doing M in-register array lookups: no distance
+    // kernel per candidate (which re-evaluated corpus × M × queries
+    // times, 8.4s), no 8M-row join fan-out, no K×-row argmin sort
+    // (together 8.4s → 2.7s at sf0.1). The M lookups sum in fixed m
+    // order, so the result is deterministic without decimal casts.
+    val dtabWide = pqDtabWide(subs, c1)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = codes.crossJoin(broadcast(dtabWide))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    pqRerank(emb, shortlist)
+  }
+
+  // -- #36d IVF×PQ composed ANN (the production FAISS IVFPQ shape) ----------
+  // IVF prunes WHICH vectors a query scores (probe the top-2 coarse
+  // cells → candidates shrink by ~cells/probes); PQ shrinks WHAT each
+  // candidate costs (M in-register table lookups over 16 bytes of
+  // codes, no raw-vector IO). Composed, a query touches
+  // corpus×(probes/cells) code rows and ≤ shortlist full vectors — the
+  // structure that scales ANN to 10⁹+ vectors. The candidate scan here
+  // is a cell-key JOIN instead of sim_ann_pq's exhaustive cross join,
+  // and the ADC lookups/re-rank are byte-identical to sim_ann_pq's —
+  // the coarse quantizer is the codebook machinery itself run on the
+  // whole vector, so the oracle is the PQ CTE chain instantiated
+  // twice. (FAISS encodes per-cell RESIDUALS before PQ for tighter
+  // codes; this variant PQ-encodes raw vectors — the pruning/
+  // compression structure, and the plan shape, are the same.)
+  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // coarse quantizer: the SAME L2 + decimal-mean Lloyd machinery as
+    // the per-subspace codebooks, applied to ONE "subspace" = the whole
+    // vector (16 cells from the seed grid). Metric coherence is the
+    // point: routing by cosine (sim_ann_ivf's metric) while scoring by
+    // L2 sends queries to cells their true L2 neighbors aren't in —
+    // measured recall@3 drops 0.9 → 0.37. FAISS IVFPQ is L2 end-to-end
+    // for the same reason.
+    val csubs = pqSubsM(emb, mCount = 1, subLen = Dims)
+    val coarse = pqTrainCodebook(csubs)
+    val cells = pqAssign(csubs, coarse).select($"vec_id", $"cell_id")
+    // compressed storage (shared with sim_ann_pq), tagged by cell
+    val subs = pqSubs(emb)
+    val c1 = pqTrainCodebook(subs)
+    val codes = pqCodes(subs, c1).join(cells, "vec_id")
+    // query side: probe the 2 L2-nearest cells, ADC-score ONLY their codes
+    val cb = coarse.withColumn("cn", VectorOps.dot($"ce", $"ce"))
+    val wP = Window.partitionBy($"query_id").orderBy($"cd", $"cell_id")
+    val probed = csubs.filter($"vec_id" % 50 === 0)
+      .join(broadcast(cb), Seq("m"))
+      .select($"vec_id".as("query_id"), $"cell_id",
+        l2Fast($"sn", $"sub", $"ce", $"cn").as("cd"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= 2)
+      .select($"query_id", $"cell_id")
+    val dtabWide = pqDtabWide(subs, c1)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = probed.join(codes, "cell_id")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(dtabWide), Seq("query_id"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    pqRerank(emb, shortlist)
   }
 
   private val annPqSql = {
@@ -560,8 +661,105 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val annIvfPqSql = {
+    val sub = PqSub
+    s"""WITH csubs AS (
+       |  SELECT vec_id, t.m,
+       |    list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
+       |  FROM embeddings, unnest(range(0, 1)) t(m)),
+       |cc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM csubs
+       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
+       |ca0 AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
+       |    FROM csubs s JOIN cc0 c ON s.m = c.m) WHERE rn = 1),
+       |cc1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
+       |    SELECT a.m, a.cell_id, t.i,
+       |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM ca0 a JOIN csubs s ON a.vec_id = s.vec_id AND a.m = s.m,
+       |         unnest(range(1, ${Dims + 1})) t(i)
+       |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |cells AS (SELECT vec_id, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
+       |    FROM csubs s JOIN cc1 c ON s.m = c.m) WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT s.vec_id AS query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
+       |    FROM csubs s JOIN cc1 c ON s.m = c.m
+       |    WHERE s.vec_id % 50 = 0) WHERE rn <= 2),
+       |subs AS (
+       |  SELECT vec_id, t.m,
+       |    list_transform(range(1, ${sub + 1}),
+       |      i -> CAST(embedding[t.m * $sub + i] AS DOUBLE)) AS sub
+       |  FROM embeddings, unnest(range(0, $PqM)) t(m)),
+       |pc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM subs
+       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
+       |pa0 AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
+       |    FROM subs s JOIN pc0 c ON s.m = c.m) WHERE rn = 1),
+       |pc1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
+       |    SELECT a.m, a.cell_id, t.i,
+       |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM pa0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
+       |         unnest(range(1, ${sub + 1})) t(i)
+       |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |pcodes AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
+       |    FROM subs s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
+       |codesw AS (
+       |  SELECT vec_id, list((cell_id - 3) // $PqSeedMod ORDER BY m) AS code
+       |  FROM pcodes GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+       |      WHERE vec_id % 50 = 0),
+       |dtab AS (
+       |  SELECT q.query_id, q.m, (c.cell_id - 3) // $PqSeedMod AS j,
+       |    ${l2FastSql("q.qsub", "c.ce", sub)} AS part
+       |  FROM qs q JOIN pc1 c ON q.m = c.m),
+       |tabw AS (SELECT query_id, m, list(part ORDER BY j) AS trow
+       |         FROM dtab GROUP BY query_id, m),
+       |tabq AS (SELECT query_id, list(trow ORDER BY m) AS tab
+       |         FROM tabw GROUP BY query_id),
+       |adist AS (
+       |  SELECT p.query_id, cw.vec_id,
+       |    list_sum(list_transform(range(1, ${PqM + 1}),
+       |      i -> tab[i][code[i] + 1])) AS adist
+       |  FROM probed p
+       |  JOIN cells cl ON cl.cell_id = p.cell_id
+       |  JOIN codesw cw ON cw.vec_id = cl.vec_id
+       |  JOIN tabq t ON t.query_id = p.query_id
+       |  WHERE cw.vec_id <> p.query_id),
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= $PqShortlist),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |reranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${l2sqSql("qv.fe", "nv.fe", Dims)} AS d
+       |  FROM shortlist s
+       |  JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |  JOIN fullv qv ON s.query_id = qv.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, round(d, 6) AS d6
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
+    QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_bruteforce_topk", bruteforceTopk, Some(bruteforceTopkSql)),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshSql)),

@@ -64,6 +64,26 @@ class SimilaritySpec extends AnyFunSuite {
     // re-rank of the top-20 shortlist lifts it to 0.87
     assert(recall >= 0.7, s"PQ recall too low: $recall")
     assert(pq.size == exact.size, "every query must return PQ neighbors")
+
+    // IVFPQ: same metric, candidates pruned to the 2 L2-nearest of 16
+    // coarse cells (~12.5% of the corpus). The synthetic embeddings are
+    // UNCLUSTERED (measured nearest-neighbor same-label rate ≈ 7% —
+    // chance), so recall is ceilinged by the probe fraction: no coarse
+    // index can beat it by much on structureless data. The property
+    // that proves the router works is the LIFT over uniform pruning —
+    // L2 routing must put true neighbors in probed cells far more often
+    // than the 2/16 a random cell choice would.
+    val ivfpq = topkSet("sim_ann_ivfpq")
+    val perI = exact.keys.toSeq.map { k =>
+      ivfpq.getOrElse(k, Set.empty).count(exact(k).contains).toDouble / 3.0
+    }
+    val recallI = perI.sum / perI.size
+    val uniformPruning = 2.0 / 16.0
+    info(s"IVFPQ recall@3 vs exact L2 top-3: $recallI " +
+      f"(lift over uniform 2/16 pruning: ${recallI / uniformPruning}%.1fx)")
+    assert(recallI >= 2.0 * uniformPruning,
+      s"IVFPQ routing shows no lift over random cell pruning: $recallI")
+    assert(ivfpq.size == exact.size, "every query must return IVFPQ neighbors")
   }
 
   test("cosine: self-similarity is 1, orthogonal is 0") {
