@@ -44,6 +44,34 @@ object ColumnCrypto {
     keys.foldLeft(df) { case (acc, (name, key)) =>
       acc.withColumn(name, try_aes_decrypt(col(name), keyCol(name, key), lit("GCM")).cast("string"))
     }
+
+  // -- AAD row binding ------------------------------------------------------
+  // Plain per-column encryption leaves a SUBSTITUTION hole: an attacker
+  // with file write access (but no key) can swap two rows' ciphertexts
+  // — alice gets bob's salary — and decryption still succeeds, because
+  // nothing ties a ciphertext to ITS row. GCM's additional
+  // authenticated data closes it: the row's identity (primary key) is
+  // mixed into the auth tag, so a ciphertext decrypts ONLY against the
+  // row it was written for; a swapped value fails authentication. Zero
+  // storage overhead (AAD is not stored), same codegen'd per-row map.
+
+  /** Encrypt `c` with the per-row `aad` (e.g. the primary key) bound
+    * into the GCM auth tag. */
+  def encryptBound(c: Column, name: String, key: Array[Byte], aad: Column): Column =
+    aes_encrypt(c.cast("string").cast("binary"), keyCol(name, key),
+      lit("GCM"), lit("DEFAULT"), lit(Array.empty[Byte]), aad.cast("string"))
+
+  /** Decrypt a row-bound ciphertext; fails the task if `aad` does not
+    * match what the value was encrypted under. */
+  def decryptBound(c: Column, name: String, key: Array[Byte], aad: Column): Column =
+    aes_decrypt(c, keyCol(name, key), lit("GCM"), lit("DEFAULT"),
+      aad.cast("string")).cast("string")
+
+  /** NULL-on-mismatch variant — the audit-scan mode: NULLs mark rows
+    * whose ciphertext was moved or tampered with. */
+  def tryDecryptBound(c: Column, name: String, key: Array[Byte], aad: Column): Column =
+    try_aes_decrypt(c, keyCol(name, key), lit("GCM"), lit("DEFAULT"),
+      aad.cast("string")).cast("string")
 }
 
 /** Column masking (reference README "Future Improvements" row —

@@ -225,8 +225,37 @@ object CryptoQueries {
        |       ELSE MIN(c_name) END AS min_name
        |FROM customer GROUP BY c_nationkey ORDER BY tenant_id""".stripMargin
 
+  // -- crypto_aad_binding: ciphertext bound to row identity ----------------
+  // Encrypt c_name with the row's primary key as GCM AAD, write, read
+  // back decrypting against the same key column — lossless (the oracle
+  // proves it on plaintext). The spec proves the attack this closes:
+  // swapping two rows' ciphertexts fails authentication (NULL under
+  // try_aes_decrypt), where unbound encryption would happily decrypt
+  // the wrong person's value.
+  private def aadBinding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_aad_binding", d)
+    val key = "0123456789abcdef".getBytes("UTF-8")
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey",
+        ColumnCrypto.encryptBound($"c_name", "c_name", key, $"c_custkey").as("name_ct"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select($"c_nationkey",
+        ColumnCrypto.decryptBound($"name_ct", "c_name", key, $"c_custkey").as("c_name"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), min($"c_name").as("min_name"),
+        max($"c_name").as("max_name"))
+      .orderBy($"c_nationkey")
+  }
+  private val aadBindingSql =
+    """SELECT c_nationkey, COUNT(*) AS n, MIN(c_name) AS min_name,
+      |  MAX(c_name) AS max_name
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("crypto_shred", cryptoShred, Some(cryptoShredSql)),
+    QueryDef("crypto_aad_binding", aadBinding, Some(aadBindingSql)),
     QueryDef("io_parquet_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
     QueryDef("io_column_projection", ioProjection, Some(ioProjectionSql)),
     QueryDef("crypto_encrypt_columns", encryptColumns, Some(encryptColumnsSql)),

@@ -395,7 +395,40 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // -- q_lateral_join: correlated LATERAL subquery (per-row top-N) ---------
+  // SQL-surface form of "for each outer row, run a dependent subquery"
+  // — here each order's two most expensive lineitems. Catalyst
+  // DECORRELATES the lateral (DecorrelateInnerQuery rewrites the
+  // correlated LIMIT into a per-key rank), so the executed plan is a
+  // join + window partial top-K, NOT a per-row subquery loop: the same
+  // physical shape as q_window_topn_per_group, reached from the SQL
+  // idiom users actually write. At 100 TB that rewrite is the
+  // difference between one shuffle and orders × subquery executions.
+  private def lateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lat_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM graft_lat_orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM graft_lat_lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderkey % 10 = 0
+        |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin)
+  }
+  private val lateralJoinSql =
+    """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_extendedprice
+      |         FROM lineitem l
+      |         WHERE l.l_orderkey = o.o_orderkey
+      |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+      |WHERE o.o_orderkey % 10 = 0
+      |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q6_filter_agg", q6, Some(q6Sql)),

@@ -290,6 +290,29 @@ class CryptoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { policy(cust, "nosuchrole") }
   }
 
+  test("AAD row binding: swapped ciphertexts fail authentication") {
+    import spark.implicits._
+    val key = "0123456789abcdef".getBytes("UTF-8")
+    val rows = Seq((1L, "alice-salary"), (2L, "bob-salary")).toDF("id", "v")
+    val enc = rows.select($"id",
+      ColumnCrypto.encryptBound($"v", "v", key, $"id").as("ct")).collect()
+    val swapped = Seq((1L, enc.find(_.getLong(0) == 2L).get.getAs[Array[Byte]]("ct")),
+      (2L, enc.find(_.getLong(0) == 1L).get.getAs[Array[Byte]]("ct")))
+      .toDF("id", "ct")
+    // unbound decryption would hand row 1 bob's value; bound decryption
+    // rejects both moved ciphertexts
+    val out = swapped.select($"id",
+      ColumnCrypto.tryDecryptBound($"ct", "v", key, $"id").as("v"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty,
+      s"swapped ciphertexts must fail GCM authentication: $out")
+    // intact rows round-trip against their own identity
+    val ok = Seq((1L, enc.find(_.getLong(0) == 1L).get.getAs[Array[Byte]]("ct")))
+      .toDF("id", "ct")
+      .select(ColumnCrypto.tryDecryptBound($"ct", "v", key, $"id")).collect()
+    assert(ok(0).getString(0) == "alice-salary")
+  }
+
   test("crypto-shredding: key deletion erases a tenant with zero data IO") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_shred").toString

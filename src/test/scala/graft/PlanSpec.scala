@@ -266,6 +266,31 @@ class PlanSpec extends AnyFunSuite {
       "retention: pair distinct, cohort window, cohort-offset count — no join-back, no Expand")
   }
 
+  test("q_lateral_join decorrelates to a window top-K join, not a subquery loop") {
+    val p = plan("q_lateral_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"correlated LIMIT must become a partial per-key top-K:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"lateral must execute as ONE join, not per-row subqueries:\n$p")
+  }
+
+  test("bucketed point lookup reads one bucket, not the table") {
+    operators.ScaleOps.ensureBucketedTables(spark, sf)
+    // autoBucketedScan drops the bucketed scan when nothing downstream
+    // exploits its partitioning — which also forfeits bucket PRUNING;
+    // a point lookup wants the pruning, so hold the bucketed scan on
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try {
+      val p = spark.table("graft_li_bucketed")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"a bucket-key equality filter must prune the file listing to its bucket:\n$p")
+    } finally spark.conf.set(k, prev)
+  }
+
   test("q_dpp_join: dim filter prunes the fact's partitions at RUNTIME") {
     val fact = operators.ScaleOps.partitionedOrders(spark, sf)
     val dim = operators.ScaleOps.dppDim(spark, sf)
