@@ -282,8 +282,17 @@ object Advanced {
   private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val h = ($"l_orderkey" * 7 + $"l_linenumber") * 2654435761L % 4294967296L
+    // (h, orderkey, linenumber) is NOT total: the testdata carries
+    // duplicate (orderkey, linenumber) rows that differ in price/disc,
+    // and at the rn = K boundary each engine would cut a different
+    // physical row from the tie (caught by the sf0.1 sweep — the sf0.01
+    // gate never lands a duplicate on the boundary). Extending the
+    // order to every aggregated column makes remaining ties
+    // interchangeable: rows equal on ALL ordered columns contribute
+    // identical values, so the cut is value-deterministic.
     val w = Window.partitionBy($"l_returnflag")
-      .orderBy(h.as("h"), $"l_orderkey", $"l_linenumber")
+      .orderBy(h.as("h"), $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice", $"l_discount")
     Tables.lineitem(s, d)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 500)
@@ -298,7 +307,7 @@ object Advanced {
        |  SELECT l_returnflag, l_extendedprice, l_discount,
        |    row_number() OVER (PARTITION BY l_returnflag
        |      ORDER BY (l_orderkey * 7 + l_linenumber) * 2654435761 % 4294967296,
-       |               l_orderkey, l_linenumber) AS rn
+       |               l_orderkey, l_linenumber, l_extendedprice, l_discount) AS rn
        |  FROM lineitem)
        |SELECT l_returnflag, COUNT(*) AS n_sampled,
        |  ${sqlSum("l_extendedprice")} AS sum_price,
