@@ -85,6 +85,45 @@ object ScaleOps {
        |WHERE urgency <= 2
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- parquet bloom filters: point-lookup row-group skipping --------------
+  // Min/max stats (z-order, compaction) prune RANGE predicates; they do
+  // nothing for a point lookup on a high-cardinality UNSORTED key —
+  // every row group's [min, max] spans the probe. A parquet bloom
+  // filter per row group answers "definitely absent?" in a few KB, so
+  // an equality scan skips the row groups that cannot contain the key:
+  // the lakehouse answer to needle-in-100 TB lookups without
+  // maintaining a sorted layout. Written via parquet writer options —
+  // no extra pass; the reader consults it automatically for pushed
+  // equality filters.
+  def bloomTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val out = tmp("io_parquet_bloom", d)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+      // parquet silently SKIPS the bloom for a fully dictionary-encoded
+      // column (the dictionary already answers membership exactly);
+      // at real scale a 10⁹-key column overflows the dictionary page
+      // anyway, but at test scale it must be disabled explicitly or no
+      // bloom is written at all — PlanSpec asserts it exists
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .parquet(out)
+    out
+  }
+
+  private def parquetBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(bloomTable(s, d))
+      .filter($"l_orderkey" === 40)
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+  }
+  private val parquetBloomSql =
+    s"""SELECT COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_orderkey = 40""".stripMargin
+
   // -- bucketed co-located join --------------------------------------------
   // Both fact tables bucketed on the join key at write time: the join
   // reads co-located buckets and needs NO shuffle at read time — the
@@ -406,6 +445,7 @@ object ScaleOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
     QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),
+    QueryDef("io_parquet_bloom", parquetBloom, Some(parquetBloomSql)),
     QueryDef("q_hll_sketch_merge", hllSketchMerge, None),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),

@@ -291,6 +291,72 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(k, prev)
   }
 
+  test("parquet bloom filters exist on the enabled column and skip absent keys") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = operators.ScaleOps.bloomTable(spark, sf)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(part.getAbsolutePath),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val block = reader.getRowGroups.asScala.head
+      val byCol = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      val bloomReader = reader.getBloomFilterDataReader(block)
+      assert(bloomReader.readBloomFilter(byCol("l_orderkey")) != null,
+        "bloom filter must be written for the enabled column")
+      assert(bloomReader.readBloomFilter(byCol("l_linenumber")) == null,
+        "non-enabled columns must not pay bloom storage")
+    } finally reader.close()
+    // a key that exists returns rows; the scan consults the bloom for
+    // pushed equality filters (PushedFilters carries the EqualTo)
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 40)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(l_orderkey,40)"), s"equality must push to the scan:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50% of the fact lands on ONE key; thresholds lowered so the
+    // test-scale partition qualifies as skewed (defaults are 256 MB)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE splits a skewed reduce partition by MAPPER block ranges —
+      // a single-map-task stage (one small test file) has nothing to
+      // split, so give the map side real parallelism first
+      val fact = Tables.lineitem(spark, sf).repartition(8).select(
+        when($"l_orderkey" % 2 === 0, 0L).otherwise($"l_orderkey" % 997).as("k"),
+        $"l_extendedprice")
+      // no distinct: a final aggregate between the Sort and the shuffle
+      // stage would break OptimizeSkewedJoin's SMJ(Sort(Stage),
+      // Sort(Stage)) pattern and silently disable the split
+      val dim = Tables.orders(spark, sf).repartition(8)
+        .select(($"o_orderkey" % 997).as("k"))
+      val joined = fact.join(dim, "k")
+      joined.collect() // execute THIS plan: AQE re-plans mid-flight
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark and split the skewed partition:\n${p.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_dpp_join: dim filter prunes the fact's partitions at RUNTIME") {
     val fact = operators.ScaleOps.partitionedOrders(spark, sf)
     val dim = operators.ScaleOps.dppDim(spark, sf)
