@@ -407,7 +407,46 @@ object Maintenance {
        |FROM lineitem WHERE NOT ($DvDeletePred)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- io_dynamic_overwrite: partition-scoped INSERT OVERWRITE -------------
+  // Static overwrite mode truncates the WHOLE table before writing —
+  // the classic footgun that turns "reprocess yesterday" into "drop
+  // everything". Dynamic mode replaces ONLY the partitions the incoming
+  // batch contains rows for: the daily-reprocess primitive on a
+  // date-partitioned 100 TB lake, where the job rewrites one day and
+  // every other partition's files are untouched (the spec pins exactly
+  // that by mtime). Cost scales with the batch's partitions, not the
+  // table.
+  def dynamicOverwriteRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("io_dynamic_overwrite", d)
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(root)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the reprocess batch: urgent orders only, prices re-derived —
+      // its single partition value is what limits the rewrite scope
+      Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    root
+  }
+
+  private def qDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dynamicOverwriteRoot(s, d))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+  private val qDynamicOverwriteSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum(s"CASE WHEN o_orderpriority = '1-URGENT' THEN $bumpedPriceSql ELSE o_totalprice END")} AS sum_price
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),

@@ -109,6 +109,32 @@ class BehavioralSpec extends AnyFunSuite {
     assert(byS("a")._6 > byS("a")._4 && byS("c")._6 < byS("c")._4)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dynov").toString
+    val orders = Tables.orders(spark, sf)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    def filesByPartition: Map[String, Map[String, Long]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map { p =>
+        p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+      }.toMap
+    val before = filesByPartition
+    Thread.sleep(50)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try orders.filter($"o_orderpriority" === "1-URGENT")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = filesByPartition
+    val urgent = "o_orderpriority=1-URGENT"
+    assert(after(urgent) != before(urgent), "touched partition must be rewritten")
+    for ((p, fs) <- before if p != urgent)
+      assert(after(p) == fs, s"untouched partition $p must keep its exact files")
+    // and the table still holds every partition's rows
+    assert(spark.read.parquet(root).count() == orders.count())
+  }
+
   test("io_deletion_vectors: delete rewrites no data, DV stays tiny, read subtracts") {
     import spark.implicits._
     val root = operators.Maintenance.dvRoot(spark, sf)
