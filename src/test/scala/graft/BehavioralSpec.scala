@@ -171,6 +171,42 @@ class BehavioralSpec extends AnyFunSuite {
     assert(got.keys.forall(k => k == k.toLowerCase))
   }
 
+  test("q_fuzzy_join: deletion neighborhoods find every edit-1 pair, nothing more") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    val names = Seq(
+      "abcde",  // base
+      "abXde",  // substitution (middle)       -> matches abcde
+      "Xbcde",  // substitution (first char)   -> matches abcde
+      "abcdX",  // substitution (last char)    -> matches abcde
+      "abcdef", // insertion at end            -> matches abcde
+      "bcde",   // deletion of first char      -> matches abcde
+      "abdc0",  // transposition = levenshtein 2: must NOT match abcde
+      "zzzzz")  // far away
+    names.zipWithIndex
+      .map { case (n, i) => (i.toLong * 7, n) } // every key passes % 7 = 0
+      .toDF("c_custkey", "c_name")
+      .withColumn("c_nationkey", lit(1)).withColumn("c_acctbal", lit(0.0))
+      .withColumn("c_mktsegment", lit("S"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+      .as[(String, String)].collect().toSet
+    // ground truth by brute force
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got, want $want")
+    assert(want.contains(("abcde", "abcdef")) && want.contains(("abcde", "bcde")),
+      "crafted cases must actually exercise insertion and deletion")
+  }
+
   test("q_gap_fill: every hour in the span appears, gaps forward-fill") {
     import spark.implicits._
     val hr = 3600L * 1000 * 1000 * 1000
