@@ -427,7 +427,49 @@ object Relational {
       |WHERE o.o_orderkey % 10 = 0
       |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin
 
+  // -- q_variance: exact distributed second moments ------------------------
+  // Population variance/stddev per group WITHOUT float accumulation
+  // drift: the naive Σx²−(Σx)²/n over doubles catastrophically cancels
+  // (the classic "variance of large means" failure), and Welford's
+  // running form is order-dependent — partial aggregation replays it in
+  // engine-specific order, so no float spelling can hash-match across
+  // engines. Instead the moments are EXACT integers on 10⁻²-scaled
+  // values — (n, Σq, Σq²) as decimal(38,0), the same mergeable
+  // map-side-combinable state stream_zscore carries — and floats enter
+  // only in the final per-group division/sqrt of exact integers, which
+  // IEEE defines identically everywhere. var = (n·Σq²−(Σq)²)/(n²·10⁴).
+  private def qVariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q100 = floor($"l_quantity" * 100 + 0.5).cast("decimal(38,0)")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", q100.as("q"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"q").as("s"), sum($"q" * $"q").as("qq"))
+      .select($"l_returnflag", $"n",
+        ($"s".cast("double") / $"n" / 100.0).as("mean_qty"),
+        (($"n" * $"qq" - $"s" * $"s").cast("double")
+          / ($"n" * $"n").cast("double") / 1e4).as("var_pop"),
+        sqrt(($"n" * $"qq" - $"s" * $"s").cast("double")
+          / ($"n" * $"n").cast("double") / 1e4).as("stddev_pop"))
+      .orderBy($"l_returnflag")
+  }
+  private val qVarianceSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS s,
+      |    SUM(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)
+      |      * CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS qq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(s AS DOUBLE) / n / 100.0 AS mean_qty,
+      |  CAST(n * qq - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) / 10000.0 AS var_pop,
+      |  sqrt(CAST(n * qq - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) / 10000.0)
+      |    AS stddev_pop
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q1_agg", q1, Some(q1Sql)),
