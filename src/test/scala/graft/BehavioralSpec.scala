@@ -109,6 +109,17 @@ class BehavioralSpec extends AnyFunSuite {
     assert(byS("a")._6 > byS("a")._4 && byS("c")._6 < byS("c")._4)
   }
 
+  test("zstd writes measurably smaller parquet than snappy, same content") {
+    val (zstd, snappy) = operators.ScaleOps.zstdDirs(spark, sf)
+    def bytes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (zb, sb) = (bytes(zstd), bytes(snappy))
+    info(s"zstd=$zb bytes, snappy=$sb bytes (${100 - zb * 100 / sb}% smaller)")
+    assert(zb < sb, s"zstd ($zb) must beat snappy ($sb) on this corpus")
+    // identical logical content
+    assert(spark.read.parquet(zstd).exceptAll(spark.read.parquet(snappy)).isEmpty)
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_dynov").toString
