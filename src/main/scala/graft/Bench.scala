@@ -12,15 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  final case class QueryResult(name: String, seconds: Double, error: Option[String])
+  final case class QueryResult(name: String, times: Seq[Double], error: Option[String]) {
+    /** Headline cost: min over the timed reps — on a shared box the min
+      * is the best estimator of intrinsic cost (load spikes only add). */
+    def seconds: Double = times.min
+    def median: Double = {
+      val s = times.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+  }
 
   /** Time one query (count() forces full execution). Never throws.
-    * With reps > 1 the MINIMUM time is reported — on a shared box the
-    * min is the best estimator of the query's intrinsic cost (load
-    * spikes only ever add time); any failing rep fails the query. The
-    * minimum is taken over SUCCESSFUL reps only (a rep that fails fast
-    * must not report its crash time as the query's cost); if every rep
-    * failed, the min over all reps is reported alongside the error. */
+    * All rep times are kept so the emitted artifact carries min AND
+    * median per query; any failing rep fails the query. The kept times
+    * are the SUCCESSFUL reps only (a rep that fails fast must not
+    * report its crash time as the query's cost); if every rep failed,
+    * all rep times are kept alongside the error. */
   def runOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => DataFrame, reps: Int = 1): QueryResult = {
     val runs = (1 to math.max(1, reps)).map { _ =>
@@ -34,7 +41,7 @@ object Bench {
     }
     val succeeded = runs.filter(_._2.isEmpty)
     val timed = if (succeeded.nonEmpty) succeeded else runs
-    QueryResult(name, timed.map(_._1).min, runs.flatMap(_._2).headOption)
+    QueryResult(name, timed.map(_._1), runs.flatMap(_._2).headOption)
   }
 
   def runAll(spark: SparkSession, sfDir: String,
@@ -49,11 +56,17 @@ object Bench {
     } + "\""
 
   def toJson(results: Seq[QueryResult], sfDir: String): String = {
+    // "queries" stays a flat name→seconds map (the driver parses it);
+    // "stats" adds the per-query min/median/n so the committed artifact
+    // carries the noise-control signal instead of leaving it in scratch logs
     val qs = results.map(r => s"${jstr(r.name)}:${r.seconds}").mkString("{", ",", "}")
+    val stats = results.map(r =>
+      s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},"n":${r.times.size}}""")
+      .mkString("{", ",", "}")
     val errs = results.collect { case QueryResult(n, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,""" +
       s""""errors":$errs,"n_errors":${results.count(_.error.isDefined)},"sf":${jstr(sfDir)}}"""
   }
 
@@ -79,8 +92,10 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_BENCH_REPS=N → min-of-N per query (variance control on
-    // shared machines; default 1 keeps the driver contract unchanged)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // shared machines). Default 2: the committed artifact then carries a
+    // real min/median per query instead of one noise-exposed sample,
+    // at ~2× bench wall time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 → subset run for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -19,13 +19,16 @@ object RunOne {
     val fn = SparkEntry.queries(name)
     val reps = sys.env.getOrElse("GRAFT_RUNONE_REPS", "1").toInt
     var n = 0L
+    // keep the last rep's DataFrame for explain/show — query builders are
+    // side-effectful (staging writes, streaming runs), so an extra
+    // unconditional fn() invocation would pay one full unmeasured execution
+    var df: org.apache.spark.sql.DataFrame = null
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
+      df = fn(spark, sfDir)
       n = df.count()
       println(f"[runone] $name rows=$n rep=$r time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    val df = fn(spark, sfDir)
     if (args.length > 2 && args(2) == "explain")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

@@ -51,10 +51,10 @@ object Behavioral {
       .groupBy($"user_id").agg(min($"ts_us").as("v_ts"))
     val c = ev.filter($"event_type" === "click").join(v, "user_id")
       .filter($"ts_us" > $"v_ts")
-      .groupBy($"user_id").agg(min($"ts_us").as("c_ts"), first($"v_ts").as("v_ts"))
+      .groupBy($"user_id").agg(min($"ts_us").as("c_ts"), min($"v_ts").as("v_ts"))
     val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
       .filter($"ts_us" > $"c_ts")
-      .groupBy($"user_id").agg(min($"ts_us").as("p_ts"), first($"v_ts").as("v_ts"))
+      .groupBy($"user_id").agg(min($"ts_us").as("p_ts"), min($"v_ts").as("v_ts"))
     val s1 = v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"),
       lit(0L).as("total_latency_us"))
     val s2 = c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users"),
@@ -67,10 +67,10 @@ object Behavioral {
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
       |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
       |      WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, ANY_VALUE(v_ts) AS v_ts
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, MIN(v_ts) AS v_ts
       |      FROM ev JOIN v ON ev.user_id = v.user_id
       |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
-      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, ANY_VALUE(v_ts) AS v_ts
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, MIN(v_ts) AS v_ts
       |      FROM ev JOIN c ON ev.user_id = c.user_id
       |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id)
       |SELECT '1_view' AS stage, COUNT(*) AS n_users,
@@ -180,7 +180,8 @@ object Behavioral {
        |    CAST(SUM(len(${TextPrep.wordsSql})) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
        |  -- SUM→HUGEINT recast: the driver schema-compares vs Spark's BIGINT
-       |tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM per),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+       |               COUNT(*) AS n_sources FROM per),
        |m AS (SELECT per.*, total, n_sources,
        |    least(total, $cap * n_sources * n_tokens) AS eff_num
        |  FROM per CROSS JOIN tot)
