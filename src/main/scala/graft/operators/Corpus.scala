@@ -130,6 +130,83 @@ object Corpus {
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- dedup_substring: arbitrary-offset exact substring removal -----------
+  // The "Deduplicating Training Data Makes Language Models Better"
+  // (Lee et al., 2022) pipeline step that `text_seg_dedup` approximates:
+  // seg-dedup only drops ALIGNED L-token segments, so a duplicated run
+  // that straddles a segment boundary (offset ≢ 0 mod L) survives it.
+  // Here every K-token window at EVERY offset is fingerprinted, windows
+  // shared by ≥ 2 distinct documents mark their positions covered, and
+  // the union of covered windows — exactly the maximal repeated spans,
+  // each ≥ K tokens — is excised from each document.
+  //
+  // Scale shape (the suffix-array step re-expressed for Spark):
+  //  - the gram leg emits one row per token (K× the seg-dedup row count
+  //    — the price of arbitrary offsets), but gram TEXT exists only
+  //    map-side: the discovery shuffle carries (16-byte fp, doc_id) and
+  //    the aggregate prunes the position column;
+  //  - duplicated-window fingerprints are rare by construction (only
+  //    text that actually repeats across documents), so the marking
+  //    pass is a broadcast semi-join against them — the corpus never
+  //    shuffles for it;
+  //  - covered positions fold to one int-set row per affected doc, and
+  //    the excision is a broadcast left join back onto the UNEXPLODED
+  //    documents: full text never shuffles at all. If duplicated volume
+  //    ever outgrows broadcast, both broadcasts degrade to plain
+  //    equi-joins on (fp) / (doc_id) — still narrow keys, never text.
+  private[graft] val SubLen = 8
+  private val SubMinDocs = 2
+
+  private def substringDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = SubLen
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+    val grams = docs.filter(size($"w") >= K)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(w) - $K), i -> array_join(slice(w, i + 1, $K), ' '))"))
+        .as(Seq("i", "g")))
+      .select($"doc_id", $"i", GraftFunctions.fingerprint128($"g").as("fp"))
+    val dup = grams.groupBy($"fp").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= SubMinDocs).select($"fp")
+    val covered = grams.join(broadcast(dup), Seq("fp"), "left_semi")
+      .select($"doc_id", explode(expr(s"sequence(i, i + ${K - 1})")).as("pos"))
+      .groupBy($"doc_id").agg(sort_array(collect_set($"pos")).as("cov"))
+    docs.join(broadcast(covered), Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          expr("filter(w, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"),
+          " ").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+  private val substringDedupSql = {
+    val K = SubLen
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |grams AS (SELECT doc_id, i, array_to_string(w[i : i + ${K - 1}], ' ') AS g
+       |          FROM docs, unnest(range(1, len(w) - ${K - 2})) t(i)
+       |          WHERE len(w) >= $K),
+       |dup AS (SELECT g FROM grams GROUP BY g
+       |        HAVING COUNT(DISTINCT doc_id) >= $SubMinDocs),
+       |cov AS (SELECT DISTINCT doc_id, i + off AS pos
+       |        FROM grams, unnest(range(0, $K)) o(off)
+       |        WHERE g IN (SELECT g FROM dup)),
+       |toks AS (SELECT doc_id, i AS pos, w[i] AS tok
+       |         FROM docs, unnest(range(1, len(w) + 1)) t(i)),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         WHERE c.pos IS NULL),
+       |res AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |        string_agg(tok, ' ' ORDER BY pos) AS text_clean
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.w) AS n_tokens,
+       |  len(d.w) - COALESCE(r.n_kept, 0) AS n_removed,
+       |  COALESCE(r.text_clean, '') AS text_clean
+       |FROM docs d LEFT JOIN res r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // -- text_vocab: top-K vocabulary + corpus coverage ----------------------
   private val VocabTopK = 40
 
@@ -223,6 +300,7 @@ object Corpus {
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
+    QueryDef("dedup_substring", substringDedup, Some(substringDedupSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
   )

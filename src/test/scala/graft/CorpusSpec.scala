@@ -68,6 +68,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(3L) == ((3L, 2L, 0L, s"$segC $tail"))) // nothing removed
   }
 
+  test("dedup_substring catches unaligned duplicates that text_seg_dedup provably misses") {
+    import spark.implicits._
+    val run = toks("s", 8) // the 8-token run shared by both docs
+    // offsets 3 and 1 — neither ≡ 0 mod 8, so the run straddles an
+    // aligned-segment boundary in both documents
+    val dir = corpusDir(Seq(
+      (1L, s"p1 p2 p3 $run q1"),
+      (2L, s"r1 $run t1 t2")))
+    // seg-dedup misses it: no aligned full 8-token segment repeats
+    val seg = SparkEntry.queries("text_seg_dedup")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(seg.forall(_._3 == 0L), s"seg dedup should remove nothing, got $seg")
+    // substring dedup excises exactly the shared run from both docs
+    val out = SparkEntry.queries("dedup_substring")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 12L, 8L, "p1 p2 p3 q1"),
+      (2L, 11L, 8L, "r1 t1 t2")))
+  }
+
+  test("dedup_substring excises the maximal repeated span, keeps unique text and short docs") {
+    import spark.implicits._
+    val run = toks("m", 10) // a 10-token shared run: union of three 8-windows
+    val dir = corpusDir(Seq(
+      (1L, s"a1 a2 $run a3"),
+      (2L, s"$run b1 b2 b3"),
+      (3L, "c1 c2 c3"),      // shorter than K: never a candidate
+      (4L, run)))             // fully duplicated → empty clean text, row kept
+    val out = SparkEntry.queries("dedup_substring")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 13L, 10L, "a1 a2 a3"),
+      (2L, 13L, 10L, "b1 b2 b3"),
+      (3L, 3L, 0L, "c1 c2 c3"),
+      (4L, 10L, 10L, "")))
+  }
+
   test("text_vocab: exact counts, doc frequencies, coverage, tie-break") {
     import spark.implicits._
     val dir = corpusDir(Seq((1L, "a a b"), (2L, "b c")))
