@@ -34,6 +34,31 @@ import org.apache.spark.sql.functions._
   *    semi-join per gram, then a per-doc count. Gram sets come from the
   *    codegen'd one-pass [[graft.functions.Shingles]] expression.
   */
+/** BPE merge application, shared by training (`text_bpe`) and encoding
+  * (applying a learned merge table to held-out text). */
+private[graft] object Bpe {
+  import org.apache.spark.sql.Column
+
+  /** Greedy left-to-right merge of one (l, r) symbol pair — the BPE
+    * re-segmentation step, as a fold: append x unless the accumulator
+    * ends with l and x = r, in which case replace the tail with the
+    * merged token. A just-merged tail (strictly longer than l) can
+    * never re-match l, so overlapping runs (only possible when l = r)
+    * merge at even offsets — exactly the reference greedy scan. */
+  def mergePair(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, lit(-1)) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Encode: replay a learned merge sequence (rank order) over a symbol
+    * column. Merge tables are small by construction (one row per round),
+    * so the chain of folds stays a single projection. */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => mergePair(c, lit(l), lit(r)) }
+}
+
 object Corpus {
 
   // -- text_chunk: overlapping token windows -------------------------------
@@ -258,6 +283,109 @@ object Corpus {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- text_bpe: BPE tokenizer training ------------------------------------
+  // Iterative byte-pair-encoding merge learning (Sennrich et al., 2016)
+  // on top of `text_vocab`'s frequency pass. Round r: count every
+  // ADJACENT symbol pair weighted by word frequency, pick the most
+  // frequent (ties broken lexicographically — total order, so both
+  // engines pick the same pair), merge it greedily left-to-right in
+  // every word, repeat. Output = the learned merge table, which IS the
+  // tokenizer: encoding a new string replays the merges in rank order.
+  //
+  // Scale shape: BPE trains on the DISTINCT-word frequency table, not
+  // the corpus — one corpus pass builds it, and every round after that
+  // touches only vocab-bounded state (a few million rows at web scale,
+  // here 31). Each round is one narrow pair-count aggregate + a
+  // broadcast of the single winning pair; per-round localCheckpoint
+  // keeps the iterated plan O(1) (the `dedup_components` discipline,
+  // Dedup.scala:240-259), and superseded checkpoint blocks are dropped
+  // by unpersisting exactly the round's own LogicalRDD.
+  private[graft] val BpeRounds = 10
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(TextPrep.words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    var state = words
+      .select($"word", $"freq", split($"word", "").as("syms"))
+      .localCheckpoint()
+    def ownRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    var stateBlocks = ownRdds(state)
+    var merges: DataFrame = null
+    var rank = 1
+    var exhausted = false
+    while (rank <= BpeRounds && !exhausted) {
+      val pairs = state.filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> named_struct('lft', syms[i], 'rgt', syms[i + 1]))")).as("p"))
+        .groupBy($"p.lft".as("lft"), $"p.rgt".as("rgt"))
+        .agg(sum($"freq").as("n"))
+      val best = pairs.orderBy($"n".desc, $"lft", $"rgt").limit(1).localCheckpoint()
+      if (best.isEmpty) exhausted = true // degenerate corpus: fewer merges than rounds
+      else {
+        val m = best.select(lit(rank.toLong).as("merge_rank"),
+          $"lft".as("pair_left"), $"rgt".as("pair_right"), $"n")
+        merges = if (merges == null) m else merges.unionAll(m)
+        val next = state
+          .crossJoin(broadcast(best.select($"lft", $"rgt")))
+          .select($"word", $"freq", Bpe.mergePair($"syms", $"lft", $"rgt").as("syms"))
+          .localCheckpoint()
+        val nextBlocks = ownRdds(next)
+        state = next
+        stateBlocks.foreach(_.unpersist(blocking = false))
+        stateBlocks = nextBlocks
+      }
+      rank += 1
+    }
+    merges.orderBy($"merge_rank")
+  }
+
+  /** The same training loop, unrolled round-by-round into one DuckDB
+    * query: per round, pair counts → lexicographic-tie argmax → greedy
+    * left-to-right re-segmentation. Greedy non-overlap in SQL: a
+    * matching position is TAKEN iff its offset from the head of its
+    * consecutive-match run is even (runs only ever form when l = r),
+    * and the position after a taken one is consumed. */
+  private val bpeTrainSql = {
+    val rounds = (0 until BpeRounds).map { r =>
+      s"""p$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+         |          CAST(SUM(freq) AS BIGINT) AS n
+         |        FROM s$r, unnest(range(1, len(syms))) t(i) GROUP BY 1, 2),
+         |b$r AS (SELECT lft, rgt, n FROM p$r ORDER BY n DESC, lft, rgt LIMIT 1),
+         |m$r AS (SELECT word, freq, syms, i, lft, rgt,
+         |          COALESCE(syms[i] = lft AND syms[i + 1] = rgt, FALSE) AS mt
+         |        FROM s$r, b$r, unnest(range(1, len(syms) + 1)) t(i)),
+         |g$r AS (SELECT *, SUM(CASE WHEN mt THEN 0 ELSE 1 END)
+         |          OVER (PARTITION BY word ORDER BY i) AS grp FROM m$r),
+         |t$r AS (SELECT *, mt AND (i - MIN(CASE WHEN mt THEN i END)
+         |          OVER (PARTITION BY word, grp)) % 2 = 0 AS taken FROM g$r),
+         |k$r AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY word ORDER BY i),
+         |          FALSE) AS consumed FROM t$r),
+         |s${r + 1} AS (SELECT word, freq,
+         |          list(CASE WHEN taken THEN lft || rgt ELSE syms[i] END
+         |               ORDER BY i) AS syms
+         |        FROM k$r WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until BpeRounds).map { r =>
+      s"SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, lft AS pair_left, " +
+        s"rgt AS pair_right, n FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(${TextPrep.wordsSql}) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word)),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   // -- text_lm_score: corpus bigram-LM familiarity -------------------------
   // The shape of LM-based quality filtering (CCNet's wikipedia-LM
   // perplexity gate) with the LM trained ON the corpus itself: score =
@@ -297,6 +425,7 @@ object Corpus {
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),

@@ -126,6 +126,75 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L)), s"expected only doc 1 contaminated, got $out")
   }
 
+  // -- reference BPE (independent imperative implementation) ---------------
+  private def refMergeOnce(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(wordFreq: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var state = wordFreq.map { case (w, f) => (w.split("").toList, f) }.toSeq
+    val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- state; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((l, r, n))
+        state = state.map { case (syms, f) => (refMergeOnce(syms, l, r), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("text_bpe learns exactly the reference merge sequence") {
+    import spark.implicits._
+    // the classic BPE corpus (Sennrich et al. §3 example, scaled)
+    val dir = corpusDir(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2 + "newest " * 6).trim),
+      (3L, ("widest " * 3).trim)))
+    val got = SparkEntry.queries("text_bpe")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val want = refTrain(wordFreq, 10).zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1L, l, r, n) }
+    assert(got == want, s"engine merges $got != reference $want")
+  }
+
+  test("text_bpe: held-out string tokenizes identically to the reference encoder") {
+    import spark.implicits._
+    val dir = corpusDir(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2 + "newest " * 6).trim),
+      (3L, ("widest " * 3).trim)))
+    val merges = SparkEntry.queries("text_bpe")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(m => (m._2, m._3))
+    // held out: "lowest" and "wider" never appear in the training corpus
+    val heldOut = Seq("lowest", "wider", "newest", "low")
+    val engine = heldOut.toDF("word")
+      .select($"word",
+        operators.Bpe.applyMerges(split($"word", ""), merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- heldOut) {
+      val ref = merges.foldLeft(w.split("").toList) {
+        case (syms, (l, r)) => refMergeOnce(syms, l, r)
+      }
+      assert(engine(w) == ref, s"$w: engine ${engine(w)} != reference $ref")
+    }
+    // and the encoder actually merged something (not a vacuous identity)
+    assert(engine("newest").length < "newest".length)
+  }
+
   test("q_rolling_agg matches a direct interval-join recomputation") {
     import spark.implicits._
     val out = SparkEntry.queries("q_rolling_agg")(spark, sf)
