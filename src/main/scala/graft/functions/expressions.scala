@@ -418,6 +418,8 @@ object GraftFunctions {
     graftshim.column(Shingles(graftshim.expression(c), n))
   def vec_dot(a: Column, b: Column): Column =
     graftshim.column(VecDot(graftshim.expression(a), graftshim.expression(b)))
+  def vec_l2sq(a: Column, b: Column): Column =
+    graftshim.column(VecL2Sq(graftshim.expression(a), graftshim.expression(b)))
   def zorder64(a: Column, b: Column): Column =
     graftshim.column(ZOrder64(graftshim.expression(a), graftshim.expression(b)))
   def stopword_scores(c: Column, lists: Seq[Seq[String]]): Column =
@@ -471,6 +473,7 @@ object GraftFunctions {
     ("graft_shingles", classOf[Shingles], es => Shingles(es.head,
       es(1).eval().asInstanceOf[Int])),
     ("graft_vec_dot", classOf[VecDot], es => VecDot(es.head, es(1))),
+    ("graft_vec_l2sq", classOf[VecL2Sq], es => VecL2Sq(es.head, es(1))),
     ("graft_zorder64", classOf[ZOrder64], es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
@@ -676,5 +679,62 @@ case class VecDot(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared L2 distance Σ(aᵢ−bᵢ)² — the [[VecDot]] twin for
+  * the ANN re-rank path, replacing the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0d, +)` fold. The loop
+  * accumulates LEFT-TO-RIGHT, so the IEEE result is bit-identical to
+  * that fold and to the DuckDB `list_sum(list_transform(...))` the
+  * queries are oracled against. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_l2sq"
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, left.dataType) - get(b, i, right.dataType)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(v: String, i: String, dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $v.getFloat($i)"
+    case _ => s"$v.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = ${genGet(a, i.toString, left.dataType)} - ${genGet(b, i.toString, right.dataType)};
+         |  $acc += $dv * $dv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sq =
     copy(left = newLeft, right = newRight)
 }

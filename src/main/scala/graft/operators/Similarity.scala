@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.vec_dot(a, b)
+  def l2sq(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_l2sq(a, b)
   def norm(a: Column): Column = sqrt(dot(a, a))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -406,11 +408,10 @@ object Similarity {
   private val PqSeedCap = 256
   private val PqShortlist = 20 // ADC candidates per query before re-rank
 
-  /** Exact left-to-right Σ(aᵢ−bᵢ)² over equal-length double arrays.
-    * Used only where evaluation count is small (re-rank): the zip_with
-    * lambda runs interpreted. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  /** Exact left-to-right Σ(aᵢ−bᵢ)² — the codegen'd
+    * [[graft.functions.VecL2Sq]] kernel (same loop order as the DuckDB
+    * list_sum it is oracled against, so near-tie ranking is identical). */
+  private def l2sq(a: Column, b: Column): Column = VectorOps.l2sq(a, b)
   private def l2sqSql(a: String, b: String, n: Int): String =
     s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
@@ -554,16 +555,25 @@ object Similarity {
   // codes, no raw-vector IO). Composed, a query touches
   // corpus×(probes/cells) code rows and ≤ shortlist full vectors — the
   // structure that scales ANN to 10⁹+ vectors. The candidate scan here
-  // is a cell-key JOIN instead of sim_ann_pq's exhaustive cross join,
-  // and the ADC lookups/re-rank are byte-identical to sim_ann_pq's —
-  // the coarse quantizer is the codebook machinery itself run on the
-  // whole vector, so the oracle is the PQ CTE chain instantiated
-  // twice. (FAISS encodes per-cell RESIDUALS before PQ for tighter
-  // codes; this variant PQ-encodes raw vectors — the pruning/
-  // compression structure, and the plan shape, are the same.)
-  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
+  // is a cell-key JOIN instead of sim_ann_pq's exhaustive cross join.
+  //
+  // RESIDUAL encoding (the FAISS delta closed in r6): PQ codes quantize
+  // x − centroid(cell(x)), not x. Within a cell, ‖q−x‖ =
+  // ‖(q−c) − (x−c)‖ exactly, so scoring quantized residuals against the
+  // query's residual approximates the same distance — but residual
+  // coordinates span a fraction of the raw range, so the same
+  // 16-entries-per-subspace budget spends its resolution on within-cell
+  // geometry. Measured mean |ADC − true L2²| drops vs raw-vector codes
+  // at the identical code budget (spec-asserted via adcError). The cost:
+  // distance tables become per-(query, probed cell) instead of
+  // per-query — probes× more table rows, still queries-bounded and
+  // broadcastable, exactly FAISS's trade.
+  /** (query_id, neighbor_id, adist) for every candidate in a query's 2
+    * probed cells. `residual = true` is the production encoding;
+    * `false` PQ-encodes raw vectors at the identical code budget — kept
+    * as the contrast case [[adcError]] measures against. */
+  private def ivfpqAdist(emb: DataFrame, residual: Boolean): DataFrame = {
+    import emb.sparkSession.implicits._
     // coarse quantizer: the SAME L2 + decimal-mean Lloyd machinery as
     // the per-subspace codebooks, applied to ONE "subspace" = the whole
     // vector (16 cells from the seed grid). Metric coherence is the
@@ -572,13 +582,18 @@ object Similarity {
     // measured recall@3 drops 0.9 → 0.37. FAISS IVFPQ is L2 end-to-end
     // for the same reason.
     val csubs = pqSubsM(emb, mCount = 1, subLen = Dims)
-    val coarse = pqTrainCodebook(csubs)
+    // the coarse codebook, cell assignment, residual corpus and PQ
+    // codebook each feed 2-4 downstream consumers; without a
+    // materialization point every consumer re-derives the whole
+    // upstream training pipeline (measured ~2× the query cost). The
+    // checkpoints ARE the IVFPQ storage model: codebooks are broadcast
+    // state, the encoded corpus is written once and scanned by every
+    // query — at production scale the residual/code tables persist as
+    // the index and training runs on a sample.
+    val coarse = pqTrainCodebook(csubs).localCheckpoint()
     val cells = pqAssign(csubs, coarse).select($"vec_id", $"cell_id")
-    // compressed storage (shared with sim_ann_pq), tagged by cell
-    val subs = pqSubs(emb)
-    val c1 = pqTrainCodebook(subs)
-    val codes = pqCodes(subs, c1).join(cells, "vec_id")
-    // query side: probe the 2 L2-nearest cells, ADC-score ONLY their codes
+      .localCheckpoint()
+    // query side: probe the 2 L2-nearest coarse cells
     val cb = coarse.withColumn("cn", VectorOps.dot($"ce", $"ce"))
     val wP = Window.partitionBy($"query_id").orderBy($"cd", $"cell_id")
     val probed = csubs.filter($"vec_id" % 50 === 0)
@@ -587,16 +602,99 @@ object Similarity {
         l2Fast($"sn", $"sub", $"ce", $"cn").as("cd"))
       .withColumn("rn", row_number().over(wP)).filter($"rn" <= 2)
       .select($"query_id", $"cell_id")
-    val dtabWide = pqDtabWide(subs, c1)
+    if (residual) {
+      // residual corpus: rv = x − centroid(cell(x)); centroids broadcast
+      val cc = coarse.select($"cell_id", $"ce".as("cce"))
+      val resv = emb
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+        .join(cells, "vec_id")
+        .join(broadcast(cc), "cell_id")
+        .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
+        .localCheckpoint()
+      val rsubs = resSubs(resv, Seq("vec_id"))
+      val c1 = pqTrainCodebook(rsubs).localCheckpoint()
+      val codes = pqCodes(rsubs, c1).join(cells, "vec_id")
+      val dtabQC = resDtab(emb, probed, cc, c1)
+      probed.withColumnRenamed("cell_id", "pcell")
+        .join(codes.withColumnRenamed("cell_id", "pcell"), "pcell")
+        .filter($"vec_id" =!= $"query_id")
+        .join(broadcast(dtabQC), Seq("query_id", "pcell"))
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+    } else {
+      // raw-vector codes + per-query tables (the pre-r6 shape)
+      val subs = pqSubs(emb)
+      val c1 = pqTrainCodebook(subs)
+      val codes = pqCodes(subs, c1).join(cells, "vec_id")
+      val dtabWide = pqDtabWide(subs, c1)
+      probed.join(codes, "cell_id")
+        .filter($"vec_id" =!= $"query_id")
+        .join(broadcast(dtabWide), Seq("query_id"))
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+    }
+  }
+
+  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
-    val shortlist = probed.join(codes, "cell_id")
-      .filter($"vec_id" =!= $"query_id")
-      .join(broadcast(dtabWide), Seq("query_id"))
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+    val shortlist = ivfpqAdist(emb, residual = true)
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
       .select($"query_id", $"neighbor_id")
     pqRerank(emb, shortlist)
+  }
+
+  /** Spec instrumentation: mean |ADC − true L2²| over every (query,
+    * candidate) pair in the probed cells — the quantization-error
+    * number residual encoding exists to shrink. */
+  private[graft] def adcError(s: SparkSession, d: String, residual: Boolean): Double = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val full = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
+    val qfull = full.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"fe".as("qe"))
+    ivfpqAdist(emb, residual)
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .select(abs($"adist" - l2sq($"qe", $"fe")).as("err"))
+      .agg(avg($"err")).head().getDouble(0)
+  }
+
+  /** Sub-split an (idCols..., rv: array<double>) residual table into
+    * (idCols..., m, sub, sn) — [[pqSubsM]] for already-double vectors
+    * with arbitrary key columns. */
+  private def resSubs(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(idCols.map(col) :+
+      posexplode(array((0 until PqM).map(m =>
+        expr(s"slice(rv, ${m * PqSub + 1}, $PqSub)")): _*)).as(Seq("m", "sub")): _*)
+      .withColumn("sn", VectorOps.dot($"sub", $"sub"))
+  }
+
+  /** Per-(query, probed cell) residual ADC tables tab[m][j]: the query's
+    * residual AGAINST THAT CELL scored once per (subspace, codebook
+    * entry). Rows = queries × probes — broadcastable by construction. */
+  private def resDtab(emb: DataFrame, probed: DataFrame, cc: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val qfv = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+    val qres = probed.join(broadcast(qfv), "query_id")
+      .join(broadcast(cc), "cell_id")
+      .select($"query_id", $"cell_id".as("pcell"),
+        zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
+    resSubs(qres, Seq("query_id", "pcell"))
+      .join(broadcast(codebook.withColumn("cn", VectorOps.dot($"ce", $"ce"))), Seq("m"))
+      .select($"query_id", $"pcell", $"m",
+        (($"cell_id" - 3) / PqSeedMod).cast("int").as("j"),
+        l2Fast($"sn", $"sub", $"ce", $"cn").as("part"))
+      .groupBy($"query_id", $"pcell", $"m")
+      .agg(expr("transform(array_sort(collect_list(struct(j, part))), p -> p.part)").as("trow"))
+      .groupBy($"query_id", $"pcell")
+      .agg(expr("transform(array_sort(collect_list(struct(m, trow))), p -> p.trow)").as("tab"))
   }
 
   private val annPqSql = {
@@ -693,11 +791,17 @@ object Similarity {
        |        ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
        |    FROM csubs s JOIN cc1 c ON s.m = c.m
        |    WHERE s.vec_id % 50 = 0) WHERE rn <= 2),
+       |resv AS (
+       |  SELECT e.vec_id, cl.cell_id,
+       |    list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) AS rv
+       |  FROM embeddings e
+       |  JOIN cells cl ON e.vec_id = cl.vec_id
+       |  JOIN cc1 c ON cl.cell_id = c.cell_id),
        |subs AS (
        |  SELECT vec_id, t.m,
-       |    list_transform(range(1, ${sub + 1}),
-       |      i -> CAST(embedding[t.m * $sub + i] AS DOUBLE)) AS sub
-       |  FROM embeddings, unnest(range(0, $PqM)) t(m)),
+       |    list_transform(range(1, ${sub + 1}), i -> rv[t.m * $sub + i]) AS sub
+       |  FROM resv, unnest(range(0, $PqM)) t(m)),
        |pc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM subs
        |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
        |pa0 AS (SELECT vec_id, m, cell_id FROM (
@@ -719,16 +823,24 @@ object Similarity {
        |codesw AS (
        |  SELECT vec_id, list((cell_id - 3) // $PqSeedMod ORDER BY m) AS code
        |  FROM pcodes GROUP BY vec_id),
-       |qs AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs
-       |      WHERE vec_id % 50 = 0),
+       |qres AS (
+       |  SELECT p.query_id, p.cell_id AS pcell,
+       |    list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) AS rv
+       |  FROM probed p
+       |  JOIN embeddings e ON e.vec_id = p.query_id
+       |  JOIN cc1 c ON c.cell_id = p.cell_id),
+       |qs AS (SELECT query_id, pcell, t.m,
+       |    list_transform(range(1, ${sub + 1}), i -> rv[t.m * $sub + i]) AS qsub
+       |  FROM qres, unnest(range(0, $PqM)) t(m)),
        |dtab AS (
-       |  SELECT q.query_id, q.m, (c.cell_id - 3) // $PqSeedMod AS j,
+       |  SELECT q.query_id, q.pcell, q.m, (c.cell_id - 3) // $PqSeedMod AS j,
        |    ${l2FastSql("q.qsub", "c.ce", sub)} AS part
        |  FROM qs q JOIN pc1 c ON q.m = c.m),
-       |tabw AS (SELECT query_id, m, list(part ORDER BY j) AS trow
-       |         FROM dtab GROUP BY query_id, m),
-       |tabq AS (SELECT query_id, list(trow ORDER BY m) AS tab
-       |         FROM tabw GROUP BY query_id),
+       |tabw AS (SELECT query_id, pcell, m, list(part ORDER BY j) AS trow
+       |         FROM dtab GROUP BY query_id, pcell, m),
+       |tabq AS (SELECT query_id, pcell, list(trow ORDER BY m) AS tab
+       |         FROM tabw GROUP BY query_id, pcell),
        |adist AS (
        |  SELECT p.query_id, cw.vec_id,
        |    list_sum(list_transform(range(1, ${PqM + 1}),
@@ -736,7 +848,7 @@ object Similarity {
        |  FROM probed p
        |  JOIN cells cl ON cl.cell_id = p.cell_id
        |  JOIN codesw cw ON cw.vec_id = cl.vec_id
-       |  JOIN tabq t ON t.query_id = p.query_id
+       |  JOIN tabq t ON t.query_id = p.query_id AND t.pcell = p.cell_id
        |  WHERE cw.vec_id <> p.query_id),
        |shortlist AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (

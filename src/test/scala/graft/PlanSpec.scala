@@ -366,6 +366,22 @@ class PlanSpec extends AnyFunSuite {
       s"fact scan must carry a dynamic partition filter from the dim side:\n$p")
   }
 
+  test("ANN re-rank runs the codegen'd L2 kernel, not an interpreted fold") {
+    val df = SparkEntry.queries("sim_ann_pq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_vec_l2sq"),
+      s"re-rank stage should score with VecL2Sq:\n${p.take(800)}")
+    // and the kernel itself stays inside a codegen'd projection
+    val solo = Tables.embeddings(spark, sf)
+      .select(graft.functions.GraftFunctions.vec_l2sq(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+    val sp = solo.queryExecution.executedPlan.toString
+    assert(sp.contains("*(1)") || sp.contains("WholeStageCodegen"),
+      s"VecL2Sq fell out of codegen:\n$sp")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)

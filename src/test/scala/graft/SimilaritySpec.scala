@@ -164,4 +164,37 @@ class SimilaritySpec extends AnyFunSuite {
       .select(graft.functions.GraftFunctions.quantize_stats($"e").as("qs")).collect()
     assert(edge.forall(_.isNullAt(0)), "empty/null-element vectors must yield NULL")
   }
+
+  test("residual PQ codes strictly shrink ADC error vs raw codes at the same budget") {
+    // FAISS's reason for residual encoding: within a cell the residual
+    // coordinates span a fraction of the raw range, so 16 entries per
+    // subspace resolve finer structure. Same codebook size, same M,
+    // same probes — only the encoded quantity differs. The testdata
+    // embeddings are UNCLUSTERED (residual ≈ x − global mean, a pure
+    // shift — nothing to gain, same ceiling the routing-lift spec
+    // documents), so the property is asserted on a crafted CLUSTERED
+    // corpus: 16 well-separated centers (spread ~10), within-cluster
+    // noise ~0.5, and cluster id (v/16) % 16 so the fixed seed grid
+    // (vec_id ≡ 3 mod 16, < 256) lands exactly one seed per cluster.
+    import spark.implicits._
+    def h(a: Long, b: Long): Double = {
+      val x = (a * 1103515245L + b * 12345L + 6789L) & 0x7fffffffL
+      (x % 1000) / 1000.0 // deterministic pseudo-uniform [0, 1)
+    }
+    val rows = (0 until 512).map { v =>
+      val k = (v / 16) % 16
+      val emb = (0 until 64).map { i =>
+        (10.0 * h(k, i) + 0.5 * h(v.toLong * 64 + i, 7)).toFloat
+      }
+      (v.toLong, emb, k)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val raw = operators.Similarity.adcError(spark, dir, residual = false)
+    val res = operators.Similarity.adcError(spark, dir, residual = true)
+    info(f"mean |ADC − true L2²|: raw=$raw%.5f residual=$res%.5f")
+    assert(res < raw,
+      s"residual encoding should shrink ADC error on clustered data: residual=$res raw=$raw")
+  }
 }
