@@ -224,6 +224,75 @@ object Maintenance {
   /** Time-travel read: the snapshot a version's manifest pins. */
   def readSnapshot(s: SparkSession, root: String, version: Int): DataFrame =
     s.read.parquet(manifestPaths(root, version): _*)
+
+  // -- optimistic-concurrency commits (r6) ---------------------------------
+  // What makes the manifest store safe for CONCURRENT writers — the
+  // Delta/Iceberg commit protocol on a filesystem: a writer stages its
+  // data files, then claims the next manifest version with an ATOMIC
+  // create-if-absent (hard link — POSIX link(2) fails with EEXIST
+  // atomically; a plain rename would silently overwrite the winner).
+  // A writer that lost the race sees the version bump, re-checks that
+  // the file groups IT replaces are all still live in the winner's
+  // manifest, and either rebases (disjoint groups: its new manifest is
+  // built on the winner's, so both rewrites survive) or aborts with
+  // [[SnapshotConflictException]] (overlapping groups: a blind
+  // manifest write would resurrect the group the winner replaced,
+  // silently dropping the winner's files). Nothing here reads data —
+  // commit cost is manifest arithmetic, independent of table size.
+  final class SnapshotConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Highest committed manifest version under `root`. */
+  def currentSnapshotVersion(root: String): Int =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("manifest_v"))
+      .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt)
+      .max
+
+  /** Commit a copy-on-write rewrite: `removed` file groups (as listed in
+    * the manifest of `readVersion`, the version the writer based its
+    * rewrite on) are replaced by `added`. Returns the committed version.
+    * Retries transparently on lost races with non-conflicting writers;
+    * throws [[SnapshotConflictException]] when an intervening commit
+    * replaced a group this writer also replaces. */
+  def commitSnapshot(root: String, readVersion: Int, removed: Seq[String],
+      added: Seq[String], maxRetries: Int = 5): Int = {
+    val base = manifestPaths(root, readVersion)
+    require(removed.forall(base.contains),
+      s"removed paths must come from manifest v$readVersion")
+    var attempt = 0
+    while (true) {
+      val cur = currentSnapshotVersion(root)
+      val curPaths = manifestPaths(root, cur)
+      // conflict iff a group we replace is no longer live — some
+      // intervening commit already replaced or dropped it
+      val gone = removed.filterNot(curPaths.contains)
+      if (gone.nonEmpty)
+        throw new SnapshotConflictException(
+          s"commit based on v$readVersion conflicts with v$cur: " +
+            s"groups already replaced by a concurrent writer: ${gone.mkString(", ")}")
+      val next = cur + 1
+      val newManifest = curPaths.filterNot(removed.contains) ++ added
+      val tmpPath = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(root), s"manifest_v$next", ".tmp")
+      java.nio.file.Files.write(tmpPath,
+        String.join("\n", newManifest: _*).getBytes("UTF-8"))
+      try {
+        // atomic claim: link(2) fails with EEXIST if someone else won
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(root, s"manifest_v$next.txt"), tmpPath)
+        java.nio.file.Files.delete(tmpPath)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmpPath)
+          attempt += 1
+          if (attempt > maxRetries) throw new SnapshotConflictException(
+            s"lost the commit race $maxRetries times under $root; giving up")
+        // loop: re-read the new current version and re-check conflicts
+      }
+    }
+    -1 // unreachable
+  }
   private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)

@@ -118,6 +118,63 @@ class SketchMaintSpec extends AnyFunSuite {
     assert(out._1 == n2 && n2 == Tables.orders(spark, sf).count())
   }
 
+  test("optimistic commit: overlapping concurrent rewrite rejected, disjoint one rebases") {
+    val M = graft.operators.Maintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    def mk(name: String): String = {
+      val p = s"$root/$name"; new java.io.File(p).mkdirs(); p
+    }
+    val g = (0 to 3).map(i => mk(s"g$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      g.mkString("\n").getBytes("UTF-8"))
+    // writer A: based on v1, replaces g1 → wins v2
+    val a1 = mk("g1_rewrite_A")
+    assert(M.commitSnapshot(root, 1, Seq(g(1)), Seq(a1)) == 2)
+    // writer B: ALSO based on v1, replaces g1. Its blind manifest —
+    // manifest(v1) − g1 + its own rewrite — would resurrect nothing of
+    // A's: A's g1_rewrite_A would vanish from the table. The protocol
+    // must reject instead.
+    val b1 = mk("g1_rewrite_B")
+    intercept[M.SnapshotConflictException] {
+      M.commitSnapshot(root, 1, Seq(g(1)), Seq(b1))
+    }
+    assert(M.currentSnapshotVersion(root) == 2, "loser must not advance the version")
+    val m2 = M.manifestPaths(root, 2)
+    assert(m2.contains(a1) && !m2.contains(g(1)) && !m2.contains(b1),
+      "winner's commit must be untouched by the rejected writer")
+    // writer C: based on the SAME stale v1 but replacing g2 — disjoint
+    // from A's commit, so it rebases onto v2 and both rewrites survive
+    val c2 = mk("g2_rewrite_C")
+    assert(M.commitSnapshot(root, 1, Seq(g(2)), Seq(c2)) == 3)
+    val m3 = M.manifestPaths(root, 3).toSet
+    assert(m3 == Set(g(0), g(3), a1, c2),
+      s"rebased manifest must carry BOTH concurrent rewrites: $m3")
+  }
+
+  test("optimistic commit: simultaneous disjoint writers both land via the atomic claim") {
+    val M = graft.operators.Maintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_occ2").toString
+    def mk(name: String): String = {
+      val p = s"$root/$name"; new java.io.File(p).mkdirs(); p
+    }
+    val g = (0 to 3).map(i => mk(s"g$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      g.mkString("\n").getBytes("UTF-8"))
+    val d0 = mk("g0_rewrite_D")
+    val e3 = mk("g3_rewrite_E")
+    // two threads race for v2; the createLink loser retries and rebases
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Seq(Seq(g(0)) -> d0, Seq(g(3)) -> e3)
+      .map { case (rm, add) => Future(M.commitSnapshot(root, 1, rm, Seq(add))) }
+      .map(Await.result(_, 30.seconds))
+    assert(results.toSet == Set(2, 3), s"both writers must commit: $results")
+    val top = M.manifestPaths(root, 3).toSet
+    assert(top == Set(g(1), g(2), d0, e3),
+      s"final manifest must carry both simultaneous rewrites: $top")
+  }
+
   test("io_schema_evolution: legacy files surface NULL for the new column") {
     import spark.implicits._
     val out = SparkEntry.queries("io_schema_evolution")(spark, sf)
