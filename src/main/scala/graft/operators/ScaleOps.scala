@@ -443,6 +443,34 @@ object ScaleOps {
        |FROM lineitem WHERE l_quantity > 25.0
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- Avro round trip -----------------------------------------------------
+  // Fourth interchange format, via the first-party
+  // [[graft.sources.AvroLiteFileFormat]] (the environment has the Avro
+  // core library but no spark-avro module). Exercises write + read +
+  // date logical type + null handling through the full FileSourceScan
+  // machinery; DuckDB reads no Avro either, so — like ORC — the oracle
+  // runs the aggregate over the ORIGINAL table and roundtrip fidelity
+  // IS the assertion.
+  private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_avro_roundtrip", d)
+    val fmt = classOf[graft.sources.AvroLiteFileFormat].getName
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"o_orderdate")
+      .write.format(fmt).mode("overwrite").save(out)
+    s.read.format(fmt).load(out)
+      .filter($"o_totalprice" > 100000.0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"),
+        max($"o_orderdate").as("max_date"))
+      .orderBy($"o_orderpriority")
+  }
+  private val avroRoundtripSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price, MAX(o_orderdate) AS max_date
+       |FROM orders WHERE o_totalprice > 100000.0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -- persisted HLL sketch table + lossless merge --------------------------
   // THE approx-distinct pattern at 100 TB: sketch ONCE at ingest into a
   // per-day sketch TABLE (a few KB per group instead of the raw key
@@ -482,6 +510,7 @@ object ScaleOps {
     QueryDef("io_zstd_roundtrip", zstdRoundtrip, Some(zstdRoundtripSql)),
     QueryDef("q_hll_sketch_merge", hllSketchMerge, None),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("io_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),

@@ -118,6 +118,38 @@ class SketchMaintSpec extends AnyFunSuite {
     assert(out._1 == n2 && n2 == Tables.orders(spark, sf).count())
   }
 
+  test("graft-avro: typed roundtrip with nulls, shortName resolution, pruned read") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType), StructField("x", DoubleType),
+      StructField("f", FloatType), StructField("b", BooleanType),
+      StructField("s", StringType), StructField("d", DateType),
+      StructField("t", TimestampType), StructField("nt", TimestampNTZType)))
+    val d0 = java.sql.Date.valueOf("2026-03-14")
+    val t0 = java.sql.Timestamp.valueOf("2026-03-14 01:02:03.004005")
+    val nt0 = java.time.LocalDateTime.of(2026, 3, 14, 1, 2, 3, 4005000)
+    val rows = Seq(
+      Row(1L, 7, 2.5, 1.5f, true, "alpha", d0, t0, nt0),
+      Row(2L, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    val out = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    df.write.format("graft-avro").mode("overwrite").save(out)
+    val back = spark.read.format("graft-avro").load(out)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.collect().sortBy(_.getLong(0)).toSeq
+    assert(got == rows, s"roundtrip mismatch: $got")
+    // column pruning: only the requested fields are decoded
+    val pruned = back.select($"s").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<s:string>"),
+      s"scan must prune to the requested column:\n$pruned")
+    assert(back.select($"s").as[String].collect().toSet == Set("alpha", null))
+  }
+
   test("optimistic commit: overlapping concurrent rewrite rejected, disjoint one rebases") {
     val M = graft.operators.Maintenance
     val root = java.nio.file.Files.createTempDirectory("graft_occ").toString
