@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    genuine half-size resize through `Graphics2D`;
   *  - `audio/wav`: `javax.sound.sampled` parse → PCM RMS level + true
   *    decoded duration → 10 Hz frame sampling;
-  *  - `video/mp4`: STUB (the JDK has no container/video codec, and the
-  *    container has no external codec libs — disclosed): feature = mean
-  *    payload byte, frame sampling from declared metadata.
+  *  - `video/mp4`: real ISO BMFF container parse ([[IsoBmff]]) —
+  *    duration/dimensions measured from mvhd/tkhd, frame sampling
+  *    indexes genuine sample byte ranges via stsz/stco. Only frame
+  *    PIXEL decode is out of scope (the JDK ships no video codec —
+  *    disclosed).
   */
 object Multimodal {
 
@@ -130,23 +132,36 @@ object Multimodal {
         math.min((durSec * 10).round.toInt, 8)) // 1 sampled frame / 100 ms, capped
     }
 
-    /** Disclosed STUB for video (no mp4 parser in the JDK): feature =
-      * mean payload byte; "resize" halves declared dimensions; 1 frame
-      * per declared second, capped at 8. */
-    def stubVideo(r: MediaRow): MediaFeatures = {
+    /** Real MP4 container parse via [[IsoBmff]]: duration/dimensions
+      * come from mvhd/tkhd (measured, never the declared metadata), and
+      * frame SAMPLING indexes actual sample byte ranges through
+      * stsz/stco — 1 frame/second capped at 8, feature = mean byte over
+      * exactly the sampled frames' payloads. Frame pixel decode stays
+      * out of scope (the JDK ships no video codec — disclosed); the
+      * sampling/indexing half is the real container work. */
+    def decodeVideo(r: MediaRow): MediaFeatures = {
+      val info = IsoBmff.parse(r.payload)
+      val nFrames = info.sampleSizes.length
+      val sampled = math.min(math.min((info.durationMs / 1000).toInt, 8), nFrames)
       var sum = 0L
-      var i = 0
-      while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
-      val brightness = if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length
+      var count = 0L
+      var k = 0
+      while (k < sampled) {
+        val (off, len) = info.frameRange(k * nFrames / math.max(1, sampled))
+        var j = 0
+        while (j < len) { sum += r.payload(off.toInt + j) & 0xff; j += 1 }
+        count += len
+        k += 1
+      }
+      val brightness = if (count == 0) 0.0 else sum.toDouble / count
       MediaFeatures(r.doc_id, r.meta.mime, r.payload.length, brightness,
-        r.meta.width / 2, r.meta.height / 2,
-        math.min((r.meta.durationMs / 1000).toInt, 8))
+        info.width / 2, info.height / 2, sampled)
     }
 
     def decode(r: MediaRow): MediaFeatures = r.meta.mime match {
       case "image/png" => decodeImage(r)
       case "audio/wav" => decodeAudio(r)
-      case _ => stubVideo(r)
+      case _ => decodeVideo(r)
     }
   }
 
@@ -165,9 +180,9 @@ object Multimodal {
           val durMs = (id % 5) * 100 + 100 // 100..500 ms
           MediaRow(id, JdkCodec.wavBytes(id, durMs), MediaMeta("audio/wav", 0, 0, durMs))
         case _ =>
-          val blob = s"mp4-stub-$id".getBytes("UTF-8") ++
-            Array.fill(((id % 50) + 10).toInt)((id % 251).toByte)
-          MediaRow(id, blob, MediaMeta("video/mp4", w, h, (id % 20) * 1000))
+          val durMs = (id % 20) * 1000
+          MediaRow(id, IsoBmff.mp4Bytes(id, w, h, durMs),
+            MediaMeta("video/mp4", w, h, durMs))
       }
     }
   }

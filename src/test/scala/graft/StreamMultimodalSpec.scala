@@ -343,12 +343,45 @@ class StreamMultimodalSpec extends AnyFunSuite {
     val wav7 = feats.filter($"doc_id" === 7).collect()(0) // 7 % 3 == 1 -> wav
     assert(wav7.mime == "audio/wav")
     assert(wav7.framesSampled == ((7 % 5) * 100 + 100) / 100)
-    // video rows: the disclosed stub path
-    val vid5 = feats.filter($"doc_id" === 5).collect()(0) // 5 % 3 == 2 -> mp4 stub
+    // video rows: real container parse — sampling follows mvhd duration
+    val vid5 = feats.filter($"doc_id" === 5).collect()(0) // 5 % 3 == 2 -> mp4
     assert(vid5.mime == "video/mp4")
     assert(vid5.framesSampled == 5) // (5%20)*1000ms -> 5 frames
     // mm query returns one row per mime
     val q = SparkEntry.queries("mm_binary_pipeline")(spark, sf)
     assert(q.count() == 3)
+  }
+
+  test("multimodal decode: real MP4 box parse — measured geometry, indexed frame bytes") {
+    import Multimodal.{JdkCodec, MediaMeta, MediaRow}
+    import graft.operators.IsoBmff
+    // writer↔parser roundtrip: every sample-table quantity is recovered
+    val bytes = IsoBmff.mp4Bytes(9L, w = 64, h = 48, durationMs = 3000, fps = 4)
+    val info = IsoBmff.parse(bytes)
+    assert(info.durationMs == 3000 && info.width == 64 && info.height == 48)
+    assert(info.sampleSizes == (0 until 12).map(i => IsoBmff.frameSize(9L, i)))
+    // the chunk offset really points at frame 0's first byte
+    val (off0, len0) = info.frameRange(0)
+    assert(bytes(off0.toInt) == IsoBmff.frameByte(9L, 0, 0) && len0 == info.sampleSizes.head)
+    // decode uses the CONTAINER, never the declared metadata: bogus
+    // declared 999×999 / 999999 ms must all be ignored
+    val f = JdkCodec.decodeVideo(
+      MediaRow(9L, bytes, MediaMeta("video/mp4", 999, 999, 999999L)))
+    assert(f.resizedW == 32 && f.resizedH == 24, s"${f.resizedW}x${f.resizedH}")
+    assert(f.framesSampled == 3, f.framesSampled)
+    // brightness = mean byte over exactly the 3 sampled frames (0, 4, 8)
+    val expected = {
+      val picks = (0 until 3).map(k => k * 12 / 3)
+      val all = picks.flatMap { i =>
+        val (off, len) = info.frameRange(i)
+        (0 until len).map(j => bytes(off.toInt + j) & 0xff)
+      }
+      all.sum.toDouble / all.size
+    }
+    assert(f.brightness == expected, s"${f.brightness} != $expected")
+    // malformed container fails loudly, not with garbage features
+    intercept[IllegalArgumentException] {
+      IsoBmff.parse("not an mp4 at all".getBytes("UTF-8"))
+    }
   }
 }
