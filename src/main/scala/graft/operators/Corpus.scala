@@ -302,7 +302,10 @@ object Corpus {
   // by unpersisting exactly the round's own LogicalRDD.
   private[graft] val BpeRounds = 10
 
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The training loop proper: returns (merge table, final per-word
+    * segmentation). The final state doubles as the ENCODER's dictionary
+    * — `text_bpe_encode` joins it back onto the corpus. */
+  private def bpeCore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select(explode(TextPrep.words($"text")).as("word"))
@@ -338,12 +341,40 @@ object Corpus {
           .localCheckpoint()
         val nextBlocks = ownRdds(next)
         state = next
-        stateBlocks.foreach(_.unpersist(blocking = false))
-        stateBlocks = nextBlocks
+        // the superseded round's checkpoint blocks are dead — but NOT
+        // the final round's, which text_bpe_encode reads after the loop
+        if (rank < BpeRounds) {
+          stateBlocks.foreach(_.unpersist(blocking = false))
+          stateBlocks = nextBlocks
+        }
       }
       rank += 1
     }
-    merges.orderBy($"merge_rank")
+    (merges.orderBy($"merge_rank"), state)
+  }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = bpeCore(s, d)._1
+
+  // -- text_bpe_encode: the trained tokenizer applied at corpus scale ------
+  // Closes the trainer → tokenizer → corpus loop: the final training
+  // state IS the encoding dictionary (word → its merged symbols), so
+  // encoding is a vocab-sized broadcast join onto the exploded corpus —
+  // the corpus itself never shuffles and is tokenized in one map+join
+  // pass. At web scale the dictionary is millions of rows, still
+  // dictionary-sized against a 100 TB corpus; out-of-vocabulary words
+  // (none here — the dictionary is trained on this corpus) would fall
+  // back to the character segmentation via a left join + coalesce.
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, state) = bpeCore(s, d)
+    val dict = state.select($"word", size($"syms").cast("long").as("n_sub"))
+    Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
   }
 
   /** The same training loop, unrolled round-by-round into one DuckDB
@@ -352,12 +383,20 @@ object Corpus {
     * matching position is TAKEN iff its offset from the head of its
     * consecutive-match run is even (runs only ever form when l = r),
     * and the position after a taken one is consumed. */
-  private val bpeTrainSql = {
+  /** Shared WITH-body: s0 (char segmentation of the word-frequency
+    * table) plus one p/b/m/g/t/k/s block per round. Training reads the
+    * b* argmax rows; encoding reads the FINAL s* segmentation. Every
+    * multiply-referenced CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and each round references s_r twice — inlining doubles
+    * the tree per round, a 2^rounds planning blowup (measured minutes
+    * at 10 rounds; milliseconds materialized). */
+  private val bpeCtes: String = {
     val rounds = (0 until BpeRounds).map { r =>
-      s"""p$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
          |          CAST(SUM(freq) AS BIGINT) AS n
          |        FROM s$r, unnest(range(1, len(syms))) t(i) GROUP BY 1, 2),
-         |b$r AS (SELECT lft, rgt, n FROM p$r ORDER BY n DESC, lft, rgt LIMIT 1),
+         |b$r AS MATERIALIZED (SELECT lft, rgt, n FROM p$r
+         |        ORDER BY n DESC, lft, rgt LIMIT 1),
          |m$r AS (SELECT word, freq, syms, i, lft, rgt,
          |          COALESCE(syms[i] = lft AND syms[i + 1] = rgt, FALSE) AS mt
          |        FROM s$r, b$r, unnest(range(1, len(syms) + 1)) t(i)),
@@ -367,24 +406,39 @@ object Corpus {
          |          OVER (PARTITION BY word, grp)) % 2 = 0 AS taken FROM g$r),
          |k$r AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY word ORDER BY i),
          |          FALSE) AS consumed FROM t$r),
-         |s${r + 1} AS (SELECT word, freq,
+         |s${r + 1} AS MATERIALIZED (SELECT word, freq,
          |          list(CASE WHEN taken THEN lft || rgt ELSE syms[i] END
          |               ORDER BY i) AS syms
          |        FROM k$r WHERE NOT consumed GROUP BY word, freq)""".stripMargin
     }.mkString(",\n")
+    s"""s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(${TextPrep.wordsSql}) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word)),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainSql = {
     val out = (0 until BpeRounds).map { r =>
       s"SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, lft AS pair_left, " +
         s"rgt AS pair_right, n FROM b$r"
     }.mkString("\nUNION ALL\n")
-    s"""WITH s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM (
-       |  SELECT word, COUNT(*) AS freq FROM (
-       |    SELECT unnest(${TextPrep.wordsSql}) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word)),
-       |$rounds
+    s"""WITH $bpeCtes
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  private val bpeEncodeSql =
+    s"""WITH $bpeCtes,
+       |enc AS (SELECT word, len(syms) AS n_sub FROM s$BpeRounds),
+       |docw AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS word
+       |         FROM documents),
+       |dw AS (SELECT doc_id, word FROM docw WHERE word <> '')
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -- text_lm_score: corpus bigram-LM familiarity -------------------------
   // The shape of LM-based quality filtering (CCNet's wikipedia-LM
@@ -426,6 +480,7 @@ object Corpus {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),

@@ -195,6 +195,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(engine("newest").length < "newest".length)
   }
 
+  test("text_bpe_encode: corpus token counts equal the reference encoder's") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2 + "newest " * 6).trim),
+      (3L, ("widest " * 3).trim))
+    val dir = corpusDir(docs)
+    val got = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = refTrain(wordFreq, 10).map(m => (m._1, m._2))
+    def encLen(w: String): Long = merges.foldLeft(w.split("").toList) {
+      case (syms, (l, r)) => refMergeOnce(syms, l, r)
+    }.length.toLong
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      (id, ws.length.toLong, ws.map(encLen).sum)
+    }
+    assert(got == want, s"engine $got != reference $want")
+    // compression sanity: BPE tokens strictly fewer than characters,
+    // at least as many as whitespace words
+    got.zip(docs).foreach { case ((_, nWords, nBpe), (_, text)) =>
+      assert(nBpe >= nWords && nBpe < text.replace(" ", "").length)
+    }
+  }
+
   test("q_rolling_agg matches a direct interval-join recomputation") {
     import spark.implicits._
     val out = SparkEntry.queries("q_rolling_agg")(spark, sf)
