@@ -257,7 +257,49 @@ object Corpus {
        |FROM c CROSS JOIN t
        |ORDER BY n DESC, tok LIMIT $VocabTopK""".stripMargin
 
-  // -- q_decontaminate: benchmark n-gram overlap ---------------------------
+  // -- q_inverted_index: positional inverted index build -------------------
+  // The retrieval-side primitive over a prepared corpus: token →
+  // posting list with per-document term frequency and DELTA-encoded
+  // positions (the gap encoding real indexes compress, because gaps are
+  // small and varint-friendly where absolute positions are not).
+  // Shape: ONE posexplode (map-side), then the delta window and the
+  // (token, doc) aggregation share the same shuffle partitioning; the
+  // df window re-partitions the already-aggregated postings (rows =
+  // postings, not positions). At 100 TB the partition key becomes the
+  // token's 128-bit fingerprint with the token carried alongside (16-
+  // byte shuffle keys; string keys here keep the oracle joinable), and
+  // posting lists for stop-word-grade tokens get length-capped + split
+  // — df is the diagnostic that flags them.
+  private def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy($"tok", $"doc_id").orderBy($"pos")
+    val wTok = Window.partitionBy($"tok")
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(TextPrep.words($"text")).as(Seq("p", "tok")))
+      .filter($"tok" =!= "")
+      .withColumn("pos", $"p".cast("long")) // DuckDB positions are BIGINT
+      .withColumn("delta", $"pos" - coalesce(lag($"pos", 1).over(wPos), lit(0L)))
+      .groupBy($"tok", $"doc_id")
+      .agg(count(lit(1)).as("tf"),
+        expr("transform(array_sort(collect_list(struct(pos, delta))), x -> x.delta)")
+          .as("deltas"))
+      .withColumn("df", count(lit(1)).over(wTok))
+      .select($"tok", $"df", $"doc_id", $"tf", $"deltas")
+      .orderBy($"tok", $"doc_id")
+  }
+  private val invertedIndexSql =
+    s"""WITH docw AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+       |  FROM (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |       unnest(range(1, len(w) + 1)) t(i)
+       |  WHERE w[i] <> ''),
+       |dl AS (SELECT doc_id, pos, tok,
+       |  pos - COALESCE(LAG(pos) OVER (PARTITION BY tok, doc_id ORDER BY pos), 0)
+       |    AS delta FROM docw),
+       |g AS (SELECT tok, doc_id, COUNT(*) AS tf,
+       |  list(delta ORDER BY pos) AS deltas FROM dl GROUP BY tok, doc_id)
+       |SELECT tok, COUNT(*) OVER (PARTITION BY tok) AS df, doc_id, tf, deltas
+       |FROM g ORDER BY tok, doc_id""".stripMargin
   private val GramLen = 8
   private val BenchMod = 20
 
@@ -487,5 +529,6 @@ object Corpus {
     QueryDef("dedup_substring", substringDedup, Some(substringDedupSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
   )
 }

@@ -305,8 +305,10 @@ object Similarity {
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos6"))
       .orderBy($"vec_a", $"vec_b")
   }
-  private val embeddingDedupSql =
-    s"""WITH sigs AS (SELECT vec_id, embedding, $signatureSql AS sig FROM embeddings),
+  /** Shared CTE body: banded-signature candidates scored by exact
+    * cosine — reused by the pair query and the semantic-cluster query. */
+  private val embBandCtes =
+    s"""sigs AS (SELECT vec_id, embedding, $signatureSql AS sig FROM embeddings),
        |bands AS (SELECT vec_id, embedding, b AS band_id,
        |            (sig // POWER(2, b * $BandBits)::BIGINT) % ${1 << BandBits} AS band_val
        |          FROM sigs, unnest(range(0, ${Planes / BandBits})) t(b)),
@@ -314,9 +316,52 @@ object Similarity {
        |                b.vec_id AS vec_b, b.embedding AS eb
        |         FROM bands a JOIN bands b ON a.band_id = b.band_id
        |           AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
-       |scored AS (SELECT vec_a, vec_b, ${VectorOps.cosineSql("ea", "eb")} AS cos FROM cand)
+       |scored AS (SELECT vec_a, vec_b, ${VectorOps.cosineSql("ea", "eb")} AS cos FROM cand)""".stripMargin
+
+  private val embeddingDedupSql =
+    s"""WITH $embBandCtes
        |SELECT vec_a, vec_b, round(cos, 6) AS cos6
        |FROM scored WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  // -- semantic dedup with canonical selection ------------------------------
+  // The decision layer on top of the near-dup PAIRS: transitive closure
+  // over the verified pairs (the pointer-jumping distributed CC from
+  // Dedup.componentLabels — O(log diameter) rounds, 16-byte label
+  // shuffles), cluster = min member id, canonical = the member equal to
+  // its cluster id, everything else is the "drop" set. This is the
+  // SemDeDup shape: near-dup clusters keep one representative. The
+  // corpus outer-joins the (small by construction) labeled set, so
+  // untouched vectors stay single-member clusters without shuffling.
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = embeddingDedup(s, d).select($"vec_a", $"vec_b")
+    val labels = Dedup.componentLabels(pairs)
+      .select($"id".as("vec_id"), $"label")
+    Tables.embeddings(s, d).select($"vec_id")
+      .join(broadcast(labels), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"label", $"vec_id").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster")))
+      .withColumn("is_canonical", $"vec_id" === $"cluster")
+      .orderBy($"vec_id")
+  }
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE $embBandCtes,
+       |pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+       |cl AS (SELECT e.vec_id, COALESCE(c.label, e.vec_id) AS cluster
+       |       FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id)
+       |SELECT vec_id, cluster,
+       |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+       |  vec_id = cluster AS is_canonical
+       |FROM cl ORDER BY vec_id""".stripMargin
 
   // -- int8 scalar quantization with error accounting ----------------------
   // The compression step before any large-scale ANN index: per-vector
@@ -877,5 +922,6 @@ object Similarity {
     QueryDef("sim_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
+    QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
   )
 }

@@ -221,6 +221,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q_inverted_index: exact postings, delta encoding is lossless") {
+    import spark.implicits._
+    val dir = corpusDir(Seq(
+      (1L, "a b a c a"),   // a at 0,2,4 -> deltas 0,2,2
+      (2L, "c a"),          // a at 1 -> delta 1
+      (3L, "b b")))         // b at 0,1 -> deltas 0,1
+    val out = SparkEntry.queries("q_inverted_index")(spark, dir)
+      .as[(String, Long, Long, Long, Seq[Long])].collect().toSeq
+    val byKey = out.map(r => (r._1, r._3) -> r).toMap
+    assert(byKey(("a", 1L)) == (("a", 2L, 1L, 3L, Seq(0L, 2L, 2L))))
+    assert(byKey(("a", 2L)) == (("a", 2L, 2L, 1L, Seq(1L))))
+    assert(byKey(("b", 1L)) == (("b", 2L, 1L, 1L, Seq(1L))))
+    assert(byKey(("b", 3L)) == (("b", 2L, 3L, 2L, Seq(0L, 1L))))
+    assert(byKey(("c", 1L))._2 == 2L && byKey(("c", 2L))._2 == 2L)
+    // lossless: cumulative sums of deltas reconstruct absolute positions,
+    // and every document position is covered exactly once
+    val reconstructed = out.flatMap { case (tok, _, docId, _, deltas) =>
+      deltas.scanLeft(0L)(_ + _).tail.map(pos => (docId, pos, tok))
+    }.toSet
+    val direct = Seq(
+      (1L, "a b a c a"), (2L, "c a"), (3L, "b b")).flatMap { case (id, t) =>
+      t.split(" ").zipWithIndex.map { case (w, i) => (id, i.toLong, w) }
+    }.toSet
+    assert(reconstructed == direct, "delta decode must reproduce every (doc, pos, tok)")
+  }
+
   test("q_rolling_agg matches a direct interval-join recomputation") {
     import spark.implicits._
     val out = SparkEntry.queries("q_rolling_agg")(spark, sf)

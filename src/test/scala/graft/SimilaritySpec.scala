@@ -165,6 +165,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)), "empty/null-element vectors must yield NULL")
   }
 
+  test("dedup_semantic keeps one canonical per near-dup cluster, singletons intact") {
+    import spark.implicits._
+    // crafted geometry: ids 0-2 share a direction, 3-4 share another,
+    // 5 is alone — near-identical vectors share every LSH band and
+    // cos ≈ 1; cross-cluster cos ≈ 0 fails the 0.4 verify even if a
+    // band collides
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 100f else 0f) + (((i * 7 + jitter) % 5) * 0.01f))
+    val rows = Seq(
+      (0L, vec(0, 1), 0), (1L, vec(0, 2), 0), (2L, vec(0, 3), 0),
+      (3L, vec(20, 1), 1), (4L, vec(20, 2), 1),
+      (5L, vec(40, 1), 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false),
+      (3L, 3L, 2L, true), (4L, 3L, 2L, false),
+      (5L, 5L, 1L, true)), s"unexpected clustering: $out")
+    assert(out.count(_._4) == 3, "exactly one canonical per cluster")
+  }
+
   test("residual PQ codes strictly shrink ADC error vs raw codes at the same budget") {
     // FAISS's reason for residual encoding: within a cell the residual
     // coordinates span a fraction of the raw range, so 16 entries per
