@@ -62,6 +62,54 @@ object Advanced {
       |  CAST(SUM(ts_us - asof_ts_us) AS BIGINT) AS sum_gap_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- q_asof_nearest: bidirectional as-of (nearest event either way) ------
+  // The "nearest" direction pandas/kdb expose beside backward/forward:
+  // each purchase matches the view MINIMIZING |Δt|, ties to the earlier
+  // view. Same single-shuffle union shape as q_asof_join, with BOTH a
+  // running last() (backward) and a first() over the forward frame; the
+  // (ts, side) sort puts an equal-timestamp view before the purchase,
+  // so an exact-tie view is the backward match — making the tie rule
+  // structural, not data-dependent. Still one Exchange total.
+  private def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us", lit(0).as("side"), $"ts_us".as("view_ts_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("side"),
+        lit(null).cast("long").as("view_ts_us"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts_us", $"side")
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(purchases)
+      .withColumn("prev_v", last($"view_ts_us", ignoreNulls = true).over(wB))
+      .withColumn("next_v", first($"view_ts_us", ignoreNulls = true).over(wF))
+      .filter($"side" === 1)
+      .withColumn("near_v",
+        when($"prev_v".isNull, $"next_v")
+          .when($"next_v".isNull, $"prev_v")
+          .when($"ts_us" - $"prev_v" <= $"next_v" - $"ts_us", $"prev_v")
+          .otherwise($"next_v"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"near_v").as("n_matched"),
+        sum(abs($"ts_us" - $"near_v")).as("sum_abs_gap_us"))
+      .orderBy($"user_id")
+  }
+  private val qAsofNearestSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'view'),
+      |     m AS (SELECT p.user_id, p.ts_us,
+      |             (SELECT v.ts_us FROM v WHERE v.user_id = p.user_id
+      |              ORDER BY ABS(v.ts_us - p.ts_us), v.ts_us LIMIT 1) AS near_ts
+      |           FROM p)
+      |SELECT user_id, COUNT(*) AS n_purchases,
+      |  COUNT(near_ts) AS n_matched,
+      |  CAST(SUM(ABS(ts_us - near_ts)) AS BIGINT) AS sum_abs_gap_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -- q_asof_join_native: same semantics through the custom operator ------
   // The whole-operator extension path (graft.plans.AsofJoinPlan →
   // AsofJoinStrategy → AsofJoinExec): co-partitioned sorted merge, one
@@ -510,6 +558,7 @@ object Advanced {
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),
     QueryDef("q_asof_join_sql", qAsofJoinSqlTvf, Some(qAsofJoinSql)),

@@ -125,6 +125,31 @@ object CryptoQueries {
        |  ${sqlSum("s_acctbal")} AS sum_bal
        |FROM supplier""".stripMargin
 
+  // -- 6b: master-key (KEK) rotation (r6) -----------------------------------
+  // The lake-crypto lifecycle op: unwrap every column DEK under the old
+  // master key, rewrap under the new one, rewrite ONLY the manifest —
+  // data files untouched (the spec additionally pins ZERO Spark jobs
+  // during rotation). The query proves the rotated chain fully opens
+  // the data: read with the NEW master id after rotating, aggregate,
+  // compare against the plain table.
+  private def keyRotation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_key_rotation", d)
+    val cfg = CryptoConfig("master-rot-old",
+      Seq(ColumnPolicy("s_name", kmsMasterKeyId = Some("mk-rot-name")),
+        ColumnPolicy("s_acctbal", kmsMasterKeyId = Some("mk-rot-bal"))))
+    EncryptedParquet.write(Tables.supplier(s, d), out, cfg)
+    EncryptedParquet.rotateMasterKey(s, out, cfg, "master-rot-new")
+    EncryptedParquet.readAll(s, out, cfg.copy(masterKeyId = "master-rot-new"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"s_name").as("n_names"),
+        dsum($"s_acctbal").as("sum_bal"))
+  }
+  private val keyRotationSql =
+    s"""SELECT COUNT(*) AS n, COUNT(DISTINCT s_name) AS n_names,
+       |  ${sqlSum("s_acctbal")} AS sum_bal
+       |FROM supplier""".stripMargin
+
   // -- 7: distributed round-trip validation (anti-join, no collect) --------
   private def validate(s: SparkSession, d: String): DataFrame = {
     val out = tmp("crypto_validate", d)
@@ -262,6 +287,7 @@ object CryptoQueries {
     QueryDef("crypto_roundtrip_full", roundtripFull, Some(roundtripFullSql)),
     QueryDef("crypto_selective_decrypt", selectiveDecrypt, Some(selectiveDecryptSql)),
     QueryDef("crypto_kms_envelope", kmsEnvelope, Some(kmsEnvelopeSql)),
+    QueryDef("crypto_key_rotation", keyRotation, Some(keyRotationSql)),
     QueryDef("crypto_validate", validate, Some(validateSql)),
     QueryDef("crypto_column_masking", masking, Some(maskingSql)),
     QueryDef("crypto_rbac_view", rbacView, Some(rbacViewSql)),
