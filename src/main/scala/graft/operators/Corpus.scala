@@ -520,6 +520,69 @@ object Corpus {
        |  CAST(SUM(bg_n) AS DOUBLE) / COUNT(*) AS familiarity
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- q_bm25: BM25 ranked retrieval over the corpus -----------------------
+  // The scoring layer on top of q_inverted_index's quantities (tf, df,
+  // dl, avgdl): Robertson/Okapi BM25 with k1 = 1.2, b = 0.75, query =
+  // the corpus's 3 most frequent tokens (deterministic: count desc then
+  // token). Shapes: query terms and their df broadcast (3 rows); tf is
+  // one narrow aggregate over the semi-joined postings; the one-row
+  // corpus stats broadcast; top-20 is an orderBy+limit →
+  // TakeOrderedAndProject, never a global sort. Parity: per-term
+  // contributions round through DECIMAL(18,6) before the per-doc sum
+  // (dsum), so aggregation order can't drift bits and a ≤1-ulp ln()
+  // difference between engines is absorbed; the formula is written with
+  // identical parenthesization on both sides.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = 3
+  private val Bm25TopK = 20
+
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val qterms = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(Bm25Terms).select($"tok")
+    val tf = toks.join(broadcast(qterms), "tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * (Bm25K1 + 1.0)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), dsum($"contrib").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(Bm25TopK)
+  }
+  private val bm25Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS tok
+       |              FROM documents),
+       |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |qterms AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+       |           ORDER BY n DESC, tok LIMIT $Bm25Terms)),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |       WHERE tok IN (SELECT tok FROM qterms) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT tf.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (tf * (${Bm25K1} + 1.0)) /
+       |      (tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl.dl / avgdl)) AS contrib
+       |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
@@ -530,5 +593,6 @@ object Corpus {
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QueryDef("q_bm25", bm25, Some(bm25Sql)),
   )
 }

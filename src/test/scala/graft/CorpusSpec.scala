@@ -247,6 +247,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(reconstructed == direct, "delta decode must reproduce every (doc, pos, tok)")
   }
 
+  test("q_bm25: scores match an independent computation of the formula") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y z z"))
+    val dir = corpusDir(docs)
+    val got = SparkEntry.queries("q_bm25")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // reference: same corpus quantities, same contribution formula,
+    // same DECIMAL(18,6) per-contribution rounding before the sum
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size.toDouble
+    val dl = toks.map { case (id, ws) => id -> ws.size }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val qterms = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    def contrib(tf: Int, df: Int, docLen: Int): BigDecimal = {
+      val c = math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * docLen / avgdl))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = toks.map { case (id, ws) =>
+      val terms = qterms.map(t => t -> ws.count(_ == t)).filter(_._2 > 0)
+      val dfOf = qterms.map(t => t -> toks.count(_._2.contains(t))).toMap
+      (id, terms.size.toLong,
+        terms.map { case (t, tf) => contrib(tf, dfOf(t), dl(id)) }.sum.toDouble)
+    }.sortBy(r => (-r._3, r._1))
+    assert(got == want, s"engine $got != reference $want")
+  }
+
   test("q_rolling_agg matches a direct interval-join recomputation") {
     import spark.implicits._
     val out = SparkEntry.queries("q_rolling_agg")(spark, sf)
