@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(text"), "raw text in shuffle key")
   }
 
+  test("dedup_substring: discovery shuffles fingerprints; document text never shuffles") {
+    val p = plan("dedup_substring")
+    // gram fingerprints drive the duplicate discovery
+    assert(p.contains("graft_fingerprint64"), p.take(500))
+    // no Exchange is keyed on (or carries) the raw text / word array —
+    // marking is a broadcast semi-join, excision a broadcast join onto
+    // the unexploded docs
+    assert(!p.contains("Exchange hashpartitioning(text"), "raw text in shuffle key")
+    assert(!p.contains("Exchange hashpartitioning(g#") &&
+      !p.contains("Exchange hashpartitioning(w#"), "gram/word text in shuffle key")
+  }
+
+  test("q_bm25: top-k lands as TakeOrderedAndProject, stats and terms broadcast") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"query terms + corpus stats should broadcast:\n${p.take(600)}")
+  }
+
   test("io_partition_pruning: filter becomes a PartitionFilter (file skipping)") {
     // write the hive-partitioned layout, then inspect the pruned scan
     val out = operators.ScaleOps.partitionedOrders(spark, sf)
