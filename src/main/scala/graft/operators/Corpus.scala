@@ -182,7 +182,12 @@ object Corpus {
   private[graft] val SubLen = 8
   private val SubMinDocs = 2
 
-  private def substringDedup(s: SparkSession, d: String): DataFrame = {
+  /** `keepFirst = false`: every duplicated span is excised from EVERY
+    * document. `keepFirst = true` is the published ExactSubstr rule —
+    * each duplicated window has an OWNER (min doc_id containing it) who
+    * keeps the copy; only non-owners lose the span. */
+  private def substringDedupCore(s: SparkSession, d: String,
+      keepFirst: Boolean): DataFrame = {
     import s.implicits._
     val K = SubLen
     val docs = Tables.documents(s, d)
@@ -192,9 +197,12 @@ object Corpus {
         s"transform(sequence(0, size(w) - $K), i -> array_join(slice(w, i + 1, $K), ' '))"))
         .as(Seq("i", "g")))
       .select($"doc_id", $"i", GraftFunctions.fingerprint128($"g").as("fp"))
-    val dup = grams.groupBy($"fp").agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= SubMinDocs).select($"fp")
-    val covered = grams.join(broadcast(dup), Seq("fp"), "left_semi")
+    val dup = grams.groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("nd"), min($"doc_id").as("owner"))
+      .filter($"nd" >= SubMinDocs).select($"fp", $"owner")
+    val marked = grams.join(broadcast(dup), Seq("fp"))
+    val excised = if (keepFirst) marked.filter($"doc_id" =!= $"owner") else marked
+    val covered = excised
       .select($"doc_id", explode(expr(s"sequence(i, i + ${K - 1})")).as("pos"))
       .groupBy($"doc_id").agg(sort_array(collect_set($"pos")).as("cov"))
     docs.join(broadcast(covered), Seq("doc_id"), "left")
@@ -206,17 +214,24 @@ object Corpus {
           " ").as("text_clean"))
       .orderBy($"doc_id")
   }
-  private val substringDedupSql = {
+  private def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupCore(s, d, keepFirst = false)
+  private def substringDedupKeep(s: SparkSession, d: String): DataFrame =
+    substringDedupCore(s, d, keepFirst = true)
+  /** Oracle for both variants; `ownerPred` restricts the coverage pass
+    * to non-owner occurrences in the keep-first form. */
+  private def substringDedupSqlFor(ownerPred: String): String = {
     val K = SubLen
     s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
        |grams AS (SELECT doc_id, i, array_to_string(w[i : i + ${K - 1}], ' ') AS g
        |          FROM docs, unnest(range(1, len(w) - ${K - 2})) t(i)
        |          WHERE len(w) >= $K),
-       |dup AS (SELECT g FROM grams GROUP BY g
+       |dup AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g
        |        HAVING COUNT(DISTINCT doc_id) >= $SubMinDocs),
-       |cov AS (SELECT DISTINCT doc_id, i + off AS pos
-       |        FROM grams, unnest(range(0, $K)) o(off)
-       |        WHERE g IN (SELECT g FROM dup)),
+       |cov AS (SELECT DISTINCT gr.doc_id, i + off AS pos
+       |        FROM grams gr JOIN dup d ON gr.g = d.g,
+       |             unnest(range(0, $K)) o(off)
+       |        WHERE $ownerPred),
        |toks AS (SELECT doc_id, i AS pos, w[i] AS tok
        |         FROM docs, unnest(range(1, len(w) + 1)) t(i)),
        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
@@ -231,6 +246,8 @@ object Corpus {
        |FROM docs d LEFT JOIN res r ON d.doc_id = r.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+  private val substringDedupSql = substringDedupSqlFor("TRUE")
+  private val substringDedupKeepSql = substringDedupSqlFor("gr.doc_id <> d.owner")
 
   // -- text_vocab: top-K vocabulary + corpus coverage ----------------------
   private val VocabTopK = 40
@@ -590,6 +607,7 @@ object Corpus {
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
     QueryDef("dedup_substring", substringDedup, Some(substringDedupSql)),
+    QueryDef("dedup_substring_keep", substringDedupKeep, Some(substringDedupKeepSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),

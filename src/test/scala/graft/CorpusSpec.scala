@@ -105,6 +105,25 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 10L, 10L, "")))
   }
 
+  test("dedup_substring_keep: the owner keeps its copy, every other doc loses it") {
+    import spark.implicits._
+    val run = toks("s", 8)
+    val dir = corpusDir(Seq(
+      (1L, s"p1 p2 p3 $run q1"), // min doc containing the run → owner
+      (2L, s"r1 $run t1 t2"),
+      (3L, s"$run u1")))
+    val out = SparkEntry.queries("dedup_substring_keep")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 12L, 0L, s"p1 p2 p3 $run q1"), // owner: untouched
+      (2L, 11L, 8L, "r1 t1 t2"),
+      (3L, 9L, 8L, "u1")))
+    // contrast: the remove-everywhere variant excises it from doc 1 too
+    val all = SparkEntry.queries("dedup_substring")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(all.head == ((1L, 12L, 8L, "p1 p2 p3 q1")))
+  }
+
   test("text_vocab: exact counts, doc frequencies, coverage, tie-break") {
     import spark.implicits._
     val dir = corpusDir(Seq((1L, "a a b"), (2L, "b c")))
