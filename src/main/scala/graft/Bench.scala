@@ -92,10 +92,11 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_BENCH_REPS=N → min-of-N per query (variance control on
-    // shared machines). Default 2: the committed artifact then carries a
-    // real min/median per query instead of one noise-exposed sample,
-    // at ~2× bench wall time.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // shared machines). Default 3: two reps still let one load spike
+    // through to the min (the r5 and r6 artifacts both needed cross-log
+    // adjudication for exactly that); a third rep tightens the min at
+    // ~1.5× the 2-rep wall time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 → subset run for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -209,8 +209,13 @@ object Corpus {
       .select($"doc_id",
         size($"w").cast("long").as("n_tokens"),
         coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
+        // kept = positions ∖ cov via array_except (hash-set build + one
+        // probe per position): linear in |w| + |cov|, where a per-token
+        // array_contains scan is O(|w|·|cov|) on dense coverage. cov
+        // non-null implies size(w) ≥ K, so sequence() never runs backward.
         array_join(
-          expr("filter(w, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"),
+          expr("CASE WHEN cov IS NULL THEN w ELSE " +
+            "transform(array_except(sequence(0, size(w) - 1), cov), i -> w[i]) END"),
           " ").as("text_clean"))
       .orderBy($"doc_id")
   }
@@ -299,7 +304,11 @@ object Corpus {
       .withColumn("delta", $"pos" - coalesce(lag($"pos", 1).over(wPos), lit(0L)))
       .groupBy($"tok", $"doc_id")
       .agg(count(lit(1)).as("tf"),
-        expr("transform(array_sort(collect_list(struct(pos, delta))), x -> x.delta)")
+        // Comma-joined rather than a raw array<long>: the cross-engine
+        // value-compare needs a totally-ordered scalar (same discipline as
+        // q_array_agg). The array form itself is exercised in CorpusSpec's
+        // lossless-decode test.
+        expr("array_join(transform(array_sort(collect_list(struct(pos, delta))), x -> x.delta), ',')")
           .as("deltas"))
       .withColumn("df", count(lit(1)).over(wTok))
       .select($"tok", $"df", $"doc_id", $"tf", $"deltas")
@@ -314,7 +323,8 @@ object Corpus {
        |  pos - COALESCE(LAG(pos) OVER (PARTITION BY tok, doc_id ORDER BY pos), 0)
        |    AS delta FROM docw),
        |g AS (SELECT tok, doc_id, COUNT(*) AS tf,
-       |  list(delta ORDER BY pos) AS deltas FROM dl GROUP BY tok, doc_id)
+       |  array_to_string(list(delta ORDER BY pos), ',') AS deltas
+       |  FROM dl GROUP BY tok, doc_id)
        |SELECT tok, COUNT(*) OVER (PARTITION BY tok) AS df, doc_id, tf, deltas
        |FROM g ORDER BY tok, doc_id""".stripMargin
   private val GramLen = 8
@@ -378,7 +388,12 @@ object Corpus {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
     var stateBlocks = ownRdds(state)
-    var merges: DataFrame = null
+    // starts empty (not null): a corpus with zero learnable merges —
+    // every word a single symbol — must yield an empty merge table, not
+    // an NPE at the final orderBy
+    var merges: DataFrame =
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("merge_rank", "pair_left", "pair_right", "n")
     var rank = 1
     var exhausted = false
     while (rank <= BpeRounds && !exhausted) {
@@ -393,7 +408,7 @@ object Corpus {
       else {
         val m = best.select(lit(rank.toLong).as("merge_rank"),
           $"lft".as("pair_left"), $"rgt".as("pair_right"), $"n")
-        merges = if (merges == null) m else merges.unionAll(m)
+        merges = merges.unionAll(m)
         val next = state
           .crossJoin(broadcast(best.select($"lft", $"rgt")))
           .select($"word", $"freq", Bpe.mergePair($"syms", $"lft", $"rgt").as("syms"))
@@ -458,7 +473,8 @@ object Corpus {
          |        ORDER BY n DESC, lft, rgt LIMIT 1),
          |m$r AS (SELECT word, freq, syms, i, lft, rgt,
          |          COALESCE(syms[i] = lft AND syms[i + 1] = rgt, FALSE) AS mt
-         |        FROM s$r, b$r, unnest(range(1, len(syms) + 1)) t(i)),
+         |        FROM (SELECT * FROM s$r LEFT JOIN b$r ON TRUE),
+         |          unnest(range(1, len(syms) + 1)) t(i)),
          |g$r AS (SELECT *, SUM(CASE WHEN mt THEN 0 ELSE 1 END)
          |          OVER (PARTITION BY word ORDER BY i) AS grp FROM m$r),
          |t$r AS (SELECT *, mt AND (i - MIN(CASE WHEN mt THEN i END)

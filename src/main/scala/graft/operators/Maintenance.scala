@@ -187,9 +187,7 @@ object Maintenance {
     if (!java.nio.file.Files.exists(marker) ||
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != SnapshotFormat)
       return false
-    val vs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("manifest_v"))
-      .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt)
+    val vs = manifestVersions(root)
     vs.length >= 2 && vs.forall(v =>
       manifestPaths(root, v).forall(p => new java.io.File(p).exists))
   }
@@ -241,12 +239,19 @@ object Maintenance {
   // commit cost is manifest arithmetic, independent of table size.
   final class SnapshotConflictException(msg: String) extends RuntimeException(msg)
 
-  /** Highest committed manifest version under `root`. */
-  def currentSnapshotVersion(root: String): Int =
+  /** Committed manifest versions under `root`. Only `manifest_v<N>.txt`
+    * counts as committed — a concurrent writer's in-flight staging file
+    * (or a stale one left by a crash) must never make version listing
+    * throw, so the suffix is part of the match, not assumed. */
+  private def manifestVersions(root: String): Seq[Int] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("manifest_v"))
-      .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt)
-      .max
+      .map(_.getName)
+      .filter(n => n.startsWith("manifest_v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("manifest_v").stripSuffix(".txt").toInt)
+      .toSeq
+
+  /** Highest committed manifest version under `root`. */
+  def currentSnapshotVersion(root: String): Int = manifestVersions(root).max
 
   /** Commit a copy-on-write rewrite: `removed` file groups (as listed in
     * the manifest of `readVersion`, the version the writer based its
@@ -272,8 +277,11 @@ object Maintenance {
             s"groups already replaced by a concurrent writer: ${gone.mkString(", ")}")
       val next = cur + 1
       val newManifest = curPaths.filterNot(removed.contains) ++ added
+      // staged under a name every manifest lister ignores (no
+      // "manifest_v" prefix): an in-flight or crash-orphaned temp file
+      // must never be parsed as a committed version
       val tmpPath = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(root), s"manifest_v$next", ".tmp")
+        java.nio.file.Paths.get(root), s".tmp_manifest_v$next", ".tmp")
       java.nio.file.Files.write(tmpPath,
         String.join("\n", newManifest: _*).getBytes("UTF-8"))
       try {
@@ -357,9 +365,7 @@ object Maintenance {
   // touched nothing the live manifest needs; the spec additionally
   // proves the retired version is actually gone from disk.
   def vacuum(root: String, retainVersions: Seq[Int]): Seq[String] = {
-    val all = new java.io.File(root).listFiles()
-      .filter(f => f.getName.startsWith("manifest_v"))
-      .map(_.getName.stripPrefix("manifest_v").stripSuffix(".txt").toInt).toSeq
+    val all = manifestVersions(root)
     val live = retainVersions.flatMap(v => manifestPaths(root, v)).toSet
     val dead = (all.diff(retainVersions)
       .flatMap(v => manifestPaths(root, v)).toSet -- live).toSeq.sorted

@@ -154,11 +154,18 @@ class AvroLiteFileFormat extends FileFormat with DataSourceRegister with Seriali
       val conf = new org.apache.hadoop.conf.Configuration()
       val in = new FsInput(file.toPath, conf)
       val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; reader.close(); in.close() }
+      // an early-terminated scan (LIMIT, failed task) never drains the
+      // iterator, so the drain-time close below is only a fast path —
+      // task completion is the guaranteed close, as in Spark's built-in
+      // file formats
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val it = new Iterator[InternalRow] {
-        private var closed = false
         override def hasNext: Boolean = {
           val h = !closed && reader.hasNext
-          if (!h && !closed) { closed = true; reader.close(); in.close() }
+          if (!h) closeOnce()
           h
         }
         override def next(): InternalRow = {

@@ -247,7 +247,10 @@ class CorpusSpec extends AnyFunSuite {
       (2L, "c a"),          // a at 1 -> delta 1
       (3L, "b b")))         // b at 0,1 -> deltas 0,1
     val out = SparkEntry.queries("q_inverted_index")(spark, dir)
-      .as[(String, Long, Long, Long, Seq[Long])].collect().toSeq
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+      .map { case (tok, df, doc, tf, ds) =>
+        (tok, df, doc, tf, ds.split(',').toSeq.map(_.toLong))
+      }
     val byKey = out.map(r => (r._1, r._3) -> r).toMap
     assert(byKey(("a", 1L)) == (("a", 2L, 1L, 3L, Seq(0L, 2L, 2L))))
     assert(byKey(("a", 2L)) == (("a", 2L, 2L, 1L, Seq(1L))))
