@@ -269,6 +269,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(reconstructed == direct, "delta decode must reproduce every (doc, pos, tok)")
   }
 
+  test("q_decontaminate_fuzzy: catches a perturbed benchmark leak that exact 8-grams provably miss") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => s"w$i")
+    // one word changed every 8 positions: every 8-token window contains
+    // exactly one change, so NO verbatim 8-gram survives — invisible to
+    // q_decontaminate — while the 2-gram Jaccard stays 48/78 ≈ 0.615
+    val perturbed = base.zipWithIndex.map { case (w, i) => if (i % 8 == 7) s"zz$i" else w }
+    val dir = corpusDir(Seq(
+      20L -> base.mkString(" "),                          // benchmark doc (doc_id % 20 == 0)
+      1L -> perturbed.mkString(" "),                      // leaked, lightly perturbed
+      2L -> base.mkString(" "),                           // leaked verbatim
+      3L -> (0 until 64).map(i => s"q$i").mkString(" "))) // unrelated
+    val exact = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact == Set(2L),
+      s"exact 8-gram decontamination must catch only the verbatim copy, got $exact")
+    val fuzzy = SparkEntry.queries("q_decontaminate_fuzzy")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val byTrain = fuzzy.groupBy(_._1)
+    assert(byTrain.keySet == Set(1L, 2L),
+      s"fuzzy decontamination must flag both leaks and nothing else, got ${byTrain.keySet}")
+    val j1 = byTrain(1L).collectFirst { case (_, 20L, j) => j }
+    assert(j1.exists(j => j > 0.55 && j < 0.7), s"perturbed-leak jaccard out of range: $j1")
+    assert(byTrain(2L).exists { case (_, b, j) => b == 20L && j == 1.0 })
+  }
+
   test("q_bm25: scores match an independent computation of the formula") {
     import spark.implicits._
     val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y z z"))
