@@ -12,10 +12,13 @@ package graft.operators
   *    movie timescale/duration from mvhd, track dimensions from tkhd
   *    (16.16 fixed point), per-frame sizes from stsz and the chunk
   *    offset from stco — which is exactly what frame SAMPLING needs
-  *    (byte ranges of the k-th frames), no video codec involved.
-  *    Frame pixel DECODE stays out of scope: the JDK ships no H.264/
-  *    mpeg4 decoder, and sampling/feature extraction over the indexed
-  *    frame payload bytes is the honest codec-free boundary.
+  *    (byte ranges of the k-th frames).
+  *
+  * Frames are MOTION-JPEG (sample entry `jpeg`): each stsz/stco-indexed
+  * sample is a complete JPEG, which `javax.imageio` decodes — so frame
+  * PIXEL decode needs no codec outside the JDK and the video leg of the
+  * multimodal pipeline is real end-to-end (container parse → byte-range
+  * sampling → pixel decode → pixel features).
   *
   * Layout constants follow the public ISO/IEC 14496-12 box definitions.
   */
@@ -41,22 +44,43 @@ object IsoBmff {
   // -- writer ---------------------------------------------------------------
   val Timescale = 1000L // movie ticks per second → duration ticks = ms
 
-  /** Deterministic frame payload sizes/bytes keyed by (docId, frame). */
-  def frameSize(docId: Long, i: Int): Int = 20 + ((docId + i) % 32).toInt
-  def frameByte(docId: Long, i: Int, j: Int): Byte =
-    ((docId * 7 + i * 13 + j) % 251).toByte
+  /** Deterministic per-frame source image: a gradient keyed by docId
+    * that SHIFTS with the frame index (so consecutive frames differ, as
+    * real video does). Public so specs can recompute the pre-encode
+    * pixel ground truth the decoded features must approximate. */
+  def frameImage(docId: Long, i: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId + x + i * 5) % 256).toInt
+        val g = ((docId * 31 + y + i * 11) % 256).toInt
+        val b = (x + y + i * 3) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
 
-  /** A structurally-valid one-track MP4: `frames` fake video samples in
-    * one chunk, sample tables consistent with the payload layout. */
+  /** One motion-JPEG sample: the frame image ImageIO-encoded as a
+    * complete JPEG byte stream. */
+  def jpegFrame(docId: Long, i: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frameImage(docId, i, w, h), "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A structurally-valid one-track MP4: `frames` motion-JPEG samples
+    * in one chunk, sample tables consistent with the payload layout. */
   def mp4Bytes(docId: Long, w: Int, h: Int, durationMs: Long, fps: Int = 4): Array[Byte] = {
     val frames = math.max(1, durationMs * fps / 1000).toInt
-    val sizes = (0 until frames).map(i => frameSize(docId, i))
-    val frameData = cat((0 until frames).map { i =>
-      val a = new Array[Byte](sizes(i))
-      var j = 0
-      while (j < a.length) { a(j) = frameByte(docId, i, j); j += 1 }
-      a
-    }: _*)
+    val framePayloads = (0 until frames).map(i => jpegFrame(docId, i, w, h))
+    val sizes = framePayloads.map(_.length)
+    val frameData = cat(framePayloads: _*)
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"),
       "mp41".getBytes("US-ASCII"))
@@ -77,7 +101,7 @@ object IsoBmff {
       be32(0), be32(0), be32(0), Array[Byte](0))
     val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
     val dinf = box("dinf", box("dref", be32(0), be32(1), box("url ", be32(1))))
-    val sampleEntry = box("mp4v", new Array[Byte](6), be16(1),
+    val sampleEntry = box("jpeg", new Array[Byte](6), be16(1),
       new Array[Byte](16), be16(w), be16(h), be32(0x00480000L), be32(0x00480000L),
       be32(0), be16(1), new Array[Byte](32), be16(24), be16(0xffff))
     val stsd = box("stsd", be32(0), be32(1), sampleEntry)

@@ -14,16 +14,17 @@ import org.apache.spark.sql.functions._
   * Decode/resize/sample run per-partition over Iterator batches (the
   * Scala analog of `mapInPandas` batch plumbing: explicit batch size,
   * one codec init per partition, vectorizable inner loop). The codecs
-  * are REAL for two of the three modalities — the JDK ships them:
+  * are REAL for all three modalities — the JDK ships them:
   *  - `image/png`: `javax.imageio` decode → mean-luminance feature →
   *    genuine half-size resize through `Graphics2D`;
   *  - `audio/wav`: `javax.sound.sampled` parse → PCM RMS level + true
   *    decoded duration → 10 Hz frame sampling;
   *  - `video/mp4`: real ISO BMFF container parse ([[IsoBmff]]) —
   *    duration/dimensions measured from mvhd/tkhd, frame sampling
-  *    indexes genuine sample byte ranges via stsz/stco. Only frame
-  *    PIXEL decode is out of scope (the JDK ships no video codec —
-  *    disclosed).
+  *    indexes genuine sample byte ranges via stsz/stco, and each sample
+  *    is a motion-JPEG frame whose pixels `javax.imageio` decodes, so
+  *    the video feature is computed from decoded pixels like the image
+  *    leg's.
   */
 object Multimodal {
 
@@ -31,7 +32,7 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
       doc_id: Long, mime: String, payloadBytes: Int,
-      brightness: Double,       // image: mean RGB luminance; audio: RMS scaled to 0..255; video stub: mean payload byte
+      brightness: Double,       // image/video: mean RGB luminance of decoded pixels; audio: RMS scaled to 0..255
       resizedW: Int, resizedH: Int,
       framesSampled: Int)
 
@@ -132,28 +133,37 @@ object Multimodal {
         math.min((durSec * 10).round.toInt, 8)) // 1 sampled frame / 100 ms, capped
     }
 
-    /** Real MP4 container parse via [[IsoBmff]]: duration/dimensions
-      * come from mvhd/tkhd (measured, never the declared metadata), and
+    /** Real MP4 decode end-to-end via [[IsoBmff]]: duration/dimensions
+      * come from mvhd/tkhd (measured, never the declared metadata),
       * frame SAMPLING indexes actual sample byte ranges through
-      * stsz/stco — 1 frame/second capped at 8, feature = mean byte over
-      * exactly the sampled frames' payloads. Frame pixel decode stays
-      * out of scope (the JDK ships no video codec — disclosed); the
-      * sampling/indexing half is the real container work. */
+      * stsz/stco — 1 frame/second capped at 8 — and each sampled frame
+      * is a complete motion-JPEG sample whose PIXELS ImageIO decodes.
+      * brightness = mean RGB luminance over the decoded pixels of
+      * exactly the sampled frames (same feature as the image leg). */
     def decodeVideo(r: MediaRow): MediaFeatures = {
       val info = IsoBmff.parse(r.payload)
       val nFrames = info.sampleSizes.length
       val sampled = math.min(math.min((info.durationMs / 1000).toInt, 8), nFrames)
       var sum = 0L
-      var count = 0L
+      var pixels = 0L
       var k = 0
       while (k < sampled) {
         val (off, len) = info.frameRange(k * nFrames / math.max(1, sampled))
-        var j = 0
-        while (j < len) { sum += r.payload(off.toInt + j) & 0xff; j += 1 }
-        count += len
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload, off.toInt, len))
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        pixels += img.getWidth.toLong * img.getHeight
         k += 1
       }
-      val brightness = if (count == 0) 0.0 else sum.toDouble / count
+      val brightness = if (pixels == 0) 0.0 else sum.toDouble / (3L * pixels)
       MediaFeatures(r.doc_id, r.meta.mime, r.payload.length, brightness,
         info.width / 2, info.height / 2, sampled)
     }
@@ -165,9 +175,9 @@ object Multimodal {
     }
   }
 
-  /** Deterministic media table derived from documents: REAL png/wav
-    * payloads (JDK-encoded) keyed off doc_id; mp4 rows carry an opaque
-    * deterministic byte blob for the stub path. */
+  /** Deterministic media table derived from documents: REAL png/wav/mp4
+    * payloads (JDK-encoded; mp4 = motion-JPEG in ISO BMFF) keyed off
+    * doc_id. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d).select($"doc_id").as[Long].map { id =>

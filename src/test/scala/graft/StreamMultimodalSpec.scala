@@ -352,33 +352,67 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(q.count() == 3)
   }
 
-  test("multimodal decode: real MP4 box parse — measured geometry, indexed frame bytes") {
+  test("multimodal decode: real MP4 parse + motion-JPEG frame PIXEL decode") {
     import Multimodal.{JdkCodec, MediaMeta, MediaRow}
     import graft.operators.IsoBmff
     // writer↔parser roundtrip: every sample-table quantity is recovered
     val bytes = IsoBmff.mp4Bytes(9L, w = 64, h = 48, durationMs = 3000, fps = 4)
     val info = IsoBmff.parse(bytes)
     assert(info.durationMs == 3000 && info.width == 64 && info.height == 48)
-    assert(info.sampleSizes == (0 until 12).map(i => IsoBmff.frameSize(9L, i)))
-    // the chunk offset really points at frame 0's first byte
-    val (off0, len0) = info.frameRange(0)
-    assert(bytes(off0.toInt) == IsoBmff.frameByte(9L, 0, 0) && len0 == info.sampleSizes.head)
+    assert(info.sampleSizes == (0 until 12).map(i => IsoBmff.jpegFrame(9L, i, 64, 48).length))
+    // every indexed sample byte range is a complete JPEG: SOI marker at
+    // the start, EOI marker at the end
+    (0 until 12).foreach { i =>
+      val (off, len) = info.frameRange(i)
+      assert(bytes(off.toInt) == 0xff.toByte && bytes(off.toInt + 1) == 0xd8.toByte,
+        s"frame $i does not start with a JPEG SOI marker")
+      assert(bytes(off.toInt + len - 2) == 0xff.toByte &&
+        bytes(off.toInt + len - 1) == 0xd9.toByte,
+        s"frame $i does not end with a JPEG EOI marker")
+    }
     // decode uses the CONTAINER, never the declared metadata: bogus
     // declared 999×999 / 999999 ms must all be ignored
     val f = JdkCodec.decodeVideo(
       MediaRow(9L, bytes, MediaMeta("video/mp4", 999, 999, 999999L)))
     assert(f.resizedW == 32 && f.resizedH == 24, s"${f.resizedW}x${f.resizedH}")
     assert(f.framesSampled == 3, f.framesSampled)
-    // brightness = mean byte over exactly the 3 sampled frames (0, 4, 8)
+    // brightness = mean RGB luminance over the DECODED pixels of exactly
+    // the 3 sampled frames (0, 4, 8) — recomputed here through an
+    // independent decode of the same byte ranges
+    val picks = (0 until 3).map(k => k * 12 / 3)
     val expected = {
-      val picks = (0 until 3).map(k => k * 12 / 3)
-      val all = picks.flatMap { i =>
+      var sum = 0L
+      var px = 0L
+      picks.foreach { i =>
         val (off, len) = info.frameRange(i)
-        (0 until len).map(j => bytes(off.toInt + j) & 0xff)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off.toInt, len))
+        assert(img != null && img.getWidth == 64 && img.getHeight == 48,
+          s"frame $i did not decode as a 64x48 image")
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+        px += img.getWidth.toLong * img.getHeight
       }
-      all.sum.toDouble / all.size
+      sum.toDouble / (3L * px)
     }
     assert(f.brightness == expected, s"${f.brightness} != $expected")
+    // and the decoded stats are PIXEL stats: within JPEG loss of the
+    // pre-encode source gradient's mean luminance
+    val sourceMean = {
+      var sum = 0L
+      picks.foreach { i =>
+        val img = IsoBmff.frameImage(9L, i, 64, 48)
+        for (y <- 0 until 48; x <- 0 until 64) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+      }
+      sum.toDouble / (3L * 3 * 64 * 48)
+    }
+    assert(math.abs(f.brightness - sourceMean) < 4.0,
+      s"decoded luma ${f.brightness} too far from source ${sourceMean}")
     // malformed container fails loudly, not with garbage features
     intercept[IllegalArgumentException] {
       IsoBmff.parse("not an mp4 at all".getBytes("UTF-8"))
