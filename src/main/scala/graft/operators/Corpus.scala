@@ -292,12 +292,15 @@ object Corpus {
   // byte shuffle keys; string keys here keep the oracle joinable), and
   // posting lists for stop-word-grade tokens get length-capped + split
   // — df is the diagnostic that flags them.
-  private def invertedIndex(s: SparkSession, d: String): DataFrame = {
+  /** Postings WITHOUT df — the stored/maintainable form: every
+    * per-(tok, doc) quantity (tf, delta-gap list) is a function of ONE
+    * document's text, so maintenance under churn is doc-local. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val wPos = Window.partitionBy($"tok", $"doc_id").orderBy($"pos")
-    val wTok = Window.partitionBy($"tok")
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", posexplode(TextPrep.words($"text")).as(Seq("p", "tok")))
       .filter($"tok" =!= "")
       .withColumn("pos", $"p".cast("long")) // DuckDB positions are BIGINT
@@ -310,6 +313,13 @@ object Corpus {
         // lossless-decode test.
         expr("array_join(transform(array_sort(collect_list(struct(pos, delta))), x -> x.delta), ',')")
           .as("deltas"))
+  }
+
+  private def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTok = Window.partitionBy($"tok")
+    postingsOf(Tables.documents(s, d))
       .withColumn("df", count(lit(1)).over(wTok))
       .select($"tok", $"df", $"doc_id", $"tf", $"deltas")
       .orderBy($"tok", $"doc_id")
@@ -327,6 +337,100 @@ object Corpus {
        |  FROM dl GROUP BY tok, doc_id)
        |SELECT tok, COUNT(*) OVER (PARTITION BY tok) AS df, doc_id, tf, deltas
        |FROM g ORDER BY tok, doc_id""".stripMargin
+
+  // -- q_index_incremental: CDC-driven inverted-index maintenance ----------
+  // q_inverted_index is a full rebuild; under churn a 100 TB index must
+  // refresh at a cost that scales with the CHANGED documents, not the
+  // corpus (the Delta/Iceberg incremental-materialized-view shape). The
+  // stored form is the df-free postings table plus a tok-level df
+  // table; a CDC feed of deletes/updates/inserts then maintains both:
+  //  - postings: recompute ONLY the changed docs' rows (tf/deltas are
+  //    doc-local), drop old rows via a BROADCAST anti-join on the
+  //    churn's doc_ids — the stored table is scanned once, never
+  //    shuffled;
+  //  - df: churn-sized ±1 deltas (removed postings counted via a
+  //    broadcast semi-join over the same scan, added from the
+  //    recompute), merged into the stored counts — never a recount of
+  //    the corpus.
+  // The driver-gate oracle is the strongest statement possible: a FULL
+  // REBUILD on the post-churn corpus must hash-equal the incrementally
+  // maintained table. The final df-attach join + sort is output
+  // assembly for the gate, not maintenance cost (a lake deployment
+  // stores both tables bucketed by tok and serves them as-is).
+  private val ChurnMod = 17
+  private val InsertOffset = 1000000L
+
+  /** Stage the pre-churn stored index (postings + df) once per dataset
+    * — the "existing table" the incremental maintenance reads. */
+  private[graft] def indexRoot(s: SparkSession, d: String): String = {
+    val root = s"/tmp/graft_q/index_${new java.io.File(d).getName}"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = "v1-postings-df"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    val p = postingsOf(Tables.documents(s, d))
+    p.write.mode("overwrite").parquet(s"$root/postings")
+    p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/df")
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    root
+  }
+
+  private def indexIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, d)
+    val p1 = s.read.parquet(s"$root/postings")
+    val df1 = s.read.parquet(s"$root/df")
+    val base = Tables.documents(s, d)
+    // the CDC feed: deterministic churn so the oracle can replay it
+    val deletes = base.filter($"doc_id" % ChurnMod === 3).select($"doc_id")
+    val updates = base.filter($"doc_id" % ChurnMod === 5)
+      .select($"doc_id", concat($"text", lit(" errata revision")).as("text"))
+    val inserts = base.filter($"doc_id" % ChurnMod === 7)
+      .select(($"doc_id" + InsertOffset).as("doc_id"),
+        concat($"text", lit(" appendix")).as("text"))
+    val changedDocs = updates.unionByName(inserts)
+    val droppedIds = deletes.unionByName(updates.select($"doc_id"))
+    // churn-sized recompute (consumed twice: union + df delta)
+    val pNew = postingsOf(changedDocs).localCheckpoint()
+    val p2 = p1.join(broadcast(droppedIds), Seq("doc_id"), "left_anti")
+      .unionByName(pNew)
+    val dfMinus = p1.join(broadcast(droppedIds), Seq("doc_id"), "left_semi")
+      .groupBy($"tok").agg((-count(lit(1))).as("dd"))
+    val dfPlus = pNew.groupBy($"tok").agg(count(lit(1)).as("dd"))
+    val df2 = df1.select($"tok", $"df".as("dd"))
+      .unionByName(dfMinus).unionByName(dfPlus)
+      .groupBy($"tok").agg(sum($"dd").as("df")).filter($"df" > 0)
+    p2.join(df2, "tok")
+      .select($"tok", $"df", $"doc_id", $"tf", $"deltas")
+      .orderBy($"tok", $"doc_id")
+  }
+  /** Full rebuild on the post-churn corpus — must hash-equal the
+    * incrementally maintained table. */
+  private val indexIncrementalSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $ChurnMod <> 3 AND doc_id % $ChurnMod <> 5
+       |  UNION ALL
+       |  SELECT doc_id, text || ' errata revision' FROM documents
+       |  WHERE doc_id % $ChurnMod = 5
+       |  UNION ALL
+       |  SELECT doc_id + $InsertOffset, text || ' appendix' FROM documents
+       |  WHERE doc_id % $ChurnMod = 7),
+       |docw AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+       |  FROM (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM corpus),
+       |       unnest(range(1, len(w) + 1)) t(i)
+       |  WHERE w[i] <> ''),
+       |dl AS (SELECT doc_id, pos, tok,
+       |  pos - COALESCE(LAG(pos) OVER (PARTITION BY tok, doc_id ORDER BY pos), 0)
+       |    AS delta FROM docw),
+       |g AS (SELECT tok, doc_id, COUNT(*) AS tf,
+       |  array_to_string(list(delta ORDER BY pos), ',') AS deltas
+       |  FROM dl GROUP BY tok, doc_id)
+       |SELECT tok, COUNT(*) OVER (PARTITION BY tok) AS df, doc_id, tf, deltas
+       |FROM g ORDER BY tok, doc_id""".stripMargin
+
   private val GramLen = 8
   private val BenchMod = 20
 
@@ -627,6 +731,7 @@ object Corpus {
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QueryDef("q_index_incremental", indexIncremental, Some(indexIncrementalSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
   )
 }

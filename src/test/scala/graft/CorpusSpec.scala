@@ -269,6 +269,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(reconstructed == direct, "delta decode must reproduce every (doc, pos, tok)")
   }
 
+  test("q_index_incremental: equals a full rebuild after delete/update/insert churn") {
+    import spark.implicits._
+    val dir = corpusDir(Seq(
+      3L -> "gone words here",      // %17==3 -> deleted
+      5L -> "alpha beta gamma",     // %17==5 -> updated (text + ' errata revision')
+      7L -> "shared tokens alpha",  // %17==7 -> stays AND spawns an insert copy
+      9L -> "plain doc alpha beta"))
+    val inc = SparkEntry.queries("q_index_incremental")(spark, dir)
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    // the post-churn corpus, materialized directly; a full rebuild over
+    // it is the ground truth the maintained index must equal exactly
+    val dir2 = corpusDir(Seq(
+      5L -> "alpha beta gamma errata revision",
+      7L -> "shared tokens alpha",
+      9L -> "plain doc alpha beta",
+      1000007L -> "shared tokens alpha appendix"))
+    val full = SparkEntry.queries("q_inverted_index")(spark, dir2)
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(inc == full, s"missing=${full -- inc} extra=${inc -- full}")
+    assert(!inc.exists(_._1 == "gone"), "deleted doc's tokens must leave the index")
+    assert(inc.exists(r => r._1 == "errata" && r._3 == 5L), "update must index new tokens")
+    assert(inc.exists(_._3 == 1000007L), "insert must appear under its new doc_id")
+  }
+
   test("q_decontaminate_fuzzy: catches a perturbed benchmark leak that exact 8-grams provably miss") {
     import spark.implicits._
     val base = (0 until 64).map(i => s"w$i")

@@ -73,6 +73,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Exchange hashpartitioning(w#"), "gram/word text in shuffle key")
   }
 
+  test("q_index_incremental: stored postings maintained via broadcast, churn legs doc-filtered") {
+    val p = plan("q_index_incremental")
+    // dropping stale postings is a BROADCAST anti-join and the df-minus
+    // count a broadcast semi-join: the stored table is scanned, never
+    // shuffled, for maintenance
+    assert(p.contains("LeftAnti"), "stale-posting drop must be an anti-join")
+    assert(p.contains("LeftSemi"), "df-minus leg must be a semi-join")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "churn doc_ids must broadcast to both maintenance joins")
+    // the recompute legs read only churned documents: the % 17 churn
+    // predicates reach the documents scans
+    assert(p.contains("% 17"), "churn filter missing from the recompute legs")
+  }
+
   test("q_bm25: top-k lands as TakeOrderedAndProject, stats and terms broadcast") {
     val p = plan("q_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
