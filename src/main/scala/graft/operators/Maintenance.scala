@@ -391,6 +391,78 @@ object Maintenance {
        |  AS sum_price
        |FROM orders""".stripMargin
 
+  // -- io_manifest_skipping: zone maps in the snapshot manifest ------------
+  // The Delta/Iceberg data-skipping primitive the manifest store lacked:
+  // the manifest carries per-file-group MIN/MAX column stats, so a
+  // selective predicate prunes whole file groups from the MANIFEST —
+  // before any file is listed or opened (parquet row-group stats only
+  // help after the footer read; manifest stats avoid even touching the
+  // file). Staging splits orders into per-year file groups and records
+  // each group's o_orderdate min/max in `zones_v1.txt` alongside the
+  // path manifest; the pruned read keeps exactly the groups whose
+  // [min, max] overlaps the predicate window. The query emits the
+  // number of groups it read next to the aggregate, and the oracle
+  // recomputes that count independently (distinct years among matching
+  // rows) — a pruning bug that reads too many OR too few groups fails
+  // the value compare itself, not just a spec.
+  private[graft] def zonemapRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("zonemap", d)
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = "v1-year-groups"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    val base = Tables.orders(s, d).withColumn("y", year($"o_orderdate"))
+    base.write.mode("overwrite").partitionBy("y").parquet(s"$root/data")
+    // O(groups) stats rows — the same aggregate a lake writer folds into
+    // its commit; at scale these come free from the parquet footers the
+    // writer just produced
+    val stats = base.groupBy($"y").agg(
+      date_format(min($"o_orderdate"), "yyyy-MM-dd").as("lo"),
+      date_format(max($"o_orderdate"), "yyyy-MM-dd").as("hi"))
+      .collect().sortBy(_.getInt(0))
+    val zoneLines = stats.map(r => s"$root/data/y=${r.getInt(0)}|${r.getString(1)}|${r.getString(2)}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "zones_v1.txt"),
+      zoneLines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      stats.map(r => s"$root/data/y=${r.getInt(0)}").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    root
+  }
+
+  /** File groups whose zone [lo, hi] overlaps [wantLo, wantHi] (ISO date
+    * strings — lexicographic comparison IS date comparison), plus the
+    * total group count. Pure manifest arithmetic: no file is opened. */
+  private[graft] def zonePrunedPaths(root: String, wantLo: String,
+      wantHi: String): (Seq[String], Int) = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8").split("\n").toSeq
+    val chosen = lines.map(_.split('|')).collect {
+      case Array(path, lo, hi) if hi >= wantLo && lo <= wantHi => path
+    }
+    (chosen, lines.size)
+  }
+
+  private val ZoneLo = "1995-03-01"
+  private val ZoneHi = "1995-09-30"
+
+  private def qManifestSkipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = zonemapRoot(s, d)
+    val (paths, _) = zonePrunedPaths(root, ZoneLo, ZoneHi)
+    s.read.parquet(paths: _*)
+      .filter(year($"o_orderdate") === 1995 &&
+        month($"o_orderdate").between(3, 9))
+      .agg(lit(paths.length.toLong).as("n_groups_read"),
+        count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+  }
+  private val qManifestSkippingSql =
+    s"""SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) AS n_groups_read,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) BETWEEN 3 AND 9""".stripMargin
+
   // -- io_schema_evolution: mergeSchema over heterogeneous files -----------
   // Lake tables accrete columns: files written before a column existed
   // must stay readable, surfacing NULL for it — no rewrite of old data
@@ -528,6 +600,7 @@ object Maintenance {
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
+    QueryDef("io_manifest_skipping", qManifestSkipping, Some(qManifestSkippingSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
   )

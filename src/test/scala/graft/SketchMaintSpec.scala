@@ -207,6 +207,27 @@ class SketchMaintSpec extends AnyFunSuite {
       s"final manifest must carry both simultaneous rewrites: $top")
   }
 
+  test("manifest zone maps prune file groups before read; answers unchanged") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val root = Maintenance.zonemapRoot(spark, sf)
+    // a one-year window keeps exactly one group of the ~7-year corpus
+    val (pruned, total) = Maintenance.zonePrunedPaths(root, "1995-03-01", "1995-09-30")
+    assert(total >= 6 && pruned.length == 1,
+      s"expected 1 of >=6 groups, got ${pruned.length} of $total")
+    // the pruned scan + residual filter equals the direct full scan
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(year($"o_orderdate") === 1995 && month($"o_orderdate").between(3, 9))
+      .agg(count(lit(1)), sum($"o_totalprice".cast("decimal(18,6)")))
+      .collect()(0)
+    assert(agg(spark.read.parquet(pruned: _*)) == agg(Tables.orders(spark, sf)),
+      "zone pruning changed the answer")
+    // a window spanning everything prunes nothing — stats are bounds,
+    // not filters
+    val (all, t2) = Maintenance.zonePrunedPaths(root, "1990-01-01", "2099-12-31")
+    assert(all.length == t2, s"${all.length} != $t2")
+  }
+
   test("io_schema_evolution: legacy files surface NULL for the new column") {
     import spark.implicits._
     val out = SparkEntry.queries("io_schema_evolution")(spark, sf)
