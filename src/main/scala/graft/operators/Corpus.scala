@@ -657,6 +657,59 @@ object Corpus {
        |  CAST(SUM(bg_n) AS DOUBLE) / COUNT(*) AS familiarity
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- text_perplexity: add-one smoothed bigram-LM quality gate ------------
+  // The CCNet-style perplexity filter text_lm_score approximates: raw
+  // bigram frequency cannot tell "frequent because predictable" from
+  // "frequent prefix, surprising continuation" — a garbled doc whose
+  // bigrams each occur once and a boilerplate doc whose bigram also
+  // occurs once score IDENTICALLY (the spec pins such a kernel). The
+  // smoothed model scores the CONDITIONAL probability
+  //   P(v | u) = (c(u,v) + 1) / (c(u) + V)      (add-one; k = 1 keeps
+  // every quantity an integer), c(u) = u's bigram-PREFIX count so the
+  // distribution sums to 1, V = corpus vocabulary. Output per doc =
+  // average negative log-prob (avg_nll, monotone in perplexity =
+  // exp(avg_nll)). Parity: all counts integer; the only float ops are
+  // one ln() per bigram with identical parenthesization both engines
+  // and the davg/sqlAvg decimal pre-sum that absorbs ≤1-ulp ln drift
+  // and aggregation order. Shape: bigram and prefix counts ride two
+  // windows (bg then u — the second reuses the first's rows, keys are
+  // 16-byte fingerprints at 100 TB), the vocab scalar broadcasts, and
+  // the per-doc aggregate is the last shuffle.
+  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.OracleMath.davg
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+    val vocab = docs.select(explode($"w").as("tok")).filter($"tok" =!= "")
+      .agg(countDistinct($"tok").as("v"))
+    val bigrams = docs.filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS u, w[i + 1] AS v2))")).as("b"))
+      .select($"doc_id", $"b.u".as("u"), $"b.v2".as("v2"))
+    bigrams
+      .withColumn("c_bg", count(lit(1)).over(Window.partitionBy($"u", $"v2")))
+      .withColumn("c_u", count(lit(1)).over(Window.partitionBy($"u")))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log(($"c_bg" + 1.0) / ($"c_u" + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), davg($"nll").as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+  private val perplexitySql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |vocab AS (SELECT COUNT(DISTINCT tok) AS v
+       |          FROM (SELECT unnest(w) AS tok FROM docs) WHERE tok <> ''),
+       |bg AS (SELECT doc_id, w[i] AS u, w[i + 1] AS v2
+       |       FROM docs, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+       |cb AS (SELECT doc_id,
+       |       COUNT(*) OVER (PARTITION BY u, v2) AS c_bg,
+       |       COUNT(*) OVER (PARTITION BY u) AS c_u FROM bg),
+       |sc AS (SELECT doc_id, -ln((c_bg + 1.0) / (c_u + v)) AS nll
+       |       FROM cb CROSS JOIN vocab)
+       |SELECT doc_id, COUNT(*) AS n_bigrams, ${graft.OracleMath.sqlAvg("nll")} AS avg_nll
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -- q_bm25: BM25 ranked retrieval over the corpus -----------------------
   // The scoring layer on top of q_inverted_index's quantities (tf, df,
   // dl, avgdl): Robertson/Okapi BM25 with k1 = 1.2, b = 0.75, query =
@@ -724,6 +777,7 @@ object Corpus {
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
+    QueryDef("text_perplexity", perplexity, Some(perplexitySql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
     QueryDef("dedup_substring", substringDedup, Some(substringDedupSql)),

@@ -269,6 +269,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(reconstructed == direct, "delta decode must reproduce every (doc, pos, tok)")
   }
 
+  test("text_perplexity separates garbled from boilerplate where raw frequency cannot") {
+    import spark.implicits._
+    // every bigram of BOTH docs occurs exactly once in the corpus, so
+    // text_lm_score's familiarity is identical (1.0); but doc 1's 'aa'
+    // prefix continues 22 different ways corpus-wide (high surprise per
+    // continuation) while doc 2's 'bb' prefix is deterministic
+    val fillers = (1 to 20).map(i => (100L + i) -> s"aa q$i aa q$i aa q$i")
+    val dir = corpusDir(Seq(
+      1L -> "aa zz1 aa zz2", // garbled: common prefix, novel continuations
+      2L -> "bb cc") ++ fillers)
+    val fam = SparkEntry.queries("text_lm_score")(spark, dir)
+      .select($"doc_id", $"familiarity").as[(Long, Double)].collect().toMap
+    assert(fam(1L) == fam(2L), s"kernel broken: ${fam(1L)} != ${fam(2L)}")
+    val nll = SparkEntry.queries("text_perplexity")(spark, dir)
+      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(nll(1L) > nll(2L) + 0.5,
+      s"smoothed LM must rank the garbled doc less probable: ${nll(1L)} vs ${nll(2L)}")
+  }
+
   test("q_index_incremental: equals a full rebuild after delete/update/insert churn") {
     import spark.implicits._
     val dir = corpusDir(Seq(
