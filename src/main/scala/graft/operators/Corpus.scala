@@ -155,6 +155,77 @@ object Corpus {
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- text_boilerplate: per-source template removal -----------------------
+  // The RefinedWeb/CCNet boilerplate rule, per DOMAIN rather than
+  // corpus-global: a segment repeated across documents of the SAME
+  // source (site navigation, cookie banners, footers) is template
+  // text, removed from EVERY document of that source once it appears
+  // in more than `BpNum/BpDen` of the source's documents. Differs from
+  // `text_seg_dedup` on both axes that matter in practice: the
+  // frequency is scoped to the source (a phrase legitimately common
+  // across the whole corpus is NOT boilerplate), and the threshold is
+  // a FRACTION of the source's size, so large crawls don't flag
+  // ordinary prose the way an absolute count would. Shapes:
+  //  - discovery groups (16-byte fp, source) — text never shuffles;
+  //  - the per-source doc census is a tiny broadcast;
+  //  - the threshold test nd·BpDen > n_docs·BpNum is exact integer
+  //    arithmetic (no float ratio to drift);
+  //  - removal is a broadcast anti-join on (source, fp), corpus stays
+  //    in place.
+  private val BpNum = 1
+  private val BpDen = 5 // boilerplate iff in > 1/5 of the source's docs
+
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = SegLen
+    val segs = Tables.documents(s, d)
+      .select($"doc_id", $"source", TextPrep.words($"text").as("w"))
+      .select($"doc_id", $"source",
+        ceil(size($"w") / lit(L.toDouble)).cast("long").as("n_segs"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(w) / ${L}.0) as int) - 1, 1), " +
+            s"i -> array_join(slice(w, i * $L + 1, $L), ' '))")).as(Seq("seg_no", "seg")),
+        size($"w").as("n_words"))
+      .withColumn("is_full", ($"seg_no" + 1) * L <= $"n_words")
+    val census = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val withFp = segs.withColumn("fp", GraftFunctions.fingerprint128($"seg"))
+    val frequent = withFp.filter($"is_full")
+      .groupBy($"source", $"fp").agg(countDistinct($"doc_id").as("nd"))
+      .join(broadcast(census), "source")
+      .filter($"nd" * BpDen > $"n_docs" * BpNum)
+      .select($"source", $"fp")
+    withFp.join(broadcast(frequent), Seq("source", "fp"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(first($"n_segs").as("n_segs"),
+        (first($"n_segs") - count(lit(1))).as("n_removed"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg)"),
+          " ").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+  private val boilerplateSql = {
+    val L = SegLen
+    s"""WITH docs AS (SELECT doc_id, source, ${TextPrep.wordsSql} AS w FROM documents),
+       |census AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |segs AS (SELECT doc_id, source, CAST(ceil(len(w) / ${L}.0) AS BIGINT) AS n_segs,
+       |    i AS seg_no, array_to_string(w[i * $L + 1 : i * $L + $L], ' ') AS seg,
+       |    len(w[i * $L + 1 : i * $L + $L]) = $L AS is_full
+       |  FROM docs, unnest(range(0, CAST(ceil(len(w) / ${L}.0) AS BIGINT))) t(i)),
+       |freq AS (SELECT s.source, s.seg
+       |  FROM segs s JOIN census c ON c.source = s.source
+       |  WHERE s.is_full
+       |  GROUP BY s.source, s.seg, c.n_docs
+       |  HAVING COUNT(DISTINCT s.doc_id) * $BpDen > c.n_docs * $BpNum),
+       |kept AS (SELECT sg.* FROM segs sg
+       |  WHERE NOT (sg.is_full AND EXISTS (
+       |    SELECT 1 FROM freq f WHERE f.source = sg.source AND f.seg = sg.seg)))
+       |SELECT doc_id, any_value(n_segs) AS n_segs,
+       |  any_value(n_segs) - COUNT(*) AS n_removed,
+       |  string_agg(seg, ' ' ORDER BY seg_no) AS text_clean
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -- dedup_substring: arbitrary-offset exact substring removal -----------
   // The "Deduplicating Training Data Makes Language Models Better"
   // (Lee et al., 2022) pipeline step that `text_seg_dedup` approximates:
@@ -773,13 +844,81 @@ object Corpus {
        |FROM sc GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  // -- text_dsir: importance weights for data selection --------------------
+  // DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  // Importance Resampling"): score each raw document by how much more
+  // likely a TARGET-domain bag-of-bigrams model makes it than the raw
+  // model — log w(x) = Σ_f c_f(x)·(ln p_t(f) − ln p_r(f)) with add-one
+  // smoothing; documents with log w > 0 are the target-like selection
+  // pool. Target here = the `lang = 'en'` slice; raw = the full corpus.
+  //
+  // The original implementation HASHES features into a fixed-width
+  // vector — a bound on per-process memory, not part of the method. In
+  // Spark the model is a distributed TABLE (feature, target-count,
+  // raw-count): the per-document scoring is an equi-join of doc
+  // features against it (both sides partitioned by feature), the
+  // smoothing totals ride a one-row broadcast, and no executor ever
+  // holds the model whole — so the fidelity-losing hash bucketing
+  // drops out entirely at ANY scale. Parity: counts are exact
+  // integers; the log-ratio is ONE ln of a ratio of exactly-
+  // representable doubles (products < 2^53), identically parenthesized
+  // on both engines; per-feature contributions round through
+  // DECIMAL(18,6) before the per-doc sum (the q_bm25 discipline).
+  private def dsir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val bigrams = Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextPrep.words($"text").as("w"))
+      .filter(size($"w") >= 2) // sequence() would step backward on 1-word docs
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("f"))
+    val docFeat = bigrams.groupBy($"doc_id", $"lang", $"f")
+      .agg(count(lit(1)).as("c"))
+    val model = docFeat.groupBy($"f").agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+      sum($"c").as("cr"))
+    val totals = model.agg(
+      sum($"ct").as("t_tot"), sum($"cr").as("r_tot"), count(lit(1)).as("v"))
+    docFeat.join(model, "f")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        $"c" * log((($"ct" + 1.0) * ($"r_tot" + $"v")) /
+          (($"t_tot" + $"v") * ($"cr" + 1.0))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), dsum($"contrib").as("logw"))
+      .withColumn("selected", when($"logw" > 0.0, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+  private val dsirSql =
+    s"""WITH docs AS (SELECT doc_id, lang, ${TextPrep.wordsSql} AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS f
+       |       FROM docs, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+       |df AS (SELECT doc_id, lang, f, COUNT(*) AS c FROM bg GROUP BY doc_id, lang, f),
+       |model AS (SELECT f,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(c) AS BIGINT) AS cr
+       |  FROM df GROUP BY f),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+       |    CAST(SUM(cr) AS BIGINT) AS r_tot, COUNT(*) AS v FROM model),
+       |sc AS (SELECT df.doc_id,
+       |    df.c * ln(((ct + 1.0) * (r_tot + v)) / ((t_tot + v) * (cr + 1.0))) AS contrib
+       |  FROM df JOIN model ON df.f = model.f CROSS JOIN tot),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_feats,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS logw
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_feats, logw,
+       |  CASE WHEN logw > 0 THEN 1 ELSE 0 END AS selected
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_dsir", dsir, Some(dsirSql)),
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_perplexity", perplexity, Some(perplexitySql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),
     QueryDef("text_seg_dedup", segDedup, Some(segDedupSql)),
+    QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("dedup_substring", substringDedup, Some(substringDedupSql)),
     QueryDef("dedup_substring_keep", substringDedupKeep, Some(substringDedupKeepSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),

@@ -433,7 +433,89 @@ object Dedup {
        |WHERE c * 1.0 / (st.sz + sb.sz - c) >= $FuzzyJaccard
        |ORDER BY train_doc, bench_doc""".stripMargin
 
+  // -- q_pagerank: centrality over the near-dup graph ----------------------
+  // PageRank (Page/Brin/Motwani/Winograd 1999) over the same symmetrized
+  // near-duplicate graph dedup_components labels: in a crawl-derived
+  // corpus, rank concentrated in a dense duplicate neighborhood is a
+  // template/SEO-farm signal, and centrality picks the canonical
+  // representative better than min-doc_id. Shapes for 100 TB:
+  //  - each iteration is one narrow shuffle: edges (16 bytes/row,
+  //    cached) join the 16-byte (id, rank) table on src, aggregate
+  //    contributions by dst — document text and degree never re-derive;
+  //  - localCheckpoint per round truncates the lineage exactly like
+  //    Dedup.componentLabels / the BPE trainer;
+  //  - iteration count is FIXED (10), so convergence is deterministic
+  //    and the oracle replays rounds unrolled, the text_bpe discipline.
+  // Parity: all arithmetic is exact scaled-integer — ranks carry
+  // 10^12-scaled mass, each hop is floor division (`div`/`//`, positive
+  // everywhere so trunc == floor), damping is (85·x) div 100 — which
+  // hash-matches bit-for-bit with no float surface. Dangling nodes
+  // (out-degree 0) keep teleport mass only; leaked mass is NOT
+  // redistributed (documented variant, replayed identically by the
+  // oracle).
+  private val PrIters = 10
+  private val PrScale = 1000000000000L
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".as("src"), $"doc_b".as("dst")).cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = Tables.documents(s, d).select($"doc_id".as("id"))
+    val n = nodes.count() // one scalar (graph order), not data
+    val r0 = PrScale / n
+    val base = (15L * r0) / 100L
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.select($"id".as("src"), $"r"), "src")
+        .groupBy($"dst").agg(sum(expr("r div deg")).as("cs"))
+      ranks = nodes
+        .join(contrib.select($"dst".as("id"), $"cs"), Seq("id"), "left")
+        .select($"id",
+          expr(s"$base + (85 * coalesce(cs, 0)) div 100").as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    ranks.join(deg.select($"src".as("id"), $"deg"), Seq("id"), "left")
+      .na.fill(0, Seq("deg"))
+      .select($"id".as("doc_id"), $"deg", $"r".as("rank_scaled"))
+      .orderBy($"rank_scaled".desc, $"doc_id")
+  }
+  private val pagerankSql = {
+    val rounds = (0 until PrIters).map { t =>
+      s"""c$t AS (SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS cs
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r$t r ON r.id = e.src GROUP BY e.dst),
+         |r${t + 1} AS (SELECT nd.id,
+         |    ((15 * ($PrScale // nn.n)) // 100)
+         |      + (85 * COALESCE(c.cs, 0)) // 100 AS r
+         |  FROM nodes nd CROSS JOIN nn LEFT JOIN c$t c ON c.id = nd.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT id, $PrScale // n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT nd.id AS doc_id, COALESCE(d.deg, 0) AS deg, r.r AS rank_scaled
+       |FROM r$PrIters r JOIN nodes nd ON nd.id = r.id
+       |LEFT JOIN deg d ON d.src = nd.id
+       |ORDER BY rank_scaled DESC, doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
     QueryDef("q_decontaminate_fuzzy", fuzzyDecontaminate, Some(fuzzyDecontaminateSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),

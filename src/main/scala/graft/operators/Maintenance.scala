@@ -592,7 +592,74 @@ object Maintenance {
        |  ${sqlSum(s"CASE WHEN o_orderpriority = '1-URGENT' THEN $bumpedPriceSql ELSE o_totalprice END")} AS sum_price
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // -- io_rollback: snapshot rollback / undo as manifest arithmetic --------
+  // Rolling a table back to an earlier snapshot is a COMMIT, not a
+  // restore (Delta RESTORE / Iceberg rollback_to_snapshot): version
+  // N+1's manifest simply lists version K's file groups again. Nothing
+  // reads or writes data — cost is manifest arithmetic, independent of
+  // table size — history is preserved (the bad version stays queryable
+  // for audit), and the rollback rides the SAME OCC commit path as any
+  // writer, so it cannot silently clobber a concurrent commit. The
+  // store is staged fresh per call (a small slice of orders): rollback
+  // APPENDS a version, so layout reuse would grow history unboundedly
+  // across verify/bench reps and break determinism.
+  private def rollbackRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("rollback", d)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(root))
+    val t = Tables.orders(s, d).filter($"o_orderkey" % 10 < 3)
+      .withColumn("g", ($"o_orderkey" % 2).cast("int"))
+    t.write.partitionBy("g").parquet(s"$root/base")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      Seq(0, 1).map(g => s"$root/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    // churn: copy-on-write rewrite of g=0, the only group whose keys
+    // the update predicate hits (% 20 == 0 ⇒ even ⇒ g = 0)
+    s.read.parquet(s"$root/base/g=0")
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 20 === 0, bumpedPrice($"o_totalprice"))
+          .otherwise($"o_totalprice"))
+      .write.parquet(s"$root/rewrite_g0")
+    commitSnapshot(root, 1, Seq(s"$root/base/g=0"), Seq(s"$root/rewrite_g0"))
+    root
+  }
+
+  /** Roll the store back to `target`'s snapshot: one OCC commit whose
+    * manifest re-lists exactly `target`'s file groups. Zero data IO. */
+  def rollbackSnapshot(root: String, target: Int): Int = {
+    val cur = currentSnapshotVersion(root)
+    val curPaths = manifestPaths(root, cur)
+    val want = manifestPaths(root, target)
+    commitSnapshot(root, cur,
+      curPaths.filterNot(want.contains), want.filterNot(curPaths.contains))
+  }
+
+  private def qRollback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = rollbackRoot(s, d)
+    val v3 = rollbackSnapshot(root, 1)
+    Seq(1, 2, v3).map { v =>
+      readSnapshot(s, root, v)
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(v).as("version"), $"n", $"sum_price")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+  private val qRollbackSql =
+    s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 3),
+       |v1 AS (SELECT 1 AS version, COUNT(*) AS n,
+       |       ${sqlSum("o_totalprice")} AS sum_price FROM t),
+       |v2 AS (SELECT 2, COUNT(*), ${sqlSum(
+            s"CASE WHEN o_orderkey % 20 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}
+       |       FROM t),
+       |v3 AS (SELECT 3, COUNT(*), ${sqlSum("o_totalprice")} FROM t)
+       |SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+       |ORDER BY version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_rollback", qRollback, Some(qRollbackSql)),
     QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),

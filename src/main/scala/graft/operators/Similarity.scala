@@ -914,7 +914,135 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- q_hybrid_rrf: hybrid lexical+dense retrieval, RRF fusion ------------
+  // The two retrieval legs this library already provides — BM25-style
+  // lexical scoring (q_bm25's formula, here in more-like-this form: the
+  // query is a document's own term set) and dense cosine over the
+  // embedding column — fused by Reciprocal Rank Fusion
+  // (Cormack/Clarke/Buettcher 2009): score(d) = Σ_legs 1/(K + rank_leg(d)),
+  // K = 60. Shapes for 100 TB:
+  //  - each leg is truncated to its per-query top-`LegDepth` BEFORE
+  //    fusion, so fusion state is O(queries × depth) regardless of
+  //    corpus size (the standard RRF@depth discipline);
+  //  - the corpus-side term-frequency table is computed ONCE and shared
+  //    across queries; query term sets and df are broadcast;
+  //  - the dense leg broadcasts the query vectors and streams the
+  //    corpus exactly like sim_bruteforce_topk (at larger query counts
+  //    the partial-top-k-per-partition trick applies unchanged);
+  //  - fusion itself is a small outer join on (query_id, doc_id).
+  // Parity: ranks are computed from decimal-rounded lexical sums (the
+  // q_bm25 discipline) and raw cosine (bit-stable, proven by
+  // sim_bruteforce_topk); the fused score is an exact scaled-integer
+  // reciprocal rank floor(10^12/(K+r)) — `div` / `//` — so the output
+  // carries no float column at all. A doc absent from one leg
+  // contributes 0 from that leg (rank emitted as 0 = "beyond depth").
+  private val RrfK = 60
+  private val RrfScale = 1000000000000L
+  private val LegDepth = 100
+  private val HybridTopK = 10
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val k1 = 1.2; val b = 0.75
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val qtoks = toks.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("query_id"), $"tok").distinct()
+    val terms = qtoks.select($"tok").distinct()
+    val tf = toks.join(broadcast(terms), "tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val lexW = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    val lex = tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(qtoks), "tok")
+      .filter($"doc_id" =!= $"query_id")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * (k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"query_id", $"doc_id").agg(dsum($"contrib").as("score"))
+      .withColumn("lex_rank", row_number().over(lexW))
+      .filter($"lex_rank" <= LegDepth)
+      .select($"query_id", $"doc_id", $"lex_rank")
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val denseW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
+    val dense = emb.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        VectorOps.cosine($"qe", $"embedding").as("cos"))
+      .withColumn("vec_rank", row_number().over(denseW))
+      .filter($"vec_rank" <= LegDepth)
+      .select($"query_id", $"doc_id", $"vec_rank")
+    val fusedW = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .na.fill(0, Seq("lex_rank", "vec_rank"))
+      .withColumn("rrf",
+        expr(s"CAST(CASE WHEN lex_rank > 0 THEN $RrfScale div ($RrfK + lex_rank) ELSE 0 END AS BIGINT) + " +
+          s"CAST(CASE WHEN vec_rank > 0 THEN $RrfScale div ($RrfK + vec_rank) ELSE 0 END AS BIGINT)"))
+      .withColumn("rank", row_number().over(fusedW))
+      .filter($"rank" <= HybridTopK)
+      .select($"query_id", $"rank", $"doc_id", $"lex_rank", $"vec_rank", $"rrf")
+      .orderBy($"query_id", $"rank")
+  }
+  private val hybridRrfSql =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS tok FROM documents),
+       |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |qtoks AS (SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id % 100 = 0),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |       WHERE tok IN (SELECT DISTINCT tok FROM qtoks) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |lexsc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(SUM(CAST(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |        (tf * (1.2 + 1.0)) /
+       |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+       |  JOIN qtoks q ON tf.tok = q.tok AND tf.doc_id <> q.query_id
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+       |  GROUP BY q.query_id, tf.doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+       |    FROM lexsc) WHERE lex_rank <= $LegDepth),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id % 100 = 0),
+       |densesc AS (SELECT qv.query_id, e.vec_id AS doc_id,
+       |    ${VectorOps.cosineSql("qe", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       |dense AS (SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank
+       |    FROM densesc) WHERE vec_rank <= $LegDepth),
+       |fused AS (SELECT
+       |    COALESCE(lex.query_id, dense.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       |    COALESCE(lex_rank, 0) AS lex_rank,
+       |    COALESCE(vec_rank, 0) AS vec_rank,
+       |    CAST(CASE WHEN COALESCE(lex_rank, 0) > 0
+       |         THEN $RrfScale // ($RrfK + lex_rank) ELSE 0 END AS BIGINT) +
+       |    CAST(CASE WHEN COALESCE(vec_rank, 0) > 0
+       |         THEN $RrfScale // ($RrfK + vec_rank) ELSE 0 END AS BIGINT) AS rrf
+       |  FROM lex FULL OUTER JOIN dense
+       |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id)
+       |SELECT query_id, rank, doc_id, lex_rank, vec_rank, rrf FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused) WHERE rank <= $HybridTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
