@@ -180,7 +180,15 @@ object Multimodal {
     * doc_id. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d).select($"doc_id").as[Long].map { id =>
+    // codec work is CPU-bound per ROW, but the id list arrives sized by
+    // input BYTES (one small parquet split ⇒ one partition ⇒ serial
+    // encode/decode); repartitioning the 8-byte ids costs nothing and
+    // spreads the codec across every core. The same rule at 100 TB:
+    // size binary-decode stages by row/frame count (repartition or a
+    // small files.maxPartitionBytes), never by compressed input bytes.
+    Tables.documents(s, d).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { id =>
       val w = (32 + (id % 16) * 8).toInt
       val h = (32 + (id % 9) * 8).toInt
       id % 3 match {
