@@ -459,18 +459,25 @@ object Dedup {
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    // edges cached FIRST so the LSH pair generation runs exactly once;
+    // degree is loop-invariant, so it is joined into the edge list ONCE
+    // (from the cached edges) and cached too — each iteration is then a
+    // single join against the current rank table instead of re-deriving
+    // degrees per round
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .select($"doc_a".as("src"), $"doc_b".as("dst")).cache()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src").cache()
+    // tiny and consumed after the caches drop — checkpoint eagerly
+    val deg = edgesDeg.select($"src", $"deg").distinct().localCheckpoint()
     val nodes = Tables.documents(s, d).select($"doc_id".as("id"))
     val n = nodes.count() // one scalar (graph order), not data
     val r0 = PrScale / n
     val base = (15L * r0) / 100L
     var ranks = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = edgesDeg
         .join(ranks.select($"id".as("src"), $"r"), "src")
         .groupBy($"dst").agg(sum(expr("r div deg")).as("cs"))
       ranks = nodes
@@ -480,6 +487,7 @@ object Dedup {
         .localCheckpoint()
     }
     edges.unpersist(blocking = false)
+    edgesDeg.unpersist(blocking = false)
     ranks.join(deg.select($"src".as("id"), $"deg"), Seq("id"), "left")
       .na.fill(0, Seq("deg"))
       .select($"id".as("doc_id"), $"deg", $"r".as("rank_scaled"))

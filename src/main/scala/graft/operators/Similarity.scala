@@ -940,6 +940,7 @@ object Similarity {
   private val RrfScale = 1000000000000L
   private val LegDepth = 100
   private val HybridTopK = 10
+  private val QTerms = 12
 
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -950,8 +951,18 @@ object Similarity {
       .filter($"tok" =!= "")
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-    val qtoks = toks.filter($"doc_id" % 100 === 0)
+    // more-like-this queries keep only the QTerms most DISTINCTIVE
+    // terms of the query doc (lowest corpus df, tie on token) — the
+    // standard bound that keeps the scoring join O(queries × docs ×
+    // QTerms) instead of growing with document vocabulary
+    val dfAll = toks.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("dfa"))
+    val qall = toks.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("query_id"), $"tok").distinct()
+    val selW = Window.partitionBy($"query_id").orderBy($"dfa", $"tok")
+    val qtoks = dfAll.join(broadcast(qall), "tok")
+      .withColumn("tr", row_number().over(selW)).filter($"tr" <= QTerms)
+      .select($"query_id", $"tok")
     val terms = qtoks.select($"tok").distinct()
     val tf = toks.join(broadcast(terms), "tok")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -997,7 +1008,12 @@ object Similarity {
        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-       |qtoks AS (SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id % 100 = 0),
+       |dfa AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfa FROM t GROUP BY tok),
+       |qall AS (SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id % 100 = 0),
+       |qtoks AS (SELECT query_id, tok FROM (
+       |    SELECT q.query_id, q.tok, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY dfa.dfa, q.tok) AS tr
+       |    FROM qall q JOIN dfa ON dfa.tok = q.tok) WHERE tr <= $QTerms),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
        |       WHERE tok IN (SELECT DISTINCT tok FROM qtoks) GROUP BY doc_id, tok),
        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
