@@ -658,7 +658,80 @@ object Maintenance {
        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
        |ORDER BY version""".stripMargin
 
+  // -- io_branching: write-audit-publish on a branch ----------------------
+  // The Iceberg WAP / Nessie-branch pattern: a writer lands its batch
+  // on a BRANCH — a named manifest pointer main's version listing
+  // ignores — audit queries run against the branch view, and only a
+  // passing audit PUBLISHES the branch, which is one OCC commit
+  // appending the staged file groups to main (data files move zero
+  // times: stage, audit, and publish all reference the same paths).
+  // A failing audit just deletes the pointer; main never observed the
+  // batch. Branch pointers are invisible to `manifestVersions` by
+  // construction (no `manifest_v` prefix), the same property that
+  // protects listers from in-flight OCC temp files.
+  def writeBranch(root: String, name: String, paths: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, s"branch_$name.txt"),
+      String.join("\n", paths: _*).getBytes("UTF-8"))
+
+  def branchPaths(root: String, name: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, s"branch_$name.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  def dropBranch(root: String, name: String): Unit =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, s"branch_$name.txt"))
+
+  /** Publish: commit the branch's NEW groups (those not already in the
+    * base version) onto main through the OCC path. Returns the new
+    * main version. The branch pointer is retired after publishing. */
+  def publishBranch(root: String, name: String, readVersion: Int): Int = {
+    val base = manifestPaths(root, readVersion)
+    val added = branchPaths(root, name).filterNot(base.contains)
+    val v = commitSnapshot(root, readVersion, Seq.empty, added)
+    dropBranch(root, name)
+    v
+  }
+
+  private def qBranching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = rollbackRoot(s, d) // fresh store, versions {1, 2}
+    val cur = currentSnapshotVersion(root)
+    // stage a batch on the branch: shifted copies of % 500 == 0 keys
+    // (the merge_upsert insert-leg shape), never touching main's files
+    val batch = Tables.orders(s, d)
+      .filter($"o_orderkey" % 10 < 3 && $"o_orderkey" % 500 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L))
+    batch.write.parquet(s"$root/wap_batch")
+    writeBranch(root, "wap", manifestPaths(root, cur) :+ s"$root/wap_batch")
+    // audit runs on the BRANCH view; the constraint must hold there
+    val branchView = s.read.parquet(branchPaths(root, "wap"): _*)
+    val bad = branchView.filter($"o_totalprice" <= 0.0).count()
+    val published = if (bad == 0) publishBranch(root, "wap", cur) else -1
+    Seq(("1_main_before", readSnapshot(s, root, cur)),
+      ("2_main_after", readSnapshot(s, root, published)))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .select(lit(stage).as("stage"), lit(bad).as("audit_bad"), $"n", $"sum_price")
+      }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qBranchingSql =
+    s"""WITH t AS (SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 20 = 0 THEN $bumpedPriceSql
+       |         ELSE o_totalprice END AS p
+       |  FROM orders WHERE o_orderkey % 10 < 3),
+       |b AS (SELECT o_totalprice AS p FROM orders
+       |      WHERE o_orderkey % 10 < 3 AND o_orderkey % 500 = 0)
+       |SELECT '1_main_before' AS stage, CAST(0 AS BIGINT) AS audit_bad,
+       |  COUNT(*) AS n, ${sqlSum("p")} AS sum_price FROM t
+       |UNION ALL
+       |SELECT '2_main_after', CAST(0 AS BIGINT), COUNT(*), ${sqlSum("p")}
+       |FROM (SELECT p FROM t UNION ALL SELECT p FROM b)
+       |ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_branching", qBranching, Some(qBranchingSql)),
     QueryDef("io_rollback", qRollback, Some(qRollbackSql)),
     QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),

@@ -128,6 +128,56 @@ class Round7Spec extends AnyFunSuite {
     assert(files.count(_.startsWith("manifest_v")) == 3)
   }
 
+  // ---- io_branching -------------------------------------------------------
+
+  test("io_branching: a failing audit leaves main untouched and the branch unpublished") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    // main v1: two clean rows
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .coalesce(1).write.parquet(s"$root/clean")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      s"$root/clean".getBytes("UTF-8"))
+    // branch stages a batch violating the audit constraint (price <= 0)
+    Seq((3L, -5.0)).toDF("k", "price").coalesce(1).write.parquet(s"$root/bad_batch")
+    Maintenance.writeBranch(root, "wap",
+      Maintenance.manifestPaths(root, 1) :+ s"$root/bad_batch")
+    val branchView = spark.read.parquet(Maintenance.branchPaths(root, "wap"): _*)
+    val bad = branchView.filter($"price" <= 0.0).count()
+    assert(bad == 1L, "audit must see the violation on the branch view")
+    // audit failed → drop, never publish
+    Maintenance.dropBranch(root, "wap")
+    assert(Maintenance.currentSnapshotVersion(root) == 1,
+      "main's version listing never observed the branch")
+    assert(Maintenance.readSnapshot(spark, root, 1).count() == 2,
+      "main still reads only the clean rows")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "branch_wap.txt")))
+  }
+
+  test("io_branching: publish appends the staged groups through one OCC commit, zero data movement") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wap2").toString
+    Seq((1L, 10.0)).toDF("k", "price").coalesce(1).write.parquet(s"$root/clean")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      s"$root/clean".getBytes("UTF-8"))
+    Seq((2L, 30.0)).toDF("k", "price").coalesce(1).write.parquet(s"$root/batch")
+    Maintenance.writeBranch(root, "wap",
+      Maintenance.manifestPaths(root, 1) :+ s"$root/batch")
+    val mtimeBefore = new java.io.File(s"$root/batch").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val v = Maintenance.publishBranch(root, "wap", 1)
+    assert(v == 2)
+    assert(Maintenance.manifestPaths(root, 2).toSet ==
+      Set(s"$root/clean", s"$root/batch"))
+    val mtimeAfter = new java.io.File(s"$root/batch").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(mtimeAfter == mtimeBefore, "publish moves zero data bytes")
+    assert(Maintenance.readSnapshot(spark, root, 2).count() == 2)
+  }
+
   // ---- text_boilerplate ---------------------------------------------------
 
   test("text_boilerplate: a source-frequent banner is removed from its source only, not from other sources") {
