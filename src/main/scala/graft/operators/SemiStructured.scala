@@ -337,7 +337,59 @@ object SemiStructured {
        |  ${graft.OracleMath.sqlSum("c_acctbal")} AS sum_bal
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q_drift_psi: distribution drift between stream halves ---------------
+  // The per-batch data-quality monitor an ingest pipeline runs before
+  // training consumes a snapshot: Population Stability Index per
+  // categorical bucket between a reference window (older half of the
+  // stream by timestamp) and the current window — PSI_i =
+  // (p_i − q_i)·ln(p_i/q_i), add-one smoothed so empty buckets are
+  // well-defined; contributions are non-negative by construction
+  // (both factors share a sign) and rows with PSI ≳ 0.2 flag actionable
+  // drift. Shapes: one narrow (type, side) aggregation is the only
+  // shuffle; the split point and totals ride one-row broadcasts; the
+  // per-bucket math is row-local. Parity: counts exact integers, the
+  // probabilities are correctly-rounded double divisions of exact ints
+  // (bit-identical cross-engine), one ln() per bucket with identical
+  // parenthesization, output rounded through DECIMAL(18,6).
+  private def driftPsi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"ts_ns", $"event_type")
+    val bounds = e.agg(min($"ts_ns").as("lo"), max($"ts_ns").as("hi"))
+    val sided = e.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", expr("ts_ns <= lo + (hi - lo) div 2"))
+    val cnt = sided.groupBy($"event_type").agg(
+      sum(when($"is_ref", 1L).otherwise(0L)).as("c_ref"),
+      sum(when(!$"is_ref", 1L).otherwise(0L)).as("c_cur"))
+    val tot = cnt.agg(sum($"c_ref").as("n_ref"), sum($"c_cur").as("n_cur"),
+      count(lit(1)).as("b"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("p", ($"c_ref" + 1.0) / ($"n_ref" + $"b"))
+      .withColumn("q", ($"c_cur" + 1.0) / ($"n_cur" + $"b"))
+      .withColumn("psi", (($"p" - $"q") * log($"p" / $"q"))
+        .cast("decimal(18,6)").cast("double"))
+      .select($"event_type", $"c_ref", $"c_cur", $"psi")
+      .orderBy($"event_type")
+  }
+  private val driftPsiSql =
+    """WITH e AS (SELECT epoch_ns(ts) AS ts_ns, event_type FROM events),
+      |bounds AS (SELECT MIN(ts_ns) AS lo, MAX(ts_ns) AS hi FROM e),
+      |sided AS (SELECT event_type, ts_ns <= lo + (hi - lo) // 2 AS is_ref
+      |          FROM e CROSS JOIN bounds),
+      |cnt AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      |  FROM sided GROUP BY event_type),
+      |tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+      |    CAST(SUM(c_cur) AS BIGINT) AS n_cur, COUNT(*) AS b FROM cnt),
+      |w AS (SELECT event_type, c_ref, c_cur,
+      |    (c_ref + 1.0) / (n_ref + b) AS p, (c_cur + 1.0) / (n_cur + b) AS q
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT event_type, c_ref, c_cur,
+      |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+      |FROM w ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_drift_psi", driftPsi, Some(driftPsiSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),
     QueryDef("q_profile_stats", profile, Some(profileSql)),

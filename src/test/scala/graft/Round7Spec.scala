@@ -204,6 +204,30 @@ class Round7Spec extends AnyFunSuite {
     for (i <- 6L until 10L) assert(out(i)._2 == 0L)
   }
 
+  // ---- q_drift_psi --------------------------------------------------------
+
+  test("q_drift_psi: a shifted distribution flags, a balanced bucket is exactly zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // ref half ts 0..999, cur half ts 2000..2999 (split lands at 1499);
+    // A flips 80/20 -> 20/80, B the reverse, C stays 50/50. Totals are
+    // equal (150/150), so C's smoothed p == q exactly -> psi == 0.
+    def rows(n: Int, tpe: String, base: Long) =
+      (0 until n).map(i => (base + i, tpe))
+    val events =
+      rows(80, "A", 0L) ++ rows(20, "B", 100L) ++ rows(50, "C", 200L) ++
+        rows(20, "A", 2000L) ++ rows(80, "B", 2100L) ++ rows(50, "C", 2200L)
+    events.toDF("ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_drift_psi")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A")._1 == 80L && out("A")._2 == 20L)
+    assert(out("C")._3 == 0.0, s"balanced bucket must be exactly 0, got ${out("C")._3}")
+    assert(out("A")._3 > 0.2 && out("B")._3 > 0.2,
+      s"an 80/20 flip is actionable drift: A=${out("A")._3} B=${out("B")._3}")
+    assert(out.values.forall(_._3 >= 0.0), "PSI contributions are non-negative")
+  }
+
   // ---- text_dsir ----------------------------------------------------------
 
   test("text_dsir: target-domain docs score positive, off-target negative, selected flag consistent") {
