@@ -910,7 +910,123 @@ object Corpus {
        |  CASE WHEN logw > 0 THEN 1 ELSE 0 END AS selected
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // -- pipeline_llm_mix: the round-7 ops composed into one mix build -------
+  // The "prepare a training mix" job end-to-end, as ONE composed plan:
+  // per-source boilerplate removal → exact dedup keep-first on the
+  // CLEANED text (order matters: docs differing only in template text
+  // must collapse, which pre-clean dedup provably misses) → DSIR
+  // importance scoring of the survivors (model trained on the
+  // survivors themselves) → per-source mix accounting (docs in/kept/
+  // selected, selected token mass). The stages chain without
+  // materialization: Catalyst sees one tree, so column pruning and
+  // shared scans span stage boundaries. Parity: each stage reuses its
+  // standalone twin's oracle fragment verbatim; dedup groups on the
+  // 128-bit fingerprint while the oracle groups on the text itself —
+  // hash-equality re-proves the fingerprint collision-free (the
+  // dedup_exact discipline).
+  private def pipelineLlmMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val meta = Tables.documents(s, d).select($"doc_id", $"lang", $"source")
+    val cleaned = boilerplate(s, d).select($"doc_id", $"text_clean")
+      .join(meta, "doc_id")
+    val deduped = cleaned
+      .withColumn("fp", GraftFunctions.fingerprint128($"text_clean"))
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"doc_id" === $"keep_id")
+      .select($"doc_id", $"lang", $"source", $"text_clean")
+    val bigrams = deduped
+      .select($"doc_id", $"lang", $"source", split($"text_clean", " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", $"lang", $"source", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("f"))
+    val docFeat = bigrams.groupBy($"doc_id", $"lang", $"source", $"f")
+      .agg(count(lit(1)).as("c"))
+    val model = docFeat.groupBy($"f").agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+      sum($"c").as("cr"))
+    val totals = model.agg(
+      sum($"ct").as("t_tot"), sum($"cr").as("r_tot"), count(lit(1)).as("v"))
+    val scored = docFeat.join(model, "f")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        $"c" * log((($"ct" + 1.0) * ($"r_tot" + $"v")) /
+          (($"t_tot" + $"v") * ($"cr" + 1.0))))
+      .groupBy($"doc_id").agg(dsum($"contrib").as("logw"))
+    val byDoc = deduped
+      .select($"doc_id", $"source",
+        size(split($"text_clean", " ")).cast("long").as("n_tok"))
+      .join(scored.filter($"logw" > 0.0)
+        .select($"doc_id", lit(1L).as("selected")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("selected"))
+    val inCounts = meta.groupBy($"source").agg(count(lit(1)).as("docs_in"))
+    byDoc.groupBy($"source").agg(
+        count(lit(1)).as("docs_kept"),
+        sum($"selected").as("docs_selected"),
+        sum(when($"selected" === 1L, $"n_tok").otherwise(0L)).as("tokens_selected"))
+      .join(broadcast(inCounts), "source")
+      .select($"source", $"docs_in", $"docs_kept", $"docs_selected",
+        $"tokens_selected")
+      .orderBy($"source")
+  }
+  private val pipelineLlmMixSql = {
+    val L = SegLen
+    s"""WITH docs AS (SELECT doc_id, source, ${TextPrep.wordsSql} AS w FROM documents),
+       |census AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |segs AS (SELECT doc_id, source, i AS seg_no,
+       |    array_to_string(w[i * $L + 1 : i * $L + $L], ' ') AS seg,
+       |    len(w[i * $L + 1 : i * $L + $L]) = $L AS is_full
+       |  FROM docs, unnest(range(0, CAST(ceil(len(w) / ${L}.0) AS BIGINT))) t(i)),
+       |bfreq AS (SELECT s.source, s.seg
+       |  FROM segs s JOIN census c ON c.source = s.source
+       |  WHERE s.is_full
+       |  GROUP BY s.source, s.seg, c.n_docs
+       |  HAVING COUNT(DISTINCT s.doc_id) * $BpDen > c.n_docs * $BpNum),
+       |bkept AS (SELECT sg.* FROM segs sg
+       |  WHERE NOT (sg.is_full AND EXISTS (
+       |    SELECT 1 FROM bfreq f WHERE f.source = sg.source AND f.seg = sg.seg))),
+       |clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_clean
+       |  FROM bkept GROUP BY doc_id),
+       |cl AS (SELECT c.doc_id, c.text_clean, m.lang, m.source
+       |  FROM clean c JOIN documents m ON c.doc_id = m.doc_id),
+       |ded AS (SELECT doc_id, text_clean, lang, source FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY text_clean) AS keep_id FROM cl)
+       |  WHERE doc_id = keep_id),
+       |w2 AS (SELECT doc_id, lang, source, string_split(text_clean, ' ') AS w FROM ded),
+       |bg AS (SELECT doc_id, lang, source, w[i] || ' ' || w[i + 1] AS f
+       |  FROM w2, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+       |df2 AS (SELECT doc_id, lang, source, f, COUNT(*) AS c
+       |  FROM bg GROUP BY doc_id, lang, source, f),
+       |model AS (SELECT f,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(c) AS BIGINT) AS cr
+       |  FROM df2 GROUP BY f),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+       |    CAST(SUM(cr) AS BIGINT) AS r_tot, COUNT(*) AS v FROM model),
+       |sc AS (SELECT df2.doc_id,
+       |    df2.c * ln(((ct + 1.0) * (r_tot + v)) / ((t_tot + v) * (cr + 1.0))) AS contrib
+       |  FROM df2 JOIN model ON df2.f = model.f CROSS JOIN tot),
+       |sagg AS (SELECT doc_id,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS logw
+       |  FROM sc GROUP BY doc_id),
+       |bydoc AS (SELECT dd.doc_id, dd.source,
+       |    CAST(len(string_split(dd.text_clean, ' ')) AS BIGINT) AS n_tok,
+       |    CASE WHEN a.logw > 0 THEN 1 ELSE 0 END AS selected
+       |  FROM ded dd LEFT JOIN sagg a ON a.doc_id = dd.doc_id),
+       |incounts AS (SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY source)
+       |SELECT i.source, i.docs_in, k.docs_kept, k.docs_selected, k.tokens_selected
+       |FROM (SELECT source, COUNT(*) AS docs_kept,
+       |    CAST(SUM(selected) AS BIGINT) AS docs_selected,
+       |    CAST(SUM(CASE WHEN selected = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS tokens_selected
+       |  FROM bydoc GROUP BY source) k
+       |JOIN incounts i ON i.source = k.source
+       |ORDER BY i.source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_llm_mix", pipelineLlmMix, Some(pipelineLlmMixSql)),
     QueryDef("text_dsir", dsir, Some(dsirSql)),
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),

@@ -204,6 +204,33 @@ class Round7Spec extends AnyFunSuite {
     for (i <- 6L until 10L) assert(out(i)._2 == 0L)
   }
 
+  // ---- pipeline_llm_mix ---------------------------------------------------
+
+  test("pipeline_llm_mix: dedup runs on CLEANED text — docs differing only in template collapse") {
+    // banner in 9/10 docs of source A (> 1/5 → removed); the shared
+    // body sits in exactly 2/10 (2·5 = 10 ≯ 10 → kept). Doc 8 =
+    // banner+body, doc 9 = body alone: distinct raw, identical after
+    // cleaning → keep-first drops doc 9. Pre-clean dedup provably
+    // misses this pair. All-en corpus ⇒ target model == raw model ⇒
+    // every logw is exactly 0 ⇒ nothing strictly positive is selected.
+    val banner = "cookie notice accept all terms privacy policy close"
+    val body = "alpha beta gamma delta epsilon zeta eta theta"
+    def uniq(i: Int) = (0 until 8).map(j => s"u${i}x$j").mkString(" ")
+    val docs =
+      (0 until 8).map(i => (i.toLong, s"$banner ${uniq(i)}", "en", "A")) ++
+        Seq((8L, s"$banner $body", "en", "A"), (9L, body, "en", "A"))
+    val dir = corpusDir(docs)
+    val out = SparkEntry.queries("pipeline_llm_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 1)
+    val (src, in, kept, sel, tokSel) = out.head
+    assert(src == "A" && in == 10L)
+    assert(kept == 9L, s"docs 8 and 9 must collapse after cleaning, kept=$kept")
+    assert(sel == 0L && tokSel == 0L,
+      "pure-target corpus: logw == 0 everywhere, nothing strictly positive")
+  }
+
   // ---- q_drift_psi --------------------------------------------------------
 
   test("q_drift_psi: a shifted distribution flags, a balanced bucket is exactly zero") {
