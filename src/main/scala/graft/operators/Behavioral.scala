@@ -193,7 +193,51 @@ object Behavioral {
        |FROM m ORDER BY source""".stripMargin
   }
 
+  // -- q_length_batching: padding-minimal inference batching ---------------
+  // The serving/eval-prep step after packing's training story: group
+  // documents into fixed-size batches of B so that padding-to-batch-max
+  // waste is BOUNDED — docs first land in length buckets of width W
+  // (bucket = len div W), batches form within a bucket in doc_id
+  // order, so no batch mixes lengths more than W−1 apart and
+  // per-doc padding is < W tokens regardless of corpus shape (the
+  // spec pins the bound). One window per bucket (row_number → batch
+  // slot) and one (bucket, batch) aggregate share the bucket
+  // partitioning: a single narrow shuffle of (doc_id, len) pairs.
+  private val BatchSize = 8
+  private val BucketWidth = 16
+
+  private def lengthBatching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(TextPrep.words($"text")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $BucketWidth"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+    docs
+      .withColumn("batch_no", ((row_number().over(w) - 1) / BatchSize).cast("long"))
+      .groupBy($"bucket", $"batch_no")
+      .agg(count(lit(1)).as("n_docs"), max($"n_tok").as("batch_max"),
+        sum($"n_tok").as("sum_tok"))
+      .withColumn("padding_waste", $"n_docs" * $"batch_max" - $"sum_tok")
+      .select($"bucket", $"batch_no", $"n_docs", $"batch_max", $"padding_waste")
+      .orderBy($"bucket", $"batch_no")
+  }
+  private val lengthBatchingSql =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(len(${TextPrep.wordsSql}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tok, n_tok // $BucketWidth AS bucket FROM docs),
+       |slots AS (SELECT bucket, n_tok,
+       |    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+       |      // $BatchSize AS batch_no
+       |  FROM b)
+       |SELECT bucket, batch_no, COUNT(*) AS n_docs,
+       |  MAX(n_tok) AS batch_max,
+       |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding_waste
+       |FROM slots GROUP BY bucket, batch_no
+       |ORDER BY bucket, batch_no""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_length_batching", lengthBatching, Some(lengthBatchingSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),

@@ -388,7 +388,55 @@ object SemiStructured {
       |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS DOUBLE) AS psi
       |FROM w ORDER BY event_type""".stripMargin
 
+  // -- q_k_anonymity: generalization-ladder privacy release ----------------
+  // The Samarati/Sweeney release discipline for publishing grouped
+  // data: a quasi-identifier cell (nation, segment) is released only
+  // if ≥ K individuals share it; smaller cells climb a generalization
+  // ladder — segment generalizes to 'ANY' within the nation — and
+  // whatever still can't reach K is suppressed into one global bucket.
+  // Every released row therefore describes ≥ K people, and the output
+  // conserves the population exactly (spec-pinned). Two narrow
+  // aggregations (cells, then the pooled ladder level) are the only
+  // shuffles; the ladder operates on the CELL table (O(cells), not
+  // O(rows)), which is what makes generalization affordable at 100 TB.
+  private val AnonK = 10
+
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment".as("seg"))
+    val l0 = c.groupBy($"nation", $"seg").agg(count(lit(1)).as("n"))
+    val rel0 = l0.filter($"n" >= AnonK).withColumn("level", lit(0))
+      .select($"nation", $"seg", $"n", $"level")
+    val l1 = l0.filter($"n" < AnonK)
+      .groupBy($"nation").agg(sum($"n").as("n"))
+      .withColumn("seg", lit("ANY"))
+    val rel1 = l1.filter($"n" >= AnonK).withColumn("level", lit(1))
+      .select($"nation", $"seg", $"n", $"level")
+    val sup = l1.filter($"n" < AnonK)
+      .agg(coalesce(sum($"n"), lit(0L)).as("n"))
+      .select(lit(-1L).as("nation"), lit("SUPPRESSED").as("seg"), $"n",
+        lit(2).as("level"))
+    rel0.unionByName(rel1).unionByName(sup)
+      .orderBy($"level", $"nation", $"seg")
+  }
+  private val kAnonymitySql =
+    s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS seg FROM customer),
+       |l0 AS (SELECT nation, seg, COUNT(*) AS n FROM c GROUP BY nation, seg),
+       |l1 AS (SELECT nation, 'ANY' AS seg, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM l0 WHERE n < $AnonK GROUP BY nation)
+       |SELECT nation, seg, n, 0 AS level FROM l0 WHERE n >= $AnonK
+       |UNION ALL
+       |SELECT nation, seg, n, 1 FROM l1 WHERE n >= $AnonK
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), 'SUPPRESSED',
+       |  CAST(COALESCE(SUM(n), 0) AS BIGINT), 2
+       |FROM l1 WHERE n < $AnonK
+       |ORDER BY level, nation, seg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q_drift_psi", driftPsi, Some(driftPsiSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),

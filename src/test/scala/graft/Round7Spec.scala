@@ -204,6 +204,45 @@ class Round7Spec extends AnyFunSuite {
     for (i <- 6L until 10L) assert(out(i)._2 == 0L)
   }
 
+  // ---- q_k_anonymity ------------------------------------------------------
+
+  test("q_k_anonymity: every released row covers >= K people and the population is conserved") {
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val released = rows.filter(_._4 < 2)
+    assert(released.forall(_._3 >= 10L),
+      "k-anonymity guarantee: no released cell smaller than K")
+    val total = rows.map(_._3).sum
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total == customers,
+      s"released + generalized + suppressed must conserve the population: $total vs $customers")
+    assert(rows.count(t => t._4 == 2) == 1, "exactly one suppression bucket")
+    assert(rows.filter(_._4 == 1).forall(_._2 == "ANY"),
+      "level-1 rows are segment-generalized")
+  }
+
+  // ---- q_length_batching --------------------------------------------------
+
+  test("q_length_batching: per-doc padding is bounded by the bucket width, batches are full except per-bucket tails") {
+    val rows = SparkEntry.queries("q_length_batching")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((bucket, _, nDocs, batchMax, waste) <- rows) {
+      assert(waste <= nDocs * 15L,
+        s"bucket $bucket: waste $waste exceeds the (W-1) per-doc bound")
+      assert(batchMax >= bucket * 16L && batchMax < (bucket + 1) * 16L,
+        "batch max stays inside its bucket's length range")
+    }
+    // at most one non-full batch per bucket, and it is the LAST slot
+    rows.groupBy(_._1).foreach { case (bucket, g) =>
+      val partial = g.filter(_._3 < 8L)
+      assert(partial.size <= 1, s"bucket $bucket has ${partial.size} partial batches")
+      partial.foreach(p => assert(p._2 == g.map(_._2).max,
+        s"bucket $bucket: the partial batch must be the tail slot"))
+    }
+  }
+
   // ---- pipeline_llm_mix ---------------------------------------------------
 
   test("pipeline_llm_mix: dedup runs on CLEANED text — docs differing only in template collapse") {
