@@ -860,7 +860,57 @@ object Streaming {
       |SELECT user_id, v_ts AS v_ts_us, c_ts AS c_ts_us, p_ts AS p_ts_us
       |FROM p ORDER BY user_id""".stripMargin
 
+  // -- #43k streaming distribution-drift monitor ---------------------------
+  // q_drift_psi's streaming twin, the shape a 100 TB/day ingest
+  // actually runs: the STREAM contributes only per-hour windowed
+  // event_type counts (the same watermarked Append-mode aggregate as
+  // #42, state O(open windows)); the PSI scoring against a STATIC
+  // reference distribution (yesterday's table — tiny, broadcast) runs
+  // over the sink output, where totals-per-window are a plain batch
+  // aggregate. Chaining the second aggregation INSIDE the stream would
+  // hit Append-mode's multi-stateful-agg restriction and buy nothing:
+  // drift is scored per closed window, after eviction. Same add-one
+  // smoothing + exact-count + decimal-rounded-ln parity as the batch
+  // twin; output rows cover the window's OBSERVED buckets.
+  private def driftStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    val winCounts = runToMemory(
+      windowedAggStream(s, d).select($"win_start", $"event_type", $"n_events"),
+      "graft_stream_drift", OutputMode.Append())
+    val ref = Tables.events(s, d)
+      .groupBy($"event_type").agg(count(lit(1)).as("c_ref"))
+    val refTot = ref.agg(sum($"c_ref").as("n_ref"), count(lit(1)).as("b"))
+    val winTot = winCounts.groupBy($"win_start").agg(sum($"n_events").as("n_win"))
+      .select($"win_start".as("ws"), $"n_win") // fresh name: self-join lineage
+    winCounts
+      .join(broadcast(ref), "event_type")
+      .join(winTot, $"win_start" === $"ws")
+      .crossJoin(broadcast(refTot))
+      .withColumn("p", ($"n_events" + 1.0) / ($"n_win" + $"b"))
+      .withColumn("q", ($"c_ref" + 1.0) / ($"n_ref" + $"b"))
+      .withColumn("psi", (($"p" - $"q") * log($"p" / $"q"))
+        .cast("decimal(18,6)").cast("double"))
+      .select($"win_start", $"event_type", $"n_events", $"psi")
+      .orderBy($"win_start", $"event_type")
+  }
+  private val driftStreamSql =
+    """WITH wc AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |    event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2),
+      |ref AS (SELECT event_type, COUNT(*) AS c_ref FROM events GROUP BY 1),
+      |rt AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref, COUNT(*) AS b FROM ref),
+      |wt AS (SELECT win_start, CAST(SUM(n_events) AS BIGINT) AS n_win
+      |       FROM wc GROUP BY 1),
+      |w AS (SELECT wc.win_start, wc.event_type, wc.n_events,
+      |    (wc.n_events + 1.0) / (wt.n_win + rt.b) AS p,
+      |    (ref.c_ref + 1.0) / (rt.n_ref + rt.b) AS q
+      |  FROM wc JOIN ref ON wc.event_type = ref.event_type
+      |  JOIN wt ON wt.win_start = wc.win_start CROSS JOIN rt)
+      |SELECT win_start, event_type, n_events,
+      |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+      |FROM w ORDER BY win_start, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_drift", driftStream, Some(driftStreamSql)),
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),
     QueryDef("stream_funnel", funnelStreamQuery, Some(funnelStreamSql)),

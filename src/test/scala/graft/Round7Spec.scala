@@ -243,6 +243,19 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // ---- stream_drift -------------------------------------------------------
+
+  test("stream_drift: per-window PSI rows are non-negative and counts reconcile with the reference total") {
+    val rows = SparkEntry.queries("stream_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 >= 0.0), "PSI contributions are non-negative")
+    val streamed = rows.map(_._3).sum
+    val total = Tables.events(spark, sf).count()
+    assert(streamed == total,
+      s"every event lands in exactly one (window, type) row: $streamed vs $total")
+  }
+
   // ---- pipeline_llm_mix ---------------------------------------------------
 
   test("pipeline_llm_mix: dedup runs on CLEANED text — docs differing only in template collapse") {
