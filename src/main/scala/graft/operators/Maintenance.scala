@@ -730,7 +730,79 @@ object Maintenance {
        |FROM (SELECT p FROM t UNION ALL SELECT p FROM b)
        |ORDER BY stage""".stripMargin
 
+  // -- io_partition_evolution: mixed partition specs in one table ----------
+  // Iceberg's partition-spec evolution re-expressed on the manifest
+  // store: a table's OLD files were written before the partition
+  // column mattered (one unpartitioned group), NEW batches arrive
+  // partition-tagged (the tag rides the group's path, exactly how
+  // Hive/Iceberg encode partition values). No old file is rewritten —
+  // the scheme change costs zero data IO — and a partition predicate
+  // prunes PARTIALLY: tagged groups prune by manifest arithmetic,
+  // untagged legacy groups are always read and filtered row-wise.
+  // That asymmetry (correctness preserved, pruning improves only for
+  // data written after the evolution) IS the semantics of spec
+  // evolution. The query emits the group counts it planned alongside
+  // the aggregate, and the oracle recomputes both independently — so
+  // over- OR under-pruning fails the value compare, the
+  // io_manifest_skipping discipline.
+  private val PeWanted = "1-URGENT"
+
+  private def peRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = tmp("partevo", d)
+    val marker = java.nio.file.Paths.get(root, "pe_ok.txt")
+    if (java.nio.file.Files.exists(marker) &&
+        manifestPaths(root, 1).forall(p => new java.io.File(p).exists))
+      return root
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(root))
+    val t = Tables.orders(s, d)
+    // old spec: one untagged group (written before the evolution)
+    t.filter($"o_orderkey" % 2 === 0).write.parquet(s"$root/gen1")
+    // new spec: one group per partition value, tag in the path; the
+    // value list is O(partitions) driver-side metadata (5 values)
+    val pris = t.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderpriority").distinct()
+      .as[String].collect().sorted
+    pris.foreach { p =>
+      t.filter($"o_orderkey" % 2 === 1 && $"o_orderpriority" === p)
+        .write.parquet(s"$root/gen2/pri=$p")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (s"$root/gen1" +: pris.map(p => s"$root/gen2/pri=$p"))
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(marker, "ok".getBytes("UTF-8"))
+    root
+  }
+
+  private def qPartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = peRoot(s, d)
+    val paths = manifestPaths(root, 1)
+    val selected = paths.filter(p =>
+      !p.contains("pri=") || p.endsWith(s"pri=$PeWanted"))
+    s.read.parquet(selected: _*)
+      .filter($"o_orderpriority" === PeWanted)
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+      .select(lit(paths.size.toLong).as("n_groups_total"),
+        lit(selected.size.toLong).as("n_groups_read"),
+        $"n_rows", $"sum_price")
+  }
+  private val qPartitionEvolutionSql =
+    s"""SELECT
+       |  CAST(1 + (SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+       |            WHERE o_orderkey % 2 = 1) AS BIGINT) AS n_groups_total,
+       |  CAST(1 + (SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+       |            WHERE o_orderkey % 2 = 1
+       |              AND o_orderpriority = '$PeWanted') AS BIGINT) AS n_groups_read,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_orderpriority = '$PeWanted'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_partition_evolution", qPartitionEvolution, Some(qPartitionEvolutionSql)),
     QueryDef("io_branching", qBranching, Some(qBranchingSql)),
     QueryDef("io_rollback", qRollback, Some(qRollbackSql)),
     QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
