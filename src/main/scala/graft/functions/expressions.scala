@@ -420,6 +420,8 @@ object GraftFunctions {
     graftshim.column(VecDot(graftshim.expression(a), graftshim.expression(b)))
   def vec_l2sq(a: Column, b: Column): Column =
     graftshim.column(VecL2Sq(graftshim.expression(a), graftshim.expression(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    graftshim.column(VecCosine(graftshim.expression(a), graftshim.expression(b)))
   def zorder64(a: Column, b: Column): Column =
     graftshim.column(ZOrder64(graftshim.expression(a), graftshim.expression(b)))
   def stopword_scores(c: Column, lists: Seq[Seq[String]]): Column =
@@ -474,6 +476,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int])),
     ("graft_vec_dot", classOf[VecDot], es => VecDot(es.head, es(1))),
     ("graft_vec_l2sq", classOf[VecL2Sq], es => VecL2Sq(es.head, es(1))),
+    ("graft_vec_cosine", classOf[VecCosine], es => VecCosine(es.head, es(1))),
     ("graft_zorder64", classOf[ZOrder64], es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
@@ -736,5 +739,73 @@ case class VecL2Sq(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass cosine similarity: dot, |a|² and |b|² accumulate
+  * in a single traversal (the composed dot/sqrt form walks each pair
+  * three times). Each of the three sums accumulates LEFT-TO-RIGHT
+  * independently, so every partial is bit-identical to the separate
+  * [[VecDot]] passes and to the DuckDB
+  * `list_sum(list_transform(...)) / (sqrt(..) * sqrt(..))` fragment
+  * the queries are oracled against; the final combination is the same
+  * `dot / (sqrt(na) * sqrt(nb))` expression tree. */
+case class VecCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_cosine"
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, left.dataType)
+      val y = get(b, i, right.dataType)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def genGet(v: String, i: String, dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $v.getFloat($i)"
+    case _ => s"$v.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${genGet(a, i.toString, left.dataType)};
+         |  double $y = ${genGet(b, i.toString, right.dataType)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecCosine =
     copy(left = newLeft, right = newRight)
 }

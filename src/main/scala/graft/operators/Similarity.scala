@@ -17,7 +17,11 @@ object VectorOps {
   def l2sq(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.vec_l2sq(a, b)
   def norm(a: Column): Column = sqrt(dot(a, a))
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  // fused one-pass kernel: dot + both norms in a single array traversal
+  // (the composed dot/sqrt form walks each pair three times); per-sum
+  // accumulation order is unchanged, so results stay bit-identical
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_cosine(a, b)
 
   /** DuckDB fragments computing the identical quantities. */
   def dotSql(a: String, b: String): String =
