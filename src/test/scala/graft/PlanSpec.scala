@@ -415,6 +415,28 @@ class PlanSpec extends AnyFunSuite {
       s"VecL2Sq fell out of codegen:\n$sp")
   }
 
+  test("cosine queries run the fused one-pass kernel inside codegen") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("graft_vec_cosine"),
+      s"cosine should be the fused kernel:\n${p.take(600)}")
+    val solo = Tables.embeddings(spark, sf)
+      .select(graft.functions.GraftFunctions.vec_cosine(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("c"))
+    val sp = solo.queryExecution.executedPlan.toString
+    assert(sp.contains("*(1)") || sp.contains("WholeStageCodegen"),
+      s"VecCosine fell out of codegen:\n$sp")
+  }
+
+  test("text_boilerplate: discovery shuffles (source, fingerprint), never segment text") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("graft_fingerprint64"), p.take(500))
+    assert(!p.contains("Exchange hashpartitioning(seg#"),
+      "segment text in shuffle key")
+    // census and frequent-set sides broadcast; removal is not a shuffle join
+    assert(p.contains("BroadcastExchange"), "census/frequent set should broadcast")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
