@@ -950,26 +950,32 @@ object Similarity {
     import s.implicits._
     import graft.OracleMath.dsum
     val k1 = 1.2; val b = 0.75
-    val toks = Tables.documents(s, d)
+    // ONE tokenize pass: every downstream quantity (dl, df, query term
+    // sets, restricted tf) derives from the (doc, tok, tf) aggregate —
+    // separate branches off the raw token explode would each re-scan
+    // and re-tokenize the corpus (the tfidf lesson). The aggregate is
+    // localCheckpointed because four consumers read it; at lake scale
+    // the same table persists with a disk-backed storage level.
+    val tfAll = Tables.documents(s, d)
       .select($"doc_id", explode(TextPrep.words($"text")).as("tok"))
       .filter($"tok" =!= "")
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
     // more-like-this queries keep only the QTerms most DISTINCTIVE
     // terms of the query doc (lowest corpus df, tie on token) — the
     // standard bound that keeps the scoring join O(queries × docs ×
     // QTerms) instead of growing with document vocabulary
-    val dfAll = toks.select($"doc_id", $"tok").distinct()
-      .groupBy($"tok").agg(count(lit(1)).as("dfa"))
-    val qall = toks.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("query_id"), $"tok").distinct()
+    val dfAll = tfAll.groupBy($"tok").agg(count(lit(1)).as("dfa"))
+    val qall = tfAll.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("query_id"), $"tok")
     val selW = Window.partitionBy($"query_id").orderBy($"dfa", $"tok")
     val qtoks = dfAll.join(broadcast(qall), "tok")
       .withColumn("tr", row_number().over(selW)).filter($"tr" <= QTerms)
       .select($"query_id", $"tok")
     val terms = qtoks.select($"tok").distinct()
-    val tf = toks.join(broadcast(terms), "tok")
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val tf = tfAll.join(broadcast(terms), "tok")
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val lexW = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
     val lex = tf.join(broadcast(dfreq), "tok")
