@@ -801,7 +801,71 @@ object Maintenance {
        |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
        |FROM orders WHERE o_orderpriority = '$PeWanted'""".stripMargin
 
+  // -- io_shallow_clone: zero-copy table clone + divergence ----------------
+  // Delta's SHALLOW CLONE: a new table whose v1 manifest lists the
+  // SOURCE's live file groups — cloning a 100 TB table costs one
+  // manifest write. The clone then evolves independently: its commits
+  // go through its own OCC chain and copy-on-write only the groups
+  // they touch, while the source's manifests and files stay untouched
+  // (spec pins source-manifest bytes + the shared-file property). The
+  // dev/test-against-prod pattern that motivates clones in every lake
+  // format.
+  def shallowClone(srcRoot: String, srcVersion: Int, dstRoot: String): Unit = {
+    new java.io.File(dstRoot).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dstRoot, "manifest_v1.txt"),
+      String.join("\n", manifestPaths(srcRoot, srcVersion): _*).getBytes("UTF-8"))
+  }
+
+  private def bumpSqlOf(e: String): String =
+    s"floor(($e) * CAST(1.1 AS DOUBLE) * 100 + 0.5) / 100"
+
+  private def qShallowClone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = snapshotRoot(s, d)
+    val srcV = currentSnapshotVersion(src)
+    val dst = tmp("clone", d)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(dst))
+    shallowClone(src, srcV, dst)
+    // diverge the clone: copy-on-write the one group the update hits,
+    // committed on the CLONE's OCC chain — the source never sees it
+    val g0 = manifestPaths(dst, 1).find(_.contains("rewrite_g0")).get
+    s.read.parquet(g0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 80 === 0, bumpedPrice($"o_totalprice"))
+          .otherwise($"o_totalprice"))
+      .write.parquet(s"$dst/clone_g0")
+    commitSnapshot(dst, 1, Seq(g0), Seq(s"$dst/clone_g0"))
+    Seq(("1_source", readSnapshot(s, src, srcV)),
+      ("2_clone_v1", readSnapshot(s, dst, 1)),
+      ("3_clone_diverged", readSnapshot(s, dst, 2)),
+      ("4_source_after", readSnapshot(s, src, currentSnapshotVersion(src))))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .select(lit(stage).as("stage"), $"n", $"sum_price")
+      }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qShallowCloneSql = {
+    val v2Price =
+      s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END"
+    val divergedPrice =
+      s"CASE WHEN o_orderkey % 80 = 0 THEN ${bumpSqlOf(v2Price)} ELSE $v2Price END"
+    s"""SELECT '1_source' AS stage, COUNT(*) AS n,
+       |  ${sqlSum(v2Price)} AS sum_price FROM orders
+       |UNION ALL
+       |SELECT '2_clone_v1', COUNT(*), ${sqlSum(v2Price)} FROM orders
+       |UNION ALL
+       |SELECT '3_clone_diverged', COUNT(*), ${sqlSum(divergedPrice)} FROM orders
+       |UNION ALL
+       |SELECT '4_source_after', COUNT(*), ${sqlSum(v2Price)} FROM orders
+       |ORDER BY stage""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io_shallow_clone", qShallowClone, Some(qShallowCloneSql)),
     QueryDef("io_partition_evolution", qPartitionEvolution, Some(qPartitionEvolutionSql)),
     QueryDef("io_branching", qBranching, Some(qBranchingSql)),
     QueryDef("io_rollback", qRollback, Some(qRollbackSql)),

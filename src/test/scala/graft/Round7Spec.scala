@@ -178,6 +178,28 @@ class Round7Spec extends AnyFunSuite {
     assert(Maintenance.readSnapshot(spark, root, 2).count() == 2)
   }
 
+  // ---- io_shallow_clone ---------------------------------------------------
+
+  test("io_shallow_clone: clone shares the source's files, divergence never touches the source") {
+    val src = Maintenance.snapshotRoot(spark, sf)
+    val srcManifestBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src, s"manifest_v2.txt")).toSeq
+    SparkEntry.queries("io_shallow_clone")(spark, sf).collect()
+    val dst = "/tmp/graft_q/clone_sf0.001"
+    // v1 of the clone lists EXACTLY the source's live groups — zero copy
+    assert(Maintenance.manifestPaths(dst, 1).toSet ==
+      Maintenance.manifestPaths(src, 2).toSet)
+    // the diverged commit replaced only the touched group; untouched
+    // groups remain the SOURCE's paths (shared, not copied)
+    val v2 = Maintenance.manifestPaths(dst, 2)
+    assert(v2.exists(_.startsWith(dst)), "the clone's own rewrite lands under dst")
+    assert(v2.count(_.startsWith(src)) == 3, "untouched groups stay shared")
+    // source manifest bytes unchanged by everything the clone did
+    val after = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src, s"manifest_v2.txt")).toSeq
+    assert(after == srcManifestBytes, "clone activity must not touch source manifests")
+  }
+
   // ---- text_boilerplate ---------------------------------------------------
 
   test("text_boilerplate: a source-frequent banner is removed from its source only, not from other sources") {
