@@ -433,6 +433,79 @@ object Dedup {
        |WHERE c * 1.0 / (st.sz + sb.sz - c) >= $FuzzyJaccard
        |ORDER BY train_doc, bench_doc""".stripMargin
 
+  // -- dedup_incremental: dedup a new batch against the stored corpus ------
+  // The production dedup shape at 100 TB: the corpus's fingerprints and
+  // MinHash band keys are a STORED index (computed once, maintained
+  // like any table); an arriving batch checks itself against that
+  // index — an fp equi-join for exact dups, a band-key join + exact-
+  // Jaccard verification for near dups — so per-batch cost scales with
+  // the BATCH, never the corpus, and the corpus-side pairs are never
+  // re-enumerated (contrast dedup_minhash_lsh, the full-corpus build).
+  // Here the split is simulated (doc_id % 10 == 0 is the batch); both
+  // legs' index sides are computed in-plan from the same table the
+  // oracle reads, with the identical banding/verification constants as
+  // the full build, so the LSH completeness argument (miss ≈ 5e-8 at
+  // J ≥ 0.8) carries over and the exact-pairwise oracle hash-matches.
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.norm($"text").as("nt"),
+        TextPrep.shingleSet($"text", 3).as("grams"))
+      .withColumn("sig", minhash_sig($"grams", Lanes))
+    val index = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    def bandsOf(df: DataFrame, id: String) = df.select($"doc_id".as(id),
+      explode(array((0 until Bands).map(b =>
+        xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+          get($"sig", lit(b * RowsPerBand + r))): _*)): _*)).as("band_key"))
+    val exact = batch
+      .select($"doc_id", fingerprint128($"nt").as("fp"))
+      .join(index.select(fingerprint128($"nt").as("fp"))
+        .distinct().withColumn("e", lit(1L)), Seq("fp"), "left")
+      .select($"doc_id", coalesce($"e", lit(0L)).as("exact_dup"))
+    val candidates = bandsOf(batch, "b_doc")
+      .join(bandsOf(index, "i_doc"), "band_key")
+      .select($"b_doc", $"i_doc").distinct()
+    val near = candidates
+      .join(batch.select($"doc_id".as("b_doc"), $"grams".as("bg")), "b_doc")
+      .join(index.select($"doc_id".as("i_doc"), $"grams".as("ig")), "i_doc")
+      .withColumn("inter", size(array_intersect($"bg", $"ig")))
+      .filter($"inter" /
+        (size($"bg") + size($"ig") - $"inter").cast("double") >= 0.8)
+      .groupBy($"b_doc").agg(count(lit(1)).as("near_dups"))
+    exact
+      .join(near.select($"b_doc".as("doc_id"), $"near_dups"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("near_dups"))
+      .withColumn("accepted",
+        when($"exact_dup" === 0L && $"near_dups" === 0L, 1).otherwise(0))
+      .select($"doc_id", $"exact_dup", $"near_dups", $"accepted")
+      .orderBy($"doc_id")
+  }
+  private val dedupIncrementalSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |crossp AS (SELECT doc_a AS b_doc, doc_b AS i_doc FROM pairs
+       |    WHERE doc_a % 10 = 0 AND doc_b % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |    WHERE doc_b % 10 = 0 AND doc_a % 10 <> 0),
+       |nd AS (SELECT b_doc AS doc_id, COUNT(*) AS near_dups FROM crossp GROUP BY 1),
+       |nt AS (SELECT doc_id, ${TextPrep.normSql} AS nt FROM documents),
+       |ex AS (SELECT b.doc_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM nt i
+       |                      WHERE i.doc_id % 10 <> 0 AND i.nt = b.nt)
+       |         THEN 1 ELSE 0 END AS exact_dup
+       |  FROM nt b WHERE b.doc_id % 10 = 0)
+       |SELECT ex.doc_id, CAST(ex.exact_dup AS BIGINT) AS exact_dup,
+       |  CAST(COALESCE(nd.near_dups, 0) AS BIGINT) AS near_dups,
+       |  CASE WHEN ex.exact_dup = 0 AND COALESCE(nd.near_dups, 0) = 0
+       |       THEN 1 ELSE 0 END AS accepted
+       |FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id
+       |ORDER BY ex.doc_id""".stripMargin
+
   // -- q_pagerank: centrality over the near-dup graph ----------------------
   // PageRank (Page/Brin/Motwani/Winograd 1999) over the same symmetrized
   // near-duplicate graph dedup_components labels: in a crawl-derived
@@ -524,6 +597,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
     QueryDef("q_decontaminate_fuzzy", fuzzyDecontaminate, Some(fuzzyDecontaminateSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),

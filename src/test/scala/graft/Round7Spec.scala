@@ -178,6 +178,31 @@ class Round7Spec extends AnyFunSuite {
     assert(Maintenance.readSnapshot(spark, root, 2).count() == 2)
   }
 
+  // ---- dedup_incremental --------------------------------------------------
+
+  test("dedup_incremental: batch docs classify as exact-dup, near-dup, or accepted against the index") {
+    // index = doc_id % 10 != 0; batch = % 10 == 0. Doc 10 is a
+    // verbatim copy of index doc 1; doc 20 differs from index doc 2 in
+    // one word of twenty (J ≈ 0.86 on 3-gram shingles ≥ 0.8); doc 30
+    // is vocabulary-disjoint from everything.
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val near = (0 until 20).map(i => if (i == 19) "CHANGED" else s"w$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, base, "en", "s"),
+      (2L, (0 until 20).map(i => s"v$i").mkString(" "), "en", "s"),
+      (10L, base, "en", "s"),
+      (20L, (0 until 20).map(i => if (i == 19) "CHANGED" else s"v$i").mkString(" "), "en", "s"),
+      (30L, (0 until 20).map(i => s"z$i").mkString(" "), "en", "s")))
+    val out = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out(10L) == ((1L, 1L, 0)), s"verbatim copy: ${out(10L)}")
+    assert(out(20L)._1 == 0L && out(20L)._2 >= 1L && out(20L)._3 == 0,
+      s"one-word edit is a near-dup: ${out(20L)}")
+    assert(out(30L) == ((0L, 0L, 1)), s"novel doc accepted: ${out(30L)}")
+    assert(!out.contains(1L) && !out.contains(2L),
+      "index docs never appear in the batch report")
+  }
+
   // ---- io_shallow_clone ---------------------------------------------------
 
   test("io_shallow_clone: clone shares the source's files, divergence never touches the source") {
