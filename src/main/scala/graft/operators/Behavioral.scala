@@ -236,7 +236,44 @@ object Behavioral {
        |FROM slots GROUP BY bucket, batch_no
        |ORDER BY bucket, batch_no""".stripMargin
 
+  // -- q_kfold_split: stratified deterministic k-fold assignment -----------
+  // Train/validation splitting done the way an eval harness needs it
+  // REPRODUCIBLE: fold = (rank within source) mod K, so (a) the split
+  // is a pure function of the data (no RNG state to version), (b)
+  // every source is represented in every fold with counts differing by
+  // at most 1 (exact stratification — a global hash split only
+  // approximates this), and (c) adding a NEW source never perturbs
+  // existing sources' folds (the window is per-source). One narrow
+  // (doc_id, source) shuffle; the per-(source, fold) aggregate shares
+  // the window's partitioning.
+  private val KFolds = 5
+
+  private def kfoldSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(TextPrep.words($"text")).cast("long").as("n_tok"))
+      .withColumn("fold", ((row_number().over(w) - 1) % KFolds).cast("long"))
+      .groupBy($"source", $"fold")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"fold")
+  }
+  private val kfoldSplitSql =
+    s"""WITH docs AS (SELECT doc_id, source,
+       |    CAST(len(${TextPrep.wordsSql}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |f AS (SELECT source, n_tok,
+       |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+       |      % $KFolds AS fold
+       |  FROM docs)
+       |SELECT source, fold, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM f GROUP BY source, fold
+       |ORDER BY source, fold""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kfold_split", kfoldSplit, Some(kfoldSplitSql)),
     QueryDef("q_length_batching", lengthBatching, Some(lengthBatchingSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),

@@ -303,6 +303,22 @@ class Round7Spec extends AnyFunSuite {
       s"every event lands in exactly one (window, type) row: $streamed vs $total")
   }
 
+  // ---- q_kfold_split ------------------------------------------------------
+
+  test("q_kfold_split: exact stratification — within every source, fold sizes differ by at most 1") {
+    val rows = SparkEntry.queries("q_kfold_split")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sizes = g.map(_._3)
+      assert(sizes.max - sizes.min <= 1L,
+        s"source $src folds unbalanced: ${g.map(t => t._2 -> t._3).toSeq.sortBy(_._1)}")
+    }
+    val total = rows.map(_._3).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs, "every document lands in exactly one fold")
+  }
+
   // ---- pipeline_llm_mix ---------------------------------------------------
 
   test("pipeline_llm_mix: dedup runs on CLEANED text — docs differing only in template collapse") {
