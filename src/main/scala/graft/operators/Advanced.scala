@@ -554,7 +554,68 @@ object Advanced {
        |FROM spine s LEFT JOIN hourly USING (user_id, h)
        |ORDER BY user_id, hour""".stripMargin
 
+  // -- q_skyline: Pareto frontier via the staircase window -----------------
+  // The skyline operator (Börzsönyi/Kossmann/Stocker, ICDE'01): rows
+  // not dominated on (balance, activity) — here customers where no one
+  // has both ≥ account balance and ≥ order count with one strict. The
+  // naive formulation is an O(n²) NOT-EXISTS self-join; a 2-d skyline
+  // is computable in one SORT instead: over DISTINCT (bal, act) pairs
+  // ordered (bal DESC, act DESC), a pair is on the frontier iff its
+  // act strictly exceeds the running max of every EARLIER pair's act —
+  // earlier means (bal >, or bal = ∧ act >), exactly the dominators.
+  // One window over one shuffle, O(n log n), and the frontier then
+  // broadcast-joins back to the full row set (ties on both dims all
+  // surface). The oracle replays the identical window; the spec
+  // cross-checks against the brute-force NOT EXISTS on sf0.001,
+  // proving the staircase IS the skyline semantics, not an
+  // approximation of it.
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("act"))
+    val cust = Tables.customer(s, d)
+      .join(act, $"c_custkey" === $"o_custkey")
+      .select($"c_custkey", $"c_acctbal".as("bal"), $"act")
+    val pairs = cust.select($"bal", $"act").distinct()
+    // distributed shape: a LOCAL staircase per hash partition first — a
+    // within-partition dominator is a global dominator, so local
+    // skylines are a superset of the global one (skyline is closed
+    // under union) — then the tiny survivor set takes the global
+    // single-partition pass. The all-rows sort never happens on one
+    // executor.
+    val local = Window.partitionBy($"bkt").orderBy($"bal".desc, $"act".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = pairs
+      .withColumn("bkt", pmod(hash($"bal", $"act"), lit(32)))
+      .withColumn("lmax", max($"act").over(local))
+      .filter($"lmax".isNull || $"act" > $"lmax")
+    val w = Window.orderBy($"bal".desc, $"act".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = survivors
+      .withColumn("prev_max", max($"act").over(w))
+      .filter($"prev_max".isNull || $"act" > $"prev_max")
+      .select($"bal", $"act")
+    cust.join(broadcast(frontier), Seq("bal", "act"))
+      .select($"c_custkey", $"bal", $"act")
+      .orderBy($"c_custkey")
+  }
+  private val skylineSql =
+    """WITH act AS (SELECT o_custkey, COUNT(*) AS act FROM orders GROUP BY 1),
+      |cust AS (SELECT c_custkey, c_acctbal AS bal, act
+      |         FROM customer JOIN act ON c_custkey = o_custkey),
+      |pairs AS (SELECT DISTINCT bal, act FROM cust),
+      |st AS (SELECT bal, act, MAX(act) OVER (
+      |    ORDER BY bal DESC, act DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM pairs),
+      |frontier AS (SELECT bal, act FROM st
+      |  WHERE prev_max IS NULL OR act > prev_max)
+      |SELECT c.c_custkey, c.bal, c.act
+      |FROM cust c JOIN frontier f ON c.bal = f.bal AND c.act = f.act
+      |ORDER BY c.c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline", skyline, Some(skylineSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),

@@ -303,6 +303,30 @@ class Round7Spec extends AnyFunSuite {
       s"every event lands in exactly one (window, type) row: $streamed vs $total")
   }
 
+  // ---- q_skyline ----------------------------------------------------------
+
+  test("q_skyline: the staircase window equals the brute-force NOT-EXISTS skyline") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_skyline")(spark, sf)
+      .select("c_custkey").as[Long].collect().toSet
+    // brute force: r is in the skyline iff nobody weakly dominates it
+    // with at least one strict dimension
+    val act = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("act"))
+    val cust = Tables.customer(spark, sf)
+      .join(act, $"c_custkey" === $"o_custkey")
+      .select($"c_custkey".as[Long], $"c_acctbal".as[Double], $"act".as[Long])
+      .collect()
+    val brute = cust.filter { case (_, b, a) =>
+      !cust.exists { case (_, b2, a2) =>
+        b2 >= b && a2 >= a && (b2 > b || a2 > a)
+      }
+    }.map(_._1).toSet
+    assert(out == brute,
+      s"staircase vs brute force differ: only-staircase=${out -- brute}, only-brute=${brute -- out}")
+    assert(out.nonEmpty)
+  }
+
   // ---- q_kfold_split ------------------------------------------------------
 
   test("q_kfold_split: exact stratification — within every source, fold sizes differ by at most 1") {
