@@ -272,7 +272,45 @@ object Behavioral {
        |FROM f GROUP BY source, fold
        |ORDER BY source, fold""".stripMargin
 
+  // -- q_mixture_apply: execute the mixture as a deterministic filter ------
+  // q_mixture_weights computes target shares; this op EXECUTES the
+  // downsample: source s keeps each doc with probability
+  // min(1, N/(S·n_s)) — uniform-target share without upsampling — via
+  // a pure-integer rational test: keep iff (doc_id mod D)·S·n_s <
+  // N·D, D = 997 (prime decorrelates the residue from id patterns;
+  // with a non-dense key you'd hash first, same inequality). No RNG
+  // state to version, no float rate to drift between engines, and
+  // re-running the pipeline reproduces the byte-identical sample —
+  // the property a training-data freeze actually needs. Per-source
+  // counts ride one broadcast; the filter is row-local; the only
+  // shuffle is the final per-source accounting.
+  private val MixD = 997L
+
+  private def mixtureApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val totals = counts.agg(sum($"n_s").as("n"), count(lit(1)).as("s_cnt"))
+    docs.join(broadcast(counts), "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("kept",
+        when(($"doc_id" % MixD) * $"s_cnt" * $"n_s" < $"n" * MixD, 1L)
+          .otherwise(0L))
+      .groupBy($"source")
+      .agg(first($"n_s").as("n_in"), sum($"kept").as("n_kept"))
+      .orderBy($"source")
+  }
+  private val mixtureApplySql =
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n, COUNT(*) AS s_cnt FROM counts)
+       |SELECT d.source, any_value(c.n_s) AS n_in,
+       |  CAST(SUM(CASE WHEN (d.doc_id % $MixD) * t.s_cnt * c.n_s < t.n * $MixD
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN tot t
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     QueryDef("q_kfold_split", kfoldSplit, Some(kfoldSplitSql)),
     QueryDef("q_length_batching", lengthBatching, Some(lengthBatchingSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),

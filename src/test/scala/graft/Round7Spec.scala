@@ -303,6 +303,31 @@ class Round7Spec extends AnyFunSuite {
       s"every event lands in exactly one (window, type) row: $streamed vs $total")
   }
 
+  // ---- q_mixture_apply ----------------------------------------------------
+
+  test("q_mixture_apply: over-represented sources downsample toward uniform, under-represented keep everything") {
+    // A has 40 docs, B has 10: target = N/S = 25 per source, so A's
+    // keep-rate is 25/40 and B's is 1. Ids are spread (i·251) so the
+    // mod-997 residues behave like a hash; with dense small ids the
+    // comment's "hash first" rule applies.
+    val docs =
+      (0 until 40).map(i => ((i * 251).toLong, s"alpha beta g$i", "en", "A")) ++
+        (0 until 10).map(i => ((100000 + i * 251).toLong, s"x y z$i", "en", "B"))
+    val dir = corpusDir(docs)
+    val out = SparkEntry.queries("q_mixture_apply")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("B") == ((10L, 10L)), s"under-represented source keeps all: ${out("B")}")
+    val (inA, keptA) = out("A")
+    assert(inA == 40L)
+    assert(keptA < 40L, "over-represented source must drop documents")
+    assert(keptA >= 15L && keptA <= 35L,
+      s"kept count should approximate the 25/40 rate: $keptA")
+    // determinism: a second run reproduces the identical sample counts
+    val again = SparkEntry.queries("q_mixture_apply")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   // ---- q_skyline ----------------------------------------------------------
 
   test("q_skyline: the staircase window equals the brute-force NOT-EXISTS skyline") {
