@@ -47,6 +47,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Staging key for operators that persist a derived index under /tmp
+    * (inverted index, ANN codebooks): full-path hash — two datasets
+    * sharing a basename must not collide — plus a content fingerprint
+    * from file metadata (name, size, mtime of every part of `table`),
+    * so a regenerated dataset at the same path restages instead of
+    * silently reusing a stale index. Pure driver-side file-metadata
+    * arithmetic: no Spark job runs to answer "is the staging fresh?". */
+  def stagingKey(d: String, table: String): (String, String) = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val abs = new java.io.File(d).getAbsolutePath
+    val parts = walk(new java.io.File(abs, s"$table.parquet"))
+    val content = parts
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val dirKey = f"${new java.io.File(d).getName}_${abs.hashCode & 0x7fffffff}%08x"
+    (dirKey, f"${content.hashCode & 0x7fffffff}%08x-${parts.map(_.length).sum}")
+  }
 }
 
 /** Shared helpers for oracle-exact arithmetic.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -276,35 +276,59 @@ object Behavioral {
   // q_mixture_weights computes target shares; this op EXECUTES the
   // downsample: source s keeps each doc with probability
   // min(1, N/(S·n_s)) — uniform-target share without upsampling — via
-  // a pure-integer rational test: keep iff (doc_id mod D)·S·n_s <
-  // N·D, D = 997 (prime decorrelates the residue from id patterns;
-  // with a non-dense key you'd hash first, same inequality). No RNG
-  // state to version, no float rate to drift between engines, and
-  // re-running the pipeline reproduces the byte-identical sample —
+  // a pure-integer rational test: keep iff (H(doc_id) mod D)·S·n_s <
+  // N·D, D = 997. H is the first 32 bits of md5(doc_id) — hashing
+  // first decorrelates the residue from ANY id pattern (raw doc_id
+  // mod D assumes dense ids: a corpus whose ids are all multiples of
+  // D would keep everything), and md5 is the one 64-bit-quality hash
+  // both engines compute byte-identically, so the oracle replays it.
+  // No RNG state to version, no float rate to drift between engines,
+  // and re-running the pipeline reproduces the byte-identical sample —
   // the property a training-data freeze actually needs. Per-source
   // counts ride one broadcast; the filter is row-local; the only
   // shuffle is the final per-source accounting.
   private val MixD = 997L
 
-  private def mixtureApply(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+  /** First 32 bits of md5 of the stringified key, as a long in
+    * [0, 2^32) — identical in Spark and DuckDB (see [[mixKeySql]]). */
+  private def mixKey(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The DuckDB spelling of [[mixKey]]: DuckDB has no conv(), so the 8
+    * hex nibbles are parsed positionally (each term cast to BIGINT —
+    * DuckDB errors on INT32 overflow rather than wrapping). */
+  private def mixKeySql(e: String): String = {
+    val h = s"md5(CAST($e AS VARCHAR))"
+    (1 to 8).map(i =>
+      s"CAST(strpos('0123456789abcdef', substr($h, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** The downsample core over any (doc_id, source) frame — public so
+    * the spec can drive it with sparse/clustered id spaces. */
+  private[graft] def mixtureApplyOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
     val totals = counts.agg(sum($"n_s").as("n"), count(lit(1)).as("s_cnt"))
     docs.join(broadcast(counts), "source")
       .crossJoin(broadcast(totals))
       .withColumn("kept",
-        when(($"doc_id" % MixD) * $"s_cnt" * $"n_s" < $"n" * MixD, 1L)
+        when((mixKey($"doc_id") % MixD) * $"s_cnt" * $"n_s" < $"n" * MixD, 1L)
           .otherwise(0L))
       .groupBy($"source")
       .agg(first($"n_s").as("n_in"), sum($"kept").as("n_kept"))
       .orderBy($"source")
   }
+
+  private def mixtureApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mixtureApplyOn(Tables.documents(s, d).select($"doc_id", $"source"))
+  }
   private val mixtureApplySql =
     s"""WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n, COUNT(*) AS s_cnt FROM counts)
        |SELECT d.source, any_value(c.n_s) AS n_in,
-       |  CAST(SUM(CASE WHEN (d.doc_id % $MixD) * t.s_cnt * c.n_s < t.n * $MixD
+       |  CAST(SUM(CASE WHEN (${mixKeySql("d.doc_id")} % $MixD) * t.s_cnt * c.n_s < t.n * $MixD
        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN tot t
        |GROUP BY d.source ORDER BY d.source""".stripMargin

@@ -307,9 +307,9 @@ class Round7Spec extends AnyFunSuite {
 
   test("q_mixture_apply: over-represented sources downsample toward uniform, under-represented keep everything") {
     // A has 40 docs, B has 10: target = N/S = 25 per source, so A's
-    // keep-rate is 25/40 and B's is 1. Ids are spread (i·251) so the
-    // mod-997 residues behave like a hash; with dense small ids the
-    // comment's "hash first" rule applies.
+    // keep-rate is 25/40 and B's is 1. The keep test hashes doc_id
+    // (md5 first 32 bits) before the mod-997 residue, so the id
+    // pattern is irrelevant — Round8Spec drives the adversarial cases.
     val docs =
       (0 until 40).map(i => ((i * 251).toLong, s"alpha beta g$i", "en", "A")) ++
         (0 until 10).map(i => ((100000 + i * 251).toLong, s"x y z$i", "en", "B"))
