@@ -432,15 +432,28 @@ object Corpus {
   private val InsertOffset = 1000000L
 
   /** Stage the pre-churn stored index (postings + df) once per dataset
-    * — the "existing table" the incremental maintenance reads. */
+    * — the "existing table" the incremental maintenance reads. Keyed
+    * by [[Tables.stagingKey]] (full-path hash + source-file content
+    * fingerprint), so two datasets sharing a basename never collide
+    * and a regenerated dataset at the same path restages instead of
+    * silently serving a stale index. */
   private[graft] def indexRoot(s: SparkSession, d: String): String = {
-    val root = s"/tmp/graft_q/index_${new java.io.File(d).getName}"
+    val (dirKey, fp) = Tables.stagingKey(d, "documents")
+    val root = s"/tmp/graft_q/index_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = "v1-postings-df"
+    val fmt = s"v2-postings-df|$fp"
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
       return root
-    val p = postingsOf(Tables.documents(s, d))
+    val docs = Tables.documents(s, d)
+    // Churn-insert ids are doc_id + InsertOffset; a corpus whose ids
+    // reach the offset would alias an insert onto an existing doc and
+    // split one doc_id's postings across two sources — fail loudly at
+    // staging time instead (the oracle replays the same static offset).
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId + InsertOffset > 0 && maxId < InsertOffset,
+      s"corpus max doc_id $maxId must stay below the churn insert offset $InsertOffset")
+    val p = postingsOf(docs)
     p.write.mode("overwrite").parquet(s"$root/postings")
     p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$root/df")

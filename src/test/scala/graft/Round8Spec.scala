@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Behavioral
+import graft.operators.{Behavioral, Corpus}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,5 +49,31 @@ class Round8Spec extends AnyFunSuite {
     // target = 660/3 = 220 of 300 per big source
     assert(kd >= 180 && kd <= 260, s"dense kept ≈ 220: $kd")
     assert(ks >= 180 && ks <= 260, s"spread kept ≈ 220: $ks")
+  }
+
+  // ---- index staging freshness --------------------------------------------
+
+  test("indexRoot: regenerating the dataset at the same path restages instead of serving stale postings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8idx").toString
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq((1L, "alpha beta")))
+    val r1 = Corpus.indexRoot(spark, dir)
+    val toks1 = spark.read.parquet(s"$r1/postings")
+      .select("tok").as[String].collect().toSet
+    assert(toks1 == Set("alpha", "beta"))
+    // second call with unchanged data is a no-op (marker short-circuit)
+    assert(Corpus.indexRoot(spark, dir) == r1)
+    write(Seq((1L, "gamma delta epsilon")))
+    val r2 = Corpus.indexRoot(spark, dir)
+    assert(r2 == r1, "same path must map to the same staging root")
+    val toks2 = spark.read.parquet(s"$r2/postings")
+      .select("tok").as[String].collect().toSet
+    assert(toks2 == Set("gamma", "delta", "epsilon"),
+      "content fingerprint change must rebuild the staged index")
   }
 }
