@@ -33,17 +33,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw int64 nanos (exactly what DuckDB's
-    * epoch_ns(ts) yields, so oracle parity is bit-exact) and expose a
-    * microsecond TimestampType companion column for time semantics.
+  /** Canonical event-time columns regardless of the on-disk type of
+    * `ts` — driver-generated data has shipped it as int64 nanos,
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds. Output
+    * layout is fixed: `ts_ns` (int64 epoch nanos, bit-exact with
+    * DuckDB's `epoch_ns(ts)` under the UTC session) in the original
+    * column position, plus a microsecond TimestampType `ts` appended
+    * for event-time semantics (watermarks, window()).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  def withEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val nsExpr = df.schema("ts").dataType match {
+      case LongType => col("ts") // legacy layout: already int64 nanos
+      case _        => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    df.withColumn("ts", nsExpr.cast(LongType))
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Events with normalized event time (see [[withEventTime]]). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    // harmless for micros data; required if the data reverts to nanos
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

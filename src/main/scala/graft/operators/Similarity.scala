@@ -620,8 +620,12 @@ object Similarity {
   /** (query_id, neighbor_id, adist) for every candidate in a query's 2
     * probed cells. `residual = true` is the production encoding;
     * `false` PQ-encodes raw vectors at the identical code budget — kept
-    * as the contrast case [[adcError]] measures against. */
-  private def ivfpqAdist(emb: DataFrame, residual: Boolean): DataFrame = {
+    * as the contrast case [[adcError]] measures against. `queryMod`
+    * selects the query set (vec_id % queryMod == 0): 50 is the
+    * sim_ann_ivfpq gate set, 100 the hybrid-retrieval one — the
+    * corpus-side training is identical either way. */
+  private def ivfpqAdist(emb: DataFrame, residual: Boolean,
+      queryMod: Int = 50): DataFrame = {
     import emb.sparkSession.implicits._
     // coarse quantizer: the SAME L2 + decimal-mean Lloyd machinery as
     // the per-subspace codebooks, applied to ONE "subspace" = the whole
@@ -645,7 +649,7 @@ object Similarity {
     // query side: probe the 2 L2-nearest coarse cells
     val cb = coarse.withColumn("cn", VectorOps.dot($"ce", $"ce"))
     val wP = Window.partitionBy($"query_id").orderBy($"cd", $"cell_id")
-    val probed = csubs.filter($"vec_id" % 50 === 0)
+    val probed = csubs.filter($"vec_id" % queryMod === 0)
       .join(broadcast(cb), Seq("m"))
       .select($"vec_id".as("query_id"), $"cell_id",
         l2Fast($"sn", $"sub", $"ce", $"cn").as("cd"))
@@ -663,7 +667,7 @@ object Similarity {
       val rsubs = resSubs(resv, Seq("vec_id"))
       val c1 = pqTrainCodebook(rsubs).localCheckpoint()
       val codes = pqCodes(rsubs, c1).join(cells, "vec_id")
-      val dtabQC = resDtab(emb, probed, cc, c1)
+      val dtabQC = resDtab(emb, probed, cc, c1, queryMod)
       probed.withColumnRenamed("cell_id", "pcell")
         .join(codes.withColumnRenamed("cell_id", "pcell"), "pcell")
         .filter($"vec_id" =!= $"query_id")
@@ -726,9 +730,9 @@ object Similarity {
     * residual AGAINST THAT CELL scored once per (subspace, codebook
     * entry). Rows = queries × probes — broadcastable by construction. */
   private def resDtab(emb: DataFrame, probed: DataFrame, cc: DataFrame,
-      codebook: DataFrame): DataFrame = {
+      codebook: DataFrame, queryMod: Int = 50): DataFrame = {
     import emb.sparkSession.implicits._
-    val qfv = emb.filter($"vec_id" % 50 === 0)
+    val qfv = emb.filter($"vec_id" % queryMod === 0)
       .select($"vec_id".as("query_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
     val qres = probed.join(broadcast(qfv), "query_id")
@@ -808,9 +812,16 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
-  private val annIvfPqSql = {
+  /** The IVF×PQ candidate machinery (coarse Lloyd train → cell assign →
+    * top-2 probe → residual PQ codebooks/codes → per-(query, cell) ADC
+    * tables) as a DuckDB CTE chain ending in
+    * `adist(query_id, vec_id, adist)` — the SQL replay of
+    * [[ivfpqAdist]](residual = true). Shared by the sim_ann_ivfpq
+    * oracle and q_hybrid_rrf's dense leg (different query sets via
+    * `queryMod`; corpus-side training identical). */
+  private def ivfpqAdistSql(queryMod: Int): String = {
     val sub = PqSub
-    s"""WITH csubs AS (
+    s"""csubs AS (
        |  SELECT vec_id, t.m,
        |    list_transform(range(1, ${Dims + 1}),
        |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
@@ -839,7 +850,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY s.vec_id
        |        ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
        |    FROM csubs s JOIN cc1 c ON s.m = c.m
-       |    WHERE s.vec_id % 50 = 0) WHERE rn <= 2),
+       |    WHERE s.vec_id % $queryMod = 0) WHERE rn <= 2),
        |resv AS (
        |  SELECT e.vec_id, cl.cell_id,
        |    list_transform(range(1, ${Dims + 1}),
@@ -898,7 +909,11 @@ object Similarity {
        |  JOIN cells cl ON cl.cell_id = p.cell_id
        |  JOIN codesw cw ON cw.vec_id = cl.vec_id
        |  JOIN tabq t ON t.query_id = p.query_id AND t.pcell = p.cell_id
-       |  WHERE cw.vec_id <> p.query_id),
+       |  WHERE cw.vec_id <> p.query_id)""".stripMargin
+  }
+
+  private val annIvfPqSql =
+    s"""WITH ${ivfpqAdistSql(queryMod = 50)},
        |shortlist AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
@@ -916,7 +931,6 @@ object Similarity {
        |  FROM reranked)
        |SELECT query_id, rank, neighbor_id, round(d, 6) AS d6
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   // -- q_hybrid_rrf: hybrid lexical+dense retrieval, RRF fusion ------------
   // The two retrieval legs this library already provides — BM25-style
@@ -994,10 +1008,24 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val qv = emb.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // dense leg SERVED FROM THE ANN INDEX, not a corpus scan: the same
+    // IVF×PQ machinery as sim_ann_ivfpq routes each query to its 2
+    // probed coarse cells, ADC-ranks the cells' code rows, and only the
+    // top-LegDepth shortlist is fetched as full vectors for the exact
+    // cosine re-rank. Per query the plan touches corpus×(probes/cells)
+    // 16-byte code rows + ≤ LegDepth full vectors — NOT the N²/100
+    // all-pairs crossJoin of the brute-force leg, which is the part
+    // that dies at 100× corpus. The oracle replays the identical probe
+    // (ivfpqAdistSql below), so leg parity is by construction.
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortd = ivfpqAdist(emb, residual = true, queryMod = 100)
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= LegDepth)
+      .select($"query_id", $"neighbor_id".as("doc_id"))
     val denseW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
-    val dense = emb.crossJoin(broadcast(qv))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("doc_id"),
+    val dense = shortd
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"doc_id",
         VectorOps.cosine($"qe", $"embedding").as("cos"))
       .withColumn("vec_rank", row_number().over(denseW))
       .filter($"vec_rank" <= LegDepth)
@@ -1043,9 +1071,15 @@ object Similarity {
        |    FROM lexsc) WHERE lex_rank <= $LegDepth),
        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |       WHERE vec_id % 100 = 0),
-       |densesc AS (SELECT qv.query_id, e.vec_id AS doc_id,
-       |    ${VectorOps.cosineSql("qe", "e.embedding")} AS cos
-       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       |${ivfpqAdistSql(queryMod = 100)},
+       |shortd AS (SELECT query_id, vec_id AS doc_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= $LegDepth),
+       |densesc AS (SELECT s.query_id, s.doc_id,
+       |    ${VectorOps.cosineSql("qv.qe", "e.embedding")} AS cos
+       |  FROM shortd s JOIN embeddings e ON e.vec_id = s.doc_id
+       |  JOIN qv ON qv.query_id = s.query_id),
        |dense AS (SELECT query_id, doc_id, vec_rank FROM (
        |    SELECT query_id, doc_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank

@@ -18,20 +18,20 @@ object Streaming {
 
   private val GapNs: Long = 12L * 3600 * 1000 * 1000 * 1000 // 12h session gap
 
-  /** Raw events stream with a proper event-time column. The parquet
-    * stores TIMESTAMP(NANOS) (read as int64 via nanosAsLong — see
-    * Tables.events); event time for watermarking is microsecond
-    * precision. */
+  /** Raw events stream with a proper event-time column. The on-disk
+    * `ts` type has varied across data generations (int64 nanos,
+    * TIMESTAMP(NANOS), TIMESTAMP(MICROS)); `Tables.withEventTime`
+    * normalizes whatever arrives to the canonical (ts_ns int64, ts
+    * microsecond timestamp) pair. */
   private def eventsStream(s: SparkSession, d: String,
       glob: String = "events.parquet"): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // static pass defines the schema (ts arrives as int64 nanos)
+    // static pass defines the schema (whatever type ts arrives as)
     val schema = s.read.option("pathGlobFilter", glob).parquet(d).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", glob) // stream only the events file(s)
-      .parquet(d)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    Tables.withEventTime(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", glob) // stream only the events file(s)
+        .parquet(d))
   }
 
   /** Stage the events file into a temp dir together with ONE far-future
@@ -78,11 +78,18 @@ object Streaming {
         Files.copy(src, tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       }
       val ev = s.read.parquet(src.toString)
-      val maxNs = ev.agg(max(col("ts"))).head().getLong(0)
+      val maxNs = Tables.withEventTime(ev)
+        .agg(max(col("ts_ns"))).head().getLong(0)
       val hbNs = maxNs + 3L * 3600 * 1000 * 1000 * 1000
+      // the heartbeat file is read by the SAME stream schema as the
+      // source file, so its ts column must keep the source's type
+      val hbTs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(hbNs)
+        case t => timestamp_micros(lit(hbNs / 1000)).cast(t)
+      }
       val stage = tmp.resolve("_hb_stage").toString
       ev.limit(1)
-        .withColumn("ts", lit(hbNs))
+        .withColumn("ts", hbTs)
         .withColumn("event_type", lit("__heartbeat"))
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
