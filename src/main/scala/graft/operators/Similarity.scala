@@ -647,14 +647,7 @@ object Similarity {
     val cells = pqAssign(csubs, coarse).select($"vec_id", $"cell_id")
       .localCheckpoint()
     // query side: probe the 2 L2-nearest coarse cells
-    val cb = coarse.withColumn("cn", VectorOps.dot($"ce", $"ce"))
-    val wP = Window.partitionBy($"query_id").orderBy($"cd", $"cell_id")
-    val probed = csubs.filter($"vec_id" % queryMod === 0)
-      .join(broadcast(cb), Seq("m"))
-      .select($"vec_id".as("query_id"), $"cell_id",
-        l2Fast($"sn", $"sub", $"ce", $"cn").as("cd"))
-      .withColumn("rn", row_number().over(wP)).filter($"rn" <= 2)
-      .select($"query_id", $"cell_id")
+    val probed = ivfpqProbeCells(csubs.filter($"vec_id" % queryMod === 0), coarse)
     if (residual) {
       // residual corpus: rv = x − centroid(cell(x)); centroids broadcast
       val cc = coarse.select($"cell_id", $"ce".as("cce"))
@@ -667,13 +660,7 @@ object Similarity {
       val rsubs = resSubs(resv, Seq("vec_id"))
       val c1 = pqTrainCodebook(rsubs).localCheckpoint()
       val codes = pqCodes(rsubs, c1).join(cells, "vec_id")
-      val dtabQC = resDtab(emb, probed, cc, c1, queryMod)
-      probed.withColumnRenamed("cell_id", "pcell")
-        .join(codes.withColumnRenamed("cell_id", "pcell"), "pcell")
-        .filter($"vec_id" =!= $"query_id")
-        .join(broadcast(dtabQC), Seq("query_id", "pcell"))
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+      ivfpqProbeOver(emb, coarse, c1, codes, probed, queryMod)
     } else {
       // raw-vector codes + per-query tables (the pre-r6 shape)
       val subs = pqSubs(emb)
@@ -688,11 +675,109 @@ object Similarity {
     }
   }
 
+  /** ADC scoring tail shared by the inline-trained and staged paths:
+    * per-(query, probed cell) residual distance tables against the
+    * cells' packed code rows. */
+  private def ivfpqProbeOver(emb: DataFrame, coarse: DataFrame, c1: DataFrame,
+      codes: DataFrame, probed: DataFrame, queryMod: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    val dtabQC = resDtab(emb, probed, cc, c1, queryMod)
+    probed.withColumnRenamed("cell_id", "pcell")
+      .join(codes.withColumnRenamed("cell_id", "pcell"), "pcell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(dtabQC), Seq("query_id", "pcell"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+  }
+
+  /** Top-2 probed coarse cells for each query in `qsubs` (whole-vector
+    * subspace rows, m = 0). */
+  private def ivfpqProbeCells(qsubs: DataFrame, coarse: DataFrame): DataFrame = {
+    import qsubs.sparkSession.implicits._
+    val cb = coarse.withColumn("cn", VectorOps.dot($"ce", $"ce"))
+    val wP = Window.partitionBy($"query_id").orderBy($"cd", $"cell_id")
+    qsubs
+      .join(broadcast(cb), Seq("m"))
+      .select($"vec_id".as("query_id"), $"cell_id",
+        l2Fast($"sn", $"sub", $"ce", $"cn").as("cd"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= 2)
+      .select($"query_id", $"cell_id")
+  }
+
+  /** Spec instrumentation: number of times IVFPQ training actually ran
+    * (staging misses). A second query over the same dataset must leave
+    * this unchanged — the stored index serves it. */
+  private[graft] val annTrainRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Stage the trained IVFPQ index ONCE per dataset under /tmp — the
+    * production storage model made literal: the coarse codebook, cell
+    * assignment, residual PQ codebook and packed 16-byte code rows
+    * persist as parquet (the "index"), and every query — sim_ann_ivfpq,
+    * q_hybrid_rrf's dense leg, any future retrieval op — reads them
+    * instead of re-running Lloyd training per query. Same
+    * [[Tables.stagingKey]] freshness discipline as the inverted index's
+    * indexRoot: full-path key + content fingerprint, so a regenerated
+    * dataset restages instead of serving a stale index. Training is
+    * deterministic (seeded Lloyd, decimal means), so the staged tables
+    * are bit-identical to what inline training would produce — which is
+    * why the DuckDB oracle can keep replaying training from scratch. */
+  private[graft] def annIndexRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "embeddings")
+    val root = s"/tmp/graft_q/ann_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-ivfpq-residual|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    annTrainRuns.incrementAndGet()
+    val emb = Tables.embeddings(s, d)
+    val csubs = pqSubsM(emb, mCount = 1, subLen = Dims)
+    val coarse = pqTrainCodebook(csubs).localCheckpoint()
+    val cells = pqAssign(csubs, coarse).select($"vec_id", $"cell_id")
+      .localCheckpoint()
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    val resv = emb
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+      .join(cells, "vec_id")
+      .join(broadcast(cc), "cell_id")
+      .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
+      .localCheckpoint()
+    val rsubs = resSubs(resv, Seq("vec_id"))
+    val c1 = pqTrainCodebook(rsubs).localCheckpoint()
+    coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    c1.write.mode("overwrite").parquet(s"$root/pqcodebook")
+    // ONE row per vector: cell routing key + M packed code indices —
+    // the 16-bytes-per-vector physical layout PQ storage exists for
+    pqCodes(rsubs, c1).join(cells, "vec_id")
+      .write.mode("overwrite").parquet(s"$root/codes")
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    root
+  }
+
+  /** [[ivfpqAdist]] (residual encoding) served from the STORED index:
+    * only the query-side work runs — probe routing, per-(query, cell)
+    * ADC tables, code-row scoring. Per query this touches
+    * corpus×(probes/cells) 16-byte code rows; no training job runs. */
+  private def ivfpqAdistStaged(s: SparkSession, d: String,
+      queryMod: Int): DataFrame = {
+    import s.implicits._
+    val root = annIndexRoot(s, d)
+    val coarse = s.read.parquet(s"$root/coarse")
+    val c1 = s.read.parquet(s"$root/pqcodebook")
+    val codes = s.read.parquet(s"$root/codes")
+    val emb = Tables.embeddings(s, d)
+    val qsubs = pqSubsM(emb.filter($"vec_id" % queryMod === 0), 1, Dims)
+    val probed = ivfpqProbeCells(qsubs, coarse)
+    ivfpqProbeOver(emb, coarse, c1, codes, probed, queryMod)
+  }
+
   private def annIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
-    val shortlist = ivfpqAdist(emb, residual = true)
+    val shortlist = ivfpqAdistStaged(s, d, queryMod = 50)
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
       .select($"query_id", $"neighbor_id")
     pqRerank(emb, shortlist)
@@ -1018,7 +1103,7 @@ object Similarity {
     // that dies at 100× corpus. The oracle replays the identical probe
     // (ivfpqAdistSql below), so leg parity is by construction.
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
-    val shortd = ivfpqAdist(emb, residual = true, queryMod = 100)
+    val shortd = ivfpqAdistStaged(s, d, queryMod = 100)
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= LegDepth)
       .select($"query_id", $"neighbor_id".as("doc_id"))
     val denseW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
@@ -1030,8 +1115,24 @@ object Similarity {
       .withColumn("vec_rank", row_number().over(denseW))
       .filter($"vec_rank" <= LegDepth)
       .select($"query_id", $"doc_id", $"vec_rank")
+    rrfFuse(lex, dense)
+  }
+
+  private[graft] val RrfLegDepth: Int = LegDepth
+
+  /** RRF fusion of two per-query ranked legs (query_id, doc_id,
+    * lex_rank / vec_rank). Entries beyond LegDepth contribute nothing
+    * and are dropped ON ENTRY — in the query path the legs arrive
+    * pre-truncated so the guard is a no-op predicate, but it makes the
+    * O(queries × depth) fusion-state bound structural: fused output is
+    * invariant to whatever a leg hands in past its top-LegDepth
+    * (Round9Spec pins this). A doc absent from one leg contributes 0
+    * from that leg (rank 0 = "beyond depth"). */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    import lex.sparkSession.implicits._
     val fusedW = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
-    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+    lex.filter($"lex_rank" <= LegDepth)
+      .join(dense.filter($"vec_rank" <= LegDepth), Seq("query_id", "doc_id"), "full_outer")
       .na.fill(0, Seq("lex_rank", "vec_rank"))
       .withColumn("rrf",
         expr(s"CAST(CASE WHEN lex_rank > 0 THEN $RrfScale div ($RrfK + lex_rank) ELSE 0 END AS BIGINT) + " +
