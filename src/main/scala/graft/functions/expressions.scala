@@ -20,6 +20,25 @@ object impl {
   /** xxhash64 over a UTF8String with an explicit seed. */
   @inline def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Lower md5 half: digest bytes 8..15 as a little-endian long — the
+    * one 64-bit string hash BOTH engines evaluate natively (DuckDB's
+    * `md5_number_lower`), which is what makes simhash signatures — and
+    * therefore hamming distances — oracle-replayable. ~10× an xxh64
+    * per call, which is noise next to the band join it feeds. */
+  def md5Lower64(s: UTF8String, md: java.security.MessageDigest): Long = {
+    val d = md.digest(s.getBytes) // digest() resets the instance
+    var h = 0L
+    var k = 0
+    while (k < 8) { h |= (d(8 + k) & 0xffL) << (8 * k); k += 1 }
+    h
+  }
+
+  /** MessageDigest is stateful and not thread-safe; interpreted eval
+    * shares Expression instances across tasks, so give each thread its
+    * own. Codegen allocates a per-operator instance instead. */
+  val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** One-pass MinHash signature over a set of shingles.
@@ -92,12 +111,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a token array: per-token xxhash64 votes ±1 on
-  * each of 64 bit positions; the sign of each counter becomes the bit.
+/** 64-bit SimHash over a token array: per-token hash votes ±1 on each
+  * of 64 bit positions; the sign of each counter becomes the bit.
   * Near-identical documents differ in a handful of bits, so Hamming
   * distance ≤ k finds near-dups; banding the 64 bits into 16-bit chunks
   * gives an exact-match LSH key (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4
   * bands identical).
+  *
+  * The per-token hash is [[impl.md5Lower64]] — md5's low half rather
+  * than xxh64 — specifically so the DuckDB oracle can replay the
+  * signature bit-for-bit (`md5_number_lower`) and value-check the
+  * emitted hamming distances, the same replayability discipline every
+  * other operator follows. md5's bits are uniform, so simhash quality
+  * is unchanged; the extra hash cost is confined to the one signature
+  * pass per document.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -107,11 +134,12 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val md = impl.mdLocal.get()
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = impl.hash(arr.getUTF8String(i), 42L)
+        val h = impl.md5Lower64(arr.getUTF8String(i), md)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -133,14 +161,17 @@ case class SimHash64(child: Expression)
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
-      val s = ctx.freshName("s")
-      val xxh = classOf[XXH64].getName
+      val md = ctx.addMutableState("java.security.MessageDigest", "simhashMd",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              """.stripMargin)
+      // Scala emits static forwarders on the object's plain class name
+      val implCls = impl.getClass.getName.stripSuffix("$")
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    UTF8String $s = $arr.getUTF8String($i);
-         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    long $h = $implCls.md5Lower64($arr.getUTF8String($i), $md);
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |    }

@@ -170,9 +170,17 @@ object Dedup {
   // 25, at ~6× the join keys instead of the all-pairs blowup that
   // 4-bit blocks caused. The hamming filter runs BEFORE the pair-dedup
   // so the distinct only sees near-pairs, not the full candidate set.
-  // No SQL oracle (the signature is a custom hash) — specs cross-check
-  // against exact Jaccard pairs and brute-force hamming.
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+  // Value-oracled since r9: the md5-low-half gram hash is natively
+  // computable in DuckDB, so the oracle replays the signature and
+  // brute-forces hamming (see simhashSql); specs additionally
+  // cross-check completeness against exact Jaccard pairs.
+  // Default budget 15: with the md5-half gram hash the seeded near-dup
+  // corpus separates at hamming ≤ 14 (dups) vs ≥ 16 (nearest non-dup)
+  // at spec scale, so 15 sits between with one bit of margin each way.
+  // Budgets above 12 engage the multi-probe side below — still
+  // complete (any pair at hamming ≤ 25 has a block differing by ≤ 1
+  // bit), at ~6× the join keys of the plain block join.
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 15): DataFrame = {
     import s.implicits._
     require(maxHamming <= 25,
       s"simhash banding is complete only to hamming 25 (got $maxHamming); " +
@@ -212,6 +220,34 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
   private def simhash(s: SparkSession, d: String): DataFrame = simhashPairs(s, d)
+
+  /** Value oracle for the simhash pairs: replay the 64-bit signature in
+    * DuckDB — the gram hash is md5's low half precisely so both engines
+    * compute it natively (`md5_number_lower` ↔ [[graft.functions.impl.md5Lower64]])
+    * — then brute-force hamming over all signature pairs. The
+    * multi-probe banding in [[simhashPairs]] is COMPLETE through
+    * hamming 25 (some block differs by ≤ 1 bit), so at the budget of 15
+    * the bucketed candidate join must emit exactly the brute-force pair
+    * set; gramless docs (< 3 words) carry sig = 0 on both engines. */
+  private val simhashSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+       |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |hv AS (SELECT doc_id, md5_number_lower(g) AS h FROM grams),
+       |votes AS (SELECT doc_id, b.b AS b,
+       |    SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hv, unnest(range(0, 64)) b(b) GROUP BY doc_id, b.b),
+       |sig0 AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+       |             ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+       |  FROM votes GROUP BY doc_id),
+       |sigs AS (SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+       |  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 15 ORDER BY doc_a, doc_b""".stripMargin
 
   // -- duplicate-cluster resolution (connected components) -----------------
   // Near-dup PAIRS are not yet a dedup policy: keep-one needs the full
@@ -603,7 +639,7 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
-    QueryDef("dedup_simhash", simhash, None),
+    QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),
   )
 }

@@ -33,8 +33,9 @@ class DedupTextSpec extends AnyFunSuite {
     val found = Dedup.simhashPairs(spark, sf)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(exactPairs.nonEmpty, "corpus should contain seeded near-dups")
-    // hamming <= 12 separates the seeded pairs cleanly in this corpus
-    // (nearest non-dup pair sits at hamming 14): exact recovery.
+    // the default hamming budget (15) separates the seeded pairs
+    // cleanly in this corpus (dups reach 14, the nearest non-dup pair
+    // sits at 16): exact recovery.
     assert(found == exactPairs,
       s"missed=${exactPairs -- found} extra=${found -- exactPairs}")
   }
