@@ -576,12 +576,11 @@ object Corpus {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
     var stateBlocks = ownRdds(state)
-    // starts empty (not null): a corpus with zero learnable merges —
-    // every word a single symbol — must yield an empty merge table, not
-    // an NPE at the final orderBy
-    var merges: DataFrame =
-      Seq.empty[(Long, String, String, Long)]
-        .toDF("merge_rank", "pair_left", "pair_right", "n")
+    // the learned merge table accumulates DRIVER-side: each round's
+    // argmax is one row, collected by the same TakeOrdered action that
+    // decides exhaustion — O(rounds) driver state, the documented
+    // manifest-arithmetic budget
+    var mergeRows = List.empty[(Long, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= BpeRounds && !exhausted) {
@@ -591,15 +590,22 @@ object Corpus {
             "i -> named_struct('lft', syms[i], 'rgt', syms[i + 1]))")).as("p"))
         .groupBy($"p.lft".as("lft"), $"p.rgt".as("rgt"))
         .agg(sum($"freq").as("n"))
-      val best = pairs.orderBy($"n".desc, $"lft", $"rgt").limit(1).localCheckpoint()
-      if (best.isEmpty) exhausted = true // degenerate corpus: fewer merges than rounds
+      // ONE action serves argmax + exhaustion guard + merge row: a
+      // TakeOrderedAndProject head(1) (the pre-r9 shape spent a
+      // localCheckpoint job, then an isEmpty take(1), then broadcast
+      // the winner into a crossJoin — 3 barriers per round, which is
+      // what made the loop fragile under driver-box load). Empty ⇒
+      // degenerate corpus with fewer merges than rounds.
+      val bestRow = pairs.orderBy($"n".desc, $"lft", $"rgt").head(1)
+      if (bestRow.isEmpty) exhausted = true
       else {
-        val m = best.select(lit(rank.toLong).as("merge_rank"),
-          $"lft".as("pair_left"), $"rgt".as("pair_right"), $"n")
-        merges = merges.unionAll(m)
+        val (l, r, n) = (bestRow(0).getString(0), bestRow(0).getString(1),
+          bestRow(0).getLong(2))
+        mergeRows ::= ((rank.toLong, l, r, n))
+        // the winning pair rides into the round's plan as LITERALS —
+        // no per-round broadcast exchange at all
         val next = state
-          .crossJoin(broadcast(best.select($"lft", $"rgt")))
-          .select($"word", $"freq", Bpe.mergePair($"syms", $"lft", $"rgt").as("syms"))
+          .select($"word", $"freq", Bpe.mergePair($"syms", lit(l), lit(r)).as("syms"))
           .localCheckpoint()
         val nextBlocks = ownRdds(next)
         state = next
@@ -612,6 +618,8 @@ object Corpus {
       }
       rank += 1
     }
+    val merges = mergeRows.reverse
+      .toDF("merge_rank", "pair_left", "pair_right", "n")
     (merges.orderBy($"merge_rank"), state)
   }
 
