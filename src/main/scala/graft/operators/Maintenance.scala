@@ -747,7 +747,7 @@ object Maintenance {
   // io_manifest_skipping discipline.
   private val PeWanted = "1-URGENT"
 
-  private def peRoot(s: SparkSession, d: String): String = {
+  private[graft] def peRoot(s: SparkSession, d: String): String = {
     import s.implicits._
     val root = tmp("partevo", d)
     val marker = java.nio.file.Paths.get(root, "pe_ok.txt")
@@ -761,15 +761,20 @@ object Maintenance {
     val t = Tables.orders(s, d)
     // old spec: one untagged group (written before the evolution)
     t.filter($"o_orderkey" % 2 === 0).write.parquet(s"$root/gen1")
-    // new spec: one group per partition value, tag in the path; the
-    // value list is O(partitions) driver-side metadata (5 values)
-    val pris = t.filter($"o_orderkey" % 2 === 1)
-      .select($"o_orderpriority").distinct()
-      .as[String].collect().sorted
-    pris.foreach { p =>
-      t.filter($"o_orderkey" % 2 === 1 && $"o_orderpriority" === p)
-        .write.parquet(s"$root/gen2/pri=$p")
-    }
+    // new spec: ONE dynamic partitionBy write fans out every partition
+    // value (a per-value filter+write loop is one full scan per value —
+    // O(partitions) jobs, unusable at a real partition count). The tag
+    // is a DUPLICATE of o_orderpriority so the path carries pri=<v>
+    // while the data files keep the full orders schema, byte-compatible
+    // with the untagged gen1 group.
+    t.filter($"o_orderkey" % 2 === 1)
+      .withColumn("pri", $"o_orderpriority")
+      .write.partitionBy("pri").parquet(s"$root/gen2")
+    // the value list is read back from the written directory names —
+    // O(partitions) driver-side metadata, no extra Spark job
+    val pris = Option(new java.io.File(s"$root/gen2").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("pri="))
+      .map(_.getName.stripPrefix("pri=")).sorted
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (s"$root/gen1" +: pris.map(p => s"$root/gen2/pri=$p"))

@@ -44,6 +44,45 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- partition-evolution staging job count ------------------------------
+
+  test("io_partition_evolution: cold staging is two write jobs, warm staging is zero") {
+    import graft.operators.Maintenance
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        body
+        // listener bus is async; wait for it to drain
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        var last = -1
+        while (System.nanoTime() < deadline && jobs.get() != last) {
+          last = jobs.get(); Thread.sleep(200)
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    wipe(new java.io.File(Maintenance.peRoot(spark, sf)))
+    val cold = countJobs { Maintenance.peRoot(spark, sf); () }
+    // gen1 write + ONE dynamic-partition gen2 write; the per-value
+    // filter+write loop this replaced cost 1 + |partitions| + a
+    // distinct-collect. Allow +1 slack for a schema/listing job.
+    assert(cold <= 3, s"cold partition-evolution staging ran $cold jobs, want <= 3")
+    assert(cold >= 2, s"expected both generation writes to run, got $cold")
+    val warm = countJobs { Maintenance.peRoot(spark, sf); () }
+    assert(warm == 0, s"warm staging must be a marker check, ran $warm jobs")
+  }
+
   // ---- RRF fusion depth invariance ---------------------------------------
 
   test("rrfFuse: fused output is invariant to leg entries beyond LegDepth") {
