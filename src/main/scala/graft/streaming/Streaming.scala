@@ -248,10 +248,20 @@ object Streaming {
 
   // -- #43 stateful sessionization ----------------------------------------
   final case class Ev(user_id: Long, ts_ns: Long, value: Double)
-  final case class OpenSession(startNs: Long, lastNs: Long, n: Long, sum: Double)
-  // start_us: microseconds — DuckDB's parquet reader coerces
-  // TIMESTAMP(NANOS) to micros, so the oracle can't see nanos.
+  // the running sum is an EXACT decimal (the OracleMath.dsum discipline
+  // applied inside the fold): per-event cast to 6-dp decimal, decimal
+  // accumulation, one double conversion at emission. That makes the
+  // emitted sum independent of fold order — duplicate timestamps,
+  // micro-batch slicing, state-carry — and therefore value-oracle-able
+  // against the batch twin's decimal sum.
+  final case class OpenSession(startNs: Long, lastNs: Long, n: Long,
+      sum: java.math.BigDecimal)
   final case class SessionOut(user_id: Long, start_us: Long, n_events: Long, sum_value: Double)
+
+  /** Per-event decimal cast, matching Spark's `cast(v AS DECIMAL(18,6))`
+    * (shortest double repr, then HALF_UP to 6 dp). */
+  private def dec6(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
 
   /** Gap-based sessionizer for `flatMapGroupsWithState`: merges the
     * batch's events (sorted by event time) into the carried open
@@ -267,12 +277,12 @@ object Streaming {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_ns - s.lastNs <= GapNs =>
-          open = Some(OpenSession(s.startNs, e.ts_ns, s.n + 1, s.sum + e.value))
+          open = Some(OpenSession(s.startNs, e.ts_ns, s.n + 1, s.sum.add(dec6(e.value))))
         case Some(s) =>
-          out += SessionOut(userId, s.startNs / 1000, s.n, s.sum)
-          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, e.value))
+          out += SessionOut(userId, s.startNs / 1000, s.n, s.sum.doubleValue)
+          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, dec6(e.value)))
         case None =>
-          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, e.value))
+          open = Some(OpenSession(e.ts_ns, e.ts_ns, 1, dec6(e.value)))
       }
     }
     open.foreach(state.update)
@@ -299,6 +309,31 @@ object Streaming {
     runToMemory(sessions, "graft_stream_sessions", OutputMode.Append())
       .orderBy($"user_id", $"start_us")
   }
+
+  /** Value oracle (r9): the gaps-and-islands batch sessionization MINUS
+    * each user's trailing session — exactly the "closed by a later
+    * event" emission rule. The fold's decimal running sum makes
+    * sum_value order-insensitive, so the SQL decimal sum matches it
+    * bit-for-bit however the stream was sliced. */
+  private val sessionStreamSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+       |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+       |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) <= ${GapNs}
+       |         THEN 0 ELSE 1 END AS new_sess
+       |  FROM events),
+       |numbered AS (
+       |  SELECT user_id, ts_ns, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+       |  FROM marked),
+       |sess AS (
+       |  SELECT user_id, sess_idx, MIN(ts_ns) // 1000 AS start_us,
+       |    COUNT(*) AS n_events, ${OracleMath.sqlSum("value")} AS sum_value
+       |  FROM numbered GROUP BY user_id, sess_idx)
+       |SELECT user_id, start_us, n_events, sum_value FROM sess
+       |QUALIFY sess_idx < MAX(sess_idx) OVER (PARTITION BY user_id)
+       |ORDER BY user_id, start_us""".stripMargin
 
   // -- #44 watermarked stream-stream interval join -------------------------
   // The streaming twin of q_range_join: purchases ⋈ clicks of the same
@@ -922,7 +957,7 @@ object Streaming {
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),
     QueryDef("stream_funnel", funnelStreamQuery, Some(funnelStreamSql)),
     QueryDef("stream_zscore", zscoreStream, Some(zscoreStreamSql)),
-    QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), None),
+    QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), Some(sessionStreamSql)),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
     QueryDef("stream_dedup", dedupStream, Some(dedupStreamSql)),

@@ -233,9 +233,9 @@ class StreamMultimodalSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumnRenamed("ts", "ts_ns")
+    val stream = Tables.withEventTime(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sf))
       .select($"user_id", $"ts_ns", $"value").as[Streaming.Ev]
     val q = Streaming.withRocksDBStateStore(spark) {
       assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
