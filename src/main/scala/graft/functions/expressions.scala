@@ -187,6 +187,34 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** [[impl.md5Lower64]] as a scalar expression: the low md5 half of a
+  * string, the cross-engine-replayable 64-bit hash (DuckDB:
+  * `md5_number_lower`). Feeds the deterministic HLL registers of
+  * `q_approx_distinct` — a sketch whose oracle can rebuild it exactly.
+  */
+case class Md5Lower64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5lower64"
+
+  override def nullSafeEval(input: Any): Any =
+    impl.md5Lower64(input.asInstanceOf[UTF8String], impl.mdLocal.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val md = ctx.addMutableState("java.security.MessageDigest", "md5lowMd",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              """.stripMargin)
+      val implCls = impl.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $implCls.md5Lower64($s, $md);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64 =
+    copy(child = newChild)
+}
+
 /** One-pass stopword scoring for language ID: count, with multiplicity,
   * how many tokens of `child` (an `array<string>`) hit each of the
   * per-language stopword lists; returns `array<int>` with one count per
@@ -435,6 +463,8 @@ object GraftFunctions {
     graftshim.column(SimHash64(graftshim.expression(c)))
   def fingerprint64(c: Column): Column =
     graftshim.column(Fingerprint64(graftshim.expression(c)))
+  def md5lower64(c: Column): Column =
+    graftshim.column(Md5Lower64(graftshim.expression(c)))
   /** 128-bit fingerprint: two multiplier-independent 64-bit lanes as a
     * struct — at 100 TB doc counts the 64-bit birthday bound (~50%
     * collision odds at 5×10⁹ docs) silently merges distinct documents;
@@ -503,6 +533,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int])),
     ("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
     ("graft_fingerprint64", classOf[Fingerprint64], es => Fingerprint64(es.head)),
+    ("graft_md5lower64", classOf[Md5Lower64], es => Md5Lower64(es.head)),
     ("graft_shingles", classOf[Shingles], es => Shingles(es.head,
       es(1).eval().asInstanceOf[Int])),
     ("graft_vec_dot", classOf[VecDot], es => VecDot(es.head, es(1))),

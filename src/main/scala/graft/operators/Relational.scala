@@ -381,19 +381,98 @@ object Relational {
        |GROUP BY o_orderstatus, l_linestatus
        |ORDER BY o_orderstatus, l_linestatus""".stripMargin
 
-  // -- q_approx_distinct: HLL++ sketch distinct ------------------------------
+  // -- q_approx_distinct: deterministic HLL sketch distinct -----------------
   // The 100 TB answer to count-distinct: mergeable fixed-size sketches
-  // (partial aggregation) instead of a distinct shuffle. No DuckDB
-  // oracle (sketch implementations differ across engines); the spec
-  // bounds the error against the exact count.
+  // (partial aggregation) instead of a distinct shuffle. Re-expressed in
+  // r9 as a FULLY DETERMINISTIC HyperLogLog (Flajolet et al. 2007) whose
+  // every step both engines replay exactly, graduating the query from
+  // rows-only to a value oracle:
+  //  - hash: md5's low half of the key's decimal string (Md5Lower64 ↔
+  //    DuckDB md5_number_lower) — cross-engine bit-identical;
+  //  - registers: bucket = low p=12 bits, rho = leading-zero rank of
+  //    the remaining 52 bits via integer bit-length (length(bin(w)) ↔
+  //    length(to_base(w, 2))) — no float in the register path;
+  //  - harmonic sum: Σ 2^(53−M_j) as EXACT integers (decimal38 ↔
+  //    hugeint), divided once at the end in double — the float
+  //    arithmetic is one identical expression on both engines;
+  //  - small-range: linear counting m·ln(m/V) when raw ≤ 2.5m and
+  //    empty buckets exist; the final estimate is decimal-rounded to
+  //    4 dp to absorb libm ln ulp skew (the q_drift_psi discipline).
+  // m = 4096 registers ⇒ ~1.6% typical relative error (spec-bounded
+  // against exact counts). The register table IS the mergeable sketch:
+  // groupBy-max merges shards losslessly, the q_hll_sketch_merge
+  // property, here with a replayable register layout.
+  private val HllP = 12
+  private val HllM = 1 << HllP // 4096 registers
+  private val Hll2p53 = 9007199254740992L // 2^53 = 2^(64 - p) + 1 bit headroom
+
+  /** (group, estimate) via deterministic-HLL registers over `key`. */
+  private def hllEstimate(df: DataFrame, group: String, key: String,
+      out: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM) // standard alpha_m, m >= 128
+    df.select(col(group),
+        graft.functions.GraftFunctions.md5lower64(col(key).cast("string")).as("h"))
+      .select(col(group), $"h".bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
+        shiftrightunsigned($"h", HllP).as("w"))
+      .withColumn("rho",
+        when($"w" === 0L, lit(64 - HllP + 1))
+          .otherwise(lit(64 - HllP + 1) - length(expr("bin(w)"))))
+      .groupBy(col(group), $"bucket").agg(max($"rho").as("m"))
+      .groupBy(col(group)).agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${64 - HllP + 1} - m)")
+          .cast("decimal(38,0)")).as("s0"))
+      .withColumn("v", lit(HllM.toLong) - $"nb")
+      .withColumn("sd",
+        ($"s0" + $"v".cast("decimal(38,0)") * lit(Hll2p53)).cast("double"))
+      .withColumn("raw",
+        lit(alpha * HllM.toDouble * HllM.toDouble * Hll2p53.toDouble) / $"sd")
+      .withColumn(out,
+        when($"raw" <= lit(2.5 * HllM) && $"v" > 0L,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v"))
+          .otherwise($"raw")
+          .cast("decimal(18,4)").cast("double"))
+      .select(col(group), col(out))
+  }
+
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        approx_count_distinct($"l_suppkey", 0.02).as("approx_suppliers"))
+    val li = Tables.lineitem(s, d)
+    hllEstimate(li, "l_returnflag", "l_partkey", "approx_parts")
+      .join(hllEstimate(li, "l_returnflag", "l_suppkey", "approx_suppliers"),
+        "l_returnflag")
       .orderBy($"l_returnflag")
   }
+
+  private def hllEstimateSql(key: String, out: String): String = {
+    val rhoMax = 64 - HllP + 1
+    s"""SELECT g, CAST(CAST(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $HllM.0 AND v > 0
+       |      THEN $HllM.0 * ln($HllM.0 / v) ELSE raw END
+       |    AS DECIMAL(18,4)) AS DOUBLE) AS $out
+       |FROM (SELECT g, v,
+       |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / $HllM.0)
+       |      * $HllM.0 * $HllM.0 * ${Hll2p53}.0 / sd AS raw
+       |  FROM (SELECT g, $HllM - nb AS v,
+       |      CAST(s0 + CAST($HllM - nb AS HUGEINT) * $Hll2p53 AS DOUBLE) AS sd
+       |    FROM (SELECT g, COUNT(*) AS nb,
+       |        SUM(CAST(CAST(1 AS BIGINT) << ($rhoMax - m) AS HUGEINT)) AS s0
+       |      FROM (SELECT g, bucket,
+       |          MAX(CASE WHEN w = 0 THEN $rhoMax
+       |              ELSE $rhoMax - length(to_base(w, 2)) END) AS m
+       |        FROM (SELECT l_returnflag AS g,
+       |            CAST(h & ${HllM - 1} AS BIGINT) AS bucket,
+       |            CAST(h >> $HllP AS BIGINT) AS w
+       |          FROM (SELECT l_returnflag,
+       |              md5_number_lower(CAST($key AS VARCHAR)) AS h FROM lineitem))
+       |        GROUP BY g, bucket)
+       |      GROUP BY g)))""".stripMargin
+  }
+
+  private val qApproxDistinctSql =
+    s"""WITH p AS (${hllEstimateSql("l_partkey", "approx_parts")}),
+       |s AS (${hllEstimateSql("l_suppkey", "approx_suppliers")})
+       |SELECT p.g AS l_returnflag, p.approx_parts, s.approx_suppliers
+       |FROM p JOIN s ON p.g = s.g ORDER BY l_returnflag""".stripMargin
 
   // -- q_lateral_join: correlated LATERAL subquery (per-row top-N) ---------
   // SQL-surface form of "for each outer row, run a dependent subquery"
@@ -471,7 +550,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
-    QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q6_filter_agg", q6, Some(q6Sql)),
     QueryDef("q3_join_agg", q3, Some(q3Sql)),

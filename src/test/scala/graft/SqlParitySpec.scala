@@ -50,16 +50,16 @@ class SqlParitySpec extends AnyFunSuite {
         |LIMIT 10""".stripMargin)
   }
 
-  test("approx_count_distinct stays within its rated error") {
+  test("deterministic HLL stays within its rated error (m=4096 => ~1.6% typical)") {
     import spark.implicits._
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val exact = SparkEntry.queries("q_distinct")(spark, sf)
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     exact.foreach { case (flag, (p, s)) =>
       val (ap, as_) = approx(flag)
-      assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: approx $ap vs $p")
-      assert(math.abs(as_ - s).toDouble / s < 0.1, s"$flag supps: approx $as_ vs $s")
+      assert(math.abs(ap - p) / p < 0.1, s"$flag parts: approx $ap vs $p")
+      assert(math.abs(as_ - s) / s < 0.1, s"$flag supps: approx $as_ vs $s")
     }
   }
 
