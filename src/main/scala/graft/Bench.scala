@@ -114,7 +114,18 @@ object Bench {
     results.flatMap(r => r.error.map(e => r.name -> e)).foreach { case (n, e) =>
       System.err.println(s"[graft.bench] FAILED $n: $e")
     }
-    println(toJson(results, sfDir))
+    val json = toJson(results, sfDir)
+    println(json)
+    // the driver keeps only a truncated tail of stdout, which cut half
+    // the per-query stats out of the r7/r8 artifacts — also persist the
+    // whole JSON so every round's artifact parses standalone
+    // (GRAFT_BENCH_OUT overrides; default sits next to the repo's other
+    // bench artifacts)
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[graft.bench] could not write $outPath: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -691,6 +691,17 @@ object Similarity {
         expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
   }
 
+  /** Remap a codebook's cell ids onto the dense seed grid
+    * 3, 19, 35, … (per m, ascending) — identity for a full grid, and
+    * the repair that keeps j = (cell_id − 3)/16 a valid packed-array
+    * index when a filtered training set loses seed cells. */
+  private def denseCells(cb: DataFrame): DataFrame = {
+    import cb.sparkSession.implicits._
+    val w = Window.partitionBy($"m").orderBy($"cell_id")
+    cb.withColumn("cell_id",
+      lit(3L) + lit(PqSeedMod.toLong) * (row_number().over(w) - 1))
+  }
+
   /** Top-2 probed coarse cells for each query in `qsubs` (whole-vector
     * subspace rows, m = 0). */
   private def ivfpqProbeCells(qsubs: DataFrame, coarse: DataFrame): DataFrame = {
@@ -782,6 +793,74 @@ object Similarity {
       .select($"query_id", $"neighbor_id")
     pqRerank(emb, shortlist)
   }
+
+  // -- #36f incremental ANN index update ------------------------------------
+  // The ingest path of a stored ANN index: a NEW batch of vectors
+  // (vec_id % 17 == 3 plays the arriving delta) is encoded against the
+  // codebooks trained on the BASE corpus — cell assignment + residual
+  // PQ codes are per-row map work against broadcast codebooks, no
+  // retraining, no touch of the existing code rows — and the merged
+  // code table serves queries immediately. This is how a 10⁹-vector
+  // index absorbs a daily delta: training is amortized over the base
+  // (codebooks drift slowly; FAISS re-trains offline on samples),
+  // ingest cost is O(batch). Queries probe the merged index, so a
+  // delta vector can BE a neighbor the moment it lands; the oracle
+  // replays the same base-trained/all-encoded split in SQL, and the
+  // spec pins that delta vectors actually surface as neighbors.
+  private val IncMod = 17
+
+  private def annIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val basePred = $"vec_id" % IncMod =!= 3
+    // train on the base corpus only
+    val coarse = pqTrainCodebook(pqSubsM(emb.filter(basePred), 1, Dims))
+      .localCheckpoint()
+    // encode EVERYTHING with the base-trained codebooks (base rows at
+    // index-build time, the delta at arrival — same per-row operation)
+    val csubsAll = pqSubsM(emb, 1, Dims)
+    val cells = pqAssign(csubsAll, coarse).select($"vec_id", $"cell_id")
+      .localCheckpoint()
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    val resv = emb
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+      .join(cells, "vec_id")
+      .join(broadcast(cc), "cell_id")
+      .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
+      .localCheckpoint()
+    // a filtered training set can lose seed cells, holing the packed
+    // code index j = (cell_id − 3)/16 — renumber the surviving cells
+    // onto a dense grid (identity when no seed is missing)
+    val c1 = denseCells(pqTrainCodebook(resSubs(resv.filter(basePred), Seq("vec_id"))))
+      .localCheckpoint()
+    val codes = pqCodes(resSubs(resv, Seq("vec_id")), c1).join(cells, "vec_id")
+    val probed = ivfpqProbeCells(csubsAll.filter($"vec_id" % 50 === 0), coarse)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = ivfpqProbeOver(emb, coarse, c1, codes, probed, queryMod = 50)
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    pqRerank(emb, shortlist)
+  }
+
+  private val annIncrementalSql =
+    s"""WITH ${ivfpqAdistSql(queryMod = 50, trainPred = c => s"$c % $IncMod <> 3")},
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= $PqShortlist),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |reranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${l2sqSql("qv.fe", "nv.fe", Dims)} AS d
+       |  FROM shortlist s
+       |  JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |  JOIN fullv qv ON s.query_id = qv.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, round(d, 6) AS d6
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Spec instrumentation: mean |ADC − true L2²| over every (query,
     * candidate) pair in the probed cells — the quantization-error
@@ -902,9 +981,13 @@ object Similarity {
     * tables) as a DuckDB CTE chain ending in
     * `adist(query_id, vec_id, adist)` — the SQL replay of
     * [[ivfpqAdist]](residual = true). Shared by the sim_ann_ivfpq
-    * oracle and q_hybrid_rrf's dense leg (different query sets via
-    * `queryMod`; corpus-side training identical). */
-  private def ivfpqAdistSql(queryMod: Int): String = {
+    * oracle, q_hybrid_rrf's dense leg (different query sets via
+    * `queryMod`; corpus-side training identical) and
+    * sim_ann_incremental (`trainPred` restricts the TRAINING rows —
+    * seeds and Lloyd means — while encoding still covers every vector,
+    * the incremental-ingest split). */
+  private def ivfpqAdistSql(queryMod: Int,
+      trainPred: String => String = _ => "TRUE"): String = {
     val sub = PqSub
     s"""csubs AS (
        |  SELECT vec_id, t.m,
@@ -912,12 +995,14 @@ object Similarity {
        |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
        |  FROM embeddings, unnest(range(0, 1)) t(m)),
        |cc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM csubs
-       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
+       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap
+       |         AND ${trainPred("vec_id")}),
        |ca0 AS (SELECT vec_id, m, cell_id FROM (
        |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
-       |    FROM csubs s JOIN cc0 c ON s.m = c.m) WHERE rn = 1),
+       |    FROM csubs s JOIN cc0 c ON s.m = c.m
+       |    WHERE ${trainPred("s.vec_id")}) WHERE rn = 1),
        |cc1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
        |    SELECT a.m, a.cell_id, t.i,
        |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
@@ -948,18 +1033,23 @@ object Similarity {
        |    list_transform(range(1, ${sub + 1}), i -> rv[t.m * $sub + i]) AS sub
        |  FROM resv, unnest(range(0, $PqM)) t(m)),
        |pc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM subs
-       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
+       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap
+       |         AND ${trainPred("vec_id")}),
        |pa0 AS (SELECT vec_id, m, cell_id FROM (
        |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2FastSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
-       |    FROM subs s JOIN pc0 c ON s.m = c.m) WHERE rn = 1),
-       |pc1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
+       |    FROM subs s JOIN pc0 c ON s.m = c.m
+       |    WHERE ${trainPred("s.vec_id")}) WHERE rn = 1),
+       |pc1r AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
        |    SELECT a.m, a.cell_id, t.i,
        |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
        |    FROM pa0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
        |         unnest(range(1, ${sub + 1})) t(i)
        |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |pc1 AS (SELECT m,
+       |    3 + $PqSeedMod * (row_number() OVER (PARTITION BY m ORDER BY cell_id) - 1) AS cell_id,
+       |    ce FROM pc1r),
        |pcodes AS (SELECT vec_id, m, cell_id FROM (
        |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m
@@ -1206,6 +1296,7 @@ object Similarity {
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    QueryDef("sim_ann_incremental", annIncremental, Some(annIncrementalSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_bruteforce_topk", bruteforceTopk, Some(bruteforceTopkSql)),
     QueryDef("sim_ann_lsh", annLsh, Some(annLshSql)),

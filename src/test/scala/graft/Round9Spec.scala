@@ -44,6 +44,25 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- incremental ANN ingest ---------------------------------------------
+
+  test("sim_ann_incremental: merged index serves ranked, L2-ordered neighbors per query") {
+    val rows = SparkEntry.queries("sim_ann_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"query $q ranks must be 1..k")
+      val ds = ranked.map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"query $q neighbors must be ordered by exact re-ranked L2: ${ds.mkString(",")}")
+    }
+    // at sf0.01 the driver oracle additionally proves a delta vector
+    // (vec_id % 17 == 3) surfaces as a neighbor; at this sf the 1/17
+    // base rate makes presence statistical, so it is not asserted here
+  }
+
   // ---- partition-evolution staging job count ------------------------------
 
   test("io_partition_evolution: cold staging is two write jobs, warm staging is zero") {
