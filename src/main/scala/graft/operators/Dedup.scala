@@ -174,13 +174,13 @@ object Dedup {
   // computable in DuckDB, so the oracle replays the signature and
   // brute-forces hamming (see simhashSql); specs additionally
   // cross-check completeness against exact Jaccard pairs.
-  // Default budget 15: with the md5-half gram hash the seeded near-dup
-  // corpus separates at hamming ≤ 14 (dups) vs ≥ 16 (nearest non-dup)
-  // at spec scale, so 15 sits between with one bit of margin each way.
-  // Budgets above 12 engage the multi-probe side below — still
-  // complete (any pair at hamming ≤ 25 has a block differing by ≤ 1
-  // bit), at ~6× the join keys of the plain block join.
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 15): DataFrame = {
+  // Default budget 12 — the pigeonhole bound of the plain 13-block
+  // join, which keeps the candidate join at one key per (doc, block).
+  // Budgets 13-25 engage the multi-probe side below (complete: some
+  // block differs by ≤ 1 bit) at ~6× the join keys — the specs
+  // exercise that path explicitly at 15/16; the driver gate runs the
+  // plain join (its corpus separates dups ≤ 9 from non-dups ≥ 16).
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
     import s.implicits._
     require(maxHamming <= 25,
       s"simhash banding is complete only to hamming 25 (got $maxHamming); " +
@@ -224,11 +224,11 @@ object Dedup {
   /** Value oracle for the simhash pairs: replay the 64-bit signature in
     * DuckDB — the gram hash is md5's low half precisely so both engines
     * compute it natively (`md5_number_lower` ↔ [[graft.functions.impl.md5Lower64]])
-    * — then brute-force hamming over all signature pairs. The
-    * multi-probe banding in [[simhashPairs]] is COMPLETE through
-    * hamming 25 (some block differs by ≤ 1 bit), so at the budget of 15
-    * the bucketed candidate join must emit exactly the brute-force pair
-    * set; gramless docs (< 3 words) carry sig = 0 on both engines. */
+    * — then brute-force hamming over all signature pairs. The 13-block
+    * banding in [[simhashPairs]] is COMPLETE to hamming 12 by
+    * pigeonhole, so the bucketed candidate join must emit exactly the
+    * brute-force pair set; gramless docs (< 3 words) carry sig = 0 on
+    * both engines. */
   private val simhashSql =
     s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
        |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
@@ -247,7 +247,7 @@ object Dedup {
        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= 15 ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin
 
   // -- duplicate-cluster resolution (connected components) -----------------
   // Near-dup PAIRS are not yet a dedup policy: keep-one needs the full

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.OracleMath._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,6 +15,79 @@ import org.apache.spark.sql.expressions.Window
   * that must hold at 100 TB (broadcast joins for dims, partial aggs,
   * TakeOrderedAndProject for top-k).
   */
+/** Deterministic HyperLogLog (Flajolet et al. 2007) whose every step
+  * both engines replay exactly — md5-half hash, integer registers,
+  * exact-integer harmonic sum, one shared double estimate expression.
+  * Shared by q_approx_distinct (ad-hoc sketching) and
+  * q_hll_sketch_merge (persisted register tables + lossless max-merge).
+  */
+private[graft] object DetHll {
+  val HllP = 12
+  val HllM: Int = 1 << HllP // 4096 registers
+  val RhoMax: Int = 64 - HllP + 1 // 53
+  val Hll2p53 = 9007199254740992L // 2^(64 - p): the exact-sum scale
+
+  /** (group..., bucket, m) register table over `key`. groupBy-max over
+    * (group, bucket) merges register shards LOSSLESSLY — the table IS
+    * the mergeable sketch. */
+  def registers(df: DataFrame, group: Seq[String], key: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    val g = group.map(col)
+    df.select(g :+
+        graft.functions.GraftFunctions.md5lower64(key.cast("string")).as("h"): _*)
+      .select(g :+ $"h".bitwiseAND(lit((HllM - 1).toLong)).as("bucket") :+
+        shiftrightunsigned($"h", HllP).as("w"): _*)
+      .withColumn("rho",
+        when($"w" === 0L, lit(RhoMax)).otherwise(lit(RhoMax) - length(expr("bin(w)"))))
+      .groupBy(g :+ $"bucket": _*).agg(max($"rho").as("m"))
+  }
+
+  /** (group..., out) estimate from a register table (direct or merged). */
+  def estimate(regs: DataFrame, group: Seq[String], out: String): DataFrame = {
+    import regs.sparkSession.implicits._
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM) // standard alpha_m, m >= 128
+    regs.groupBy(group.map(col): _*).agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoMax - m)")
+          .cast("decimal(38,0)")).as("s0"))
+      .withColumn("v", lit(HllM.toLong) - $"nb")
+      .withColumn("sd",
+        ($"s0" + $"v".cast("decimal(38,0)") * lit(Hll2p53)).cast("double"))
+      .withColumn("raw",
+        lit(alpha * HllM.toDouble * HllM.toDouble * Hll2p53.toDouble) / $"sd")
+      .withColumn(out,
+        when($"raw" <= lit(2.5 * HllM) && $"v" > 0L,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v"))
+          .otherwise($"raw")
+          .cast("decimal(18,4)").cast("double"))
+      .select(group.map(col) :+ col(out): _*)
+  }
+
+  /** DuckDB replay of [[registers]]: `src` is a relation (or
+    * parenthesized subquery) exposing (groupCol, keyCol). */
+  def registersSql(src: String, groupCol: String, keyCol: String): String =
+    s"""SELECT $groupCol, bucket, MAX(rho) AS m FROM (
+       |  SELECT $groupCol, CAST(h & ${HllM - 1} AS BIGINT) AS bucket,
+       |    CASE WHEN h >> $HllP = 0 THEN $RhoMax
+       |         ELSE $RhoMax - length(to_base(CAST(h >> $HllP AS BIGINT), 2)) END AS rho
+       |  FROM (SELECT $groupCol, md5_number_lower(CAST($keyCol AS VARCHAR)) AS h
+       |        FROM $src))
+       |GROUP BY $groupCol, bucket""".stripMargin
+
+  /** DuckDB replay of [[estimate]] over a registers relation. */
+  def estimateSql(regs: String, groupCol: String, out: String): String =
+    s"""SELECT $groupCol, CAST(CAST(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $HllM.0 AND v > 0
+       |      THEN $HllM.0 * ln($HllM.0 / v) ELSE raw END
+       |    AS DECIMAL(18,4)) AS DOUBLE) AS $out
+       |FROM (SELECT $groupCol, v,
+       |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / $HllM.0)
+       |      * $HllM.0 * $HllM.0 * ${Hll2p53}.0 / sd AS raw
+       |  FROM (SELECT $groupCol, $HllM - nb AS v,
+       |      CAST(s0 + CAST($HllM - nb AS HUGEINT) * $Hll2p53 AS DOUBLE) AS sd
+       |    FROM (SELECT $groupCol, COUNT(*) AS nb,
+       |        SUM(CAST(CAST(1 AS BIGINT) << ($RhoMax - m) AS HUGEINT)) AS s0
+       |      FROM $regs GROUP BY $groupCol)))""".stripMargin
+}
+
 object Relational {
 
   // -- q1: multi-key hash aggregation with map-side partial agg ------------
@@ -402,70 +475,20 @@ object Relational {
   // against exact counts). The register table IS the mergeable sketch:
   // groupBy-max merges shards losslessly, the q_hll_sketch_merge
   // property, here with a replayable register layout.
-  private val HllP = 12
-  private val HllM = 1 << HllP // 4096 registers
-  private val Hll2p53 = 9007199254740992L // 2^53 = 2^(64 - p) + 1 bit headroom
-
-  /** (group, estimate) via deterministic-HLL registers over `key`. */
-  private def hllEstimate(df: DataFrame, group: String, key: String,
-      out: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val alpha = 0.7213 / (1.0 + 1.079 / HllM) // standard alpha_m, m >= 128
-    df.select(col(group),
-        graft.functions.GraftFunctions.md5lower64(col(key).cast("string")).as("h"))
-      .select(col(group), $"h".bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
-        shiftrightunsigned($"h", HllP).as("w"))
-      .withColumn("rho",
-        when($"w" === 0L, lit(64 - HllP + 1))
-          .otherwise(lit(64 - HllP + 1) - length(expr("bin(w)"))))
-      .groupBy(col(group), $"bucket").agg(max($"rho").as("m"))
-      .groupBy(col(group)).agg(count(lit(1)).as("nb"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${64 - HllP + 1} - m)")
-          .cast("decimal(38,0)")).as("s0"))
-      .withColumn("v", lit(HllM.toLong) - $"nb")
-      .withColumn("sd",
-        ($"s0" + $"v".cast("decimal(38,0)") * lit(Hll2p53)).cast("double"))
-      .withColumn("raw",
-        lit(alpha * HllM.toDouble * HllM.toDouble * Hll2p53.toDouble) / $"sd")
-      .withColumn(out,
-        when($"raw" <= lit(2.5 * HllM) && $"v" > 0L,
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v"))
-          .otherwise($"raw")
-          .cast("decimal(18,4)").cast("double"))
-      .select(col(group), col(out))
-  }
-
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    hllEstimate(li, "l_returnflag", "l_partkey", "approx_parts")
-      .join(hllEstimate(li, "l_returnflag", "l_suppkey", "approx_suppliers"),
-        "l_returnflag")
+    def est(key: String, out: String) = DetHll.estimate(
+      DetHll.registers(li, Seq("l_returnflag"), col(key)), Seq("l_returnflag"), out)
+    est("l_partkey", "approx_parts")
+      .join(est("l_suppkey", "approx_suppliers"), "l_returnflag")
       .orderBy($"l_returnflag")
   }
 
   private def hllEstimateSql(key: String, out: String): String = {
-    val rhoMax = 64 - HllP + 1
-    s"""SELECT g, CAST(CAST(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $HllM.0 AND v > 0
-       |      THEN $HllM.0 * ln($HllM.0 / v) ELSE raw END
-       |    AS DECIMAL(18,4)) AS DOUBLE) AS $out
-       |FROM (SELECT g, v,
-       |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / $HllM.0)
-       |      * $HllM.0 * $HllM.0 * ${Hll2p53}.0 / sd AS raw
-       |  FROM (SELECT g, $HllM - nb AS v,
-       |      CAST(s0 + CAST($HllM - nb AS HUGEINT) * $Hll2p53 AS DOUBLE) AS sd
-       |    FROM (SELECT g, COUNT(*) AS nb,
-       |        SUM(CAST(CAST(1 AS BIGINT) << ($rhoMax - m) AS HUGEINT)) AS s0
-       |      FROM (SELECT g, bucket,
-       |          MAX(CASE WHEN w = 0 THEN $rhoMax
-       |              ELSE $rhoMax - length(to_base(w, 2)) END) AS m
-       |        FROM (SELECT l_returnflag AS g,
-       |            CAST(h & ${HllM - 1} AS BIGINT) AS bucket,
-       |            CAST(h >> $HllP AS BIGINT) AS w
-       |          FROM (SELECT l_returnflag,
-       |              md5_number_lower(CAST($key AS VARCHAR)) AS h FROM lineitem))
-       |        GROUP BY g, bucket)
-       |      GROUP BY g)))""".stripMargin
+    val regs = DetHll.registersSql(
+      s"(SELECT l_returnflag AS g, $key AS k FROM lineitem)", "g", "k")
+    DetHll.estimateSql(s"($regs)", "g", out)
   }
 
   private val qApproxDistinctSql =

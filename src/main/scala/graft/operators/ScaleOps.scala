@@ -475,32 +475,53 @@ object ScaleOps {
   // THE approx-distinct pattern at 100 TB: sketch ONCE at ingest into a
   // per-day sketch TABLE (a few KB per group instead of the raw key
   // set), answer every later distinct question by merging sketches —
-  // `hll_union_agg` over pre-aggregated state, never a rescan of the
-  // raw data. DataSketches HLL union at equal lgK is LOSSLESS: merging
-  // the daily sketches gives the IDENTICAL estimate to sketching the
-  // raw week directly (the spec asserts exact equality, plus ≤3% error
-  // vs the true distinct). Rows-only for the driver (sketch binaries
-  // aren't SQL-expressible); the estimates themselves are deterministic.
+  // never a rescan of the raw data. Since r9 the sketch is the
+  // DETERMINISTIC HLL register table (DetHll, the q_approx_distinct
+  // machinery): per-(day, bucket) max-rho rows, merged to any coarser
+  // grain by groupBy-max — max is associative, so the merge is
+  // LOSSLESS by construction (weekly registers from daily shards equal
+  // registers sketched from the raw week). That structure is what lets
+  // the DuckDB oracle replay the whole pipeline from the raw events
+  // and VALUE-match the merged estimates — a stored-sketch pattern an
+  // engine-opaque binary (DataSketches) cannot oracle.
   def dailySketchTable(s: SparkSession, d: String): String = {
     import s.implicits._
-    val out = tmp("hll_sketches", d)
-    Tables.events(s, d)
-      .groupBy(date_trunc("day", $"ts").as("day"))
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("user_sketch"),
-        count(lit(1)).as("n_events"))
-      .write.mode("overwrite").parquet(out)
+    val out = tmp("hll_regs", d)
+    val ev = Tables.events(s, d).withColumn("day", date_trunc("day", $"ts"))
+    DetHll.registers(ev, Seq("day"), $"user_id")
+      .write.mode("overwrite").parquet(s"$out/registers")
+    ev.groupBy($"day").agg(count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$out/days")
     out
   }
   private def hllSketchMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(dailySketchTable(s, d))
+    val root = dailySketchTable(s, d)
+    // lossless merge: weekly registers = max over the daily shards
+    val weekRegs = s.read.parquet(s"$root/registers")
+      .groupBy(date_trunc("week", $"day").as("week"), $"bucket")
+      .agg(max($"m").as("m"))
+    val est = DetHll.estimate(weekRegs, Seq("week"), "approx_users")
+    val wk = s.read.parquet(s"$root/days")
       .groupBy(date_trunc("week", $"day").as("week"))
-      .agg(count(lit(1)).as("n_days"),
-        expr("hll_sketch_estimate(hll_union_agg(user_sketch))").as("approx_users"),
-        sum($"n_events").as("n_events"))
+      .agg(count(lit(1)).as("n_days"), sum($"n_events").as("n_events"))
+    wk.join(est, "week")
       .select(date_format($"week", "yyyy-MM-dd").as("week_start"),
         $"n_days", $"approx_users", $"n_events")
       .orderBy($"week_start")
+  }
+  private val hllSketchMergeSql = {
+    val regs = DetHll.registersSql(
+      "(SELECT date_trunc('week', ts) AS week, user_id FROM events)",
+      "week", "user_id")
+    s"""WITH est AS (${DetHll.estimateSql(s"($regs)", "week", "approx_users")}),
+       |wk AS (SELECT date_trunc('week', day) AS week, COUNT(*) AS n_days,
+       |    CAST(SUM(n) AS BIGINT) AS n_events
+       |  FROM (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+       |        FROM events GROUP BY 1) GROUP BY 1)
+       |SELECT strftime(wk.week, '%Y-%m-%d') AS week_start, n_days,
+       |  approx_users, n_events
+       |FROM wk JOIN est ON wk.week = est.week ORDER BY week_start""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -508,7 +529,7 @@ object ScaleOps {
     QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),
     QueryDef("io_parquet_bloom", parquetBloom, Some(parquetBloomSql)),
     QueryDef("io_zstd_roundtrip", zstdRoundtrip, Some(zstdRoundtripSql)),
-    QueryDef("q_hll_sketch_merge", hllSketchMerge, None),
+    QueryDef("q_hll_sketch_merge", hllSketchMerge, Some(hllSketchMergeSql)),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("io_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),

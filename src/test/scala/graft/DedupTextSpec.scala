@@ -30,12 +30,12 @@ class DedupTextSpec extends AnyFunSuite {
 
   test("simhash finds exactly the seeded near-dup pairs (vs exact Jaccard)") {
     import spark.implicits._
-    val found = Dedup.simhashPairs(spark, sf)
+    val found = Dedup.simhashPairs(spark, sf, maxHamming = 15)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(exactPairs.nonEmpty, "corpus should contain seeded near-dups")
-    // the default hamming budget (15) separates the seeded pairs
-    // cleanly in this corpus (dups reach 14, the nearest non-dup pair
-    // sits at 16): exact recovery.
+    // hamming 15 (multi-probe side) separates the seeded pairs cleanly
+    // in this corpus (dups reach 14, the nearest non-dup pair sits at
+    // 16): exact recovery.
     assert(found == exactPairs,
       s"missed=${exactPairs -- found} extra=${found -- exactPairs}")
   }

@@ -44,6 +44,25 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- deterministic HLL: lossless shard merge ----------------------------
+
+  test("q_hll_sketch_merge: weekly estimates from daily register shards equal direct weekly sketching") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DetHll
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).withColumn("week", date_trunc("week", $"ts"))
+    val direct = DetHll.estimate(
+        DetHll.registers(ev, Seq("week"), $"user_id"), Seq("week"), "e")
+      .select(date_format($"week", "yyyy-MM-dd").as("w"), $"e")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = SparkEntry.queries("q_hll_sketch_merge")(spark, sf)
+      .select($"week_start", $"approx_users")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged.nonEmpty)
+    assert(merged == direct,
+      "max-merge of daily register shards must be bit-identical to sketching the raw week")
+  }
+
   // ---- incremental ANN ingest ---------------------------------------------
 
   test("sim_ann_incremental: merged index serves ranked, L2-ordered neighbors per query") {
