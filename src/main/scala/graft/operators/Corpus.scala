@@ -540,6 +540,53 @@ object Corpus {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- q_contamination_score: per-doc overlap triage report -----------------
+  // q_decontaminate answers "which docs share ANY benchmark shingle";
+  // production decontamination (GPT-3 appx C, PaLM, Llama) TRIAGES
+  // instead of dropping: per train doc, the FRACTION of its distinct
+  // 8-gram shingles that appear in the benchmark set, banded into
+  // severity classes — a doc quoting one benchmark sentence scores low
+  // and survives with the span excised (dedup_substring's job), a
+  // near-copy scores critical and is dropped. Same scale shape as the
+  // flag query: benchmark grams broadcast, train side aggregated in
+  // one pass (conditional count off the left join), never shuffled by
+  // gram. Score = n_hit/n_grams in one integer-fed double division —
+  // identical on both engines, so the severity CASE can't disagree.
+  private def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", GramLen)).as("g"))
+    val bench = grams.filter($"doc_id" % BenchMod === 0)
+      .select($"g").distinct().withColumn("hit", lit(1L))
+    grams.filter($"doc_id" % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("score", $"n_hit".cast("double") / $"n_grams")
+      .withColumn("severity",
+        when($"score" >= 0.5, "critical").when($"score" >= 0.1, "high")
+          .when($"score" > 0.0, "low").otherwise("clean"))
+      .orderBy($"doc_id")
+  }
+  private val contaminationScoreSql = {
+    val L = GramLen
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + ${L - 1}], ' ') AS g
+       |          FROM docs, unnest(range(1, len(w) - ${L - 2})) t(i)),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+       |tr AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM grams WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_grams AS score,
+       |  CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.5 THEN 'critical'
+       |       WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.1 THEN 'high'
+       |       WHEN CAST(n_hit AS DOUBLE) / n_grams > 0.0 THEN 'low'
+       |       ELSE 'clean' END AS severity
+       |FROM tr ORDER BY doc_id""".stripMargin
+  }
+
   // -- text_bpe: BPE tokenizer training ------------------------------------
   // Iterative byte-pair-encoding merge learning (Sennrich et al., 2016)
   // on top of `text_vocab`'s frequency pass. Round r: count every
@@ -1060,6 +1107,7 @@ object Corpus {
     QueryDef("dedup_substring_keep", substringDedupKeep, Some(substringDedupKeepSql)),
     QueryDef("text_vocab", vocab, Some(vocabSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q_contamination_score", contaminationScore, Some(contaminationScoreSql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q_index_incremental", indexIncremental, Some(indexIncrementalSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),

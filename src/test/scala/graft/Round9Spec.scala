@@ -44,6 +44,27 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- contamination triage report ----------------------------------------
+
+  test("q_contamination_score: bands are consistent and the flagged set equals q_decontaminate") {
+    val rows = SparkEntry.queries("q_contamination_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nh, sc, sev) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))
+      assert(nh >= 0 && nh <= ng, s"hit count out of range: $r")
+      assert(sc == nh.toDouble / ng, s"score must be exactly n_hit/n_grams: $r")
+      val want = if (sc >= 0.5) "critical" else if (sc >= 0.1) "high"
+        else if (sc > 0) "low" else "clean"
+      assert(sev == want, s"severity band mismatch: $r")
+    }
+    val flagged = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val decon = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == decon,
+      "docs with n_hit > 0 must be exactly the q_decontaminate flag set")
+  }
+
   // ---- deterministic HLL: lossless shard merge ----------------------------
 
   test("q_hll_sketch_merge: weekly estimates from daily register shards equal direct weekly sketching") {
