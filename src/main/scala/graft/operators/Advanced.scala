@@ -237,21 +237,114 @@ object Advanced {
       |  MAX(CASE WHEN rn <= CEIL(n * 0.99) THEN l_extendedprice END) AS p99
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  // -- q_quantile_sketch: mergeable-sketch quantiles (the 100 TB path) -----
-  // approx_percentile is a KLL-style mergeable sketch: fixed-size state,
-  // map-side partial aggregation, no per-group sort — the same scale
-  // story as HLL for count-distinct. No cross-engine oracle (sketch
-  // internals differ); the spec bounds its error against the exact
-  // rank-window quantiles of q_percentile.
+  // -- q_quantile_sketch: deterministic quantile digest (the 100 TB path) ---
+  // Sketch quantiles with fixed-size state and map-side partials — the
+  // same scale story as HLL for count-distinct. Re-expressed in r9 as a
+  // DETERMINISTIC Q-digest (Shrivastava et al. 2004 placement rule)
+  // whose every step both engines replay exactly, graduating the query
+  // from rows-only to a value oracle:
+  //  - domain: prices as integer cents in a 2^26 universe (dyadic tree
+  //    of 27 levels), so every node boundary is integer arithmetic;
+  //  - subtree counts at all levels from ONE explode+groupBy pass
+  //    (level-wise counts are independent — no iterative compression);
+  //  - placement: each value's count moves to its SHALLOWEST ancestor
+  //    whose whole subtree holds ≤ T = max(1, n/2048) rows (heavy
+  //    values stay at their leaf) — digest size O(K) nodes, rank error
+  //    ≤ levels·n/K ≈ 1.3%. Computed in FRONTIER form: the placed
+  //    nodes are exactly the MAXIMAL light nodes (light, parent heavy
+  //    or absent), each carrying its whole subtree count, plus heavy
+  //    leaves — an adjacent-level self-join on the compact subtree
+  //    table instead of a values×levels placement join (10.9 s → 2 s
+  //    at sf0.1);
+  //  - query: nodes ordered by (upper bound, level); the quantile is
+  //    the first node where the cumulative count crosses ceil(q·n).
+  //  Counts are conserved (each value placed exactly once), all
+  //  arithmetic is integer until one final /100.0, and every ORDER
+  //  has a total tie-break — so the DuckDB replay is value-exact.
+  //  The digest table (g, level, node, count) is mergeable state:
+  //  shard merge = sum counts + re-place, the Q-digest merge rule.
+  // 4-ary tree (2 bits per level): half the binary tree's explode
+  // fan-out for ≤ 3 straddling nodes per level — error ≤ 14·3·T,
+  // ~2% of rank at K = 2048, well inside the 5% spec bound
+  private val QdLevels = 26 // universe 2^26 cents ≈ $670k upper bound
+  private val QdStep = 2    // bits per tree level (arity 4)
+  private val QdK = 2048L   // compression target: T = max(1, n/K)
+
   private def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95"),
-        percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("p99"))
+    val vc = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+    val nTot = vc.groupBy($"g").agg(sum($"c").as("n"))
+    // every (value, ancestor-level) pair in one explode; node = v >> l
+    val lv = vc.select($"g", $"v", $"c",
+        explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
+      .withColumn("node", expr("shiftright(v, l)"))
+    val sub = lv.groupBy($"g", $"l", $"node").agg(sum($"c").as("sc"))
+      .join(broadcast(nTot), "g")
+      .withColumn("t", greatest(lit(1L), expr(s"n div $QdK")))
+      .localCheckpoint() // two consumers (child + parent side) below
+    // maximal light nodes: light, with a heavy (or absent = root) parent
+    val parents = sub.filter($"sc" > $"t")
+      .select($"g".as("pg"), ($"l" - QdStep).as("pl"), $"node".as("pn"))
+    val frontier = sub.filter($"sc" <= $"t")
+      .join(parents,
+        $"g" === $"pg" && $"l" === $"pl" &&
+          expr(s"shiftright(node, $QdStep)") === $"pn",
+        "left_semi")
+      // the root (l = levels) has no parent row, so a light root is
+      // maximal by definition — it can't arrive via the semi-join
+      .unionByName(sub.filter($"sc" <= $"t" && $"l" === QdLevels))
+      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"))
+    // heavy leaves: a single value's count above T stays at its leaf
+    val heavyLeaves = sub.filter($"sc" > $"t" && $"l" === 0)
+      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"))
+    val digest = frontier.unionByName(heavyLeaves)
+      .withColumn("ub", expr("shiftleft(pnode + 1, lvl) - 1"))
+    val wCum = Window.partitionBy($"g").orderBy($"ub", $"lvl", $"pnode")
+    digest
+      .withColumn("cum", sum($"dc").over(wCum))
+      .join(broadcast(nTot), "g")
+      .groupBy($"g")
+      .agg(
+        (min(when($"cum" >= ceil(lit(0.5) * $"n"), $"ub")) / 100.0).as("p50"),
+        (min(when($"cum" >= ceil(lit(0.95) * $"n"), $"ub")) / 100.0).as("p95"),
+        (min(when($"cum" >= ceil(lit(0.99) * $"n"), $"ub")) / 100.0).as("p99"))
+      .select($"g".as("l_returnflag"), $"p50", $"p95", $"p99")
       .orderBy($"l_returnflag")
   }
+  private val qQuantileSketchSql =
+    s"""WITH vc AS (SELECT l_returnflag AS g,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY g),
+       |lv AS (SELECT g, v, c, t.l, v >> CAST(t.l AS INTEGER) AS node
+       |  FROM vc, unnest(range(0, ${QdLevels + 1}, $QdStep)) t(l)),
+       |sub AS (SELECT g, l, node, CAST(SUM(c) AS BIGINT) AS sc
+       |  FROM lv GROUP BY g, l, node),
+       |subt AS (SELECT sub.g, sub.l, sub.node, sub.sc,
+       |    GREATEST(1, nt.n // $QdK) AS t
+       |  FROM sub JOIN nt ON nt.g = sub.g),
+       |frontier AS (SELECT s.g, s.l AS lvl, s.node AS pnode, s.sc AS dc
+       |  FROM subt s
+       |  WHERE s.sc <= s.t AND (s.l = $QdLevels OR EXISTS (
+       |    SELECT 1 FROM subt p WHERE p.g = s.g AND p.l = s.l + $QdStep
+       |      AND p.node = s.node >> $QdStep AND p.sc > p.t))),
+       |heavy0 AS (SELECT g, CAST(0 AS BIGINT) AS lvl, node AS pnode, sc AS dc
+       |  FROM subt WHERE l = 0 AND sc > t),
+       |digest AS (SELECT * FROM frontier UNION ALL SELECT * FROM heavy0),
+       |cums AS (SELECT g, lvl, pnode,
+       |    ((pnode + 1) << CAST(lvl AS INTEGER)) - 1 AS ub, dc,
+       |    SUM(dc) OVER (PARTITION BY g ORDER BY
+       |      ((pnode + 1) << CAST(lvl AS INTEGER)) - 1, lvl, pnode) AS cum
+       |  FROM digest)
+       |SELECT g AS l_returnflag,
+       |  MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN ub END) / 100.0 AS p50,
+       |  MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n) THEN ub END) / 100.0 AS p95,
+       |  MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN ub END) / 100.0 AS p99
+       |FROM cums JOIN nt USING (g)
+       |GROUP BY g ORDER BY l_returnflag""".stripMargin
 
   // -- q_pivot_native: DataFrame pivot API (values pinned → single pass) ---
   // Pinning the pivot values skips the extra distinct-collect job and
@@ -626,7 +719,7 @@ object Advanced {
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
-    QueryDef("q_quantile_sketch", qQuantileSketch, None),
+    QueryDef("q_quantile_sketch", qQuantileSketch, Some(qQuantileSketchSql)),
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),
