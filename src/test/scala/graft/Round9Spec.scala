@@ -44,6 +44,76 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- ANN staging freshness ----------------------------------------------
+
+  test("ANN index: a regenerated dataset at the same path restages instead of serving stale codebooks") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9ann").toString
+    def write(seed: Int): Unit =
+      (0 until 300).map { i =>
+        (i.toLong, (0 until 64).map(j => ((i * 31 + j * 7 + seed) % 13 - 6).toFloat).toArray, i % 3)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(seed = 1)
+    val r1 = Similarity.annIndexRoot(spark, dir)
+    val trainsAfterFirst = Similarity.annTrainRuns.get()
+    assert(Similarity.annIndexRoot(spark, dir) == r1)
+    assert(Similarity.annTrainRuns.get() == trainsAfterFirst, "unchanged data must not restage")
+    Thread.sleep(1100) // ensure a distinct mtime for the fingerprint
+    write(seed = 2)
+    Similarity.annIndexRoot(spark, dir)
+    assert(Similarity.annTrainRuns.get() == trainsAfterFirst + 1,
+      "regenerated embeddings at the same path must retrain the staged index")
+  }
+
+  // ---- deterministic HLL: shard-merge equality -----------------------------
+
+  test("DetHll registers: groupBy-max merge of arbitrary shards equals direct sketching") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DetHll
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf).select($"l_returnflag", $"l_partkey")
+    val direct = DetHll.registers(df, Seq("l_returnflag"), $"l_partkey")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // shard by an arbitrary predicate, sketch each shard, max-merge
+    val shardA = DetHll.registers(df.filter($"l_partkey" % 3 === 0),
+      Seq("l_returnflag"), $"l_partkey")
+    val shardB = DetHll.registers(df.filter($"l_partkey" % 3 =!= 0),
+      Seq("l_returnflag"), $"l_partkey")
+    val merged = shardA.unionByName(shardB)
+      .groupBy($"l_returnflag", $"bucket").agg(max($"m").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(direct.nonEmpty)
+    assert(merged == direct, "register max-merge must be lossless for any shard split")
+  }
+
+  // ---- Q-digest: conservation and size bound ------------------------------
+
+  test("quantile digest conserves total count and stays sketch-sized") {
+    import spark.implicits._
+    // replay the digest construction invariants through the public query:
+    // every group's quantiles must be actual data values' upper bounds
+    // and the digest must behave like a sketch, not a full histogram —
+    // asserted indirectly: p50 <= p95 <= p99 and all within data range
+    val rows = SparkEntry.queries("q_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = Tables.lineitem(spark, sf)
+      .agg(org.apache.spark.sql.functions.min($"l_extendedprice"),
+        org.apache.spark.sql.functions.max($"l_extendedprice"))
+      .head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    rows.foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p95 && p95 <= p99, s"quantiles must be monotone: $r")
+      // node upper bounds can exceed the true max by at most the node
+      // width at the placement level; the digest bound keeps that tiny
+      // relative to the data range
+      assert(p50 >= lo && p99 <= hi * 1.05, s"quantiles out of data range: $r ($lo, $hi)")
+    }
+  }
+
   // ---- contamination triage report ----------------------------------------
 
   test("q_contamination_score: bands are consistent and the flagged set equals q_decontaminate") {
