@@ -62,6 +62,54 @@ object Advanced {
       |  CAST(SUM(ts_us - asof_ts_us) AS BIGINT) AS sum_gap_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- q_asof_tolerance: as-of join with a max-staleness bound --------------
+  // pandas merge_asof(tolerance=...) / kdb wj within-window semantics:
+  // the backward match only counts if it is RECENT ENOUGH (here: the
+  // prior view within 2 hours of the purchase) — the form production
+  // enrichment actually wants, where a quote/feature older than the
+  // staleness bound is as good as missing. Identical single-shuffle
+  // union+window shape as q_asof_join; the tolerance is one integer
+  // predicate applied to the carried match, turning stale matches into
+  // misses rather than filtering rows out (n_purchases is unchanged,
+  // n_matched drops — the semantics that distinguish tolerance from a
+  // post-hoc filter).
+  private val AsofTolUs: Long = 2L * 3600 * 1000 * 1000 // 2 hours
+  private def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us", lit(0).as("side"), $"ts_us".as("view_ts_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("side"),
+        lit(null).cast("long").as("view_ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("prev_v", last($"view_ts_us", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .withColumn("asof_v",
+        when($"ts_us" - $"prev_v" <= AsofTolUs, $"prev_v")) // stale ⇒ null
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"asof_v").as("n_matched"),
+        sum($"ts_us" - $"asof_v").as("sum_gap_us"))
+      .orderBy($"user_id")
+  }
+  private val qAsofToleranceSql =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |           WHERE event_type = 'purchase'),
+       |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |           WHERE event_type = 'view'),
+       |     m AS (SELECT p.user_id, p.ts_us,
+       |             (SELECT MAX(v.ts_us) FROM v
+       |              WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us
+       |                AND p.ts_us - v.ts_us <= $AsofTolUs) AS asof_ts_us
+       |           FROM p)
+       |SELECT user_id, COUNT(*) AS n_purchases,
+       |  COUNT(asof_ts_us) AS n_matched,
+       |  CAST(SUM(ts_us - asof_ts_us) AS BIGINT) AS sum_gap_us
+       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -- q_asof_nearest: bidirectional as-of (nearest event either way) ------
   // The "nearest" direction pandas/kdb expose beside backward/forward:
   // each purchase matches the view MINIMIZING |Δt|, ties to the earlier
@@ -712,6 +760,7 @@ object Advanced {
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_asof_tolerance", qAsofTolerance, Some(qAsofToleranceSql)),
     QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative, Some(qAsofJoinSql)),

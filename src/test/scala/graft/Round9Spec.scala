@@ -44,6 +44,22 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- as-of tolerance semantics ------------------------------------------
+
+  test("q_asof_tolerance: stale matches become misses, never dropped rows") {
+    val plain = SparkEntry.queries("q_asof_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tol = SparkEntry.queries("q_asof_tolerance")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tol.keySet == plain.keySet, "tolerance must not drop purchase rows")
+    tol.foreach { case (u, (np, nm)) =>
+      assert(np == plain(u)._1, s"user $u: n_purchases must be unchanged")
+      assert(nm <= plain(u)._2, s"user $u: tolerance can only turn matches into misses")
+    }
+    assert(tol.values.map(_._2).sum < plain.values.map(_._2).sum,
+      "the 2h bound should actually reject some stale matches in this corpus")
+  }
+
   // ---- ANN staging freshness ----------------------------------------------
 
   test("ANN index: a regenerated dataset at the same path restages instead of serving stale codebooks") {
