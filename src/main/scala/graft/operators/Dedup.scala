@@ -97,6 +97,57 @@ object Dedup {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- directional n-gram containment (quote / subset detection) ------------
+  // Jaccard misses the asymmetric case dedup pipelines care about most:
+  // a short document wholly QUOTED inside a long one scores low
+  // symmetric similarity (|A∩B|/|A∪B| shrinks with the size gap) but
+  // containment C(A→B) = |A∩B|/|A| ≈ 1. Same inverted-index join as
+  // ngramJaccard — only docs sharing a gram ever meet, never a cross
+  // join — with BOTH directions emitted from the one undirected
+  // shared-gram count (c/|A| and c/|B|); threshold 0.9. The emitted
+  // (contained, container) pairs are what the excision pass
+  // (dedup_substring) and source-priority keep rules consume.
+  private def ngramContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val shared = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"c", $"sa.sz".as("sza"), $"sb.sz".as("szb"))
+    val aInB = shared.select($"doc_a".as("contained"), $"doc_b".as("container"),
+      ($"c".cast("double") / $"sza").as("containment"))
+    val bInA = shared.select($"doc_b".as("contained"), $"doc_a".as("container"),
+      ($"c".cast("double") / $"szb").as("containment"))
+    aInB.unionByName(bInA)
+      .filter($"containment" >= 0.9)
+      .orderBy($"contained", $"container")
+  }
+  private val ngramContainmentSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+       |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |sided AS (SELECT doc_a, doc_b, c, sa.sz AS sza, sb.sz AS szb
+       |  FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b),
+       |both_dirs AS (
+       |  SELECT doc_a AS contained, doc_b AS container,
+       |    CAST(c AS DOUBLE) / sza AS containment FROM sided
+       |  UNION ALL
+       |  SELECT doc_b AS contained, doc_a AS container,
+       |    CAST(c AS DOUBLE) / szb AS containment FROM sided)
+       |SELECT contained, container, containment FROM both_dirs
+       |WHERE containment >= 0.9 ORDER BY contained, container""".stripMargin
+
   // -- MinHash + LSH near-dup ----------------------------------------------
   // 128-lane minhash signature (one-pass custom expression), banded
   // 32×4; docs agreeing on any band become candidates; candidates are
@@ -638,6 +689,7 @@ object Dedup {
     QueryDef("q_decontaminate_fuzzy", fuzzyDecontaminate, Some(fuzzyDecontaminateSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_containment", ngramContainment, Some(ngramContainmentSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),

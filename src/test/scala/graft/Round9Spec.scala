@@ -44,6 +44,22 @@ class Round9Spec extends AnyFunSuite {
       s"dense leg must be index-served, not an all-pairs corpus crossJoin:\n${bad.mkString("\n")}")
   }
 
+  // ---- directional containment --------------------------------------------
+
+  test("dedup_containment: emits genuinely directional pairs a symmetric Jaccard threshold would miss") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c) =>
+      assert(a != b && c >= 0.9 && c <= 1.0, s"bad containment row ($a, $b, $c)")
+    }
+    val dirs = rows.map(r => (r._1, r._2)).toSet
+    // the corpus's seeded quote/subset relationships are one-way: a
+    // short doc sits inside a longer one without the reverse holding
+    assert(dirs.exists { case (x, y) => !dirs.contains((y, x)) },
+      "expected at least one one-directional containment pair")
+  }
+
   // ---- as-of tolerance semantics ------------------------------------------
 
   test("q_asof_tolerance: stale matches become misses, never dropped rows") {
