@@ -16,6 +16,19 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_RUNONE_JOBS=1 → per-job wall times (barrier-chain profiling)
+    if (sys.env.contains("GRAFT_RUNONE_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.get(je.jobId)).foreach(t0 =>
+            println(f"[job] id=${je.jobId}%3d time=${(System.nanoTime() - t0) / 1e9}%6.2fs"))
+        }
+      })
+    }
     val fn = SparkEntry.queries(name)
     val reps = sys.env.getOrElse("GRAFT_RUNONE_REPS", "1").toInt
     var n = 0L

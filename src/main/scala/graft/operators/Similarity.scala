@@ -1170,7 +1170,10 @@ object Similarity {
     val lex = tf.join(broadcast(dfreq), "tok")
       .join(broadcast(qtoks), "tok")
       .filter($"doc_id" =!= $"query_id")
-      .join(dl, "doc_id")
+      // dl is O(corpus docs) rows of (id, length) — broadcast beats the
+      // two-sided shuffle a sort-merge join would pay on the wide
+      // scoring rows (and removes the join's sort entirely)
+      .join(broadcast(dl), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
