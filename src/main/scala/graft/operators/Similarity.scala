@@ -809,20 +809,43 @@ object Similarity {
   // spec pins that delta vectors actually surface as neighbors.
   private val IncMod = 17
 
-  private def annIncremental(s: SparkSession, d: String): DataFrame = {
+  /** Encode `rows` (already residual-ready) against the given coarse +
+    * residual codebooks: cell assignment, residuals, packed codes —
+    * per-row work against broadcast state, no training. */
+  private def ivfpqEncode(rows: DataFrame, coarse: DataFrame,
+      c1: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val cells = pqAssign(pqSubsM(rows, 1, Dims), coarse)
+      .select($"vec_id", $"cell_id")
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    val resv = rows
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+      .join(cells, "vec_id")
+      .join(broadcast(cc), "cell_id")
+      .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
+    pqCodes(resSubs(resv, Seq("vec_id")), c1).join(cells, "vec_id")
+  }
+
+  /** Stage the BASE-trained index (codebooks + base code rows) once per
+    * dataset — the pre-existing index an arriving delta batch lands in.
+    * Same freshness discipline as [[annIndexRoot]]. */
+  private[graft] def annIncRoot(s: SparkSession, d: String): String = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val basePred = $"vec_id" % IncMod =!= 3
-    // train on the base corpus only
-    val coarse = pqTrainCodebook(pqSubsM(emb.filter(basePred), 1, Dims))
-      .localCheckpoint()
-    // encode EVERYTHING with the base-trained codebooks (base rows at
-    // index-build time, the delta at arrival — same per-row operation)
-    val csubsAll = pqSubsM(emb, 1, Dims)
-    val cells = pqAssign(csubsAll, coarse).select($"vec_id", $"cell_id")
+    val (dirKey, fp) = Tables.stagingKey(d, "embeddings")
+    val root = s"/tmp/graft_q/annb_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-ivfpq-base|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    annTrainRuns.incrementAndGet()
+    val base = Tables.embeddings(s, d).filter($"vec_id" % IncMod =!= 3)
+    val csubsBase = pqSubsM(base, 1, Dims)
+    val coarse = pqTrainCodebook(csubsBase).localCheckpoint()
+    val cells = pqAssign(csubsBase, coarse).select($"vec_id", $"cell_id")
       .localCheckpoint()
     val cc = coarse.select($"cell_id", $"ce".as("cce"))
-    val resv = emb
+    val resv = base
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
       .join(cells, "vec_id")
       .join(broadcast(cc), "cell_id")
@@ -831,10 +854,30 @@ object Similarity {
     // a filtered training set can lose seed cells, holing the packed
     // code index j = (cell_id − 3)/16 — renumber the surviving cells
     // onto a dense grid (identity when no seed is missing)
-    val c1 = denseCells(pqTrainCodebook(resSubs(resv.filter(basePred), Seq("vec_id"))))
+    val c1 = denseCells(pqTrainCodebook(resSubs(resv, Seq("vec_id"))))
       .localCheckpoint()
-    val codes = pqCodes(resSubs(resv, Seq("vec_id")), c1).join(cells, "vec_id")
-    val probed = ivfpqProbeCells(csubsAll.filter($"vec_id" % 50 === 0), coarse)
+    coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    c1.write.mode("overwrite").parquet(s"$root/pqcodebook")
+    pqCodes(resSubs(resv, Seq("vec_id")), c1).join(cells, "vec_id")
+      .write.mode("overwrite").parquet(s"$root/codes")
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    root
+  }
+
+  private def annIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = annIncRoot(s, d)
+    val coarse = s.read.parquet(s"$root/coarse")
+    val c1 = s.read.parquet(s"$root/pqcodebook")
+    val emb = Tables.embeddings(s, d)
+    // the arriving batch: encoded against the STORED codebooks — cell
+    // assignment + residual codes are per-row map work, O(batch), no
+    // training job — and unioned with the stored base code rows
+    val delta = emb.filter($"vec_id" % IncMod === 3)
+    val codes = s.read.parquet(s"$root/codes")
+      .unionByName(ivfpqEncode(delta, coarse, c1))
+    val probed = ivfpqProbeCells(
+      pqSubsM(emb.filter($"vec_id" % 50 === 0), 1, Dims), coarse)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
     val shortlist = ivfpqProbeOver(emb, coarse, c1, codes, probed, queryMod = 50)
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)

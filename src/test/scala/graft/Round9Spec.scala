@@ -19,14 +19,16 @@ class Round9Spec extends AnyFunSuite {
     // content fingerprint); every query invocation after that must
     // serve from the stored codebooks/codes without re-running Lloyd.
     Similarity.annIndexRoot(spark, sf)
+    Similarity.annIncRoot(spark, sf)
     val before = Similarity.annTrainRuns.get()
     assert(SparkEntry.queries("sim_ann_ivfpq")(spark, sf).count() > 0)
     assert(SparkEntry.queries("q_hybrid_rrf")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("sim_ann_incremental")(spark, sf).count() > 0)
     assert(Similarity.annTrainRuns.get() == before,
       "query path retrained the IVFPQ index instead of reading the stored one")
-    val root = Similarity.annIndexRoot(spark, sf)
-    for (part <- Seq("coarse", "pqcodebook", "codes"))
-      assert(new java.io.File(s"$root/$part").exists(), s"missing index part $part")
+    for (root <- Seq(Similarity.annIndexRoot(spark, sf), Similarity.annIncRoot(spark, sf));
+         part <- Seq("coarse", "pqcodebook", "codes"))
+      assert(new java.io.File(s"$root/$part").exists(), s"missing index part $root/$part")
   }
 
   // ---- hybrid dense leg plan shape ---------------------------------------
