@@ -16,6 +16,18 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_RUNONE_STAGES=1 → per-stage wall times (slow-stage hunting)
+    if (sys.env.contains("GRAFT_RUNONE_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secs = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d time=$secs%6.2fs ${i.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
+    }
     // GRAFT_RUNONE_JOBS=1 → per-job wall times (barrier-chain profiling)
     if (sys.env.contains("GRAFT_RUNONE_JOBS")) {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()

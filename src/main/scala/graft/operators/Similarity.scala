@@ -658,7 +658,8 @@ object Similarity {
         .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
         .localCheckpoint()
       val rsubs = resSubs(resv, Seq("vec_id"))
-      val c1 = pqTrainCodebook(rsubs).localCheckpoint()
+      // same fail-safe renumbering as the staged/incremental roots
+      val c1 = denseCells(pqTrainCodebook(rsubs)).localCheckpoint()
       val codes = pqCodes(rsubs, c1).join(cells, "vec_id")
       ivfpqProbeOver(emb, coarse, c1, codes, probed, queryMod)
     } else {
@@ -756,7 +757,11 @@ object Similarity {
       .select($"vec_id", $"cell_id", zip_with($"fv", $"cce", (x, c) => x - c).as("rv"))
       .localCheckpoint()
     val rsubs = resSubs(resv, Seq("vec_id"))
-    val c1 = pqTrainCodebook(rsubs).localCheckpoint()
+    // denseCells is identity while every seed cell survives training;
+    // if one ever dies, the oracle's unconditional renumbering and this
+    // side now fail-safe identically instead of silently misaligning
+    // the positional ADC lookup (r9 ADVICE)
+    val c1 = denseCells(pqTrainCodebook(rsubs)).localCheckpoint()
     coarse.write.mode("overwrite").parquet(s"$root/coarse")
     c1.write.mode("overwrite").parquet(s"$root/pqcodebook")
     // ONE row per vector: cell routing key + M packed code indices —
@@ -1177,46 +1182,121 @@ object Similarity {
   private val LegDepth = 100
   private val HybridTopK = 10
   private val QTerms = 12
+  private val LexBuckets = 32
 
-  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+  /** Spec instrumentation: number of times the lexical (BM25) index was
+    * actually built (staging misses). Query runs after staging must
+    * leave this unchanged — zero tokenize jobs on the query path. */
+  private[graft] val lexStageRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def lexTableName(kind: String, dirKey: String): String =
+    s"graft_lex_${kind}_" + dirKey.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** Stage the BM25 lexical index ONCE per dataset — the retrieval-side
+    * twin of [[annIndexRoot]]: the corpus is tokenized and aggregated a
+    * single time, and everything a scoring run needs persists as
+    * TOK-BUCKETED tables (the postings-partitioned-by-term layout every
+    * production index uses):
+    *  - `tf` (tok, doc_id, tf, dl): postings with the document length
+    *    DENORMALIZED onto each row — Lucene stores per-doc norms with
+    *    the index for the same reason — so scoring never joins a
+    *    corpus-proportional doc-length table (the r9 `broadcast(dl)`
+    *    scale-killer this replaces: at 100× corpus a broadcast of
+    *    N_docs rows is a driver/executor OOM);
+    *  - `df` (tok, df): per-term document frequency;
+    *  - `stats`: one row (n_docs, avgdl).
+    * Bucketing both tables on `tok` (32 buckets, catalog-registered)
+    * makes every index-side join co-located: query runs shuffle only
+    * query-proportional relations. Same [[Tables.stagingKey]] freshness
+    * discipline as the ANN index. Returns (root, tfTable, dfTable). */
+  private[graft] def lexIndexRoot(s: SparkSession, d: String): (String, String, String) = {
     import s.implicits._
-    import graft.OracleMath.dsum
-    val k1 = 1.2; val b = 0.75
-    // ONE tokenize pass: every downstream quantity (dl, df, query term
-    // sets, restricted tf) derives from the (doc, tok, tf) aggregate —
-    // separate branches off the raw token explode would each re-scan
-    // and re-tokenize the corpus (the tfidf lesson). The aggregate is
-    // localCheckpointed because four consumers read it; at lake scale
-    // the same table persists with a disk-backed storage level.
+    val (dirKey, fp) = Tables.stagingKey(d, "documents")
+    val root = s"/tmp/graft_q/lex_$dirKey"
+    val tfT = lexTableName("tf", dirKey)
+    val dfT = lexTableName("df", dirKey)
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-bm25-postings|$fp"
+    def register(name: String, cols: String, dir: String): Unit =
+      if (!s.catalog.tableExists(name))
+        s.sql(s"""CREATE TABLE $name ($cols) USING PARQUET
+                 |CLUSTERED BY (tok) SORTED BY (tok) INTO $LexBuckets BUCKETS
+                 |LOCATION '$root/$dir'""".stripMargin)
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      // warm hit in a fresh session: the files are staged but the
+      // session catalog may not know them yet — re-register in place
+      register(tfT, "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "tf")
+      register(dfT, "tok STRING, df BIGINT", "df")
+      return (root, tfT, dfT)
+    }
+    lexStageRuns.incrementAndGet()
+    // ONE tokenize pass at staging time; all three index tables derive
+    // from the (doc, tok, tf) aggregate (the tfidf lesson — separate
+    // branches off the raw explode would each re-scan the corpus)
     val tfAll = Tables.documents(s, d)
       .select($"doc_id", explode(TextPrep.words($"text")).as("tok"))
       .filter($"tok" =!= "")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    // postings ⋈ dl co-partitions on doc_id — a one-time staging
+    // shuffle that buys every future scoring run its dl column for free
+    tfAll.join(dl, "doc_id")
+      .select($"tok", $"doc_id", $"tf", $"dl")
+      .write.mode("overwrite").option("path", s"$root/tf")
+      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(tfT)
+    tfAll.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").option("path", s"$root/df")
+      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(dfT)
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    (root, tfT, dfT)
+  }
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val k1 = 1.2; val b = 0.75
+    // lexical leg SERVED FROM THE STORED INDEX (r10): no tokenize job
+    // runs on the query path — postings (with dl denormalized), df and
+    // corpus stats read back from the tok-bucketed staged tables
+    val (root, tfT, dfT) = lexIndexRoot(s, d)
+    val tf = s.table(tfT)     // (tok, doc_id, tf, dl), bucketed by tok
+    val dfa = s.table(dfT)    // (tok, df), bucketed by tok
+    val stats = s.read.parquet(s"$root/stats")
     // more-like-this queries keep only the QTerms most DISTINCTIVE
     // terms of the query doc (lowest corpus df, tie on token) — the
     // standard bound that keeps the scoring join O(queries × docs ×
-    // QTerms) instead of growing with document vocabulary
-    val dfAll = tfAll.groupBy($"tok").agg(count(lit(1)).as("dfa"))
-    val qall = tfAll.filter($"doc_id" % 100 === 0)
+    // QTerms) instead of growing with document vocabulary. qall ⋈ df is
+    // bucket-co-located (both sides live tok-partitioned): no exchange,
+    // no broadcast of the corpus-coupled term-set relation (the r9
+    // `broadcast(qall)` audit item).
+    val qall = tf.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("query_id"), $"tok")
-    val selW = Window.partitionBy($"query_id").orderBy($"dfa", $"tok")
-    val qtoks = dfAll.join(broadcast(qall), "tok")
+    val selW = Window.partitionBy($"query_id").orderBy($"df", $"tok")
+    // SHUFFLE_HASH hints everywhere an index table joins: without them
+    // the static planner sees the index tables' small-at-this-SF file
+    // sizes and BROADCASTS the corpus-proportional postings relation —
+    // a single-threaded 2M-entry hash build locally (measured 3.3 s of
+    // a 4.8 s run) and an executor OOM at 100× corpus. The hinted plan
+    // is size-independent: both index tables are read in place (their
+    // tok-bucketing satisfies the join's required distribution — zero
+    // exchange), the hinted build side is the per-bucket slice of the
+    // smaller relation, and only query-proportional rows ever move.
+    val qtoks = qall.join(dfa.hint("shuffle_hash"), "tok")
       .withColumn("tr", row_number().over(selW)).filter($"tr" <= QTerms)
       .select($"query_id", $"tok")
-    val terms = qtoks.select($"tok").distinct()
-    val tf = tfAll.join(broadcast(terms), "tok")
-    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val lexW = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-    val lex = tf.join(broadcast(dfreq), "tok")
-      .join(broadcast(qtoks), "tok")
+    // scoring: postings stay put (bucketed side of the tok join); only
+    // the query-proportional qtoks relation shuffles to the bucket
+    // layout and builds the per-partition hash side. df attaches
+    // bucket-co-located. Scoring df == staged df because the restricted
+    // postings contain every row of each selected term.
+    val lex = tf.join(qtoks.hint("shuffle_hash"), "tok")
       .filter($"doc_id" =!= $"query_id")
-      // dl is O(corpus docs) rows of (id, length) — broadcast beats the
-      // two-sided shuffle a sort-merge join would pay on the wide
-      // scoring rows (and removes the join's sort entirely)
-      .join(broadcast(dl), "doc_id")
+      .join(dfa.hint("shuffle_hash"), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
@@ -1243,9 +1323,13 @@ object Similarity {
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= LegDepth)
       .select($"query_id", $"neighbor_id".as("doc_id"))
     val denseW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")
+    // no forced broadcast on qv: the query-vector relation is
+    // corpus-coupled in this synthetic setup (vec_id % 100), so the
+    // hint is left to AQE — it broadcasts when the runtime size is
+    // genuinely small and shuffle-joins when it is not
     val dense = shortd
       .join(emb.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
-      .join(broadcast(qv), "query_id")
+      .join(qv, "query_id")
       .select($"query_id", $"doc_id",
         VectorOps.cosine($"qe", $"embedding").as("cos"))
       .withColumn("vec_rank", row_number().over(denseW))

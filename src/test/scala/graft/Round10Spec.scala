@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 hardening: the stored BM25 lexical index (stage once, query
+  * many — the retrieval twin of the r9 ANN index), and the hybrid
+  * query's broadcast/shuffle scale contract: no corpus-proportional
+  * relation is ever broadcast (the r9 `broadcast(dl)` scale-killer),
+  * and the exchange budget stays fixed.
+  */
+class Round10Spec extends AnyFunSuite {
+  import TestSession._
+
+  /** Full executed-plan traversal, descending into AQE stages and
+    * reused exchanges. */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case _                        => Nil
+    }
+    p +: (p.children ++ extra).flatMap(walk)
+  }
+
+  // ---- stored lexical index ------------------------------------------------
+
+  test("lexical index: queries after staging run zero tokenize jobs") {
+    Similarity.lexIndexRoot(spark, sf)
+    val before = Similarity.lexStageRuns.get()
+    assert(SparkEntry.queries("q_hybrid_rrf")(spark, sf).count() > 0)
+    assert(Similarity.lexStageRuns.get() == before,
+      "query path re-tokenized the corpus instead of reading the stored BM25 index")
+    val (root, tfT, dfT) = Similarity.lexIndexRoot(spark, sf)
+    for (part <- Seq("tf", "df", "stats"))
+      assert(new java.io.File(s"$root/$part").exists(), s"missing index part $root/$part")
+    // the postings and df tables are registered tok-bucketed — the
+    // layout that lets scoring joins read them in place
+    for (t <- Seq(tfT, dfT)) {
+      val ddl = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+      assert(ddl.contains("CLUSTERED BY (tok)"), s"$t not bucketed by tok:\n$ddl")
+    }
+  }
+
+  test("lexical index: a fresh catalog re-registers the staged tables in place") {
+    Similarity.lexIndexRoot(spark, sf) // ensure staged
+    val (_, tfT, dfT) = Similarity.lexIndexRoot(spark, sf)
+    spark.sql(s"DROP TABLE IF EXISTS $tfT")
+    spark.sql(s"DROP TABLE IF EXISTS $dfT")
+    val before = Similarity.lexStageRuns.get()
+    assert(SparkEntry.queries("q_hybrid_rrf")(spark, sf).count() > 0,
+      "hybrid query must survive a session whose catalog lost the staged tables")
+    assert(Similarity.lexStageRuns.get() == before,
+      "catalog re-registration must not re-tokenize the corpus")
+  }
+
+  // ---- hybrid broadcast scale contract ------------------------------------
+
+  test("q_hybrid_rrf: no broadcast exchange carries a corpus-proportional relation") {
+    // With the size-based thresholds disabled, every surviving
+    // BroadcastExchange is one the query REQUESTED (hint) — exactly the
+    // set that would still broadcast at 100× corpus, where nothing
+    // passes a size threshold. Each must be query-proportional or
+    // constant-bounded: stats (1 row), codebooks (<=256 cells), ADC
+    // tables (2/query), never postings / doc-lengths / vocabulary.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+      assert(df.count() > 0)
+      val broadcasts = walk(df.queryExecution.executedPlan).collect {
+        case b: BroadcastExchangeExec => b
+      }
+      assert(broadcasts.nonEmpty, "expected the hinted bounded broadcasts to survive")
+      val bound = 300L // 500-doc corpus: dl=500, postings~60k, vocab~5k all exceed it
+      broadcasts.foreach { b =>
+        val rows = b.metrics("numOutputRows").value
+        assert(rows <= bound,
+          s"corpus-proportional broadcast ($rows rows):\n${b.child.treeString.take(600)}")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("q_hybrid_rrf: exchange budget is fixed") {
+    val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+    df.count()
+    val shuffles = walk(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec => e.id
+    }.distinct
+    // the inherent exchanges: qtoks window + qtoks-to-bucket-layout +
+    // scoring groupBy + lex window on the lexical leg; probe/ADC
+    // windows + rerank joins + dense window on the dense leg; fusion
+    // join + final window + orderBy. Anything beyond this budget means
+    // an index-side relation started moving again.
+    assert(shuffles.size <= 16,
+      s"q_hybrid_rrf shuffle budget exceeded: ${shuffles.size} exchanges")
+  }
+}
