@@ -159,6 +159,20 @@ object IsoBmff {
       (chunkOffset + sampleSizes.take(i).map(_.toLong).sum, sampleSizes(i))
   }
 
+  /** Number of top-level boxes — pure size-walk container arithmetic
+    * (the writer emits ftyp + mdat + moov = 3). */
+  def topLevelBoxes(b: Array[Byte]): Int = {
+    var off = 0L
+    var n = 0
+    while (off + 8 <= b.length) {
+      val size = u32(b, off.toInt)
+      if (size < 8) return n
+      off += size
+      n += 1
+    }
+    n
+  }
+
   /** Parse the container structure — everything frame sampling needs,
     * all MEASURED from the box tree, nothing taken from caller metadata. */
   def parse(b: Array[Byte]): Mp4Info = {

@@ -227,9 +227,104 @@ object Multimodal {
       .orderBy($"mime")
   }
 
-  // DuckDB can't replay the JDK codecs → rows-only check; the spec pins
-  // decode behavior on crafted payloads instead.
+  // -- mm_metadata: the value-oracled container-level half ------------------
+  // Everything below is MEASURED from the real payload bytes — PNG IHDR
+  // fields, the canonical 44-byte WAV header arithmetic, the ISO BMFF
+  // box walk — but involves no pixel/PCM decode, so a SQL engine can
+  // replay the identical quantities from the generator's arithmetic.
+  // This shrinks the declared rows-only surface of mm_binary_pipeline
+  // to the genuinely codec-bound columns (brightness, resize, RMS).
+
+  final case class ContainerMeta(
+      doc_id: Long, mime: String, duration_ms: Long, frames: Long,
+      frames_sampled: Long, width: Long, height: Long,
+      wav_bytes: Long, box_count: Long)
+
+  /** Container-level parse of one media row (header/box/sample-table
+    * arithmetic only; never decodes a pixel or a PCM sample). The
+    * frames_sampled rule matches [[JdkCodec.decodeAudio]] /
+    * [[JdkCodec.decodeVideo]] exactly. */
+  def containerMeta(r: MediaRow): ContainerMeta = r.meta.mime match {
+    case "image/png" =>
+      val p = r.payload
+      require(p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte,
+        s"doc ${r.doc_id}: not a PNG stream")
+      // IHDR is mandated first: width/height big-endian at offsets 16/20
+      def be32(o: Int): Long =
+        ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+      ContainerMeta(r.doc_id, r.meta.mime, 0L, 1L, 0L, be32(16), be32(20), 0L, 0L)
+    case "audio/wav" =>
+      val total = r.payload.length.toLong
+      val frames = (total - 44) / 2 // canonical RIFF+fmt+data header is 44 bytes
+      val durMs = frames / (JdkCodec.SampleRate / 1000) // 8 frames per ms
+      val sampled = math.min(durMs / 100, 8L) // 10 Hz frame sampling, capped
+      ContainerMeta(r.doc_id, r.meta.mime, durMs, frames, sampled, 0L, 0L, total, 0L)
+    case _ =>
+      val info = IsoBmff.parse(r.payload)
+      val frames = info.sampleSizes.length.toLong
+      val sampled = math.min(math.min(info.durationMs / 1000, 8L), frames)
+      ContainerMeta(r.doc_id, r.meta.mime, info.durationMs, frames, sampled,
+        info.width.toLong, info.height.toLong, 0L,
+        IsoBmff.topLevelBoxes(r.payload).toLong)
+  }
+
+  private def metadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).map(containerMeta)
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n"),
+        sum($"duration_ms").as("total_duration_ms"),
+        sum($"frames").as("total_frames"),
+        sum($"frames_sampled").as("frames_sampled"),
+        sum($"width").as("total_width"),
+        sum($"height").as("total_height"),
+        sum($"wav_bytes").as("wav_bytes"),
+        sum($"box_count").as("box_count"))
+      .orderBy($"mime")
+  }
+
+  /** DuckDB replay of the generator arithmetic the container parse must
+    * land on: mime/dims/duration from doc_id, WAV bytes = 44 + 16·durMs
+    * (8 kHz, 16-bit mono), MJPEG frame count = max(1, durMs·4/1000),
+    * 3 top-level BMFF boxes. */
+  private val metadataSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    32 + (doc_id % 16) * 8 AS w,
+      |    32 + (doc_id % 9) * 8 AS h,
+      |    CASE doc_id % 3 WHEN 1 THEN (doc_id % 5) * 100 + 100
+      |         WHEN 2 THEN (doc_id % 20) * 1000 ELSE 0 END AS dur
+      |  FROM documents),
+      |f AS (
+      |  SELECT mime, dur,
+      |    CASE mime WHEN 'image/png' THEN 1 WHEN 'audio/wav' THEN dur * 8
+      |         ELSE GREATEST(1, dur * 4 // 1000) END AS frames,
+      |    CASE mime WHEN 'image/png' THEN 0
+      |         WHEN 'audio/wav' THEN LEAST(dur // 100, 8)
+      |         ELSE LEAST(LEAST(dur // 1000, 8), GREATEST(1, dur * 4 // 1000)) END AS sampled,
+      |    CASE WHEN mime = 'audio/wav' THEN 0 ELSE w END AS w2,
+      |    CASE WHEN mime = 'audio/wav' THEN 0 ELSE h END AS h2,
+      |    CASE WHEN mime = 'audio/wav' THEN 44 + dur * 16 ELSE 0 END AS wav_bytes,
+      |    CASE WHEN mime = 'video/mp4' THEN 3 ELSE 0 END AS box_count
+      |  FROM m)
+      |SELECT mime, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(dur) AS BIGINT) AS total_duration_ms,
+      |  CAST(SUM(frames) AS BIGINT) AS total_frames,
+      |  CAST(SUM(sampled) AS BIGINT) AS frames_sampled,
+      |  CAST(SUM(w2) AS BIGINT) AS total_width,
+      |  CAST(SUM(h2) AS BIGINT) AS total_height,
+      |  CAST(SUM(wav_bytes) AS BIGINT) AS wav_bytes,
+      |  CAST(SUM(box_count) AS BIGINT) AS box_count
+      |FROM f GROUP BY mime ORDER BY mime""".stripMargin
+
+  // mm_binary_pipeline stays rows-only by declared necessity (no SQL
+  // engine replays pixel/PCM decode); mm_metadata value-oracles every
+  // container-derivable column of the same media table.
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_pipeline", pipeline, None),
+    QueryDef("mm_metadata", metadata, Some(metadataSql)),
   )
 }
