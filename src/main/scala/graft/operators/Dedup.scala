@@ -107,7 +107,10 @@ object Dedup {
   // shared-gram count (c/|A| and c/|B|); threshold 0.9. The emitted
   // (contained, container) pairs are what the excision pass
   // (dedup_substring) and source-priority keep rules consume.
-  private def ngramContainment(s: SparkSession, d: String): DataFrame = {
+  /** The thresholded (contained, container, containment) pairs — shared
+    * by the report query (dedup_containment) and the composed keep-rule
+    * (dedup_containment_apply). */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, d)
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
@@ -123,12 +126,17 @@ object Dedup {
       ($"c".cast("double") / $"sza").as("containment"))
     val bInA = shared.select($"doc_b".as("contained"), $"doc_a".as("container"),
       ($"c".cast("double") / $"szb").as("containment"))
-    aInB.unionByName(bInA)
-      .filter($"containment" >= 0.9)
-      .orderBy($"contained", $"container")
+    aInB.unionByName(bInA).filter($"containment" >= 0.9)
   }
-  private val ngramContainmentSql =
-    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+
+  private def ngramContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    containmentPairs(s, d).orderBy($"contained", $"container")
+  }
+  /** Shared oracle CTE chain ending in `both_dirs` (contained,
+    * container, containment). */
+  private val containmentCte =
+    s"""docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
        |grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
        |          FROM docs, unnest(range(1, len(words) - 1)) t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
@@ -144,9 +152,68 @@ object Dedup {
        |    CAST(c AS DOUBLE) / sza AS containment FROM sided
        |  UNION ALL
        |  SELECT doc_b AS contained, doc_a AS container,
-       |    CAST(c AS DOUBLE) / szb AS containment FROM sided)
+       |    CAST(c AS DOUBLE) / szb AS containment FROM sided)""".stripMargin
+
+  private val ngramContainmentSql =
+    s"""WITH $containmentCte
        |SELECT contained, container, containment FROM both_dirs
        |WHERE containment >= 0.9 ORDER BY contained, container""".stripMargin
+
+  // -- containment keep-rule application (SURVEY 32e's excision hook) -------
+  // The composed pass the detection report feeds: a doc quoted inside a
+  // longer one is EXCISED and its content survives through the kept
+  // container ("short-doc-quoted-in-long keeps the long"). Mutual
+  // containment (near-identical docs — both directions >= 0.9) would
+  // naively drop both; the priority rule protects the winner: longer
+  // n_chars wins, ties to the smaller doc_id. Output is the applied
+  // decision table: every excised doc, the container chosen to keep
+  // (smallest id among its killers — greedy, deterministic) and the
+  // chars removed from the corpus. Scale shape: pairs are the banded
+  // inverted-index join's output (never all-pairs), and the keep-rule
+  // is two narrow self-joins over that pair set — O(pairs), not
+  // O(corpus²).
+  private def containmentApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, d).select($"doc_id", $"n_chars")
+    // four consumers read the pair set (kills + both sides of the
+    // mutual self-join) — materialize it once; it is pair-sized
+    val p = containmentPairs(s, d).select($"contained", $"container")
+      .localCheckpoint()
+    val mutual = p.as("x").join(p.as("y"),
+        $"x.contained" === $"y.container" && $"x.container" === $"y.contained",
+        "left_semi")
+      .select($"contained", $"container")
+    val protectedPairs = mutual
+      .join(lens.select($"doc_id".as("contained"), $"n_chars".as("lc")), "contained")
+      .join(lens.select($"doc_id".as("container"), $"n_chars".as("lo")), "container")
+      .filter($"lc" > $"lo" || ($"lc" === $"lo" && $"contained" < $"container"))
+      .select($"contained", $"container")
+    p.except(protectedPairs)
+      .groupBy($"contained")
+      .agg(min($"container").as("kept_by"))
+      .join(lens.select($"doc_id".as("contained"), $"n_chars"), "contained")
+      .select($"contained".as("doc_id"), $"kept_by",
+        $"n_chars".as("chars_excised"))
+      .orderBy($"doc_id")
+  }
+  private val containmentApplySql =
+    s"""WITH $containmentCte,
+       |pairs AS (SELECT DISTINCT contained, container FROM both_dirs
+       |          WHERE containment >= 0.9),
+       |mutual AS (SELECT x.contained, x.container FROM pairs x
+       |           JOIN pairs y ON x.contained = y.container
+       |                       AND x.container = y.contained),
+       |prot AS (SELECT m.contained, m.container FROM mutual m
+       |  JOIN documents lc ON lc.doc_id = m.contained
+       |  JOIN documents lo ON lo.doc_id = m.container
+       |  WHERE lc.n_chars > lo.n_chars
+       |     OR (lc.n_chars = lo.n_chars AND m.contained < m.container)),
+       |kills AS (SELECT contained, container FROM pairs
+       |          EXCEPT SELECT contained, container FROM prot)
+       |SELECT k.contained AS doc_id, MIN(k.container) AS kept_by,
+       |  d.n_chars AS chars_excised
+       |FROM kills k JOIN documents d ON d.doc_id = k.contained
+       |GROUP BY k.contained, d.n_chars ORDER BY doc_id""".stripMargin
 
   // -- MinHash + LSH near-dup ----------------------------------------------
   // 128-lane minhash signature (one-pass custom expression), banded
@@ -690,6 +757,7 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_containment", ngramContainment, Some(ngramContainmentSql)),
+    QueryDef("dedup_containment_apply", containmentApply, Some(containmentApplySql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),
