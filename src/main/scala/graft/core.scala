@@ -76,10 +76,118 @@ object Tables {
       else Seq(f)
     val abs = new java.io.File(d).getAbsolutePath
     val parts = walk(new java.io.File(abs, s"$table.parquet"))
+    // beyond (name, size, mtime): a sample of each file's LAST bytes —
+    // the parquet footer, which carries the row-group metadata and so
+    // changes whenever the data does. Catches a regeneration that
+    // lands on identical size + mtime (coarse-mtime filesystems).
+    def tailSample(f: java.io.File): Int = {
+      val n = math.min(64L, f.length).toInt
+      if (n == 0) return 0
+      val buf = new Array[Byte](n)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try { raf.seek(f.length - n); raf.readFully(buf) } finally raf.close()
+      java.util.Arrays.hashCode(buf)
+    }
     val content = parts
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${tailSample(f)}")
+      .mkString("|")
     val dirKey = f"${new java.io.File(d).getName}_${abs.hashCode & 0x7fffffff}%08x"
     (dirKey, f"${content.hashCode & 0x7fffffff}%08x-${parts.map(_.length).sum}")
+  }
+}
+
+/** Staging discipline shared by the operators that persist a derived
+  * index under /tmp/graft_q (ANN codebooks/codes, inverted-index
+  * postings, BM25 postings): content-fingerprinted freshness
+  * ([[Tables.stagingKey]]), build-in-temp + swap publish, a recorded
+  * source per staged dir, and retention (vacuum) of dead dirs.
+  *
+  * Publish: builders write every part into a private temp dir and
+  * [[publish]] swaps it into the final path — a crashed build never
+  * leaves a half-written index at the served location, and the
+  * torn-read window shrinks from the whole training run to the swap
+  * itself. (True multi-writer atomicity would version the published
+  * dirs and flip a pointer; the sequential driver doesn't need it and
+  * retention keeps the simpler layout.)
+  *
+  * Retention: every published dir records its source dataset + table +
+  * content fingerprint. [[vacuum]] deletes dirs whose dataset is gone
+  * or whose fingerprint no longer matches the current files — the
+  * io_vacuum rule applied to the engine's own staging. Builders call
+  * it on every staging miss (cold builds are already paying a corpus
+  * pass; the vacuum walk is driver-side file metadata only).
+  */
+object Staging {
+  val Base = "/tmp/graft_q"
+  /** Prefixes of content-fingerprinted stage-once dirs (the per-query
+    * tmp() scratch dirs have their own lifecycle and are not walked). */
+  private val Kinds = Seq("ann_", "annb_", "lex_", "index_")
+  private val SourceFile = "staging_source.txt"
+
+  /** Spec instrumentation: dirs deleted by the last vacuum. */
+  private[graft] val lastVacuumed = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def tempBuildDir(): java.io.File = {
+    val f = new java.io.File(Base, s".build_${java.util.UUID.randomUUID}")
+    f.mkdirs()
+    f
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Swap a fully-built temp dir into the final root (replacing any
+    * stale version), then record its source for retention. */
+  def publish(temp: java.io.File, root: String,
+      d: String, table: String, fp: String): Unit = {
+    val dst = new java.io.File(root)
+    if (dst.exists()) rmTree(dst)
+    java.nio.file.Files.move(temp.toPath, dst.toPath)
+    recordSource(root, d, table, fp)
+  }
+
+  /** Record (or backfill, on a warm hit from an older layout) where a
+    * staged dir came from — what vacuum() needs to decide liveness. */
+  def recordSource(root: String, d: String, table: String, fp: String): Unit = {
+    val abs = new java.io.File(d).getAbsolutePath
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, SourceFile),
+      s"$abs\n$table\n$fp".getBytes("UTF-8"))
+    ()
+  }
+
+  /** Delete staged index dirs that can never be served again: their
+    * recorded dataset no longer exists, or its current content
+    * fingerprint no longer matches the one staged. Dirs without a
+    * source record (older layouts, foreign dirs) are left alone.
+    * Also reaps crashed temp builds older than an hour. */
+  def vacuum(): Int = {
+    val dirs = Option(new java.io.File(Base).listFiles()).getOrElse(Array.empty)
+    var removed = 0
+    dirs.foreach { dir =>
+      val name = dir.getName
+      if (name.startsWith(".build_")) {
+        if (System.currentTimeMillis - dir.lastModified > 3600L * 1000) {
+          rmTree(dir); removed += 1
+        }
+      } else if (Kinds.exists(name.startsWith)) {
+        val src = new java.io.File(dir, SourceFile)
+        if (src.exists()) {
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(src.toPath), "UTF-8").split("\n", -1)
+          if (lines.length >= 3) {
+            val (d, table, fp) = (lines(0), lines(1), lines(2))
+            val live = new java.io.File(d, s"$table.parquet").exists() &&
+              Tables.stagingKey(d, table)._2 == fp
+            if (!live) { rmTree(dir); removed += 1 }
+          }
+        }
+      }
+    }
+    lastVacuumed.set(removed)
+    removed
   }
 }
 

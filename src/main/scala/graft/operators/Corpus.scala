@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Staging, Tables}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -443,8 +443,12 @@ object Corpus {
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
     val fmt = s"v2-postings-df|$fp"
     if (java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "documents", fp)
       return root
+    }
+    Staging.vacuum()
     val docs = Tables.documents(s, d)
     // Churn-insert ids are doc_id + InsertOffset; a corpus whose ids
     // reach the offset would alias an insert onto an existing doc and
@@ -454,10 +458,13 @@ object Corpus {
     require(maxId + InsertOffset > 0 && maxId < InsertOffset,
       s"corpus max doc_id $maxId must stay below the churn insert offset $InsertOffset")
     val p = postingsOf(docs)
-    p.write.mode("overwrite").parquet(s"$root/postings")
+    val tmp = Staging.tempBuildDir()
+    p.write.mode("overwrite").parquet(s"$tmp/postings")
     p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$root/df")
-    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+      .write.mode("overwrite").parquet(s"$tmp/df")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    Staging.publish(tmp, root, d, "documents", fp)
     root
   }
 

@@ -787,8 +787,14 @@ object Maintenance {
     import s.implicits._
     val root = peRoot(s, d)
     val paths = manifestPaths(root, 1)
-    val selected = paths.filter(p =>
-      !p.contains("pri=") || p.endsWith(s"pri=$PeWanted"))
+    // directory names are URI-escaped by the parquet writer (a value
+    // with a space/'%'/'/' lands escaped in the manifest); unescape
+    // before comparing against the RAW wanted value (r9 ADVICE)
+    val selected = paths.filter { p =>
+      val i = p.lastIndexOf("pri=")
+      i < 0 || org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(p.substring(i + 4)) == PeWanted
+    }
     s.read.parquet(selected: _*)
       .filter($"o_orderpriority" === PeWanted)
       .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Staging, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -741,9 +741,13 @@ object Similarity {
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
     val fmt = s"v1-ivfpq-residual|$fp"
     if (java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "embeddings", fp)
       return root
+    }
     annTrainRuns.incrementAndGet()
+    Staging.vacuum()
     val emb = Tables.embeddings(s, d)
     val csubs = pqSubsM(emb, mCount = 1, subLen = Dims)
     val coarse = pqTrainCodebook(csubs).localCheckpoint()
@@ -762,13 +766,17 @@ object Similarity {
     // side now fail-safe identically instead of silently misaligning
     // the positional ADC lookup (r9 ADVICE)
     val c1 = denseCells(pqTrainCodebook(rsubs)).localCheckpoint()
-    coarse.write.mode("overwrite").parquet(s"$root/coarse")
-    c1.write.mode("overwrite").parquet(s"$root/pqcodebook")
+    // build in a private temp dir; publish swaps it into place whole
+    val tmp = Staging.tempBuildDir()
+    coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+    c1.write.mode("overwrite").parquet(s"$tmp/pqcodebook")
     // ONE row per vector: cell routing key + M packed code indices —
     // the 16-bytes-per-vector physical layout PQ storage exists for
     pqCodes(rsubs, c1).join(cells, "vec_id")
-      .write.mode("overwrite").parquet(s"$root/codes")
-    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    Staging.publish(tmp, root, d, "embeddings", fp)
     root
   }
 
@@ -841,9 +849,13 @@ object Similarity {
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
     val fmt = s"v1-ivfpq-base|$fp"
     if (java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "embeddings", fp)
       return root
+    }
     annTrainRuns.incrementAndGet()
+    Staging.vacuum()
     val base = Tables.embeddings(s, d).filter($"vec_id" % IncMod =!= 3)
     val csubsBase = pqSubsM(base, 1, Dims)
     val coarse = pqTrainCodebook(csubsBase).localCheckpoint()
@@ -861,11 +873,14 @@ object Similarity {
     // onto a dense grid (identity when no seed is missing)
     val c1 = denseCells(pqTrainCodebook(resSubs(resv, Seq("vec_id"))))
       .localCheckpoint()
-    coarse.write.mode("overwrite").parquet(s"$root/coarse")
-    c1.write.mode("overwrite").parquet(s"$root/pqcodebook")
+    val tmp = Staging.tempBuildDir()
+    coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+    c1.write.mode("overwrite").parquet(s"$tmp/pqcodebook")
     pqCodes(resSubs(resv, Seq("vec_id")), c1).join(cells, "vec_id")
-      .write.mode("overwrite").parquet(s"$root/codes")
-    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    Staging.publish(tmp, root, d, "embeddings", fp)
     root
   }
 
@@ -1228,9 +1243,12 @@ object Similarity {
       // session catalog may not know them yet — re-register in place
       register(tfT, "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "tf")
       register(dfT, "tok STRING, df BIGINT", "df")
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "documents", fp)
       return (root, tfT, dfT)
     }
     lexStageRuns.incrementAndGet()
+    Staging.vacuum()
     // ONE tokenize pass at staging time; all three index tables derive
     // from the (doc, tok, tf) aggregate (the tfidf lesson — separate
     // branches off the raw explode would each re-scan the corpus)
@@ -1240,18 +1258,33 @@ object Similarity {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // bucketed writes go through throwaway catalog names into a private
+    // temp dir; publish swaps the whole index into place and the final
+    // names re-register over it
+    val tmp = Staging.tempBuildDir()
     dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-      .write.mode("overwrite").parquet(s"$root/stats")
+      .write.mode("overwrite").parquet(s"$tmp/stats")
+    val buildTag = java.lang.Long.toHexString(System.nanoTime())
     // postings ⋈ dl co-partitions on doc_id — a one-time staging
     // shuffle that buys every future scoring run its dl column for free
     tfAll.join(dl, "doc_id")
       .select($"tok", $"doc_id", $"tf", $"dl")
-      .write.mode("overwrite").option("path", s"$root/tf")
-      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(tfT)
+      .write.mode("overwrite").option("path", s"$tmp/tf")
+      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(s"graft_lex_build_tf_$buildTag")
     tfAll.groupBy($"tok").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").option("path", s"$root/df")
-      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(dfT)
-    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+      .write.mode("overwrite").option("path", s"$tmp/df")
+      .bucketBy(LexBuckets, "tok").sortBy("tok").saveAsTable(s"graft_lex_build_df_$buildTag")
+    s.sql(s"DROP TABLE IF EXISTS graft_lex_build_tf_$buildTag")
+    s.sql(s"DROP TABLE IF EXISTS graft_lex_build_df_$buildTag")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    // a restage must also drop final-name registrations that still
+    // point at the replaced files
+    s.sql(s"DROP TABLE IF EXISTS $tfT")
+    s.sql(s"DROP TABLE IF EXISTS $dfT")
+    Staging.publish(tmp, root, d, "documents", fp)
+    register(tfT, "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT", "tf")
+    register(dfT, "tok STRING, df BIGINT", "df")
     (root, tfT, dfT)
   }
 

@@ -90,6 +90,47 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // ---- staged-index retention ----------------------------------------------
+
+  test("staging vacuum: dead index dirs are removed, live ones kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def writeEmb(dir: String, seed: Int): Unit =
+      (0 until 300).map { i =>
+        (i.toLong, (0 until 64).map(j => ((i * 31 + j * 7 + seed) % 13 - 6).toFloat).toArray, i % 3)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    // dataset A staged, then DELETED — its staged dir is dead
+    val dirA = java.nio.file.Files.createTempDirectory("graft_r10vacA").toString
+    writeEmb(dirA, seed = 1)
+    val rootA = Similarity.annIndexRoot(spark, dirA)
+    assert(new java.io.File(rootA, "staging_source.txt").exists(),
+      "published index must record its source")
+    wipe(new java.io.File(dirA))
+    // dataset B regenerated IN PLACE between stagings — the restage
+    // replaces the old version whole (publish swap), and the vacuum
+    // that runs on the staging miss reaps A's orphan
+    val dirB = java.nio.file.Files.createTempDirectory("graft_r10vacB").toString
+    writeEmb(dirB, seed = 2)
+    val rootB = Similarity.annIndexRoot(spark, dirB)
+    writeEmb(dirB, seed = 3) // footer-sample fingerprint catches this without an mtime gap
+    assert(Similarity.annIndexRoot(spark, dirB) == rootB)
+    assert(!new java.io.File(rootA).exists(),
+      "vacuum must remove the staged dir of a deleted dataset")
+    assert(new java.io.File(rootB, "staging_format.txt").exists(),
+      "the restaged live dir must be complete")
+    // no half-built temp dirs left behind by the publish swap
+    val leftovers = Option(new java.io.File(Staging.Base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".build_") &&
+        System.currentTimeMillis - f.lastModified < 3600L * 1000)
+    assert(leftovers.isEmpty,
+      s"publish left temp build dirs: ${leftovers.map(_.getName).mkString(", ")}")
+    wipe(new java.io.File(dirB))
+  }
+
   test("q_hybrid_rrf: exchange budget is fixed") {
     val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
     df.count()

@@ -95,7 +95,8 @@ class Round9Spec extends AnyFunSuite {
     val trainsAfterFirst = Similarity.annTrainRuns.get()
     assert(Similarity.annIndexRoot(spark, dir) == r1)
     assert(Similarity.annTrainRuns.get() == trainsAfterFirst, "unchanged data must not restage")
-    Thread.sleep(1100) // ensure a distinct mtime for the fingerprint
+    // no mtime sleep needed: the fingerprint samples the parquet footer
+    // bytes, so a regeneration is caught even at identical size + mtime
     write(seed = 2)
     Similarity.annIndexRoot(spark, dir)
     assert(Similarity.annTrainRuns.get() == trainsAfterFirst + 1,
