@@ -126,6 +126,18 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"[graft.bench] could not write $outPath: ${t.getMessage}")
     }
+    // LAST stdout line: a compact digest that fits whole inside the
+    // driver's 2000-char stdout tail (the full 160-query line can't),
+    // so the committed driver artifact parses standalone: headline
+    // total, error count, the 10 slowest queries with min/median, and
+    // a pointer to the full per-query stats persisted above.
+    val top = results.sortBy(-_.seconds).take(10).map(r =>
+      f"""${jstr(r.name)}:{"min":${r.seconds}%.3f,"median":${r.median}%.3f}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"${results.map(_.seconds).sum}%.3f"},""" +
+      s""""unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${results.count(_.error.isDefined)},"top":$top,""" +
+      s""""detail":"full per-query stats in $outPath","sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
