@@ -216,9 +216,43 @@ object Multimodal {
     }
   }
 
+  /** The media table STAGED as parquet — binary payload column + typed
+    * metadata struct made literal on disk, exactly the layout the
+    * Scaladoc above argues for. Encoding (PNG/WAV/MJPEG-MP4 byte
+    * generation) runs once per dataset; every media query reads the
+    * staged bytes. Same [[graft.Staging]] lifecycle as the ANN/BM25
+    * indexes. The read path re-sizes partitions by ROW count: payload
+    * splits are byte-sized, and codec work is CPU-per-row. */
+  private[graft] def mediaRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = graft.Tables.stagingKey(d, "documents")
+    val root = s"/tmp/graft_q/mm_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-media-parquet|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        graft.Staging.recordSource(root, d, "documents", fp)
+      return root
+    }
+    graft.Staging.vacuum()
+    val tmp = graft.Staging.tempBuildDir()
+    mediaTable(s, d).write.mode("overwrite").parquet(s"$tmp/media")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmp, root, d, "documents", fp)
+    root
+  }
+
+  private def stagedMedia(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.parquet(s"${mediaRoot(s, d)}/media").as[MediaRow]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   private def pipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    decodeFeatures(mediaTable(s, d))
+    decodeFeatures(stagedMedia(s, d))
       .groupBy($"mime")
       .agg(count(lit(1)).as("n"),
         round(avg($"brightness"), 4).as("avg_brightness"),
@@ -271,7 +305,7 @@ object Multimodal {
 
   private def metadata(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d).map(containerMeta)
+    stagedMedia(s, d).map(containerMeta)
       .groupBy($"mime")
       .agg(count(lit(1)).as("n"),
         sum($"duration_ms").as("total_duration_ms"),
