@@ -164,10 +164,31 @@ object ScaleOps {
   // key. (Bucket metadata lives in the session catalog; at cluster
   // scale this is a Hive-metastore/Iceberg table property.)
   /** Writes both sides bucketed on the join key (external tables in the
-    * session catalog); idempotent per (session, sfDir). */
+    * session catalog). Stage-once per dataset content (the whole point
+    * of bucketing is amortizing ONE shuffle across every future join on
+    * the key — rewriting per query run un-amortizes it); a fresh
+    * session over an existing stage re-registers the tables in place. */
   def ensureBucketedTables(s: SparkSession, d: String): Unit = {
     import s.implicits._
     val wh = tmp("q_bucketed_join_wh", d)
+    val fmt = s"v2-bucketed|${Tables.stagingKey(d, "lineitem")._2}|${Tables.stagingKey(d, "orders")._2}"
+    val marker = java.nio.file.Paths.get(wh, "staging_format.txt")
+    def register(name: String, cols: String, keyCol: String, dir: String): Unit =
+      if (!s.catalog.tableExists(name))
+        s.sql(s"""CREATE TABLE $name ($cols) USING PARQUET
+                 |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO 8 BUCKETS
+                 |LOCATION '$wh/$dir'""".stripMargin)
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      register("graft_li_bucketed",
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_linestatus STRING",
+        "l_orderkey", "li")
+      register("graft_ord_bucketed",
+        "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey", "ord")
+      return
+    }
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_extendedprice", $"l_linestatus")
       .write.mode("overwrite").option("path", s"$wh/li")
@@ -178,6 +199,7 @@ object ScaleOps {
       .write.mode("overwrite").option("path", s"$wh/ord")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_ord_bucketed")
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
   }
 
   /** Join of the two bucketed tables alone — reads co-located buckets,
