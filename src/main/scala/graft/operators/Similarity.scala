@@ -572,12 +572,42 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Stage the raw-vector PQ index (the contrast case to the residual
+    * IVFPQ): codebook + packed codes once per dataset, same lifecycle
+    * as [[annIndexRoot]]. Training is deterministic, so the staged
+    * tables are bit-identical to inline training — the oracle keeps
+    * replaying training from scratch. */
+  private[graft] def annRawRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "embeddings")
+    val root = s"/tmp/graft_q/annr_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-pq-raw|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "embeddings", fp)
+      return root
+    }
+    annTrainRuns.incrementAndGet()
+    Staging.vacuum()
+    val subs = pqSubs(Tables.embeddings(s, d)).localCheckpoint()
+    val c1 = pqTrainCodebook(subs).localCheckpoint()
+    val tmp = Staging.tempBuildDir()
+    c1.write.mode("overwrite").parquet(s"$tmp/pqcodebook")
+    pqCodes(subs, c1).write.mode("overwrite").parquet(s"$tmp/codes")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    Staging.publish(tmp, root, d, "embeddings", fp)
+    root
+  }
+
   private def annPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val subs = pqSubs(emb)
-    val c1 = pqTrainCodebook(subs)
-    val codes = pqCodes(subs, c1)
+    val root = annRawRoot(s, d)
+    val c1 = s.read.parquet(s"$root/pqcodebook")
+    val codes = s.read.parquet(s"$root/codes")
     // ADC via DISTANCE TABLES: l2 computed once per (query, subspace,
     // centroid) — queries × M × K rows — packed per query as tab[m][j]
     // and broadcast. The exhaustive scan is then ONE row per
@@ -586,7 +616,9 @@ object Similarity {
     // times, 8.4s), no 8M-row join fan-out, no K×-row argmin sort
     // (together 8.4s → 2.7s at sf0.1). The M lookups sum in fixed m
     // order, so the result is deterministic without decimal casts.
-    val dtabWide = pqDtabWide(subs, c1)
+    // Query side only: subspace rows for the query set against the
+    // STORED codebook.
+    val dtabWide = pqDtabWide(pqSubs(emb.filter($"vec_id" % 50 === 0)), c1)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
     val shortlist = codes.crossJoin(broadcast(dtabWide))
       .filter($"vec_id" =!= $"query_id")

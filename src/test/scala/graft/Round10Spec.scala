@@ -90,6 +90,14 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("raw-PQ index: queries after staging run zero training jobs") {
+    Similarity.annRawRoot(spark, sf)
+    val before = Similarity.annTrainRuns.get()
+    assert(SparkEntry.queries("sim_ann_pq")(spark, sf).count() > 0)
+    assert(Similarity.annTrainRuns.get() == before,
+      "sim_ann_pq retrained the raw-PQ codebook instead of reading the stored index")
+  }
+
   // ---- staged-index retention ----------------------------------------------
 
   test("staging vacuum: dead index dirs are removed, live ones kept") {
