@@ -839,6 +839,130 @@ object Similarity {
     pqRerank(emb, shortlist)
   }
 
+  // -- ANN recall accounting -------------------------------------------------
+  // The index-quality gauge every production ANN deployment monitors
+  // (and FAISS benchmarks report): per query, how many of the EXACT
+  // L2 top-3 neighbors the IVFPQ index actually returned. Approximate
+  // side = the stored-index path sim_ann_ivfpq serves (probe → ADC
+  // shortlist → exact re-rank, top-3); exact side = the brute-force
+  // scan, declared as the baseline the way sim_bruteforce_topk is.
+  // n_hit is an integer semi-join count and recall3 a single IEEE
+  // division, so the result is hash-exact. Queries with zero hits are
+  // preserved through the exact side's grouping. Expected magnitude on
+  // THIS corpus: the synthetic embeddings are unclustered, so IVFPQ
+  // recall is ceilinged by the probe fraction (2/16 cells — see
+  // SimilaritySpec's lift-over-uniform-pruning assertion); on clustered
+  // real embeddings the same gauge reads near the re-rank ceiling.
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = ivfpqAdistStaged(s, d, queryMod = 50)
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val approx = pqRerank(emb, shortlist).select($"query_id", $"neighbor_id")
+    val full = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
+    val qfull = full.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"fe".as("qe"))
+    val wEx = Window.partitionBy($"query_id").orderBy($"dx", $"neighbor_id")
+    val exact = full.withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(qfull))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", l2sq($"qe", $"fe").as("dx"))
+      .withColumn("r", row_number().over(wEx)).filter($"r" <= 3)
+      .select($"query_id", $"neighbor_id")
+    exact
+      .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).as("n_hit"))
+      .select($"query_id", $"n_hit", ($"n_hit" / 3.0).as("recall3"))
+      .orderBy($"query_id")
+  }
+  private val annRecallSql =
+    s"""WITH ${ivfpqAdistSql(queryMod = 50)},
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= $PqShortlist),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id, row_number() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY ${l2sqSql("qv.fe", "nv.fe", Dims)}, s.neighbor_id) AS rank
+       |    FROM shortlist s
+       |    JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |    JOIN fullv qv ON s.query_id = qv.vec_id) WHERE rank <= 3),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2sqSql("q.fe", "n.fe", Dims)}, n.vec_id) AS r
+       |    FROM fullv q JOIN fullv n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 50 = 0) WHERE r <= 3)
+       |SELECT e.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(3.0 AS DOUBLE) AS recall3
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  // -- k-means corpus clustering report -------------------------------------
+  // The curation primitive SemDeDup-style pipelines start from: partition
+  // the embedding corpus into k centroids and report per-cluster mass +
+  // within-cluster squared-distance (inertia). Reuses the IVF coarse
+  // quantizer verbatim (seeded deterministic Lloyd, decimal means), so
+  // the oracle replays training exactly; the inertia sum pairs the
+  // proven-bit-equal l2sq kernel with a decimal-cast sum on both
+  // engines. Scale: assignment is a broadcast-codebook map pass over
+  // the corpus; the report is one groupBy(cell) — no pairwise joins.
+  private def kmeansClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val csubs = pqSubsM(Tables.embeddings(s, d), 1, Dims)
+    val coarse = pqTrainCodebook(csubs).localCheckpoint()
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    pqAssign(csubs, coarse)
+      .join(csubs.select($"vec_id", $"m", $"sub"), Seq("vec_id", "m"))
+      .join(broadcast(cc), "cell_id")
+      .select($"cell_id", l2sq($"sub", $"cce").as("d2"))
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n"), dsum($"d2").as("inertia"))
+      .orderBy($"cell_id")
+  }
+  private val kmeansClustersSql = {
+    import graft.OracleMath.sqlSum
+    s"""WITH csubs AS (
+       |  SELECT vec_id, 0 AS m,
+       |    list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
+       |  FROM embeddings),
+       |cc0 AS (SELECT m, vec_id AS cell_id, sub AS ce FROM csubs
+       |       WHERE vec_id % $PqSeedMod = 3 AND vec_id < $PqSeedCap),
+       |ca0 AS (SELECT vec_id, m, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
+       |    FROM csubs s JOIN cc0 c ON s.m = c.m) WHERE rn = 1),
+       |cc1 AS (SELECT m, cell_id, list(mean ORDER BY i) AS ce FROM (
+       |    SELECT a.m, a.cell_id, t.i,
+       |      CAST(SUM(CAST(s.sub[t.i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM ca0 a JOIN csubs s ON a.vec_id = s.vec_id AND a.m = s.m,
+       |         unnest(range(1, ${Dims + 1})) t(i)
+       |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |cells AS (SELECT vec_id, cell_id FROM (
+       |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
+       |    FROM csubs s JOIN cc1 c ON s.m = c.m) WHERE rn = 1)
+       |SELECT cl.cell_id, COUNT(*) AS n,
+       |  ${sqlSum(l2sqSql("s.sub", "c.ce", Dims))} AS inertia
+       |FROM cells cl
+       |JOIN csubs s ON s.vec_id = cl.vec_id
+       |JOIN cc1 c ON c.cell_id = cl.cell_id
+       |GROUP BY cl.cell_id ORDER BY cl.cell_id""".stripMargin
+  }
+
   // -- #36f incremental ANN index update ------------------------------------
   // The ingest path of a stored ANN index: a NEW batch of vectors
   // (vec_id % 17 == 3 plays the arriving delta) is encoded against the
@@ -1489,6 +1613,8 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("q_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("sim_ann_incremental", annIncremental, Some(annIncrementalSql)),

@@ -98,6 +98,35 @@ class Round10Spec extends AnyFunSuite {
       "sim_ann_pq retrained the raw-PQ codebook instead of reading the stored index")
   }
 
+  // ---- ANN recall gauge + k-means report -----------------------------------
+
+  test("q_ann_recall: every query reported, hits bounded by 3, recall consistent") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    val nQueries = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .select("query_id").distinct().count()
+    assert(rows.length.toLong == nQueries,
+      "recall must be reported for every query, including zero-hit ones")
+    rows.foreach { r =>
+      val (nh, rec) = (r.getLong(1), r.getDouble(2))
+      assert(nh >= 0 && nh <= 3, s"n_hit out of range: $r")
+      assert(rec == nh / 3.0, s"recall3 must be exactly n_hit/3: $r")
+    }
+    // the router must beat uniform pruning (2/16 cells ≈ 0.125 chance)
+    val mean = rows.map(_.getLong(1)).sum / (3.0 * rows.length)
+    assert(mean > 0.125, s"mean recall $mean shows no lift over random probing")
+  }
+
+  test("q_kmeans_clusters: partition of the corpus with positive spread") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_kmeans_clusters")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16, s"expected <=16 seeded cells, got ${rows.length}")
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(total == corpus, s"cluster sizes must partition the corpus: $total != $corpus")
+    assert(rows.forall(_.getDouble(2) >= 0.0), "inertia must be non-negative")
+    assert(rows.map(_.getDouble(2)).sum > 0.0, "total inertia of a real corpus is positive")
+  }
+
   // ---- staged-index retention ----------------------------------------------
 
   test("staging vacuum: dead index dirs are removed, live ones kept") {
