@@ -246,6 +246,10 @@ object Multimodal {
 
   private def stagedMedia(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
+    // repartition is the right tool at this data size; at real media
+    // scale you would lower spark.sql.files.maxPartitionBytes on the
+    // scan instead — re-splitting at the source beats shuffling payload
+    // bytes once the payload column dominates the row
     s.read.parquet(s"${mediaRoot(s, d)}/media").as[MediaRow]
       .repartition(s.sparkContext.defaultParallelism)
   }
