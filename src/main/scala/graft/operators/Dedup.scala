@@ -479,6 +479,53 @@ object Dedup {
        |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  // -- q_leakage_split: near-dup-aware train/heldout split ------------------
+  // The reason dedup matters for EVAL integrity, made an operator: a
+  // random per-doc split leaks — a near-duplicate of a heldout doc in
+  // the train side inflates every downstream eval. Splitting BY
+  // NEAR-DUP COMPONENT (the dedup_components labels; singletons are
+  // their own component) guarantees structurally that no J ≥ 0.8 pair
+  // ever straddles the split. Assignment is the mixture ops'
+  // deterministic md5 keep-key over the COMPONENT label (~80/20), so
+  // re-running the pipeline reproduces the byte-identical split — the
+  // property a training-data freeze needs — and the oracle replays it.
+  // Scale: components come from the banded LSH pair set (never
+  // corpus²); the split itself is a row-local hash over one
+  // corpus ⟕ labels join.
+  private def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val labels = componentLabels(pairs)
+    Tables.documents(s, d).select($"doc_id")
+      .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("component"))
+      .withColumn("split",
+        when(Behavioral.mixKey($"component") % 10 < 8, lit("train"))
+          .otherwise(lit("heldout")))
+      .orderBy($"doc_id")
+  }
+  private val leakageSplitSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+       |alldocs AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, component,
+       |  CASE WHEN ${Behavioral.mixKeySql("component")} % 10 < 8
+       |       THEN 'train' ELSE 'heldout' END AS split
+       |FROM alldocs ORDER BY doc_id""".stripMargin
+
   // -- q_fuzzy_join: edit-distance ≤ 1 join via deletion neighborhoods -----
   // Typo-tolerant entity matching (SymSpell's candidate scheme): each
   // string expands to itself + every single-character deletion, and two
@@ -758,6 +805,7 @@ object Dedup {
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_containment", ngramContainment, Some(ngramContainmentSql)),
     QueryDef("dedup_containment_apply", containmentApply, Some(containmentApplySql)),
+    QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),

@@ -98,6 +98,26 @@ class Round10Spec extends AnyFunSuite {
       "sim_ann_pq retrained the raw-PQ codebook instead of reading the stored index")
   }
 
+  // ---- leakage-safe split --------------------------------------------------
+
+  test("q_leakage_split: no near-dup pair straddles the split; fractions sane") {
+    val split = SparkEntry.queries("q_leakage_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val corpus = Tables.documents(spark, sf).count()
+    assert(split.size.toLong == corpus, "every doc must be assigned")
+    // the structural guarantee: both ends of every verified near-dup
+    // pair land in the same component, hence the same side
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) split across components")
+      assert(split(a)._2 == split(b)._2, s"near-dup pair ($a,$b) leaks across the split")
+    }
+    val held = split.values.count(_._2 == "heldout").toDouble / split.size
+    assert(held > 0.10 && held < 0.32, s"heldout fraction $held outside sane band")
+  }
+
   // ---- ANN recall gauge + k-means report -----------------------------------
 
   test("q_ann_recall: every query reported, hits bounded by 3, recall consistent") {
