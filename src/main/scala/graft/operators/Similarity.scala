@@ -930,9 +930,11 @@ object Similarity {
       .agg(count(lit(1)).as("n"), dsum($"d2").as("inertia"))
       .orderBy($"cell_id")
   }
-  private val kmeansClustersSql = {
-    import graft.OracleMath.sqlSum
-    s"""WITH csubs AS (
+  /** Shared oracle CTE chain for whole-vector seeded Lloyd: csubs →
+    * cc0 (seed grid) → ca0 (seed assignment) → cc1 (decimal-mean
+    * centroids) → cells (final assignment). */
+  private val coarseCellsCte =
+    s"""csubs AS (
        |  SELECT vec_id, 0 AS m,
        |    list_transform(range(1, ${Dims + 1}),
        |      i -> CAST(embedding[i] AS DOUBLE)) AS sub
@@ -954,7 +956,11 @@ object Similarity {
        |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2FastSql("s.sub", "c.ce", Dims)}, c.cell_id) AS rn
-       |    FROM csubs s JOIN cc1 c ON s.m = c.m) WHERE rn = 1)
+       |    FROM csubs s JOIN cc1 c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+
+  private val kmeansClustersSql = {
+    import graft.OracleMath.sqlSum
+    s"""WITH $coarseCellsCte
        |SELECT cl.cell_id, COUNT(*) AS n,
        |  ${sqlSum(l2sqSql("s.sub", "c.ce", Dims))} AS inertia
        |FROM cells cl
@@ -962,6 +968,61 @@ object Similarity {
        |JOIN cc1 c ON c.cell_id = cl.cell_id
        |GROUP BY cl.cell_id ORDER BY cl.cell_id""".stripMargin
   }
+
+  // -- embedding outlier screen ----------------------------------------------
+  // The noise/poisoning screen curation pipelines run after clustering
+  // (the CLIP-filter analog for structureless metadata): a vector far
+  // from its own centroid relative to the cell's spread is flagged.
+  // Parity discipline is q_variance's: per-cell second moments over
+  // 10⁻⁶-scaled INTEGER distances (exact, mergeable, order-free);
+  // floats enter only in the final division/sqrt of exact integers,
+  // and the flag compares identical doubles on both engines — the
+  // subtraction form (d2 − mean > Z·std) needs no division and is
+  // degenerate-safe for single-vector cells (0 > 0 = false). Z = 1.25
+  // here: the synthetic embeddings are near-uniform (max observed z
+  // ≈ 1.86), so the screen flags the ~2% tail; real embedding spaces
+  // have heavier tails and run the same screen at 2-3σ.
+  private def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val csubs = pqSubsM(Tables.embeddings(s, d), 1, Dims)
+    val coarse = pqTrainCodebook(csubs).localCheckpoint()
+    val cc = coarse.select($"cell_id", $"ce".as("cce"))
+    val d2s = pqAssign(csubs, coarse)
+      .join(csubs.select($"vec_id", $"m", $"sub"), Seq("vec_id", "m"))
+      .join(broadcast(cc), "cell_id")
+      .select($"vec_id", $"cell_id", l2sq($"sub", $"cce").as("d2"))
+    val q = floor($"d2" * 1e6 + 0.5).cast("decimal(38,0)")
+    val stats = d2s.select($"cell_id", q.as("q"))
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s"), sum($"q" * $"q").as("qq"))
+      .select($"cell_id",
+        ($"s".cast("double") / $"n" / 1e6).as("mean_d2"),
+        sqrt(($"n" * $"qq" - $"s" * $"s").cast("double")
+          / ($"n" * $"n").cast("double") / 1e12).as("std_d2"))
+    d2s.join(broadcast(stats), "cell_id")
+      .filter($"d2" - $"mean_d2" > $"std_d2" * 1.25)
+      .select($"vec_id", $"cell_id", round($"d2", 6).as("d26"))
+      .orderBy($"vec_id")
+  }
+  private val embeddingOutliersSql =
+    s"""WITH $coarseCellsCte,
+       |d2s AS (SELECT cl.vec_id, cl.cell_id,
+       |    ${l2sqSql("s.sub", "c.ce", Dims)} AS d2
+       |  FROM cells cl
+       |  JOIN csubs s ON s.vec_id = cl.vec_id
+       |  JOIN cc1 c ON c.cell_id = cl.cell_id),
+       |m AS (SELECT cell_id, COUNT(*) AS n,
+       |    SUM(CAST(floor(d2 * 1e6 + 0.5) AS HUGEINT)) AS s,
+       |    SUM(CAST(floor(d2 * 1e6 + 0.5) AS HUGEINT)
+       |      * CAST(floor(d2 * 1e6 + 0.5) AS HUGEINT)) AS qq
+       |  FROM d2s GROUP BY cell_id),
+       |st AS (SELECT cell_id, CAST(s AS DOUBLE) / n / 1e6 AS mean_d2,
+       |    sqrt(CAST(n * qq - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e12)
+       |      AS std_d2 FROM m)
+       |SELECT d.vec_id, d.cell_id, round(d.d2, 6) AS d26
+       |FROM d2s d JOIN st ON st.cell_id = d.cell_id
+       |WHERE d.d2 - st.mean_d2 > st.std_d2 * CAST(1.25 AS DOUBLE)
+       |ORDER BY d.vec_id""".stripMargin
 
   // -- #36f incremental ANN index update ------------------------------------
   // The ingest path of a stored ANN index: a NEW batch of vectors
@@ -1615,6 +1676,7 @@ object Similarity {
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
+    QueryDef("q_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("sim_ann_incremental", annIncremental, Some(annIncrementalSql)),

@@ -136,6 +136,21 @@ class Round10Spec extends AnyFunSuite {
     assert(mean > 0.125, s"mean recall $mean shows no lift over random probing")
   }
 
+  test("q_embedding_outliers: flags are the far tail of their own cell") {
+    val flagged = SparkEntry.queries("q_embedding_outliers")(spark, sf).collect()
+    assert(flagged.nonEmpty, "screen should flag the far tail")
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(flagged.length < corpus / 10,
+      s"an outlier screen flagging ${flagged.length}/$corpus is a filter, not a screen")
+    // every flagged distance exceeds its cluster's mean inertia-per-doc
+    val meanD2 = SparkEntry.queries("q_kmeans_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    flagged.foreach { r =>
+      assert(r.getDouble(2) > meanD2(r.getLong(1)),
+        s"flagged vector not above its cell mean: $r")
+    }
+  }
+
   test("q_kmeans_clusters: partition of the corpus with positive spread") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_kmeans_clusters")(spark, sf).collect()
