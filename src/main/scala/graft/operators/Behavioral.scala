@@ -335,7 +335,45 @@ object Behavioral {
        |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN tot t
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // -- q_transition_matrix: first-order Markov transitions ------------------
+  // The event-sequence summary behavioral pipelines feed into session
+  // models and anomaly scoring: P(next event type | current type),
+  // estimated from every consecutive pair in each user's timeline.
+  // Shapes: ONE window (lag over the user's total-ordered events —
+  // ts_ns then event_id breaks timestamp ties, so the pair set is
+  // deterministic) and one groupBy; state per user is a single row of
+  // look-behind, so the window never buffers a timeline. Parity: counts
+  // are exact integers; the probability is one IEEE division of two
+  // exact integers per output row — no aggregation-order exposure.
+  private def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        $"n".cast("double") / sum($"n").over(Window.partitionBy($"prev_type")))
+      .orderBy($"prev_type", $"event_type")
+  }
+  private val transitionMatrixSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+      |            FROM events),
+      |st AS (SELECT event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts_ns, event_id) AS prev_type
+      |       FROM ev)
+      |SELECT prev_type, event_type, COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE)
+      |    / (SUM(COUNT(*)) OVER (PARTITION BY prev_type)) AS p
+      |FROM st WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     QueryDef("q_kfold_split", kfoldSplit, Some(kfoldSplitSql)),
     QueryDef("q_length_batching", lengthBatching, Some(lengthBatchingSql)),

@@ -270,6 +270,115 @@ object Dedup {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- MinHash-LSH candidate-recall accounting ------------------------------
+  // The dedup twin of q_ann_recall: banded LSH is probabilistic — a
+  // J ≥ 0.8 pair that never collides on any band is silently missed —
+  // so production dedup monitors CANDIDATE RECALL against exact truth
+  // (with B=8 bands of r=4 rows, P[candidate | J=0.8] = 1-(1-J⁴)⁸ ≈
+  // 0.984; lower J pairs decay fast — the S-curve this op measures).
+  // Both legs are scalable equi-joins: truth = the shared-gram
+  // inverted-index join (dedup_ngram_jaccard's shape, integer-exact
+  // J ≥ 0.8 as 10c ≥ 8(|A|+|B|-c)); candidates = the band-key
+  // self-join. The signature here is REPLAYABLE minhash (unlike
+  // dedup_minhash_lsh's xxhash bands): per-gram md5-low-half → 31-bit
+  // residue → 32 universal-hash lanes (a·h+b mod M₃₁, constants
+  // LCG-derived — every product fits a signed 64-bit on both engines),
+  // min per lane, band key = 4 lane values. Output is the one-row
+  // accounting: |truth|, |candidates|, |hit|, recall — integer counts
+  // plus one IEEE division.
+  private val RecLanes = 32
+  private val RecRows = 4 // lanes per band → 8 bands
+  private val RecM = 2147483647L // M₃₁ = 2³¹-1 (Mersenne)
+  /** Deterministic universal-hash constants: a ∈ [1,M), b ∈ [0,M) from
+    * a fixed LCG — literal-embedded in both engines' plans. */
+  private val recAB: Seq[(Long, Long)] = {
+    var x = BigInt(88172645463325252L)
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L)
+      .mod(BigInt(2).pow(64)); (x % RecM).toLong }
+    (0 until RecLanes).map(_ => (next() % (RecM - 1) + 1, next()))
+  }
+  private def minhashRecall(s: SparkSession, d: String): DataFrame =
+    minhashRecallOn(s, d, RecRows)
+
+  /** The recall accounting with a chosen band shape (lanes per band out
+    * of the 32 — wider bands collide less, recall drops below 1), so
+    * the spec can demonstrate the measurement actually measuring. */
+  private[graft] def minhashRecallOn(s: SparkSession, d: String,
+      rowsPerBand: Int): DataFrame = {
+    import s.implicits._
+    require(RecLanes % rowsPerBand == 0, s"band shape $rowsPerBand !| $RecLanes")
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+    // exact truth via the inverted-index join, integer-exact threshold
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val truth = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .filter($"c" * 10 >= ($"sa.sz" + $"sb.sz" - $"c") * 8)
+      .select($"doc_a", $"doc_b")
+    // replayable minhash signature: min per lane of (a·h31+b) mod M
+    val h31 = grams.select($"doc_id",
+      (md5lower64($"g").bitwiseAND(lit(Long.MaxValue)) % RecM).as("h"))
+    val laneMins = recAB.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * $"h" + lit(b)) % RecM).as(s"l$j")
+    }
+    val sig = h31.groupBy($"doc_id").agg(laneMins.head, laneMins.tail: _*)
+    val bands = sig.select($"doc_id",
+      explode(array((0 until RecLanes / rowsPerBand).map(bd =>
+        struct(lit(bd).as("band"),
+          concat_ws("-", (0 until rowsPerBand).map(r =>
+            col(s"l${bd * rowsPerBand + r}")): _*).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_candidates", $"n_hit",
+        when($"n_truth" === 0, 1.0)
+          .otherwise($"n_hit".cast("double") / $"n_truth").as("recall"))
+  }
+  private val minhashRecallSql = {
+    val aList = recAB.map(_._1).mkString("[", ", ", "]")
+    val bList = recAB.map(_._2).mkString("[", ", ", "]")
+    s"""WITH $jaccardCtes,
+       |truth AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 10 >= (sa.sz + sb.sz - c) * 8),
+       |h31 AS (SELECT doc_id,
+       |    CAST(CAST(md5_number_lower(g) AS HUGEINT)
+       |      % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) % $RecM AS h
+       |  FROM grams),
+       |lanes AS (SELECT doc_id, j.j AS j,
+       |    MIN((list_extract($aList, CAST(j.j AS INTEGER) + 1) * h
+       |       + list_extract($bList, CAST(j.j AS INTEGER) + 1)) % $RecM) AS v
+       |  FROM h31, unnest(range(0, $RecLanes)) j(j) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // $RecRows AS band,
+       |    string_agg(CAST(v AS VARCHAR), '-' ORDER BY j) AS key
+       |  FROM lanes GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |hit AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |                WHERE t.doc_a = cand.doc_a AND t.doc_b = cand.doc_b)),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+       |nh AS (SELECT COUNT(*) AS n_hit FROM hit)
+       |SELECT n_truth, n_candidates, n_hit,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
+       |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin
+  }
+
   // -- SimHash near-dup ----------------------------------------------------
   // 64-bit simhash over the shingle set, banded into k+1 = 13 blocks
   // (12×5 bits + 1×4 bits): by pigeonhole, any pair at hamming ≤ 12
@@ -807,6 +916,7 @@ object Dedup {
     QueryDef("dedup_containment_apply", containmentApply, Some(containmentApplySql)),
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_minhash_recall", minhashRecall, Some(minhashRecallSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),
   )

@@ -122,6 +122,102 @@ object SemiStructured {
        |FROM orders
        |GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin
 
+  // -- equi-depth histogram ------------------------------------------------
+  // The other histogram a profiler needs: buckets of (approximately)
+  // equal ROW COUNT, so a skewed distribution still yields informative
+  // boundaries (equi-width puts 90% of a lognormal in one bucket).
+  // Construction is on DISTINCT values, not rows: groupBy(value) →
+  // per-value counts (map-side combined, the only full-data shuffle),
+  // then a prefix sum over the value-ordered groups assigns each group
+  // the bucket of its FIRST row — integer arithmetic, and a stated tie
+  // policy (equal values never split across buckets — the property a
+  // data-skipping histogram needs). The prefix-sum window runs over
+  // distinct values only; at 100 TB with a truly unbounded value domain
+  // the same construction range-partitions the prefix sum (per-range
+  // subtotals + broadcast offsets) instead of one ordered window — the
+  // two-pass shape q_pack_sequences documents.
+  private val DepthBuckets = 10
+  private def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(s, d)
+      .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
+    vals
+      .withColumn("cum", sum($"c").over(Window.orderBy($"v")))
+      .withColumn("n", sum($"c").over(Window.partitionBy()))
+      .withColumn("bucket", expr(s"(cum - c) * $DepthBuckets div n"))
+      .groupBy($"bucket")
+      .agg(sum($"c").as("n_rows"), min($"v").as("lo"), max($"v").as("hi"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy($"bucket")
+  }
+  private val equidepthHistogramSql =
+    s"""WITH vals AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+       |              FROM lineitem GROUP BY 1),
+       |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+       |               SUM(c) OVER () AS n FROM vals)
+       |SELECT (cum - c) * $DepthBuckets // n AS bucket,
+       |  CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi,
+       |  COUNT(*) AS n_distinct
+       |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // -- Count-Min Sketch frequency estimation -------------------------------
+  // The fixed-size mergeable frequency sketch (Cormode & Muthukrishnan
+  // 2005) that complements Misra-Gries (q_heavy_hitters): d=4 hash rows
+  // × w=256 counters, estimate = min over rows of the hashed counter —
+  // always an OVERestimate, within eN/w with probability 1-exp(-d).
+  // The sketch build is one groupBy over (row, bucket): counters are
+  // plain sums, so shards merge by addition — the 100 TB shape (each
+  // partition sketches locally, partials add; the shuffle carries
+  // d×w=1024 longs per partition, never keys). Hash row j uses the
+  // md5-derived mixKey over "j:key", so DuckDB replays the exact
+  // placement; estimates and errors are integer-exact on both engines.
+  // Output: the 20 heaviest users (exact count desc, user_id ties) with
+  // exact vs estimated count — the accuracy accounting production
+  // sketches monitor.
+  private val CmsD = 4
+  private val CmsW = 256L
+  private def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def buckets(df: DataFrame): DataFrame = df.select($"user_id",
+      explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"),
+          (Behavioral.mixKey(concat_ws(":", lit(j), $"user_id")) % CmsW)
+            .as("bucket"))): _*)).as("h"))
+      .select($"user_id", $"h.j", $"h.bucket")
+    val keys = Tables.events(s, d).select($"user_id")
+    // one increment per event per hash row → counter = stream mass there
+    val sketch = buckets(keys).groupBy($"j", $"bucket")
+      .agg(count(lit(1)).as("counter"))
+    val exact = keys.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+    // probe once per DISTINCT key; the ≤ d×w-row sketch broadcasts
+    val est = buckets(exact.select($"user_id"))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy($"user_id").agg(min($"counter").as("est"))
+    exact.join(est, "user_id")
+      .select($"user_id", $"n_exact", $"est",
+        ($"est" - $"n_exact").as("overcount"))
+      .orderBy($"n_exact".desc, $"user_id")
+      .limit(20)
+  }
+  private val cmsFreqSql = {
+    val h = Behavioral.mixKeySql("concat(j, ':', user_id)")
+    s"""WITH keys AS (SELECT user_id FROM events),
+       |hashed AS (SELECT u.user_id, j.j AS j, $h % $CmsW AS bucket
+       |           FROM (SELECT DISTINCT user_id FROM keys) u,
+       |                unnest(range(0, $CmsD)) j(j)),
+       |sketch AS (SELECT h.j, h.bucket, COUNT(*) AS counter
+       |           FROM keys k JOIN hashed h ON h.user_id = k.user_id
+       |           GROUP BY 1, 2),
+       |exact AS (SELECT user_id, COUNT(*) AS n_exact FROM keys GROUP BY 1),
+       |est AS (SELECT h.user_id, MIN(s.counter) AS est
+       |        FROM hashed h JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+       |        GROUP BY 1)
+       |SELECT e.user_id, e.n_exact, est.est, est.est - e.n_exact AS overcount
+       |FROM exact e JOIN est ON est.user_id = e.user_id
+       |ORDER BY e.n_exact DESC, e.user_id LIMIT 20""".stripMargin
+  }
+
   // -- join-key skew diagnostic --------------------------------------------
   // The measurement that decides whether a join needs salting (SURVEY
   // #46): per-key counts → the heaviest keys with their share of the
@@ -442,6 +538,8 @@ object SemiStructured {
     QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),
     QueryDef("q_profile_stats", profile, Some(profileSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
+    QueryDef("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
+    QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),

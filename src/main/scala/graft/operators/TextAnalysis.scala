@@ -392,7 +392,115 @@ object TextAnalysis {
        |  md5(array_to_string(uw, ' ')) AS clean_md5
        |FROM u ORDER BY doc_id""".stripMargin
 
+  // -- bigram PMI collocations ----------------------------------------------
+  // Corpus-level collocation mining (Church & Hanks 1990): pointwise
+  // mutual information ln(P(u,v) / (P(u)P(v))) over adjacent word
+  // pairs — the signal tokenizer-vocabulary and phrase-mining passes
+  // rank merge candidates by (it is BPE's merge objective with counts
+  // in place of probabilities). Shapes: unigram and bigram counts are
+  // two narrow groupBys over exploded tokens (map-side combined); the
+  // one-row bigram total broadcasts; the ≥ 5-count support filter
+  // bounds the scoring join; top-50 is TakeOrdered, never a global
+  // sort. Parity: counts are exact integers; PMI is computed with
+  // identical parenthesization both engines and published as
+  // floor(x·10⁶ + 0.5) — a scaled INTEGER column, so a ≤ 1-ulp ln()
+  // difference cannot surface except exactly on a rounding boundary.
+  private def pmi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+    val uni = docs.select(explode($"w").as("t")).filter($"t" =!= "")
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val bgf = docs.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS u, w[i + 1] AS v2))")).as("b"))
+      .select($"b.u", $"b.v2")
+      .filter($"u" =!= "" && $"v2" =!= "")
+    val tot = bgf.agg(count(lit(1)).as("n"))
+    val cb = bgf.groupBy($"u", $"v2").agg(count(lit(1)).as("c_uv"))
+      .filter($"c_uv" >= 5)
+    cb.join(uni.select($"t".as("u"), $"c".as("c_u")), "u")
+      .join(uni.select($"t".as("v2"), $"c".as("c_v")), "v2")
+      .crossJoin(broadcast(tot))
+      .select($"u", $"v2", $"c_uv", $"c_u", $"c_v",
+        floor(log(($"c_uv".cast("double") * $"n") /
+          ($"c_u".cast("double") * $"c_v")) * 1e6 + 0.5).cast("long").as("pmi6"))
+      .orderBy($"c_uv".desc, $"u", $"v2")
+      .limit(50)
+  }
+  private val pmiSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |uni AS (SELECT t, COUNT(*) AS c
+       |        FROM (SELECT unnest(w) AS t FROM docs) WHERE t <> '' GROUP BY 1),
+       |bgf AS (SELECT w[i] AS u, w[i + 1] AS v2
+       |        FROM docs, unnest(range(1, len(w))) t(i)
+       |        WHERE len(w) >= 2 AND w[i] <> '' AND w[i + 1] <> ''),
+       |tot AS (SELECT COUNT(*) AS n FROM bgf),
+       |cb AS (SELECT u, v2, COUNT(*) AS c_uv FROM bgf
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT cb.u, cb.v2, cb.c_uv, cu.c AS c_u, cv.c AS c_v,
+       |  CAST(floor(ln(CAST(cb.c_uv AS DOUBLE) * tot.n
+       |    / (CAST(cu.c AS DOUBLE) * cv.c)) * 1e6 + 0.5) AS BIGINT) AS pmi6
+       |FROM cb JOIN uni cu ON cu.t = cb.u
+       |JOIN uni cv ON cv.t = cb.v2 CROSS JOIN tot
+       |ORDER BY cb.c_uv DESC, cb.u, cb.v2 LIMIT 50""".stripMargin
+
+  // -- curriculum ordering ---------------------------------------------------
+  // Quality-first training order (curriculum learning, Bengio et al.
+  // 2009, as data engineering): clean docs first, then boilerplate,
+  // then repetitive, then too-short — with a DETERMINISTIC md5 shuffle
+  // inside each tier so no source/id ordering leaks into batch order.
+  // Tiers are text_quality's exact rules; the order key is
+  // (tier_rank, mixKey(doc_id), doc_id) — a total order, so the
+  // assigned position is unique and a rerun reproduces the byte-
+  // identical curriculum (the training-freeze property). Position is
+  // materialized by a RANGE-PARTITIONED sort + per-partition offsets
+  // (zipWithIndex), never a single-partition row_number window — the
+  // sort samples split points, each partition numbers locally, and the
+  // offset is partition-size prefix arithmetic; that is the 100 TB
+  // global-enumeration shape.
+  private def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = stop.head._2
+    val scored = Tables.documents(s, d)
+      .withColumn("words", TextPrep.words($"text"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("rep_ratio",
+        size(array_distinct($"words")).cast("double") / $"n_words")
+      .withColumn("stop_ratio",
+        stopword_scores($"words", Seq(en))(0).cast("double") / $"n_words")
+      .withColumn("tier_rank",
+        when($"n_words" < 20, 3).when($"rep_ratio" < 0.3, 2)
+          .when($"stop_ratio" > 0.5, 1).otherwise(0))
+      .withColumn("k", Behavioral.mixKey($"doc_id"))
+      .select($"doc_id", $"tier_rank", $"k")
+      .orderBy($"tier_rank", $"k", $"doc_id")
+    val schema = org.apache.spark.sql.types.StructType(
+      scored.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "position", org.apache.spark.sql.types.LongType, nullable = false))
+    val numbered = s.createDataFrame(
+      scored.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
+    numbered.select($"position", $"doc_id", $"tier_rank").orderBy($"position")
+  }
+  private val curriculumOrderSql = {
+    val en = stop.head._2
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |m AS (SELECT doc_id, len(words) AS n_words,
+       |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
+       |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio FROM w),
+       |t AS (SELECT doc_id,
+       |  CASE WHEN n_words < 20 THEN 3 WHEN rep_ratio < 0.3 THEN 2
+       |       WHEN stop_ratio > 0.5 THEN 1 ELSE 0 END AS tier_rank,
+       |  ${Behavioral.mixKeySql("doc_id")} AS k FROM m)
+       |SELECT ROW_NUMBER() OVER (ORDER BY tier_rank, k, doc_id) AS position,
+       |  doc_id, tier_rank
+       |FROM t ORDER BY position""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_pmi", pmi, Some(pmiSql)),
+    QueryDef("q_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
