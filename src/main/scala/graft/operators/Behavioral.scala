@@ -358,7 +358,7 @@ object Behavioral {
         $"n".cast("double") / sum($"n").over(Window.partitionBy($"prev_type")))
       .orderBy($"prev_type", $"event_type")
   }
-  private val transitionMatrixSql =
+  private[graft] val transitionMatrixSql =
     """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
       |            FROM events),
       |st AS (SELECT event_type,
@@ -372,8 +372,47 @@ object Behavioral {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, event_type""".stripMargin
 
+  // -- q_attribution: last-touch channel attribution ------------------------
+  // The marketing-analytics standard beside funnel and retention: each
+  // purchase is credited to the user's most recent PRECEDING
+  // non-purchase event type (its "channel"); a purchase with no prior
+  // touch is 'direct'. One window per user — last(... ignoreNulls) over
+  // ROWS UNBOUNDED PRECEDING..1 PRECEDING, the frame Spark and DuckDB
+  // define identically — with the (ts_ns, event_id) total order making
+  // the credited touch deterministic under timestamp ties. Revenue
+  // sums ride the decimal pre-cast (dsum), so partial-agg order can't
+  // drift bits.
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.OracleMath.dsum
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("att",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"att", lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("revenue"))
+      .orderBy($"channel")
+  }
+  private val attributionSql =
+    s"""WITH ev AS (SELECT user_id, event_type, value, epoch_ns(ts) AS ts_ns,
+       |             event_id FROM events),
+       |att AS (SELECT event_type, value,
+       |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |             IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att
+       |  FROM ev)
+       |SELECT COALESCE(att, 'direct') AS channel, COUNT(*) AS n_purchases,
+       |  ${graft.OracleMath.sqlSum("value")} AS revenue
+       |FROM att WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    QueryDef("q_attribution", attribution, Some(attributionSql)),
     QueryDef("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     QueryDef("q_kfold_split", kfoldSplit, Some(kfoldSplitSql)),
     QueryDef("q_length_batching", lengthBatching, Some(lengthBatchingSql)),

@@ -635,6 +635,82 @@ object Dedup {
        |       THEN 'train' ELSE 'heldout' END AS split
        |FROM alldocs ORDER BY doc_id""".stripMargin
 
+  // -- q_triangle_count: triangles in the near-dup graph --------------------
+  // The graph-density diagnostic over the duplicate graph (the third
+  // graph op beside connected components and PageRank): near-dup
+  // clusters at J ≥ 0.8 are near-CLIQUES, so triangle participation
+  // separates genuine duplicate clusters from chains of borderline
+  // pairs (a transitive-closure artifact worth auditing before a
+  // keep-one pass deletes a chain's middle). Classic scalable shape
+  // (node-iterator on ordered edges): edges are canonical a < b, so
+  // each triangle x<y<z is found EXACTLY once by joining ab⋈bc on the
+  // shared middle node and closing with one ac equi-join — two narrow
+  // equi-joins on doc ids, never an adjacency cross product; the edge
+  // list is localCheckpoint'd so the LSH pipeline above it runs once,
+  // not three times. Per-node counts come from one explode + groupBy.
+  private def triangleCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = minhashLsh(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), $"ab.doc_b" === $"bc.doc_a")
+      .join(edges.as("ac"),
+        $"ac.doc_a" === $"ab.doc_a" && $"ac.doc_b" === $"bc.doc_b")
+      .select($"ab.doc_a".as("x"), $"ab.doc_b".as("y"), $"bc.doc_b".as("z"))
+    tri.select(explode(array($"x", $"y", $"z")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+  private val triangleCountSql =
+    s"""WITH $jaccardCtes,
+       |truth AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |tri AS (SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
+       |  FROM truth ab
+       |  JOIN truth bc ON ab.doc_b = bc.doc_a
+       |  JOIN truth ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM (SELECT x AS doc_id FROM tri UNION ALL
+       |      SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- q_entity_resolution: fuzzy-match clusters → canonical entity ---------
+  // The record-linkage pipeline composed from parts the engine already
+  // proves separately: candidate pairs from the SymSpell deletion-
+  // neighborhood equi-join (q_fuzzy_join — O(N·L) candidate rows, never
+  // N²), clusters from the same Pregel-style min-label propagation as
+  // dedup_components (min() is the label fold, and it works on STRINGS
+  // — both engines order varchars identically here: the names are
+  // ASCII and binary collation is the declared semantics), canonical
+  // representative = the cluster's min name. Every name resolves:
+  // singletons are their own canonical entity. The oracle replays the
+  // closure with a recursive CTE over the brute-force pair set.
+  private def entityResolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = componentLabels(fuzzyPairs(s, d))
+    fuzzyNames(s, d)
+      .join(labels.select($"id".as("name"), $"label"), Seq("name"), "left")
+      .select($"name", coalesce($"label", $"name").as("canonical"))
+      .orderBy($"name")
+  }
+  private val entityResolutionSql =
+    """WITH RECURSIVE names AS (SELECT DISTINCT c_name AS name FROM customer
+      |               WHERE c_custkey % 7 = 0),
+      |pairs AS (SELECT a.name AS n1, b.name AS n2
+      |  FROM names a JOIN names b ON a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 1),
+      |edges AS (SELECT n1 AS src, n2 AS dst FROM pairs
+      |          UNION ALL SELECT n2, n1 FROM pairs),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, MIN(label) AS canonical FROM reach GROUP BY id)
+      |SELECT n.name, COALESCE(c.canonical, n.name) AS canonical
+      |FROM names n LEFT JOIN comp c ON c.id = n.name
+      |ORDER BY n.name""".stripMargin
+
   // -- q_fuzzy_join: edit-distance ≤ 1 join via deletion neighborhoods -----
   // Typo-tolerant entity matching (SymSpell's candidate scheme): each
   // string expands to itself + every single-character deletion, and two
@@ -648,11 +724,16 @@ object Dedup {
   // tractable in DuckDB): the scalable algorithm must reproduce the
   // naive semantics exactly, which is also what the spec's completeness
   // classes (sub/ins/del at every position, distance-2 rejection) pin.
-  private def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+  /** The filtered name universe + its edit-1 pairs — shared by the
+    * report query (q_fuzzy_join) and entity resolution. */
+  private def fuzzyNames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val names = Tables.customer(s, d).filter($"c_custkey" % 7 === 0)
+    Tables.customer(s, d).filter($"c_custkey" % 7 === 0)
       .select($"c_name".as("name")).distinct()
-    val variants = names.select($"name", explode(expr(
+  }
+  private def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val variants = fuzzyNames(s, d).select($"name", explode(expr(
       "array_union(array(name), transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i - 1), " +
         "substring(name, i + 1, length(name) - i))))")).as("v"))
@@ -660,7 +741,10 @@ object Dedup {
         $"a.v" === $"b.v" && $"a.name" < $"b.name")
       .select($"a.name".as("n1"), $"b.name".as("n2")).distinct()
       .filter(levenshtein($"n1", $"n2") <= 1)
-      .orderBy($"n1", $"n2")
+  }
+  private def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fuzzyPairs(s, d).orderBy($"n1", $"n2")
   }
   private val fuzzyJoinSql =
     """WITH names AS (SELECT DISTINCT c_name AS name FROM customer
@@ -917,6 +1001,8 @@ object Dedup {
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_minhash_recall", minhashRecall, Some(minhashRecallSql)),
+    QueryDef("q_triangle_count", triangleCount, Some(triangleCountSql)),
+    QueryDef("q_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_components", components, Some(componentsSql)),
   )

@@ -335,6 +335,58 @@ object Streaming {
        |QUALIFY sess_idx < MAX(sess_idx) OVER (PARTITION BY user_id)
        |ORDER BY user_id, start_us""".stripMargin
 
+  // -- #43m streaming transition counts --------------------------------------
+  // The streaming twin of q_transition_matrix: per-user Markov
+  // transition pairs maintained with O(1) state — the carried state is
+  // ONLY the user's last event (type + its total-order key), each
+  // arriving event emits exactly one (prev, cur) pair and replaces the
+  // state. Unlike sessionization there is no trailing-emission rule to
+  // subtract: every event except a user's first pairs exactly once
+  // however the stream is micro-batch sliced, so the finished stream's
+  // counts equal the batch twin's BY CONSTRUCTION and the batch SQL is
+  // the value oracle verbatim. In-batch events fold in (ts_ns,
+  // event_id) order — the same total order the batch window uses.
+  final case class EvT(user_id: Long, ts_ns: Long, event_id: Long,
+      event_type: String)
+  final case class LastEv(ts_ns: Long, event_id: Long, event_type: String)
+  final case class TransOut(prev_type: String, event_type: String)
+
+  def transitionsFold(userId: Long, events: Iterator[EvT],
+      state: GroupState[LastEv]): Iterator[TransOut] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ns, e.event_id))
+    var last = state.getOption
+    val out = Seq.newBuilder[TransOut]
+    sorted.foreach { e =>
+      last.foreach(l => out += TransOut(l.event_type, e.event_type))
+      last = Some(LastEv(e.ts_ns, e.event_id, e.event_type))
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Transition-pair pipeline over any (streaming) EvT dataset — shared
+    * by the driver query and the multi-batch state-carry spec. */
+  def transitionsDs(evs: org.apache.spark.sql.Dataset[EvT]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(transitionsFold)
+      .toDF()
+  }
+
+  def transitionStream(s: SparkSession, d: String): DataFrame = withStateParts(s, 8) {
+    import s.implicits._
+    val pairs = transitionsDs(eventsStream(s, d)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type").as[EvT])
+    runToMemory(pairs, "graft_stream_transitions", OutputMode.Append())
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"prev_type")))
+      .orderBy($"prev_type", $"event_type")
+  }
+
   // -- #44 watermarked stream-stream interval join -------------------------
   // The streaming twin of q_range_join: purchases ⋈ clicks of the same
   // user within the preceding hour, both sides watermarked so the join
@@ -958,6 +1010,8 @@ object Streaming {
     QueryDef("stream_funnel", funnelStreamQuery, Some(funnelStreamSql)),
     QueryDef("stream_zscore", zscoreStream, Some(zscoreStreamSql)),
     QueryDef("stream_sessionize", (s, d) => sessionStream(s, d), Some(sessionStreamSql)),
+    QueryDef("stream_transitions", (s, d) => transitionStream(s, d),
+      Some(graft.operators.Behavioral.transitionMatrixSql)),
     QueryDef("q_sessionize_batch", (s, d) => sessionBatch(s, d), Some(sessionBatchSql)),
     QueryDef("stream_range_join", rangeJoinStream, Some(rangeJoinStreamSql)),
     QueryDef("stream_dedup", dedupStream, Some(dedupStreamSql)),

@@ -103,6 +103,99 @@ class Round10bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- triangle count ------------------------------------------------------
+
+  test("q_triangle_count: per-node counts match a from-scratch enumeration") {
+    val rows = SparkEntry.queries("q_triangle_count")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force the same graph (tiny at sf0.001) and compare exactly
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val triCount = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- pairs; c <- nodes if b < c
+      if pairs.contains((b, c)) && pairs.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got == triCount.toMap, s"got $got want $triCount")
+    // each triangle contributes exactly 3 participations
+    assert(got.values.sum % 3 == 0)
+  }
+
+  // ---- entity resolution ---------------------------------------------------
+
+  test("q_entity_resolution: canonical labels are closed, minimal, pair-consistent") {
+    val rows = SparkEntry.queries("q_entity_resolution")(spark, sf).collect()
+    val canon = rows.map(r => r.getAs[String]("name") -> r.getAs[String]("canonical")).toMap
+    // the canonical representative is the cluster's lexicographic min
+    for ((n, c) <- canon) assert(c <= n, s"$n resolved to non-min $c")
+    // closed: a canonical name resolves to itself
+    for (c <- canon.values) assert(canon(c) == c, s"canonical $c not a fixpoint")
+    // every matched pair lands in one cluster
+    val pairs = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    for (p <- pairs) {
+      val (a, b) = (p.getAs[String]("n1"), p.getAs[String]("n2"))
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  // ---- last-touch attribution ----------------------------------------------
+
+  test("q_attribution: credits every purchase exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    for (r <- rows) {
+      val ch = r.getAs[String]("channel")
+      assert(ch == "direct" || (types - "purchase").contains(ch), s"bogus channel $ch")
+    }
+  }
+
+  // ---- streaming transitions -----------------------------------------------
+
+  test("stream_transitions: state carries across micro-batches, counts equal batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = new java.io.File("/tmp/graft_spec/stream_trans_slices")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type")
+    val (mn, mx) = ev.agg(min($"ts_ns"), max($"ts_ns")).as[(Long, Long)].collect()(0)
+    val step = (mx - mn) / 4 + 1
+    (0 until 4).foreach { i =>
+      ev.filter($"ts_ns" >= mn + i * step && $"ts_ns" < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+      Thread.sleep(100) // distinct mtimes → deterministic oldest-first file order
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+      .as[streaming.Streaming.EvT]
+    val q = streaming.Streaming.transitionsDs(stream)
+      .writeStream.format("memory").queryName("graft_multibatch_trans")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      "each time-sliced file should form its own micro-batch")
+    val streamed = spark.table("graft_multibatch_trans")
+      .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val batch = SparkEntry.queries("q_transition_matrix")(spark, sf).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed == batch,
+      "pairs spanning micro-batch boundaries must form via carried state")
+  }
+
   // ---- curriculum ordering -------------------------------------------------
 
   test("q_curriculum_order: a deterministic permutation, clean tiers first") {
