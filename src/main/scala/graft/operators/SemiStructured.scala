@@ -142,9 +142,29 @@ object SemiStructured {
     import org.apache.spark.sql.expressions.Window
     val vals = Tables.lineitem(s, d)
       .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
-    vals
-      .withColumn("cum", sum($"c").over(Window.orderBy($"v")))
-      .withColumn("n", sum($"c").over(Window.partitionBy()))
+    // prefix sum as the two-pass range-partitioned shape (never a
+    // single-partition global window): range-shuffle the distinct
+    // values, each range computes a PARALLEL local prefix, the
+    // per-range subtotals (≤ #partitions rows) broadcast back as
+    // offsets. The global prefix is boundary-independent — wherever the
+    // range sampler cuts, local + offset reconstructs the same cum —
+    // so the output is deterministic even though the cuts aren't.
+    // localCheckpoint pins ONE materialized range layout: local and
+    // offs both fork off this frame, and a re-executed range sampler
+    // could otherwise cut differently per branch, misaligning pids
+    val ranged = vals.repartitionByRange(16, $"v")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("lcum",
+      sum($"c").over(Window.partitionBy($"pid").orderBy($"v")))
+    val offs = ranged.groupBy($"pid").agg(sum($"c").as("pc"))
+      .withColumn("off",
+        coalesce(sum($"pc").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum($"pc").over(Window.partitionBy()))
+      .select($"pid", $"off", $"n")
+    local.join(broadcast(offs), "pid")
+      .withColumn("cum", $"lcum" + $"off")
       .withColumn("bucket", expr(s"(cum - c) * $DepthBuckets div n"))
       .groupBy($"bucket")
       .agg(sum($"c").as("n_rows"), min($"v").as("lo"), max($"v").as("hi"),
