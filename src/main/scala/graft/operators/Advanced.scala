@@ -240,6 +240,42 @@ object Advanced {
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
   // -- q_time_bucket: calendar-bucketed rollup over event time -------------
+  // -- q_calendar_rollup: monthly revenue + year-over-year growth -----------
+  // The calendar-aware twin of q_time_bucket (whose epoch buckets are
+  // deliberately calendar-free): months have ragged lengths, so the
+  // reporting layer banks on year()/month() extraction — identical
+  // across engines under the UTC session — not epoch division. YoY is
+  // a SELF-JOIN on (year−1, month), not a 12-row lag window: the join
+  // keys the same (y, m) hash partitioning the rollup already produced
+  // (AQE reuses the exchange), works with calendar gaps (a missing
+  // month yields NULL growth instead of mis-lagging), and needs no
+  // ordered window at all. Revenue rides the decimal pre-sum; growth
+  // is one division of two such exact sums.
+  private def calendarRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, d)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+    monthly.as("cur")
+      .join(monthly.as("prev"),
+        $"cur.y" === $"prev.y" + 1 && $"cur.m" === $"prev.m", "left")
+      .select($"cur.y".as("y"), $"cur.m".as("m"),
+        $"cur.n_orders".as("n_orders"), $"cur.revenue".as("revenue"),
+        ($"cur.revenue" / $"prev.revenue" - 1.0).as("yoy_growth"))
+      .orderBy($"y", $"m")
+  }
+  private val calendarRollupSql =
+    s"""WITH monthly AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       |    CAST(month(o_orderdate) AS INTEGER) AS m,
+       |    COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT cur.y, cur.m, cur.n_orders, cur.revenue,
+       |  cur.revenue / prev.revenue - 1.0 AS yoy_growth
+       |FROM monthly cur LEFT JOIN monthly prev
+       |  ON cur.y = prev.y + 1 AND cur.m = prev.m
+       |ORDER BY cur.y, cur.m""".stripMargin
+
   private def qTimeBucket(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -767,6 +803,7 @@ object Advanced {
     QueryDef("q_asof_join_sql", qAsofJoinSqlTvf, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
+    QueryDef("q_calendar_rollup", calendarRollup, Some(calendarRollupSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
     QueryDef("q_quantile_sketch", qQuantileSketch, Some(qQuantileSketchSql)),
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),

@@ -196,6 +196,28 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- calendar rollup -----------------------------------------------------
+
+  test("q_calendar_rollup: conserves orders and computes YoY exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_calendar_rollup")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables.orders(spark, sf).count())
+    val byYm = rows.map(r => (r.getAs[Int]("y"), r.getAs[Int]("m")) -> r).toMap
+    val firstYear = rows.map(_.getAs[Int]("y")).min
+    for (r <- rows) {
+      val (y, m) = (r.getAs[Int]("y"), r.getAs[Int]("m"))
+      byYm.get((y - 1, m)) match {
+        case Some(prev) =>
+          val want = r.getAs[Double]("revenue") / prev.getAs[Double]("revenue") - 1.0
+          assert(r.getAs[Double]("yoy_growth") == want, s"YoY mismatch at $y-$m")
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("yoy_growth")),
+            s"$y-$m has no prior-year month yet reports growth")
+          assert(y == firstYear || !byYm.contains((y - 1, m)))
+      }
+    }
+  }
+
   // ---- curriculum ordering -------------------------------------------------
 
   test("q_curriculum_order: a deterministic permutation, clean tiers first") {
