@@ -437,6 +437,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "census/frequent set should broadcast")
   }
 
+  test("q_cms_freq: the d×w sketch broadcasts; no sort-merge join anywhere") {
+    val p = plan("q_cms_freq")
+    assert(p.contains("BroadcastExchange"), "sketch should broadcast to the probe side")
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded-size sketch must never be a shuffle-join side")
+  }
+
+  test("q_triangle_count: two equi-joins, no cartesian/nested-loop closure") {
+    val df = SparkEntry.queries("q_triangle_count")(spark, sf)
+    df.count() // materialize through AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure fell back to a cross join:\n${p.take(800)}")
+  }
+
+  test("q_curriculum_order: global enumeration runs without any window operator") {
+    val df = SparkEntry.queries("q_curriculum_order")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "curriculum position must come from the range-partitioned sort, not a window")
+  }
+
+  test("q_equidepth_histogram: no single-partition window over the value sets") {
+    val df = SparkEntry.queries("q_equidepth_histogram")(spark, sf)
+    df.count()
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(pl: SparkPlan): Seq[SparkPlan] = {
+      val extra = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => Nil
+      }
+      pl +: (pl.children ++ extra).flatMap(walk)
+    }
+    // every WindowExec must be partitioned (the per-range local prefix)
+    // except the ≤#partitions offset fold, whose input is the tiny pid agg
+    val wins = walk(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    for (w <- unpartitioned) {
+      val below = walk(w).collect {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      }
+      assert(below.nonEmpty,
+        "an unpartitioned window must only ever fold the per-range subtotals")
+    }
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
