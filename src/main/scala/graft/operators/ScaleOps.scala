@@ -546,7 +546,79 @@ object ScaleOps {
        |FROM wk JOIN est ON wk.week = est.week ORDER BY week_start""".stripMargin
   }
 
+  // -- HLL set-intersection estimate ----------------------------------------
+  // The audience-overlap question ("how many users did BOTH X and Y?")
+  // answered from SKETCHES, never a key join: registers for each side
+  // plus their lossless union (bucket-wise max), then inclusion-
+  // exclusion |A∩B| ≈ E(A) + E(B) − E(A∪B) — the standard HLL
+  // intersection (sketches can't intersect directly; the union CAN
+  // merge losslessly, so the identity is exact up to estimator error).
+  // At 100 TB both sides' raw key sets are huge but each register
+  // table is 4096 rows; the exact intersection (a distinct semi-join)
+  // rides along as the accuracy accounting, same pattern as
+  // q_ann_recall / q_cms_freq. DetHll determinism makes every value —
+  // estimates, error — replayable in the oracle.
+  private def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    // value >= 150 keeps the audiences PARTIALLY overlapping (the
+    // synthetic corpus has every user doing every event type, which
+    // would degenerate A = B = A∪B); high-value purchasers vs
+    // high-value clickers is the genuine overlap question
+    def side(t: String) = ev
+      .filter($"event_type" === t && $"value" >= 150.0).select($"user_id")
+    def regs(t: String, g: String) =
+      DetHll.registers(side(t).withColumn("grp", lit(g)), Seq("grp"), $"user_id")
+    val regA = regs("purchase", "a")
+    val regB = regs("click", "b")
+    val regU = regA.unionByName(regB).groupBy($"bucket").agg(max($"m").as("m"))
+      .withColumn("grp", lit("u"))
+    val est = DetHll.estimate(
+      regA.unionByName(regU.select($"grp", $"bucket", $"m"))
+        .unionByName(regB), Seq("grp"), "est")
+    def one(g: String, as: String) =
+      est.filter($"grp" === g).select($"est".as(as))
+    val exact = side("purchase").distinct()
+      .join(side("click").distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_exact"))
+    one("a", "est_a").crossJoin(one("b", "est_b"))
+      .crossJoin(one("u", "est_union")).crossJoin(exact)
+      .select($"est_a", $"est_b", $"est_union",
+        ($"est_a" + $"est_b" - $"est_union").as("est_intersect"),
+        $"n_exact",
+        ($"est_a" + $"est_b" - $"est_union" - $"n_exact").as("err"))
+  }
+  private val hllIntersectSql = {
+    def regs(t: String, g: String) = DetHll.registersSql(
+      s"(SELECT '$g' AS grp, user_id FROM events " +
+        s"WHERE event_type = '$t' AND value >= 150.0)",
+      "grp", "user_id")
+    val regA = regs("purchase", "a")
+    val regB = regs("click", "b")
+    val all =
+      s"""($regA UNION ALL
+         | SELECT 'u' AS grp, bucket, MAX(m) AS m
+         | FROM (($regA) UNION ALL ($regB)) GROUP BY 1, 2
+         | UNION ALL $regB)""".stripMargin
+    s"""WITH est AS (${DetHll.estimateSql(all, "grp", "est")}),
+       |p AS (SELECT MAX(CASE WHEN grp = 'a' THEN est END) AS est_a,
+       |             MAX(CASE WHEN grp = 'b' THEN est END) AS est_b,
+       |             MAX(CASE WHEN grp = 'u' THEN est END) AS est_union
+       |      FROM est),
+       |ex AS (SELECT COUNT(*) AS n_exact FROM (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND value >= 150.0
+       |  INTERSECT
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'click' AND value >= 150.0))
+       |SELECT est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_intersect, n_exact,
+       |  est_a + est_b - est_union - n_exact AS err
+       |FROM p CROSS JOIN ex""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hll_intersect", hllIntersect, Some(hllIntersectSql)),
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
     QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),
     QueryDef("io_parquet_bloom", parquetBloom, Some(parquetBloomSql)),

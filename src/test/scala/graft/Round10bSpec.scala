@@ -196,6 +196,23 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- HLL intersection ----------------------------------------------------
+
+  test("q_hll_intersect: inclusion-exclusion identity and sane estimates") {
+    val r = SparkEntry.queries("q_hll_intersect")(spark, sf).head()
+    val (a, b, u) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"))
+    assert(u <= a + b + 1e-9, "union estimate cannot exceed the sum of parts")
+    assert(u >= math.max(a, b) - u * 0.05, "union must cover each side (within sketch error)")
+    assert(r.getAs[Double]("est_intersect") == a + b - u)
+    assert(r.getAs[Double]("err") == a + b - u - r.getAs[Long]("n_exact"))
+    // m=4096 registers: each estimate within ~5% of its exact side here
+    val exact = r.getAs[Long]("n_exact")
+    if (exact >= 100)
+      assert(math.abs(r.getAs[Double]("est_intersect") - exact) < exact * 0.15,
+        s"intersection estimate ${r.getAs[Double]("est_intersect")} vs exact $exact")
+  }
+
   // ---- calendar rollup -----------------------------------------------------
 
   test("q_calendar_rollup: conserves orders and computes YoY exactly") {
