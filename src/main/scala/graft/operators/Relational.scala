@@ -540,6 +540,57 @@ object Relational {
   // map-side-combinable state stream_zscore carries — and floats enter
   // only in the final per-group division/sqrt of exact integers, which
   // IEEE defines identically everywhere. var = (n·Σq²−(Σq)²)/(n²·10⁴).
+  // -- q_regression: per-group OLS + correlation, exact joint moments -------
+  // Least-squares slope/intercept and Pearson r per group from ONE
+  // pass of exact integer joint moments — q_variance's discipline
+  // extended to two variables: (n, Σx, Σy, Σx², Σy², Σxy) over
+  // 10⁻²-scaled integers as decimal(38,0), mergeable map-side state;
+  // floats appear only in the final per-group divisions/sqrt of exact
+  // integers (IEEE-identical across engines). The float spelling of
+  // covariance cancels catastrophically at large means and partial-agg
+  // order would drift it; the integer moments cannot. Scale factors:
+  // slope is unit-free in the 100×/100× scaling (cancels); intercept
+  // carries y's units (÷100 once).
+  private def qRegression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qx = floor($"l_quantity" * 100 + 0.5).cast("decimal(38,0)")
+    val qy = floor($"l_extendedprice" * 100 + 0.5).cast("decimal(38,0)")
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val denx = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", qx.as("x"), qy.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"l_returnflag", $"n",
+        (num / denx).as("slope"),
+        (($"sy".cast("double") - num / denx * $"sx".cast("double"))
+          / $"n" / 100.0).as("intercept"),
+        (num / sqrt(denx * deny)).as("r"))
+      .orderBy($"l_returnflag")
+  }
+  private val qRegressionSql = {
+    val qx = "CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)"
+    val qy = "CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n, SUM($qx) AS sx, SUM($qy) AS sy,
+       |    SUM($qx * $qx) AS sxx, SUM($qy * $qy) AS syy,
+       |    SUM($qx * $qy) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    AS slope,
+       |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    / n / 100.0 AS intercept,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |         * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   private def qVariance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q100 = floor($"l_quantity" * 100 + 0.5).cast("decimal(38,0)")
@@ -572,6 +623,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
+    QueryDef("q_regression", qRegression, Some(qRegressionSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),

@@ -196,6 +196,37 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- OLS regression ------------------------------------------------------
+
+  test("q_regression: matches a from-scratch exact-moment recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val g = data(r.getAs[String]("l_returnflag"))
+      val xs = g.map(row => math.floor(row.getDouble(1) * 100 + 0.5).toLong)
+      val ys = g.map(row => math.floor(row.getDouble(2) * 100 + 0.5).toLong)
+      val n = xs.length.toLong
+      val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+      val sxx = xs.map(v => BigInt(v) * v).sum
+      val syy = ys.map(v => BigInt(v) * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val num = (n * sxy - sx * sy).toDouble
+      val denx = (n * sxx - sx * sx).toDouble
+      val deny = (n * syy - sy * sy).toDouble
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("slope") - num / denx) < 1e-9)
+      assert(math.abs(r.getAs[Double]("r") - num / math.sqrt(denx * deny)) < 1e-9)
+      val icept = (sy.toDouble - num / denx * sx.toDouble) / n / 100.0
+      assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-6)
+      assert(r.getAs[Double]("r") >= -1.0 && r.getAs[Double]("r") <= 1.0)
+    }
+  }
+
   // ---- HLL intersection ----------------------------------------------------
 
   test("q_hll_intersect: inclusion-exclusion identity and sane estimates") {
