@@ -307,8 +307,12 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     import s.implicits._
     require(RecLanes % rowsPerBand == 0, s"band shape $rowsPerBand !| $RecLanes")
+    // truth and signature both fork off the gram table — materialize it
+    // once or the shingle pipeline (normalize + shingle + explode) runs
+    // per branch
     val grams = Tables.documents(s, d)
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+      .localCheckpoint()
     // exact truth via the inverted-index join, integer-exact threshold
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val truth = grams.as("a").join(grams.as("b"),

@@ -569,8 +569,10 @@ object ScaleOps {
       .filter($"event_type" === t && $"value" >= 150.0).select($"user_id")
     def regs(t: String, g: String) =
       DetHll.registers(side(t).withColumn("grp", lit(g)), Seq("grp"), $"user_id")
-    val regA = regs("purchase", "a")
-    val regB = regs("click", "b")
+    // each side's registers feed BOTH the union merge and the estimate —
+    // materialize the 4096-row tables once instead of re-scanning events
+    val regA = regs("purchase", "a").localCheckpoint()
+    val regB = regs("click", "b").localCheckpoint()
     val regU = regA.unionByName(regB).groupBy($"bucket").agg(max($"m").as("m"))
       .withColumn("grp", lit("u"))
     val est = DetHll.estimate(
