@@ -26,6 +26,47 @@ object Maintenance {
   private val bumpedPriceSql =
     "floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100 + 0.5) / 100"
 
+  // -- q_incremental_agg: stored aggregate + delta merge --------------------
+  // Materialized-view maintenance, the lakehouse answer to "the daily
+  // dashboard must not rescan 100 TB": a STORED per-group aggregate
+  // table absorbs each arriving batch by MERGING mergeable state —
+  // (n, decimal Σ) add associatively, so stored ⊎ delta equals the
+  // full recompute EXACTLY (the decimal pre-cast makes the sum
+  // order-free; a float Σ would drift between the incremental and
+  // full paths). Batch = event_id % 11 == 7 plays the day's arrivals;
+  // the base aggregate is genuinely written and read back (parquet),
+  // so the query's cost is O(groups + batch), never O(history). The
+  // oracle recomputes both paths from raw events and checks the merge
+  // arithmetic itself.
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("q_incremental_agg", d)
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"value", $"event_id")
+    val dec = $"value".cast("decimal(18,6)")
+    ev.filter($"event_id" % 11 =!= 7)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec).as("s"))
+      .write.mode("overwrite").parquet(out) // the stored aggregate table
+    val stored = s.read.parquet(out)
+    val delta = ev.filter($"event_id" % 11 === 7)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec).as("s"))
+    stored.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_total"), sum($"s").cast("double").as("sum_total"),
+        count(lit(1)).as("n_shards"))
+      .orderBy($"event_type")
+  }
+  private val incrementalAggSql =
+    """WITH shards AS (
+      |  SELECT event_type, event_id % 11 = 7 AS is_delta, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS s
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+      |  CAST(SUM(s) AS DOUBLE) AS sum_total, COUNT(*) AS n_shards
+      |FROM shards GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- q_merge_upsert: MERGE INTO semantics over plain parquet -------------
   // Changes batch = deterministic function of the base table: every
   // o_orderkey % 10 == 0 gets a 10% price bump (update), and a shifted
@@ -882,6 +923,7 @@ object Maintenance {
     QueryDef("io_rollback", qRollback, Some(qRollbackSql)),
     QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),

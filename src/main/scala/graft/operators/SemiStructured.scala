@@ -238,6 +238,52 @@ object SemiStructured {
        |ORDER BY e.n_exact DESC, e.user_id LIMIT 20""".stripMargin
   }
 
+  // -- self-join size (F2) estimation from a CMS ----------------------------
+  // The optimizer's cardinality question — "how big is the join on this
+  // key?" — answered from a sketch before any join runs. Self-join size
+  // = F2 = Σ_k n(k)² (the second frequency moment, AMS'96); the
+  // Count-Min inner-product estimate is min over rows j of Σ_b c_j[b]²
+  // — ALWAYS an overestimate ((Σn)² ≥ Σn² per bucket), within F1²/w
+  // w.h.p. Sketch build is the same d×w counter groupBy as q_cms_freq
+  // (mergeable sums, d×w longs per partition on the shuffle, never
+  // keys); the squared-sum fold is 4×1024 rows. Exact F2 rides along
+  // as accounting: one (key, count) aggregate + a decimal Σn² — the
+  // thing the sketch exists to avoid at 100 TB, here the ground truth.
+  private val F2W = 1024L
+  private def selfJoinSize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.lineitem(s, d).select($"l_partkey".as("k"))
+    val sketch = keys.select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"),
+          (Behavioral.mixKey(concat_ws(":", lit(j), $"k")) % F2W)
+            .as("bucket"))): _*)).as("h"))
+      .select($"h.j", $"h.bucket")
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    val est = sketch
+      .groupBy($"j")
+      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).as("e"))
+      .agg(min($"e").cast("long").as("f2_est"))
+    val exact = keys.groupBy($"k").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(($"n" * $"n").cast("decimal(38,0)")).cast("long").as("f2_exact"))
+    exact.crossJoin(est)
+      .select($"n_keys", $"f2_exact", $"f2_est",
+        ($"f2_est" - $"f2_exact").as("overcount"))
+  }
+  private val selfJoinSizeSql = {
+    val h = Behavioral.mixKeySql("concat(j, ':', k)")
+    s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+       |sk AS (SELECT j.j AS j, $h % $F2W AS bucket, COUNT(*) AS c
+       |       FROM keys, unnest(range(0, $CmsD)) j(j) GROUP BY 1, 2),
+       |est AS (SELECT CAST(MIN(e) AS BIGINT) AS f2_est FROM (
+       |  SELECT j, SUM(CAST(c AS HUGEINT) * c) AS e FROM sk GROUP BY j)),
+       |ex AS (SELECT COUNT(*) AS n_keys,
+       |    CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS f2_exact
+       |  FROM (SELECT k, COUNT(*) AS n FROM keys GROUP BY k))
+       |SELECT n_keys, f2_exact, f2_est, f2_est - f2_exact AS overcount
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
   // -- join-key skew diagnostic --------------------------------------------
   // The measurement that decides whether a join needs salting (SURVEY
   // #46): per-key counts → the heaviest keys with their share of the
@@ -560,6 +606,7 @@ object SemiStructured {
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
+    QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),

@@ -196,6 +196,37 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- self-join size estimation -------------------------------------------
+
+  test("q_selfjoin_size: the CMS inner product never undercounts F2") {
+    val r = SparkEntry.queries("q_selfjoin_size")(spark, sf).head()
+    val (exact, est) = (r.getAs[Long]("f2_exact"), r.getAs[Long]("f2_est"))
+    assert(est >= exact, s"AMS-style estimate must overcount: est=$est < F2=$exact")
+    assert(r.getAs[Long]("overcount") == est - exact)
+    // w=1024 buckets on this key cardinality: the estimate is tight
+    assert(est <= exact * 2, s"estimate $est implausibly loose vs F2 $exact")
+  }
+
+  // ---- incremental aggregate maintenance -----------------------------------
+
+  test("q_incremental_agg: stored + delta merge equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.OracleMath.dsum
+    val rows = SparkEntry.queries("q_incremental_agg")(spark, sf).collect()
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet == full.keySet)
+    for (r <- rows) {
+      val (n, s) = full(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_total") == n)
+      assert(r.getAs[Double]("sum_total") == s,
+        "decimal merge must be bit-identical to the full decimal sum")
+      assert(r.getAs[Long]("n_shards") >= 1 && r.getAs[Long]("n_shards") <= 2)
+    }
+  }
+
   // ---- OLS regression ------------------------------------------------------
 
   test("q_regression: matches a from-scratch exact-moment recomputation") {
