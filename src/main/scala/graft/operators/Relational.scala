@@ -540,6 +540,49 @@ object Relational {
   // map-side-combinable state stream_zscore carries — and floats enter
   // only in the final per-group division/sqrt of exact integers, which
   // IEEE defines identically everywhere. var = (n·Σq²−(Σq)²)/(n²·10⁴).
+  // -- q_rank_functions: the full SQL ranking family under ties -------------
+  // Coverage of every standard ranking window function in one query,
+  // ordered by a HEAVILY TIED key (l_quantity takes 50 values) so the
+  // functions actually differ: rank jumps after tie groups, dense_rank
+  // doesn't, percent_rank = (rank−1)/(n−1) and cume_dist = peers'
+  // cumulative fraction are tie-aware fractions (exact integer-fed
+  // divisions, engine-identical), while row_number and ntile need a
+  // TOTAL order to be deterministic at all — they run over the
+  // tie-broken (quantity, orderkey, linenumber) window. Both engines
+  // implement the SQL-standard semantics; the oracle is the same
+  // functions verbatim. Partitioned windows — state per group flows
+  // through one sort, nothing global.
+  private def qRankFunctions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).filter($"l_orderkey" % 50 === 0)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+    val ties = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    val total = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    base.select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+        row_number().over(total).as("rn"),
+        rank().over(ties).as("rk"),
+        dense_rank().over(ties).as("drk"),
+        percent_rank().over(ties).as("prk"),
+        cume_dist().over(ties).as("cd"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy($"l_returnflag", $"rn")
+  }
+  private val qRankFunctionsSql =
+    """WITH base AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 50 = 0)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |  RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+      |  DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drk,
+      |  PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS prk,
+      |  CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
+      |  NTILE(4) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS quartile
+      |FROM base ORDER BY l_returnflag, rn""".stripMargin
+
   // -- q_regression: per-group OLS + correlation, exact joint moments -------
   // Least-squares slope/intercept and Pearson r per group from ONE
   // pass of exact integer joint moments — q_variance's discipline
@@ -624,6 +667,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),
+    QueryDef("q_rank_functions", qRankFunctions, Some(qRankFunctionsSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),
