@@ -196,6 +196,33 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- ranking-function family ---------------------------------------------
+
+  test("q_rank_functions: tie semantics hold within every partition") {
+    val rows = SparkEntry.queries("q_rank_functions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for ((_, part) <- rows.groupBy(_.getAs[String]("l_returnflag"))) {
+      val n = part.length
+      val sorted = part.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to n), "rn must be 1..n")
+      for (r <- sorted) {
+        val (rk, drk, qty) = (r.getAs[Int]("rk"), r.getAs[Int]("drk"),
+          r.getAs[Double]("l_quantity"))
+        assert(drk <= rk, "dense_rank never exceeds rank")
+        assert(r.getAs[Double]("prk") == (rk - 1).toDouble / (n - 1))
+        // cume_dist = fraction of rows with quantity <= this row's
+        val cd = part.count(_.getAs[Double]("l_quantity") <= qty).toDouble / n
+        assert(r.getAs[Double]("cd") == cd)
+      }
+      // rank jumps after tie groups; dense_rank is consecutive over groups
+      val distinctQ = part.map(_.getAs[Double]("l_quantity")).distinct.length
+      assert(sorted.map(_.getAs[Int]("drk")).max == distinctQ)
+      // ntile(4) buckets differ by at most one in size
+      val sizes = part.groupBy(_.getAs[Int]("quartile")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
   // ---- self-join size estimation -------------------------------------------
 
   test("q_selfjoin_size: the CMS inner product never undercounts F2") {
