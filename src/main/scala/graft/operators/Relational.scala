@@ -540,6 +540,53 @@ object Relational {
   // map-side-combinable state stream_zscore carries — and floats enter
   // only in the final per-group division/sqrt of exact integers, which
   // IEEE defines identically everywhere. var = (n·Σq²−(Σq)²)/(n²·10⁴).
+  // -- q_copurchase_pairs: frequent item pairs (market basket) --------------
+  // Association mining's level-2 primitive (the Apriori/FP-growth
+  // workhorse): suppliers that co-fulfill the same order, with support
+  // counts and the lift that separates genuine affinity from
+  // popularity. The pair join is the inverted-index shape — self-join
+  // ON the order key, so only items sharing an order ever meet and the
+  // blowup is Σ_o m_o² with per-order item counts m_o small and
+  // bounded, never a catalog cross product; canonical a < b emits each
+  // pair once. Lift = n_ab·N / (n_a·n_b) over exact integer supports —
+  // one double division per surviving pair (support ≥ 5 bounds the
+  // scoring set); top-20 by (support, pair) is TakeOrdered.
+  private def qCopurchasePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
+      .localCheckpoint() // feeds the pair join twice + the support side
+    val orders = items.select($"o").distinct().count()
+    val supp = items.groupBy($"p").agg(count(lit(1)).as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    pairs
+      .join(supp.select($"p".as("pa"), $"n".as("n_a")), "pa")
+      .join(supp.select($"p".as("pb"), $"n".as("n_b")), "pb")
+      .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
+        ($"n_ab".cast("double") * orders / ($"n_a".cast("double") * $"n_b"))
+          .as("lift"))
+      .orderBy($"n_ab".desc, $"pa", $"pb")
+      .limit(20)
+  }
+  private val qCopurchasePairsSql =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+      |               FROM lineitem),
+      |orders AS (SELECT COUNT(DISTINCT o) AS total FROM items),
+      |supp AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+      |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT pa, pb, n_ab, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(n_ab AS DOUBLE) * orders.total
+      |    / (CAST(sa.n AS DOUBLE) * sb.n) AS lift
+      |FROM pairs JOIN supp sa ON sa.p = pa JOIN supp sb ON sb.p = pb
+      |CROSS JOIN orders
+      |ORDER BY n_ab DESC, pa, pb LIMIT 20""".stripMargin
+
   // -- q_rank_functions: the full SQL ranking family under ties -------------
   // Coverage of every standard ranking window function in one query,
   // ordered by a HEAVILY TIED key (l_quantity takes 50 values) so the
@@ -668,6 +715,7 @@ object Relational {
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),
     QueryDef("q_rank_functions", qRankFunctions, Some(qRankFunctionsSql)),
+    QueryDef("q_copurchase_pairs", qCopurchasePairs, Some(qCopurchasePairsSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),

@@ -196,6 +196,32 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- market basket -------------------------------------------------------
+
+  test("q_copurchase_pairs: supports and lift match a from-scratch recount") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_copurchase_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orders = items.map(_._1).distinct.length
+    val supp = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCount = items.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    for (r <- rows) {
+      val (pa, pb) = (r.getAs[Long]("pa"), r.getAs[Long]("pb"))
+      assert(pa < pb)
+      val nab = r.getAs[Long]("n_ab")
+      assert(nab >= 5 && nab == pairCount((pa, pb)))
+      assert(r.getAs[Long]("n_a") == supp(pa) && r.getAs[Long]("n_b") == supp(pb))
+      assert(r.getAs[Double]("lift") ==
+        nab.toDouble * orders / (supp(pa).toDouble * supp(pb)))
+    }
+  }
+
   // ---- ranking-function family ---------------------------------------------
 
   test("q_rank_functions: tie semantics hold within every partition") {
