@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions.md5lower64
 import graft.OracleMath._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -619,7 +620,53 @@ object ScaleOps {
        |FROM p CROSS JOIN ex""".stripMargin
   }
 
+  // -- KMV (bottom-k) distinct sketch ---------------------------------------
+  // The OTHER classic distinct estimator (Bar-Yossef et al. 2002),
+  // complementing HLL: keep the k smallest hash values; the k-th
+  // smallest pins the estimate (k−1)·H/h_k (hashes ~uniform on [0,H)).
+  // Two properties HLL lacks: the sketch is also a UNIFORM SAMPLE OVER
+  // DISTINCT KEYS (run any distinct-population estimator on it), and
+  // union-merge is just bottom-k of the union. Shapes: the hash is
+  // md5-low-half masked to 63 bits so both engines ORDER it
+  // identically (signed vs UBIGINT comparison trap); bottom-256 is a
+  // TakeOrdered over the distinct hash values, never a global sort;
+  // the small-population branch (fewer than k distinct) returns the
+  // exact count. Exact countDistinct rides along as accounting.
+  private val KmvK = 256
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val h = ev.select(md5lower64($"user_id".cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)).as("hv")).distinct()
+    val st = h.orderBy($"hv").limit(KmvK)
+      .agg(count(lit(1)).as("nk"), max($"hv").as("hk"))
+    val ex = ev.agg(countDistinct($"user_id").as("n_exact"))
+    ex.crossJoin(st)
+      .select($"n_exact", $"nk".as("n_hashes"),
+        when($"nk" < KmvK, $"nk".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * pow(lit(2.0), lit(63.0))
+            / $"hk".cast("double")).as("est"))
+      .withColumn("err", $"est" - $"n_exact")
+  }
+  private val kmvDistinctSql =
+    s"""WITH h AS (SELECT DISTINCT CAST(
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT)
+       |      % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS hv
+       |  FROM events),
+       |st AS (SELECT COUNT(*) AS nk, MAX(hv) AS hk
+       |       FROM (SELECT hv FROM h ORDER BY hv LIMIT $KmvK)),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+       |SELECT n_exact, nk AS n_hashes,
+       |  CASE WHEN nk < $KmvK THEN CAST(nk AS DOUBLE)
+       |       ELSE CAST(${KmvK - 1} AS DOUBLE) * power(2, 63)
+       |            / CAST(hk AS DOUBLE) END AS est,
+       |  CASE WHEN nk < $KmvK THEN CAST(nk AS DOUBLE)
+       |       ELSE CAST(${KmvK - 1} AS DOUBLE) * power(2, 63)
+       |            / CAST(hk AS DOUBLE) END - n_exact AS err
+       |FROM ex CROSS JOIN st""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("q_hll_intersect", hllIntersect, Some(hllIntersectSql)),
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
     QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),

@@ -196,6 +196,20 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- KMV distinct sketch -------------------------------------------------
+
+  test("q_kmv_distinct: small populations exact, estimator within KMV error") {
+    val r = SparkEntry.queries("q_kmv_distinct")(spark, sf).head()
+    val (exact, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hashes"))
+    val est = r.getAs[Double]("est")
+    assert(nh == math.min(256L, exact))
+    if (exact < 256) assert(est == exact.toDouble,
+      "below k distinct keys the sketch must return the exact count")
+    else assert(math.abs(est - exact) < exact * 0.25,
+      s"KMV estimate $est outside 4 sigma of $exact")
+    assert(r.getAs[Double]("err") == est - exact)
+  }
+
   // ---- market basket -------------------------------------------------------
 
   test("q_copurchase_pairs: supports and lift match a from-scratch recount") {
