@@ -240,6 +240,58 @@ object Advanced {
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
   // -- q_time_bucket: calendar-bucketed rollup over event time -------------
+  // -- q_weighted_sample: priority sampling + Horvitz-Thompson totals -------
+  // The sampling scheme that preserves SUBSET SUMS (Duffield, Lund &
+  // Thorup 2007): priority q_i = w_i/u_i with u_i uniform, keep the k
+  // largest, τ = the (k+1)-th priority, and Σ max(w_i, τ) over the
+  // sample is an UNBIASED estimator of the population total — heavy
+  // items enter with certainty, light items proportionally, which
+  // uniform row sampling gets badly wrong under skew. u_i here is the
+  // deterministic md5 key ((mixKey+1)/2³²), so the sample is
+  // reproducible and the oracle replays it; priorities are IEEE
+  // divisions of identical doubles, ties impossible in practice.
+  // Both top-k passes are TakeOrdered, never a global sort; the
+  // below-k branch returns the exact total. Exact Σw rides along.
+  private val PrioK = 50
+  private def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pr = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars".cast("double").as("w"))
+      .withColumn("q", $"w" /
+        ((Behavioral.mixKey($"doc_id") + 1).cast("double")
+          / pow(lit(2.0), lit(32.0))))
+    val tau = pr.orderBy($"q".desc, $"doc_id").limit(PrioK + 1)
+      .agg(count(lit(1)).as("n_top"), min($"q").as("tau"))
+    val top = pr.orderBy($"q".desc, $"doc_id").limit(PrioK)
+    val ex = pr.agg(count(lit(1)).as("n_docs"),
+      sum($"w".cast("decimal(18,6)")).cast("double").as("total_exact"))
+    ex.crossJoin(broadcast(tau))
+      .crossJoin(top.crossJoin(broadcast(tau))
+        .agg(dsum(greatest($"w", $"tau")).as("est_raw")))
+      .select($"n_docs", $"total_exact",
+        when($"n_top" <= PrioK, $"total_exact").otherwise($"est_raw").as("est"),
+        (when($"n_top" <= PrioK, $"total_exact").otherwise($"est_raw")
+          - $"total_exact").as("err"))
+  }
+  private val weightedSampleSql = {
+    val u = s"(CAST(${Behavioral.mixKeySql("doc_id")} + 1 AS DOUBLE) / power(2, 32))"
+    s"""WITH pr AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+       |    CAST(n_chars AS DOUBLE) / $u AS q FROM documents),
+       |tau AS (SELECT COUNT(*) AS n_top, MIN(q) AS tau FROM (
+       |  SELECT q FROM pr ORDER BY q DESC, doc_id LIMIT ${PrioK + 1})),
+       |top AS (SELECT w FROM pr ORDER BY q DESC, doc_id LIMIT $PrioK),
+       |est AS (SELECT ${sqlSum("greatest(w, tau)")} AS est_raw
+       |        FROM top CROSS JOIN tau),
+       |ex AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS total_exact
+       |  FROM pr)
+       |SELECT n_docs, total_exact,
+       |  CASE WHEN n_top <= $PrioK THEN total_exact ELSE est_raw END AS est,
+       |  CASE WHEN n_top <= $PrioK THEN total_exact ELSE est_raw END
+       |    - total_exact AS err
+       |FROM ex CROSS JOIN tau CROSS JOIN est""".stripMargin
+  }
+
   // -- q_calendar_rollup: monthly revenue + year-over-year growth -----------
   // The calendar-aware twin of q_time_bucket (whose epoch buckets are
   // deliberately calendar-free): months have ragged lengths, so the
@@ -804,6 +856,7 @@ object Advanced {
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_calendar_rollup", calendarRollup, Some(calendarRollupSql)),
+    QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
     QueryDef("q_quantile_sketch", qQuantileSketch, Some(qQuantileSketchSql)),
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),

@@ -196,6 +196,21 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- priority sampling ---------------------------------------------------
+
+  test("q_weighted_sample: HT estimate tracks the true total; rerun reproduces") {
+    val r = SparkEntry.queries("q_weighted_sample")(spark, sf).head()
+    val (total, est) = (r.getAs[Double]("total_exact"), r.getAs[Double]("est"))
+    assert(r.getAs[Long]("n_docs") > 50)
+    // k=50 → rel. std ≈ 1/√(k−1) ≈ 14%; this fixed draw sits at ~2.4σ
+    // on the tiny sf0.001 corpus (−0.5% at sf0.1), so bound at ~3.5σ
+    assert(math.abs(est - total) < total * 0.50, s"est $est vs total $total")
+    assert(r.getAs[Double]("err") == est - total)
+    // deterministic u => the estimate is byte-identical across runs
+    val again = SparkEntry.queries("q_weighted_sample")(spark, sf).head()
+    assert(again.getAs[Double]("est") == est)
+  }
+
   // ---- KMV distinct sketch -------------------------------------------------
 
   test("q_kmv_distinct: small populations exact, estimator within KMV error") {
