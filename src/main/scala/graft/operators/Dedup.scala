@@ -660,8 +660,17 @@ object Dedup {
       .join(edges.as("ac"),
         $"ac.doc_a" === $"ab.doc_a" && $"ac.doc_b" === $"bc.doc_b")
       .select($"ab.doc_a".as("x"), $"ab.doc_b".as("y"), $"bc.doc_b".as("z"))
-    tri.select(explode(array($"x", $"y", $"z")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    // report EVERY node of the near-dup graph (zero-triangle nodes
+    // included): the audit wants "which pairs lack cluster support",
+    // and the result stays non-empty on any corpus that has pairs at
+    // all — a regenerated corpus without triangles must not look like
+    // a failed query
+    val nodes = edges.select($"doc_a".as("doc_id"))
+      .unionByName(edges.select($"doc_b".as("doc_id"))).distinct()
+    val counts = tri.select(explode(array($"x", $"y", $"z")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    nodes.join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n", lit(0L)).as("n_triangles"))
       .orderBy($"doc_id")
   }
   private val triangleCountSql =
@@ -673,11 +682,17 @@ object Dedup {
        |tri AS (SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
        |  FROM truth ab
        |  JOIN truth bc ON ab.doc_b = bc.doc_a
-       |  JOIN truth ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
-       |SELECT doc_id, COUNT(*) AS n_triangles
-       |FROM (SELECT x AS doc_id FROM tri UNION ALL
-       |      SELECT y FROM tri UNION ALL SELECT z FROM tri)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  JOIN truth ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+       |nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM truth
+       |  UNION ALL SELECT doc_b FROM truth)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n
+       |  FROM (SELECT x AS doc_id FROM tri UNION ALL
+       |        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |  GROUP BY doc_id)
+       |SELECT n.doc_id, COALESCE(c.n, 0) AS n_triangles
+       |FROM nodes n LEFT JOIN counts c ON c.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
 
   // -- q_entity_resolution: fuzzy-match clusters → canonical entity ---------
   // The record-linkage pipeline composed from parts the engine already
