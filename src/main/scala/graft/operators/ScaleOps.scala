@@ -579,13 +579,17 @@ object ScaleOps {
     val est = DetHll.estimate(
       regA.unionByName(regU.select($"grp", $"bucket", $"m"))
         .unionByName(regB), Seq("grp"), "est")
-    def one(g: String, as: String) =
-      est.filter($"grp" === g).select($"est".as(as))
+    // pivot via ungrouped aggregation: exactly ONE output row even if a
+    // side is empty under some future data distribution (a filtered
+    // pivot would emit zero rows and read as a failed query)
+    val pivoted = est.agg(
+      max(when($"grp" === "a", $"est")).as("est_a"),
+      max(when($"grp" === "b", $"est")).as("est_b"),
+      max(when($"grp" === "u", $"est")).as("est_union"))
     val exact = side("purchase").distinct()
       .join(side("click").distinct(), Seq("user_id"), "left_semi")
       .agg(count(lit(1)).as("n_exact"))
-    one("a", "est_a").crossJoin(one("b", "est_b"))
-      .crossJoin(one("u", "est_union")).crossJoin(exact)
+    pivoted.crossJoin(exact)
       .select($"est_a", $"est_b", $"est_union",
         ($"est_a" + $"est_b" - $"est_union").as("est_intersect"),
         $"n_exact",
