@@ -410,8 +410,45 @@ object Behavioral {
        |FROM att WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // -- q_event_paths: dominant 3-step journeys ------------------------------
+  // Path analysis, the discovery complement of q_funnel: the funnel
+  // checks ONE hypothesized stage sequence, this surfaces which
+  // 3-step journeys actually dominate (and q_transition_matrix's
+  // first-order probabilities can't see order-3 structure — a→b→a
+  // loops vs a→b→c progressions look identical pairwise). Two lead()
+  // columns on the same user-timeline window (one sort serves both),
+  // then a count groupBy; top-20 by (count, path) is TakeOrdered.
+  // The (ts_ns, event_id) total order makes the path multiset exact.
+  private def eventPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id")
+      .withColumn("s2", lead($"event_type", 1).over(w))
+      .withColumn("s3", lead($"event_type", 2).over(w))
+      .filter($"s3".isNotNull)
+      .groupBy($"event_type".as("s1"), $"s2", $"s3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"s1", $"s2", $"s3")
+      .limit(20)
+  }
+  private val eventPathsSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+      |            FROM events),
+      |paths AS (SELECT event_type AS s1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts_ns, event_id) AS s2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |                              ORDER BY ts_ns, event_id) AS s3
+      |  FROM ev)
+      |SELECT s1, s2, s3, COUNT(*) AS n
+      |FROM paths WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    QueryDef("q_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q_attribution", attribution, Some(attributionSql)),
     QueryDef("q_mixture_apply", mixtureApply, Some(mixtureApplySql)),
     QueryDef("q_kfold_split", kfoldSplit, Some(kfoldSplitSql)),

@@ -198,6 +198,24 @@ class Round10bSpec extends AnyFunSuite {
       "pairs spanning micro-batch boundaries must form via carried state")
   }
 
+  // ---- event paths ---------------------------------------------------------
+
+  test("q_event_paths: path counts conserve the timeline-window identity") {
+    val rows = SparkEntry.queries("q_event_paths")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.toSeq == ns.sorted.reverse.toSeq, "heaviest paths first")
+    // total 3-windows = sum over users of max(0, events - 2); the top-20
+    // can only cover at most that many
+    val ev = Tables.events(spark, sf)
+    val perUser = ev.groupBy("user_id").count().collect().map(_.getLong(1))
+    val windows = perUser.map(n => math.max(0L, n - 2)).sum
+    assert(ns.sum <= windows)
+    // and with only 5 event types, 20 of 125 possible paths must cover
+    // a nontrivial share of all windows on this corpus
+    assert(ns.sum * 5 > windows, s"top-20 covers ${ns.sum} of $windows")
+  }
+
   // ---- priority sampling ---------------------------------------------------
 
   test("q_weighted_sample: HT estimate tracks the true total; rerun reproduces") {
