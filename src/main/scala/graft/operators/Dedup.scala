@@ -605,7 +605,9 @@ object Dedup {
   // Scale: components come from the banded LSH pair set (never
   // corpus²); the split itself is a row-local hash over one
   // corpus ⟕ labels join.
-  private def leakageSplit(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, component, split) frame — shared with the composed
+    * eval-safe curriculum (pipeline_curriculum, TextAnalysis). */
+  private[operators] def leakageSplitFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
     val labels = componentLabels(pairs)
@@ -615,10 +617,15 @@ object Dedup {
       .withColumn("split",
         when(Behavioral.mixKey($"component") % 10 < 8, lit("train"))
           .otherwise(lit("heldout")))
-      .orderBy($"doc_id")
   }
-  private val leakageSplitSql =
-    s"""WITH RECURSIVE $jaccardCtes,
+  private def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    leakageSplitFrame(s, d).orderBy($"doc_id")
+  }
+  /** CTE chain ending in `split_t(doc_id, component, split)` — the
+    * oracle building block the composed curriculum reuses. */
+  private[operators] val leakageSplitCtes =
+    s"""$jaccardCtes,
        |pairs AS (
        |  SELECT doc_a, doc_b FROM shared
        |  JOIN sizes sa ON sa.doc_id = doc_a
@@ -633,11 +640,16 @@ object Dedup {
        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
        |alldocs AS (
        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-       |SELECT doc_id, component,
-       |  CASE WHEN ${Behavioral.mixKeySql("component")} % 10 < 8
-       |       THEN 'train' ELSE 'heldout' END AS split
-       |FROM alldocs ORDER BY doc_id""".stripMargin
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |split_t AS (
+       |  SELECT doc_id, component,
+       |    CASE WHEN ${Behavioral.mixKeySql("component")} % 10 < 8
+       |         THEN 'train' ELSE 'heldout' END AS split
+       |  FROM alldocs)""".stripMargin
+  private val leakageSplitSql =
+    s"""WITH RECURSIVE $leakageSplitCtes
+       |SELECT doc_id, component, split FROM split_t
+       |ORDER BY doc_id""".stripMargin
 
   // -- q_triangle_count: triangles in the near-dup graph --------------------
   // The graph-density diagnostic over the duplicate graph (the third

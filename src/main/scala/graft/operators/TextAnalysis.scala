@@ -498,7 +498,63 @@ object TextAnalysis {
        |FROM t ORDER BY position""".stripMargin
   }
 
+  // -- pipeline_curriculum: eval-safe training order -------------------------
+  // The composed deliverable this round's pieces exist for: the
+  // LEAKAGE-SAFE split (no near-dup pair straddles train/heldout —
+  // q_leakage_split's component assignment) feeds the TRAIN side only
+  // into the deterministic quality-first curriculum — so the frozen
+  // training order can never contain a near-duplicate of a heldout
+  // eval document, by construction. Same shapes as the parts: one
+  // corpus ⟕ component-labels join, row-local tiering, and the
+  // range-partitioned global enumeration (zipWithIndex, no
+  // single-partition window).
+  private def pipelineCurriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val train = Dedup.leakageSplitFrame(s, d)
+      .filter($"split" === "train").select($"doc_id")
+    val en = stop.head._2
+    val scored = Tables.documents(s, d)
+      .join(train, "doc_id")
+      .withColumn("words", TextPrep.words($"text"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("rep_ratio",
+        size(array_distinct($"words")).cast("double") / $"n_words")
+      .withColumn("stop_ratio",
+        stopword_scores($"words", Seq(en))(0).cast("double") / $"n_words")
+      .withColumn("tier_rank",
+        when($"n_words" < 20, 3).when($"rep_ratio" < 0.3, 2)
+          .when($"stop_ratio" > 0.5, 1).otherwise(0))
+      .withColumn("k", Behavioral.mixKey($"doc_id"))
+      .select($"doc_id", $"tier_rank", $"k")
+      .orderBy($"tier_rank", $"k", $"doc_id")
+    val schema = org.apache.spark.sql.types.StructType(
+      scored.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "position", org.apache.spark.sql.types.LongType, nullable = false))
+    s.createDataFrame(
+        scored.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
+      .select($"position", $"doc_id", $"tier_rank").orderBy($"position")
+  }
+  private val pipelineCurriculumSql = {
+    val en = stop.head._2
+    s"""WITH RECURSIVE ${Dedup.leakageSplitCtes},
+       |train AS (SELECT doc_id FROM split_t WHERE split = 'train'),
+       |w AS (SELECT d.doc_id, ${TextPrep.wordsSql} AS words
+       |      FROM documents d JOIN train t ON t.doc_id = d.doc_id),
+       |m AS (SELECT doc_id, len(words) AS n_words,
+       |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
+       |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio FROM w),
+       |t2 AS (SELECT doc_id,
+       |  CASE WHEN n_words < 20 THEN 3 WHEN rep_ratio < 0.3 THEN 2
+       |       WHEN stop_ratio > 0.5 THEN 1 ELSE 0 END AS tier_rank,
+       |  ${Behavioral.mixKeySql("doc_id")} AS k FROM m)
+       |SELECT ROW_NUMBER() OVER (ORDER BY tier_rank, k, doc_id) AS position,
+       |  doc_id, tier_rank
+       |FROM t2 ORDER BY position""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_curriculum", pipelineCurriculum, Some(pipelineCurriculumSql)),
     QueryDef("text_pmi", pmi, Some(pmiSql)),
     QueryDef("q_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("text_langid", langid, Some(langidSql)),

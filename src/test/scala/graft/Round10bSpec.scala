@@ -399,6 +399,28 @@ class Round10bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- eval-safe curriculum pipeline ---------------------------------------
+
+  test("pipeline_curriculum: exactly the train side, ordered, leakage-free") {
+    val cur = SparkEntry.queries("pipeline_curriculum")(spark, sf).collect()
+    val split = SparkEntry.queries("q_leakage_split")(spark, sf).collect()
+    val train = split.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(cur.map(_.getAs[Long]("doc_id")).toSet == train,
+      "curriculum must contain exactly the train docs")
+    assert(cur.map(_.getAs[Long]("position")).toSeq == (1L to train.size).toSeq)
+    val tiers = cur.sortBy(_.getAs[Long]("position")).map(_.getAs[Int]("tier_rank")).toSeq
+    assert(tiers == tiers.sorted)
+    // structural leakage guarantee: no near-dup pair straddles the
+    // curriculum and the heldout side
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+    for (p <- pairs) {
+      val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      assert(train.contains(a) == train.contains(b),
+        s"near-dup pair ($a,$b) straddles the curriculum/heldout boundary")
+    }
+  }
+
   // ---- curriculum ordering -------------------------------------------------
 
   test("q_curriculum_order: a deterministic permutation, clean tiers first") {
