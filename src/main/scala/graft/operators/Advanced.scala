@@ -252,6 +252,13 @@ object Advanced {
   // divisions of identical doubles, ties impossible in practice.
   // Both top-k passes are TakeOrdered, never a global sort; the
   // below-k branch returns the exact total. Exact Σw rides along.
+  // Rounding-boundary assumption (text_pmi's discipline, stated): τ and
+  // the q_i are full-precision IEEE doubles, outside dsum's documented
+  // lossless ≤6-decimal-digit domain, so the decimal(18,6) cast ROUNDS
+  // greatest(w, τ) — parity relies on Spark and DuckDB rounding the
+  // identical double→decimal at the 1e-6 boundary the same way (both
+  // round-half-up on the same IEEE value; no engine-order drift enters
+  // because the rounding happens per row BEFORE the exact decimal sum).
   private val PrioK = 50
   private def weightedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -812,7 +812,13 @@ object Maintenance {
       .withColumn("pri", $"o_orderpriority")
       .write.partitionBy("pri").parquet(s"$root/gen2")
     // the value list is read back from the written directory names —
-    // O(partitions) driver-side metadata, no extra Spark job
+    // O(partitions) driver-side metadata, no extra Spark job. The names
+    // stay URI-ESCAPED here on purpose: the manifest stores PATHS, and
+    // the escaped form is the on-disk truth (a value with space/'%'/'/'
+    // round-trips only escaped); every VALUE comparison against a raw
+    // wanted value unescapes at read time (qPartitionEvolution), never
+    // here — escaping exactly once and unescaping exactly once is the
+    // invariant.
     val pris = Option(new java.io.File(s"$root/gen2").listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("pri="))
       .map(_.getName.stripPrefix("pri=")).sorted

@@ -556,7 +556,11 @@ object Relational {
     val items = Tables.lineitem(s, d)
       .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
       .localCheckpoint() // feeds the pair join twice + the support side
-    val orders = items.select($"o").distinct().count()
+    // the order total rides the plan as a one-row broadcast frame (the
+    // Behavioral convention) — builders stay lazy plans, never running
+    // a Spark job at query-BUILD time
+    val orders = items.select($"o").distinct()
+      .agg(count(lit(1)).as("total"))
     val supp = items.groupBy($"p").agg(count(lit(1)).as("n"))
     val pairs = items.as("a").join(items.as("b"),
         $"a.o" === $"b.o" && $"a.p" < $"b.p")
@@ -566,8 +570,9 @@ object Relational {
     pairs
       .join(supp.select($"p".as("pa"), $"n".as("n_a")), "pa")
       .join(supp.select($"p".as("pb"), $"n".as("n_b")), "pb")
+      .crossJoin(broadcast(orders))
       .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
-        ($"n_ab".cast("double") * orders / ($"n_a".cast("double") * $"n_b"))
+        ($"n_ab".cast("double") * $"total" / ($"n_a".cast("double") * $"n_b"))
           .as("lift"))
       .orderBy($"n_ab".desc, $"pa", $"pb")
       .limit(20)

@@ -137,33 +137,41 @@ object SemiStructured {
   // subtotals + broadcast offsets) instead of one ordered window — the
   // two-pass shape q_pack_sequences documents.
   private val DepthBuckets = 10
+  private val DepthRanges = 256L
   private def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val vals = Tables.lineitem(s, d)
       .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
-    // prefix sum as the two-pass range-partitioned shape (never a
-    // single-partition global window): range-shuffle the distinct
-    // values, each range computes a PARALLEL local prefix, the
-    // per-range subtotals (≤ #partitions rows) broadcast back as
-    // offsets. The global prefix is boundary-independent — wherever the
-    // range sampler cuts, local + offset reconstructs the same cum —
-    // so the output is deterministic even though the cuts aren't.
-    // localCheckpoint pins ONE materialized range layout: local and
-    // offs both fork off this frame, and a re-executed range sampler
-    // could otherwise cut differently per branch, misaligning pids
-    val ranged = vals.repartitionByRange(16, $"v")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = ranged.withColumn("lcum",
-      sum($"c").over(Window.partitionBy($"pid").orderBy($"v")))
-    val offs = ranged.groupBy($"pid").agg(sum($"c").as("pc"))
+    // prefix sum as a two-pass VALUE-KEYED shape (never a
+    // single-partition global window over the distinct values): each
+    // value's coarse range key rk is an affine function of the value
+    // against the one-row (vmin, vmax) stats frame — a pure, monotone
+    // function of the DATA, so the split is identical under every
+    // partition layout, retry, and recomputation (the r10 construction
+    // keyed ranges by spark_partition_id + localCheckpoint, betting
+    // correctness on a pinned physical layout; a re-executed range
+    // sampler after eviction/retry could misalign pid between the two
+    // branches — the driver's one hash-red row). Each rk computes a
+    // PARALLEL local prefix; the ≤ DepthRanges per-range subtotals
+    // broadcast back as offsets. local + offset reconstructs the same
+    // cum wherever the affine split lands, because rk is monotone in v.
+    val stats = vals.agg(min($"v").as("vmin"), max($"v").as("vmax"))
+    val keyed = vals.crossJoin(broadcast(stats))
+      .withColumn("rk", when($"vmax" > $"vmin",
+          least(lit(DepthRanges - 1), floor(($"v" - $"vmin") /
+            ($"vmax" - $"vmin") * DepthRanges).cast("long")))
+        .otherwise(lit(0L)))
+      .select($"v", $"c", $"rk")
+    val local = keyed.withColumn("lcum",
+      sum($"c").over(Window.partitionBy($"rk").orderBy($"v")))
+    val offs = keyed.groupBy($"rk").agg(sum($"c").as("pc"))
       .withColumn("off",
-        coalesce(sum($"pc").over(Window.orderBy($"pid")
+        coalesce(sum($"pc").over(Window.orderBy($"rk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum($"pc").over(Window.partitionBy()))
-      .select($"pid", $"off", $"n")
-    local.join(broadcast(offs), "pid")
+      .select($"rk", $"off", $"n")
+    local.join(broadcast(offs), "rk")
       .withColumn("cum", $"lcum" + $"off")
       .withColumn("bucket", expr(s"(cum - c) * $DepthBuckets div n"))
       .groupBy($"bucket")
@@ -259,13 +267,16 @@ object SemiStructured {
             .as("bucket"))): _*)).as("h"))
       .select($"h.j", $"h.bucket")
       .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    // cast BEFORE multiplying (mirrors the oracle's HUGEINT discipline):
+    // a per-bucket counter can exceed ~3e9 rows at 100 TB, where the
+    // LONG square silently wraps before a post-multiply cast could help
     val est = sketch
       .groupBy($"j")
-      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).as("e"))
+      .agg(sum($"c".cast("decimal(38,0)") * $"c").as("e"))
       .agg(min($"e").cast("long").as("f2_est"))
     val exact = keys.groupBy($"k").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_keys"),
-        sum(($"n" * $"n").cast("decimal(38,0)")).cast("long").as("f2_exact"))
+        sum($"n".cast("decimal(38,0)") * $"n").cast("long").as("f2_exact"))
     exact.crossJoin(est)
       .select($"n_keys", $"f2_exact", $"f2_est",
         ($"f2_est" - $"f2_exact").as("overcount"))

@@ -582,7 +582,7 @@ object Similarity {
     val (dirKey, fp) = Tables.stagingKey(d, "embeddings")
     val root = s"/tmp/graft_q/annr_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v1-pq-raw|$fp"
+    val fmt = s"v2-pq-raw|$fp" // v2: dense-grid renumbered codebook
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
       if (!new java.io.File(root, "staging_source.txt").exists())
@@ -592,7 +592,11 @@ object Similarity {
     annTrainRuns.incrementAndGet()
     Staging.vacuum()
     val subs = pqSubs(Tables.embeddings(s, d)).localCheckpoint()
-    val c1 = pqTrainCodebook(subs).localCheckpoint()
+    // same fail-safe dense-grid renumbering as the residual roots:
+    // identity while every seed cell survives full-corpus training,
+    // and keeps j = (cell_id − 3)/16 a valid packed index if one dies
+    // (mirrored by the oracle's c1d CTE)
+    val c1 = denseCells(pqTrainCodebook(subs)).localCheckpoint()
     val tmp = Staging.tempBuildDir()
     c1.write.mode("overwrite").parquet(s"$tmp/pqcodebook")
     pqCodes(subs, c1).write.mode("overwrite").parquet(s"$tmp/codes")
@@ -697,7 +701,7 @@ object Similarity {
     } else {
       // raw-vector codes + per-query tables (the pre-r6 shape)
       val subs = pqSubs(emb)
-      val c1 = pqTrainCodebook(subs)
+      val c1 = denseCells(pqTrainCodebook(subs))
       val codes = pqCodes(subs, c1).join(cells, "vec_id")
       val dtabWide = pqDtabWide(subs, c1)
       probed.join(codes, "cell_id")
@@ -1214,11 +1218,14 @@ object Similarity {
        |    FROM a0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
        |         unnest(range(1, ${sub + 1})) t(i)
        |    GROUP BY a.m, a.cell_id, t.i) GROUP BY m, cell_id),
+       |c1d AS (SELECT m,
+       |    3 + $PqSeedMod * (row_number() OVER (PARTITION BY m ORDER BY cell_id) - 1) AS cell_id,
+       |    ce FROM c1),
        |codes AS (SELECT vec_id, m, cell_id FROM (
        |    SELECT s.vec_id, s.m, c.cell_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m
        |      ORDER BY ${l2FastSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
-       |    FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+       |    FROM subs s JOIN c1d c ON s.m = c.m) WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs
        |      WHERE vec_id % 50 = 0),
        |codesw AS (
@@ -1227,7 +1234,7 @@ object Similarity {
        |dtab AS (
        |  SELECT q.query_id, q.m, (c.cell_id - 3) // $PqSeedMod AS j,
        |    ${l2FastSql("q.qsub", "c.ce", sub)} AS part
-       |  FROM q JOIN c1 c ON q.m = c.m),
+       |  FROM q JOIN c1d c ON q.m = c.m),
        |tabw AS (SELECT query_id, m, list(part ORDER BY j) AS trow
        |         FROM dtab GROUP BY query_id, m),
        |tabq AS (SELECT query_id, list(trow ORDER BY m) AS tab

@@ -355,6 +355,19 @@ object Streaming {
       state: GroupState[LastEv]): Iterator[TransOut] = {
     val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ns, e.event_id))
     var last = state.getOption
+    // The carried (ts_ns, event_id) key is the ORDER GUARD: a
+    // cross-batch arrival whose total-order key is <= the carried
+    // state's would silently pair AFTER it, diverging from the batch
+    // oracle's LAG-over-total-order semantics — fail fast instead of
+    // drifting. The guard never trips here (the file source replays
+    // event-time-ordered chunks) and documents the delivery contract an
+    // at-scale source must satisfy per key (e.g. Kafka per-partition
+    // order with user-keyed partitioning).
+    for (l <- last; h <- sorted.headOption)
+      if (h.ts_ns < l.ts_ns || (h.ts_ns == l.ts_ns && h.event_id <= l.event_id))
+        throw new IllegalStateException(
+          s"out-of-order delivery for user $userId: batch min key " +
+            s"(${h.ts_ns},${h.event_id}) <= state key (${l.ts_ns},${l.event_id})")
     val out = Seq.newBuilder[TransOut]
     sorted.foreach { e =>
       last.foreach(l => out += TransOut(l.event_type, e.event_type))
