@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  final case class QueryResult(name: String, times: Seq[Double], error: Option[String]) {
+  final case class QueryResult(name: String, times: Seq[Double], error: Option[String],
+      cpuTimes: Seq[Double] = Nil) {
     /** Headline cost: min over the timed reps — on a shared box the min
       * is the best estimator of intrinsic cost (load spikes only add). */
     def seconds: Double = times.min
@@ -20,7 +21,21 @@ object Bench {
       val s = times.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    /** Process-CPU cost of the cheapest rep: the load-insensitive
+      * signal (another process hogging the box inflates wall time but
+      * not THIS JVM's consumed CPU), so round-over-round comparisons
+      * can separate plan regressions from box-load ghosts. */
+    def cpuSeconds: Double = if (cpuTimes.isEmpty) -1.0 else cpuTimes.min
   }
+
+  /** Whole-JVM CPU ns (driver + all local executor threads — local mode
+    * is one process, so this IS the query's compute). −1 if the JVM
+    * doesn't expose it. */
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
 
   /** Time one query (count() forces full execution). Never throws.
     * All rep times are kept so the emitted artifact carries min AND
@@ -31,17 +46,21 @@ object Bench {
   def runOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => DataFrame, reps: Int = 1): QueryResult = {
     val runs = (1 to math.max(1, reps)).map { _ =>
+      val c0 = processCpuNs()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable =>
           Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val c1 = processCpuNs()
+      val cpu = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+      (wall, cpu, err)
     }
-    val succeeded = runs.filter(_._2.isEmpty)
+    val succeeded = runs.filter(_._3.isEmpty)
     val timed = if (succeeded.nonEmpty) succeeded else runs
-    QueryResult(name, timed.map(_._1), runs.flatMap(_._2).headOption)
+    QueryResult(name, timed.map(_._1), runs.flatMap(_._3).headOption, timed.map(_._2))
   }
 
   def runAll(spark: SparkSession, sfDir: String,
@@ -61,9 +80,10 @@ object Bench {
     // carries the noise-control signal instead of leaving it in scratch logs
     val qs = results.map(r => s"${jstr(r.name)}:${r.seconds}").mkString("{", ",", "}")
     val stats = results.map(r =>
-      s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},"n":${r.times.size}}""")
+      s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},""" +
+        s""""cpu":${r.cpuSeconds},"n":${r.times.size}}""")
       .mkString("{", ",", "}")
-    val errs = results.collect { case QueryResult(n, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
+    val errs = results.collect { case QueryResult(n, _, Some(e), _) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,""" +
@@ -132,10 +152,11 @@ object Bench {
     // total, error count, the 10 slowest queries with min/median, and
     // a pointer to the full per-query stats persisted above.
     val top = results.sortBy(-_.seconds).take(10).map(r =>
-      f"""${jstr(r.name)}:{"min":${r.seconds}%.3f,"median":${r.median}%.3f}""")
+      f"""${jstr(r.name)}:{"min":${r.seconds}%.3f,"median":${r.median}%.3f,"cpu":${r.cpuSeconds}%.3f}""")
       .mkString("{", ",", "}")
+    val cpuTotal = results.map(r => math.max(0.0, r.cpuSeconds)).sum
     println(s"""{"metric":"total","value":${f"${results.map(_.seconds).sum}%.3f"},""" +
-      s""""unit":"sec","n_queries":${results.size},""" +
+      s""""unit":"sec","cpu_total":${f"$cpuTotal%.3f"},"n_queries":${results.size},""" +
       s""""n_errors":${results.count(_.error.isDefined)},"top":$top,""" +
       s""""detail":"full per-query stats in $outPath","sf":${jstr(sfDir)}}""")
     spark.stop()

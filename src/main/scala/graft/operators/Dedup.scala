@@ -225,7 +225,60 @@ object Dedup {
   private val Bands = 32
   private val RowsPerBand = Lanes / Bands
 
+  /** Spec instrumentation: number of times the pair-graph build
+    * actually ran (staging misses). Queries over an already-staged
+    * dataset must leave this unchanged — zero shingle/signature jobs
+    * on the query path. */
+  private[graft] val pairStageRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Stage the VERIFIED near-dup pair set (doc_a, doc_b, jaccard) ONCE
+    * per dataset — the dedup twin of the ANN/BM25 index staging: the
+    * full shingle → minhash → band → exact-Jaccard-verify pipeline is
+    * the single most re-derived prefix in the suite (connected
+    * components, PageRank, triangles, the leakage-safe split and the
+    * composed curriculum all sit on this graph), and at 100 TB the pair
+    * graph IS a stored artifact — dedup systems persist it and every
+    * downstream graph/split job reads it. Same [[Tables.stagingKey]]
+    * content-fingerprint freshness + [[graft.Staging]] swap-publish /
+    * vacuum lifecycle as the other staged indexes; the build is the
+    * deterministic [[minhashPairs]] pipeline itself, so the staged
+    * table is bit-identical to inline derivation — which is why every
+    * consumer's DuckDB oracle can keep replaying the pipeline from the
+    * raw corpus. */
+  private[graft] def pairsRoot(s: SparkSession, d: String): String = {
+    val (dirKey, fp) = Tables.stagingKey(d, "documents")
+    val root = s"/tmp/graft_q/pairs_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-minhash-pairs|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        graft.Staging.recordSource(root, d, "documents", fp)
+      return root
+    }
+    pairStageRuns.incrementAndGet()
+    graft.Staging.vacuum()
+    val tmp = graft.Staging.tempBuildDir()
+    minhashPairs(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmp, root, d, "documents", fp)
+    root
+  }
+
+  /** The verified J ≥ 0.8 pair set served from the staged parquet —
+    * what every graph/split consumer reads instead of re-running LSH. */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pairsRoot(s, d)}/pairs")
+
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    verifiedPairs(s, d).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The full candidate-generate + exact-verify pipeline (the staging
+    * BUILD; queries read [[verifiedPairs]]). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
       .select($"doc_id", TextPrep.shingleSet($"text", 3).as("grams"))
@@ -566,7 +619,7 @@ object Dedup {
 
   private def components(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
     componentLabels(pairs)
       .groupBy($"label".as("component"))
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list($"id")).as("m"))
@@ -609,7 +662,7 @@ object Dedup {
     * eval-safe curriculum (pipeline_curriculum, TextAnalysis). */
   private[operators] def leakageSplitFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
     val labels = componentLabels(pairs)
     Tables.documents(s, d).select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
@@ -662,11 +715,12 @@ object Dedup {
   // each triangle x<y<z is found EXACTLY once by joining ab⋈bc on the
   // shared middle node and closing with one ac equi-join — two narrow
   // equi-joins on doc ids, never an adjacency cross product; the edge
-  // list is localCheckpoint'd so the LSH pipeline above it runs once,
-  // not three times. Per-node counts come from one explode + groupBy.
+  // list is the STAGED pair graph, so the three self-join branches are
+  // three parquet scans, never three LSH pipeline replays. Per-node
+  // counts come from one explode + groupBy.
   private def triangleCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = minhashLsh(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val edges = verifiedPairs(s, d).select($"doc_a", $"doc_b")
     val tri = edges.as("ab")
       .join(edges.as("bc"), $"ab.doc_b" === $"bc.doc_a")
       .join(edges.as("ac"),
@@ -956,7 +1010,7 @@ object Dedup {
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
     // edges cached FIRST so the LSH pair generation runs exactly once;
     // degree is loop-invariant, so it is joined into the edge list ONCE
     // (from the cached edges) and cached too — each iteration is then a

@@ -89,4 +89,17 @@ class Round11Spec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"layout-dependent output: ${bad.mkString("; ")}")
   }
+
+  test("pair graph: queries after staging run zero LSH pipeline builds") {
+    import graft.operators.Dedup
+    Dedup.pairsRoot(spark, sf)
+    val before = Dedup.pairStageRuns.get()
+    for (q <- Seq("dedup_minhash_lsh", "dedup_components", "q_pagerank",
+        "q_triangle_count", "q_leakage_split", "pipeline_curriculum"))
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
+    assert(Dedup.pairStageRuns.get() == before,
+      "a query path re-ran the shingle→minhash→verify build instead of " +
+        "reading the staged pair graph")
+    assert(new java.io.File(s"${Dedup.pairsRoot(spark, sf)}/pairs").exists())
+  }
 }
