@@ -280,9 +280,15 @@ object Dedup {
     * BUILD; queries read [[verifiedPairs]]). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingle + 128-lane signature once, parallel, checkpointed: the
+    // band branch and BOTH verify branches consume this frame (3 plan
+    // references), and the local one-file scan otherwise runs the
+    // whole CPU-bound map as one task (the dedup_simhash lesson)
     val docs = Tables.documents(s, d)
+      .repartition($"doc_id")
       .select($"doc_id", TextPrep.shingleSet($"text", 3).as("grams"))
       .withColumn("sig", minhash_sig($"grams", Lanes))
+      .localCheckpoint()
     val bands = docs.select($"doc_id",
         explode(array((0 until Bands).map(b =>
           xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
@@ -364,6 +370,7 @@ object Dedup {
     // once or the shingle pipeline (normalize + shingle + explode) runs
     // per branch
     val grams = Tables.documents(s, d)
+      .repartition($"doc_id") // parallelize the CPU-bound shingle map
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
       .localCheckpoint()
     // exact truth via the inverted-index join, integer-exact threshold
@@ -471,8 +478,19 @@ object Dedup {
         "re-band with wider blocks or deeper probing for larger budgets")
     val widths = Seq.fill(12)(5) :+ 4 // 13 blocks cover all 64 bits
     val offsets = widths.scanLeft(0)(_ + _).init
+    // The signature map is the query's CPU (shingle + 64 weighted-bit
+    // folds per doc) and BOTH self-join branches consume it, so it is
+    // computed ONCE over a repartitioned scan and checkpointed as
+    // 16-byte (doc_id, sig) rows. The repartition exists for the local
+    // small-file layout only (one parquet file = one input split = one
+    // task pinning 31 cores idle — measured 2.5-3.3s single-task
+    // stages, twice); at real scale the scan already yields thousands
+    // of splits and the exchange is a no-op cost-wise (text shuffles
+    // once, signatures never recompute).
     val docs = Tables.documents(s, d)
+      .repartition($"doc_id")
       .select($"doc_id", simhash64(TextPrep.shingleSet($"text", 3)).as("sig"))
+      .localCheckpoint()
     def blockVal(b: Int): Column =
       shiftrightunsigned($"sig", offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     // posexplode over a flat long array: the position IS the band id —
