@@ -68,14 +68,27 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Deterministic 16-bit mono PCM WAV: sine at (220 + docId%220) Hz. */
+    /** Deterministic 16-bit mono PCM WAV: triangle wave at
+      * (220 + docId%220) Hz, amplitude 12000. INTEGER arithmetic only —
+      * a sine's `Math.sin` is JVM-intrinsic and NOT bit-identical to a
+      * SQL engine's libm sin (a 1-ulp flip at a truncation boundary
+      * silently diverges the PCM), so the waveform every engine must
+      * agree on is piecewise-linear integer: t = (f·i) mod 8000, one
+      * period = rise/fall/rise over 2000-sample quarters at slope 6. */
+    def triSample(freq: Long, i: Long): Int = {
+      val t = ((freq * i) % 8000).toInt
+      if (t < 2000) t * 6
+      else if (t < 6000) (4000 - t) * 6
+      else (t - 8000) * 6
+    }
     def wavBytes(docId: Long, durationMs: Long): Array[Byte] = {
       val n = (SampleRate * durationMs / 1000).toInt
       val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
       val pcm = new Array[Byte](n * 2)
+      val freq = 220 + docId % 220
       var i = 0
       while (i < n) {
-        val v = (math.sin(2 * math.Pi * (220 + docId % 220) * i / SampleRate) * 12000).toInt
+        val v = triSample(freq, i)
         pcm(2 * i) = (v & 0xff).toByte
         pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
         i += 1
@@ -173,7 +186,52 @@ object Multimodal {
       case "audio/wav" => decodeAudio(r)
       case _ => decodeVideo(r)
     }
+
+    /** EXACT-INTEGER decode features for the losslessly-coded
+      * modalities: PNG luminance channel-sum + pixel count (PNG is
+      * lossless, so the decoded pixels ARE the generator formula's) and
+      * WAV PCM energy Σv² + sample count (the PCM rides uncompressed).
+      * These are the quantities a SQL oracle can replay closed-form
+      * from the generator arithmetic — the float surface (mean, RMS)
+      * derives from them OUTSIDE the aggregation, as one IEEE
+      * expression over exact integers. Video is excluded by
+      * construction: its frames round-trip a LOSSY JPEG encode (DCT
+      * quantization specific to the JDK codec), so decoded pixels are
+      * genuinely codec-dependent — the written proof that
+      * mm_binary_pipeline's video brightness stays rows-only. */
+    def decodeExact(r: MediaRow): ExactDecode = r.meta.mime match {
+      case "image/png" =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ExactDecode(r.doc_id, r.meta.mime, sum,
+          img.getWidth.toLong * img.getHeight, 0L, 0L)
+      case _ => // audio/wav
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val frames = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        var energy = 0L
+        var i = 0
+        while (i < frames) {
+          val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+          energy += v * v
+          i += 1
+        }
+        ExactDecode(r.doc_id, r.meta.mime, 0L, 0L, energy, frames.toLong)
+    }
   }
+
+  final case class ExactDecode(doc_id: Long, mime: String,
+      lum: Long, px: Long, energy: Long, ns: Long)
 
   /** Deterministic media table derived from documents: REAL png/wav/mp4
     * payloads (JDK-encoded; mp4 = motion-JPEG in ISO BMFF) keyed off
@@ -228,7 +286,7 @@ object Multimodal {
     val (dirKey, fp) = graft.Tables.stagingKey(d, "documents")
     val root = s"/tmp/graft_q/mm_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v1-media-parquet|$fp"
+    val fmt = s"v2-media-parquet|$fp" // v2: integer-triangle PCM
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
       if (!new java.io.File(root, "staging_source.txt").exists())
@@ -358,11 +416,91 @@ object Multimodal {
       |  CAST(SUM(box_count) AS BIGINT) AS box_count
       |FROM f GROUP BY mime ORDER BY mime""".stripMargin
 
-  // mm_binary_pipeline stays rows-only by declared necessity (no SQL
-  // engine replays pixel/PCM decode); mm_metadata value-oracles every
-  // container-derivable column of the same media table.
+  // -- mm_decode_features: the value-oracled DECODE half ---------------------
+  // Real codec decode (ImageIO pixels, AudioSystem PCM) reduced to
+  // exact integers a SQL engine can replay from the generator
+  // arithmetic: PNG is lossless, so the decoded channel sum per image
+  // is h·Σ_x(id+x)%256 + w·Σ_y(id·31+y)%256 + h·w(w−1)/2 + w·h(h−1)/2
+  // (x+y < 256 always, so its mod is the identity); WAV PCM is the
+  // uncompressed integer triangle wave, so Σv² replays sample-exact.
+  // The float columns (mean brightness, RMS level) are ONE IEEE
+  // expression over the exact aggregate integers on both engines —
+  // no engine-ordered float accumulation anywhere.
+  private def decodeExactQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    stagedMedia(s, d).filter(r => r.meta.mime != "video/mp4")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(JdkCodec.decodeExact)
+      }
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n"),
+        sum($"lum".cast("decimal(38,0)")).cast("long").as("lum_sum"),
+        sum($"px".cast("decimal(38,0)")).cast("long").as("pixels"),
+        sum($"energy".cast("decimal(38,0)")).cast("long").as("pcm_energy"),
+        sum($"ns".cast("decimal(38,0)")).cast("long").as("pcm_samples"))
+      .withColumn("brightness",
+        when($"pixels" > 0,
+          $"lum_sum" / ($"pixels" * lit(3.0))).otherwise(lit(0.0)))
+      .withColumn("rms_level",
+        when($"pcm_samples" > 0,
+          sqrt($"pcm_energy" / ($"pcm_samples" * lit(1.0))) / 32768.0 * 255.0)
+          .otherwise(lit(0.0)))
+      .orderBy($"mime")
+  }
+  private val decodeExactSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+      |    32 + (doc_id % 16) * 8 AS w,
+      |    32 + (doc_id % 9) * 8 AS h,
+      |    CASE doc_id % 3 WHEN 1 THEN (doc_id % 5) * 100 + 100 ELSE 0 END AS dur,
+      |    220 + doc_id % 220 AS freq
+      |  FROM documents WHERE doc_id % 3 < 2),
+      |sx AS (SELECT doc_id, SUM((doc_id + x.x) % 256) AS v
+      |       FROM m, unnest(range(0, m.w)) x(x)
+      |       WHERE mime = 'image/png' GROUP BY doc_id),
+      |sy AS (SELECT doc_id, SUM((doc_id * 31 + y.y) % 256) AS v
+      |       FROM m, unnest(range(0, m.h)) y(y)
+      |       WHERE mime = 'image/png' GROUP BY doc_id),
+      |img AS (SELECT m.doc_id,
+      |    m.h * sx.v + m.w * sy.v
+      |      + m.h * (m.w * (m.w - 1) // 2) + m.w * (m.h * (m.h - 1) // 2) AS lum,
+      |    m.w * m.h AS px
+      |  FROM m JOIN sx USING (doc_id) JOIN sy USING (doc_id)),
+      |pcm AS (SELECT doc_id, SUM(CAST(v AS HUGEINT) * v) AS energy, COUNT(*) AS ns
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN t < 2000 THEN t * 6
+      |           WHEN t < 6000 THEN (4000 - t) * 6
+      |           ELSE (t - 8000) * 6 END AS v
+      |    FROM (SELECT doc_id, (freq * i.i) % 8000 AS t
+      |          FROM m, unnest(range(0, m.dur * 8)) i(i)
+      |          WHERE mime = 'audio/wav'))
+      |  GROUP BY doc_id),
+      |agg AS (
+      |  SELECT 'image/png' AS mime, COUNT(*) AS n,
+      |    CAST(SUM(lum) AS BIGINT) AS lum_sum, CAST(SUM(px) AS BIGINT) AS pixels,
+      |    CAST(0 AS BIGINT) AS pcm_energy, CAST(0 AS BIGINT) AS pcm_samples
+      |  FROM img
+      |  UNION ALL
+      |  SELECT 'audio/wav', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(SUM(energy) AS BIGINT), CAST(SUM(ns) AS BIGINT)
+      |  FROM pcm)
+      |SELECT mime, n, lum_sum, pixels, pcm_energy, pcm_samples,
+      |  CASE WHEN pixels > 0 THEN lum_sum / (pixels * 3.0) ELSE 0.0 END AS brightness,
+      |  CASE WHEN pcm_samples > 0
+      |       THEN sqrt(pcm_energy / (pcm_samples * 1.0)) / 32768.0 * 255.0
+      |       ELSE 0.0 END AS rms_level
+      |FROM agg ORDER BY mime""".stripMargin
+
+  // mm_binary_pipeline stays rows-only by declared necessity — its
+  // video brightness decodes LOSSY JPEG frames (codec-specific DCT
+  // quantization no SQL engine replays); every other decode quantity
+  // graduated: container arithmetic → mm_metadata, lossless pixel/PCM
+  // decode → mm_decode_features.
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_pipeline", pipeline, None),
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
+    QueryDef("mm_decode_features", decodeExactQ, Some(decodeExactSql)),
   )
 }

@@ -319,9 +319,16 @@ class StreamMultimodalSpec extends AnyFunSuite {
     // duration comes from the DECODED stream (1600 frames), not the
     // declared 999999 ms: 0.2 s * 10 frames/s = 2 sampled frames
     assert(f.framesSampled == 2, f.framesSampled)
-    // a sine's RMS is amplitude/sqrt(2): 12000/1.414/32768*255 ≈ 66
-    assert(math.abs(f.brightness - 12000.0 / math.sqrt(2) / 32768.0 * 255.0) < 1.0,
+    // a triangle wave's RMS is amplitude/sqrt(3): 12000/1.732/32768*255 ≈ 54
+    assert(math.abs(f.brightness - 12000.0 / math.sqrt(3) / 32768.0 * 255.0) < 1.5,
       f.brightness)
+    // and the decoded PCM must replay the integer generator sample-exact
+    // (the property the mm_decode_features oracle rests on)
+    val exact = JdkCodec.decodeExact(MediaRow(7L, wav, MediaMeta("audio/wav", 0, 0, 0L)))
+    val expected = (0 until 1600).map(i => JdkCodec.triSample(227L, i.toLong))
+      .map(v => v.toLong * v).sum
+    assert(exact.energy == expected && exact.ns == 1600,
+      s"PCM energy ${exact.energy} != $expected")
   }
 
   test("multimodal pipeline: decode is deterministic and batch plumbing holds") {
