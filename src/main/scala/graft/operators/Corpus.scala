@@ -1100,7 +1100,57 @@ object Corpus {
        |ORDER BY i.source""".stripMargin
   }
 
+  // -- q_phrase_search: positional phrase retrieval ---------------------------
+  // The query class the inverted index stores POSITIONS for (tf alone
+  // can't answer it): find documents containing an exact adjacent
+  // phrase. The workload is self-contained — the phrase is the corpus's
+  // most frequent bigram (exact counts, lexicographic tie-break), the
+  // way a phrase-mining pass would feed the retrieval layer. Shape:
+  // the one-row phrase broadcasts; the position table is filtered to
+  // the phrase's two tokens BEFORE any join (at 100 TB with the staged
+  // positional index this is two posting-list reads, never a corpus
+  // scan); occurrences close with one (doc_id, pos+1 = pos) equi-join —
+  // the standard positional-intersection step, candidate-bounded by
+  // the rarer token's posting list.
+  private def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("w"))
+    val pos = docs
+      .select($"doc_id", posexplode($"w").as(Seq("p", "tok")))
+      .filter($"tok" =!= "")
+      .select($"doc_id", $"p".cast("long").as("p"), $"tok")
+    val phrase = docs.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS u, w[i + 1] AS v2))")).as("b"))
+      .filter($"b.u" =!= "" && $"b.v2" =!= "")
+      .groupBy($"b.u".as("u"), $"b.v2".as("v2")).agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"u", $"v2").limit(1)
+    val first = pos.join(broadcast(phrase), $"tok" === $"u")
+      .select($"doc_id", $"p", $"u", $"v2")
+    val second = pos.join(broadcast(phrase.select($"v2".as("vk"))), $"tok" === $"vk")
+      .select($"doc_id".as("d2"), $"p".as("p2"))
+    first.join(second, $"doc_id" === $"d2" && $"p" + 1 === $"p2")
+      .groupBy($"u".as("phrase_u"), $"v2".as("phrase_v"), $"doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"doc_id")
+  }
+  private val phraseSearchSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS w FROM documents),
+       |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tok
+       |  FROM docs, unnest(range(1, len(w) + 1)) t(i) WHERE w[i] <> ''),
+       |phrase AS (SELECT w[i] AS u, w[i + 1] AS v2, COUNT(*) AS cnt
+       |  FROM docs, unnest(range(1, len(w))) t(i)
+       |  WHERE len(w) >= 2 AND w[i] <> '' AND w[i + 1] <> ''
+       |  GROUP BY 1, 2 ORDER BY cnt DESC, u, v2 LIMIT 1)
+       |SELECT ph.u AS phrase_u, ph.v2 AS phrase_v, a.doc_id AS doc_id,
+       |  COUNT(*) AS n_occurrences
+       |FROM pos a JOIN phrase ph ON a.tok = ph.u
+       |JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = ph.v2
+       |GROUP BY 1, 2, 3 ORDER BY a.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pipeline_llm_mix", pipelineLlmMix, Some(pipelineLlmMixSql)),
     QueryDef("text_dsir", dsir, Some(dsirSql)),
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),

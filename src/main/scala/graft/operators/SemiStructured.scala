@@ -189,6 +189,151 @@ object SemiStructured {
        |  COUNT(*) AS n_distinct
        |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // -- shared: value-keyed two-pass prefix sums ------------------------------
+  /** Prefix sums over the DISTINCT-value table `vals`, ordered by
+    * `vcol`, without a single-partition global window and without any
+    * layout coupling (the equidepth r11 shape): the coarse range key is
+    * an affine — hence monotone — function of the value against the
+    * broadcast one-row (min, max) stats frame, each range computes a
+    * parallel local prefix, and the ≤ 256 per-range subtotals broadcast
+    * back as offsets. Appends `cum_<c>` (inclusive prefix sum) and
+    * `tot_<c>` (grand total) for every LONG column `c` in `sums`.
+    * Deterministic under every partition layout by construction —
+    * pinned by the Round11 cross-layout spec. */
+  private[operators] def valueKeyedCums(vals: DataFrame, vcol: String,
+      sums: Seq[String]): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vcol)
+    val stats = vals.agg(min(v).as("vk_min"), max(v).as("vk_max"))
+    val keyed = vals.crossJoin(broadcast(stats))
+      .withColumn("vk_rk", when($"vk_max" > $"vk_min",
+          least(lit(255L), floor((v - $"vk_min") /
+            ($"vk_max" - $"vk_min") * 256).cast("long")))
+        .otherwise(lit(0L)))
+      .drop("vk_min", "vk_max")
+    val wLoc = Window.partitionBy($"vk_rk").orderBy(v)
+    val local = sums.foldLeft(keyed)((df, c) =>
+      df.withColumn(s"cum_$c", sum(col(c)).over(wLoc)))
+    // offsets: one row per coarse range — the only global window runs
+    // over ≤ 256 subtotal rows
+    val wOff = Window.orderBy($"vk_rk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = keyed.groupBy($"vk_rk")
+      .agg(sums.map(c => sum(col(c)).as(s"pc_$c")).head,
+        sums.map(c => sum(col(c)).as(s"pc_$c")).tail: _*)
+    val offs = sums.foldLeft(offs0)((df, c) =>
+      df.withColumn(s"off_$c", coalesce(sum(col(s"pc_$c")).over(wOff), lit(0L)))
+        .withColumn(s"tot_$c", sum(col(s"pc_$c")).over(Window.partitionBy())))
+      .select(col("vk_rk") +: sums.flatMap(c =>
+        Seq(col(s"off_$c"), col(s"tot_$c"))): _*)
+    val joined = local.join(broadcast(offs), "vk_rk")
+    sums.foldLeft(joined)((df, c) =>
+      df.withColumn(s"cum_$c", col(s"cum_$c") + col(s"off_$c"))
+        .drop(s"off_$c"))
+      .drop("vk_rk")
+  }
+
+  // -- q_ks_test: exact two-sample Kolmogorov-Smirnov drift ------------------
+  // The nonparametric distribution-drift test PSI can't give you
+  // (q_drift_psi buckets first; KS compares the FULL empirical CDFs):
+  // D = max over pooled values of |F1(v) − F2(v)|, here between the
+  // order-price distributions of finished ('F') vs open ('O') orders.
+  // Everything is exact integers until one final division: per-value
+  // counts for both slices in ONE shuffle, value-keyed prefix sums (no
+  // global window, no layout coupling), and the divergence is
+  // maximized as the INTEGER |cum1·n2 − cum2·n1| — cross-multiplied so
+  // no per-row float ratio exists to drift. The decision quantity
+  // D = d_scaled/(n1·n2) and the arg-max value are emitted alongside.
+  // 100 TB shape: the only full-data shuffle is the (value, counts)
+  // groupBy; everything after runs on the distinct-value table.
+  private def ksTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, d)
+      .filter($"o_orderstatus".isin("F", "O"))
+      .groupBy($"o_totalprice".as("v"))
+      .agg(sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("c1"),
+        sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("c2"))
+    val d38 = "decimal(38,0)"
+    val di = valueKeyedCums(vals, "v", Seq("c1", "c2"))
+      .select($"v",
+        abs($"cum_c1".cast(d38) * $"tot_c2" - $"cum_c2".cast(d38) * $"tot_c1")
+          .as("di"),
+        $"tot_c1".as("n1"), $"tot_c2".as("n2"))
+    val dmax = di.agg(max($"di").as("d_scaled"))
+    di.join(broadcast(dmax), $"di" === $"d_scaled")
+      .groupBy($"n1", $"n2", $"d_scaled")
+      .agg(min($"v").as("v_at_max"))
+      .select($"n1", $"n2", $"d_scaled", $"v_at_max",
+        ($"d_scaled".cast("double") / ($"n1".cast("double") * $"n2")).as("ks_d"))
+  }
+  private val ksTestSql =
+    """WITH v AS (SELECT o_totalprice AS v,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+      |c AS (SELECT v,
+      |    SUM(c1) OVER (ORDER BY v) AS cum1, SUM(c2) OVER (ORDER BY v) AS cum2,
+      |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM v),
+      |di AS (SELECT v,
+      |    ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) AS di,
+      |    n1, n2 FROM c),
+      |m AS (SELECT MAX(di) AS d_scaled FROM di)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(m.d_scaled AS DECIMAL(38,0)) AS d_scaled, MIN(v) AS v_at_max,
+      |  CAST(m.d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS ks_d
+      |FROM di JOIN m ON di.di = m.d_scaled
+      |GROUP BY n1, n2, m.d_scaled""".stripMargin
+
+  // -- q_gini: concentration (Gini coefficient) of customer spend -----------
+  // The inequality audit a data-mixture or revenue report runs: how
+  // concentrated is lifetime spend across customers? Gini over sorted
+  // per-customer totals, computed EXACTLY on the distinct-value table
+  // with tie handling closed-form: for a value v with count c and
+  // inclusive cumulative count cum, Σᵢ(2i − n − 1)·v over that tie
+  // group collapses to v·c·(2·cum − c − n) — so the numerator is one
+  // exact decimal sum and the coefficient is a single IEEE division of
+  // exact integers. Spend is 10⁻²-scaled integer cents (the q_variance
+  // discipline). Prefix sums are value-keyed two-pass — no global
+  // window, no layout coupling.
+  private def gini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = "decimal(38,0)"
+    val spend = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val vals = spend.groupBy($"cents".as("v")).agg(count(lit(1)).as("c"))
+    valueKeyedCums(vals, "v", Seq("c"))
+      .select(
+        ($"v".cast(d38) * $"c" * (lit(2) * $"cum_c" - $"c" - $"tot_c"))
+          .as("term"),
+        ($"v".cast(d38) * $"c").as("mass"),
+        $"tot_c".as("n"))
+      .groupBy($"n")
+      .agg(sum($"term").as("num"), sum($"mass").cast("long").as("total_cents"))
+      .select($"n".as("n_customers"), $"total_cents",
+        ($"num".cast("double") /
+          ($"n".cast("double") * $"total_cents".cast("double"))).as("gini"))
+  }
+  private val giniSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |v AS (SELECT cents AS v, COUNT(*) AS c FROM spend GROUP BY 1),
+      |c AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+      |             SUM(c) OVER () AS n FROM v),
+      |t AS (SELECT MAX(n) AS n,
+      |    SUM(CAST(v AS HUGEINT) * c * (2 * cum - c - n)) AS num,
+      |    SUM(CAST(v AS HUGEINT) * c) AS total_cents FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(total_cents AS BIGINT) AS total_cents,
+      |  CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+      |    AS gini
+      |FROM t""".stripMargin
+
   // -- Count-Min Sketch frequency estimation -------------------------------
   // The fixed-size mergeable frequency sketch (Cormode & Muthukrishnan
   // 2005) that complements Misra-Gries (q_heavy_hitters): d=4 hash rows
@@ -616,6 +761,8 @@ object SemiStructured {
     QueryDef("q_profile_stats", profile, Some(profileSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
+    QueryDef("q_ks_test", ksTest, Some(ksTestSql)),
+    QueryDef("q_gini", gini, Some(giniSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),

@@ -553,7 +553,100 @@ object TextAnalysis {
        |FROM t2 ORDER BY position""".stripMargin
   }
 
+  // -- q_entropy: per-source Shannon token entropy ----------------------------
+  // The diversity gauge mixture tuning reads next to quality scores: a
+  // source whose token distribution is low-entropy is templated/
+  // repetitive however long its documents are. H = ln N − (Σ c·ln c)/N
+  // over per-source token counts — but Σ c·ln c is a float sum whose
+  // partial-aggregation order differs between engines, so the published
+  // metric quantizes EACH ln to an integer first (text_pmi's
+  // discipline, moved inside the sum): lnc6 = floor(ln(c)·10⁶ + 0.5),
+  // s = Σ c·lnc6 is an exact decimal sum (order-free), and
+  // entropy_micro = floor(ln(N)·10⁶ + 0.5) − s div N is pure integer
+  // arithmetic — a 10⁻⁶-quantized estimator whose bias is bounded by
+  // the quantization step, identical on every engine and layout.
+  private def entropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(TextPrep.words($"text")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+      .withColumn("lnc6",
+        floor(log($"c".cast("double")) * 1e6 + 0.5).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum($"c").as("n_tokens"),
+        sum($"c".cast("decimal(38,0)") * $"lnc6").as("s"))
+      .select($"source", $"n_tokens", $"n_vocab",
+        (floor(log($"n_tokens".cast("double")) * 1e6 + 0.5).cast("long")
+          - expr("s div n_tokens")).as("entropy_micro"))
+      .orderBy($"source")
+  }
+  private val entropySql =
+    s"""WITH toks AS (SELECT source, unnest(${TextPrep.wordsSql}) AS t
+       |             FROM documents),
+       |counts AS (SELECT source, t, COUNT(*) AS c FROM toks
+       |           WHERE t <> '' GROUP BY 1, 2),
+       |l AS (SELECT source, c,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lnc6
+       |  FROM counts),
+       |g AS (SELECT source, COUNT(*) AS n_vocab,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(c AS HUGEINT) * lnc6) AS s
+       |  FROM l GROUP BY source)
+       |SELECT source, n_tokens, n_vocab,
+       |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |    - CAST(s // n_tokens AS BIGINT) AS entropy_micro
+       |FROM g ORDER BY source""".stripMargin
+
+  // -- text_hashing: feature-hashing (hashing trick) accounting --------------
+  // The fixed-width vectorizer every at-scale text featurizer uses when
+  // the vocabulary won't fit anywhere (Weinberger et al. 2009): token →
+  // bucket = hash(token) mod D, D = 1024. The operational question is
+  // collision load, so the op emits the accounting a pipeline monitors
+  // before trusting hashed features: per source, vocabulary size, how
+  // many of the D buckets are live, the worst bucket's distinct-token
+  // load, and the collision rate (tokens sharing a bucket with another
+  // token / vocab). The hash is the replayable md5-derived mixKey, so
+  // DuckDB rebuilds the identical placement. Shapes: one (source,
+  // token) distinct + one (source, bucket) groupBy — map-side
+  // combined, never a vocabulary broadcast.
+  private val HashDim = 1024L
+  private def hashingTrick(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(TextPrep.words($"text")).as("t"))
+      .filter($"t" =!= "").distinct()
+    toks
+      .withColumn("b", Behavioral.mixKey($"t") % HashDim)
+      .groupBy($"source", $"b").agg(count(lit(1)).as("load"))
+      .groupBy($"source")
+      .agg(sum($"load").as("n_vocab"),
+        count(lit(1)).as("used_buckets"),
+        max($"load").as("max_bucket_load"),
+        sum(when($"load" > 1, $"load").otherwise(0L)).as("colliding_tokens"))
+      .withColumn("collision_rate",
+        $"colliding_tokens".cast("double") / $"n_vocab")
+      .orderBy($"source")
+  }
+  private val hashingTrickSql =
+    s"""WITH toks AS (SELECT DISTINCT source, t FROM (
+       |    SELECT source, unnest(${TextPrep.wordsSql}) AS t FROM documents)
+       |  WHERE t <> ''),
+       |b AS (SELECT source, ${Behavioral.mixKeySql("t")} % $HashDim AS b,
+       |    COUNT(*) AS load
+       |  FROM toks GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(load) AS BIGINT) AS n_vocab,
+       |  COUNT(*) AS used_buckets, MAX(load) AS max_bucket_load,
+       |  CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT)
+       |    AS colliding_tokens,
+       |  CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) AS DOUBLE)
+       |    / SUM(load) AS collision_rate
+       |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_entropy", entropy, Some(entropySql)),
+    QueryDef("text_hashing", hashingTrick, Some(hashingTrickSql)),
     QueryDef("pipeline_curriculum", pipelineCurriculum, Some(pipelineCurriculumSql)),
     QueryDef("text_pmi", pmi, Some(pmiSql)),
     QueryDef("q_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),

@@ -1016,7 +1016,40 @@ object Streaming {
       |  CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS DOUBLE) AS psi
       |FROM w ORDER BY win_start, event_type""".stripMargin
 
+  // -- #43n streaming approximate distinct (mergeable HLL registers) --------
+  // The streaming cardinality monitor (distinct users per event type)
+  // with O(registers) state instead of O(distinct keys): the stateful
+  // aggregate is the DetHll REGISTER TABLE itself — groupBy(type,
+  // bucket) max(rho) — and max is order- and batch-slice-insensitive,
+  // so the finished stream's registers equal the batch sketch's BY
+  // CONSTRUCTION and the DuckDB oracle replays the identical pipeline
+  // from raw events. State is ≤ 4096 registers per event type however
+  // long the stream runs — the production posture for distinct-count
+  // dashboards over unbounded streams (exact distinct state grows with
+  // the keyspace; dropDuplicates without watermark never evicts).
+  // Complete output mode: registers are a tiny bounded relation, and
+  // the estimate is computed OVER the sink table after the run — the
+  // same split as the stored-sketch q_hll_sketch_merge.
+  private def approxDistinctStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val regs = graft.operators.DetHll.registers(
+        eventsStream(s, d), Seq("event_type"), $"user_id")
+      val table = runToMemory(regs, "graft_stream_hll", OutputMode.Complete())
+      graft.operators.DetHll.estimate(table, Seq("event_type"), "approx_users")
+        .orderBy($"event_type")
+    }
+  private val approxDistinctStreamSql = {
+    val regs = graft.operators.DetHll.registersSql(
+      "(SELECT event_type AS g, user_id AS k FROM events)", "g", "k")
+    val est = graft.operators.DetHll.estimateSql(s"($regs)", "g", "approx_users")
+    s"""SELECT g AS event_type, approx_users FROM ($est)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_approx_distinct", approxDistinctStream,
+      Some(approxDistinctStreamSql)),
     QueryDef("stream_drift", driftStream, Some(driftStreamSql)),
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),

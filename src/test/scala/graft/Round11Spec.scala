@@ -102,4 +102,124 @@ class Round11Spec extends AnyFunSuite {
         "reading the staged pair graph")
     assert(new java.io.File(s"${Dedup.pairsRoot(spark, sf)}/pairs").exists())
   }
+
+  // ---- r11 operators: brute-force semantic checks ---------------------------
+
+  test("q_ks_test equals the brute-force two-sample KS statistic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .filter($"o_orderstatus".isin("F", "O"))
+      .select($"o_orderstatus", $"o_totalprice").as[(String, Double)].collect()
+    val a = rows.filter(_._1 == "F").map(_._2).sorted
+    val b = rows.filter(_._1 == "O").map(_._2).sorted
+    val pooled = (a ++ b).distinct.sorted
+    def cdfCount(xs: Array[Double], v: Double): Long = xs.count(_ <= v).toLong
+    val dInt = pooled.map(v =>
+      (cdfCount(a, v) * b.length - cdfCount(b, v) * a.length).abs).max
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n1") == a.length.toLong)
+    assert(r.getAs[Long]("n2") == b.length.toLong)
+    assert(r.getAs[java.math.BigDecimal]("d_scaled").longValueExact() == dInt,
+      s"d_scaled ${r.get(2)} != brute-force $dInt")
+    assert(math.abs(r.getAs[Double]("ks_d") -
+      dInt.toDouble / (a.length.toLong * b.length)) < 1e-12)
+  }
+
+  test("q_gini equals the brute-force sorted-rank Gini coefficient") {
+    import spark.implicits._
+    val cents = SparkEntry.queries("q_gini")(spark, sf).collect()(0)
+    val spend = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .select($"c").as[Long].collect().sorted
+    val n = spend.length.toLong
+    val total = spend.map(BigInt(_)).sum
+    val num = spend.zipWithIndex
+      .map { case (x, i) => BigInt(x) * (2L * (i + 1) - n - 1) }.sum
+    val gini = (BigDecimal(num) / (BigDecimal(n) * BigDecimal(total))).toDouble
+    assert(cents.getAs[Long]("n_customers") == n)
+    assert(cents.getAs[Long]("total_cents") == total.toLong)
+    assert(math.abs(cents.getAs[Double]("gini") - gini) < 1e-9,
+      s"gini ${cents.getAs[Double]("gini")} != brute-force $gini")
+    assert(cents.getAs[Double]("gini") > 0 && cents.getAs[Double]("gini") < 1)
+  }
+
+  test("q_entropy: quantized entropy tracks exact Shannon entropy per source") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select($"source", org.apache.spark.sql.functions.explode(
+        graft.operators.TextPrep.words($"text")).as("t"))
+      .filter($"t" =!= "")
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ts) =>
+        src -> ts.groupBy(_._2).map(_._2.length.toLong).toSeq
+      }
+    rows.foreach { r =>
+      val cs = counts(r.getString(0))
+      val nTok = cs.sum
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_vocab") == cs.size.toLong)
+      val h = math.log(nTok.toDouble) -
+        cs.map(c => c * math.log(c.toDouble)).sum / nTok
+      // the published metric quantizes each ln to 1e-6 and floors the
+      // final division — error is bounded by the quantization step plus
+      // the floor, well inside 2 micro-nats per unit of H
+      assert(math.abs(r.getAs[Long]("entropy_micro") - h * 1e6) < 10,
+        s"${r.getString(0)}: ${r.getAs[Long]("entropy_micro")} vs ${h * 1e6}")
+    }
+  }
+
+  test("text_hashing: collision accounting is internally consistent") {
+    val rows = SparkEntry.queries("text_hashing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, used, maxLoad, colliding) =
+        (r.getAs[Long]("n_vocab"), r.getAs[Long]("used_buckets"),
+          r.getAs[Long]("max_bucket_load"), r.getAs[Long]("colliding_tokens"))
+      assert(used <= math.min(vocab, 1024L))
+      assert(maxLoad >= (vocab + 1023) / 1024, "pigeonhole lower bound")
+      assert(colliding <= vocab && colliding >= 0)
+      // tokens in single-occupancy buckets + colliding tokens = vocab
+      assert(r.getAs[Double]("collision_rate") == colliding.toDouble / vocab)
+    }
+  }
+
+  test("q_phrase_search occurrences match a sliding-window scan of the raw text") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_phrase_search")(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus must contain the top bigram somewhere")
+    val (u, v) = (rows(0).getString(0), rows(0).getString(1))
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val w = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      id -> w.sliding(2).count(p => p.length == 2 && p(0) == u && p(1) == v).toLong
+    }.filter(_._2 > 0).toMap
+    assert(byDoc == expected, s"phrase ($u $v): $byDoc != $expected")
+  }
+
+  test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val batch = graft.operators.DetHll.estimate(
+      graft.operators.DetHll.registers(ev, Seq("event_type"), $"user_id"),
+      Seq("event_type"), "approx_users")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch,
+      "finished-stream registers must equal the batch sketch exactly")
+    val exact = ev.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)) / exact(t) < 0.1,
+        s"$t: estimate $est vs exact ${exact(t)}")
+    }
+  }
 }
