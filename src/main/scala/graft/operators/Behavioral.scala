@@ -446,7 +446,72 @@ object Behavioral {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin
 
+  // -- q_ab_test: two-proportion experiment readout ---------------------------
+  // The experiment-analysis primitive over the event log: users are
+  // assigned to variants by the replayable md5 hash (the deterministic
+  // randomization a real platform persists), conversion = the user ever
+  // purchased, and the readout is the pooled two-proportion z statistic
+  // z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)). All inputs are
+  // exact integer counts from two narrow aggregates (per-user collapse,
+  // then per-variant); the statistic is ONE IEEE expression over those
+  // integers — identical parenthesization on both engines, no float
+  // accumulation anywhere. 100 TB shape: the only data-sized shuffle is
+  // the per-user groupBy; variants are a 2-row frame.
+  private def abTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // conversion must be a SELECTIVE predicate (every user in this log
+    // purchases eventually, so plain "ever purchased" makes pooled = 1,
+    // the z denominator 0, and ANSI Spark throws on double/0 where
+    // IEEE would say NaN): a high-value purchase splits users ~45/55
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(mixKey($"user_id") % 2 === 0, "A").otherwise("B"))
+    val v = users.groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("x"))
+    val a = v.filter($"variant" === "A")
+      .select($"n".as("n_a"), $"x".as("x_a"))
+    val b = v.filter($"variant" === "B")
+      .select($"n".as("n_b"), $"x".as("x_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a", $"x_a".cast("double") / $"n_a")
+      .withColumn("rate_b", $"x_b".cast("double") / $"n_b")
+      .withColumn("pooled", ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b"))
+      .select($"n_a", $"x_a", $"n_b", $"x_b", $"rate_a", $"rate_b",
+        // degenerate experiment (pooled 0 or 1) reads z = 0, not a crash
+        when($"pooled" > 0 && $"pooled" < 1,
+          ($"rate_a" - $"rate_b") /
+            sqrt($"pooled" * (lit(1.0) - $"pooled") *
+              (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+          .otherwise(lit(0.0)).as("z"))
+  }
+  private val abTestSql = {
+    val h = mixKeySql("user_id")
+    s"""WITH users AS (SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+       |             THEN 1 ELSE 0 END) AS converted,
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id),
+       |v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS x
+       |      FROM users GROUP BY variant),
+       |j AS (SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+       |    CAST(a.x AS DOUBLE) / a.n AS rate_a,
+       |    CAST(b.x AS DOUBLE) / b.n AS rate_b,
+       |    CAST(a.x + b.x AS DOUBLE) / (a.n + b.n) AS pooled
+       |  FROM (SELECT * FROM v WHERE variant = 'A') a,
+       |       (SELECT * FROM v WHERE variant = 'B') b)
+       |SELECT n_a, x_a, n_b, x_b, rate_a, rate_b,
+       |  CASE WHEN pooled > 0 AND pooled < 1
+       |       THEN (rate_a - rate_b) / sqrt(pooled * (1.0 - pooled)
+       |         * (1.0 / n_a + 1.0 / n_b))
+       |       ELSE 0.0 END AS z
+       |FROM j""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_test", abTest, Some(abTestSql)),
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q_attribution", attribution, Some(attributionSql)),

@@ -1374,6 +1374,62 @@ object Similarity {
        |  WHERE cw.vec_id <> p.query_id)""".stripMargin
   }
 
+  // -- sim_ann_filtered: metadata-filtered vector search ---------------------
+  // The production feature plain ANN lacks: top-k under a metadata
+  // predicate (here: neighbors sharing the QUERY's label — the
+  // same-tenant / same-language restriction every vector store fields).
+  // Strategy is post-filter with a widened candidate stage: the ADC
+  // shortlist keeps 3× the unfiltered depth (the predicate keeps ~1/3
+  // of candidates at 3 labels, so the expected filtered depth matches
+  // the unfiltered query's), labels join on the SHORTLIST (query-
+  // proportional, never the corpus), and the exact re-rank runs on the
+  // filtered survivors. At 100 TB with selective predicates the index
+  // itself partitions by the filter column (per-label cell lists) so
+  // probing prunes instead of post-filtering — this op is the
+  // post-filter half that stays correct for ANY ad-hoc predicate.
+  private def annFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val labels = emb.select($"vec_id", $"label")
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = ivfpqAdistStaged(s, d, queryMod = 50)
+      .withColumn("srank", row_number().over(wAdc))
+      .filter($"srank" <= PqShortlist * 3)
+      .select($"query_id", $"neighbor_id")
+    val filtered = shortlist
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("nl")),
+        "neighbor_id")
+      .join(broadcast(labels.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"label".as("ql"))), "query_id")
+      .filter($"nl" === $"ql")
+      .select($"query_id", $"neighbor_id")
+    pqRerank(emb, filtered)
+  }
+  private val annFilteredSql =
+    s"""WITH ${ivfpqAdistSql(queryMod = 50)},
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= ${PqShortlist * 3}),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |filtered AS (SELECT s.query_id, s.neighbor_id FROM shortlist s
+       |  JOIN lbl nl ON nl.vec_id = s.neighbor_id
+       |  JOIN lbl ql ON ql.vec_id = s.query_id
+       |  WHERE nl.label = ql.label),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |reranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${l2sqSql("qv.fe", "nv.fe", Dims)} AS d
+       |  FROM filtered s
+       |  JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |  JOIN fullv qv ON s.query_id = qv.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, round(d, 6) AS d6
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   private val annIvfPqSql =
     s"""WITH ${ivfpqAdistSql(queryMod = 50)},
        |shortlist AS (SELECT query_id, neighbor_id FROM (
@@ -1686,6 +1742,7 @@ object Similarity {
     QueryDef("q_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),
     QueryDef("sim_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    QueryDef("sim_ann_filtered", annFiltered, Some(annFilteredSql)),
     QueryDef("sim_ann_incremental", annIncremental, Some(annIncrementalSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_bruteforce_topk", bruteforceTopk, Some(bruteforceTopkSql)),

@@ -203,6 +203,53 @@ class Round11Spec extends AnyFunSuite {
     assert(byDoc == expected, s"phrase ($u $v): $byDoc != $expected")
   }
 
+  test("sim_ann_filtered: every neighbor satisfies the predicate, ranked correctly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_ann_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      rs.foreach { r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) == labels(q),
+          s"query $q: neighbor ${r.get(2)} violates the label predicate")
+      }
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Double]("d6")).toSeq ==
+        ranked.map(_.getAs[Double]("d6")).sortBy(identity).toSeq,
+        s"query $q: distances not monotone in rank")
+    }
+  }
+
+  test("q_ab_test equals the brute-force two-proportion z statistic") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).collect()(0)
+    val users = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.exists(e => e._2 == "purchase" && e._3 > 150.0)
+      }
+    def md5mix(u: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString, 16)
+    val (a, b) = users.partition { case (u, _) => md5mix(u) % 2 == 0 }
+    val (na, xa) = (a.size.toLong, a.count(_._2).toLong)
+    val (nb, xb) = (b.size.toLong, b.count(_._2).toLong)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("x_a") == xa)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("x_b") == xb)
+    val pooled = (xa + xb).toDouble / (na + nb)
+    if (pooled > 0 && pooled < 1) {
+      val z = (xa.toDouble / na - xb.toDouble / nb) /
+        math.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    } else assert(r.getAs[Double]("z") == 0.0, "degenerate experiment must read z = 0")
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
