@@ -293,13 +293,13 @@ object Behavioral {
     * [0, 2^32) — identical in Spark and DuckDB (see [[mixKeySql]]).
     * Shared with the leakage-safe split (Dedup.scala), which hashes
     * component labels through the same idiom. */
-  private[operators] def mixKey(c: Column): Column =
+  private[graft] def mixKey(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** The DuckDB spelling of [[mixKey]]: DuckDB has no conv(), so the 8
     * hex nibbles are parsed positionally (each term cast to BIGINT —
     * DuckDB errors on INT32 overflow rather than wrapping). */
-  private[operators] def mixKeySql(e: String): String = {
+  private[graft] def mixKeySql(e: String): String = {
     val h = s"md5(CAST($e AS VARCHAR))"
     (1 to 8).map(i =>
       s"CAST(strpos('0123456789abcdef', substr($h, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")

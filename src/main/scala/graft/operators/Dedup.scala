@@ -1092,7 +1092,134 @@ object Dedup {
        |ORDER BY rank_scaled DESC, doc_id""".stripMargin
   }
 
+  // -- q_dup_distance: hops to the cluster representative --------------------
+  // The chain-dup audit made quantitative (triangleCount's counterpart):
+  // multi-source BFS over the near-dup graph from every component's
+  // min-label doc (the keep-one representative). dist = 0 is the kept
+  // doc, 1 a direct duplicate, ≥ 2 a TRANSITIVE duplicate — a doc that
+  // never verified J ≥ 0.8 against its representative and dies only
+  // through the chain, exactly the rows a keep-one pass should review.
+  // Rounds are fixed (8) like PageRank's, so the oracle replays the
+  // bound; anything deeper reads -1 ("beyond audit depth") on both
+  // engines. Each round is one narrow (dst, dist) equi-join + groupBy
+  // min over the STAGED edge list — no LSH replay, localCheckpoint per
+  // round keeps plans O(1).
+  private val BfsRounds = 8
+  private def dupDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val p = pairs.toDF("src", "dst").cache()
+    p.count()
+    val edges = p.union(p.select($"dst".as("src"), $"src".as("dst"))).cache()
+    val labels = componentLabels(pairs)
+    var dist = labels
+      .select($"id",
+        when($"id" === $"label", 0L).otherwise(lit(null).cast("long")).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val nbrMin = edges
+        .join(dist.filter($"dist".isNotNull).select($"id".as("dst"), $"dist"), "dst")
+        .groupBy($"src").agg(min($"dist" + 1).as("nd"))
+      dist = dist.join(nbrMin.select($"src".as("id"), $"nd"), Seq("id"), "left")
+        .select($"id",
+          least(coalesce($"dist", $"nd"), coalesce($"nd", $"dist")).as("dist"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    dist
+      .groupBy(coalesce($"dist", lit(-1L)).as("dist"))
+      .agg(count(lit(1)).as("n_docs"), min($"id").as("min_doc"),
+        max($"id").as("max_doc"))
+      .orderBy($"dist")
+  }
+  private val dupDistanceSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+       |bfs(id, dist) AS (
+       |  SELECT id, 0 FROM comp WHERE id = component
+       |  UNION
+       |  SELECT e.src, b.dist + 1 FROM edges e JOIN bfs b ON e.dst = b.id
+       |  WHERE b.dist < $BfsRounds),
+       |md AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
+       |SELECT COALESCE(md.dist, -1) AS dist, COUNT(*) AS n_docs,
+       |  MIN(c.id) AS min_doc, MAX(c.id) AS max_doc
+       |FROM comp c LEFT JOIN md ON md.id = c.id
+       |GROUP BY 1 ORDER BY dist""".stripMargin
+
+  // -- q_dataset_card: the governance one-pager -------------------------------
+  // The dataset card a training-data release ships with (Gebru et al.
+  // 2021, "Datasheets for Datasets"), composed from machinery the
+  // engine already trusts: corpus size/coverage aggregates plus the
+  // duplication profile from the STAGED pair graph. One (metric, value)
+  // row per fact — every value is an exact integer count below 2^53,
+  // so the double column compares exactly. At 100 TB each input is one
+  // aggregate over columnar metadata or the stored pair set — the card
+  // costs minutes, not a corpus replay.
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"),
+      sum($"n_chars").as("total_chars"),
+      sum(size(TextPrep.words($"text")).cast("long")).as("total_tokens"))
+    val pairs = verifiedPairs(s, d)
+    val dup = pairs.agg(count(lit(1)).as("near_dup_pairs"))
+    val dupDocs = pairs.select($"doc_a".as("id"))
+      .union(pairs.select($"doc_b".as("id"))).distinct()
+      .agg(count(lit(1)).as("docs_in_dup_clusters"))
+    val wide = base.crossJoin(broadcast(dup)).crossJoin(broadcast(dupDocs))
+    val metrics = Seq("n_docs", "n_sources", "n_langs", "total_chars",
+      "total_tokens", "near_dup_pairs", "docs_in_dup_clusters")
+    wide.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).cast("double").as("value"))): _*))
+      .as("kv"))
+      .select($"kv.metric", $"kv.value")
+      .orderBy($"metric")
+  }
+  private val datasetCardSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |base AS (SELECT COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT source) AS n_sources,
+       |    COUNT(DISTINCT lang) AS n_langs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(SUM(len(${TextPrep.wordsSql})) AS BIGINT) AS total_tokens
+       |  FROM documents),
+       |dup AS (SELECT COUNT(*) AS near_dup_pairs FROM pairs),
+       |dd AS (SELECT COUNT(*) AS docs_in_dup_clusters FROM (
+       |    SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs))
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+       |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'near_dup_pairs', CAST(near_dup_pairs AS DOUBLE) FROM dup
+       |  UNION ALL SELECT 'docs_in_dup_clusters',
+       |    CAST(docs_in_dup_clusters AS DOUBLE) FROM dd)
+       |ORDER BY metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),
+    QueryDef("q_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("q_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),

@@ -1047,9 +1047,45 @@ object Streaming {
        |ORDER BY event_type""".stripMargin
   }
 
+  // -- #43o streaming Count-Min sketch ---------------------------------------
+  // The frequency twin of stream_approx_distinct: the stateful
+  // aggregate IS the CMS counter table — groupBy(hash row, bucket)
+  // COUNT — and counters are SUMS, so the finished stream's sketch
+  // equals the batch build bit-for-bit however the stream was sliced
+  // (addition is batch-slice-insensitive the way max was for HLL).
+  // State is d×w = 1024 counters however long the stream runs; the
+  // emitted rows are the sketch itself — the thing a monitoring
+  // pipeline persists and later probes (q_cms_freq holds the probe
+  // side). Hash row j uses the replayable md5 mixKey over "j:key", so
+  // the DuckDB oracle rebuilds the identical placement from raw events.
+  private val StreamCmsD = 4
+  private val StreamCmsW = 256L
+  private def cmsStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val buckets = eventsStream(s, d).select($"user_id",
+          explode(array((0 until StreamCmsD).map(j =>
+            struct(lit(j).as("j"),
+              (graft.operators.Behavioral.mixKey(
+                concat_ws(":", lit(j), $"user_id")) % StreamCmsW)
+                .as("bucket"))): _*)).as("h"))
+        .select($"h.j", $"h.bucket")
+        .groupBy($"j", $"bucket").agg(count(lit(1)).as("counter"))
+      runToMemory(buckets, "graft_stream_cms", OutputMode.Complete())
+        .orderBy($"j", $"bucket")
+    }
+  private val cmsStreamSql = {
+    val h = graft.operators.Behavioral.mixKeySql("concat(j, ':', k)")
+    s"""SELECT j.j AS j, $h % $StreamCmsW AS bucket, COUNT(*) AS counter
+       |FROM (SELECT user_id AS k FROM events),
+       |     unnest(range(0, $StreamCmsD)) j(j)
+       |GROUP BY 1, 2 ORDER BY j, bucket""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_approx_distinct", approxDistinctStream,
       Some(approxDistinctStreamSql)),
+    QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
     QueryDef("stream_drift", driftStream, Some(driftStreamSql)),
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),

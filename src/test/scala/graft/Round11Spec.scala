@@ -250,6 +250,63 @@ class Round11Spec extends AnyFunSuite {
     } else assert(r.getAs[Double]("z") == 0.0, "degenerate experiment must read z = 0")
   }
 
+  test("q_dup_distance: every graph node lands in its component at BFS-consistent depth") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_dup_distance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hist = rows.map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_docs")).toMap
+    // representatives exist: one dist-0 doc per component
+    val comps = SparkEntry.queries("dedup_components")(spark, sf).collect()
+    assert(hist(0L) == comps.length.toLong,
+      s"dist-0 count ${hist.get(0L)} != ${comps.length} components")
+    // histogram covers exactly the graph's nodes
+    assert(hist.values.sum == comps.map(_.getAs[Long]("n_docs")).sum)
+    // depths are contiguous from 0 (BFS cannot skip a level)
+    val ds = hist.keySet.filter(_ >= 0)
+    assert(ds == (0L until ds.size).toSet, s"non-contiguous BFS depths: $ds")
+  }
+
+  test("q_dataset_card: metrics agree with direct aggregates") {
+    import spark.implicits._
+    val card = SparkEntry.queries("q_dataset_card")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(card("n_docs") == docs.count().toDouble)
+    assert(card("n_sources") ==
+      docs.select($"source").distinct().count().toDouble)
+    assert(card("near_dup_pairs") ==
+      SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count().toDouble)
+    assert(card("docs_in_dup_clusters") <= 2 * card("near_dup_pairs"))
+    assert(card("total_chars") > 0 && card("total_tokens") > 0)
+  }
+
+  test("stream_cms: finished-stream counters equal the batch sketch exactly") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("stream_cms")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("counter"))
+      .toMap
+    // batch twin: identical bucket mapping over the static events table
+    val batch = Tables.events(spark, sf).select($"user_id")
+      .select($"user_id", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array((0 until 4).map(j =>
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.lit(j).as("j"),
+            (graft.operators.Behavioral.mixKey(
+              org.apache.spark.sql.functions.concat_ws(":",
+                org.apache.spark.sql.functions.lit(j), $"user_id")) % 256L)
+              .as("bucket"))): _*)).as("h"))
+      .groupBy($"h.j", $"h.bucket")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "stream slicing must not change CMS counters")
+    // total mass per hash row = stream length
+    val n = Tables.events(spark, sf).count()
+    (0 until 4).foreach { j =>
+      assert(streamed.collect { case ((`j`, _), c) => c }.sum == n)
+    }
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
