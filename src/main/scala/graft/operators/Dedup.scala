@@ -1158,6 +1158,83 @@ object Dedup {
        |FROM comp c LEFT JOIN md ON md.id = c.id
        |GROUP BY 1 ORDER BY dist""".stripMargin
 
+  // -- q_negative_sampling: contrastive pairs with hash-drawn negatives ------
+  // The training-pair generator for a contrastive/embedding objective:
+  // every verified near-dup pair is a POSITIVE, and each positive draws
+  // k = 2 deterministic NEGATIVES — uniform over the corpus via the
+  // replayable mixKey (seeded by the pair + probe index, so a rerun
+  // reproduces the byte-identical dataset: the training-freeze
+  // property), rejected if they hit either anchor or anything near-dup
+  // to one (a "negative" that is secretly a positive poisons the
+  // loss). 5 probes per pair absorb rejections; survivors keep probe
+  // order. Index → doc_id goes through a RANGE-PARTITIONED global
+  // enumeration (the curriculum's zipWithIndex shape, never a
+  // single-partition window); rejection is two broadcast-able
+  // anti-joins against the staged pair set. 100 TB: positives and the
+  // pair set are stored artifacts, the enumeration is one sort, probes
+  // are row-local arithmetic.
+  private val NegProbes = 5
+  private val NegKeep = 2
+  private def negativeSampling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"doc_id").orderBy($"doc_id")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("neg_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enumerated = s.createDataFrame(
+      docs.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getLong(0)) }, schema)
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val sym = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".as("x"), $"doc_b".as("y"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val probes = pairs.crossJoin(broadcast(total))
+      .select($"doc_a", $"doc_b",
+        explode(array((0 until NegProbes).map(j => lit(j)): _*)).as("j"), $"n")
+      .withColumn("idx",
+        Behavioral.mixKey(concat_ws(":", $"doc_a", $"doc_b", $"j")) % $"n")
+    val cand = probes.join(enumerated, "idx")
+      .filter($"neg_id" =!= $"doc_a" && $"neg_id" =!= $"doc_b")
+      .join(sym, $"doc_a" === $"x" && $"neg_id" === $"y", "left_anti")
+      .join(sym, $"doc_b" === $"x" && $"neg_id" === $"y", "left_anti")
+      .groupBy($"doc_a", $"doc_b", $"neg_id").agg(min($"j").as("j"))
+    val w = Window.partitionBy($"doc_a", $"doc_b").orderBy($"j")
+    cand.withColumn("neg_rank", row_number().over(w))
+      .filter($"neg_rank" <= NegKeep)
+      .select($"doc_a", $"doc_b", $"neg_rank", $"neg_id")
+      .orderBy($"doc_a", $"doc_b", $"neg_rank")
+  }
+  private val negativeSamplingSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |sym AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |en AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+       |              doc_id AS neg_id FROM documents),
+       |tot AS (SELECT COUNT(*) AS n FROM documents),
+       |probes AS (SELECT doc_a, doc_b, j.j AS j,
+       |    ${Behavioral.mixKeySql("concat(doc_a, ':', doc_b, ':', j.j)")} % tot.n AS idx
+       |  FROM pairs, unnest(range(0, $NegProbes)) j(j), tot),
+       |cand AS (SELECT p.doc_a, p.doc_b, e.neg_id, MIN(p.j) AS j
+       |  FROM probes p JOIN en e USING (idx)
+       |  WHERE e.neg_id <> p.doc_a AND e.neg_id <> p.doc_b
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.x = p.doc_a AND s.y = e.neg_id)
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.x = p.doc_b AND s.y = e.neg_id)
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT doc_a, doc_b, neg_id, row_number() OVER (
+       |    PARTITION BY doc_a, doc_b ORDER BY j) AS neg_rank FROM cand)
+       |SELECT doc_a, doc_b, neg_rank, neg_id FROM r
+       |WHERE neg_rank <= $NegKeep ORDER BY doc_a, doc_b, neg_rank""".stripMargin
+
   // -- q_dataset_card: the governance one-pager -------------------------------
   // The dataset card a training-data release ships with (Gebru et al.
   // 2021, "Datasheets for Datasets"), composed from machinery the
@@ -1220,6 +1297,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),
     QueryDef("q_dataset_card", datasetCard, Some(datasetCardSql)),
+    QueryDef("q_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("q_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),

@@ -307,6 +307,26 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_negative_sampling: negatives are never positives, per-pair capped, reproducible") {
+    val rows = SparkEntry.queries("q_negative_sampling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pos = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val posSet = pos.toSet ++ pos.map(p => (p._2, p._1))
+    rows.foreach { r =>
+      val (a, b, neg) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("neg_id"))
+      assert(neg != a && neg != b, s"negative $neg equals an anchor of ($a,$b)")
+      assert(!posSet.contains((a, neg)) && !posSet.contains((b, neg)),
+        s"negative $neg is near-dup to an anchor of ($a,$b)")
+    }
+    rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (p, rs) => assert(rs.length <= 2, s"pair $p drew ${rs.length}") }
+    val rerun = SparkEntry.queries("q_negative_sampling")(spark, sf).collect()
+    assert(rerun.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      "negative draws must be byte-identical across reruns (training freeze)")
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
