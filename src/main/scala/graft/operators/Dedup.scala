@@ -67,10 +67,22 @@ object Dedup {
   // shared grams, then Jaccard = c / (|A| + |B| - c).
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingle once, parallel, checkpointed: the self-join's two branches
+    // and the sizes aggregate all consume this frame, and the local
+    // one-file scan otherwise runs the CPU-bound shingle map serially
+    // per branch (the dedup_simhash lesson)
     val grams = Tables.documents(s, d)
+      .repartition($"doc_id")
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+      .localCheckpoint()
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val shared = grams.as("a").join(grams.as("b"),
+    // shuffle-hash hint: the planner would otherwise broadcast the
+    // whole gram table the moment its size estimate dips under the
+    // threshold — a single-threaded hash build of the corpus-sized
+    // relation (measured 1.3-1.9 s single-task stages; the r10 BM25
+    // lesson), and corpus-proportional broadcast is exactly what dies
+    // at 100 TB
+    val shared = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -112,10 +124,14 @@ object Dedup {
     * (dedup_containment_apply). */
   private def containmentPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingle once, parallel, checkpointed (see ngramJaccard)
     val grams = Tables.documents(s, d)
+      .repartition($"doc_id")
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+      .localCheckpoint()
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val shared = grams.as("a").join(grams.as("b"),
+    // shuffle-hash hint — see ngramJaccard (no corpus-sized broadcast)
+    val shared = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -375,7 +391,7 @@ object Dedup {
       .localCheckpoint()
     // exact truth via the inverted-index join, integer-exact threshold
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val truth = grams.as("a").join(grams.as("b"),
+    val truth = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -885,9 +901,13 @@ object Dedup {
 
   private def fuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // shingle + sign once, parallel, checkpointed: band and verify
+    // branches both consume this frame (the dedup_simhash lesson)
     val docs = Tables.documents(s, d)
+      .repartition($"doc_id")
       .select($"doc_id", TextPrep.shingleSet($"text", 2).as("grams"))
       .withColumn("sig", minhash_sig($"grams", Lanes))
+      .localCheckpoint()
     val bands = docs.select($"doc_id",
       explode(array((0 until FuzzyBands).map(b =>
         xxhash64(lit(b) +: (0 until FuzzyRowsPerBand).map(r =>
