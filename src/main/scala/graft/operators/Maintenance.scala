@@ -450,7 +450,7 @@ object Maintenance {
     import s.implicits._
     val root = tmp("zonemap", d)
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = "v1-year-groups"
+    val fmt = "v2-year-groups+counts" // v2: per-group row counts in zones
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
       return root
@@ -461,9 +461,11 @@ object Maintenance {
     // writer just produced
     val stats = base.groupBy($"y").agg(
       date_format(min($"o_orderdate"), "yyyy-MM-dd").as("lo"),
-      date_format(max($"o_orderdate"), "yyyy-MM-dd").as("hi"))
+      date_format(max($"o_orderdate"), "yyyy-MM-dd").as("hi"),
+      count(lit(1)).as("n"))
       .collect().sortBy(_.getInt(0))
-    val zoneLines = stats.map(r => s"$root/data/y=${r.getInt(0)}|${r.getString(1)}|${r.getString(2)}")
+    val zoneLines = stats.map(r =>
+      s"$root/data/y=${r.getInt(0)}|${r.getString(1)}|${r.getString(2)}|${r.getLong(3)}")
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "zones_v1.txt"),
       zoneLines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
@@ -480,9 +482,18 @@ object Maintenance {
     val lines = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8").split("\n").toSeq
     val chosen = lines.map(_.split('|')).collect {
-      case Array(path, lo, hi) if hi >= wantLo && lo <= wantHi => path
+      case a if a.length >= 3 && a(2) >= wantLo && a(1) <= wantHi => a(0)
     }
     (chosen, lines.size)
+  }
+
+  /** Parsed (path, lo, hi, n_rows) zone rows — manifest arithmetic only. */
+  private[graft] def zoneStats(root: String): Seq[(String, String, String, Long)] = {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8").split("\n").toSeq
+      .map(_.split('|')).collect { case Array(path, lo, hi, n) =>
+        (path, lo, hi, n.toLong)
+      }
   }
 
   private val ZoneLo = "1995-03-01"
@@ -503,6 +514,33 @@ object Maintenance {
        |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
        |FROM orders
        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) BETWEEN 3 AND 9""".stripMargin
+
+  // -- io_metadata_count: counts answered from manifest arithmetic ----------
+  // The metadata-only query optimization every lake engine fields
+  // (Iceberg/Delta answer COUNT(*) from manifest row counts without
+  // touching a data file): the r11 zone manifest carries each file
+  // group's row count next to its min/max, so per-group counts and
+  // date bounds come from PARSING ONE TEXT FILE — zero data-file IO,
+  // the plan contains no parquet scan of the table at all (spec-
+  // pinned). The oracle recomputes every group from the raw rows, so
+  // a stats-maintenance bug (stale or wrong counts after a rewrite)
+  // fails the value compare, not just a spec.
+  private def qMetadataCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = zonemapRoot(s, d)
+    val rows = zoneStats(root).map { case (path, lo, hi, n) =>
+      (path.substring(path.lastIndexOf("y=") + 2).toInt, lo, hi, n)
+    }
+    s.createDataFrame(rows)
+      .toDF("y", "first_date", "last_date", "n_rows")
+      .orderBy($"y")
+  }
+  private val qMetadataCountSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date,
+      |  COUNT(*) AS n_rows
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
 
   // -- io_schema_evolution: mergeSchema over heterogeneous files -----------
   // Lake tables accrete columns: files written before a column existed
@@ -936,6 +974,7 @@ object Maintenance {
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
     QueryDef("io_manifest_skipping", qManifestSkipping, Some(qManifestSkippingSql)),
+    QueryDef("io_metadata_count", qMetadataCount, Some(qMetadataCountSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
   )

@@ -646,6 +646,67 @@ object Relational {
   // order would drift it; the integer moments cannot. Scale factors:
   // slope is unit-free in the 100×/100× scaling (cancels); intercept
   // carries y's units (÷100 once).
+  // -- q_correlation_matrix: pairwise Pearson r in ONE pass -------------------
+  // q_regression's exact-joint-moment discipline over every column
+  // PAIR (the feature-correlation screen run before model training or
+  // mixture design): one aggregate computes n, per-column Σx and Σx²,
+  // and Σxy for all 6 pairs of the 4 measures — a single map-side-
+  // combined pass over the fact table, never 6 scans — then each r is
+  // one IEEE expression over exact decimal(38,0) integers (10⁻²-scaled,
+  // the q_variance discipline). Precision headroom: with cent values
+  // ≤ 1.05e7 the n·Σx² cross-term stays inside decimal(38,0) up to
+  // ~1e12 rows; beyond that the same moments shard per partition group
+  // and merge (they are plain sums).
+  private val CorrCols = Seq(
+    "l_quantity" -> "quantity", "l_extendedprice" -> "price",
+    "l_discount" -> "discount", "l_tax" -> "tax")
+  private val CorrPairs: Seq[(String, String)] = {
+    val names = CorrCols.map(_._2)
+    for { i <- names.indices; j <- (i + 1) until names.size }
+      yield (names(i), names(j))
+  }
+  private def qCorrelationMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scaled = CorrCols.map { case (c, a) =>
+      floor(col(c) * 100 + 0.5).cast("decimal(38,0)").as(a) }
+    val base = Tables.lineitem(s, d).select(scaled: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      CorrCols.map(_._2).flatMap(a =>
+        Seq(sum(col(a)).as(s"s_$a"), sum(col(a) * col(a)).as(s"ss_$a"))) ++
+      CorrPairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val pairRows = CorrPairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        ((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double") /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double") *
+            (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")))
+          .as("r"))
+    }
+    m.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select($"p.col_x", $"p.col_y", $"n", $"p.r")
+      .orderBy($"col_x", $"col_y")
+  }
+  private val qCorrelationMatrixSql = {
+    def q(c: String) = s"CAST(floor($c * 100 + 0.5) AS HUGEINT)"
+    val src = CorrCols.map { case (c, a) => s"${q(c)} AS $a" }.mkString(", ")
+    val moments =
+      CorrCols.map(_._2).map(a => s"SUM($a) AS s_$a, SUM($a * $a) AS ss_$a")
+        .mkString(", ") + ", " +
+      CorrPairs.map { case (a, b) => s"SUM($a * $b) AS sp_${a}_$b" }.mkString(", ")
+    val rows = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |    / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+         |         * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)) AS r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sc AS (SELECT $src FROM lineitem),
+       |m AS (SELECT COUNT(*) AS n, $moments FROM sc)
+       |$rows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   private def qRegression(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qx = floor($"l_quantity" * 100 + 0.5).cast("decimal(38,0)")
@@ -719,6 +780,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),
+    QueryDef("q_correlation_matrix", qCorrelationMatrix, Some(qCorrelationMatrixSql)),
     QueryDef("q_rank_functions", qRankFunctions, Some(qRankFunctionsSql)),
     QueryDef("q_copurchase_pairs", qCopurchasePairs, Some(qCopurchasePairsSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),

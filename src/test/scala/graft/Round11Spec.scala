@@ -327,6 +327,61 @@ class Round11Spec extends AnyFunSuite {
       "negative draws must be byte-identical across reruns (training freeze)")
   }
 
+  test("io_metadata_count: answered from the manifest, no table data scan in the plan") {
+    val df = SparkEntry.queries("io_metadata_count")(spark, sf)
+    // the plan must carry no file scan at all — the counts come from
+    // parsing the zone manifest text, the metadata-only-query property
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, s"metadata-only count read data files: $scans")
+    val rows = df.collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("y"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getInt(0) -> r.getAs[Long]("n_rows")).toMap == direct,
+      "manifest row counts must equal the recomputed truth")
+  }
+
+  test("stream_file_sink: a checkpoint restart replays nothing (exactly-once)") {
+    val first = SparkEntry.queries("stream_file_sink")(spark, sf).collect()
+    // second invocation restarts the stream from the same checkpoint: the
+    // offsets log marks every batch done, so a replayed batch would
+    // double these counts
+    val second = SparkEntry.queries("stream_file_sink")(spark, sf).collect()
+    assert(first.map(_.toSeq).toSeq == second.map(_.toSeq).toSeq,
+      "restart from checkpoint duplicated or lost a batch")
+    val (dirKey, _) = Tables.stagingKey(sf, "events")
+    assert(new java.io.File(s"/tmp/graft_q/ssink_$dirKey/data/_spark_metadata").exists(),
+      "file sink must write its exactly-once commit log")
+  }
+
+  test("q_correlation_matrix equals brute-force BigInt moments") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_correlation_matrix")(spark, sf).collect()
+    assert(rows.length == 6)
+    val data = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .collect().map(r => Map(
+        "quantity" -> BigInt(math.floor(r.getDouble(0) * 100 + 0.5).toLong),
+        "price" -> BigInt(math.floor(r.getDouble(1) * 100 + 0.5).toLong),
+        "discount" -> BigInt(math.floor(r.getDouble(2) * 100 + 0.5).toLong),
+        "tax" -> BigInt(math.floor(r.getDouble(3) * 100 + 0.5).toLong)))
+    val n = BigInt(data.length)
+    rows.foreach { row =>
+      val (a, b, r) = (row.getString(0), row.getString(1), row.getAs[Double]("r"))
+      assert(r >= -1.0 && r <= 1.0, s"($a,$b): r=$r out of range")
+      val (sx, sy) = (data.map(_(a)).sum, data.map(_(b)).sum)
+      val sxx = data.map(m => m(a) * m(a)).sum
+      val syy = data.map(m => m(b) * m(b)).sum
+      val sxy = data.map(m => m(a) * m(b)).sum
+      val expected = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      assert(math.abs(r - expected) < 1e-12, s"($a,$b): $r != $expected")
+    }
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
