@@ -353,6 +353,60 @@ object ScaleOps {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // -- io_csv_malformed: PERMISSIVE ingestion with corrupt-record audit -----
+  // Real text feeds carry garbage; an ingest that aborts on the first
+  // bad line (FAILFAST) or silently drops it (DROPMALFORMED) is not
+  // auditable at 100 TB. PERMISSIVE mode + columnNameOfCorruptRecord
+  // quarantines each unparseable line into a raw-text column while
+  // every good row parses normally — this query writes a customer CSV,
+  // injects 3 deliberately malformed lines (wrong arity, unquoted
+  // delimiter, non-numeric key), reads it back PERMISSIVE and emits
+  // the audit: good rows + their checksum aggregate, corrupt count.
+  // The corrupt count is construction arithmetic (3 injected lines);
+  // the good-row aggregates are recomputed by the oracle from the
+  // source table, so a parser that drops or mangles a GOOD row fails
+  // the value compare.
+  private val BadCsvLines = Seq(
+    "this,line,has,far,too,many,columns,to,parse,1,2,3",
+    "not_a_number,unquoted,comma,in,field",
+    "99999999999999999999999999,overflowed key")
+  private def csvMalformed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("io_csv_malformed", d)
+    val src = Tables.customer(s, d)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    src.coalesce(1).write.mode("overwrite").csv(out)
+    // inject the bad lines as one extra part file — the transport-level
+    // corruption a merged feed delivers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-bad.csv"),
+      BadCsvLines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_acctbal",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_bad",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .agg(
+        sum(when($"_bad".isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"_bad".isNull, $"c_custkey").otherwise(0L)).as("key_sum"),
+        dsum(when($"_bad".isNull, $"c_acctbal").otherwise(lit(0.0))).as("bal_sum"))
+  }
+  private val csvMalformedSql =
+    s"""SELECT COUNT(*) AS n_good,
+       |  CAST(${BadCsvLines.size} AS BIGINT) AS n_corrupt,
+       |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       |  ${sqlSum("c_acctbal")} AS bal_sum
+       |FROM customer""".stripMargin
+
   private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = tmp("io_json_roundtrip", d)
@@ -684,6 +738,7 @@ object ScaleOps {
     QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("q_zorder_skipping", zorderSkipping, Some(zorderSkippingSql)),
     QueryDef("io_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("io_csv_malformed", csvMalformed, Some(csvMalformedSql)),
     QueryDef("io_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("crypto_rbac_decrypt", rbacDecrypt, Some(rbacDecryptSql)),
   )

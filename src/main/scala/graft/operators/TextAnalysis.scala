@@ -36,7 +36,9 @@ object TextAnalysis {
   // order (the CASE chain), 'und' when nothing matches. Confusion
   // matrix against the labeled lang column. All five language scores
   // come from ONE codegen'd scan of the token array.
-  private def langid(s: SparkSession, d: String): DataFrame = {
+  /** The (lang, pred_lang, n) confusion matrix — shared by the report
+    * query (text_langid) and the per-class evaluation (q_langid_eval). */
+  private def langidMatrix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val langs = stop.map(_._1)
     val scored = Tables.documents(s, d)
@@ -49,7 +51,81 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"pred_lang")
+  }
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    langidMatrix(s, d).orderBy($"lang", $"pred_lang")
+  }
+
+  // -- q_langid_eval: per-class precision / recall / F1 -----------------------
+  // The classifier-evaluation primitive over the labeled corpus: the
+  // confusion matrix reduced to the per-class scores a pipeline gates
+  // on before trusting a filter (langid here, but the shape is any
+  // labeled classifier audit). TP/FP/FN are integer sums over the
+  // ≤ |langs|² matrix — the corpus-sized work is the ONE scored scan
+  // the matrix already does — and precision/recall/F1 are IEEE
+  // divisions of exact integers with zero-denominator guards identical
+  // on both engines.
+  private def langidEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = langidMatrix(s, d).localCheckpoint() // ≤ 36 rows, 3 consumers
+    val classes = m.select($"lang".as("cls"))
+      .union(m.select($"pred_lang")).distinct()
+    val tp = m.filter($"lang" === $"pred_lang")
+      .select($"lang".as("cls"), $"n".as("tp"))
+    val fn = m.filter($"lang" =!= $"pred_lang")
+      .groupBy($"lang".as("cls")).agg(sum($"n").as("fn"))
+    val fp = m.filter($"lang" =!= $"pred_lang")
+      .groupBy($"pred_lang".as("cls")).agg(sum($"n").as("fp"))
+    val p = when($"tp" + $"fp" > 0,
+      $"tp".cast("double") / ($"tp" + $"fp")).otherwise(lit(0.0))
+    val r = when($"tp" + $"fn" > 0,
+      $"tp".cast("double") / ($"tp" + $"fn")).otherwise(lit(0.0))
+    classes
+      .join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+      .join(fn, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
+      .withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when($"precision" + $"recall" > 0,
+          lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall"))
+          .otherwise(lit(0.0)))
+      .select($"cls", $"tp", $"fp", $"fn", $"precision", $"recall", $"f1")
+      .orderBy($"cls")
+  }
+  private val langidEvalSql = {
+    val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }.mkString(",\n  ")
+    val langs = stop.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT lang, $scores
+       |  FROM (SELECT lang, ${TextPrep.wordsSql} AS words FROM documents)),
+       |m AS (SELECT lang, $pred AS pred_lang, COUNT(*) AS n
+       |      FROM scored GROUP BY 1, 2),
+       |cls AS (SELECT lang AS cls FROM m UNION SELECT pred_lang FROM m),
+       |tp AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS tp FROM m
+       |       WHERE lang = pred_lang GROUP BY 1),
+       |fn AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS fn FROM m
+       |       WHERE lang <> pred_lang GROUP BY 1),
+       |fp AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS fp FROM m
+       |       WHERE lang <> pred_lang GROUP BY 1),
+       |j AS (SELECT c.cls, COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+       |        COALESCE(fn.fn, 0) AS fn
+       |  FROM cls c LEFT JOIN tp USING (cls) LEFT JOIN fp USING (cls)
+       |  LEFT JOIN fn USING (cls)),
+       |pr AS (SELECT cls, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+       |         ELSE 0.0 END AS precision,
+       |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+       |         ELSE 0.0 END AS recall
+       |  FROM j)
+       |SELECT cls, tp, fp, fn, precision, recall,
+       |  CASE WHEN precision + recall > 0
+       |       THEN 2.0 * precision * recall / (precision + recall)
+       |       ELSE 0.0 END AS f1
+       |FROM pr ORDER BY cls""".stripMargin
   }
   private val langidSql = {
     val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }.mkString(",\n  ")
@@ -651,6 +727,7 @@ object TextAnalysis {
     QueryDef("text_pmi", pmi, Some(pmiSql)),
     QueryDef("q_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("q_langid_eval", langidEval, Some(langidEvalSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
