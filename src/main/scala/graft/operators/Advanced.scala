@@ -239,6 +239,58 @@ object Advanced {
        | AND c.ts_us < p.ts_us
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  // -- q_time_weighted_avg: TWAP over an irregular event series --------------
+  // The average that respects TIME, not sample count, over irregularly
+  // spaced observations (the finance TWAP / monitoring "average gauge
+  // value" semantics): each event's value holds until the user's next
+  // event, so TWA = Σ value·Δt / Σ Δt per user. Exactness: Δt is
+  // integer nanoseconds from a lead() over the (ts_ns, event_id) TOTAL
+  // order; value is quantized ONCE to integer micro-units (the
+  // decimal(18,6) cast rounds the identical IEEE double identically on
+  // both engines), so value·Δt and both sums are pure integer
+  // arithmetic; the answer is the floored integer quotient twa_micro —
+  // never a 128-bit-decimal→double cast, whose rounding DuckDB and the
+  // JVM disagree on at the ulp. Division semantics match because value
+  // ≥ 0 and Δt ≥ 0 in this corpus (floor = trunc). One window + one
+  // groupBy on the same user partitioning; a user's last event weights
+  // 0 by construction (no successor), single-event users drop out on
+  // both engines.
+  private def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts_ns",
+        ($"value".cast("decimal(18,6)") * lit(1000000)).cast("decimal(20,0)")
+          .as("vmic"))
+      .withColumn("dur", lead($"ts_ns", 1).over(w) - $"ts_ns")
+      .filter($"dur".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dur").as("span_ns"),
+        sum($"vmic" * $"dur".cast("decimal(18,0)")).as("vw6"))
+      .select($"user_id", $"n_intervals", $"span_ns",
+        when($"span_ns" > 0, expr("vw6 div span_ns"))
+          .otherwise(lit(0L)).as("twa_micro"))
+      .orderBy($"user_id")
+  }
+  private val qTimeWeightedAvgSql =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic
+      |  FROM events),
+      |d AS (SELECT user_id, vmic,
+      |    LEAD(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+      |      - ts_ns AS dur
+      |  FROM ev),
+      |g AS (SELECT user_id, COUNT(*) AS n_intervals, SUM(dur) AS span_ns,
+      |    SUM(CAST(vmic AS HUGEINT) * CAST(dur AS HUGEINT)) AS vw6
+      |  FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, CAST(span_ns AS BIGINT) AS span_ns,
+      |  CASE WHEN span_ns > 0
+      |       THEN CAST(vw6 // CAST(span_ns AS HUGEINT) AS BIGINT)
+      |       ELSE 0 END AS twa_micro
+      |FROM g ORDER BY user_id""".stripMargin
+
   // -- q_time_bucket: calendar-bucketed rollup over event time -------------
   // -- q_weighted_sample: priority sampling + Horvitz-Thompson totals -------
   // The sampling scheme that preserves SUBSET SUMS (Duffield, Lund &
@@ -874,6 +926,7 @@ object Advanced {
     QueryDef("q_asof_join_sql", qAsofJoinSqlTvf, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
+    QueryDef("q_time_weighted_avg", qTimeWeightedAvg, Some(qTimeWeightedAvgSql)),
     QueryDef("q_calendar_rollup", calendarRollup, Some(calendarRollupSql)),
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),

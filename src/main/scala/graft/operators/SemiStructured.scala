@@ -738,6 +738,72 @@ object SemiStructured {
     rel0.unionByName(rel1).unionByName(sup)
       .orderBy($"level", $"nation", $"seg")
   }
+  // -- q_l_diversity: the sensitive-attribute strengthening of k-anon -------
+  // k-anonymity alone leaks when a ≥K cell is HOMOGENEOUS in the
+  // sensitive attribute (everyone in the cell shares the secret —
+  // Machanavajjhala et al. 2007): l-diversity additionally requires
+  // ≥ L distinct sensitive values per released cell. Same
+  // generalization ladder as q_k_anonymity — cell released iff n ≥ K
+  // AND distinct(sensitive) ≥ L, failures pool to the nation level,
+  // the rest suppress — but the climb re-aggregates the RAW rows of
+  // failed cells (a broadcast-able cell-list semi-join), because
+  // distinct counts don't merge from cell partials. Sensitive here =
+  // the account-balance band.
+  private val DivL = 3
+  private def lDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / 2000).cast("long").as("sens"))
+    val l0 = c.groupBy($"nation", $"seg")
+      .agg(count(lit(1)).as("n"), countDistinct($"sens").as("n_sensitive"))
+    val ok0 = $"n" >= AnonK && $"n_sensitive" >= DivL
+    val rel0 = l0.filter(ok0).withColumn("level", lit(0))
+      .select($"nation", $"seg", $"n", $"n_sensitive", $"level")
+    val failedCells = l0.filter(!ok0).select($"nation", $"seg")
+    val pooledRows = c.join(broadcast(failedCells), Seq("nation", "seg"), "left_semi")
+    val l1 = pooledRows.groupBy($"nation")
+      .agg(count(lit(1)).as("n"), countDistinct($"sens").as("n_sensitive"))
+      .withColumn("seg", lit("ANY"))
+    val ok1 = $"n" >= AnonK && $"n_sensitive" >= DivL
+    val rel1 = l1.filter(ok1).withColumn("level", lit(1))
+      .select($"nation", $"seg", $"n", $"n_sensitive", $"level")
+    val supRows = pooledRows
+      .join(broadcast(l1.filter(!ok1).select($"nation")), Seq("nation"), "left_semi")
+    val sup = supRows
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(countDistinct($"sens"), lit(0L)).as("n_sensitive"))
+      .select(lit(-1L).as("nation"), lit("SUPPRESSED").as("seg"), $"n",
+        $"n_sensitive", lit(2).as("level"))
+    rel0.unionByName(rel1).unionByName(sup)
+      .orderBy($"level", $"nation", $"seg")
+  }
+  private val lDiversitySql =
+    s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens FROM customer),
+       |l0 AS (SELECT nation, seg, COUNT(*) AS n,
+       |    COUNT(DISTINCT sens) AS n_sensitive FROM c GROUP BY 1, 2),
+       |rel0 AS (SELECT nation, seg, n, n_sensitive, 0 AS level FROM l0
+       |         WHERE n >= $AnonK AND n_sensitive >= $DivL),
+       |failed AS (SELECT nation, seg FROM l0
+       |           WHERE NOT (n >= $AnonK AND n_sensitive >= $DivL)),
+       |pooled AS (SELECT c.* FROM c SEMI JOIN failed USING (nation, seg)),
+       |l1 AS (SELECT nation, 'ANY' AS seg, COUNT(*) AS n,
+       |    COUNT(DISTINCT sens) AS n_sensitive FROM pooled GROUP BY 1),
+       |rel1 AS (SELECT nation, seg, n, n_sensitive, 1 AS level FROM l1
+       |         WHERE n >= $AnonK AND n_sensitive >= $DivL),
+       |supn AS (SELECT nation FROM l1
+       |         WHERE NOT (n >= $AnonK AND n_sensitive >= $DivL)),
+       |sup AS (SELECT CAST(-1 AS BIGINT) AS nation, 'SUPPRESSED' AS seg,
+       |    COUNT(*) AS n, COUNT(DISTINCT p.sens) AS n_sensitive, 2 AS level
+       |  FROM pooled p SEMI JOIN supn USING (nation))
+       |SELECT nation, seg, CAST(n AS BIGINT) AS n,
+       |  CAST(n_sensitive AS BIGINT) AS n_sensitive, level
+       |FROM (SELECT * FROM rel0 UNION ALL SELECT * FROM rel1
+       |      UNION ALL SELECT * FROM sup)
+       |ORDER BY level, nation, seg""".stripMargin
+
   private val kAnonymitySql =
     s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
        |    c_mktsegment AS seg FROM customer),
@@ -755,6 +821,7 @@ object SemiStructured {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("q_l_diversity", lDiversity, Some(lDiversitySql)),
     QueryDef("q_drift_psi", driftPsi, Some(driftPsiSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),

@@ -382,6 +382,68 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_time_weighted_avg equals brute-force BigInt TWAP per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_time_weighted_avg")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", $"event_id",
+        (unix_micros($"ts") * 1000).as("ts_ns"), $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = raw.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      if (sorted.length < 2) None
+      else {
+        val durs = sorted.sliding(2).map { case Array(a, b) =>
+          val vmic = BigInt(new java.math.BigDecimal(a._4.toString)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).toBigIntegerExact)
+          (BigInt(b._3 - a._3), vmic)
+        }.toSeq
+        val span = durs.map(_._1).sum
+        val vw6 = durs.map { case (d, v) => d * v }.sum
+        val twa = if (span > 0) vw6 / span else BigInt(0)
+        Some(u -> ((durs.length.toLong, span.toLong, twa.toLong)))
+      }
+    }
+    assert(got == expected)
+    // Telescoping invariant: span is exactly max(ts) - min(ts) per user.
+    raw.foreach { case (u, rows) =>
+      if (rows.length >= 2)
+        assert(got(u)._2 == rows.map(_._3).max - rows.map(_._3).min)
+    }
+  }
+
+  test("q_l_diversity: thresholds hold and population is conserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_l_diversity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val kk = 10; val ll = 3
+    rows.filter(_._5 < 2).foreach { case (n0, seg, n, div, lvl) =>
+      assert(n >= kk && div >= ll, s"released cell ($n0,$seg,lvl=$lvl) violates (K,L)")
+    }
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_._3).sum == total,
+      "every customer must appear in exactly one released or suppressed cell")
+    // Level-0 releases are exactly the brute-force (K,L)-satisfying cells.
+    val cells = Tables.customer(spark, sf)
+      .select($"c_nationkey".cast("long").as("n"), $"c_mktsegment".as("s"),
+        floor($"c_acctbal" / 2000).cast("long").as("v"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1)
+    val expectedL0 = cells.collect {
+      case (cell, vs) if vs.length >= kk && vs.map(_._2).distinct.length >= ll =>
+        cell
+    }.toSet
+    assert(rows.filter(_._5 == 0).map(t => (t._1, t._2)).toSet == expectedL0)
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
