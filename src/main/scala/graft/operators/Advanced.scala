@@ -399,6 +399,50 @@ object Advanced {
        |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // -- q_concurrency: sweep-line peak-occupancy over intervals -------------
+  // The interval-overlap aggregation behind "how many X were active at
+  // once" (concurrent sessions, in-flight orders, room occupancy): each
+  // order is open from its order date through its LAST line-item ship
+  // date, and the answer per day is the number of open intervals. The
+  // classic sweep line as pure relational algebra: every interval emits
+  // +1 at open and −1 at close+1, one groupBy collapses the deltas to
+  // the DAY table, and a cumulative sum over that table is the
+  // occupancy. Scale shape: the per-order span is one narrow
+  // groupBy+join on the order key; the only ordered window runs over
+  // the DELTA-DAY table, which is bounded by the calendar span (a few
+  // thousand rows at any corpus size), never over the fact table.
+  private def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // both join sides are corpus-proportional — shuffle-hash, never
+    // broadcast; both deltas emit from ONE pass over the joined spans
+    val spans = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(max(to_date($"l_shipdate")).as("last_ship"))
+      .hint("shuffle_hash")
+      .join(Tables.orders(s, d)
+        .select($"o_orderkey", to_date($"o_orderdate").as("open_day")),
+        $"l_orderkey" === $"o_orderkey")
+    val deltas = spans.select(explode(array(
+        struct($"open_day".as("day"), lit(1L).as("delta")),
+        struct(date_add($"last_ship", 1).as("day"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select($"e.day", $"e.delta")
+    deltas.groupBy($"day").agg(sum($"delta").as("d"))
+      .withColumn("n_open", sum($"d").over(Window.orderBy($"day")))
+      .select($"day", $"n_open")
+      .orderBy($"day")
+  }
+  private val qConcurrencySql =
+    """WITH sp AS (SELECT o.o_orderkey,
+      |    CAST(o.o_orderdate AS DATE) AS open_day,
+      |    MAX(CAST(l.l_shipdate AS DATE)) AS last_ship
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |del AS (SELECT open_day AS day, 1 AS delta FROM sp
+      |        UNION ALL SELECT last_ship + 1, -1 FROM sp),
+      |daily AS (SELECT day, SUM(delta) AS d FROM del GROUP BY day)
+      |SELECT day, CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open
+      |FROM daily ORDER BY day""".stripMargin
+
   // -- q_percentile: exact distributed quantiles ---------------------------
   // Exact per-group quantiles via rank windows — semantics pinned on both
   // engines (value at ceil(q*n) of the (price, orderkey, linenumber)
@@ -927,6 +971,7 @@ object Advanced {
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_time_weighted_avg", qTimeWeightedAvg, Some(qTimeWeightedAvgSql)),
+    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
     QueryDef("q_calendar_rollup", calendarRollup, Some(calendarRollupSql)),
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),

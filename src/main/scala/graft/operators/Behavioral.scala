@@ -510,7 +510,68 @@ object Behavioral {
        |FROM j""".stripMargin
   }
 
+  // -- q_survival: Kaplan-Meier-style churn life table ----------------------
+  // The survival-analysis primitive behind retention curves done right:
+  // per-user activity span in whole hours, a user counts as CHURNED if
+  // their last event is ≥ 24 hours before the corpus frontier and as
+  // CENSORED otherwise (still active at observation end — dropping them
+  // is the classic retention-curve bias; Kaplan & Meier 1958). The life
+  // table per duration t: n_risk = users whose span reached t (a SUFFIX
+  // sum over the duration table), exits split into churned/censored,
+  // and the discrete hazard d/n as a floored integer micro-quotient.
+  // Exactness: spans are integer nanoseconds, durations integer `div`
+  // hours, every count exact, hazard an integer quotient of integers —
+  // the survival product Π(1−hazard) is spec-pinned (floats) rather
+  // than oracled. Scale shape: one narrow user groupBy; the frontier
+  // rides a one-row broadcast; the only ordered windows run over the
+  // DISTINCT-DURATION table, bounded by the calendar span in hours.
+  private[graft] val ChurnHorizonHours = 24L
+  private def qSurvival(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourNs = 3600L * 1000000000L
+    val spans = Tables.events(s, d).groupBy($"user_id")
+      .agg(min($"ts_ns").as("first_ns"), max($"ts_ns").as("last_ns"))
+    val frontier = spans.agg(max($"last_ns").as("corpus_max_ns"))
+    val users = spans.crossJoin(broadcast(frontier))
+      .select(expr(s"(last_ns - first_ns) div $hourNs").as("t_hours"),
+        ($"corpus_max_ns" - $"last_ns" >= ChurnHorizonHours * hourNs).as("churned"))
+    val byT = users.groupBy($"t_hours")
+      .agg(sum(when($"churned", 1L).otherwise(0L)).as("n_churn"),
+        sum(when(!$"churned", 1L).otherwise(0L)).as("n_censored"))
+    val wRisk = Window.orderBy($"t_hours")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byT
+      .withColumn("n_risk", sum($"n_churn" + $"n_censored").over(wRisk))
+      .select($"t_hours", $"n_risk", $"n_churn", $"n_censored",
+        expr("(n_churn * 1000000) div n_risk").as("hazard_micro"))
+      .orderBy($"t_hours")
+  }
+  private val qSurvivalSql = {
+    val hourNs = 3600L * 1000000000L
+    s"""WITH sp AS (SELECT user_id, MIN(epoch_ns(ts)) AS first_ns,
+       |    MAX(epoch_ns(ts)) AS last_ns FROM events GROUP BY 1),
+       |h AS (SELECT MAX(last_ns) AS cm FROM sp),
+       |u AS (SELECT (last_ns - first_ns) // $hourNs AS t_hours,
+       |    cm - last_ns >= ${ChurnHorizonHours * hourNs} AS churned
+       |  FROM sp CROSS JOIN h),
+       |byt AS (SELECT t_hours,
+       |    SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churn,
+       |    SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+       |  FROM u GROUP BY 1),
+       |r AS (SELECT t_hours, n_churn, n_censored,
+       |    SUM(n_churn + n_censored) OVER (ORDER BY t_hours
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+       |  FROM byt)
+       |SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       |  CAST(n_churn AS BIGINT) AS n_churn,
+       |  CAST(n_censored AS BIGINT) AS n_censored,
+       |  (CAST(n_churn AS BIGINT) * 1000000) // CAST(n_risk AS BIGINT)
+       |    AS hazard_micro
+       |FROM r ORDER BY t_hours""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
     QueryDef("q_ab_test", abTest, Some(abTestSql)),
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q_event_paths", eventPaths, Some(eventPathsSql)),

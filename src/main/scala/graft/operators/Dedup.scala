@@ -109,6 +109,87 @@ object Dedup {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- exact set-similarity self-join via prefix filtering (AllPairs) -------
+  // MinHash-LSH is probabilistic; this is the EXACT τ-Jaccard join made
+  // feasible by candidate pruning instead of sketching (Bayardo et al.
+  // WWW'07 "Scaling Up All Pairs Similarity Search" / PPJoin): order
+  // every document's 3-gram shingle set — the same universe MinHash
+  // sketches, so this is the exact join LSH approximates — by one
+  // global permutation (document frequency ascending, token ascending,
+  // rarest first),
+  // take each set's (|x| − ceil(τ|x|) + 1)-prefix, and only pairs
+  // sharing a PREFIX token are ever candidates — the prefix-filter
+  // lemma guarantees no qualifying pair is missed, and because prefixes
+  // are the RAREST tokens, candidate posting lists are the shortest
+  // ones. A size filter (d·min ≥ n·max) prunes hopeless pairs before
+  // verification; verification counts the exact intersection for
+  // candidates only, and the final predicate is the integer
+  // cross-multiplication i·(n+d) ≥ n·(|a|+|b|) for τ = n/d — no float
+  // threshold to drift. τ = 1/2 here. 100 TB shape: shuffles are
+  // equi-joins on tokens and doc ids; the stop-word-dominated long
+  // posting lists never join (high-df tokens land in suffixes, not
+  // prefixes) — the pruning that makes exact τ-joins run where the
+  // naive shared-token join dies.
+  private val SetSimTauNum = 1L
+  private val SetSimTauDen = 2L
+  private def setsimJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (n, dd) = (SetSimTauNum, SetSimTauDen)
+    val toks = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("tok"))
+      .localCheckpoint()
+    val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+    // every build side below (dfreq, sizes, cand) is corpus-proportional
+    // — doc- or pair-count rows — so nothing here may broadcast
+    val prefix = toks.hint("shuffle_hash").join(dfreq, "tok")
+      .hint("shuffle_hash").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter($"rk" <= $"sz" - expr(s"(sz * $n + $dd - 1) div $dd") + 1)
+      .select($"doc_id", $"tok", $"sz")
+    val cand = prefix.as("x").hint("shuffle_hash").join(prefix.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id" &&
+          least($"x.sz", $"y.sz") * dd >= greatest($"x.sz", $"y.sz") * n)
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val inter = cand
+      .hint("shuffle_hash")
+      .join(toks.as("ta"), $"doc_a" === $"ta.doc_id")
+      .hint("shuffle_hash")
+      .join(toks.as("tb"), $"tb.doc_id" === $"doc_b" && $"tb.tok" === $"ta.tok")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .hint("shuffle_hash").join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .hint("shuffle_hash").join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"inter",
+        $"sa.sz".as("sz_a"), $"sb.sz".as("sz_b"))
+      .filter($"inter" * (n + dd) >= lit(n) * ($"sz_a" + $"sz_b"))
+      .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
+        expr("(inter * 1000000) div (sz_a + sz_b - inter)").as("jacc_micro"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val setsimJoinSql = {
+    val (n, dd) = (SetSimTauNum, SetSimTauDen)
+    s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |toks AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS tok
+       |         FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    COUNT(*) AS inter
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |  (inter * 1000000) // (sa.sz + sb.sz - inter) AS jacc_micro
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * ${n + dd} >= $n * (sa.sz + sb.sz)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- directional n-gram containment (quote / subset detection) ------------
   // Jaccard misses the asymmetric case dedup pipelines care about most:
   // a short document wholly QUOTED inside a long one scores low
@@ -1324,6 +1405,7 @@ object Dedup {
     QueryDef("q_decontaminate_fuzzy", fuzzyDecontaminate, Some(fuzzyDecontaminateSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_setsim", setsimJoin, Some(setsimJoinSql)),
     QueryDef("dedup_containment", ngramContainment, Some(ngramContainmentSql)),
     QueryDef("dedup_containment_apply", containmentApply, Some(containmentApplySql)),
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),

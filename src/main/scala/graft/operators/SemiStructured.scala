@@ -286,6 +286,70 @@ object SemiStructured {
       |FROM di JOIN m ON di.di = m.d_scaled
       |GROUP BY n1, n2, m.d_scaled""".stripMargin
 
+  // -- q_cusum: change-point detection over the daily revenue series ---------
+  // The sequential drift detector KS and PSI can't be (they compare two
+  // FIXED windows; CUSUM watches a series and flags WHEN it shifted —
+  // Page 1954): one-sided CUSUM of daily revenue against a reference
+  // mean. The textbook recursion S_t = max(0, S_{t-1} + x_t − μ) looks
+  // inherently sequential, but it has a closed prefix form —
+  // S_t = P_t − min(0, min_{j≤t} P_j) with P the plain prefix sum of
+  // deviations — so it's two windows, not a driver loop. Exactness: the
+  // rational μ = S_ref/n_ref is never divided — deviations are scaled
+  // through by n_ref (dev_t = n_ref·x_t − S_ref, exact 128-bit
+  // integers over exact cents), the detector output is the floored
+  // quotient in micro mean-day units, and the alarm threshold (5
+  // reference-mean-days of cumulative excess) is the integer predicate
+  // cusum > 5·S_ref. Scale shape: the fact table is touched once by
+  // the day groupBy; every window runs over the DAY table, bounded by
+  // the calendar span, never over rows.
+  private def cusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("x_cents"))
+    val stats = daily.agg(min($"day").as("d0"))
+    val marked = daily.crossJoin(broadcast(stats))
+      .withColumn("is_ref", $"day" < date_add($"d0", 365))
+    val ref = marked.filter($"is_ref")
+      .agg(sum($"x_cents").as("s_ref"), count(lit(1)).as("n_ref"))
+    val wCum = Window.orderBy($"day")
+    marked.filter(!$"is_ref")
+      .crossJoin(broadcast(ref))
+      .withColumn("dev", $"n_ref".cast(d38) * $"x_cents" - $"s_ref")
+      .withColumn("p", sum($"dev").over(wCum))
+      .withColumn("runmin", least(lit(0).cast(d38), min($"p").over(wCum)))
+      .withColumn("cusum", $"p" - $"runmin")
+      .select($"day", $"x_cents",
+        expr("(cusum * 1000000) div s_ref").as("cusum_mu_micro"),
+        ($"cusum" > $"s_ref".cast(d38) * 5).as("alarm"))
+      .orderBy($"day")
+  }
+  private val cusumSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x_cents
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT MIN(day) AS d0 FROM daily),
+      |ref AS (SELECT CAST(SUM(x_cents) AS BIGINT) AS s_ref,
+      |    COUNT(*) AS n_ref FROM daily CROSS JOIN st
+      |  WHERE day < d0 + 365),
+      |post AS (SELECT day, x_cents,
+      |    CAST(n_ref AS HUGEINT) * x_cents - s_ref AS dev, s_ref
+      |  FROM daily CROSS JOIN st CROSS JOIN ref WHERE day >= d0 + 365),
+      |pre AS (SELECT day, x_cents, s_ref,
+      |    SUM(dev) OVER (ORDER BY day) AS p FROM post),
+      |c AS (SELECT day, x_cents, s_ref, p,
+      |    LEAST(CAST(0 AS HUGEINT), MIN(p) OVER (ORDER BY day)) AS runmin
+      |  FROM pre)
+      |SELECT day, x_cents,
+      |  CAST(((p - runmin) * 1000000) // CAST(s_ref AS HUGEINT) AS BIGINT)
+      |    AS cusum_mu_micro,
+      |  (p - runmin) > CAST(s_ref AS HUGEINT) * 5 AS alarm
+      |FROM c ORDER BY day""".stripMargin
+
   // -- q_gini: concentration (Gini coefficient) of customer spend -----------
   // The inequality audit a data-mixture or revenue report runs: how
   // concentrated is lifetime spend across customers? Gini over sorted
@@ -829,6 +893,7 @@ object SemiStructured {
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q_ks_test", ksTest, Some(ksTestSql)),
+    QueryDef("q_cusum", cusum, Some(cusumSql)),
     QueryDef("q_gini", gini, Some(giniSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),

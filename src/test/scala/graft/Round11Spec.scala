@@ -444,6 +444,106 @@ class Round11Spec extends AnyFunSuite {
     assert(rows.filter(_._5 == 0).map(t => (t._1, t._2)).toSet == expectedL0)
   }
 
+  test("q_concurrency equals brute-force sweep and closes every interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_concurrency")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    // every +1 gets its -1: the cumulative count returns to zero
+    assert(got.last._2 == 0L, "occupancy must close at zero after the last interval")
+    val spans = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").agg(max(to_date($"l_shipdate")).as("ls"))
+      .join(Tables.orders(spark, sf)
+        .select($"o_orderkey", to_date($"o_orderdate").as("od")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"od", $"ls").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    val deltas = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
+    spans.foreach { case (o, c) =>
+      deltas(o) = deltas.getOrElse(o, 0L) + 1
+      val cl = c.plusDays(1)
+      deltas(cl) = deltas.getOrElse(cl, 0L) - 1
+    }
+    var run = 0L
+    val expected = deltas.toSeq.sortBy(_._1.toEpochDay).map { case (day, dl) =>
+      run += dl; day -> run
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("q_survival: life-table invariants and hazard quotients hold") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_survival")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // n_risk at the earliest duration covers every user exactly once
+    assert(rows.head._2 == Tables.events(spark, sf)
+      .select($"user_id").distinct().count())
+    // n_risk is the suffix sum of exits; hazard is the floored quotient
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1)
+      assert(a._2 == b._2 + a._3 + a._4,
+        s"n_risk at t=${a._1} must drop by exactly its exits")
+    }
+    rows.foreach { case (t, nr, d, c, hz) =>
+      assert(d + c <= nr)
+      assert(hz == d * 1000000L / nr, s"hazard at t=$t")
+    }
+    // Kaplan-Meier survival from the table is a valid curve
+    val surv = rows.scanLeft(1.0) { case (sv, (_, nr, d, _, _)) =>
+      sv * (1.0 - d.toDouble / nr)
+    }.tail
+    assert(surv.forall(x => x >= 0.0 && x <= 1.0))
+    assert(surv.toSeq.sliding(2).forall { case Seq(a, b) => b <= a + 1e-15 })
+  }
+
+  test("q_cusum equals the brute-force recursive CUSUM in BigInt") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_cusum")(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val daily = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .sortBy(_._1.toEpochDay)
+    val d0 = daily.head._1
+    val (refD, postD) = daily.partition(_._1.isBefore(d0.plusDays(365)))
+    val sRef = refD.map(x => BigInt(x._2)).sum
+    val nRef = BigInt(refD.length)
+    var s = BigInt(0)
+    val expected = postD.map { case (day, x) =>
+      val dev = nRef * x - sRef
+      s = (s + dev).max(BigInt(0)) // the textbook recursion
+      (day, x, (s * 1000000 / sRef).toLong, s > sRef * 5)
+    }
+    assert(got.toSeq == expected.toSeq,
+      "closed prefix form must equal the sequential recursion")
+    assert(got.exists(_._4) || got.forall(!_._4)) // alarm column well-formed
+  }
+
+  test("dedup_setsim equals brute-force all-pairs exact Jaccard") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_setsim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = Tables.documents(spark, sf)
+      .select($"doc_id", graft.operators.TextPrep.shingleSet($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size.toLong
+      if i * 3 >= sa.size + sb.size // J ≥ 1/2 cross-multiplied
+    } yield (a, b) -> ((i, sa.size.toLong, sb.size.toLong,
+      i * 1000000L / (sa.size + sb.size - i)))).toMap
+    assert(got == expected,
+      s"prefix-filtered join missed or invented pairs: " +
+        s"got ${got.keySet.size}, expected ${expected.keySet.size}")
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
