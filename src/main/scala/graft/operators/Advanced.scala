@@ -476,6 +476,51 @@ object Advanced {
       |  MAX(CASE WHEN rn <= CEIL(n * 0.99) THEN l_extendedprice END) AS p99
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q_percentile_weighted: exact weighted quantiles ----------------------
+  // The quantile that respects MASS, not row count: the price below
+  // which q% of shipped QUANTITY sits (revenue-weighted SLAs, token-
+  // weighted length cutoffs). Weighted quantile at q = the smallest
+  // value whose inclusive cumulative weight reaches q·W. Exactness:
+  // weights are 10⁻²-scaled integer units summed exactly, the reach
+  // predicate is the integer cross-multiplication cum·100 ≥ pct·W (no
+  // q·W float), and ties collapse BEFORE the window — the cumulative
+  // runs over the per-group DISTINCT-value table (strictly smaller
+  // than the rows qPercentile ranks), partitioned by group.
+  private def qPercentileWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(sum(($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
+        .as("w"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+    val wTot = Window.partitionBy($"l_returnflag")
+    vals
+      .withColumn("cum", sum($"w").over(wCum))
+      .withColumn("tot", sum($"w").over(wTot))
+      .groupBy($"l_returnflag")
+      .agg(
+        min(when($"cum" * 100 >= $"tot" * 50, $"l_extendedprice")).as("p50"),
+        min(when($"cum" * 100 >= $"tot" * 95, $"l_extendedprice")).as("p95"),
+        min(when($"cum" * 100 >= $"tot" * 99, $"l_extendedprice")).as("p99"),
+        expr("max(tot) div 100").as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+  private val qPercentileWeightedSql =
+    """WITH v AS (SELECT l_returnflag, l_extendedprice,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, l_extendedprice,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      |      AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM v)
+      |SELECT l_returnflag,
+      |  MIN(CASE WHEN cum * 100 >= tot * 50 THEN l_extendedprice END) AS p50,
+      |  MIN(CASE WHEN cum * 100 >= tot * 95 THEN l_extendedprice END) AS p95,
+      |  MIN(CASE WHEN cum * 100 >= tot * 99 THEN l_extendedprice END) AS p99,
+      |  CAST(MAX(tot) // 100 AS BIGINT) AS total_qty
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -- q_quantile_sketch: deterministic quantile digest (the 100 TB path) ---
   // Sketch quantiles with fixed-size state and map-side partials — the
   // same scale story as HLL for count-distinct. Re-expressed in r9 as a
@@ -972,6 +1017,8 @@ object Advanced {
     QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
     QueryDef("q_time_weighted_avg", qTimeWeightedAvg, Some(qTimeWeightedAvgSql)),
     QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
+    QueryDef("q_percentile_weighted", qPercentileWeighted,
+      Some(qPercentileWeightedSql)),
     QueryDef("q_calendar_rollup", calendarRollup, Some(calendarRollupSql)),
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),

@@ -570,8 +570,128 @@ object Behavioral {
        |FROM r ORDER BY t_hours""".stripMargin
   }
 
+  // -- q_seasonality: hour-of-week activity profile --------------------------
+  // The load/engagement seasonality matrix (dow × hour of day) every
+  // capacity plan and anomaly baseline starts from, bucketed with
+  // CALENDAR-FREE integer arithmetic (the q_retention discipline):
+  // hour = (ts_ns div 3600·10⁹) mod 24, dow = (epoch_days + 4) mod 7
+  // (epoch day 0 was a Thursday, so +4 makes Sunday 0) — no engine
+  // dayofweek()/timezone semantics to disagree on. The deviation from
+  // uniform is exact: share·168 in ppm (uniform ≡ 10⁶) via a floored
+  // 128-bit quotient, excess as a subtraction. One (dow, hour) groupBy
+  // is the only shuffle; the total rides a one-row broadcast.
+  private def seasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select(expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"))
+      .groupBy($"dow", $"hour").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum($"n").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share168_ppm",
+        expr("(cast(n as decimal(38,0)) * 168000000) div total"))
+      .select($"dow", $"hour", $"n", $"share168_ppm",
+        ($"share168_ppm" - 1000000L).as("excess_ppm"))
+      .orderBy($"dow", $"hour")
+  }
+  private val seasonalitySql =
+    """WITH e AS (SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hour FROM events),
+      |c AS (SELECT dow, hour, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT SUM(n) AS total FROM c)
+      |SELECT dow, hour, n,
+      |  CAST((CAST(n AS HUGEINT) * 168000000) // total AS BIGINT)
+      |    AS share168_ppm,
+      |  CAST((CAST(n AS HUGEINT) * 168000000) // total - 1000000 AS BIGINT)
+      |    AS excess_ppm
+      |FROM c CROSS JOIN t ORDER BY dow, hour""".stripMargin
+
+  // -- q_user_growth: DAU / new users / cumulative audience -----------------
+  // The growth dashboard's first page: per day, events, distinct active
+  // users, NEW users (first-ever-seen that day — a per-user min, no
+  // "seen before" scan), and the cumulative audience — which needs no
+  // running distinct at all: cumulative distinct users ≡ the prefix sum
+  // of first-day counts, an identity that turns the classic
+  // hard-to-distribute running-COUNT-DISTINCT into one bounded window.
+  // Integer epoch-day bucketing (calendar-free); the (day, user)
+  // distinct is the only corpus shuffle; the cumulative window runs
+  // over the calendar-bounded day table.
+  private def userGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day_idx"), $"user_id")
+    val daily = ev.groupBy($"day_idx").agg(count(lit(1)).as("n_events"))
+    val dau = ev.distinct().groupBy($"day_idx").agg(count(lit(1)).as("dau"))
+    val newu = ev.groupBy($"user_id").agg(min($"day_idx").as("day_idx"))
+      .groupBy($"day_idx").agg(count(lit(1)).as("new_users"))
+    daily.join(dau, "day_idx")
+      .join(newu, Seq("day_idx"), "left").na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users",
+        sum($"new_users").over(Window.orderBy($"day_idx")))
+      .select($"day_idx", $"n_events", $"dau", $"new_users", $"cum_users")
+      .orderBy($"day_idx")
+  }
+  private val userGrowthSql =
+    """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx, user_id
+      |            FROM events),
+      |daily AS (SELECT day_idx, COUNT(*) AS n_events FROM ev GROUP BY 1),
+      |dau AS (SELECT day_idx, COUNT(*) AS dau
+      |        FROM (SELECT DISTINCT day_idx, user_id FROM ev) GROUP BY 1),
+      |nu AS (SELECT day_idx, COUNT(*) AS new_users
+      |       FROM (SELECT user_id, MIN(day_idx) AS day_idx FROM ev GROUP BY 1)
+      |       GROUP BY 1)
+      |SELECT d.day_idx, d.n_events, dau.dau,
+      |  CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day_idx)
+      |    AS BIGINT) AS cum_users
+      |FROM daily d
+      |JOIN dau ON dau.day_idx = d.day_idx
+      |LEFT JOIN nu ON nu.day_idx = d.day_idx
+      |ORDER BY d.day_idx""".stripMargin
+
+  // -- q_user_overlap: exact audience overlap between event types -----------
+  // The exact counterpart of q_hll_intersect's estimates, affordable
+  // because the pair space is TYPE × TYPE (tiny) even though the sets
+  // are user-sized: one (type, user) distinct, then a self-equi-join on
+  // user_id — each user contributes at most types²/2 pairs, never a
+  // cross join — and exact Jaccard as a floored integer micro-quotient.
+  // The per-type set sizes join back as a types-row broadcast.
+  private def userOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tu = Tables.events(s, d)
+      .select($"event_type", $"user_id").distinct()
+    val sizes = tu.groupBy($"event_type").agg(count(lit(1)).as("sz"))
+    tu.as("a").join(tu.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.as("sa")), $"type_a" === $"sa.event_type")
+      .join(broadcast(sizes.as("sb")), $"type_b" === $"sb.event_type")
+      .select($"type_a", $"type_b", $"inter",
+        $"sa.sz".as("sz_a"), $"sb.sz".as("sz_b"),
+        expr("(inter * 1000000) div (sz_a + sz_b - inter)").as("jacc_micro"))
+      .orderBy($"type_a", $"type_b")
+  }
+  private val userOverlapSql =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, COUNT(*) AS sz FROM tu GROUP BY 1),
+      |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS inter
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  (inter * 1000000) // (sa.sz + sb.sz - inter) AS jacc_micro
+      |FROM iv
+      |JOIN sz sa ON sa.event_type = type_a
+      |JOIN sz sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
+    QueryDef("q_seasonality", seasonality, Some(seasonalitySql)),
+    QueryDef("q_user_growth", userGrowth, Some(userGrowthSql)),
+    QueryDef("q_user_overlap", userOverlap, Some(userOverlapSql)),
     QueryDef("q_ab_test", abTest, Some(abTestSql)),
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q_event_paths", eventPaths, Some(eventPathsSql)),

@@ -592,6 +592,74 @@ object Relational {
       |CROSS JOIN orders
       |ORDER BY n_ab DESC, pa, pb LIMIT 20""".stripMargin
 
+  // -- q_assoc_rules: directional association rules (Agrawal-Srikant) -------
+  // The rule-mining step on top of q_copurchase_pairs' pair counts
+  // (Agrawal & Srikant VLDB'94): a pair passing minimum support emits
+  // BOTH directional rules A→B and B→A from the ONE undirected count
+  // (the containment trick — confidence is direction-dependent,
+  // n_ab/n_A vs n_ab/n_B, the count is not); the surfaced set is the
+  // TOP-K rules by confidence under a deterministic total order — a
+  // rank gate, because any absolute confidence/lift cutoff is
+  // data-regime-dependent (denser baskets compress lift, sparser ones
+  // inflate it) where "the K strongest rules" is meaningful at every
+  // scale — and it plans as TakeOrderedAndProject, no full sort.
+  // Exactness: confidence and lift are floored integer micro-quotients
+  // over exact counts, widened to 128 bits BEFORE the multiply (counts
+  // at 100 TB overflow a LONG product). Scale shape: same candidate
+  // discipline as the pair query — items self-join per order key (pair
+  // fan-out bounded by order width), support filter BEFORE the rule
+  // explosion, one-row order-total broadcast.
+  private val RuleMinSup = 5L
+  private val RuleTopK = 50
+  private def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
+      .localCheckpoint()
+    val orders = items.select($"o").distinct()
+      .agg(count(lit(1)).as("total"))
+    val supp = items.groupBy($"p").agg(count(lit(1)).as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= RuleMinSup)
+    val dir = pairs.select(explode(array(
+        struct($"pa".as("ant"), $"pb".as("cons")),
+        struct($"pb".as("ant"), $"pa".as("cons")))).as("r"), $"n_ab")
+      .select($"r.ant", $"r.cons", $"n_ab")
+    dir
+      .join(supp.select($"p".as("ant"), $"n".as("n_ant")), "ant")
+      .join(supp.select($"p".as("cons"), $"n".as("n_cons")), "cons")
+      .crossJoin(broadcast(orders))
+      .withColumn("conf_micro",
+        expr("(cast(n_ab as decimal(38,0)) * 1000000) div n_ant"))
+      .select($"ant", $"cons", $"n_ab", $"n_ant", $"n_cons", $"conf_micro",
+        expr("(cast(n_ab as decimal(38,0)) * 1000000 * total) " +
+          "div (cast(n_ant as decimal(38,0)) * n_cons)").as("lift_micro"))
+      .orderBy($"conf_micro".desc, $"ant", $"cons")
+      .limit(RuleTopK)
+  }
+  private val qAssocRulesSql =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+       |               FROM lineitem),
+       |ord AS (SELECT COUNT(DISTINCT o) AS total FROM items),
+       |supp AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+       |pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+       |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |          GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSup),
+       |dir AS (SELECT pa AS ant, pb AS cons, n_ab FROM pairs
+       |        UNION ALL SELECT pb, pa, n_ab FROM pairs),
+       |r AS (SELECT ant, cons, n_ab, sa.n AS n_ant, sc.n AS n_cons,
+       |    (CAST(n_ab AS HUGEINT) * 1000000) // sa.n AS conf_micro, total
+       |  FROM dir JOIN supp sa ON sa.p = ant JOIN supp sc ON sc.p = cons
+       |  CROSS JOIN ord)
+       |SELECT ant, cons, n_ab, n_ant, n_cons,
+       |  CAST(conf_micro AS BIGINT) AS conf_micro,
+       |  CAST((CAST(n_ab AS HUGEINT) * 1000000 * total)
+       |    // (CAST(n_ant AS HUGEINT) * n_cons) AS BIGINT) AS lift_micro
+       |FROM r ORDER BY conf_micro DESC, ant, cons LIMIT $RuleTopK""".stripMargin
+
   // -- q_rank_functions: the full SQL ranking family under ties -------------
   // Coverage of every standard ranking window function in one query,
   // ordered by a HEAVILY TIED key (l_quantity takes 50 values) so the
@@ -657,6 +725,66 @@ object Relational {
   // ≤ 1.05e7 the n·Σx² cross-term stays inside decimal(38,0) up to
   // ~1e12 rows; beyond that the same moments shard per partition group
   // and merge (they are plain sums).
+  // -- q_autocorr: autocorrelation function of the daily revenue series -----
+  // The time-series sibling of q_correlation_matrix: Pearson r between
+  // the daily-revenue series and itself k rows back, k = 1..7 — the ACF
+  // a forecaster reads weekly cycles and persistence off. Same exact-
+  // moment discipline: daily totals are exact cents, all six moments
+  // per lag are scale-0 decimal(38,0) sums (int128→double casts are
+  // correctly rounded on both engines — fractional-scale decimals are
+  // NOT, the TWAP lesson), and r is one IEEE expression at the end.
+  // Lag pairing is by ROW position over the day order (LAG(x, k)),
+  // which both engines define identically. Scale shape: the fact table
+  // is touched once by the day groupBy; the seven lag columns come from
+  // ONE window pass over the calendar-bounded day table, unpivoted to
+  // (k, x, y) rows, and a 7-group aggregate finishes.
+  private val AcfMaxLag = 7
+  private def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .cast("decimal(38,0)").as("x"))
+    val w = Window.orderBy($"day")
+    val lagged = (1 to AcfMaxLag).foldLeft(daily)((df, k) =>
+      df.withColumn(s"y_$k", lag($"x", k).over(w)))
+    val long = lagged.select($"x", explode(array((1 to AcfMaxLag).map(k =>
+        struct(lit(k).as("k"), col(s"y_$k").as("y"))): _*)).as("p"))
+      .select($"p.k", $"x", $"p.y")
+      .filter($"p.y".isNotNull)
+    long.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"k", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("r"))
+      .orderBy($"k")
+  }
+  private val qAutocorrSql = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(k => s"LAG(x, $k) OVER (ORDER BY day) AS y_$k").mkString(", ")
+    val unions = (1 to AcfMaxLag)
+      .map(k => s"SELECT $k AS k, x, y_$k AS y FROM lagged")
+      .mkString("\nUNION ALL\n")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS HUGEINT) AS x
+       |  FROM orders GROUP BY 1),
+       |lagged AS (SELECT day, x, $lagCols FROM daily),
+       |long AS ($unions),
+       |m AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM long WHERE y IS NOT NULL GROUP BY k)
+       |SELECT k, n,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |         * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m ORDER BY k""".stripMargin
+  }
+
   private val CorrCols = Seq(
     "l_quantity" -> "quantity", "l_extendedprice" -> "price",
     "l_discount" -> "discount", "l_tax" -> "tax")
@@ -781,6 +909,8 @@ object Relational {
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),
     QueryDef("q_correlation_matrix", qCorrelationMatrix, Some(qCorrelationMatrixSql)),
+    QueryDef("q_autocorr", qAutocorr, Some(qAutocorrSql)),
+    QueryDef("q_assoc_rules", qAssocRules, Some(qAssocRulesSql)),
     QueryDef("q_rank_functions", qRankFunctions, Some(qRankFunctionsSql)),
     QueryDef("q_copurchase_pairs", qCopurchasePairs, Some(qCopurchasePairsSql)),
     QueryDef("q_lateral_join", lateralJoin, Some(lateralJoinSql)),

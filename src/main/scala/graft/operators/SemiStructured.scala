@@ -350,6 +350,58 @@ object SemiStructured {
       |  (p - runmin) > CAST(s_ref AS HUGEINT) * 5 AS alarm
       |FROM c ORDER BY day""".stripMargin
 
+  // -- q_benford: first-digit-law conformance audit --------------------------
+  // The forensic data-quality screen auditors run on financial columns
+  // (Benford 1938; Nigrini's fraud-detection practice): naturally
+  // occurring multi-magnitude amounts put digit d first with
+  // probability log10(1+1/d); fabricated or truncated data doesn't.
+  // Engine-exactness: the first significant digit comes from the CENTS
+  // INTEGER's decimal string — no log10 ever touches the data — and
+  // the nine Benford probabilities are hardcoded ppb constants
+  // (universal numbers, identical literals in both engines), so the
+  // whole audit is integer arithmetic: observed_ppb is a floored
+  // 128-bit quotient, excess_ppb a subtraction. One digit groupBy is
+  // the only shuffle; the 9-row digit table joins the one-row total.
+  private val BenfordPpb: Seq[(Int, Long)] = Seq(
+    1 -> 301029996L, 2 -> 176091259L, 3 -> 124938737L, 4 -> 96910013L,
+    5 -> 79181246L, 6 -> 66946790L, 7 -> 57991947L, 8 -> 51152522L,
+    9 -> 45757491L)
+  private def benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, d)
+      .select(substring(($"o_totalprice".cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n"))
+    val btab = BenfordPpb.toDF("digit", "benford_ppb")
+    btab.join(digits, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      // n_obs·10⁹ wraps a LONG past ~9×10⁹ rows: widen first
+      .withColumn("observed_ppb",
+        expr("(cast(n_obs as decimal(38,0)) * 1000000000) div n"))
+      .select($"digit", $"n_obs", $"benford_ppb", $"observed_ppb",
+        ($"observed_ppb" - $"benford_ppb").as("excess_ppb"))
+      .orderBy($"digit")
+  }
+  private val benfordSql = {
+    val rows = BenfordPpb.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+    s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+       |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+       |    AS INTEGER) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY 1),
+       |t AS (SELECT SUM(n_obs) AS n FROM c),
+       |b AS (SELECT * FROM (VALUES $rows) AS tt(digit, benford_ppb))
+       |SELECT b.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+       |  CAST(b.benford_ppb AS BIGINT) AS benford_ppb,
+       |  CAST((CAST(COALESCE(c.n_obs, 0) AS HUGEINT) * 1000000000) // n
+       |    AS BIGINT) AS observed_ppb,
+       |  CAST((CAST(COALESCE(c.n_obs, 0) AS HUGEINT) * 1000000000) // n
+       |    - b.benford_ppb AS BIGINT) AS excess_ppb
+       |FROM b LEFT JOIN c USING (digit) CROSS JOIN t
+       |ORDER BY b.digit""".stripMargin
+  }
+
   // -- q_gini: concentration (Gini coefficient) of customer spend -----------
   // The inequality audit a data-mixture or revenue report runs: how
   // concentrated is lifetime spend across customers? Gini over sorted
@@ -894,6 +946,7 @@ object SemiStructured {
     QueryDef("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("q_cusum", cusum, Some(cusumSql)),
+    QueryDef("q_benford", benford, Some(benfordSql)),
     QueryDef("q_gini", gini, Some(giniSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),

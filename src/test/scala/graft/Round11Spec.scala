@@ -544,6 +544,158 @@ class Round11Spec extends AnyFunSuite {
         s"got ${got.keySet.size}, expected ${expected.keySet.size}")
   }
 
+  test("q_percentile_weighted equals the brute-force weighted quantile") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_percentile_weighted")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice",
+        ($"l_quantity".cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, xs) =>
+      val byVal = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      def q(pct: Long): Double = {
+        var cum = 0L
+        byVal.find { case (_, w) => cum += w; cum * 100 >= tot * pct }.get._1
+      }
+      assert(got(flag) == ((q(50), q(95), q(99), tot / 100)), s"flag $flag")
+      val (p50, p95, p99, _) = got(flag)
+      assert(p50 <= p95 && p95 <= p99)
+    }
+  }
+
+  test("q_benford: counts conserve and quotients are exact floors") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val prices = Tables.orders(spark, sf)
+      .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[Long].collect()
+    assert(rows.map(_._2).sum == prices.length)
+    val expected = prices.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (dg, n, bppb, oppb, xppb) =>
+      assert(n == expected.getOrElse(dg, 0L), s"digit $dg count")
+      assert(oppb == (BigInt(n) * 1000000000 / prices.length).toLong)
+      assert(xppb == oppb - bppb)
+    }
+    // the probabilities are a distribution (ppb constants sum to ~1e9)
+    assert(math.abs(rows.map(_._3).sum - 1000000000L) <= 5)
+  }
+
+  test("q_seasonality: calendar-free buckets conserve the event count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_seasonality")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.forall { case (dw, h, _, _, _) =>
+      dw >= 0 && dw <= 6 && h >= 0 && h <= 23 })
+    val ts = Tables.events(spark, sf).select($"ts_ns").as[Long].collect()
+    assert(rows.map(_._3).sum == ts.length)
+    val expected = ts.groupBy(t =>
+        ((t / 86400000000000L + 4) % 7, t / 3600000000000L % 24))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (dw, h, n, s168, x) =>
+      assert(n == expected((dw, h)))
+      assert(s168 == (BigInt(n) * 168000000 / ts.length).toLong)
+      assert(x == s168 - 1000000L)
+    }
+  }
+
+  test("q_autocorr equals brute-force BigInt ACF and is 1 at lag 0 by identity") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_autocorr")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (1 to 7).toSet)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .orderBy($"day").select($"x").as[Long].collect().map(BigInt(_))
+    (1 to 7).foreach { k =>
+      val pairs = daily.drop(k).zip(daily.dropRight(k)) // (x_t, x_{t-k})
+      val n = BigInt(pairs.length)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      val (gn, gr) = got(k)
+      assert(gn == pairs.length.toLong)
+      assert(math.abs(gr - r) < 1e-12, s"lag $k: $gr != $r")
+      assert(gr > -1.0 - 1e-12 && gr < 1.0 + 1e-12)
+    }
+  }
+
+  test("q_user_growth: cumulative audience equals running distinct users") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_user_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr("ts_ns div 86400000000000")
+        .as("d"), $"user_id")
+      .as[(Long, Long)].collect()
+    assert(got.map(_._2).sum == ev.length)
+    // the identity under test: prefix sum of first-day counts IS the
+    // running COUNT DISTINCT
+    val byDay = ev.groupBy(_._1)
+    got.foreach { case (day, n, dau, nu, cum) =>
+      assert(dau == byDay(day).map(_._2).distinct.length.toLong)
+      val before = ev.filter(_._1 <= day).map(_._2).distinct.length.toLong
+      assert(cum == before, s"day $day: cum_users $cum != running distinct $before")
+    }
+    assert(got.map(_._4).sum == ev.map(_._2).distinct.length)
+  }
+
+  test("q_user_overlap equals brute-force exact set Jaccard per type pair") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_user_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      i = (sets(a) & sets(b)).size.toLong
+      if i > 0
+    } yield (a, b) -> ((i, sets(a).size.toLong, sets(b).size.toLong,
+      i * 1000000L / (sets(a).size + sets(b).size - i)))).toMap
+    assert(got == expected)
+  }
+
+  test("q_assoc_rules equals brute-force top-K directional rules") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_assoc_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val items = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val total = items.map(_._1).distinct.length.toLong
+    val supp = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for { i <- ps.indices; j <- (i + 1) until ps.length } yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 5L)
+    val rules = pairCounts.toSeq.flatMap { case ((a, b), nab) =>
+      Seq((a, b, nab), (b, a, nab)) }.map { case (ant, cons, nab) =>
+      val conf = BigInt(nab) * 1000000 / supp(ant)
+      val lift = BigInt(nab) * 1000000 * total / (BigInt(supp(ant)) * supp(cons))
+      (ant, cons, nab, supp(ant), supp(cons), conf.toLong, lift.toLong)
+    }.sortBy(r => (-r._6, r._1, r._2)).take(50)
+    assert(got.toSeq == rules)
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
