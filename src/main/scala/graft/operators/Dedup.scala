@@ -125,13 +125,16 @@ object Dedup {
   // verification; verification counts the exact intersection for
   // candidates only, and the final predicate is the integer
   // cross-multiplication i·(n+d) ≥ n·(|a|+|b|) for τ = n/d — no float
-  // threshold to drift. τ = 1/2 here. 100 TB shape: shuffles are
+  // threshold to drift. τ = 4/5, the standard near-dup operating point
+  // — and prefix length scales as (1−τ)·|x|, so a HIGH threshold is
+  // also what keeps the candidate space small (at τ = 1/2 prefixes are
+  // half of every document; at 4/5 a fifth). 100 TB shape: shuffles are
   // equi-joins on tokens and doc ids; the stop-word-dominated long
   // posting lists never join (high-df tokens land in suffixes, not
   // prefixes) — the pruning that makes exact τ-joins run where the
   // naive shared-token join dies.
-  private val SetSimTauNum = 1L
-  private val SetSimTauDen = 2L
+  private val SetSimTauNum = 4L
+  private val SetSimTauDen = 5L
   private def setsimJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

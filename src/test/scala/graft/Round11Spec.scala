@@ -536,7 +536,7 @@ class Round11Spec extends AnyFunSuite {
     val expected = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       i = (sa & sb).size.toLong
-      if i * 3 >= sa.size + sb.size // J ≥ 1/2 cross-multiplied
+      if i * 9 >= (sa.size + sb.size) * 4L // J ≥ 4/5 cross-multiplied
     } yield (a, b) -> ((i, sa.size.toLong, sb.size.toLong,
       i * 1000000L / (sa.size + sb.size - i)))).toMap
     assert(got == expected,
