@@ -687,11 +687,79 @@ object Behavioral {
       |JOIN sz sb ON sb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // -- q_rfm: recency / frequency / monetary segmentation -------------------
+  // The classic customer-value grid (direct-marketing RFM): per
+  // customer, days since last order, order count, and lifetime cents;
+  // each dimension scored into quintiles and customers counted per
+  // (R, F, M) cell. Quintiles are VALUE-BASED, not ntile: equal values
+  // always share a score (ntile splits ties by arbitrary row order —
+  // nondeterministic across engines), via the inclusive cumulative
+  // customer count over each dimension's DISTINCT-value table:
+  // score = ((cum − 1)·5) div n + 1, recency reversed (most recent =
+  // 5). The cumulative counts come from the value-keyed two-pass
+  // prefix-sum helper — no global windows, layout-free. Scale shape:
+  // one per-customer groupBy, three distinct-value cum passes, three
+  // equi-joins back on the dimension value.
+  private def rfm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+    val frontier = perCust.agg(max($"last_day").as("maxd"))
+    val base = perCust.crossJoin(broadcast(frontier))
+      .select($"o_custkey", datediff($"maxd", $"last_day").cast("long")
+        .as("recency"), $"freq", $"cents")
+      .localCheckpoint() // feeds three score joins + the final aggregate
+    def scores(dim: String, out: String): DataFrame = {
+      val vals = base.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+      SemiStructured.valueKeyedCums(vals, dim, Seq("cnt"))
+        .select(col(dim),
+          expr(s"((cum_cnt - 1) * 5) div tot_cnt + 1").as(out))
+    }
+    base
+      .hint("shuffle_hash").join(scores("recency", "q_r"), "recency")
+      .hint("shuffle_hash").join(scores("freq", "q_f"), "freq")
+      .hint("shuffle_hash").join(scores("cents", "q_m"), "cents")
+      .select((lit(6L) - $"q_r").as("r_score"), $"q_f".as("f_score"),
+        $"q_m".as("m_score"), $"cents")
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents_total"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+  private val rfmSql =
+    """WITH pc AS (SELECT o_custkey,
+      |    MAX(CAST(o_orderdate AS DATE)) AS last_day, COUNT(*) AS freq,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |f AS (SELECT MAX(last_day) AS maxd FROM pc),
+      |b AS (SELECT o_custkey, CAST(maxd - last_day AS BIGINT) AS recency,
+      |    freq, cents FROM pc CROSS JOIN f),
+      |sr AS (SELECT recency, ((SUM(cnt) OVER (ORDER BY recency) - 1) * 5)
+      |      // (SUM(cnt) OVER ()) + 1 AS q_r
+      |  FROM (SELECT recency, COUNT(*) AS cnt FROM b GROUP BY 1)),
+      |sf AS (SELECT freq, ((SUM(cnt) OVER (ORDER BY freq) - 1) * 5)
+      |      // (SUM(cnt) OVER ()) + 1 AS q_f
+      |  FROM (SELECT freq, COUNT(*) AS cnt FROM b GROUP BY 1)),
+      |sm AS (SELECT cents, ((SUM(cnt) OVER (ORDER BY cents) - 1) * 5)
+      |      // (SUM(cnt) OVER ()) + 1 AS q_m
+      |  FROM (SELECT cents, COUNT(*) AS cnt FROM b GROUP BY 1))
+      |SELECT CAST(6 - q_r AS BIGINT) AS r_score, CAST(q_f AS BIGINT)
+      |    AS f_score, CAST(q_m AS BIGINT) AS m_score,
+      |  COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM b JOIN sr USING (recency) JOIN sf USING (freq)
+      |JOIN sm USING (cents)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
     QueryDef("q_seasonality", seasonality, Some(seasonalitySql)),
     QueryDef("q_user_growth", userGrowth, Some(userGrowthSql)),
     QueryDef("q_user_overlap", userOverlap, Some(userOverlapSql)),
+    QueryDef("q_rfm", rfm, Some(rfmSql)),
     QueryDef("q_ab_test", abTest, Some(abTestSql)),
     QueryDef("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q_event_paths", eventPaths, Some(eventPathsSql)),

@@ -1196,6 +1196,47 @@ object Dedup {
        |ORDER BY rank_scaled DESC, doc_id""".stripMargin
   }
 
+  // -- q_degree_hist: degree distribution of the near-dup graph -------------
+  // The first statistic any graph audit reads: how many documents have
+  // 0, 1, 2, … verified near-duplicates. A heavy tail here is the
+  // template/boilerplate signature (one page duplicated thousands of
+  // ways) that decides between keep-one dedup and source-level
+  // excision. Reads the STAGED pair graph (no LSH replay), one degree
+  // aggregate + one histogram groupBy; isolated documents enter as
+  // degree 0 via an anti-join against the graph's node set, so the
+  // histogram conserves the corpus exactly.
+  private def degreeHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val deg = pairs
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    val isolated = Tables.documents(s, d).select($"doc_id")
+      .join(deg, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(0L).as("degree"), $"n_docs")
+    deg.groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .unionByName(isolated)
+      .filter($"n_docs" > 0)
+      .orderBy($"degree")
+  }
+  private val degreeHistSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |deg AS (SELECT doc_id, COUNT(*) AS degree FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY 1),
+       |hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), COUNT(*) FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.doc_id = d.doc_id))
+       |SELECT degree, n_docs FROM hist WHERE n_docs > 0
+       |ORDER BY degree""".stripMargin
+
   // -- q_dup_distance: hops to the cluster representative --------------------
   // The chain-dup audit made quantitative (triangleCount's counterpart):
   // multi-source BFS over the near-dup graph from every component's
@@ -1400,6 +1441,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),
+    QueryDef("q_degree_hist", degreeHist, Some(degreeHistSql)),
     QueryDef("q_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("q_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("q_pagerank", pagerank, Some(pagerankSql)),

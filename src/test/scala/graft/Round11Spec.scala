@@ -95,7 +95,8 @@ class Round11Spec extends AnyFunSuite {
     Dedup.pairsRoot(spark, sf)
     val before = Dedup.pairStageRuns.get()
     for (q <- Seq("dedup_minhash_lsh", "dedup_components", "q_pagerank",
-        "q_triangle_count", "q_leakage_split", "pipeline_curriculum"))
+        "q_triangle_count", "q_leakage_split", "pipeline_curriculum",
+        "q_degree_hist"))
       assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
     assert(Dedup.pairStageRuns.get() == before,
       "a query path re-ran the shingle→minhash→verify build instead of " +
@@ -694,6 +695,56 @@ class Round11Spec extends AnyFunSuite {
       (ant, cons, nab, supp(ant), supp(cons), conf.toLong, lift.toLong)
     }.sortBy(r => (-r._6, r._1, r._2)).take(50)
     assert(got.toSeq == rules)
+  }
+
+  test("q_rfm: value-based quintiles conserve customers and respect order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val pc = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("ld"), count(lit(1)).as("f"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("m"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).sum == pc.length, "every customer lands in one cell")
+    assert(got.map(_._5).sum == pc.map(_._3).sum, "monetary total conserved")
+    assert(got.forall { case (r, f, m, _, _) =>
+      Seq(r, f, m).forall(x => x >= 1 && x <= 5) })
+    // brute-force value-based quintile replay
+    val maxd = pc.map(_._1.toEpochDay).max
+    def score(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy(_._1)
+      val n = vs.length.toLong
+      var cum = 0L
+      byV.map { case (v, c) => cum += c; v -> ((cum - 1) * 5 / n + 1) }.toMap
+    }
+    val rs = score(pc.map(p => maxd - p._1.toEpochDay))
+    val fs = score(pc.map(_._2))
+    val ms = score(pc.map(_._3))
+    val cells = pc.groupBy(p =>
+        (6 - rs(maxd - p._1.toEpochDay), fs(p._2), ms(p._3)))
+      .map { case (k, xs) => (k._1, k._2, k._3, xs.length.toLong,
+        xs.map(_._3).sum) }.toSet
+    assert(got.toSet == cells)
+  }
+
+  test("q_degree_hist conserves the corpus and matches per-doc degrees") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_degree_hist")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(got.values.sum == total, "histogram must conserve the corpus")
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = deg.values.groupBy(identity)
+      .map { case (d, xs) => d -> xs.size.toLong } ++
+      Map(0L -> (total - deg.size)).filter(_._2 > 0)
+    assert(got == expected)
   }
 
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
