@@ -350,6 +350,48 @@ object SemiStructured {
       |  (p - runmin) > CAST(s_ref AS HUGEINT) * 5 AS alarm
       |FROM c ORDER BY day""".stripMargin
 
+  // -- q_mode: deterministic most-frequent value per group -------------------
+  // The profile statistic SQL's MODE() gets wrong for distributed use:
+  // engine mode() picks an ARBITRARY value among tied frequencies, so
+  // two runs (or two engines) can legally disagree. Here the mode is a
+  // total-order pick — (count DESC, value ASC) over the per-group
+  // DISTINCT-value count table — so ties always resolve to the smallest
+  // value, identically everywhere. One count groupBy on the fact table;
+  // the rank window runs per group over distinct values only. The
+  // group's distinct-value count and the mode's share ride along.
+  private def qMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"n".desc, $"l_quantity".asc)
+    val wg = Window.partitionBy($"l_returnflag")
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_distinct", count(lit(1)).over(wg))
+      .withColumn("n_group", sum($"n").over(wg))
+      .filter($"rk" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_quantity"),
+        $"n".as("n_mode"), $"n_distinct",
+        expr("(n * 1000000) div n_group").as("share_ppm"))
+      .orderBy($"l_returnflag")
+  }
+  private val qModeSql =
+    """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, l_quantity, n,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY n DESC, l_quantity ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct,
+      |    SUM(n) OVER (PARTITION BY l_returnflag) AS n_group
+      |  FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_quantity,
+      |  CAST(n AS BIGINT) AS n_mode, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  (CAST(n AS BIGINT) * 1000000) // CAST(n_group AS BIGINT) AS share_ppm
+      |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
   // -- q_benford: first-digit-law conformance audit --------------------------
   // The forensic data-quality screen auditors run on financial columns
   // (Benford 1938; Nigrini's fraud-detection practice): naturally
@@ -947,6 +989,7 @@ object SemiStructured {
     QueryDef("q_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("q_cusum", cusum, Some(cusumSql)),
     QueryDef("q_benford", benford, Some(benfordSql)),
+    QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_gini", gini, Some(giniSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),

@@ -305,6 +305,107 @@ object TextAnalysis {
     preparedDocs(s, d).select($"doc_id", $"n_words").orderBy($"doc_id")
   }
 
+  // -- pipeline_attrition: per-stage survival of the cleaning funnel --------
+  // The governance readout every cleaning pipeline ships with (and the
+  // first thing a data audit asks for): how many documents and tokens
+  // survive each stage, cumulatively — raw → exact-dedup keep-one →
+  // language gate → quality tier → systematic sample. NOT five scans:
+  // every stage is a boolean over one annotated pass (the same
+  // fingerprint window prepare_corpus runs is the only shuffle), one
+  // aggregate computes all five (docs, tokens) pairs, and the 5-row
+  // funnel unpivots from that single row. Retention is the floored
+  // integer ppm quotient. The stage predicates are literally
+  // preparedDocs' filters, so this report can never drift from what
+  // the pipeline actually does.
+  private def pipelineAttrition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val langs = stop.map(_._1)
+    val sc = langs.indices.map(i => $"scores" (i))
+    val best = sc.reduce((a, b) => greatest(a, b))
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
+      when(sc(i) === best && best > 0, lit(l)).otherwise(els)
+    }
+    val flagged = Tables.documents(s, d)
+      .withColumn("words", TextPrep.words($"text"))
+      .withColumn("scores", stopword_scores($"words", stop.map(_._2)))
+      .withColumn("fp", fingerprint128(TextPrep.norm($"text")))
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("s1", $"doc_id" === $"keep_id")
+      .withColumn("s2", $"s1" && pred === "en")
+      .withColumn("s3", $"s2" && $"n_words" >= 20 &&
+        size(array_distinct($"words")).cast("double") / $"n_words" >= 0.3 &&
+        $"scores" (0).cast("double") / $"n_words" <= 0.5)
+      .withColumn("s4", $"s3" && $"doc_id" % 2 === 0)
+    val a = flagged.agg(
+      count(lit(1)).as("d0"), sum($"n_words").as("t0"),
+      sum(when($"s1", 1L).otherwise(0L)).as("d1"),
+      sum(when($"s1", $"n_words").otherwise(0L)).as("t1"),
+      sum(when($"s2", 1L).otherwise(0L)).as("d2"),
+      sum(when($"s2", $"n_words").otherwise(0L)).as("t2"),
+      sum(when($"s3", 1L).otherwise(0L)).as("d3"),
+      sum(when($"s3", $"n_words").otherwise(0L)).as("t3"),
+      sum(when($"s4", 1L).otherwise(0L)).as("d4"),
+      sum(when($"s4", $"n_words").otherwise(0L)).as("t4"))
+    val names = Seq("0_raw", "1_exact_dedup", "2_langid", "3_quality",
+      "4_sample")
+    a.select(explode(array(names.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i).as("stage"), lit(nm).as("name"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+          expr(s"(d$i * 1000000) div d0").as("retained_ppm"))
+      }: _*)).as("e"))
+      .select($"e.stage", $"e.name", $"e.n_docs", $"e.n_tokens",
+        $"e.retained_ppm")
+      .orderBy($"stage")
+  }
+  private val pipelineAttritionSql = {
+    val en = stop.head._2
+    val scores = stop.map { case (l, list) => s"${hitsSql(list)} AS s_$l" }
+      .mkString(",\n  ")
+    val langs = stop.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    val stages = Seq("0_raw", "1_exact_dedup", "2_langid", "3_quality",
+      "4_sample").zipWithIndex.map { case (nm, i) =>
+      s"""SELECT $i AS stage, '$nm' AS name, CAST(d$i AS BIGINT) AS n_docs,
+         |  CAST(t$i AS BIGINT) AS n_tokens,
+         |  CAST((CAST(d$i AS HUGEINT) * 1000000) // d0 AS BIGINT)
+         |    AS retained_ppm FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.normSql} AS norm_text,
+       |             ${TextPrep.wordsSql} AS words FROM documents),
+       |m AS (SELECT doc_id, norm_text, words, len(words) AS n_words,
+       |  len(list_distinct(words)) * 1.0 / len(words) AS rep_ratio,
+       |  ${hitsSql(en)} * 1.0 / len(words) AS stop_ratio,
+       |  $scores
+       |  FROM w),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY norm_text) AS keep_id,
+       |        ($pred) AS pred_lang FROM m),
+       |f AS (SELECT doc_id, n_words,
+       |    doc_id = keep_id AS s1,
+       |    doc_id = keep_id AND pred_lang = 'en' AS s2,
+       |    doc_id = keep_id AND pred_lang = 'en' AND n_words >= 20
+       |      AND rep_ratio >= 0.3 AND stop_ratio <= 0.5 AS s3,
+       |    doc_id = keep_id AND pred_lang = 'en' AND n_words >= 20
+       |      AND rep_ratio >= 0.3 AND stop_ratio <= 0.5
+       |      AND doc_id % 2 = 0 AS s4
+       |  FROM k),
+       |a AS (SELECT COUNT(*) AS d0, SUM(n_words) AS t0,
+       |    SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+       |    SUM(CASE WHEN s1 THEN n_words ELSE 0 END) AS t1,
+       |    SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2,
+       |    SUM(CASE WHEN s2 THEN n_words ELSE 0 END) AS t2,
+       |    SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3,
+       |    SUM(CASE WHEN s3 THEN n_words ELSE 0 END) AS t3,
+       |    SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4,
+       |    SUM(CASE WHEN s4 THEN n_words ELSE 0 END) AS t4
+       |  FROM f)
+       |$stages
+       |ORDER BY stage""".stripMargin
+  }
+
   // -- end-to-end: prepared corpus → model-input chunks ---------------------
   // The full path from raw documents to training examples in ONE plan:
   // the prepare pipeline's survivors flow straight into the stride-24 /
@@ -735,6 +836,7 @@ object TextAnalysis {
     QueryDef("text_pii", pii, Some(piiSql)),
     QueryDef("text_rep_removal", repRemoval, Some(repRemovalSql)),
     QueryDef("pipeline_prepare_corpus", prepareCorpus, Some(prepareCorpusSql)),
+    QueryDef("pipeline_attrition", pipelineAttrition, Some(pipelineAttritionSql)),
     QueryDef("pipeline_chunked_corpus", chunkedCorpus, Some(chunkedCorpusSql)),
   )
 }

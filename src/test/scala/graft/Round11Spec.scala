@@ -747,6 +747,43 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("pipeline_attrition: monotone funnel consistent with prepare_corpus") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("pipeline_attrition")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0 to 4))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} must not grow")
+    }
+    assert(rows.head._3 == Tables.documents(spark, sf).count())
+    assert(rows.head._5 == 1000000L)
+    rows.foreach { case (_, _, d, _, ppm) =>
+      assert(ppm == BigInt(d) * 1000000 / rows.head._3)
+    }
+    // the funnel's terminal stage IS prepare_corpus' survivor set
+    val kept = SparkEntry.queries("pipeline_prepare_corpus")(spark, sf)
+    assert(rows.last._3 == kept.count())
+    assert(rows.last._4 == kept.agg(
+      org.apache.spark.sql.functions.sum($"n_words")).collect()(0).getLong(0))
+  }
+
+  test("q_mode equals brute-force mode with smallest-value tie-break") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_mode")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (flag, xs) =>
+      val byV = xs.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val (mv, mn) = byV.minBy { case (v, n) => (-n, v) }
+      assert(got(flag) == ((mv, mn, byV.length.toLong,
+        mn * 1000000L / xs.length)), s"flag $flag")
+    }
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
