@@ -754,8 +754,61 @@ object Behavioral {
       |JOIN sm USING (cents)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // -- q_cohort_ltv: cumulative revenue per acquisition cohort ---------------
+  // The LTV curve growth teams actually plot (q_retention's revenue
+  // twin): customers grouped by first-order month, revenue per
+  // (cohort, month offset) cell, the running cumulative per cohort,
+  // and cumulative cents PER COHORT MEMBER — the money shot, an exact
+  // floored quotient by the FIXED cohort size (not by that month's
+  // active count, the classic LTV-inflation mistake). Months are the
+  // integer index year·12 + month − 1 — extraction-identical under the
+  // UTC session on both engines. One fact groupBy; cohort assignment is
+  // a per-customer min joined back; the cumulative window runs per
+  // cohort over the calendar-bounded offset table.
+  private def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.orders(s, d)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast("long")
+          .as("m"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cohort = po.groupBy($"o_custkey").agg(min($"m").as("cm"))
+    val sizes = cohort.groupBy($"cm").agg(count(lit(1)).as("cohort_size"))
+    val cells = po.hint("shuffle_hash").join(cohort, "o_custkey")
+      .groupBy($"cm", ($"m" - $"cm").as("month_offset"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents_sum"))
+    val wCum = Window.partitionBy($"cm").orderBy($"month_offset")
+    cells
+      .withColumn("cum_cents", sum($"cents_sum").over(wCum))
+      .join(sizes, "cm")
+      .select($"cm".as("cohort_month"), $"month_offset", $"cohort_size",
+        $"n_orders", $"cents_sum", $"cum_cents",
+        expr("cum_cents div cohort_size").as("ltv_cents"))
+      .orderBy($"cohort_month", $"month_offset")
+  }
+  private val cohortLtvSql =
+    """WITH po AS (SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |co AS (SELECT o_custkey, MIN(m) AS cm FROM po GROUP BY 1),
+      |sz AS (SELECT cm, COUNT(*) AS cohort_size FROM co GROUP BY 1),
+      |cells AS (SELECT cm, m - cm AS month_offset, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_sum
+      |  FROM po JOIN co USING (o_custkey) GROUP BY 1, 2),
+      |cum AS (SELECT cm, month_offset, n_orders, cents_sum,
+      |    CAST(SUM(cents_sum) OVER (PARTITION BY cm ORDER BY month_offset)
+      |      AS BIGINT) AS cum_cents
+      |  FROM cells)
+      |SELECT cm AS cohort_month, month_offset, sz.cohort_size, n_orders,
+      |  cents_sum, cum_cents, cum_cents // sz.cohort_size AS ltv_cents
+      |FROM cum JOIN sz USING (cm)
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
+    QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q_seasonality", seasonality, Some(seasonalitySql)),
     QueryDef("q_user_growth", userGrowth, Some(userGrowthSql)),
     QueryDef("q_user_overlap", userOverlap, Some(userOverlapSql)),

@@ -784,6 +784,34 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_cohort_ltv: conservation and fixed-denominator LTV quotients") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val po = Tables.orders(spark, sf)
+      .select($"o_custkey",
+        (org.apache.spark.sql.functions.year($"o_orderdate") * 12 +
+          org.apache.spark.sql.functions.month($"o_orderdate") - 1)
+          .cast("long"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._5).sum == po.map(_._3).sum, "revenue conserved")
+    assert(rows.map(_._4).sum == po.length, "orders conserved")
+    val cohorts = po.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohorts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (cm, cells) =>
+      var cum = 0L
+      cells.sortBy(_._2).foreach { case (_, off, sz, _, cents, cumGot, ltv) =>
+        assert(sz == sizes(cm))
+        cum += cents
+        assert(cumGot == cum, s"cohort $cm offset $off cumulative")
+        assert(ltv == cum / sz)
+      }
+    }
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
