@@ -911,6 +911,107 @@ object Similarity {
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  // -- q_ndcg: rank-aware retrieval quality of the staged ANN index ----------
+  // recall@k (q_ann_recall) says WHETHER the true neighbors surfaced;
+  // nDCG@10 says whether they surfaced IN THE RIGHT ORDER — the metric
+  // that separates a usable index from one that buries its best hit at
+  // position 10 (Järvelin & Kekäläinen 2002). Graded relevance: the
+  // exact top-10 by full-precision distance, rel = 11 − exact_rank.
+  // Exactness: the position discounts 1/log2(i+1) are UNIVERSAL
+  // constants hardcoded as identical micro literals in both engines
+  // (the Benford move — no engine log2 ever runs), so DCG and IDCG are
+  // exact integer dot products and nDCG is one floored micro-quotient.
+  // Scale: the ANN leg reads the STAGED IVFPQ index; the exact-gold
+  // leg is the declared O(N²/queryMod) baseline every eval query here
+  // shares (a fixed query sample at real scale).
+  private val NdcgK = 10
+  private val DcgWMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val shortlist = ivfpqAdistStaged(s, d, queryMod = 50)
+      .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
+      .select($"query_id", $"neighbor_id")
+    val full = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
+    val qfull = full.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"fe".as("qe"))
+    val wD = Window.partitionBy($"query_id").orderBy($"dd", $"neighbor_id")
+    val approx = shortlist
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .select($"query_id", $"neighbor_id", l2sq($"qe", $"fe").as("dd"))
+      .withColumn("pos", row_number().over(wD)).filter($"pos" <= NdcgK)
+      .select($"query_id", $"neighbor_id", $"pos")
+    val wEx = Window.partitionBy($"query_id").orderBy($"dx", $"neighbor_id")
+    val gold = full.withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(qfull))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", l2sq($"qe", $"fe").as("dx"))
+      .withColumn("r", row_number().over(wEx)).filter($"r" <= NdcgK)
+      .select($"query_id", $"neighbor_id",
+        (lit(NdcgK + 1) - $"r").cast("long").as("rel"))
+    val wArr = array(DcgWMicro.map(lit): _*)
+    val dcg = approx
+      .join(gold, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .groupBy($"query_id")
+      .agg(sum($"rel" * element_at(wArr, $"pos")).as("dcg_scaled"))
+    val wIde = Window.partitionBy($"query_id").orderBy($"rel".desc, $"neighbor_id")
+    val idcg = gold
+      .withColumn("pos", row_number().over(wIde))
+      .groupBy($"query_id")
+      .agg(sum($"rel" * element_at(wArr, $"pos")).as("idcg_scaled"))
+    dcg.join(idcg, "query_id")
+      .select($"query_id", $"dcg_scaled", $"idcg_scaled",
+        expr("(dcg_scaled * 1000000) div idcg_scaled").as("ndcg_micro"))
+      .orderBy($"query_id")
+  }
+  private val ndcgEvalSql = {
+    val wts = DcgWMicro.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH ${ivfpqAdistSql(queryMod = 50)},
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srank
+       |    FROM adist) WHERE srank <= $PqShortlist),
+       |fullv AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS fe FROM embeddings),
+       |approx AS (SELECT query_id, neighbor_id, pos FROM (
+       |    SELECT s.query_id, s.neighbor_id, row_number() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY ${l2sqSql("qv.fe", "nv.fe", Dims)}, s.neighbor_id) AS pos
+       |    FROM shortlist s
+       |    JOIN fullv nv ON s.neighbor_id = nv.vec_id
+       |    JOIN fullv qv ON s.query_id = qv.vec_id) WHERE pos <= $NdcgK),
+       |gold AS (SELECT query_id, neighbor_id,
+       |    CAST(${NdcgK + 1} - r AS BIGINT) AS rel FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2sqSql("q.fe", "n.fe", Dims)}, n.vec_id) AS r
+       |    FROM fullv q JOIN fullv n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 50 = 0) WHERE r <= $NdcgK),
+       |wts AS (SELECT * FROM (VALUES $wts) t(pos, w)),
+       |dcg AS (SELECT a.query_id,
+       |    CAST(SUM(COALESCE(g.rel, 0) * w.w) AS BIGINT) AS dcg_scaled
+       |  FROM approx a JOIN wts w USING (pos)
+       |  LEFT JOIN gold g ON g.query_id = a.query_id
+       |    AND g.neighbor_id = a.neighbor_id
+       |  GROUP BY 1),
+       |ide AS (SELECT g.query_id,
+       |    CAST(SUM(g.rel * w.w) AS BIGINT) AS idcg_scaled FROM (
+       |    SELECT query_id, neighbor_id, rel, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS pos
+       |    FROM gold) g JOIN wts w USING (pos)
+       |  GROUP BY 1)
+       |SELECT d.query_id, dcg_scaled, idcg_scaled,
+       |  (dcg_scaled * 1000000) // idcg_scaled AS ndcg_micro
+       |FROM dcg d JOIN ide ON ide.query_id = d.query_id
+       |ORDER BY d.query_id""".stripMargin
+  }
+
   // -- k-means corpus clustering report -------------------------------------
   // The curation primitive SemDeDup-style pipelines start from: partition
   // the embedding corpus into k centroids and report per-cluster mass +
@@ -1738,6 +1839,7 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("q_ndcg", ndcgEval, Some(ndcgEvalSql)),
     QueryDef("q_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     QueryDef("q_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("sim_ann_pq", annPq, Some(annPqSql)),

@@ -812,6 +812,35 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_ndcg: IDCG recomputes exactly and nDCG is the floored quotient") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_ndcg")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val wMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    got.foreach { case (qid, (dcg, idcg, ndcg)) =>
+      val qe = emb.find(_._1 == qid).get._2
+      val goldRel = emb.filter(_._1 != qid)
+        .map { case (nid, fe) => (l2(qe, fe), nid) }.sorted.take(10)
+        .zipWithIndex.map { case (_, i) => 11L - (i + 1) }
+      val expIdcg = goldRel.sorted.reverse.zipWithIndex
+        .map { case (rel, i) => rel * wMicro(i) }.sum
+      assert(idcg == expIdcg, s"query $qid idcg")
+      assert(dcg >= 0 && dcg <= idcg)
+      assert(ndcg == dcg * 1000000L / idcg)
+    }
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
