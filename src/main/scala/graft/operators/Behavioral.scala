@@ -720,9 +720,9 @@ object Behavioral {
           expr(s"((cum_cnt - 1) * 5) div tot_cnt + 1").as(out))
     }
     base
-      .hint("shuffle_hash").join(scores("recency", "q_r"), "recency")
-      .hint("shuffle_hash").join(scores("freq", "q_f"), "freq")
-      .hint("shuffle_hash").join(scores("cents", "q_m"), "cents")
+      .join(scores("recency", "q_r").hint("shuffle_hash"), "recency")
+      .join(scores("freq", "q_f").hint("shuffle_hash"), "freq")
+      .join(scores("cents", "q_m").hint("shuffle_hash"), "cents")
       .select((lit(6L) - $"q_r").as("r_score"), $"q_f".as("f_score"),
         $"q_m".as("m_score"), $"cents")
       .groupBy($"r_score", $"f_score", $"m_score")

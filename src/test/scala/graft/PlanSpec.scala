@@ -488,6 +488,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 operators keep their claimed plan shapes") {
+    // dedup_setsim: every build side (dfreq, sizes, cand, toks) is
+    // corpus-proportional — a broadcast here is the 100 TB killer
+    val setsim = plan("dedup_setsim")
+    assert(!setsim.contains("BroadcastHashJoin"),
+      "set-similarity join must not broadcast a corpus-proportional side")
+    // q_assoc_rules: the rank gate must plan as TakeOrderedAndProject,
+    // never a global sort of all rules
+    assert(plan("q_assoc_rules").contains("TakeOrderedAndProject"))
+    // q_concurrency: the order-span join is corpus ⋈ corpus —
+    // shuffle-hash, not broadcast
+    assert(!plan("q_concurrency").contains("BroadcastHashJoin"),
+      "interval sweep must not broadcast the order side")
+    // q_rfm: the three score joins are on corpus-proportional
+    // distinct-value tables — shuffle-hash all three (the helper's
+    // internal ≤256-row offsets broadcast is the one legitimate
+    // broadcast in the plan)
+    val rfm = plan("q_rfm")
+    assert("ShuffledHashJoin".r.findAllIn(rfm).size >= 3,
+      "RFM score joins must shuffle-hash, not broadcast the value tables")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
