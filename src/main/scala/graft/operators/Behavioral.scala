@@ -631,7 +631,7 @@ object Behavioral {
       .select($"day_idx", $"n_events", $"dau", $"new_users", $"cum_users")
       .orderBy($"day_idx")
   }
-  private val userGrowthSql =
+  private[graft] val userGrowthSql =
     """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx, user_id
       |            FROM events),
       |daily AS (SELECT day_idx, COUNT(*) AS n_events FROM ev GROUP BY 1),

@@ -1060,6 +1060,36 @@ object Streaming {
   // the DuckDB oracle rebuilds the identical placement from raw events.
   private val StreamCmsD = 4
   private val StreamCmsW = 256L
+  // -- #43r streaming growth dashboard off exact activity state -------------
+  // The streaming twin of q_user_growth, in the "state IS the artifact"
+  // family (stream_approx_distinct, stream_cms): the stream maintains
+  // the exact (day, user) activity table as complete-mode state — a
+  // per-pair count, mergeable and arrival-order-insensitive, so the
+  // finished-stream state equals the batch distinct BY CONSTRUCTION —
+  // and the dashboard (DAU, new users via per-user min, cumulative
+  // audience via the prefix-sum-of-first-days identity) derives from
+  // that state after the stream drains. State is O(day × active users),
+  // the same size the batch distinct shuffles; the oracle is the batch
+  // q_user_growth SQL verbatim.
+  private def userGrowthStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val pairs = eventsStream(s, d)
+        .select(expr("ts_ns div 86400000000000").as("day_idx"), $"user_id")
+        .groupBy($"day_idx", $"user_id").agg(count(lit(1)).as("n"))
+      val state = runToMemory(pairs, "graft_stream_ugrowth",
+        OutputMode.Complete())
+      val daily = state.groupBy($"day_idx")
+        .agg(sum($"n").as("n_events"), count(lit(1)).as("dau"))
+      val newu = state.groupBy($"user_id").agg(min($"day_idx").as("day_idx"))
+        .groupBy($"day_idx").agg(count(lit(1)).as("new_users"))
+      daily.join(newu, Seq("day_idx"), "left").na.fill(0L, Seq("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"day_idx")))
+        .select($"day_idx", $"n_events", $"dau", $"new_users", $"cum_users")
+        .orderBy($"day_idx")
+    }
+
   private def cmsStream(s: SparkSession, d: String): DataFrame =
     withStateParts(s, 8) {
       import s.implicits._
@@ -1134,6 +1164,8 @@ object Streaming {
       Some(approxDistinctStreamSql)),
     QueryDef("stream_file_sink", fileSinkStream, Some(fileSinkStreamSql)),
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
+    QueryDef("stream_user_growth", userGrowthStream,
+      Some(graft.operators.Behavioral.userGrowthSql)),
     QueryDef("stream_drift", driftStream, Some(driftStreamSql)),
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),

@@ -841,6 +841,15 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_user_growth equals the batch growth dashboard exactly") {
+    val streamed = SparkEntry.queries("stream_user_growth")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_user_growth")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "finished-stream activity state must reproduce the batch dashboard")
+  }
+
   test("stream_approx_distinct equals the batch DetHll estimate and bounds error") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_approx_distinct")(spark, sf)
