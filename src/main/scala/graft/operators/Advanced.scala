@@ -610,6 +610,34 @@ object Advanced {
       .select($"g".as("l_returnflag"), $"p50", $"p95", $"p99")
       .orderBy($"l_returnflag")
   }
+  // -- q_sketch_error: accuracy monitor for the quantile digest --------------
+  // The monitor-per-sketch rule applied to quantiles (ANN has recall +
+  // nDCG, MinHash-LSH has candidate recall, CMS its overcount row):
+  // per (group, quantile), the exact rank-window answer beside the
+  // Q-digest answer and the relative error in ppm — the row a pipeline
+  // alerts on before trusting sketch quantiles for SLAs. Both ends are
+  // integer cents divided by 100, so the cent values reconstruct
+  // exactly (round on an exact .0 double — rounding mode irrelevant)
+  // and the error is a floored integer quotient. Runs both existing
+  // legs as subplans: the exact leg is the declared full-rank baseline,
+  // the sketch leg the 100 TB path being scored.
+  private def qSketchError(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def unp(df: DataFrame, out: String): DataFrame =
+      df.select($"l_returnflag", explode(array(
+          struct(lit("p50").as("q"), $"p50".as(out)),
+          struct(lit("p95").as("q"), $"p95".as(out)),
+          struct(lit("p99").as("q"), $"p99".as(out)))).as("e"))
+        .select($"l_returnflag", $"e.q".as("q"), col(s"e.$out").as(out))
+    unp(qPercentile(s, d), "exact_v")
+      .join(unp(qQuantileSketch(s, d), "sketch_v"), Seq("l_returnflag", "q"))
+      .select($"l_returnflag", $"q", $"exact_v", $"sketch_v",
+        expr("(abs(cast(round(sketch_v * 100) as bigint)" +
+          " - cast(round(exact_v * 100) as bigint)) * 1000000)" +
+          " div cast(round(exact_v * 100) as bigint)").as("err_ppm"))
+      .orderBy($"l_returnflag", $"q")
+  }
+
   private val qQuantileSketchSql =
     s"""WITH vc AS (SELECT l_returnflag AS g,
        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v, COUNT(*) AS c
@@ -641,6 +669,23 @@ object Advanced {
        |  MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN ub END) / 100.0 AS p99
        |FROM cums JOIN nt USING (g)
        |GROUP BY g ORDER BY l_returnflag""".stripMargin
+
+  private val qSketchErrorSql =
+    s"""WITH ex AS (SELECT * FROM ($qPercentileSql)),
+       |sk AS (SELECT * FROM ($qQuantileSketchSql)),
+       |exl AS (SELECT l_returnflag, 'p50' AS q, p50 AS exact_v FROM ex
+       |  UNION ALL SELECT l_returnflag, 'p95', p95 FROM ex
+       |  UNION ALL SELECT l_returnflag, 'p99', p99 FROM ex),
+       |skl AS (SELECT l_returnflag, 'p50' AS q, p50 AS sketch_v FROM sk
+       |  UNION ALL SELECT l_returnflag, 'p95', p95 FROM sk
+       |  UNION ALL SELECT l_returnflag, 'p99', p99 FROM sk)
+       |SELECT exl.l_returnflag, exl.q, exact_v, sketch_v,
+       |  (ABS(CAST(round(sketch_v * 100) AS BIGINT)
+       |     - CAST(round(exact_v * 100) AS BIGINT)) * 1000000)
+       |    // CAST(round(exact_v * 100) AS BIGINT) AS err_ppm
+       |FROM exl JOIN skl ON skl.l_returnflag = exl.l_returnflag
+       |  AND skl.q = exl.q
+       |ORDER BY exl.l_returnflag, exl.q""".stripMargin
 
   // -- q_pivot_native: DataFrame pivot API (values pinned → single pass) ---
   // Pinning the pivot values skips the extra distinct-collect job and
@@ -1023,6 +1068,7 @@ object Advanced {
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_percentile", qPercentile, Some(qPercentileSql)),
     QueryDef("q_quantile_sketch", qQuantileSketch, Some(qQuantileSketchSql)),
+    QueryDef("q_sketch_error", qSketchError, Some(qSketchErrorSql)),
     QueryDef("q_pivot_native", qPivotNative, Some(qPivotNativeSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_sample_systematic", qSampleSystematic, Some(qSampleSystematicSql)),

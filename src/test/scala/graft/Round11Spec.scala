@@ -841,6 +841,20 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_sketch_error: digest stays inside its rated bound vs exact quantiles") {
+    val rows = SparkEntry.queries("q_sketch_error")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(t => (t._1, t._2)).toSet.size == rows.length)
+    assert(rows.map(_._2).toSet == Set("p50", "p95", "p99"))
+    rows.foreach { case (flag, q, ex, sk, err) =>
+      val exc = math.round(ex * 100)
+      val skc = math.round(sk * 100)
+      assert(err == math.abs(skc - exc) * 1000000L / exc, s"($flag,$q)")
+      assert(err < 50000L, s"($flag,$q): sketch error $err ppm breaches 5%")
+    }
+  }
+
   test("stream_user_growth equals the batch growth dashboard exactly") {
     val streamed = SparkEntry.queries("stream_user_growth")(spark, sf)
       .collect().map(_.toSeq).toSeq
