@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SemiStructured.defs ++ operators.Corpus.defs ++
       operators.Behavioral.defs ++
       operators.ScaleOps.defs ++ operators.Advanced.defs ++
+      operators.RobustStats.defs ++
       operators.Maintenance.defs ++ streaming.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

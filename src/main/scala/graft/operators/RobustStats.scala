@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Robust / inferential statistics (SURVEY.md §2.5 additions): median
+  * absolute deviation with robust z-score outlier counts, Tukey-fence
+  * IQR outliers, a chi-square independence test over two categoricals,
+  * and the Mann-Whitney U rank-sum test.
+  *
+  * Parity discipline (the q_percentile / text_pmi rules):
+  *  - every quantile is the value at a PINNED total order position
+  *    (prefix-max at rn <= ceil(q*n) over (value, key...)) — no
+  *    interpolation formula to drift between engines;
+  *  - per-row float math ((obs-exp)^2/exp, fence comparisons) is the
+  *    identical IEEE expression evaluated row-locally on both engines;
+  *    any SUM over such doubles goes through a per-row decimal(18,6)
+  *    cast first (OracleMath.dsum), so accumulation order cannot leak;
+  *  - rank statistics stay in INTEGER space (doubled U avoids the /2).
+  *
+  * Scale shapes: the two quantile ops shuffle once per window key (the
+  * group key, reused by both window passes); the group-level medians
+  * rejoin via broadcast (group cardinality, not data cardinality). The
+  * rank test pre-aggregates to DISTINCT VALUES before any window — the
+  * global-order window walks |distinct values| rows, never the corpus.
+  */
+object RobustStats {
+
+  // -- q_mad: median absolute deviation + robust z-score outliers ----------
+  // MAD is THE robust scale estimate for heavy-tailed data (price/value
+  // columns): one wild row moves stddev arbitrarily but not the MAD.
+  // consistency constant 1.4826 rescales MAD to sigma under normality;
+  // a row with |x - med| > 3 * 1.4826 * MAD is the standard robust
+  // z-score outlier. Both medians are pinned-position exact (prefix-max
+  // at ceil(n/2) of the (value, l_orderkey, l_linenumber) total order).
+  private def qMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+      $"l_returnflag".as("flag"), $"l_extendedprice".as("x"),
+      $"l_orderkey".as("k"), $"l_linenumber".as("ln"))
+    val wn = Window.partitionBy($"flag")
+    val w1 = wn.orderBy($"x", $"k", $"ln")
+    val med = base
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"flag")
+      .agg(max(when($"rn" <= ceil($"n" * 0.5), $"x")).as("med"))
+    // |x - med| is row-local IEEE: identical per row on both engines
+    val dev = base.join(broadcast(med), "flag")
+      .withColumn("dev", abs($"x" - $"med"))
+    val w2 = wn.orderBy($"dev", $"k", $"ln")
+    val mad = dev
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"flag")
+      .agg(max(when($"rn" <= ceil($"n" * 0.5), $"dev")).as("mad"))
+    dev.join(broadcast(mad), "flag")
+      .groupBy($"flag")
+      .agg(
+        count(lit(1)).as("n"),
+        max($"med").as("med_price"),
+        max($"mad").as("mad_price"),
+        sum(when($"dev" > lit(3) * lit(1.4826) * $"mad", 1L).otherwise(0L))
+          .as("n_robust_outliers"))
+      .select($"flag".as("l_returnflag"), $"n", $"med_price", $"mad_price",
+        $"n_robust_outliers")
+      .orderBy($"l_returnflag")
+  }
+  private val qMadSql =
+    """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS x,
+      |    l_orderkey AS k, l_linenumber AS ln FROM lineitem),
+      |med AS (SELECT flag,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.5) THEN x END) AS med
+      |  FROM (SELECT flag, x,
+      |      row_number() OVER (PARTITION BY flag ORDER BY x, k, ln) AS rn,
+      |      COUNT(*) OVER (PARTITION BY flag) AS n FROM b)
+      |  GROUP BY flag),
+      |d AS (SELECT b.flag, abs(b.x - m.med) AS dev, b.k, b.ln, m.med
+      |      FROM b JOIN med m ON b.flag = m.flag),
+      |mad AS (SELECT flag,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.5) THEN dev END) AS mad
+      |  FROM (SELECT flag, dev,
+      |      row_number() OVER (PARTITION BY flag ORDER BY dev, k, ln) AS rn,
+      |      COUNT(*) OVER (PARTITION BY flag) AS n FROM d)
+      |  GROUP BY flag)
+      |SELECT d.flag AS l_returnflag, COUNT(*) AS n,
+      |  MAX(d.med) AS med_price, MAX(mad.mad) AS mad_price,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_robust_outliers
+      |FROM d JOIN mad ON d.flag = mad.flag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q_iqr_outliers: Tukey-fence outlier audit ---------------------------
+  // The boxplot rule: q1/q3 pinned-position exact, fences at
+  // q1 - 1.5*iqr / q3 + 1.5*iqr. Fence arithmetic is row-group-local
+  // IEEE on identical inputs (q1, q3 are data values), so the fence
+  // comparison is engine-exact per row.
+  private def qIqrOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+      $"l_returnflag".as("flag"), $"l_extendedprice".as("x"),
+      $"l_orderkey".as("k"), $"l_linenumber".as("ln"))
+    val wn = Window.partitionBy($"flag")
+    val w1 = wn.orderBy($"x", $"k", $"ln")
+    val q = base
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"flag")
+      .agg(
+        max(when($"rn" <= ceil($"n" * 0.25), $"x")).as("q1"),
+        max(when($"rn" <= ceil($"n" * 0.75), $"x")).as("q3"))
+      .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
+      .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
+    base.join(broadcast(q), "flag")
+      .groupBy($"flag")
+      .agg(
+        count(lit(1)).as("n"),
+        max($"q1").as("q1"),
+        max($"q3").as("q3"),
+        sum(when($"x" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"x" > $"hi", 1L).otherwise(0L)).as("n_high"))
+      .select($"flag".as("l_returnflag"), $"n", $"q1", $"q3",
+        $"n_low", $"n_high")
+      .orderBy($"l_returnflag")
+  }
+  private val qIqrOutliersSql =
+    """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS x,
+      |    l_orderkey AS k, l_linenumber AS ln FROM lineitem),
+      |q AS (SELECT flag,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.25) THEN x END) AS q1,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.75) THEN x END) AS q3
+      |  FROM (SELECT flag, x,
+      |      row_number() OVER (PARTITION BY flag ORDER BY x, k, ln) AS rn,
+      |      COUNT(*) OVER (PARTITION BY flag) AS n FROM b)
+      |  GROUP BY flag),
+      |f AS (SELECT flag, q1, q3,
+      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      |SELECT b.flag AS l_returnflag, COUNT(*) AS n,
+      |  MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+      |  CAST(SUM(CASE WHEN b.x < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN b.x > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM b JOIN f ON b.flag = f.flag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q_chi_square: independence of two categoricals ----------------------
+  // Pearson chi-square of o_orderstatus x o_orderpriority: the
+  // contingency table is one hash aggregation (map-side combined);
+  // row/column marginals are windows over the CELL table (|statuses| x
+  // |priorities| rows, never the fact table). Each cell's
+  // (obs-exp)^2/exp is row-local IEEE (exp = INT*INT promoted to
+  // double, one division — same op order both engines); the chi2 total
+  // crosses rows, so it goes decimal(18,6)-per-cell first (dsum), then
+  // back to double.
+  private def qChiSquare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .groupBy($"o_orderstatus".as("status"), $"o_orderpriority".as("prio"))
+      .agg(count(lit(1)).as("obs"))
+    val wr = Window.partitionBy($"status")
+    val wc = Window.partitionBy($"prio")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("rt", sum($"obs").over(wr))
+      .withColumn("ct", sum($"obs").over(wc))
+      .withColumn("nn", sum($"obs").over(wAll))
+      .withColumn("exp", ($"rt" * $"ct") / $"nn")
+      .withColumn("contrib", ($"obs" - $"exp") * ($"obs" - $"exp") / $"exp")
+      .withColumn("chi2",
+        sum($"contrib".cast("decimal(18,6)")).over(wAll).cast("double"))
+      .select($"status", $"prio", $"obs", round($"exp", 6).as("exp6"),
+        round($"contrib", 6).as("contrib6"), $"chi2")
+      .orderBy($"status", $"prio")
+  }
+  private val qChiSquareSql =
+    """WITH cells AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |    COUNT(*) AS obs FROM orders GROUP BY 1, 2),
+      |m AS (SELECT status, prio, obs,
+      |    SUM(obs) OVER (PARTITION BY status) AS rt,
+      |    SUM(obs) OVER (PARTITION BY prio) AS ct,
+      |    SUM(obs) OVER () AS nn
+      |  FROM cells),
+      |x AS (SELECT status, prio, obs, (rt * ct) / nn AS exp FROM m),
+      |c AS (SELECT status, prio, obs, exp,
+      |    (obs - exp) * (obs - exp) / exp AS contrib FROM x)
+      |SELECT status, prio, obs, round(exp, 6) AS exp6,
+      |  round(contrib, 6) AS contrib6,
+      |  CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE) AS chi2
+      |FROM c ORDER BY status, prio""".stripMargin
+
+  // -- q_mann_whitney: rank-sum test with tie-averaged ranks ---------------
+  // Are purchase values drawn from the same distribution as view
+  // values? Nonparametric U test. Scale shape: aggregate the corpus to
+  // DISTINCT VALUES first (one hash agg with per-side counts), then the
+  // prior-count ranks come from SemiStructured.valueKeyedCums — the
+  // range-partitioned two-pass prefix sum (the r11 equidepth shape), so
+  // there is NO single-partition global window anywhere, at any
+  // cardinality of distinct values. Tie handling is the textbook
+  // average rank, kept in integer space: each member of a tie group at
+  // min-rank r with c ties has doubled average rank 2r + c - 1, so the
+  // doubled rank sum R1_x2 = sum(n_a * (2*prior + c + 1)) is exact
+  // BIGINT math, and U1_x2 = R1_x2 - n1*(n1+1). The z statistic is one
+  // double expression over five integers — engine-exact — rounded at 6.
+  private def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, d)
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy($"value")
+      .agg(
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("na"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("nb"),
+        count(lit(1)).as("c"))
+    val t = SemiStructured.valueKeyedCums(g, "value", Seq("c"))
+      .withColumn("prior", $"cum_c" - $"c")
+      .agg(
+        sum($"na").as("n1"),
+        sum($"nb").as("n2"),
+        sum($"na" * (lit(2) * $"prior" + $"c" + lit(1))).as("r1_x2"))
+      .withColumn("u1_x2", $"r1_x2" - $"n1" * ($"n1" + lit(1)))
+      .withColumn("u2_x2", lit(2) * $"n1" * $"n2" - $"u1_x2")
+    t.select($"n1", $"n2", $"u1_x2", $"u2_x2",
+      round(
+        ($"u1_x2" / 2.0 - $"n1" * $"n2" / 2.0) /
+          sqrt($"n1" * $"n2" * ($"n1" + $"n2" + lit(1)) / 12.0),
+        6).as("z6"))
+  }
+  private val qMannWhitneySql =
+    """WITH g AS (SELECT value,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb,
+      |    COUNT(*) AS c
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |  GROUP BY value),
+      |p AS (SELECT na, nb, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM g),
+      |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n1,
+      |    CAST(SUM(nb) AS BIGINT) AS n2,
+      |    CAST(SUM(na * (2 * prior + c + 1)) AS BIGINT) AS r1_x2
+      |  FROM p),
+      |u AS (SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      |    2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2 FROM t)
+      |SELECT n1, n2, u1_x2, u2_x2,
+      |  round((u1_x2 / 2.0 - n1 * n2 / 2.0) /
+      |    sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z6
+      |FROM u""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mad", qMad, Some(qMadSql)),
+    QueryDef("q_iqr_outliers", qIqrOutliers, Some(qIqrOutliersSql)),
+    QueryDef("q_chi_square", qChiSquare, Some(qChiSquareSql)),
+    QueryDef("q_mann_whitney", qMannWhitney, Some(qMannWhitneySql)))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force recomputation of the robust/inferential stats operators
+  * (RobustStats.scala) from raw collected rows — independent of every
+  * window/join trick the distributed forms use.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def prices(): Map[String, Vector[(Double, Long, Int)]] =
+    Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+
+  /** Value at position ceil(q*n) of the ascending total order. */
+  private def pinned(xs: Vector[(Double, Long, Int)], q: Double): Double = {
+    val sorted = xs.sortBy(identity)
+    sorted(math.ceil(q * xs.size).toInt - 1)._1
+  }
+
+  test("q_mad: medians, MAD, and robust outlier counts match brute force") {
+    val got = SparkEntry.queries("q_mad")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val raw = prices()
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (flag, xs) =>
+      val (n, med, mad, nOut) = got(flag)
+      assert(n == xs.size)
+      assert(med == pinned(xs, 0.5), s"$flag median")
+      val devs = xs.map { case (x, k, ln) => (math.abs(x - med), k, ln) }
+      assert(mad == pinned(devs, 0.5), s"$flag mad")
+      val fence = 3 * 1.4826 * mad
+      assert(nOut == devs.count(_._1 > fence), s"$flag outliers")
+    }
+  }
+
+  test("q_iqr_outliers: Tukey fences and tail counts match brute force") {
+    val got = SparkEntry.queries("q_iqr_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val raw = prices()
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (flag, xs) =>
+      val (n, q1, q3, nLow, nHigh) = got(flag)
+      assert(n == xs.size)
+      assert(q1 == pinned(xs, 0.25), s"$flag q1")
+      assert(q3 == pinned(xs, 0.75), s"$flag q3")
+      val lo = q1 - 1.5 * (q3 - q1)
+      val hi = q3 + 1.5 * (q3 - q1)
+      assert(nLow == xs.count(_._1 < lo), s"$flag n_low")
+      assert(nHigh == xs.count(_._1 > hi), s"$flag n_high")
+    }
+  }
+
+  test("q_chi_square: cells, expectations, and the decimal-summed total") {
+    val rows = SparkEntry.queries("q_chi_square")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val obs = Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_._1).toSet == obs.keySet)
+    val rowTot = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colTot = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = obs.values.sum
+    // replay the exact per-cell IEEE expression, then the decimal(18,6)
+    // per-cell quantization the engines use for the cross-row total
+    val contribs = rows.map { case ((st, pr), (o, exp6, contrib6, _)) =>
+      assert(o == obs((st, pr)), s"($st,$pr) obs")
+      val exp = (rowTot(st) * colTot(pr)).toDouble / nn
+      val contrib = (o - exp) * (o - exp) / exp
+      assert(exp6 == BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(contrib6 == BigDecimal(contrib).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      BigDecimal(contrib).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val chi2 = contribs.sum.toDouble
+    rows.foreach { case (_, (_, _, _, c)) => assert(c == chi2, "chi2 total") }
+    // df for this 3x5 table; sanity that the statistic is in a sane range
+    assert(rowTot.size == 3 && colTot.size == 5)
+    assert(chi2 >= 0)
+  }
+
+  test("q_mann_whitney: doubled U from brute-force average ranks") {
+    val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
+      .collect().toSeq
+    val (n1, n2, u1x2, u2x2, z6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getDouble(4))
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(t => t._1 == "purchase" || t._1 == "view")
+    assert(n1 == vals.count(_._1 == "purchase"))
+    assert(n2 == vals.count(_._1 == "view"))
+    // doubled average ranks: sort combined, tie group at min-rank r with
+    // c members contributes 2r + c - 1 per member
+    val sorted = vals.map(_._2).sorted
+    val rankX2 = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> (2L * (g.map(_._2).min + 1) + g.length - 1)
+    }
+    val r1x2 = vals.filter(_._1 == "purchase").map(t => rankX2(t._2)).sum
+    assert(u1x2 == r1x2 - n1 * (n1 + 1), "u1_x2")
+    assert(u1x2 + u2x2 == 2 * n1 * n2, "U partition identity")
+    val u1 = u1x2 / 2.0
+    val z = (u1 - n1 * n2 / 2.0) / math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    assert(z6 == BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
