@@ -1439,7 +1439,85 @@ object Dedup {
        |    CAST(docs_in_dup_clusters AS DOUBLE) FROM dd)
        |ORDER BY metric""".stripMargin
 
+  // -- q_kcore: onion-layer decomposition of the near-dup graph ------------
+  // k-core peeling (Seidman 1983; k = 2) over the staged verified-pair
+  // graph: repeatedly delete nodes with degree < 2 in the SURVIVING
+  // subgraph. The layer at which a node falls out is its onion depth —
+  // pendant one-off duplicates peel in layer 1, chains collapse inward,
+  // and what survives every round (layer 0) is the dense 2-core:
+  // template/SEO-farm neighborhoods that degree alone cannot separate
+  // from benign pairwise duplicates (a hub with 50 pendant copies has
+  // high degree but NO 2-core; a template ring does). Round count is
+  // FIXED (8, the pagerank/text_bpe discipline) so the oracle replays
+  // the peel unrolled; peeling is monotone, so an early empty round is
+  // a true fixpoint and stopping early cannot diverge from the fixed
+  // unroll. Each round is two narrow (id)-semi-joins + one count agg
+  // over the ALIVE subgraph — never the corpus — with localCheckpoint
+  // truncating lineage per round (the componentLabels loop shape).
+  private val KcRounds = 8
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = verifiedPairs(s, d).select($"doc_a", $"doc_b").cache()
+    p.count()
+    val edges = p.union(p.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".as("src"), $"doc_b".as("dst")).cache()
+    val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
+      .localCheckpoint()
+    var alive = deg0.select($"src".as("id")).localCheckpoint()
+    var layers = s.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("layer", lit(0)).limit(0)
+    var t = 1
+    var done = false
+    while (t <= KcRounds && !done) {
+      val degA = edges
+        .join(alive.select($"id".as("src")), "src")
+        .join(alive.select($"id".as("dst")), "dst")
+        .groupBy($"src").agg(count(lit(1)).as("dg"))
+      val aliveNext = degA.filter($"dg" >= 2).select($"src".as("id"))
+        .localCheckpoint()
+      val removed = alive.join(aliveNext, Seq("id"), "left_anti")
+        .withColumn("layer", lit(t)).localCheckpoint()
+      if (removed.count() == 0) done = true
+      else { layers = layers.union(removed); alive = aliveNext; t += 1 }
+    }
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    deg0.join(layers.select($"id".as("src"), $"layer"), Seq("src"), "left")
+      .select($"src".as("doc_id"), $"deg0",
+        coalesce($"layer", lit(0)).as("layer"))
+      .orderBy($"doc_id")
+  }
+  private val kcoreSql = {
+    val rounds = (0 until KcRounds).map { t =>
+      s"""d${t + 1} AS (SELECT e.src, COUNT(*) AS c FROM edges e
+         |  JOIN a$t x ON e.src = x.id JOIN a$t y ON e.dst = y.id
+         |  GROUP BY e.src),
+         |a${t + 1} AS (SELECT src AS id FROM d${t + 1} WHERE c >= 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val layerCase = (1 to KcRounds)
+      .map(t => s"WHEN t$t.id IS NULL THEN $t").mkString(" ")
+    val layerJoins = (1 to KcRounds)
+      .map(t => s"LEFT JOIN a$t t$t ON t$t.id = n.id").mkString("\n")
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg0 AS (SELECT src, COUNT(*) AS deg0 FROM edges GROUP BY src),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |$rounds
+       |SELECT n.id AS doc_id, d.deg0,
+       |  CASE $layerCase ELSE 0 END AS layer
+       |FROM a0 n JOIN deg0 d ON d.src = n.id
+       |$layerJoins
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kcore", kcore, Some(kcoreSql)),
     QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),
     QueryDef("q_degree_hist", degreeHist, Some(degreeHistSql)),
     QueryDef("q_dataset_card", datasetCard, Some(datasetCardSql)),

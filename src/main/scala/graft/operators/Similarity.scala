@@ -288,7 +288,52 @@ object Similarity {
   // Same banded-signature candidates, symmetric self-join form, verified
   // by exact cosine ≥ 0.4 (this corpus has no ≥0.9 pairs; the threshold
   // exercises the shape). Oracle replays the hyperplanes.
+  //
+  // The verified pair set is STAGED once per dataset (the embedding twin
+  // of Dedup.pairsRoot): dedup_embedding, dedup_semantic, and sim_dbscan
+  // all sit on this graph, and at 100 TB the cosine-verified pair table
+  // IS a stored artifact every graph consumer reads — signature + band
+  // join + verify never re-runs on a query path. Same stagingKey
+  // content-fingerprint freshness + Staging swap-publish/vacuum
+  // lifecycle; the build is the deterministic banded pipeline itself,
+  // so the staged table is bit-identical to inline derivation and every
+  // consumer's DuckDB oracle keeps replaying it from the raw vectors.
+  private[graft] val embPairStageRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def embPairsRoot(s: SparkSession, d: String): String = {
+    val (dirKey, fp) = Tables.stagingKey(d, "embeddings")
+    val root = s"${graft.Staging.Base}/epairs_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-emb-pairs|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        graft.Staging.recordSource(root, d, "embeddings", fp)
+      return root
+    }
+    embPairStageRuns.incrementAndGet()
+    graft.Staging.vacuum()
+    val tmp = graft.Staging.tempBuildDir()
+    embPairsBuild(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmp, root, d, "embeddings", fp)
+    root
+  }
+
+  /** The verified cos ≥ 0.4 pair set served from the staged parquet. */
+  private[graft] def verifiedEmbPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${embPairsRoot(s, d)}/pairs")
+
   private def embeddingDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    verifiedEmbPairs(s, d).orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The full banded-candidate + exact-cosine-verify pipeline (the
+    * staging BUILD; queries read [[verifiedEmbPairs]]). */
+  private def embPairsBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).withColumn("sig", signature($"embedding"))
     val bands = emb.select($"vec_id", explode(bandsOf($"sig")).as("band"))
@@ -307,7 +352,6 @@ object Similarity {
       .select($"vec_a", $"vec_b", VectorOps.cosine($"emb_a", $"emb_b").as("cos"))
       .filter($"cos" >= 0.4)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos6"))
-      .orderBy($"vec_a", $"vec_b")
   }
   /** Shared CTE body: banded-signature candidates scored by exact
     * cosine — reused by the pair query and the semantic-cluster query. */
@@ -339,7 +383,7 @@ object Similarity {
   private def semanticDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = embeddingDedup(s, d).select($"vec_a", $"vec_b")
+    val pairs = verifiedEmbPairs(s, d).select($"vec_a", $"vec_b")
     val labels = Dedup.componentLabels(pairs)
       .select($"id".as("vec_id"), $"label")
     Tables.embeddings(s, d).select($"vec_id")
@@ -1836,6 +1880,87 @@ object Similarity {
        |  FROM fused) WHERE rank <= $HybridTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // -- sim_dbscan: density-based clustering over the banded graph ----------
+  // DBSCAN (Ester et al. KDD'96) with the LSH-served neighborhood: the
+  // ε-ball is the verified cos ≥ 0.4 pair set the banded signatures
+  // generate (the published LSH-accelerated DBSCAN shape — exact DBSCAN
+  // needs an O(n²) range query; the banding prunes it to bucket joins,
+  // and because the oracle replays the identical bands, the approximate
+  // neighborhood is still value-exact across engines). MinPts = 2
+  // neighbors. Roles are the classic trichotomy: core (deg ≥ MinPts),
+  // border (non-core adjacent to a core), noise. Clusters are connected
+  // components over CORE-CORE edges only (min-label propagation —
+  // Dedup.componentLabels, the O(log diameter) pointer-jumping loop);
+  // borders attach to the MIN core-neighbor cluster (deterministic
+  // tie-break), noise gets -1. Scale shape: candidate generation is the
+  // staged band join (never O(n²)); everything after runs on the pair
+  // set, which is small by construction at any corpus size.
+  private val DbMinPts = 2
+  private def dbscan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedEmbPairs(s, d).select($"vec_a", $"vec_b").cache()
+    pairs.count()
+    val edges = pairs
+      .union(pairs.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b")))
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val core = deg.filter($"deg" >= DbMinPts).select($"src".as("id"))
+    val coreEdges = edges
+      .join(core.select($"id".as("src")), "src")
+      .join(core.select($"id".as("dst")), "dst")
+      .select($"src".as("vec_a"), $"dst".as("vec_b"))
+    val clab = core.join(
+        Dedup.componentLabels(coreEdges).select($"id", $"label"),
+        Seq("id"), "left")
+      .select($"id", coalesce($"label", $"id").as("cl"))
+    val battach = edges
+      .join(core.select($"id".as("src")), Seq("src"), "left_anti")
+      .join(clab.select($"id".as("dst"), $"cl"), "dst")
+      .groupBy($"src").agg(min($"cl").as("bcl"))
+    val out = Tables.embeddings(s, d).select($"vec_id")
+      .join(broadcast(deg.select($"src".as("vec_id"), $"deg")), Seq("vec_id"), "left")
+      .join(broadcast(clab.select($"id".as("vec_id"), $"cl")), Seq("vec_id"), "left")
+      .join(broadcast(battach.select($"src".as("vec_id"), $"bcl")), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"deg", lit(0L)).as("n_neighbors"),
+        when($"cl".isNotNull, "core")
+          .when($"bcl".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"cl", $"bcl", lit(-1L)).as("cluster"))
+      .orderBy($"vec_id")
+    pairs.unpersist(blocking = false)
+    out
+  }
+  private val dbscanSql =
+    s"""WITH RECURSIVE $embBandCtes,
+       |pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
+       |edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |core AS MATERIALIZED (SELECT src AS id FROM deg WHERE deg >= $DbMinPts),
+       |ce AS (SELECT e.src, e.dst FROM edges e
+       |       JOIN core a ON e.src = a.id JOIN core b ON e.dst = b.id),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM ce
+       |  UNION
+       |  SELECT e.src, r.label FROM ce e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+       |clab AS (SELECT c.id, COALESCE(m.label, c.id) AS cl
+       |         FROM core c LEFT JOIN comp m ON m.id = c.id),
+       |battach AS (SELECT e.src, MIN(cl.cl) AS bcl FROM edges e
+       |  JOIN clab cl ON e.dst = cl.id
+       |  WHERE e.src NOT IN (SELECT id FROM core) GROUP BY e.src)
+       |SELECT emb.vec_id, COALESCE(d.deg, 0) AS n_neighbors,
+       |  CASE WHEN c.cl IS NOT NULL THEN 'core'
+       |       WHEN b.bcl IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(c.cl, b.bcl, -1) AS cluster
+       |FROM embeddings emb
+       |LEFT JOIN deg d ON d.src = emb.vec_id
+       |LEFT JOIN clab c ON c.id = emb.vec_id
+       |LEFT JOIN battach b ON b.src = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
@@ -1852,5 +1977,6 @@ object Similarity {
     QueryDef("sim_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("sim_dbscan", dbscan, Some(dbscanSql)),
   )
 }

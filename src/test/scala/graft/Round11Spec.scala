@@ -104,6 +104,18 @@ class Round11Spec extends AnyFunSuite {
     assert(new java.io.File(s"${Dedup.pairsRoot(spark, sf)}/pairs").exists())
   }
 
+  test("embedding pair graph: queries after staging run zero band builds") {
+    import graft.operators.Similarity
+    Similarity.embPairsRoot(spark, sf)
+    val before = Similarity.embPairStageRuns.get()
+    for (q <- Seq("dedup_embedding", "dedup_semantic", "sim_dbscan"))
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
+    assert(Similarity.embPairStageRuns.get() == before,
+      "a query path re-ran the signature→band→cosine-verify build instead " +
+        "of reading the staged embedding pair graph")
+    assert(new java.io.File(s"${Similarity.embPairsRoot(spark, sf)}/pairs").exists())
+  }
+
   // ---- r11 operators: brute-force semantic checks ---------------------------
 
   test("q_ks_test equals the brute-force two-sample KS statistic") {
