@@ -821,7 +821,57 @@ object TextAnalysis {
        |    / SUM(load) AS collision_rate
        |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // -- text_readability: Flesch-style reading-ease scoring -----------------
+  // The classic readability gate corpus curation applies beside quality
+  // tiers (too-hard academic scrape vs too-easy template text both get
+  // downweighted in mixture tuning): FKRE = 206.835 − 1.015·(words/
+  // sentences) − 84.6·(syllables/words), with the standard resource-free
+  // proxies — sentence count = runs of [.!?], syllable count = vowel
+  // GROUPS [aeiouy]+ (the textbook approximation; hyphenation
+  // dictionaries don't exist at 100 TB ingest rates). All three counts
+  // are integers from identical regexes (Java and RE2 agree on these
+  // character-class patterns — the text_tokens precedent); the score is
+  // one row-local IEEE expression over integer ratios, written with the
+  // same operation order on both engines, rounded at 6; the band
+  // thresholds then compare identically-computed doubles. Pure map —
+  // zero shuffle before the final doc_id sort.
+  private def readability(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("n_words", size(TextPrep.words($"text")))
+      .withColumn("n_sentences",
+        greatest(lit(1), size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))))
+      .withColumn("n_syll",
+        greatest(lit(1), size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))))
+      .withColumn("fkre",
+        lit(206.835) - lit(1.015) * ($"n_words" / $"n_sentences")
+          - lit(84.6) * ($"n_syll" / $"n_words"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syll",
+        round($"fkre", 6).as("fkre6"),
+        when($"fkre" >= 90, "very_easy").when($"fkre" >= 70, "easy")
+          .when($"fkre" >= 50, "medium").when($"fkre" >= 30, "difficult")
+          .otherwise("very_difficult").as("band"))
+      .orderBy($"doc_id")
+  }
+  private val readabilitySql =
+    s"""WITH m AS (SELECT doc_id,
+       |    len(${TextPrep.wordsSql}) AS n_words,
+       |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+       |    greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+       |  FROM documents),
+       |f AS (SELECT doc_id, n_words, n_sentences, n_syll,
+       |    206.835 - 1.015 * (n_words / n_sentences)
+       |      - 84.6 * (n_syll / n_words) AS fkre
+       |  FROM m)
+       |SELECT doc_id, n_words, n_sentences, n_syll,
+       |  round(fkre, 6) AS fkre6,
+       |  CASE WHEN fkre >= 90 THEN 'very_easy' WHEN fkre >= 70 THEN 'easy'
+       |       WHEN fkre >= 50 THEN 'medium' WHEN fkre >= 30 THEN 'difficult'
+       |       ELSE 'very_difficult' END AS band
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("q_entropy", entropy, Some(entropySql)),
     QueryDef("text_hashing", hashingTrick, Some(hashingTrickSql)),
     QueryDef("pipeline_curriculum", pipelineCurriculum, Some(pipelineCurriculumSql)),

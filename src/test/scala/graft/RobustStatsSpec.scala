@@ -87,6 +87,33 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(chi2 >= 0)
   }
 
+  test("text_readability: counts and FKRE match a per-doc recompute") {
+    val got = SparkEntry.queries("text_readability")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val (nw, ns, nsy, fkre6, band) = got(id)
+      val words = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      assert(nw == words.length, s"$id words")
+      assert(ns == math.max(1, "[.!?]+".r.findAllIn(text).length), s"$id sents")
+      assert(nsy == math.max(1,
+        "[aeiouy]+".r.findAllIn(text.toLowerCase).length), s"$id syll")
+      val fkre = 206.835 - 1.015 * (nw.toDouble / ns) - 84.6 * (nsy.toDouble / nw)
+      assert(fkre6 ==
+        BigDecimal(fkre).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$id fkre")
+      val expBand =
+        if (fkre >= 90) "very_easy" else if (fkre >= 70) "easy"
+        else if (fkre >= 50) "medium" else if (fkre >= 30) "difficult"
+        else "very_difficult"
+      assert(band == expBand, s"$id band")
+    }
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
