@@ -806,7 +806,66 @@ object Behavioral {
       |FROM cum JOIN sz USING (cm)
       |ORDER BY cohort_month, month_offset""".stripMargin
 
+  // -- q_feature_backfill: leakage-safe point-in-time features -------------
+  // The feature-store backfill primitive: at every LABEL event (a
+  // purchase), the user's trailing-7-day activity profile as it stood
+  // STRICTLY BEFORE that instant — the frame is RANGE [-7d, -1]
+  // microseconds, excluding the current row's timestamp entirely, which
+  // is the label-leakage rule training-set builders get wrong when they
+  // use an inclusive frame (the label event would see itself and any
+  // same-timestamp sibling). Counts pivot per event type in ONE window
+  // pass (conditional aggregates share the frame buffer); the trailing
+  // spend goes through the decimal pre-sum. ONE shuffle (user_id), the
+  // q_rolling_agg shape; the window state is bounded by the time span,
+  // not the partition. Ties: same-instant events are EXCLUDED together
+  // (strict past), so no intra-timestamp order can leak.
+  private val BackfillUs: Long = 7L * 24 * 3600 * 1000000L
+  private def featureBackfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-BackfillUs, -1)
+    def nOf(t: String) =
+      count(when($"event_type" === t, 1)).over(w).as(s"n_${t}_7d")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"), $"value")
+      .withColumn("n_view_7d", nOf("view"))
+      .withColumn("n_click_7d", nOf("click"))
+      .withColumn("n_signup_7d", nOf("signup"))
+      .withColumn("n_error_7d", nOf("error"))
+      .withColumn("n_purchase_7d", nOf("purchase"))
+      .withColumn("spend_7d",
+        coalesce(sum(when($"event_type" === "purchase",
+            $"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .over(w), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us", $"n_view_7d", $"n_click_7d",
+        $"n_signup_7d", $"n_error_7d", $"n_purchase_7d", $"spend_7d")
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+  private val featureBackfillSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+       |f AS (SELECT user_id, event_id, event_type, ts_us,
+       |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view_7d,
+       |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click_7d,
+       |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS n_signup_7d,
+       |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS n_error_7d,
+       |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w AS n_purchase_7d,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(value AS DECIMAL(18,6)) END) OVER w, 0) AS DOUBLE)
+       |      AS spend_7d
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |    RANGE BETWEEN $BackfillUs PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, ts_us, n_view_7d, n_click_7d, n_signup_7d,
+       |  n_error_7d, n_purchase_7d, spend_7d
+       |FROM f WHERE event_type = 'purchase'
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_feature_backfill", featureBackfill, Some(featureBackfillSql)),
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
     QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q_seasonality", seasonality, Some(seasonalitySql)),

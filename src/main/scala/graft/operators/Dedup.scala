@@ -1516,7 +1516,91 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- q_link_prediction: neighbor-Jaccard missed-duplicate scoring --------
+  // The link-prediction audit over the near-dup graph: two documents
+  // that share near-dup NEIGHBORS but never shared an LSH bucket are
+  // the classic missed-pair signature (banding has ~(1-J^r)^b false
+  // negatives; common-neighbor structure is exactly the signal that
+  // survives). Candidates = non-adjacent 2-hop pairs (two narrow
+  // equi-joins on the staged edge list — never an O(n²) cross), scored
+  // by neighbor-set Jaccard kept INTEGER: score_ppm = common·10⁶ div
+  // (deg_a + deg_b − common), exact on both engines. Per node: its
+  // candidate count and the best-scored partner (ties broken by min
+  // partner id via a (score desc, partner) row_number — deterministic);
+  // nodes with no candidate report 0/-1, so the audit covers the whole
+  // pair graph at any scale.
+  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = verifiedPairs(s, d).select($"doc_a", $"doc_b").cache()
+    p.count()
+    val edges = p.union(p.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val cand = edges.as("e1").join(edges.as("e2"),
+        $"e1.dst" === $"e2.src" && $"e1.src" < $"e2.dst")
+      .groupBy($"e1.src".as("a"), $"e2.dst".as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(p.select($"doc_a".as("a"), $"doc_b".as("b")),
+        Seq("a", "b"), "left_anti")
+    val scored = cand
+      .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"src".as("b"), $"deg".as("db")), "b")
+      .select($"a", $"b",
+        expr("common * 1000000 div (da + db - common)").as("score_ppm"))
+    val perNode = scored.select($"a".as("v"), $"b".as("partner"), $"score_ppm")
+      .union(scored.select($"b".as("v"), $"a".as("partner"), $"score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"v")
+      .orderBy($"score_ppm".desc, $"partner")
+    val best = perNode
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"v")
+      .agg(count(lit(1)).as("n_cand"),
+        max(when($"rn" === 1, $"score_ppm")).as("best_score_ppm"),
+        max(when($"rn" === 1, $"partner")).as("best_partner"))
+    val out = deg.join(best, deg("src") === best("v"), "left")
+      .select($"src".as("doc_id"), $"deg",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"best_score_ppm", lit(0L)).as("best_score_ppm"),
+        coalesce($"best_partner", lit(-1L)).as("best_partner"))
+      .orderBy($"doc_id")
+    p.unpersist(blocking = false)
+    out
+  }
+  private val linkPredictionSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |cand AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+       |  GROUP BY 1, 2),
+       |cand2 AS (SELECT c.a, c.b, c.common FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |    WHERE p.doc_a = c.a AND p.doc_b = c.b)),
+       |scored AS (SELECT c.a, c.b,
+       |    c.common * 1000000 // (da.deg + db.deg - c.common) AS score_ppm
+       |  FROM cand2 c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b),
+       |pn AS (SELECT a AS v, b AS partner, score_ppm FROM scored
+       |  UNION ALL SELECT b, a, score_ppm FROM scored),
+       |r AS (SELECT v, partner, score_ppm, row_number() OVER (PARTITION BY v
+       |    ORDER BY score_ppm DESC, partner) AS rn FROM pn),
+       |best AS (SELECT v, COUNT(*) AS n_cand,
+       |    MAX(CASE WHEN rn = 1 THEN score_ppm END) AS best_score_ppm,
+       |    MAX(CASE WHEN rn = 1 THEN partner END) AS best_partner
+       |  FROM r GROUP BY v)
+       |SELECT d.src AS doc_id, d.deg,
+       |  COALESCE(b.n_cand, 0) AS n_cand,
+       |  COALESCE(b.best_score_ppm, 0) AS best_score_ppm,
+       |  COALESCE(b.best_partner, -1) AS best_partner
+       |FROM deg d LEFT JOIN best b ON b.v = d.src
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),
     QueryDef("q_kcore", kcore, Some(kcoreSql)),
     QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),
     QueryDef("q_degree_hist", degreeHist, Some(degreeHistSql)),

@@ -43,6 +43,65 @@ class GraphDensitySpec extends AnyFunSuite {
     core.foreach(v => assert(adj(v).count(core) >= 2, s"$v not 2-core-dense"))
   }
 
+  test("q_link_prediction: neighbor-Jaccard candidates match brute force") {
+    val got = SparkEntry.queries("q_link_prediction")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    assert(got.keySet == adj.keySet.toSet)
+    // brute-force: all non-adjacent pairs with >=1 common neighbor
+    val nodes = adj.keySet.toVector.sorted
+    val cand = for {
+      a <- nodes; b <- nodes if a < b && !adj(a)(b)
+      common = (adj(a) & adj(b)).size if common > 0
+    } yield (a, b, common.toLong * 1000000L / (adj(a).size + adj(b).size - common))
+    val byNode = cand.flatMap { case (a, b, s) => Seq(a -> (b, s), b -> (a, s)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (v, (deg, nCand, best, partner)) =>
+      assert(deg == adj(v).size, s"$v deg")
+      val cs = byNode.getOrElse(v, Vector.empty)
+      assert(nCand == cs.size, s"$v n_cand")
+      if (cs.isEmpty) assert(best == 0L && partner == -1L, s"$v empty")
+      else {
+        val (bp, bs) = cs.minBy { case (p, s) => (-s, p) }
+        assert(best == bs, s"$v best score")
+        assert(partner == bp, s"$v best partner")
+      }
+    }
+  }
+
+  test("q_feature_backfill: strict-past trailing features match brute force") {
+    val got = SparkEntry.queries("q_feature_backfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), Seq(3, 4, 5, 6, 7).map(r.getLong), r.getDouble(8))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_ns div 1000 as ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val week = 7L * 24 * 3600 * 1000000L
+    val byUser = ev.groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.keySet == purchases.map(p => (p._1, p._2)).toSet)
+    purchases.foreach { case (u, eid, _, ts, _) =>
+      val (gotTs, counts, spend) = got((u, eid))
+      assert(gotTs == ts)
+      val frame = byUser(u).filter(e => e._4 >= ts - week && e._4 < ts)
+      val expCounts = Seq("view", "click", "signup", "error", "purchase")
+        .map(t => frame.count(_._3 == t).toLong)
+      assert(counts == expCounts, s"($u,$eid) counts")
+      val expSpend = frame.filter(_._3 == "purchase")
+        .map(e => BigDecimal(e._5).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(spend == expSpend, s"($u,$eid) spend")
+    }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
