@@ -1961,7 +1961,88 @@ object Similarity {
        |LEFT JOIN battach b ON b.src = emb.vec_id
        |ORDER BY emb.vec_id""".stripMargin
 
+  // -- q_label_prop: transductive label propagation ------------------------
+  // Semi-supervised classification over the staged similarity graph
+  // (Zhu & Ghahramani 2002 in its discrete LPA form): hold out every
+  // 5th vector's label (vec_id % 5 = 0 — the deterministic mask), then
+  // run FIXED synchronous rounds where each held-out node adopts the
+  // majority label among its neighbors' CURRENT labels — seeds never
+  // change, votes count only labeled neighbors, and the argmax breaks
+  // ties by MIN label (deterministic, engine-identical). 5 rounds,
+  // unrolled in the oracle (the pagerank discipline); all state is one
+  // (vec_id, lab) integer row per node, each round one narrow edge join
+  // + count + rank — never the vectors. Held-out nodes with no labeled
+  // reachable neighbor stay -1 (the honest "can't say"). The output
+  // carries truth beside prediction so the accuracy audit is one
+  // filter away; spec recomputes the rounds sequentially.
+  private val LpRounds = 5
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = verifiedEmbPairs(s, d).select($"vec_a", $"vec_b").cache()
+    p.count()
+    val edges = p.union(p.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b")))
+      .select($"vec_a".as("src"), $"vec_b".as("dst")).cache()
+    val seeds = Tables.embeddings(s, d)
+      .select($"vec_id", $"label",
+        when($"vec_id" % 5 === 0, lit(-1)).otherwise($"label").as("seed_lab"))
+      .localCheckpoint()
+    var cur = seeds.select($"vec_id", $"seed_lab".as("lab"))
+      .localCheckpoint()
+    val w = Window.partitionBy($"src").orderBy($"c".desc, $"lab")
+    for (_ <- 1 to LpRounds) {
+      val votes = edges
+        .join(cur.select($"vec_id".as("dst"), $"lab"), "dst")
+        .filter($"lab" =!= -1)
+        .groupBy($"src", $"lab").agg(count(lit(1)).as("c"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"src", $"lab".as("vote"))
+      cur = seeds
+        .join(best.select($"src".as("vec_id"), $"vote"), Seq("vec_id"), "left")
+        .select($"vec_id",
+          when($"seed_lab" =!= -1, $"seed_lab")
+            .otherwise(coalesce($"vote", lit(-1))).as("lab"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    seeds
+      .join(cur, "vec_id")
+      .select($"vec_id", ($"seed_lab" =!= -1).as("is_seed"),
+        $"label".as("true_label"), $"lab".as("pred_label"))
+      .orderBy($"vec_id")
+  }
+  private val labelPropSql = {
+    val rounds = (0 until LpRounds).map { t =>
+      s"""v$t AS (SELECT e.src, c.lab, COUNT(*) AS c FROM edges e
+         |  JOIN l$t c ON c.vec_id = e.dst WHERE c.lab <> -1
+         |  GROUP BY 1, 2),
+         |b$t AS (SELECT src, lab AS vote FROM (
+         |    SELECT src, lab, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, lab) AS rn FROM v$t) WHERE rn = 1),
+         |l${t + 1} AS (SELECT s.vec_id,
+         |    CASE WHEN s.seed_lab <> -1 THEN s.seed_lab
+         |         ELSE COALESCE(b.vote, -1) END AS lab
+         |  FROM seeds s LEFT JOIN b$t b ON b.src = s.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $embBandCtes,
+       |pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos >= 0.4),
+       |edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |seeds AS MATERIALIZED (SELECT vec_id, label,
+       |    CASE WHEN vec_id % 5 = 0 THEN -1 ELSE label END AS seed_lab
+       |  FROM embeddings),
+       |l0 AS (SELECT vec_id, seed_lab AS lab FROM seeds),
+       |$rounds
+       |SELECT s.vec_id, s.seed_lab <> -1 AS is_seed,
+       |  s.label AS true_label, l.lab AS pred_label
+       |FROM seeds s JOIN l$LpRounds l ON l.vec_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q_ndcg", ndcgEval, Some(ndcgEvalSql)),

@@ -102,6 +102,43 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_label_prop: 5-round synchronous LPA matches a sequential replay") {
+    val got = SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val truth = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == truth.keySet)
+    val seed = truth.map { case (v, l) => v -> (if (v % 5 == 0) -1 else l) }
+    var cur = seed
+    for (_ <- 1 to 5) {
+      cur = truth.keys.map { v =>
+        v -> (if (seed(v) != -1) seed(v)
+        else {
+          val votes = adj.getOrElse(v, mutable.Set.empty[Long]).toSeq
+            .map(cur).filter(_ != -1)
+          if (votes.isEmpty) -1
+          else votes.groupBy(identity).view.mapValues(_.size).toSeq
+            .minBy { case (l, c) => (-c, l) }._1
+        })
+      }.toMap
+    }
+    got.foreach { case (v, (isSeed, tl, pl)) =>
+      assert(isSeed == (v % 5 != 0), s"$v seed flag")
+      assert(tl == truth(v), s"$v truth")
+      assert(pl == cur(v), s"$v prediction")
+    }
+    // seeds must pass through untouched
+    got.collect { case (v, (true, tl, pl)) => assert(pl == tl, s"$v seed label") }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
