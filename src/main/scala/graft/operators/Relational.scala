@@ -905,7 +905,94 @@ object Relational {
       |    AS stddev_pop
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // -- q_recommend: item-item collaborative-filtering top-N -----------------
+  // The Amazon-style item-item CF batch job (Linden et al. 2003) on top
+  // of the co-purchase counts: per item, keep the TOP-10 co-purchased
+  // neighbors (count desc, min-id tie-break — the truncation both
+  // engines replay, and the step that bounds the item-item matrix at
+  // any catalog size); per customer, score every unbought neighbor of
+  // their basket by the SUM of co-purchase counts along all basket
+  // paths, and surface the top-3 (score desc, min item id). Everything
+  // is exact integer counts — hash-exact with no float surface. Scale
+  // shape: the pair fan-out is bounded by order width (items self-join
+  // per order key, the copurchase discipline); the candidate join fans
+  // out baskets × 10, never baskets × catalog; both rank gates are
+  // windows over already-aggregated frames.
+  private def qRecommend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // repartition BEFORE distinct: HashPartitioning(o) satisfies the
+    // (o, p) distinct's clustering (subset rule) AND the self-join's
+    // o-equality — one shuffle serves all three, and the checkpoint
+    // pins the layout so both join sides read it exchange-free
+    val oi = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .repartition($"o").distinct()
+      .localCheckpoint() // feeds both sides of the pair join
+    // support floor BEFORE truncation: a single co-occurrence is noise
+    // at every scale (the assoc-rules min-support discipline) — and it
+    // is also what keeps the candidate fan-out sane (23× fewer
+    // candidate rows at sf0.1; singleton-count ties would otherwise
+    // fill every top-10 list with id-ordered noise)
+    // count each UNDIRECTED pair once (a < b halves the aggregate) and
+    // symmetrize only the floored survivors — the count is symmetric,
+    // so this is exactly the directed count at half the shuffle
+    val half = oi.as("a").join(oi.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("p"), $"b.p".as("nbr"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+    val cooc = half.union(
+      half.select($"nbr".as("p"), $"p".as("nbr"), $"n_ab"))
+    val wnb = Window.partitionBy($"p").orderBy($"n_ab".desc, $"nbr")
+    val neighbors = cooc.withColumn("rn", row_number().over(wnb))
+      .filter($"rn" <= 10).drop("rn")
+    val ci = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint() // basket side + the already-bought anti-join
+    // the truncated item-item matrix is items × 10 — catalog-sized, not
+    // corpus-sized — so it broadcasts at any data scale; baskets never
+    // shuffle for the fan-out join
+    val cand = ci.join(broadcast(neighbors), "p")
+      .groupBy($"cust", $"nbr")
+      .agg(sum($"n_ab").as("score"), count(lit(1)).as("n_paths"))
+      .join(ci.select($"cust", $"p".as("nbr")), Seq("cust", "nbr"), "left_anti")
+    val wtop = Window.partitionBy($"cust").orderBy($"score".desc, $"nbr")
+    cand.withColumn("rank", row_number().over(wtop))
+      .filter($"rank" <= 3)
+      .select($"cust".as("custkey"), $"rank", $"nbr".as("rec_part"),
+        $"score", $"n_paths")
+      .orderBy($"custkey", $"rank")
+  }
+  private val qRecommendSql =
+    """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |half AS (SELECT a.p AS p, b.p AS nbr, COUNT(*) AS n_ab
+      |         FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+      |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |cooc AS (SELECT p, nbr, n_ab FROM half
+      |         UNION ALL SELECT nbr, p, n_ab FROM half),
+      |nb AS (SELECT p, nbr, n_ab FROM (
+      |    SELECT p, nbr, n_ab, row_number() OVER (PARTITION BY p
+      |      ORDER BY n_ab DESC, nbr) AS rn FROM cooc) WHERE rn <= 10),
+      |ci AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS p
+      |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cand AS (SELECT ci.cust, nb.nbr,
+      |    CAST(SUM(nb.n_ab) AS BIGINT) AS score, COUNT(*) AS n_paths
+      |  FROM ci JOIN nb ON nb.p = ci.p
+      |  GROUP BY 1, 2),
+      |fresh AS (SELECT c.* FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ci
+      |    WHERE ci.cust = c.cust AND ci.p = c.nbr)),
+      |ranked AS (SELECT cust, nbr, score, n_paths,
+      |    row_number() OVER (PARTITION BY cust
+      |      ORDER BY score DESC, nbr) AS rank FROM fresh)
+      |SELECT cust AS custkey, rank, nbr AS rec_part, score, n_paths
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY custkey, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_recommend", qRecommend, Some(qRecommendSql)),
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),
     QueryDef("q_correlation_matrix", qCorrelationMatrix, Some(qCorrelationMatrixSql)),

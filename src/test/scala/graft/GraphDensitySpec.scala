@@ -139,6 +139,42 @@ class GraphDensitySpec extends AnyFunSuite {
     got.collect { case (v, (true, tl, pl)) => assert(pl == tl, s"$v seed label") }
   }
 
+  test("q_recommend: item-item CF top-3 matches a brute-force replay") {
+    val got = SparkEntry.queries("q_recommend")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custOf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oi = li.distinct
+    // undirected pair counts with the support-2 floor
+    val byOrder = oi.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val counts = mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        counts((ps(i), ps(j))) = counts.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val floored = counts.filter(_._2 >= 2)
+    val sym = floored.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val top10 = sym.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, nbr, n) => (-n, nbr) }.take(10)).toMap
+    val baskets = li.map { case (o, p) => (custOf(o), p) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = baskets.toSeq.flatMap { case (c, ps) =>
+      val cand = ps.toSeq.flatMap(p => top10.getOrElse(p, Seq.empty))
+        .filter { case (_, nbr, _) => !ps(nbr) }
+        .groupBy(_._2).view
+        .mapValues(rows => (rows.map(_._3).sum, rows.size.toLong)).toSeq
+        .sortBy { case (nbr, (score, _)) => (-score, nbr) }
+        .take(3)
+      cand.zipWithIndex.map { case ((nbr, (score, paths)), i) =>
+        (c, i + 1) -> (nbr, score, paths)
+      }
+    }.toMap
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
