@@ -864,7 +864,74 @@ object Behavioral {
        |FROM f WHERE event_type = 'purchase'
        |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // -- q_rolling_actives: exact trailing-7-day distinct actives ------------
+  // The DAU/WAU dashboard series — and the op naive pipelines get WRONG
+  // by summing daily distincts (a user active twice in a week must
+  // count once). Exact rolling distinct without a per-window distinct
+  // pass: a user active on day d is "7-day active" for every window day
+  // in [d, d+6], so each user's activity-day set becomes a union of
+  // COVERAGE INTERVALS — merged with one lag window per user (a gap > 7
+  // days starts a new interval; ≤ 7 keeps coverage contiguous), then
+  // exploded to (window_day, user) rows that are DISTINCT BY
+  // CONSTRUCTION (intervals within a user are disjoint), so the final
+  // count per day is a plain aggregate. Scale: everything is keyed by
+  // user until the last groupBy; the explode fan-out is bounded by the
+  // calendar (≤ span+6 rows per user interval), never by event volume;
+  // integer epoch-days everywhere (calendar-free, engine-identical).
+  // Window days past the last observed day are clipped (trailing
+  // windows that would only report on future dates are artifacts).
+  private def rollingActives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+      .localCheckpoint() // feeds the interval pass + the DAU aggregate
+    val maxDay = days.agg(max($"day").as("max_day"))
+    val wu = Window.partitionBy($"user_id").orderBy($"day")
+    val intervals = days
+      .withColumn("gap", $"day" - lag($"day", 1).over(wu))
+      .withColumn("new_iv", when($"gap".isNull || $"gap" > 7, 1L).otherwise(0L))
+      .withColumn("iv", sum($"new_iv").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"iv")
+      .agg(min($"day").as("start"), (max($"day") + 6).as("end"))
+    val covered = intervals.crossJoin(broadcast(maxDay))
+      .select($"user_id",
+        explode(sequence($"start", least($"end", $"max_day"))).as("day"))
+    val wau = covered.groupBy($"day").agg(count(lit(1)).as("active_7d"))
+    val dau = days.groupBy($"day").agg(count(lit(1)).as("active_1d"))
+    wau.join(dau, Seq("day"), "left")
+      .select($"day", coalesce($"active_1d", lit(0L)).as("active_1d"),
+        $"active_7d")
+      .orderBy($"day")
+  }
+  private val rollingActivesSql =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |mx AS (SELECT MAX(day) AS max_day FROM days),
+      |iv0 AS (SELECT user_id, day,
+      |    CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+      |           IS NULL
+      |         OR day - lag(day) OVER (PARTITION BY user_id ORDER BY day) > 7
+      |         THEN 1 ELSE 0 END AS new_iv
+      |  FROM days),
+      |iv AS (SELECT user_id, day,
+      |    SUM(new_iv) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv
+      |  FROM iv0),
+      |merged AS (SELECT user_id, iv, MIN(day) AS start, MAX(day) + 6 AS fin
+      |  FROM iv GROUP BY 1, 2),
+      |covered AS (SELECT m.user_id, t.day
+      |  FROM merged m CROSS JOIN mx,
+      |    unnest(generate_series(m.start, least(m.fin, mx.max_day))) t(day)),
+      |wau AS (SELECT day, COUNT(*) AS active_7d FROM covered GROUP BY day),
+      |dau AS (SELECT day, COUNT(*) AS active_1d FROM days GROUP BY day)
+      |SELECT w.day, COALESCE(d.active_1d, 0) AS active_1d, w.active_7d
+      |FROM wau w LEFT JOIN dau d ON d.day = w.day
+      |ORDER BY w.day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("q_feature_backfill", featureBackfill, Some(featureBackfillSql)),
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
     QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),

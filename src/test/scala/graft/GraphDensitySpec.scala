@@ -175,6 +175,25 @@ class GraphDensitySpec extends AnyFunSuite {
     assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
   }
 
+  test("q_rolling_actives: exact trailing-7-day distincts match brute force") {
+    val got = SparkEntry.queries("q_rolling_actives")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ns div 86400000000000 as day").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = days.map(_._2).max
+    val allDays = days.map(_._2).min to maxDay
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = allDays.map { d =>
+      val active7 = byUser.count(_._2.exists(ad => ad <= d && ad >= d - 6))
+      val active1 = byUser.count(_._2.contains(d))
+      d -> (active1.toLong, active7.toLong)
+    }.filter(_._2._2 > 0).toMap
+    assert(got == exp,
+      s"got ${got.size} days, expected ${exp.size}; " +
+        s"diff=${(got.toSet diff exp.toSet).take(3)}")
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
