@@ -930,7 +930,54 @@ object Behavioral {
       |FROM wau w LEFT JOIN dau d ON d.day = w.day
       |ORDER BY w.day""".stripMargin
 
+  // -- q_churn_labels: strict-future training labels -----------------------
+  // The label half of the training-table pair (q_feature_backfill is
+  // the feature half): at every purchase, did the user purchase again
+  // within 14 days — STRICTLY AFTER the label instant (RANGE [+1,
+  // +14d] µs)? The symmetric leakage rule to the backfill's strict
+  // past: an inclusive lower bound would let the label event label
+  // itself positive, and same-instant siblings leak both ways — here
+  // they are excluded together. Also emits the future activity count
+  // of ANY type (the "retained at all" weak label — churn modeling
+  // wants both targets). Joining this to q_feature_backfill on (user,
+  // event_id) yields a leakage-safe training table: features end at
+  // ts−1, labels start at ts+1, the label instant itself in neither.
+  // Same one-shuffle window shape as the backfill.
+  private val ChurnHorizonUs: Long = 14L * 24 * 3600 * 1000000L
+  private def churnLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(1, ChurnHorizonUs)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("n_future_purchases_14d",
+        count(when($"event_type" === "purchase", 1)).over(w))
+      .withColumn("n_future_events_14d", count(lit(1)).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us",
+        ($"n_future_purchases_14d" > 0).as("label_repurchase_14d"),
+        $"n_future_purchases_14d", $"n_future_events_14d")
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+  private val churnLabelsSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+       |f AS (SELECT user_id, event_id, event_type, ts_us,
+       |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+       |      AS n_future_purchases_14d,
+       |    COUNT(*) OVER w AS n_future_events_14d
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |    RANGE BETWEEN 1 FOLLOWING AND $ChurnHorizonUs FOLLOWING))
+       |SELECT user_id, event_id, ts_us,
+       |  n_future_purchases_14d > 0 AS label_repurchase_14d,
+       |  n_future_purchases_14d, n_future_events_14d
+       |FROM f WHERE event_type = 'purchase'
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_churn_labels", churnLabels, Some(churnLabelsSql)),
     QueryDef("q_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("q_feature_backfill", featureBackfill, Some(featureBackfillSql)),
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),

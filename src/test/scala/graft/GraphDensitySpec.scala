@@ -194,6 +194,34 @@ class GraphDensitySpec extends AnyFunSuite {
         s"diff=${(got.toSet diff exp.toSet).take(3)}")
   }
 
+  test("q_churn_labels: strict-future windows match brute force and pair " +
+      "leakage-free with the backfill") {
+    val got = SparkEntry.queries("q_churn_labels")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_ns div 1000 as ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val horizon = 14L * 24 * 3600 * 1000000L
+    val byUser = ev.groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.keySet == purchases.map(p => (p._1, p._2)).toSet)
+    purchases.foreach { case (u, eid, _, ts) =>
+      val (gotTs, label, nP, nE) = got((u, eid))
+      assert(gotTs == ts)
+      val future = byUser(u).filter(e => e._4 > ts && e._4 <= ts + horizon)
+      assert(nP == future.count(_._3 == "purchase"), s"($u,$eid) purchases")
+      assert(nE == future.size.toLong, s"($u,$eid) events")
+      assert(label == (nP > 0), s"($u,$eid) label")
+    }
+    // composition invariant: backfill features + churn labels share the
+    // exact same key set — the leakage-safe training table is a 1:1 join
+    val feat = SparkEntry.queries("q_feature_backfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(feat == got.keySet, "feature/label key sets diverge")
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
