@@ -976,7 +976,73 @@ object Behavioral {
        |FROM f WHERE event_type = 'purchase'
        |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // -- q_funnel_latency: conversion-time distribution per funnel step ------
+  // q_funnel reports WHO converts (counts + total latency); this
+  // reports HOW FAST — the per-transition latency distribution
+  // (view→first-click, click→first-purchase on the same funnel-ordered
+  // first events), as exact pinned-position percentiles: p50/p90 at
+  // prefix-max rn <= ceil(q·n) of the (latency, user_id) total order
+  // (the q_percentile no-interpolation rule), plus min/max. Latencies
+  // are integer microsecond differences — no float anywhere. Same
+  // per-user min-aggregation joins as the funnel (each stage is one
+  // narrow groupBy; the rank windows run over USERS-WHO-CONVERTED, a
+  // funnel-shrinking frame, keyed by the 2-row stage dimension).
+  private def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", expr("ts_ns div 1000").as("ts_us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("v_ts"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts_us" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts_us").as("c_ts"), min($"v_ts").as("v_ts"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts_us" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts_us").as("p_ts"), min($"c_ts").as("c_ts"))
+    val lats = c.select(lit("1_view_to_click").as("stage"), $"user_id",
+        ($"c_ts" - $"v_ts").as("lat"))
+      .unionAll(p.select(lit("2_click_to_purchase").as("stage"), $"user_id",
+        ($"p_ts" - $"c_ts").as("lat")))
+    val ws = Window.partitionBy($"stage")
+    val wr = ws.orderBy($"lat", $"user_id")
+    lats
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(ws))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_users"),
+        min($"lat").as("min_us"),
+        max(when($"rn" <= ceil($"n" * 0.5), $"lat")).as("p50_us"),
+        max(when($"rn" <= ceil($"n" * 0.9), $"lat")).as("p90_us"),
+        max($"lat").as("max_us"))
+      .orderBy($"stage")
+  }
+  private val funnelLatencySql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_ts, MIN(v_ts) AS v_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_ts, MIN(c_ts) AS c_ts
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY ev.user_id),
+      |lats AS (SELECT '1_view_to_click' AS stage, user_id, c_ts - v_ts AS lat
+      |         FROM c
+      |         UNION ALL
+      |         SELECT '2_click_to_purchase', user_id, p_ts - c_ts FROM p),
+      |r AS (SELECT stage, lat,
+      |    row_number() OVER (PARTITION BY stage ORDER BY lat, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY stage) AS n
+      |  FROM lats)
+      |SELECT stage, COUNT(*) AS n_users,
+      |  MIN(lat) AS min_us,
+      |  MAX(CASE WHEN rn <= ceil(n * 0.5) THEN lat END) AS p50_us,
+      |  MAX(CASE WHEN rn <= ceil(n * 0.9) THEN lat END) AS p90_us,
+      |  MAX(lat) AS max_us
+      |FROM r GROUP BY stage ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q_churn_labels", churnLabels, Some(churnLabelsSql)),
     QueryDef("q_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("q_feature_backfill", featureBackfill, Some(featureBackfillSql)),

@@ -222,6 +222,44 @@ class GraphDensitySpec extends AnyFunSuite {
     assert(feat == got.keySet, "feature/label key sets diverge")
   }
 
+  test("q_funnel_latency: pinned percentiles match a sequential funnel walk") {
+    val got = SparkEntry.queries("q_funnel_latency")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts_ns div 1000 as ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val lat1 = mutable.ArrayBuffer.empty[(Long, Long)]
+    val lat2 = mutable.ArrayBuffer.empty[(Long, Long)]
+    byUser.foreach { case (u, es) =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      if (vs.nonEmpty) {
+        val vt = vs.min
+        val cs = es.filter(e => e._2 == "click" && e._3 > vt).map(_._3)
+        if (cs.nonEmpty) {
+          val ct = cs.min
+          lat1 += ((ct - vt, u))
+          val ps = es.filter(e => e._2 == "purchase" && e._3 > ct).map(_._3)
+          if (ps.nonEmpty) lat2 += ((ps.min - ct, u))
+        }
+      }
+    }
+    def pinned(xs: Seq[(Long, Long)], q: Double): Long = {
+      val s = xs.sorted
+      s(math.ceil(q * s.size).toInt - 1)._1
+    }
+    for ((stage, lats) <- Seq("1_view_to_click" -> lat1.toSeq,
+        "2_click_to_purchase" -> lat2.toSeq)) {
+      val (n, mn, p50, p90, mx) = got(stage)
+      assert(n == lats.size, s"$stage n")
+      assert(mn == lats.map(_._1).min && mx == lats.map(_._1).max, s"$stage ends")
+      assert(p50 == pinned(lats, 0.5), s"$stage p50")
+      assert(p90 == pinned(lats, 0.9), s"$stage p90")
+    }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
