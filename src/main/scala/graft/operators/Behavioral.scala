@@ -1041,7 +1041,72 @@ object Behavioral {
       |  MAX(lat) AS max_us
       |FROM r GROUP BY stage ORDER BY stage""".stripMargin
 
+  // -- q_time_split: purged temporal train/val/test split ------------------
+  // The time-series CV splitter (the purged split of de Prado 2018):
+  // boundaries at the EXACT 70%/85% count positions of the timestamp
+  // order (same-instant events stay together — a timestamp never
+  // straddles a boundary), so segment sizes are data-driven fractions,
+  // not calendar guesses — and a PURGE GAP of 1 day before
+  // each boundary: events in (boundary − 1d, boundary] leave the
+  // earlier segment entirely, because a trailing-window feature
+  // computed there overlaps the next segment's label horizon (the
+  // q_feature_backfill window is exactly the leak this gap closes).
+  // Boundary discovery runs on the DISTINCT-timestamp table through
+  // the range-partitioned prefix sum (valueKeyedCums — no global
+  // window at any cardinality); boundaries ride a one-row broadcast.
+  // Output is the per-segment audit (counts, user coverage, exact time
+  // range) — the row a pipeline asserts on before training.
+  private val PurgeUs: Long = 24L * 3600 * 1000000L
+  private def timeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"))
+    val tsCounts = ev.groupBy($"ts_us").agg(count(lit(1)).as("c"))
+    val cums = SemiStructured.valueKeyedCums(tsCounts, "ts_us", Seq("c"))
+    val bounds = cums
+      .agg(
+        min(when($"cum_c" >= ceil($"tot_c" * 0.7), $"ts_us")).as("t70"),
+        min(when($"cum_c" >= ceil($"tot_c" * 0.85), $"ts_us")).as("t85"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("segment",
+        when($"ts_us" <= $"t70" - PurgeUs, "1_train")
+          .when($"ts_us" <= $"t70", "2_purge")
+          .when($"ts_us" <= $"t85" - PurgeUs, "3_val")
+          .when($"ts_us" <= $"t85", "4_purge")
+          .otherwise("5_test"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"),
+        min($"ts_us").as("t_min"), max($"ts_us").as("t_max"))
+      .orderBy($"segment")
+  }
+  private val timeSplitSql =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+       |           FROM events),
+       |tc AS (SELECT ts_us, COUNT(*) AS c FROM e GROUP BY ts_us),
+       |cu AS (SELECT ts_us,
+       |    SUM(c) OVER (ORDER BY ts_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+       |    SUM(c) OVER () AS tot_c
+       |  FROM tc),
+       |b AS (SELECT
+       |    MIN(CASE WHEN cum_c >= ceil(tot_c * 0.7) THEN ts_us END) AS t70,
+       |    MIN(CASE WHEN cum_c >= ceil(tot_c * 0.85) THEN ts_us END) AS t85
+       |  FROM cu),
+       |seg AS (SELECT e.user_id, e.ts_us,
+       |    CASE WHEN ts_us <= t70 - $PurgeUs THEN '1_train'
+       |         WHEN ts_us <= t70 THEN '2_purge'
+       |         WHEN ts_us <= t85 - $PurgeUs THEN '3_val'
+       |         WHEN ts_us <= t85 THEN '4_purge'
+       |         ELSE '5_test' END AS segment
+       |  FROM e CROSS JOIN b)
+       |SELECT segment, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(ts_us) AS t_min, MAX(ts_us) AS t_max
+       |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_time_split", timeSplit, Some(timeSplitSql)),
     QueryDef("q_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q_churn_labels", churnLabels, Some(churnLabelsSql)),
     QueryDef("q_rolling_actives", rollingActives, Some(rollingActivesSql)),

@@ -260,6 +260,35 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_time_split: purged boundaries match brute force; segments conserve") {
+    val got = SparkEntry.queries("q_time_split")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ns div 1000 as ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = ev.length
+    val sortedTs = ev.map(_._2).sorted
+    val t70 = sortedTs(math.ceil(0.7 * n).toInt - 1)
+    val t85 = sortedTs(math.ceil(0.85 * n).toInt - 1)
+    val purge = 24L * 3600 * 1000000L
+    def seg(ts: Long): String =
+      if (ts <= t70 - purge) "1_train" else if (ts <= t70) "2_purge"
+      else if (ts <= t85 - purge) "3_val" else if (ts <= t85) "4_purge"
+      else "5_test"
+    val exp = ev.groupBy(e => seg(e._2)).map { case (k, es) =>
+      k -> (es.length.toLong, es.map(_._1).distinct.length.toLong,
+        es.map(_._2).min, es.map(_._2).max)
+    }
+    assert(got == exp)
+    // conservation + ordering invariants
+    assert(got.values.map(_._1).sum == n)
+    val ranges = got.toSeq.sortBy(_._1).map(_._2)
+    ranges.sliding(2).foreach { case Seq(a, b) => assert(a._4 < b._3) }
+    // the purge gap really is at most a day wide
+    assert(got("2_purge")._4 - got("2_purge")._3 <= purge)
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
