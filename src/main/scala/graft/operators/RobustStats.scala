@@ -249,7 +249,74 @@ object RobustStats {
       |    sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z6
       |FROM u""".stripMargin
 
+  // -- q_spearman: rank correlation (is value drifting over time?) ---------
+  // Pearson answers "linear in the raw units"; Spearman answers
+  // "monotone at all" — robust to outliers and any monotone transform,
+  // which is why drift monitors prefer it. Per event type: tie-averaged
+  // ranks of value and of event time, kept INTEGER by doubling (tie
+  // group at min-rank r with c members: 2r + c − 1 each — the
+  // q_mann_whitney discipline), then Pearson over the doubled ranks
+  // from exact decimal(38,0) joint moments (the q_regression
+  // discipline: doubled ranks reach 2n, their products 4n² — far past
+  // LONG at corpus scale, so every product is widened BEFORE the
+  // multiply). Scaling by 2 cancels in the correlation, so rho is
+  // exact-up-to-one-IEEE-expression, rounded at 6. Rank windows are
+  // per-type partitioned — no global window.
+  private def qSpearman(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, d)
+      .select($"event_type".as("t"), $"value".as("v"),
+        expr("ts_ns div 1000").as("ts"))
+    def ranked2(c: String) = {
+      val wMin = Window.partitionBy($"t").orderBy(col(c))
+      val wTie = Window.partitionBy($"t", col(c))
+      (lit(2) * rank().over(wMin) + count(lit(1)).over(wTie) - lit(1))
+        .cast("long")
+    }
+    ev
+      .withColumn("rx", ranked2("v"))
+      .withColumn("ry", ranked2("ts"))
+      .groupBy($"t")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"rx".cast(dec)).as("sx"),
+        sum($"ry".cast(dec)).as("sy"),
+        sum($"rx".cast(dec) * $"rx".cast(dec)).as("sxx"),
+        sum($"ry".cast(dec) * $"ry".cast(dec)).as("syy"),
+        sum($"rx".cast(dec) * $"ry".cast(dec)).as("sxy"))
+      .select($"t".as("event_type"), $"n",
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")),
+          6).as("rho6"))
+      .orderBy($"event_type")
+  }
+  private val qSpearmanSql =
+    """WITH e AS (SELECT event_type AS t, value AS v,
+      |    epoch_ns(ts) // 1000 AS tsu FROM events),
+      |r AS (SELECT t,
+      |    2 * rank() OVER (PARTITION BY t ORDER BY v)
+      |      + COUNT(*) OVER (PARTITION BY t, v) - 1 AS rx,
+      |    2 * rank() OVER (PARTITION BY t ORDER BY tsu)
+      |      + COUNT(*) OVER (PARTITION BY t, tsu) - 1 AS ry
+      |  FROM e),
+      |m AS (SELECT t, COUNT(*) AS n,
+      |    SUM(CAST(rx AS HUGEINT)) AS sx,
+      |    SUM(CAST(ry AS HUGEINT)) AS sy,
+      |    SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+      |    SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+      |    SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy
+      |  FROM r GROUP BY t)
+      |SELECT t AS event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho6
+      |FROM m ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_spearman", qSpearman, Some(qSpearmanSql)),
     QueryDef("q_mad", qMad, Some(qMadSql)),
     QueryDef("q_iqr_outliers", qIqrOutliers, Some(qIqrOutliersSql)),
     QueryDef("q_chi_square", qChiSquare, Some(qChiSquareSql)),

@@ -114,6 +114,39 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_spearman: Pearson over doubled average ranks, recomputed in BigInt") {
+    val got = SparkEntry.queries("q_spearman")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "value", "ts_ns div 1000 as ts_us").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val (n, rho6) = got(t)
+      assert(n == rows.length)
+      def ranks2[A](xs: Seq[A])(implicit o: Ordering[A]): Seq[Long] = {
+        val sorted = xs.sorted
+        val firstIdx = sorted.zipWithIndex.groupBy(_._1).map {
+          case (v, g) => v -> (g.map(_._2).min + 1, g.length)
+        }
+        xs.map { v => val (r, c) = firstIdx(v); 2L * r + c - 1 }
+      }
+      val rx = ranks2(rows.map(_._2).toSeq)
+      val ry = ranks2(rows.map(_._3).toSeq)
+      val nn = BigInt(rows.length)
+      def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+      def sp(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val num = (nn * sp(rx, ry) - s(rx) * s(ry)).toDouble
+      val den = math.sqrt((nn * sp(rx, rx) - s(rx) * s(rx)).toDouble *
+        (nn * sp(ry, ry) - s(ry) * s(ry)).toDouble)
+      val rho = num / den
+      assert(rho6 ==
+        BigDecimal(rho).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$t rho")
+      assert(rho6.abs <= 1.0)
+    }
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
