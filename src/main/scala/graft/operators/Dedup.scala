@@ -1489,10 +1489,10 @@ object Dedup {
   }
   private val kcoreSql = {
     val rounds = (0 until KcRounds).map { t =>
-      s"""d${t + 1} AS (SELECT e.src, COUNT(*) AS c FROM edges e
+      s"""d${t + 1} AS MATERIALIZED (SELECT e.src, COUNT(*) AS c FROM edges e
          |  JOIN a$t x ON e.src = x.id JOIN a$t y ON e.dst = y.id
          |  GROUP BY e.src),
-         |a${t + 1} AS (SELECT src AS id FROM d${t + 1} WHERE c >= 2)"""
+         |a${t + 1} AS MATERIALIZED (SELECT src AS id FROM d${t + 1} WHERE c >= 2)"""
         .stripMargin
     }.mkString(",\n")
     val layerCase = (1 to KcRounds)

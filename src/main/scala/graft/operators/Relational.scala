@@ -991,7 +991,104 @@ object Relational {
       |FROM ranked WHERE rank <= 3
       |ORDER BY custkey, rank""".stripMargin
 
+  // -- q_hits: hubs & authorities on the purchase bipartite graph ----------
+  // HITS (Kleinberg 1999) where PageRank doesn't fit: the purchase
+  // graph is BIPARTITE (customers → parts), so importance is two
+  // mutually-recursive scores — a part is an authority if big-basket
+  // hubs buy it; a customer is a hub if they buy authoritative parts.
+  // Fixed 3 rounds (the pagerank unroll discipline — HITS converges
+  // geometrically in the spectral gap, and the top-20 gate is stable
+  // well before the scores are), all state exact
+  // 128-bit integers (decimal(38,0) / HUGEINT): each half-round is one
+  // narrow (id, score) equi-join + sum. The classic per-round
+  // normalization exists only to tame float overflow — integer state
+  // doesn't need it (raw sums grow ≤ max-degree per half-round, far
+  // inside 38 digits at 3 rounds; the depth/width budget is documented
+  // here: rounds × log₁₀(max-degree) must stay under ~19), and global
+  // per-round scale factors cancel in the RANKING, so one final
+  // x·10⁹ div max per side — floor division on positives — yields the
+  // identical order with bit-exact oracle parity. Output: top-20 per
+  // side under a pinned total order.
+  private val HitsRounds = 3
+  private val HitsScale = 1000000000L
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the score vectors are CATALOG-sized (one row per customer /
+    // per part — never corpus-sized), so each half-round BROADCASTS the
+    // current scores into a map-side join against the stationary edge
+    // list: the edges never shuffle, and the re-aggregation moves only
+    // map-side-combined partials. This is the scale shape for bipartite
+    // power iteration when one dimension is an entity catalog.
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part")).distinct()
+      .localCheckpoint()
+    // UN-normalized power iteration: per-round normalization only fights
+    // float overflow the classic formulation has — with exact 128-bit
+    // integer state the raw sums stay exact (they grow ≤ max-degree per
+    // half-round; 5 rounds stays far inside 38 digits) and global
+    // per-round scale factors cancel in the RANKING, so one final
+    // max-normalize per side gives the identical order. That makes every
+    // intermediate single-referenced: the whole recursion is ONE lazy
+    // plan — no per-round checkpoint barriers, no broadcast-collect jobs
+    // — and only the two final score tables materialize (each feeds a
+    // max and the output union).
+    var hub = edges.select($"cust").distinct()
+      .withColumn("h", lit(1L).cast("decimal(38,0)")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      auth = edges.join(broadcast(hub), "cust")
+        .groupBy($"part").agg(sum($"h").as("a"))
+      hub = edges.join(broadcast(auth), "part")
+        .groupBy($"cust").agg(sum($"a").as("h"))
+    }
+    auth = auth.localCheckpoint()
+    hub = edges.join(broadcast(auth), "part")
+      .groupBy($"cust").agg(sum($"a").as("h")).localCheckpoint()
+    val am = auth.agg(max($"a").as("mx"))
+    val hm = hub.agg(max($"h").as("mx"))
+    val both = auth.crossJoin(broadcast(am))
+      .select(lit("authority").as("side"), $"part".as("id"),
+        expr(s"a * $HitsScale div mx").as("score"))
+      .unionAll(hub.crossJoin(broadcast(hm))
+        .select(lit("hub").as("side"), $"cust".as("id"),
+          expr(s"h * $HitsScale div mx").as("score")))
+    val w = Window.partitionBy($"side").orderBy($"score".desc, $"id")
+    both.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 20)
+      .select($"side", $"rank", $"id", $"score")
+      .orderBy($"side", $"rank")
+  }
+  private val qHitsSql = {
+    val rounds = (0 until HitsRounds).map { t =>
+      s"""a${t + 1} AS MATERIALIZED (SELECT e.part, SUM(h.h) AS a
+         |  FROM edges e JOIN h$t h ON h.cust = e.cust GROUP BY e.part),
+         |h${t + 1} AS MATERIALIZED (SELECT e.cust, SUM(a.a) AS h
+         |  FROM edges e JOIN a${t + 1} a ON a.part = e.part
+         |  GROUP BY e.cust)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT cust, CAST(1 AS HUGEINT) AS h FROM edges),
+       |$rounds,
+       |am AS (SELECT MAX(a) AS mx FROM a$HitsRounds),
+       |hm AS (SELECT MAX(h) AS mx FROM h$HitsRounds),
+       |both_sides AS (
+       |  SELECT 'authority' AS side, part AS id,
+       |    CAST(a * $HitsScale // mx AS BIGINT) AS score
+       |  FROM a$HitsRounds CROSS JOIN am
+       |  UNION ALL
+       |  SELECT 'hub', cust, CAST(h * $HitsScale // mx AS BIGINT)
+       |  FROM h$HitsRounds CROSS JOIN hm),
+       |r AS (SELECT side, id, score, row_number() OVER (PARTITION BY side
+       |    ORDER BY score DESC, id) AS rank FROM both_sides)
+       |SELECT side, rank, id, score FROM r WHERE rank <= 20
+       |ORDER BY side, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hits", qHits, Some(qHitsSql)),
     QueryDef("q_recommend", qRecommend, Some(qRecommendSql)),
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),

@@ -289,6 +289,35 @@ class GraphDensitySpec extends AnyFunSuite {
     assert(got("2_purge")._4 - got("2_purge")._3 <= purge)
   }
 
+  test("q_hits: 3-round exact power iteration matches a BigInt replay") {
+    val got = SparkEntry.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byPart = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var hub = byCust.keys.map(_ -> BigInt(1)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      auth = byPart.map { case (p, cs) => p -> cs.map(hub).sum }
+      hub = byCust.map { case (c, ps) => c -> ps.map(auth).sum }
+    }
+    val am = auth.values.max
+    val hm = hub.values.max
+    def top20(m: Map[Long, BigInt], mx: BigInt): Seq[(Int, Long, Long)] =
+      m.toSeq.map { case (id, v) => (id, (v * 1000000000L / mx).toLong) }
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    top20(auth, am).foreach { case (rk, id, s) =>
+      assert(got(("authority", rk)) == ((id, s)), s"auth rank $rk") }
+    top20(hub, hm).foreach { case (rk, id, s) =>
+      assert(got(("hub", rk)) == ((id, s)), s"hub rank $rk") }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
