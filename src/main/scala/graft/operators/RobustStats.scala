@@ -315,7 +315,93 @@ object RobustStats {
       |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho6
       |FROM m ORDER BY event_type""".stripMargin
 
+  // -- q_mutual_info: MI + normalized MI between two categoricals ----------
+  // The information-theoretic companion to q_chi_square (chi2 scales
+  // with n and table shape; NMI is comparable across tables — the
+  // feature-selection screen reads NMI): MI = Σ (c_xy/N)·ln(c_xy·N/
+  // (c_x·c_y)). Cross-row ln sums are engine-order-sensitive as
+  // floats, so each cell's log-ratio is quantized to an integer FIRST
+  // (q_entropy's discipline): lnr6 = floor(ln(·)·10⁶ + 0.5) on the
+  // row-locally-identical IEEE ratio, MI_micro = Σ c_xy·lnr6 div N in
+  // exact integer arithmetic. Marginal entropies get the same
+  // treatment, and NMI = MI/min(Hx,Hy) is one IEEE division of exact
+  // integers, rounded at 6. The cell table is one map-side-combined
+  // hash agg; everything after runs on cells and marginals (|r|·|c|
+  // rows), never the fact table.
+  private def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .groupBy($"o_orderstatus".as("x"), $"o_orderpriority".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the joint term + both marginals
+    def marginalS(key: String, out: String) = cells
+      .groupBy(col(key)).agg(sum($"c").as("cm"))
+      .withColumn("ln6",
+        floor(log($"cm".cast("double")) * 1e6 + 0.5).cast("long"))
+      .agg(sum($"cm".cast("decimal(38,0)") * $"ln6").as(out))
+    val wx = Window.partitionBy($"x")
+    val wy = Window.partitionBy($"y")
+    val wAll = Window.partitionBy()
+    val joint = cells
+      .withColumn("rt", sum($"c").over(wx))
+      .withColumn("ct", sum($"c").over(wy))
+      .withColumn("nn", sum($"c").over(wAll))
+      .withColumn("lnr6",
+        floor(log(($"c".cast("double") * $"nn") /
+          ($"rt".cast("double") * $"ct")) * 1e6 + 0.5).cast("long"))
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_cells"),
+        sum($"c".cast("decimal(38,0)") * $"lnr6").as("mi_s"))
+    // mi_s is MIXED-SIGN (independent-ish tables sit near 0): Spark's
+    // `div` truncates toward zero where DuckDB's `//` floors, so the
+    // quotient is taken on a provably-positive shifted numerator
+    // (per-cell lnr6 ≥ −lnN6 up to quantization; +2 covers the rounding
+    // slack) and the shift is subtracted back — floor == trunc holds
+    joint.crossJoin(marginalS("x", "sx")).crossJoin(marginalS("y", "sy"))
+      .withColumn("ln_n6",
+        floor(log($"n".cast("double")) * 1e6 + 0.5).cast("long"))
+      .select($"n", $"n_cells",
+        expr("(mi_s + CAST(n AS DECIMAL(38,0)) * (ln_n6 + 2)) div n" +
+          " - (ln_n6 + 2)").as("mi_micro"),
+        ($"ln_n6" - expr("sx div n")).as("hx_micro"),
+        ($"ln_n6" - expr("sy div n")).as("hy_micro"))
+      .withColumn("nmi6",
+        round($"mi_micro".cast("double") /
+          least($"hx_micro", $"hy_micro").cast("double"), 6))
+  }
+  private val qMutualInfoSql =
+    """WITH cells AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+      |    COUNT(*) AS c FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT SUM(CAST(cm AS HUGEINT)
+      |      * CAST(floor(ln(CAST(cm AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sx
+      |  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cm FROM cells GROUP BY x)),
+      |my AS (SELECT SUM(CAST(cm AS HUGEINT)
+      |      * CAST(floor(ln(CAST(cm AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sy
+      |  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cm FROM cells GROUP BY y)),
+      |j AS (SELECT c,
+      |    SUM(c) OVER (PARTITION BY x) AS rt,
+      |    SUM(c) OVER (PARTITION BY y) AS ct,
+      |    SUM(c) OVER () AS nn
+      |  FROM cells),
+      |jt AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells,
+      |    SUM(CAST(c AS HUGEINT)
+      |      * CAST(floor(ln((CAST(c AS DOUBLE) * nn)
+      |          / (CAST(rt AS DOUBLE) * ct)) * 1e6 + 0.5) AS BIGINT)) AS mi_s
+      |  FROM j),
+      |f AS (SELECT n, n_cells,
+      |    CAST((mi_s + CAST(n AS HUGEINT) * (ln_n6 + 2)) // n AS BIGINT)
+      |      - (ln_n6 + 2) AS mi_micro,
+      |    ln_n6 - CAST(sx // n AS BIGINT) AS hx_micro,
+      |    ln_n6 - CAST(sy // n AS BIGINT) AS hy_micro
+      |  FROM (SELECT jt.*, mx.sx, my.sy,
+      |      CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ln_n6
+      |    FROM jt CROSS JOIN mx CROSS JOIN my))
+      |SELECT n, n_cells, mi_micro, hx_micro, hy_micro,
+      |  round(CAST(mi_micro AS DOUBLE)
+      |    / CAST(least(hx_micro, hy_micro) AS DOUBLE), 6) AS nmi6
+      |FROM f""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_spearman", qSpearman, Some(qSpearmanSql)),
     QueryDef("q_mad", qMad, Some(qMadSql)),
     QueryDef("q_iqr_outliers", qIqrOutliers, Some(qIqrOutliersSql)),

@@ -147,6 +147,34 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mutual_info: quantized MI/NMI match a BigInt replay") {
+    val Seq(row) = SparkEntry.queries("q_mutual_info")(spark, sf).collect().toSeq
+    val (n, nCells, mi, hx, hy, nmi6) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+    val obs = Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(n == obs.values.sum && nCells == obs.size)
+    val rt = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def q6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val lnN6 = q6(n.toDouble)
+    val miS = obs.map { case ((x, y), c) =>
+      BigInt(c) * q6(c.toDouble * n / (rt(x).toDouble * ct(y)))
+    }.sum
+    def fdiv(a: BigInt, b: Long): Long = { // floor division
+      val q = a / b; if (a % b != 0 && a.sign * b.sign < 0) (q - 1).toLong
+      else q.toLong
+    }
+    assert(mi == fdiv(miS, n), "mi_micro")
+    assert(hx == lnN6 - fdiv(rt.values.map(c => BigInt(c) * q6(c.toDouble)).sum, n))
+    assert(hy == lnN6 - fdiv(ct.values.map(c => BigInt(c) * q6(c.toDouble)).sum, n))
+    assert(nmi6 == BigDecimal(mi.toDouble / math.min(hx, hy).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mi >= -2 && nmi6 >= -1e-5 && nmi6 <= 1.0)
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
