@@ -886,6 +886,15 @@ object Behavioral {
       .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
       .distinct()
       .localCheckpoint() // feeds the interval pass + the DAU aggregate
+    rollingActivesFrom(days)
+  }
+
+  /** The interval-merge epilogue over a distinct (user_id, day) frame —
+    * shared with the streaming twin, whose drained activity state is
+    * exactly this table. */
+  private[graft] def rollingActivesFrom(days: DataFrame): DataFrame = {
+    val s = days.sparkSession
+    import s.implicits._
     val maxDay = days.agg(max($"day").as("max_day"))
     val wu = Window.partitionBy($"user_id").orderBy($"day")
     val intervals = days
@@ -905,7 +914,7 @@ object Behavioral {
         $"active_7d")
       .orderBy($"day")
   }
-  private val rollingActivesSql =
+  private[graft] val rollingActivesSql =
     """WITH days AS (SELECT DISTINCT user_id,
       |    epoch_ns(ts) // 86400000000000 AS day FROM events),
       |mx AS (SELECT MAX(day) AS max_day FROM days),

@@ -1090,6 +1090,27 @@ object Streaming {
         .orderBy($"day_idx")
     }
 
+  // -- #43s streaming rolling-distinct actives (DAU/WAU) ---------------------
+  // The streaming twin of q_rolling_actives, in the "state IS the
+  // artifact" family: the stream maintains the exact (day, user)
+  // activity table as complete-mode state — per-pair counts, mergeable
+  // and arrival-order-insensitive, so the drained state equals the
+  // batch distinct BY CONSTRUCTION — and the trailing-7-day distinct
+  // series derives from that state through the SAME interval-merge
+  // epilogue the batch op runs (shared code, not a reimplementation:
+  // any drift between the twins is a compile error, not a test
+  // failure). Oracle = the batch SQL verbatim.
+  private def rollingActivesStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val pairs = eventsStream(s, d)
+        .select(expr("ts_ns div 86400000000000").as("day"), $"user_id")
+        .groupBy($"day", $"user_id").agg(count(lit(1)).as("n"))
+      val state = runToMemory(pairs, "graft_stream_ract", OutputMode.Complete())
+      graft.operators.Behavioral.rollingActivesFrom(
+        state.select($"user_id", $"day"))
+    }
+
   private def cmsStream(s: SparkSession, d: String): DataFrame =
     withStateParts(s, 8) {
       import s.implicits._
@@ -1166,6 +1187,8 @@ object Streaming {
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
     QueryDef("stream_user_growth", userGrowthStream,
       Some(graft.operators.Behavioral.userGrowthSql)),
+    QueryDef("stream_rolling_actives", rollingActivesStream,
+      Some(graft.operators.Behavioral.rollingActivesSql)),
     QueryDef("stream_drift", driftStream, Some(driftStreamSql)),
     QueryDef("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("stream_dedup_watermark", dedupWatermark, Some(dedupWatermarkSql)),

@@ -318,6 +318,15 @@ class GraphDensitySpec extends AnyFunSuite {
       assert(got(("hub", rk)) == ((id, s)), s"hub rank $rk") }
   }
 
+  test("stream_rolling_actives equals the batch DAU/WAU series exactly") {
+    val streamed = SparkEntry.queries("stream_rolling_actives")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_rolling_actives")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "drained activity state must reproduce the batch rolling series")
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
