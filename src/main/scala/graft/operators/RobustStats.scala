@@ -400,7 +400,93 @@ object RobustStats {
       |    / CAST(least(hx_micro, hy_micro) AS DOUBLE), 6) AS nmi6
       |FROM f""".stripMargin
 
+  // -- q_id_gaps: key-sequence completeness audit --------------------------
+  // The ingestion-completeness check (gaps-and-islands, the gap half):
+  // is a supposedly-sequential key column missing ranges? Run over the
+  // PURCHASE event-id subsequence — a filtered stream whose gaps are
+  // real and whose ground truth the spec can cross-check against the
+  // other event types: total missing = (max − min + 1 − n) needs only
+  // the global aggregate, and the top-5 widest gaps come from one lag
+  // window over the DISTINCT key table (gap start/end/width, ordered
+  // by width then start — pinned). The header aggregate rides every
+  // row (a 4-column broadcast) so the result is one self-contained
+  // audit table. Scale: distinct + one window over distinct keys; at
+  // 100 TB the lag window runs the range-partitioned prefix shape.
+  private def qIdGaps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("k")).distinct()
+    val stats = ks.agg(count(lit(1)).as("n"), min($"k").as("mn"),
+      max($"k").as("mx"))
+    val w = Window.orderBy($"k")
+    ks.withColumn("prev", lag($"k", 1).over(w))
+      .filter($"prev".isNotNull && $"k" - $"prev" > 1)
+      .select(($"prev" + 1).as("gap_start"), ($"k" - 1).as("gap_end"),
+        ($"k" - $"prev" - 1).as("gap_width"))
+      .orderBy($"gap_width".desc, $"gap_start")
+      .limit(5)
+      .crossJoin(broadcast(stats))
+      .select($"n", $"mn", $"mx", ($"mx" - $"mn" + 1 - $"n").as("n_missing"),
+        $"gap_start", $"gap_end", $"gap_width")
+      .orderBy($"gap_width".desc, $"gap_start")
+  }
+  private val qIdGapsSql =
+    """WITH ks AS (SELECT DISTINCT event_id AS k FROM events
+      |            WHERE event_type = 'purchase'),
+      |st AS (SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM ks),
+      |g AS (SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+      |    k - prev - 1 AS gap_width
+      |  FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM ks)
+      |  WHERE prev IS NOT NULL AND k - prev > 1
+      |  ORDER BY gap_width DESC, gap_start LIMIT 5)
+      |SELECT st.n, st.mn, st.mx, st.mx - st.mn + 1 - st.n AS n_missing,
+      |  g.gap_start, g.gap_end, g.gap_width
+      |FROM g CROSS JOIN st
+      |ORDER BY gap_width DESC, gap_start""".stripMargin
+
+  // -- q_period_over_period: WoW deltas on the weekly revenue series -------
+  // The dashboard staple: weekly revenue (decimal pre-sum), the prior
+  // week's value by lag over the bounded WEEK table, absolute delta in
+  // exact decimal, and the relative change as one IEEE division of
+  // decimal-exact inputs rounded at 6 (NULL for the first week — no
+  // prior — matching SQL lag semantics on both engines). Integer
+  // epoch-weeks (calendar-free).
+  private def qPeriodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wk = Tables.orders(s, d)
+      .select(expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+        "div 604800000000 AS BIGINT)").as("week"),
+        $"o_totalprice".cast("decimal(18,6)").as("p"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_orders"), sum($"p").as("revenue"))
+    val w = Window.orderBy($"week")
+    wk.withColumn("prev_rev", lag($"revenue", 1).over(w))
+      .select($"week", $"n_orders",
+        $"revenue".cast("double").as("revenue"),
+        ($"revenue" - $"prev_rev").cast("double").as("delta"),
+        round(($"revenue" - $"prev_rev").cast("double") /
+          $"prev_rev".cast("double"), 6).as("pct_change6"))
+      .orderBy($"week")
+  }
+  private val qPeriodOverPeriodSql =
+    """WITH wk AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+      |      // 604800000000 AS week,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT week, n_orders, revenue,
+      |    lag(revenue) OVER (ORDER BY week) AS prev_rev FROM wk)
+      |SELECT week, n_orders, CAST(revenue AS DOUBLE) AS revenue,
+      |  CAST(revenue - prev_rev AS DOUBLE) AS delta,
+      |  round(CAST(revenue - prev_rev AS DOUBLE)
+      |    / CAST(prev_rev AS DOUBLE), 6) AS pct_change6
+      |FROM l ORDER BY week""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),
+    QueryDef("q_period_over_period", qPeriodOverPeriod,
+      Some(qPeriodOverPeriodSql)),
     QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_spearman", qSpearman, Some(qSpearmanSql)),
     QueryDef("q_mad", qMad, Some(qMadSql)),

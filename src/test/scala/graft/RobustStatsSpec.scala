@@ -175,6 +175,59 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(mi >= -2 && nmi6 >= -1e-5 && nmi6 <= 1.0)
   }
 
+  test("q_id_gaps: purchase-id gaps match the non-purchase ground truth") {
+    val rows = SparkEntry.queries("q_id_gaps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.events(spark, sf).select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ids = ev.filter(_._2 == "purchase").map(_._1).sorted
+    val (n, mn, mx) = (ids.length.toLong, ids.min, ids.max)
+    rows.foreach { case (gn, gmn, gmx, miss, _, _, _) =>
+      assert((gn, gmn, gmx) == ((n, mn, mx)))
+      assert(miss == mx - mn + 1 - n)
+    }
+    // ground truth: every gap is exactly a run of non-purchase ids
+    val gaps = ids.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+    }.toSeq
+    val expTop = gaps.sortBy { case (st, _, w) => (-w, st) }.take(5)
+    assert(rows.map(r => (r._5, r._6, r._7)).toSeq == expTop)
+    val inGaps = ev.filter(e =>
+      gaps.exists(g => e._1 >= g._1 && e._1 <= g._2))
+    assert(inGaps.forall(_._2 != "purchase"))
+  }
+
+  test("q_period_over_period: WoW deltas match a decimal replay") {
+    val got = SparkEntry.queries("q_period_over_period")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+        "div 604800000000 AS BIGINT) as week", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val byWeek = orders.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong,
+        rs.map(r => BigDecimal(r._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum)
+    }.toMap
+    val weeks = byWeek.keys.toSeq.sorted
+    assert(got.map(_._1).toSeq == weeks)
+    weeks.zipWithIndex.foreach { case (wk, i) =>
+      val (n, rev, delta, pct) = got.find(_._1 == wk).get._2
+      assert(n == byWeek(wk)._1)
+      assert(rev == byWeek(wk)._2.toDouble)
+      if (i == 0) assert(delta.isEmpty && pct.isEmpty)
+      else {
+        val prev = byWeek(weeks(i - 1))._2
+        assert(delta.contains((byWeek(wk)._2 - prev).toDouble), s"week $wk delta")
+        val expPct = (byWeek(wk)._2 - prev).toDouble / prev.toDouble
+        assert(pct.contains(BigDecimal(expPct)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), s"week $wk pct")
+      }
+    }
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
