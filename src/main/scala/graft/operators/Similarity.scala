@@ -2041,7 +2041,139 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  // -- q_pca_power: top principal component, exact integer power iteration --
+  // The dimensionality auditor for an embedding corpus: the dominant
+  // covariance eigenvector (what direction carries the variance — a
+  // collapsed/anisotropic embedding space is a training-data defect
+  // this op surfaces) plus its explained-variance ratio. Everything
+  // deterministic and engine-exact:
+  //  - per-row moment terms are QUANTIZED floor(x·10⁶+0.5) /
+  //    floor(x_i·x_j·10¹²+0.5) on row-locally-identical IEEE doubles
+  //    (the ln-quantization discipline applied to moments), so the
+  //    scaled covariance M_ij = n·Σk_ij − Σk_i·Σk_j is exact 128-bit
+  //    integer arithmetic (decimal(38,0) / HUGEINT);
+  //  - power iteration runs a FIXED 6 rounds on the 64×64 integer
+  //    matrix; per-round rescale is sign(u)·(|u|·10⁹ div max|u|) —
+  //    SYMMETRIC truncation, spelled with abs() so Spark's
+  //    trunc-toward-zero div and DuckDB's floor `//` agree on
+  //    negatives (the q_mutual_info landmine, solved by symmetry here);
+  //  - the explained-variance ratio is one IEEE expression over three
+  //    exact integers (Rayleigh numerator/denominator and trace(M)),
+  //    rounded at 6.
+  // Scale shape: the corpus is touched ONCE (a self-join keyed by
+  // vec_id whose fan-out is dims², map-side combined into 64×64+64
+  // cells); the iteration is matrix-side only — catalog-free and
+  // corpus-free. The from-all-ones start makes the eigenvector sign
+  // deterministic.
+  private val PcaRounds = 6
+  private val PcaScale = 1000000000L
+  private def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    // x widens to DOUBLE here: the i·j moment is a float×float product
+    // otherwise — rounded at float precision on this side only, while
+    // the oracle multiplies doubles (a one-ulp drift that compounds
+    // through the iteration)
+    val ex = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", $"i", $"x".cast("double").as("x"))
+      .localCheckpoint() // feeds first moments + both sides of the pair join
+    val cnt = ex.filter($"i" === 0).agg(count(lit(1)).as("nn"))
+    val s1 = ex
+      .select($"i", floor($"x" * 1e6 + 0.5).cast("long").as("k"))
+      .groupBy($"i").agg(sum($"k".cast(dec)).as("sk"))
+    val s2 = ex.as("a").join(ex.as("b"), "vec_id")
+      .select($"a.i".as("i"), $"b.i".as("j"),
+        floor($"a.x" * $"b.x" * 1e12 + 0.5).cast("long").as("kij"))
+      .groupBy($"i", $"j").agg(sum($"kij".cast(dec)).as("skij"))
+    val m = s2
+      .join(s1.select($"i", $"sk".as("si")), "i")
+      .join(s1.select($"i".as("j"), $"sk".as("sj")), "j")
+      .crossJoin(broadcast(cnt))
+      .select($"i", $"j", ($"nn" * $"skij" - $"si" * $"sj").as("m"))
+      .localCheckpoint()
+    // The matrix is SCALAR-scale (64×64 integers — like the one-row
+    // stats frames other ops broadcast), so the iteration runs on the
+    // driver in exact BigInt: the distributed work is exactly the one
+    // corpus pass that builds the moments; spending 13 Spark barriers
+    // on 4096-row joins measured 4.3 s of pure scheduling. BigInt `/`
+    // truncates toward zero — applied only to |u| (positive), where
+    // truncation equals the oracle's floor.
+    val dims = 64
+    val mat = Array.ofDim[BigInt](dims, dims)
+    m.collect().foreach { r =>
+      mat(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+    var vec = Array.fill(dims)(BigInt(PcaScale))
+    for (_ <- 1 to PcaRounds) {
+      val u = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => mat(i)(j) * vec(j)).sum)
+      val mx = u.map(_.abs).max
+      vec = u.map(x => x.sign * (x.abs * PcaScale / mx))
+    }
+    // Rayleigh quotient from a DOWN-SCALED copy (÷10⁶, symmetric
+    // truncation): the quotient is v-scale-invariant, and the full-scale
+    // v would push Σ v·(M·v) past 38 digits at corpus n — the headroom
+    // budget lives here, not in the iteration
+    val vr = vec.map(x => x.sign * (x.abs / 1000000))
+    val uf = Array.tabulate(dims)(i =>
+      (0 until dims).map(j => mat(i)(j) * vr(j)).sum)
+    val num = (0 until dims).map(i => vr(i) * uf(i)).sum
+    val den = vr.map(x => x * x).sum
+    val tr = (0 until dims).map(i => mat(i)(i)).sum
+    val evr6 = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    vec.zipWithIndex
+      .map { case (v0, i) => (i, v0.toLong, evr6) }.toSeq
+      .toDF("dim", "loading", "evr6")
+      .orderBy($"dim")
+  }
+  private val pcaPowerSql = {
+    val rounds = (0 until PcaRounds).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT m.i, SUM(m.m * v.v) AS u
+         |  FROM m JOIN v$t v ON v.i = m.j GROUP BY m.i),
+         |mx$t AS MATERIALIZED (SELECT MAX(abs(u)) AS mx FROM u$t),
+         |v${t + 1} AS MATERIALIZED (SELECT i,
+         |    CASE WHEN u < 0 THEN -((-u) * $PcaScale // mx)
+         |         ELSE (u * $PcaScale) // mx END AS v
+         |  FROM u$t CROSS JOIN mx$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, 65)) t(i)),
+       |cnt AS (SELECT COUNT(*) AS nn FROM ex WHERE i = 0),
+       |s1 AS MATERIALIZED (SELECT i,
+       |    SUM(CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS HUGEINT)) AS sk
+       |  FROM ex GROUP BY i),
+       |s2 AS (SELECT a.i AS i, b.i AS j,
+       |    SUM(CAST(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)
+       |      AS HUGEINT)) AS skij
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |m AS MATERIALIZED (SELECT s2.i, s2.j,
+       |    cnt.nn * s2.skij - si.sk * sj.sk AS m
+       |  FROM s2 JOIN s1 si ON si.i = s2.i JOIN s1 sj ON sj.i = s2.j
+       |  CROSS JOIN cnt),
+       |v0 AS (SELECT DISTINCT i, CAST($PcaScale AS HUGEINT) AS v FROM m),
+       |$rounds,
+       |vr AS MATERIALIZED (SELECT i,
+       |    CASE WHEN v < 0 THEN -((-v) // 1000000)
+       |         ELSE v // 1000000 END AS v
+       |  FROM v$PcaRounds),
+       |uf AS MATERIALIZED (SELECT m.i, SUM(m.m * v.v) AS u
+       |  FROM m JOIN vr v ON v.i = m.j GROUP BY m.i),
+       |ray AS (SELECT SUM(v.v * u.u) AS num, SUM(v.v * v.v) AS den
+       |  FROM vr v JOIN uf u ON u.i = v.i),
+       |tr AS (SELECT SUM(m) AS tr FROM m WHERE i = j)
+       |SELECT v.i AS dim, CAST(v.v AS BIGINT) AS loading,
+       |  round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+       |    / CAST(tr AS DOUBLE), 6) AS evr6
+       |FROM v$PcaRounds v CROSS JOIN ray CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("q_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),

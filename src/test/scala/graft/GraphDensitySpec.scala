@@ -327,6 +327,40 @@ class GraphDensitySpec extends AnyFunSuite {
       "drained activity state must reproduce the batch rolling series")
   }
 
+  test("q_pca_power: quantized moments + 6-round iteration match a replay") {
+    val got = SparkEntry.queries("q_pca_power")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0 until 64))
+    val emb = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length
+    def q(x: Double, s: Double): BigInt =
+      BigInt(math.floor(x * s + 0.5).toLong)
+    val sk = Array.tabulate(64)(i => emb.map(e => q(e(i), 1e6)).sum)
+    val mat = Array.tabulate(64, 64)((i, j) =>
+      BigInt(n) * emb.map(e => q(e(i) * e(j), 1e12)).sum - sk(i) * sk(j))
+    var vec = Array.fill(64)(BigInt(1000000000L))
+    for (_ <- 1 to 6) {
+      val u = Array.tabulate(64)(i =>
+        (0 until 64).map(j => mat(i)(j) * vec(j)).sum)
+      val mx = u.map(_.abs).max
+      vec = u.map(x => x.sign * (x.abs * 1000000000L / mx))
+    }
+    assert(got.map(_._2).toSeq == vec.map(_.toLong).toSeq, "loadings")
+    val vr = vec.map(x => x.sign * (x.abs / 1000000))
+    val uf = Array.tabulate(64)(i =>
+      (0 until 64).map(j => mat(i)(j) * vr(j)).sum)
+    val num = (0 until 64).map(i => vr(i) * uf(i)).sum
+    val den = vr.map(x => x * x).sum
+    val tr = (0 until 64).map(i => mat(i)(i)).sum
+    val evr = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (_, _, e) => assert(e == evr, "evr6") }
+    assert(evr > 0 && evr <= 1.0)
+    // the dominant loading must be at full scale (max-normalized)
+    assert(vec.map(_.abs).max == BigInt(1000000000L))
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
