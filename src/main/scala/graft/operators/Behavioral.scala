@@ -1114,7 +1114,53 @@ object Behavioral {
        |  MIN(ts_us) AS t_min, MAX(ts_us) AS t_max
        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
 
+  // -- q_ab_srm: sample-ratio-mismatch gate --------------------------------
+  // The #1 experiment-validity check, run BEFORE reading q_ab_test's z:
+  // under 50/50 persisted randomization the variant counts must be
+  // binomially close — a skewed split means broken assignment or
+  // differential logging loss, and every downstream readout is invalid.
+  // Chi-square with 1 df on the two observed user counts vs the even
+  // split: one IEEE expression over two exact integers (identical
+  // parenthesization both engines — two cells need no cross-row float
+  // sum at all), flagged at the 95% critical value 3.841. Same
+  // replayable md5 assignment as q_ab_test, same one-shuffle per-user
+  // collapse.
+  private def abSrm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.events(s, d)
+      .select($"user_id").distinct()
+      .withColumn("variant",
+        when(mixKey($"user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy($"variant").agg(count(lit(1)).as("n"))
+    val a = v.filter($"variant" === "A").select($"n".as("n_a"))
+    val b = v.filter($"variant" === "B").select($"n".as("n_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("expd", ($"n_a" + $"n_b") / lit(2.0))
+      .select($"n_a", $"n_b",
+        round((($"n_a" - $"expd") * ($"n_a" - $"expd") +
+          ($"n_b" - $"expd") * ($"n_b" - $"expd")) / $"expd", 6).as("chi2_6"))
+      .withColumn("srm", $"chi2_6" > 3.841)
+  }
+  private val abSrmSql = {
+    val h = mixKeySql("user_id")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (SELECT CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |      FROM u),
+       |c AS (SELECT variant, COUNT(*) AS n FROM v GROUP BY variant),
+       |j AS (SELECT a.n AS n_a, b.n AS n_b,
+       |    (a.n + b.n) / 2.0 AS expd
+       |  FROM (SELECT n FROM c WHERE variant = 'A') a
+       |  CROSS JOIN (SELECT n FROM c WHERE variant = 'B') b)
+       |SELECT n_a, n_b,
+       |  round(((n_a - expd) * (n_a - expd)
+       |    + (n_b - expd) * (n_b - expd)) / expd, 6) AS chi2_6,
+       |  round(((n_a - expd) * (n_a - expd)
+       |    + (n_b - expd) * (n_b - expd)) / expd, 6) > 3.841 AS srm
+       |FROM j""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_srm", abSrm, Some(abSrmSql)),
     QueryDef("q_time_split", timeSplit, Some(timeSplitSql)),
     QueryDef("q_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q_churn_labels", churnLabels, Some(churnLabelsSql)),

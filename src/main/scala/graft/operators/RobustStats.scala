@@ -483,7 +483,51 @@ object RobustStats {
       |    / CAST(prev_rev AS DOUBLE), 6) AS pct_change6
       |FROM l ORDER BY week""".stripMargin
 
+  // -- q_tail_index: Hill estimator for the price tail ---------------------
+  // How heavy is the upper tail? The Hill estimator (Hill 1975) over
+  // the top-k order statistics: H = (1/k)·Σ ln(x_(i)/x_thr), alpha =
+  // 1/H — the power-law exponent sizing decisions (skew handling,
+  // sampling caps) hang on. k = 100 with a pinned (price desc,
+  // orderkey) total order; each ln(x/thr) is row-local IEEE on exact
+  // inputs, quantized floor(·10⁶+0.5) BEFORE the cross-row sum (the
+  // ln discipline), H_micro an integer quotient, alpha one IEEE
+  // division rounded at 6. Scale: top-(k+1) plans as
+  // TakeOrderedAndProject — no global sort, no global window.
+  private val HillK = 100
+  private def qTailIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = Tables.orders(s, d)
+      .select($"o_totalprice".as("x"), $"o_orderkey".as("k"))
+      .orderBy($"x".desc, $"k").limit(HillK + 1)
+      .localCheckpoint() // 101 rows; feeds threshold + tail
+    val w = Window.orderBy($"x".desc, $"k")
+    val r = top.withColumn("rn", row_number().over(w))
+    val thr = r.filter($"rn" === HillK + 1).select($"x".as("thr"))
+    r.filter($"rn" <= HillK)
+      .crossJoin(broadcast(thr))
+      .select(floor(log($"x" / $"thr") * 1e6 + 0.5).cast("long").as("lnq"),
+        $"thr")
+      .agg(max($"thr").as("x_thr"), sum($"lnq".cast("decimal(38,0)")).as("s"))
+      .select(lit(HillK).as("k"), $"x_thr",
+        expr(s"s div $HillK").as("h_micro"),
+        round(lit(HillK * 1e6) / $"s".cast("double"), 6).as("alpha6"))
+  }
+  private val qTailIndexSql =
+    s"""WITH top AS (SELECT o_totalprice AS x, o_orderkey AS k FROM orders
+       |             ORDER BY x DESC, k LIMIT ${HillK + 1}),
+       |r AS (SELECT x, row_number() OVER (ORDER BY x DESC, k) AS rn FROM top),
+       |thr AS (SELECT x AS thr FROM r WHERE rn = ${HillK + 1}),
+       |l AS (SELECT CAST(floor(ln(x / thr) * 1e6 + 0.5) AS BIGINT) AS lnq,
+       |        thr
+       |      FROM r CROSS JOIN thr WHERE rn <= $HillK),
+       |a AS (SELECT MAX(thr) AS x_thr, SUM(CAST(lnq AS HUGEINT)) AS s FROM l)
+       |SELECT $HillK AS k, x_thr,
+       |  CAST(s // $HillK AS BIGINT) AS h_micro,
+       |  round(${HillK}e6 / CAST(s AS DOUBLE), 6) AS alpha6
+       |FROM a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),
     QueryDef("q_period_over_period", qPeriodOverPeriod,
       Some(qPeriodOverPeriodSql)),

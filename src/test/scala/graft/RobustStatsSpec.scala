@@ -228,6 +228,38 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_tail_index: Hill over pinned top-k order statistics") {
+    val Seq(row) = SparkEntry.queries("q_tail_index")(spark, sf).collect().toSeq
+    val (k, thr, hMicro, alpha6) =
+      (row.getInt(0), row.getDouble(1), row.getLong(2), row.getDouble(3))
+    assert(k == 100)
+    val xs = Tables.orders(spark, sf).select("o_totalprice", "o_orderkey")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (x, id) => (-x, id) }
+    assert(thr == xs(100)._1)
+    val s = xs.take(100)
+      .map(t => math.floor(math.log(t._1 / thr) * 1e6 + 0.5).toLong).sum
+    assert(hMicro == s / 100)
+    assert(alpha6 == BigDecimal(100e6 / s)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(alpha6 > 0)
+  }
+
+  test("q_ab_srm: chi-square of the split matches raw variant counts") {
+    val Seq(row) = SparkEntry.queries("q_ab_srm")(spark, sf).collect().toSeq
+    val (na, nb, chi26, srm) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getBoolean(3))
+    // replay the assignment through the op's own hash by cross-checking
+    // count conservation and the statistic's closed form
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(na + nb == users)
+    val expd = (na + nb) / 2.0
+    val chi2 = ((na - expd) * (na - expd) + (nb - expd) * (nb - expd)) / expd
+    assert(chi26 == BigDecimal(chi2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(srm == (chi26 > 3.841))
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
