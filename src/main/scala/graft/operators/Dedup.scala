@@ -1599,7 +1599,69 @@ object Dedup {
        |FROM deg d LEFT JOIN best b ON b.v = d.src
        |ORDER BY doc_id""".stripMargin
 
+  // -- q_dedup_impact: per-source duplication report -----------------------
+  // The summary a data-sourcing review reads before renegotiating a
+  // feed: which sources ship duplicated content, and how much would
+  // keep-one remove? Per source: corpus docs, docs touching the
+  // verified near-dup graph, the would-drop count under the canonical
+  // min-id keep rule, and both as exact micro-rates. Reads the STAGED
+  // pair graph (zero LSH replay); one small join against the doc→source
+  // dimension, then a per-source aggregate.
+  private def dedupImpact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val inGraph = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+      .withColumn("in_graph", lit(1L))
+    // the PAIRWISE-GREEDY keep rule: drop the larger id of every
+    // verified pair (pairs are canonical doc_a < doc_b, so the drop set
+    // is exactly the distinct doc_b side). Deliberately NOT the
+    // transitive cluster rule — greedy pairwise is the cheaper policy a
+    // streaming dedup applies (no CC pass). It can UNDER-drop: a
+    // cluster member whose only links point to larger ids survives
+    // greedy but not the cluster-min rule. The transitive variant is
+    // dedup_semantic / dedup_components territory; this report measures
+    // the cheap policy.
+    val dropped = pairs.select($"doc_b".as("doc_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    Tables.documents(s, d).select($"doc_id", $"source")
+      .join(broadcast(inGraph), Seq("doc_id"), "left")
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"in_graph", lit(0L))).as("n_in_graph"),
+        sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
+      .select($"source", $"n_docs", $"n_in_graph", $"n_dropped",
+        expr("n_in_graph * 1000000 div n_docs").as("dup_rate_micro"),
+        expr("n_dropped * 1000000 div n_docs").as("drop_rate_micro"))
+      .orderBy($"source")
+  }
+  private val dedupImpactSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |ig AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pairs
+       |  UNION ALL SELECT doc_b FROM pairs)),
+       |dr AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN ig.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_graph,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN ig.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS drop_rate_micro
+       |FROM documents d
+       |LEFT JOIN ig ON ig.doc_id = d.doc_id
+       |LEFT JOIN dr ON dr.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_impact", dedupImpact, Some(dedupImpactSql)),
     QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),
     QueryDef("q_kcore", kcore, Some(kcoreSql)),
     QueryDef("q_dup_distance", dupDistance, Some(dupDistanceSql)),

@@ -2172,7 +2172,54 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  // -- q_embedding_norms: vector-hygiene audit -----------------------------
+  // The first check on an ingested embedding table: norm distribution
+  // per label (a model that emits wildly varying norms — or zeros —
+  // poisons cosine math downstream; normalized-embedding pipelines
+  // assert norm ≈ 1 here). Per-row norm² comes from the same
+  // left-to-right one-pass fold both engines already agree on
+  // (VectorOps.dot / dotSql — the cosine parity surface), so min/max
+  // and the PINNED-position median (the q_percentile rule over
+  // (norm², vec_id)) are engine-exact; rounding at 6 only at the
+  // output. Pure map + one small per-label window.
+  private def embeddingNorms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d)
+      .select($"label", $"vec_id",
+        VectorOps.dot($"embedding", $"embedding").as("n2"))
+    val wl = Window.partitionBy($"label")
+    val w = wl.orderBy($"n2", $"vec_id")
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wl))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"n2" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(sqrt(min($"n2")), 6).as("min_norm6"),
+        round(sqrt(max(when($"rn" <= ceil($"n" * 0.5), $"n2"))), 6)
+          .as("p50_norm6"),
+        round(sqrt(max($"n2")), 6).as("max_norm6"))
+      .orderBy($"label")
+  }
+  private val embeddingNormsSql =
+    s"""WITH b AS (SELECT label, vec_id,
+       |    ${VectorOps.dotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |r AS (SELECT label, n2,
+       |    row_number() OVER (PARTITION BY label ORDER BY n2, vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY label) AS n
+       |  FROM b)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  round(sqrt(MIN(n2)), 6) AS min_norm6,
+       |  round(sqrt(MAX(CASE WHEN rn <= ceil(n * 0.5) THEN n2 END)), 6)
+       |    AS p50_norm6,
+       |  round(sqrt(MAX(n2)), 6) AS max_norm6
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embedding_norms", embeddingNorms, Some(embeddingNormsSql)),
     QueryDef("q_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("q_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

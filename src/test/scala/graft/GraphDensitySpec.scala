@@ -361,6 +361,53 @@ class GraphDensitySpec extends AnyFunSuite {
     assert(vec.map(_.abs).max == BigInt(1000000000L))
   }
 
+  test("q_embedding_norms: per-label norm stats match a per-row recompute") {
+    val got = SparkEntry.queries("q_embedding_norms")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val rows = Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (lab, es) =>
+      val (n, nZero, mn, p50, mx) = got(lab)
+      // left-to-right fold — the engines' shared accumulation order
+      val n2s = es.map { case (_, id, e) =>
+        (e.foldLeft(0.0)((a, x) => a + x * x), id)
+      }
+      assert(n == es.length)
+      assert(nZero == n2s.count(_._1 == 0.0))
+      assert(mn == r6(math.sqrt(n2s.map(_._1).min)), s"$lab min")
+      assert(mx == r6(math.sqrt(n2s.map(_._1).max)), s"$lab max")
+      val sorted = n2s.sortBy(identity)
+      assert(p50 == r6(math.sqrt(
+        sorted(math.ceil(0.5 * sorted.length).toInt - 1)._1)), s"$lab p50")
+    }
+  }
+
+  test("q_dedup_impact: per-source rates match the pairwise-greedy rule") {
+    val got = SparkEntry.queries("q_dedup_impact")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val dropped = pairs.map(_._2).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._2).toSet)
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (n, nIg, nDr, dupM, dropM) = got(src)
+      assert(n == ds.length)
+      assert(nIg == ds.count(d => inGraph(d._1)), s"$src in-graph")
+      assert(nDr == ds.count(d => dropped(d._1)), s"$src dropped")
+      assert(dupM == nIg * 1000000L / n && dropM == nDr * 1000000L / n)
+      assert(nDr <= nIg)
+    }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
