@@ -826,19 +826,20 @@ object Behavioral {
       .rangeBetween(-BackfillUs, -1)
     def nOf(t: String) =
       count(when($"event_type" === t, 1)).over(w).as(s"n_${t}_7d")
+    // all six trailing aggregates in ONE projection: withColumn chains
+    // interleave Projects between the Window nodes and defeat
+    // CollapseWindow — six sequential Window operators over the same
+    // frame instead of one (plan-pinned by PlanSpec)
     Tables.events(s, d)
       .select($"user_id", $"event_id", $"event_type",
         expr("ts_ns div 1000").as("ts_us"), $"value")
-      .withColumn("n_view_7d", nOf("view"))
-      .withColumn("n_click_7d", nOf("click"))
-      .withColumn("n_signup_7d", nOf("signup"))
-      .withColumn("n_error_7d", nOf("error"))
-      .withColumn("n_purchase_7d", nOf("purchase"))
-      .withColumn("spend_7d",
+      .select($"user_id", $"event_id", $"event_type", $"ts_us",
+        nOf("view"), nOf("click"), nOf("signup"), nOf("error"),
+        nOf("purchase"),
         coalesce(sum(when($"event_type" === "purchase",
             $"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))))
           .over(w), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double"))
+          .cast("double").as("spend_7d"))
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts_us", $"n_view_7d", $"n_click_7d",
         $"n_signup_7d", $"n_error_7d", $"n_purchase_7d", $"spend_7d")
@@ -960,9 +961,10 @@ object Behavioral {
     Tables.events(s, d)
       .select($"user_id", $"event_id", $"event_type",
         expr("ts_ns div 1000").as("ts_us"))
-      .withColumn("n_future_purchases_14d",
-        count(when($"event_type" === "purchase", 1)).over(w))
-      .withColumn("n_future_events_14d", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"event_type", $"ts_us",
+        count(when($"event_type" === "purchase", 1)).over(w)
+          .as("n_future_purchases_14d"),
+        count(lit(1)).over(w).as("n_future_events_14d"))
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts_us",
         ($"n_future_purchases_14d" > 0).as("label_repurchase_14d"),

@@ -510,6 +510,33 @@ class PlanSpec extends AnyFunSuite {
       "RFM score joins must shuffle-hash, not broadcast the value tables")
   }
 
+  test("r11 additions keep their claimed plan shapes") {
+    // q_tail_index: top-(k+1) is a rank gate, never a global sort
+    assert(plan("q_tail_index").contains("TakeOrderedAndProject"),
+      "Hill top-k must plan as TakeOrderedAndProject")
+    // q_recommend: the truncated item-item matrix broadcasts into the
+    // basket fan-out join (catalog-sized, never corpus-sized)
+    assert(plan("q_recommend").contains("BroadcastHashJoin"),
+      "neighbor lists must broadcast into the basket join")
+    // q_feature_backfill / q_churn_labels: ONE fused Window node (the
+    // withColumn spelling interleaves Projects and defeats
+    // CollapseWindow), one user-keyed exchange + the output sort's, and
+    // no join in the plan at all. `(n) Op` detail headers count
+    // physical nodes exactly once.
+    for (q <- Seq("q_feature_backfill", "q_churn_labels")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+      assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+        s"$q window functions must collapse into one Window node")
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+        s"$q should shuffle once for the window (+1 output sort)")
+    }
+    // q_mutual_info / q_chi_square: windows run on the CELL table —
+    // the fact scan feeds exactly one aggregate
+    assert(plan("q_chi_square").contains("Window"),
+      "chi-square marginals are cell-table windows")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     // collect codegen'd subtrees only; custom exprs must appear there
     val df = Tables.documents(spark, sf)
