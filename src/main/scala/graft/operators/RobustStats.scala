@@ -526,7 +526,62 @@ object RobustStats {
        |  round(${HillK}e6 / CAST(s AS DOUBLE), 6) AS alpha6
        |FROM a""".stripMargin
 
+  // -- q_lorenz: the concentration curve behind the Gini number ------------
+  // q_gini reports one coefficient; the Lorenz decile table is what the
+  // review actually plots (\"the top decile holds X% of spend\"): per
+  // spend decile of customers (pinned (cents, custkey) rank, explicit
+  // ((rn−1)·10) div n + 1 bucketing — ntile's remainder placement is an
+  // engine-semantics risk this spelling avoids), exact cent sums and
+  // the cumulative share as an integer micro-quotient. The rank window
+  // runs over the per-customer AGGREGATE (dimension-sized, not the fact
+  // table); at 100 TB the same rank comes from the range-partitioned
+  // prefix shape.
+  private def qLorenz(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy($"cents", $"o_custkey")
+    val wAll = Window.partitionBy()
+    val b = spend
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents".cast("decimal(38,0)")).as("dc"))
+    val wc = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum", sum($"dc").over(wc))
+      .withColumn("tot", sum($"dc").over(Window.partitionBy()))
+      .select($"decile", $"n_customers", $"dc".cast("long").as("decile_cents"),
+        expr("(cum * 1000000) div tot").as("cum_share_micro"))
+      .orderBy($"decile")
+  }
+  private val qLorenzSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |    row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM spend),
+      |b AS (SELECT (rn - 1) * 10 // n + 1 AS decile,
+      |    COUNT(*) AS n_customers, SUM(CAST(cents AS HUGEINT)) AS dc
+      |  FROM r GROUP BY 1),
+      |c AS (SELECT decile, n_customers, dc,
+      |    SUM(dc) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(dc) OVER () AS tot
+      |  FROM b)
+      |SELECT decile, n_customers, CAST(dc AS BIGINT) AS decile_cents,
+      |  CAST((cum * 1000000) // tot AS BIGINT) AS cum_share_micro
+      |FROM c ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_lorenz", qLorenz, Some(qLorenzSql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),
     QueryDef("q_period_over_period", qPeriodOverPeriod,

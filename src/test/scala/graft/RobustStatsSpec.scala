@@ -260,6 +260,34 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(srm == (chi26 > 3.841))
   }
 
+  test("q_lorenz: decile shares match a sorted-cents replay and q_gini") {
+    val got = SparkEntry.queries("q_lorenz")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) as c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, c) => (c, k) }
+    val n = cents.length
+    val byDecile = cents.zipWithIndex
+      .groupBy { case (_, i) => i * 10 / n + 1 }
+    val total = cents.map(t => BigInt(t._2)).sum
+    var cum = BigInt(0)
+    (1 to 10).foreach { dec =>
+      val (_, nc, dc, share) = got(dec - 1)
+      val mine = byDecile(dec).map(_._1._2)
+      assert(nc == mine.length, s"decile $dec count")
+      assert(dc == mine.sum, s"decile $dec cents")
+      cum += BigInt(dc)
+      assert(share == (cum * 1000000 / total).toLong, s"decile $dec share")
+    }
+    assert(got.last._4 == 1000000L, "final decile must reach 100%")
+    // monotone increasing decile masses (sorted ascending by spend)
+    got.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
