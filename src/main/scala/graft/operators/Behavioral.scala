@@ -1161,7 +1161,85 @@ object Behavioral {
        |FROM j""".stripMargin
   }
 
+  // -- q_markov_stationary: long-run state distribution --------------------
+  // Closes the Markov story q_transition_matrix opens: where does the
+  // chain SPEND its time (the load-planning number — "what fraction of
+  // steady-state traffic is errors") — the stationary distribution of
+  // the first-order event-type chain. The distributed work is the same
+  // one-window lag-pair count; the 5×5 count matrix is then
+  // SCALAR-scale, so the fixed 8-round power iteration runs driver-side
+  // in exact BigInt (the q_pca_power decision): each step's term is the
+  // floor quotient (v_i·c_ij) div r_i — positive everywhere, so
+  // Spark-side BigInt truncation and the oracle's `//` agree — and the
+  // output is π as an integer micro-share of the final mass. The
+  // row-stochastic floors keep total mass ~constant, so no per-round
+  // renorm is needed at 8 rounds (drift ≤ states per round, documented
+  // bound). Oracle replays the unrolled rounds on the counts CTE.
+  private val MkRounds = 8
+  private def markovStationary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val counts = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // the chain is defined over states WITH outgoing mass (r > 0);
+    // transitions into states outside that support are dropped on both
+    // engines — a next-only absorbing state has no stationary row
+    val states = counts.keys.map(_._1).toSeq.distinct.sorted
+    val stateSet = states.toSet
+    val r = states.map(st =>
+      st -> counts.collect { case ((p, _), n) if p == st => n }.sum).toMap
+    val counts2 = counts.filter { case ((_, nx), _) => stateSet(nx) }
+    var v = states.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to MkRounds) {
+      v = states.map { next =>
+        next -> states.map { prev =>
+          val cnt: Long = counts2.getOrElse((prev, next), 0L)
+          v(prev) * BigInt(cnt) / BigInt(r(prev))
+        }.sum
+      }.toMap
+    }
+    val tot = states.map(v).sum
+    states.map(st => (st, r(st), (v(st) * 1000000 / tot).toLong))
+      .toDF("state", "n_out", "pi_micro")
+      .orderBy($"state")
+  }
+  private val markovStationarySql = {
+    val rounds = (0 until MkRounds).map { t =>
+      s"""v${t + 1} AS MATERIALIZED (SELECT c.event_type AS state,
+         |    SUM((v.v * c.n) // r.r) AS v
+         |  FROM c2 c JOIN v$t v ON v.state = c.prev_type
+         |  JOIN r ON r.state = c.prev_type
+         |  GROUP BY c.event_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+       |    event_id FROM events),
+       |st AS (SELECT event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_ns, event_id) AS prev_type
+       |  FROM ev),
+       |c AS MATERIALIZED (SELECT prev_type, event_type, COUNT(*) AS n
+       |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |r AS MATERIALIZED (SELECT prev_type AS state, SUM(n) AS r FROM c
+       |  GROUP BY 1),
+       |c2 AS MATERIALIZED (SELECT c.* FROM c
+       |  WHERE c.event_type IN (SELECT state FROM r)),
+       |v0 AS (SELECT state, CAST(1000000000 AS HUGEINT) AS v FROM r),
+       |$rounds,
+       |tot AS (SELECT SUM(v) AS tot FROM v$MkRounds)
+       |SELECT r.state, CAST(r.r AS BIGINT) AS n_out,
+       |  CAST(COALESCE(v.v, 0) * 1000000 // tot.tot AS BIGINT) AS pi_micro
+       |FROM r LEFT JOIN v$MkRounds v ON v.state = r.state CROSS JOIN tot
+       |ORDER BY r.state""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_markov_stationary", markovStationary, Some(markovStationarySql)),
     QueryDef("q_ab_srm", abSrm, Some(abSrmSql)),
     QueryDef("q_time_split", timeSplit, Some(timeSplitSql)),
     QueryDef("q_funnel_latency", funnelLatency, Some(funnelLatencySql)),

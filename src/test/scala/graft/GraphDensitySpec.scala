@@ -408,6 +408,32 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_markov_stationary: floor-quotient iteration matches a replay " +
+      "and agrees with the transition matrix") {
+    val got = SparkEntry.queries("q_markov_stationary")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tm = SparkEntry.queries("q_transition_matrix")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val states = tm.keys.map(_._1).toSeq.distinct.sorted
+    val r = states.map(st =>
+      st -> tm.collect { case ((p, _), n) if p == st => n }.sum).toMap
+    got.foreach { case (st, (nOut, _)) => assert(nOut == r(st), s"$st n_out") }
+    var v = states.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 8) {
+      v = states.map { nx =>
+        nx -> states.map(pv =>
+          v(pv) * BigInt(tm.getOrElse((pv, nx), 0L)) / BigInt(r(pv))).sum
+      }.toMap
+    }
+    val tot = states.map(v).sum
+    states.foreach { st =>
+      assert(got(st)._2 == (v(st) * 1000000 / tot).toLong, s"$st pi")
+    }
+    // shares sum to ~1 (floor slack only)
+    val share = got.values.map(_._2).sum
+    assert(share >= 999995L && share <= 1000000L)
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
