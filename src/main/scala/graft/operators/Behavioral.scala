@@ -1238,7 +1238,101 @@ object Behavioral {
        |ORDER BY r.state""".stripMargin
   }
 
+  // -- q_new_vs_returning: weekly revenue split by customer tenure ---------
+  // The growth-accounting staple: how much of each week's revenue is
+  // NEW customers (first-ever order that week) vs returning — the split
+  // that tells acquisition from retention revenue. First-order week is
+  // one per-customer window-min over the already-aggregated (customer,
+  // week) frame (the q_retention shape — never a second fact scan);
+  // revenue through the decimal pre-sum; shares as integer
+  // micro-quotients of exact cents. Integer epoch-weeks.
+  private def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wk = Tables.orders(s, d)
+      .select($"o_custkey",
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+          "div 604800000000 AS BIGINT)").as("week"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey", $"week")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+    val w = Window.partitionBy($"o_custkey")
+    wk.withColumn("first_week", min($"week").over(w))
+      .withColumn("is_new", $"week" === $"first_week")
+      .groupBy($"week")
+      .agg(
+        sum(when($"is_new", 1L).otherwise(0L)).as("new_customers"),
+        sum(when(!$"is_new", 1L).otherwise(0L)).as("returning_customers"),
+        sum(when($"is_new", $"cents").otherwise(0L)).as("new_cents"),
+        sum(when(!$"is_new", $"cents").otherwise(0L)).as("returning_cents"))
+      .select($"week", $"new_customers", $"returning_customers",
+        $"new_cents", $"returning_cents",
+        expr("new_cents * 1000000 div (new_cents + returning_cents)")
+          .as("new_share_micro"))
+      .orderBy($"week")
+  }
+  private val newVsReturningSql =
+    """WITH wk AS (SELECT o_custkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000 AS week,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (SELECT o_custkey, week, cents,
+      |    week = MIN(week) OVER (PARTITION BY o_custkey) AS is_new
+      |  FROM wk)
+      |SELECT week,
+      |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_customers,
+      |  CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS returning_customers,
+      |  CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+      |    AS new_cents,
+      |  CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+      |    AS returning_cents,
+      |  CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) * 1000000
+      |    // SUM(cents) AS BIGINT) AS new_share_micro
+      |FROM f GROUP BY week ORDER BY week""".stripMargin
+
+  // -- q_percentile_trend: weekly exact price percentiles ------------------
+  // The latency/price-SLO dashboard shape: per week, exact pinned
+  // p50/p95 of order price (the q_percentile rule, grouped by the
+  // calendar bucket) with count and max — the trend a drift review
+  // reads next to the PSI monitor. One week-keyed window pass.
+  private def percentileTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select(expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+        "div 604800000000 AS BIGINT)").as("week"),
+        $"o_totalprice".as("x"), $"o_orderkey".as("k"))
+    val wn = Window.partitionBy($"week")
+    val w = wn.orderBy($"x", $"k")
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_orders"),
+        max(when($"rn" <= ceil($"n" * 0.5), $"x")).as("p50"),
+        max(when($"rn" <= ceil($"n" * 0.95), $"x")).as("p95"),
+        max($"x").as("mx"))
+      .orderBy($"week")
+  }
+  private val percentileTrendSql =
+    """WITH b AS (SELECT
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000 AS week,
+      |    o_totalprice AS x, o_orderkey AS k FROM orders),
+      |r AS (SELECT week, x,
+      |    row_number() OVER (PARTITION BY week ORDER BY x, k) AS rn,
+      |    COUNT(*) OVER (PARTITION BY week) AS n
+      |  FROM b)
+      |SELECT week, COUNT(*) AS n_orders,
+      |  MAX(CASE WHEN rn <= ceil(n * 0.5) THEN x END) AS p50,
+      |  MAX(CASE WHEN rn <= ceil(n * 0.95) THEN x END) AS p95,
+      |  MAX(x) AS mx
+      |FROM r GROUP BY week ORDER BY week""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_new_vs_returning", newVsReturning, Some(newVsReturningSql)),
+    QueryDef("q_percentile_trend", percentileTrend, Some(percentileTrendSql)),
     QueryDef("q_markov_stationary", markovStationary, Some(markovStationarySql)),
     QueryDef("q_ab_srm", abSrm, Some(abSrmSql)),
     QueryDef("q_time_split", timeSplit, Some(timeSplitSql)),

@@ -434,6 +434,48 @@ class GraphDensitySpec extends AnyFunSuite {
     assert(share >= 999995L && share <= 1000000L)
   }
 
+  test("q_new_vs_returning: tenure split conserves weekly revenue") {
+    val got = SparkEntry.queries("q_new_vs_returning")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000 AS BIGINT) as week",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstWeek = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byWeek = orders.groupBy(_._2)
+    assert(got.map(_._1).toSet == byWeek.keySet)
+    got.foreach { case (wk, (nNew, nRet, cNew, cRet, share)) =>
+      val custs = byWeek(wk).groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toMap
+      val (newC, retC) = custs.partition { case (c, _) => firstWeek(c) == wk }
+      assert(nNew == newC.size && nRet == retC.size, s"week $wk counts")
+      assert(cNew == newC.values.sum && cRet == retC.values.sum, s"week $wk cents")
+      assert(share == cNew * 1000000L / (cNew + cRet), s"week $wk share")
+    }
+  }
+
+  test("q_percentile_trend: weekly pinned percentiles match brute force") {
+    val got = SparkEntry.queries("q_percentile_trend")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val orders = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000 AS BIGINT) as week",
+        "o_totalprice", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    orders.groupBy(_._1).foreach { case (wk, rows) =>
+      val (n, p50, p95, mx) = got(wk)
+      assert(n == rows.length)
+      val sorted = rows.map(t => (t._2, t._3)).sorted
+      def pin(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)._1
+      assert(p50 == pin(0.5), s"week $wk p50")
+      assert(p95 == pin(0.95), s"week $wk p95")
+      assert(mx == sorted.last._1)
+    }
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
