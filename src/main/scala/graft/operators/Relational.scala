@@ -918,15 +918,17 @@ object Relational {
   // per order key, the copurchase discipline); the candidate join fans
   // out baskets × 10, never baskets × catalog; both rank gates are
   // windows over already-aggregated frames.
-  private def qRecommend(s: SparkSession, d: String): DataFrame = {
+  /** The item-item CF chain over PRE-BUILT (order, part) and
+    * (customer, part) frames — shared by the full-corpus query and the
+    * time-split hit-rate eval (which feeds it TRAIN-only frames). */
+  private def recommendTop3(oiRaw: DataFrame, ciRaw: DataFrame): DataFrame = {
+    val s = oiRaw.sparkSession
     import s.implicits._
     // repartition BEFORE distinct: HashPartitioning(o) satisfies the
     // (o, p) distinct's clustering (subset rule) AND the self-join's
     // o-equality — one shuffle serves all three, and the checkpoint
     // pins the layout so both join sides read it exchange-free
-    val oi = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .repartition($"o").distinct()
+    val oi = oiRaw.repartition($"o").distinct()
       .localCheckpoint() // feeds both sides of the pair join
     // support floor BEFORE truncation: a single co-occurrence is noise
     // at every scale (the assoc-rules min-support discipline) — and it
@@ -946,9 +948,7 @@ object Relational {
     val wnb = Window.partitionBy($"p").orderBy($"n_ab".desc, $"nbr")
     val neighbors = cooc.withColumn("rn", row_number().over(wnb))
       .filter($"rn" <= 10).drop("rn")
-    val ci = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
+    val ci = ciRaw.distinct()
       .localCheckpoint() // basket side + the already-bought anti-join
     // the truncated item-item matrix is items × 10 — catalog-sized, not
     // corpus-sized — so it broadcasts at any data scale; baskets never
@@ -962,6 +962,15 @@ object Relational {
       .filter($"rank" <= 3)
       .select($"cust".as("custkey"), $"rank", $"nbr".as("rec_part"),
         $"score", $"n_paths")
+  }
+
+  private def qRecommend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    recommendTop3(
+      Tables.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p")),
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"), $"l_partkey".as("p")))
       .orderBy($"custkey", $"rank")
   }
   private val qRecommendSql =
@@ -1087,7 +1096,135 @@ object Relational {
        |ORDER BY side, rank""".stripMargin
   }
 
+  // -- q_recommend_eval: time-split hit-rate for the recommender -----------
+  // The monitor-per-artifact rule applied to q_recommend (ANN ships
+  // recall + nDCG, LSH its candidate recall, CMS its overcount row —
+  // a recommender without a held-out hit rate is an unmeasured model):
+  // split orders at the EXACT 75% count position of the order-date
+  // order (same-day orders stay together — the q_time_split rule),
+  // build the identical CF chain on TRAIN only (shared code, so model
+  // drift between query and eval is a compile error), and score the
+  // top-3 against each customer's NEWLY-bought test parts (test
+  // purchases minus the train basket — repeat buys are not
+  // predictions). Metrics are exact integers: evaluated users (have
+  // recs AND new test activity), hit users (≥1 of top-3 bought),
+  // hit-rate and precision@3 as micro-quotients.
+  private def qRecommendEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey",
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)")
+          .as("ts"))
+    val days = ord.groupBy($"ts").agg(count(lit(1)).as("c"))
+    val b = SemiStructured.valueKeyedCums(days, "ts", Seq("c"))
+      .agg(min(when($"cum_c" >= ceil($"tot_c" * 0.75), $"ts")).as("t75"))
+    val tagged = ord.crossJoin(broadcast(b))
+      .withColumn("is_train", $"ts" <= $"t75").localCheckpoint()
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+    val trainOrders = tagged.filter($"is_train")
+    val oiTrain = li.join(trainOrders.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+    val ciTrain = li.join(trainOrders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("p"))
+    val recs = recommendTop3(oiTrain, ciTrain).localCheckpoint()
+    val trainPairs = ciTrain.distinct().localCheckpoint()
+    val testPos = li
+      .join(tagged.filter(!$"is_train"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
+      .join(trainPairs, Seq("cust", "p"), "left_anti")
+      .localCheckpoint()
+    val recHits = recs
+      .join(testPos.select($"cust".as("custkey"), $"p".as("rec_part"),
+        lit(1L).as("hit")), Seq("custkey", "rec_part"), "left")
+    val perUser = recHits.groupBy($"custkey")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .join(testPos.groupBy($"cust".as("custkey"))
+        .agg(count(lit(1)).as("n_new")), Seq("custkey"), "left")
+      .na.fill(0L, Seq("n_new"))
+    perUser.agg(
+        count(lit(1)).as("n_users_recd"),
+        sum(when($"n_new" > 0, 1L).otherwise(0L)).as("n_users_eval"),
+        sum(when($"n_new" > 0 && $"n_hits" > 0, 1L).otherwise(0L))
+          .as("n_hit_users"),
+        sum(when($"n_new" > 0, $"n_recs").otherwise(0L)).as("n_rec_rows"),
+        sum(when($"n_new" > 0, $"n_hits").otherwise(0L)).as("n_rec_hits"))
+      .select($"n_users_recd", $"n_users_eval", $"n_hit_users",
+        $"n_rec_rows", $"n_rec_hits",
+        expr("n_hit_users * 1000000 div n_users_eval").as("hit_rate_micro"),
+        expr("n_rec_hits * 1000000 div n_rec_rows").as("prec3_micro"))
+  }
+  private val qRecommendEvalSql =
+    """WITH ord AS (SELECT o_orderkey, o_custkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts FROM orders),
+      |dy AS (SELECT ts, COUNT(*) AS c FROM ord GROUP BY ts),
+      |cu AS (SELECT ts,
+      |    SUM(c) OVER (ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+      |    SUM(c) OVER () AS tot_c FROM dy),
+      |b AS (SELECT MIN(CASE WHEN cum_c >= ceil(tot_c * 0.75) THEN ts END)
+      |        AS t75 FROM cu),
+      |tagged AS MATERIALIZED (SELECT o.*, o.ts <= b.t75 AS is_train
+      |  FROM ord o CROSS JOIN b),
+      |oi AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS o,
+      |    l.l_partkey AS p
+      |  FROM lineitem l JOIN tagged t ON t.o_orderkey = l.l_orderkey
+      |  WHERE t.is_train),
+      |half AS (SELECT a.p AS p, b.p AS nbr, COUNT(*) AS n_ab
+      |         FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+      |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |cooc AS (SELECT p, nbr, n_ab FROM half
+      |         UNION ALL SELECT nbr, p, n_ab FROM half),
+      |nb AS (SELECT p, nbr, n_ab FROM (
+      |    SELECT p, nbr, n_ab, row_number() OVER (PARTITION BY p
+      |      ORDER BY n_ab DESC, nbr) AS rn FROM cooc) WHERE rn <= 10),
+      |ci AS MATERIALIZED (SELECT DISTINCT t.o_custkey AS cust,
+      |    l.l_partkey AS p
+      |  FROM lineitem l JOIN tagged t ON t.o_orderkey = l.l_orderkey
+      |  WHERE t.is_train),
+      |cand AS (SELECT ci.cust, nb.nbr,
+      |    CAST(SUM(nb.n_ab) AS BIGINT) AS score, COUNT(*) AS n_paths
+      |  FROM ci JOIN nb ON nb.p = ci.p GROUP BY 1, 2),
+      |fresh AS (SELECT c.* FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ci
+      |    WHERE ci.cust = c.cust AND ci.p = c.nbr)),
+      |recs AS MATERIALIZED (SELECT cust, nbr FROM (
+      |    SELECT cust, nbr, row_number() OVER (PARTITION BY cust
+      |      ORDER BY score DESC, nbr) AS rank FROM fresh) WHERE rank <= 3),
+      |tp AS MATERIALIZED (SELECT cust, p FROM (
+      |    SELECT DISTINCT t.o_custkey AS cust, l.l_partkey AS p
+      |    FROM lineitem l JOIN tagged t ON t.o_orderkey = l.l_orderkey
+      |    WHERE NOT t.is_train) x
+      |  WHERE NOT EXISTS (SELECT 1 FROM ci
+      |    WHERE ci.cust = x.cust AND ci.p = x.p)),
+      |pu AS (SELECT r.cust, COUNT(*) AS n_recs,
+      |    CAST(SUM(CASE WHEN tp.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits,
+      |    COALESCE(MAX(nn.n_new), 0) AS n_new
+      |  FROM recs r
+      |  LEFT JOIN tp ON tp.cust = r.cust AND tp.p = r.nbr
+      |  LEFT JOIN (SELECT cust, COUNT(*) AS n_new FROM tp GROUP BY cust) nn
+      |    ON nn.cust = r.cust
+      |  GROUP BY r.cust)
+      |SELECT COUNT(*) AS n_users_recd,
+      |  CAST(SUM(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users_eval,
+      |  CAST(SUM(CASE WHEN n_new > 0 AND n_hits > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit_users,
+      |  CAST(SUM(CASE WHEN n_new > 0 THEN n_recs ELSE 0 END) AS BIGINT)
+      |    AS n_rec_rows,
+      |  CAST(SUM(CASE WHEN n_new > 0 THEN n_hits ELSE 0 END) AS BIGINT)
+      |    AS n_rec_hits,
+      |  CAST(SUM(CASE WHEN n_new > 0 AND n_hits > 0 THEN 1 ELSE 0 END)
+      |    * 1000000 // SUM(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hit_rate_micro,
+      |  CAST(SUM(CASE WHEN n_new > 0 THEN n_hits ELSE 0 END)
+      |    * 1000000 // SUM(CASE WHEN n_new > 0 THEN n_recs ELSE 0 END)
+      |    AS BIGINT) AS prec3_micro
+      |FROM pu""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_recommend_eval", qRecommendEval, Some(qRecommendEvalSql)),
     QueryDef("q_hits", qHits, Some(qHitsSql)),
     QueryDef("q_recommend", qRecommend, Some(qRecommendSql)),
     QueryDef("q_variance", qVariance, Some(qVarianceSql)),

@@ -476,6 +476,27 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_recommend_eval: metrics cohere and the split boundary is exact") {
+    val Seq(row) = SparkEntry.queries("q_recommend_eval")(spark, sf)
+      .collect().toSeq
+    val (recd, eval_, hitU, recRows, recHits, hr, p3) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    assert(eval_ <= recd && hitU <= eval_ && recHits <= recRows)
+    assert(recRows <= 3 * eval_)
+    assert(hr == hitU * 1000000L / eval_)
+    assert(p3 == recHits * 1000000L / recRows)
+    // a hit user needs at least one matched rec row
+    assert((hitU > 0) == (recHits > 0))
+    // boundary replay: 75% count position of the order-date multiset
+    val ts = Tables.orders(spark, sf)
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").collect()
+      .map(_.getLong(0)).sorted
+    val t75 = ts(math.ceil(0.75 * ts.length).toInt - 1)
+    val nTrain = ts.count(_ <= t75)
+    assert(nTrain >= math.ceil(0.75 * ts.length).toInt)
+  }
+
   test("sim_dbscan: roles and clusters match union-find over the pair set") {
     val got = SparkEntry.queries("sim_dbscan")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
