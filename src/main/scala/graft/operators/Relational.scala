@@ -918,10 +918,39 @@ object Relational {
   // per order key, the copurchase discipline); the candidate join fans
   // out baskets × 10, never baskets × catalog; both rank gates are
   // windows over already-aggregated frames.
-  /** The item-item CF chain over PRE-BUILT (order, part) and
-    * (customer, part) frames — shared by the full-corpus query and the
-    * time-split hit-rate eval (which feeds it TRAIN-only frames). */
-  private def recommendTop3(oiRaw: DataFrame, ciRaw: DataFrame): DataFrame = {
+  /** The truncated item-item neighbor lists, STAGED once per (dataset,
+    * domain) — at production scale the co-occurrence model IS a stored
+    * artifact (nobody rebuilds the matrix per request); staging it here
+    * is the ANN-index pattern applied to the recommender. The content
+    * fingerprint covers BOTH fact tables (the eval's train split
+    * depends on orders, not just lineitem), so either regenerating
+    * forces a rebuild. The build is the deterministic half-join chain,
+    * so the staged table is bit-identical to inline derivation — which
+    * is why the DuckDB oracles keep replaying it from the raw corpus. */
+  private[graft] val nbrStageRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private def stagedNeighbors(s: SparkSession, d: String, tag: String,
+      oiRaw: => DataFrame): DataFrame = {
+    val (dirKey, fpL) = Tables.stagingKey(d, "lineitem")
+    val (_, fpO) = Tables.stagingKey(d, "orders")
+    val root = s"${graft.Staging.Base}/nbrs_${dirKey}_$tag"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-cf-nbrs-$tag|$fpL|$fpO"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return s.read.parquet(s"$root/nbrs")
+    nbrStageRuns.incrementAndGet()
+    graft.Staging.vacuum()
+    val tmp = graft.Staging.tempBuildDir()
+    buildNeighbors(oiRaw).write.mode("overwrite").parquet(s"$tmp/nbrs")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmp, root, d, "lineitem", fpL)
+    s.read.parquet(s"$root/nbrs")
+  }
+
+  /** The neighbor-list BUILD (queries read [[stagedNeighbors]]). */
+  private def buildNeighbors(oiRaw: DataFrame): DataFrame = {
     val s = oiRaw.sparkSession
     import s.implicits._
     // repartition BEFORE distinct: HashPartitioning(o) satisfies the
@@ -946,10 +975,16 @@ object Relational {
     val cooc = half.union(
       half.select($"nbr".as("p"), $"p".as("nbr"), $"n_ab"))
     val wnb = Window.partitionBy($"p").orderBy($"n_ab".desc, $"nbr")
-    val neighbors = cooc.withColumn("rn", row_number().over(wnb))
+    cooc.withColumn("rn", row_number().over(wnb))
       .filter($"rn" <= 10).drop("rn")
-    val ci = ciRaw.distinct()
-      .localCheckpoint() // basket side + the already-bought anti-join
+  }
+
+  /** Basket scoring over the staged neighbor lists — shared by the
+    * full-corpus query and the time-split eval. */
+  private def recommendTop3(neighbors: DataFrame, ciRaw: DataFrame): DataFrame = {
+    val s = neighbors.sparkSession
+    import s.implicits._
+    val ci = ciRaw // caller passes the DISTINCT, checkpointed basket
     // the truncated item-item matrix is items × 10 — catalog-sized, not
     // corpus-sized — so it broadcasts at any data scale; baskets never
     // shuffle for the fan-out join
@@ -966,11 +1001,13 @@ object Relational {
 
   private def qRecommend(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    recommendTop3(
-      Tables.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p")),
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-        .select($"o_custkey".as("cust"), $"l_partkey".as("p")))
+    val ci = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint() // basket side + the already-bought anti-join
+    val nbrs = stagedNeighbors(s, d, "full",
+      Tables.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p")))
+    recommendTop3(nbrs, ci)
       .orderBy($"custkey", $"rank")
   }
   private val qRecommendSql =
@@ -1115,23 +1152,35 @@ object Relational {
       .select($"o_orderkey", $"o_custkey",
         expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)")
           .as("ts"))
+    // the boundary window runs over DISTINCT ORDER DATES — a
+    // calendar-bounded domain at any corpus size, so the plain global
+    // window is scale-safe here (unlike row-valued splits, which go
+    // through valueKeyedCums)
     val days = ord.groupBy($"ts").agg(count(lit(1)).as("c"))
-    val b = SemiStructured.valueKeyedCums(days, "ts", Seq("c"))
+    val wd = Window.orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = days
+      .withColumn("cum_c", sum($"c").over(wd))
+      .withColumn("tot_c", sum($"c").over(Window.partitionBy()))
       .agg(min(when($"cum_c" >= ceil($"tot_c" * 0.75), $"ts")).as("t75"))
+    // tagged stays LAZY: its three consumers re-run only a cheap
+    // orders scan, cheaper than an eager checkpoint barrier
     val tagged = ord.crossJoin(broadcast(b))
-      .withColumn("is_train", $"ts" <= $"t75").localCheckpoint()
+      .withColumn("is_train", $"ts" <= $"t75")
     val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
     val trainOrders = tagged.filter($"is_train")
     val oiTrain = li.join(trainOrders.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-    val ciTrain = li.join(trainOrders, $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("cust"), $"l_partkey".as("p"))
-    val recs = recommendTop3(oiTrain, ciTrain).localCheckpoint()
-    val trainPairs = ciTrain.distinct().localCheckpoint()
+    // ONE distinct train basket serves the CF chain, the anti-join
+    // inside it, and the new-part filter below
+    val ciT = li.join(trainOrders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint()
+    val recs = recommendTop3(stagedNeighbors(s, d, "t75", oiTrain), ciT)
     val testPos = li
       .join(tagged.filter(!$"is_train"), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("cust"), $"l_partkey".as("p")).distinct()
-      .join(trainPairs, Seq("cust", "p"), "left_anti")
+      .join(ciT, Seq("cust", "p"), "left_anti")
       .localCheckpoint()
     val recHits = recs
       .join(testPos.select($"cust".as("custkey"), $"p".as("rec_part"),

@@ -476,6 +476,18 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("recommender neighbor lists: queries after staging run zero builds") {
+    import graft.operators.Relational
+    SparkEntry.queries("q_recommend")(spark, sf).count()
+    SparkEntry.queries("q_recommend_eval")(spark, sf).count()
+    val before = Relational.nbrStageRuns.get()
+    assert(SparkEntry.queries("q_recommend")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("q_recommend_eval")(spark, sf).count() > 0)
+    assert(Relational.nbrStageRuns.get() == before,
+      "a query path re-ran the co-occurrence build instead of reading " +
+        "the staged neighbor lists")
+  }
+
   test("q_recommend_eval: metrics cohere and the split boundary is exact") {
     val Seq(row) = SparkEntry.queries("q_recommend_eval")(spark, sf)
       .collect().toSeq
