@@ -870,7 +870,63 @@ object TextAnalysis {
        |       ELSE 'very_difficult' END AS band
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // -- text_burstiness: term clumping (Church & Gale 1995) -----------------
+  // Does a term spread evenly across documents or CLUMP (names,
+  // topical jargon)? The variance-to-mean ratio of per-document counts
+  // — ≈1 for Poisson-spread function words, ≫1 for bursty content
+  // terms — is the statistic term-weighting and stopword induction
+  // read. Exactness is q_variance's integer-moment rule: per-(term,
+  // doc) counts are exact, (n_docs, Σc, Σc²) are exact integer sums
+  // over the CORPUS doc count (docs without the term contribute zeros
+  // — only through the closed form, never materialized), and VMR =
+  // (N·Σc² − (Σc)²)/(N·Σc) · N/(N−1)⁻¹… spelled as one IEEE expression
+  // over exact integers, rounded at 6. Top-20 terms by document
+  // frequency (df desc, term — pinned), each with df, total count, and
+  // burstiness.
+  private def burstiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val td = Tables.documents(s, d)
+      .select($"doc_id", explode(TextPrep.words($"text")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"t", $"doc_id").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    td.groupBy($"t")
+      .agg(count(lit(1)).as("df"),
+        sum($"c").as("tf"),
+        sum($"c" * $"c").as("s2"))
+      .crossJoin(broadcast(nDocs))
+      // sample variance over ALL nd docs (zeros included, closed form):
+      // var = (nd*s2 - tf^2) / (nd*(nd-1)); mean = tf/nd; vmr = var/mean
+      // moments widened to 128 bits BEFORE the multiply: tf² passes a
+      // LONG at corpus term frequencies (the q_selfjoin_size rule)
+      .select($"t".as("term"), $"df", $"tf",
+        round((($"nd".cast("decimal(38,0)") * $"s2"
+            - $"tf".cast("decimal(38,0)") * $"tf").cast("double") /
+          ($"nd".cast("decimal(38,0)") * ($"nd" - 1)).cast("double")) /
+          ($"tf".cast("double") / $"nd".cast("double")), 6).as("vmr6"))
+      .orderBy($"df".desc, $"term")
+      .limit(20)
+  }
+  private val burstinessSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS t
+       |            FROM documents),
+       |td AS (SELECT t, doc_id, COUNT(*) AS c FROM tok
+       |       WHERE t <> '' GROUP BY 1, 2),
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |g AS (SELECT t, COUNT(*) AS df,
+       |    CAST(SUM(c) AS BIGINT) AS tf,
+       |    CAST(SUM(c * c) AS BIGINT) AS s2
+       |  FROM td GROUP BY t)
+       |SELECT t AS term, df, tf,
+       |  round((CAST(CAST(nd AS HUGEINT) * s2
+       |        - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+       |      / CAST(CAST(nd AS HUGEINT) * (nd - 1) AS DOUBLE))
+       |    / (CAST(tf AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS vmr6
+       |FROM g CROSS JOIN nd
+       |ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_burstiness", burstiness, Some(burstinessSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("q_entropy", entropy, Some(entropySql)),
     QueryDef("text_hashing", hashingTrick, Some(hashingTrickSql)),

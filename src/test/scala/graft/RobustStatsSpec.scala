@@ -288,6 +288,34 @@ class RobustStatsSpec extends AnyFunSuite {
     got.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
   }
 
+  test("text_burstiness: VMR over zero-inclusive doc counts, brute force") {
+    val got = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.length
+    val counts = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        .filter(_.nonEmpty).groupBy(identity).map { case (t, g) =>
+          (t, id, g.length.toLong)
+        }
+    }
+    val byTerm = counts.groupBy(_._1)
+    val expTop = byTerm.view.mapValues(_.length).toSeq
+      .sortBy { case (t, df) => (-df, t) }.take(20)
+    assert(got.map(t => (t._1, t._2)).toSeq == expTop.map(t => (t._1, t._2.toLong)))
+    got.foreach { case (term, df, tf, vmr6) =>
+      val cs = byTerm(term).map(_._3)
+      assert(df == cs.length && tf == cs.sum, s"$term df/tf")
+      val s2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+      val varAll = (BigInt(nd) * s2 - BigInt(tf) * BigInt(tf)).toDouble /
+        (BigInt(nd) * BigInt(nd - 1)).toDouble
+      val vmr = varAll / (tf.toDouble / nd)
+      assert(vmr6 == BigDecimal(vmr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$term vmr")
+    }
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
