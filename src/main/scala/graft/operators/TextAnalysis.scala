@@ -925,7 +925,70 @@ object TextAnalysis {
        |FROM g CROSS JOIN nd
        |ORDER BY df DESC, term LIMIT 20""".stripMargin
 
+  // -- text_zipf: rank-frequency slope of the vocabulary -------------------
+  // Is the corpus Zipfian (slope ≈ −1) or degenerate (templated text
+  // flattens the head; boilerplate-heavy crawls steepen it)? OLS of
+  // ln(tf) on ln(rank) over the top-100 vocabulary under a pinned
+  // (tf desc, term) order. Each ln is quantized floor(·10⁶+0.5) — the
+  // regression then runs on exact integer moments (the q_regression
+  // rule; 128-bit widened products) and slope/R² are IEEE divisions of
+  // exact integers rounded at 6. Top-K plans as TakeOrderedAndProject.
+  private val ZipfK = 100
+  private def zipf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val top = Tables.documents(s, d)
+      .select(explode(TextPrep.words($"text")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"t").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"t").limit(ZipfK)
+      .localCheckpoint() // 100 rows; feeds the rank window + moments
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"tf".desc, $"t")
+    top
+      .withColumn("rn", row_number().over(w))
+      .select(
+        floor(log($"rn".cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log($"tf".cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"))
+      .select($"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("slope6"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+            (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2_6"))
+  }
+  private val zipfSql =
+    s"""WITH tok AS (SELECT unnest(${TextPrep.wordsSql}) AS t FROM documents),
+       |v AS (SELECT t, COUNT(*) AS tf FROM tok WHERE t <> '' GROUP BY t
+       |      ORDER BY tf DESC, t LIMIT $ZipfK),
+       |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, t) AS rn FROM v),
+       |q AS (SELECT
+       |    CAST(floor(ln(CAST(rn AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+       |  FROM r),
+       |m AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+       |  FROM q)
+       |SELECT n,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope6,
+       |  round((CAST(n * sxy - sx * sy AS DOUBLE)
+       |      * CAST(n * sxy - sx * sy AS DOUBLE))
+       |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2_6
+       |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_zipf", zipf, Some(zipfSql)),
     QueryDef("text_burstiness", burstiness, Some(burstinessSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("q_entropy", entropy, Some(entropySql)),

@@ -316,6 +316,34 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_zipf: quantized rank-frequency OLS matches a BigInt replay") {
+    val Seq(row) = SparkEntry.queries("text_zipf")(spark, sf).collect().toSeq
+    val (n, slope6, r26) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val tf = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(100)
+    assert(n == tf.length)
+    def q6(x: Double) = BigInt(math.floor(math.log(x) * 1e6 + 0.5).toLong)
+    val pts = tf.zipWithIndex.map { case ((_, f), i) =>
+      (q6(i + 1.0), q6(f.toDouble))
+    }
+    val nn = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = (nn * sxy - sx * sy).toDouble
+    val slope = num / (nn * sxx - sx * sx).toDouble
+    val r2 = num * num /
+      ((nn * sxx - sx * sx).toDouble * (nn * syy - sy * sy).toDouble)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope6 == r6(slope) && r26 == r6(r2))
+    assert(slope6 < 0 && r26 >= 0 && r26 <= 1)
+  }
+
   test("q_mann_whitney: doubled U from brute-force average ranks") {
     val Seq(row) = SparkEntry.queries("q_mann_whitney")(spark, sf)
       .collect().toSeq
