@@ -2218,7 +2218,78 @@ object Similarity {
        |  round(sqrt(MAX(n2)), 6) AS max_norm6
        |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+  // -- q_knn_classify: k-NN vote over the staged similarity graph ----------
+  // The instance-based classic beside q_label_prop's graph propagation
+  // (Fix & Hodges 1951): each vector is classified by the majority
+  // TRUE label of its k=5 nearest verified neighbors — nearest by the
+  // stored cos6 score with (cos6 desc, partner id) as the pinned total
+  // order, majority ties broken by MIN label, vectors without verified
+  // neighbors honestly unpredicted (−1). LEAVE-ONE-OUT by construction
+  // (a vector is never its own neighbor), so the per-label accuracy
+  // table is an honest generalization estimate of how label-consistent
+  // the similarity graph is. Reads the STAGED pair set — zero band
+  // builds; everything after is per-node rank + vote on the pair list.
+  private val KnnK = 5
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = verifiedEmbPairs(s, d)
+    val sym = pairs.select($"vec_a".as("v"), $"vec_b".as("nbr"), $"cos6")
+      .union(pairs.select($"vec_b".as("v"), $"vec_a".as("nbr"), $"cos6"))
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val wk = Window.partitionBy($"v").orderBy($"cos6".desc, $"nbr")
+    val votes = sym
+      .withColumn("rn", row_number().over(wk))
+      .filter($"rn" <= KnnK)
+      .join(broadcast(labels.select($"vec_id".as("nbr"), $"label".as("nl"))),
+        "nbr")
+      .groupBy($"v", $"nl").agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy($"v").orderBy($"c".desc, $"nl")
+    val pred = votes.withColumn("vr", row_number().over(wv))
+      .filter($"vr" === 1).select($"v".as("vec_id"), $"nl".as("pred"))
+    labels
+      .join(broadcast(pred), Seq("vec_id"), "left")
+      .select($"label", coalesce($"pred", lit(-1)).as("pred"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" =!= -1, 1L).otherwise(0L)).as("n_predicted"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .select($"label", $"n", $"n_predicted", $"n_correct",
+        when($"n_predicted" > 0,
+          expr("n_correct * 1000000 div n_predicted")).otherwise(lit(-1L))
+          .as("acc_micro"))
+      .orderBy($"label")
+  }
+  private val knnClassifySql =
+    s"""WITH $embBandCtes,
+       |pairs AS (SELECT vec_a, vec_b, round(cos, 6) AS cos6 FROM scored
+       |          WHERE cos >= 0.4),
+       |sym AS (SELECT vec_a AS v, vec_b AS nbr, cos6 FROM pairs
+       |        UNION ALL SELECT vec_b, vec_a, cos6 FROM pairs),
+       |top AS (SELECT v, nbr FROM (
+       |    SELECT v, nbr, row_number() OVER (PARTITION BY v
+       |      ORDER BY cos6 DESC, nbr) AS rn FROM sym) WHERE rn <= $KnnK),
+       |votes AS (SELECT t.v, e.label AS nl, COUNT(*) AS c
+       |  FROM top t JOIN embeddings e ON e.vec_id = t.nbr GROUP BY 1, 2),
+       |pred AS (SELECT v AS vec_id, nl AS pred FROM (
+       |    SELECT v, nl, row_number() OVER (PARTITION BY v
+       |      ORDER BY c DESC, nl) AS vr FROM votes) WHERE vr = 1),
+       |j AS (SELECT e.label, COALESCE(p.pred, -1) AS pred
+       |  FROM embeddings e LEFT JOIN pred p ON p.vec_id = e.vec_id)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN pred <> -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_predicted,
+       |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CASE WHEN SUM(CASE WHEN pred <> -1 THEN 1 ELSE 0 END) > 0
+       |       THEN CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+       |         * 1000000 // SUM(CASE WHEN pred <> -1 THEN 1 ELSE 0 END)
+       |         AS BIGINT)
+       |       ELSE -1 END AS acc_micro
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("q_embedding_norms", embeddingNorms, Some(embeddingNormsSql)),
     QueryDef("q_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("q_label_prop", labelProp, Some(labelPropSql)),

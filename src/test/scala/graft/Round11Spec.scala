@@ -895,4 +895,36 @@ class Round11Spec extends AnyFunSuite {
         s"$t: estimate $est vs exact ${exact(t)}")
     }
   }
+
+  test("q_knn_classify: k=5 vote matches a sequential replay of the staged graph") {
+    import spark.implicits._
+    val pairs = operators.Similarity.verifiedEmbPairs(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val adj = (pairs.toSeq ++ pairs.map { case (a, b, c) => (b, a, c) })
+      .groupBy(_._1)
+    val pred: Map[Long, Int] = adj.map { case (v, es) =>
+      val top = es.map { case (_, n, c) => (c, n) }
+        .sortBy { case (c, n) => (-c, n) }.take(5)
+      val best = top.groupBy { case (_, n) => labels(n) }
+        .map { case (l, g) => (l, g.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      v -> best
+    }
+    val expected = labels.toSeq
+      .map { case (v, l) => (l, pred.getOrElse(v, -1)) }
+      .groupBy(_._1).map { case (l, g) =>
+        val np = g.count(_._2 != -1).toLong
+        val nc = g.count(t => t._2 == t._1).toLong
+        (l, g.size.toLong, np, nc, if (np > 0) nc * 1000000L / np else -1L)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0), "replay should predict at least one vector")
+  }
 }
