@@ -580,7 +580,62 @@ object RobustStats {
       |  CAST((cum * 1000000) // tot AS BIGINT) AS cum_share_micro
       |FROM c ORDER BY decile""".stripMargin
 
+  // -- q_weighted_median: revenue-weighted median discount -----------------
+  // The weighted quantile the plain median can't answer: "half the
+  // REVENUE ships at discount <= X" (each row votes its revenue, not
+  // 1). Weights are exact integer cents — the per-row revenue
+  // extendedprice*(1-discount) is row-local IEEE identical on both
+  // engines, quantized floor(x*100+0.5) BEFORE any sum (the dsum
+  // rule), so cumulative weights are exact 64-bit integers (1e4
+  // cents/row * 1e12 rows ~ 1e16 << 2^63 — headroom to far past
+  // 100 TB). The lower weighted median is the pinned-order rule:
+  // MIN discount with 2*cumw >= totw over the discount-ascending
+  // cumulative. SCALE SHAPE: the corpus collapses to <= |distinct
+  // discounts| rows per group (11 here) in ONE map-side-combined
+  // aggregate; both windows then walk those dozen rows — the window
+  // never sees the corpus (the Mann-Whitney distinct-values rule).
+  private def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+      $"l_returnflag".as("flag"), $"l_discount".as("disc"),
+      floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+        .cast("long").as("w"))
+    val agg = base.groupBy($"flag", $"disc")
+      .agg(count(lit(1)).as("nr"), sum($"w").as("sw"))
+    val wf = Window.partitionBy($"flag").orderBy($"disc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy($"flag")
+    agg
+      .select($"flag", $"disc", $"nr", $"sw",
+        sum($"sw").over(wf).as("cw"), sum($"sw").over(wg).as("tw"),
+        sum($"nr").over(wg).as("n"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"flag")
+      .agg(max($"n").as("n"), max($"tw").as("total_cents"),
+        min($"disc").as("wmed_discount"))
+      .select($"flag".as("l_returnflag"), $"n", $"total_cents",
+        $"wmed_discount")
+      .orderBy($"l_returnflag")
+  }
+  private val qWeightedMedianSql =
+    """WITH b AS (SELECT l_returnflag AS flag, l_discount AS disc,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS w FROM lineitem),
+      |a AS (SELECT flag, disc, COUNT(*) AS nr, SUM(w) AS sw
+      |      FROM b GROUP BY 1, 2),
+      |c AS (SELECT flag, disc, nr, sw,
+      |    SUM(sw) OVER (PARTITION BY flag ORDER BY disc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(sw) OVER (PARTITION BY flag) AS tw,
+      |    SUM(nr) OVER (PARTITION BY flag) AS n
+      |  FROM a)
+      |SELECT flag AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(tw) AS BIGINT) AS total_cents,
+      |  MIN(disc) AS wmed_discount
+      |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianSql)),
     QueryDef("q_lorenz", qLorenz, Some(qLorenzSql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),

@@ -369,4 +369,25 @@ class RobustStatsSpec extends AnyFunSuite {
     val z = (u1 - n1 * n2 / 2.0) / math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
     assert(z6 == BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q_weighted_median: lower weighted median matches a sequential fold") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_discount", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        math.floor(r.getDouble(2) * (1.0 - r.getDouble(1)) * 100 + 0.5).toLong))
+    val expected = rows.groupBy(_._1).map { case (flag, g) =>
+      val byDisc = g.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tw = byDisc.map(_._2).sum
+      val wmed = byDisc
+        .scanLeft((0.0, 0L)) { case ((_, c), (disc, sw)) => (disc, c + sw) }
+        .tail.find { case (_, cw) => cw * 2 >= tw }.get._1
+      flag -> (g.length.toLong, tw, wmed)
+    }
+    val got = SparkEntry.queries("q_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+  }
 }
