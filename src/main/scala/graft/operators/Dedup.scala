@@ -1636,6 +1636,108 @@ object Dedup {
         expr("n_dropped * 1000000 div n_docs").as("drop_rate_micro"))
       .orderBy($"source")
   }
+  // -- q_modularity: source-partition modularity of the near-dup graph -----
+  // Newman-Girvan modularity (2004) with the SOURCE as the community:
+  // do near-dups concentrate WITHIN sources (mirrors/boilerplate inside
+  // a crawl, Q -> 1) or straddle them (cross-source syndication, Q <= 0)?
+  // Q_s = e_s/m - (d_s/2m)^2 per source plus the exact overall Q on an
+  // 'ALL' row — everything exact 128-bit integers: contrib_micro =
+  // (4m*e_s + 4m^2 - d_s^2)*10^6 div 4m^2 - 10^6, the +4m^2 SHIFT
+  // keeping the numerator nonnegative (d_s <= 2m structurally) so
+  // Spark's truncating div and DuckDB's flooring // agree (the
+  // q_mutual_info rule). Reads the STAGED pair graph; the corpus-sized
+  // doc->source dimension never shuffles (pair-sized builds broadcast
+  // into it), aggregates are map-side combined.
+  private def modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val withA = src.select($"doc_id".as("doc_a"), $"source".as("src_a"))
+      .join(broadcast(pairs), "doc_a")
+    val edges = src.select($"doc_id".as("doc_b"), $"source".as("src_b"))
+      .join(broadcast(withA), "doc_b")
+    val degS = edges.select(explode(array($"src_a", $"src_b")).as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("deg_sum"))
+    val intra = edges.filter($"src_a" === $"src_b")
+      .groupBy($"src_a".as("source")).agg(count(lit(1)).as("intra_edges"))
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val nodeS = src.join(broadcast(nodes), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_nodes"))
+    val mdf = pairs.agg(count(lit(1)).as("m"))
+    val base = nodeS.join(degS, "source")
+      .join(intra, Seq("source"), "left")
+      .select($"source", $"n_nodes",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"), $"deg_sum")
+      .crossJoin(broadcast(mdf))
+    val contrib = expr(
+      """((cast(intra_edges as decimal(38,0)) * 4 * m
+        |  + cast(m as decimal(38,0)) * m * 4
+        |  - cast(deg_sum as decimal(38,0)) * deg_sum) * 1000000)
+        | div (cast(m as decimal(38,0)) * m * 4) - 1000000""".stripMargin)
+    val per = base.select($"source", $"n_nodes", $"intra_edges", $"deg_sum",
+      contrib.as("contrib_micro"))
+    // overall Q sums the per-source RATIONALS before the one floor:
+    // (4m*sum(e_s) - sum(d_s^2))*10^6 div 4m^2 (+ the same shift) —
+    // sum(d_s^2) <= (sum d_s)^2 = 4m^2 keeps the shifted numerator >= 0
+    val all = base.groupBy()
+      .agg(sum($"n_nodes").as("n_nodes"),
+        sum($"intra_edges").as("intra_edges"),
+        sum($"deg_sum").as("deg_sum"),
+        sum(expr("cast(deg_sum as decimal(38,0)) * deg_sum")).as("sq"),
+        max($"m").as("m"))
+      .select(lit("ALL").as("source"), $"n_nodes", $"intra_edges",
+        $"deg_sum",
+        expr("""((cast(intra_edges as decimal(38,0)) * 4 * m
+          |  + cast(m as decimal(38,0)) * m * 4 - sq) * 1000000)
+          | div (cast(m as decimal(38,0)) * m * 4) - 1000000""".stripMargin)
+          .as("contrib_micro"))
+    per.unionByName(all).orderBy($"source")
+  }
+  private val modularitySql =
+    s"""WITH $jaccardCtes,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |e AS (SELECT da.source AS src_a, db.source AS src_b
+       |  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+       |               JOIN documents db ON db.doc_id = p.doc_b),
+       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |deg AS (SELECT source, COUNT(*) AS deg_sum FROM (
+       |    SELECT src_a AS source FROM e UNION ALL SELECT src_b FROM e)
+       |  GROUP BY 1),
+       |intra AS (SELECT src_a AS source, COUNT(*) AS intra_edges
+       |  FROM e WHERE src_a = src_b GROUP BY 1),
+       |nodes AS (SELECT d.source, COUNT(*) AS n_nodes FROM (
+       |    SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM pairs
+       |      UNION ALL SELECT doc_b FROM pairs)) x
+       |  JOIN documents d ON d.doc_id = x.doc_id GROUP BY 1),
+       |base AS (SELECT n.source, n.n_nodes,
+       |    COALESCE(i.intra_edges, 0) AS intra_edges, g.deg_sum, mm.m
+       |  FROM nodes n JOIN deg g ON g.source = n.source
+       |  LEFT JOIN intra i ON i.source = n.source CROSS JOIN mm),
+       |per AS (SELECT source, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |    CAST(intra_edges AS BIGINT) AS intra_edges,
+       |    CAST(deg_sum AS BIGINT) AS deg_sum,
+       |    CAST(((CAST(intra_edges AS HUGEINT) * 4 * m
+       |        + CAST(m AS HUGEINT) * m * 4
+       |        - CAST(deg_sum AS HUGEINT) * deg_sum) * 1000000)
+       |      // (CAST(m AS HUGEINT) * m * 4) - 1000000 AS BIGINT)
+       |      AS contrib_micro
+       |  FROM base),
+       |allr AS (SELECT 'ALL' AS source,
+       |    CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(intra_edges) AS BIGINT) AS intra_edges,
+       |    CAST(SUM(deg_sum) AS BIGINT) AS deg_sum,
+       |    CAST(((SUM(CAST(intra_edges AS HUGEINT)) * 4 * MAX(m)
+       |        + CAST(MAX(m) AS HUGEINT) * MAX(m) * 4
+       |        - SUM(CAST(deg_sum AS HUGEINT) * deg_sum)) * 1000000)
+       |      // (CAST(MAX(m) AS HUGEINT) * MAX(m) * 4) - 1000000 AS BIGINT)
+       |      AS contrib_micro
+       |  FROM base)
+       |SELECT * FROM per UNION ALL SELECT * FROM allr ORDER BY source""".stripMargin
+
   private val dedupImpactSql =
     s"""WITH $jaccardCtes,
        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
@@ -1661,6 +1763,7 @@ object Dedup {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_modularity", modularity, Some(modularitySql)),
     QueryDef("q_dedup_impact", dedupImpact, Some(dedupImpactSql)),
     QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),
     QueryDef("q_kcore", kcore, Some(kcoreSql)),

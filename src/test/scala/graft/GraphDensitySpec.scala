@@ -548,4 +548,40 @@ class GraphDensitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_modularity: per-source contributions and overall Q match BigInt replay") {
+    val got = SparkEntry.queries("q_modularity")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = BigInt(pairs.length)
+    val edges = pairs.map { case (a, b) => (srcOf(a), srcOf(b)) }
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(g => BigInt(g.length)).toMap
+    val intra = edges.filter(e => e._1 == e._2)
+      .groupBy(_._1).view.mapValues(g => BigInt(g.length)).toMap
+    val nNodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(srcOf).view.mapValues(_.length.toLong).toMap
+    def shiftedFloor(num: BigInt): Long = {
+      val den = 4 * m * m
+      ((num + den) * 1000000 / den - 1000000).toLong
+    }
+    assert(got.keySet == deg.keySet + "ALL")
+    deg.keySet.foreach { s =>
+      val e = intra.getOrElse(s, BigInt(0))
+      val d = deg(s)
+      val exp = (nNodes(s), e.toLong, d.toLong, shiftedFloor(4 * m * e - d * d))
+      assert(got(s) == exp, s"source $s")
+    }
+    val sq = deg.values.map(d => d * d).sum
+    val eAll = intra.values.sum
+    val expAll = (nNodes.values.sum, eAll.toLong, (2 * m).toLong,
+      shiftedFloor(4 * m * eAll - sq))
+    assert(got("ALL") == expAll)
+    // sanity: Q is bounded and the per-source rows decompose the graph
+    assert(got("ALL")._4 >= -1000000L && got("ALL")._4 <= 1000000L)
+  }
 }
