@@ -598,6 +598,63 @@ object SemiStructured {
        |FROM ex CROSS JOIN est""".stripMargin
   }
 
+  // -- two-table join size estimation from CMS inner product ----------------
+  // The general form of q_selfjoin_size's F2: |R ⋈ S on k| = Σ_k
+  // n_R(k)·n_S(k) is the CMS INNER PRODUCT (Cormode & Muthukrishnan
+  // 2005, §4.2) — sketch each side independently with the SAME hash
+  // family, estimate = min over rows j of Σ_b cR_j[b]·cS_j[b]; always
+  // an overestimate (colliding keys add cross terms), within
+  // F1(R)·F1(S)/w w.h.p. This is the planner's pre-flight for a join
+  // it hasn't run: both sketches are mergeable d×w counter grids built
+  // in one map-side-combined pass per table — at 100 TB the two tables
+  // never meet; only 2·d·w longs do. Exact join size rides along as
+  // ground truth via the (key, count)⋈(key, count) aggregate.
+  private def joinSizeCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def sketch(keys: DataFrame, cname: String): DataFrame = keys
+      .select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"),
+          (Behavioral.mixKey(concat_ws(":", lit(j), $"k")) % F2W)
+            .as("bucket"))): _*)).as("h"))
+      .select($"h.j", $"h.bucket")
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as(cname))
+    val ko = Tables.orders(s, d).select($"o_orderkey".as("k"))
+    val kl = Tables.lineitem(s, d).select($"l_orderkey".as("k"))
+    // cast BEFORE multiplying (the q_selfjoin_size 128-bit rule)
+    val est = sketch(ko, "co").join(sketch(kl, "cl"), Seq("j", "bucket"))
+      .groupBy($"j")
+      .agg(sum($"co".cast("decimal(38,0)") * $"cl").as("e"))
+      .agg(min($"e").cast("long").as("join_est"))
+    val exact = ko.groupBy($"k").agg(count(lit(1)).as("n_r"))
+      .join(kl.groupBy($"k").agg(count(lit(1)).as("n_s")), "k")
+      .agg(count(lit(1)).as("n_shared_keys"),
+        sum($"n_r".cast("decimal(38,0)") * $"n_s").cast("long")
+          .as("join_exact"))
+    exact.crossJoin(est)
+      .select($"n_shared_keys", $"join_exact", $"join_est",
+        ($"join_est" - $"join_exact").as("overcount"))
+  }
+  private val joinSizeCmsSql = {
+    val h = Behavioral.mixKeySql("concat(j, ':', k)")
+    s"""WITH ko AS (SELECT o_orderkey AS k FROM orders),
+       |kl AS (SELECT l_orderkey AS k FROM lineitem),
+       |so AS (SELECT j.j AS j, $h % $F2W AS bucket, COUNT(*) AS co
+       |       FROM ko, unnest(range(0, $CmsD)) j(j) GROUP BY 1, 2),
+       |sl AS (SELECT j.j AS j, $h % $F2W AS bucket, COUNT(*) AS cl
+       |       FROM kl, unnest(range(0, $CmsD)) j(j) GROUP BY 1, 2),
+       |est AS (SELECT CAST(MIN(e) AS BIGINT) AS join_est FROM (
+       |  SELECT so.j, SUM(CAST(co AS HUGEINT) * cl) AS e
+       |  FROM so JOIN sl ON sl.j = so.j AND sl.bucket = so.bucket
+       |  GROUP BY so.j)),
+       |ex AS (SELECT COUNT(*) AS n_shared_keys,
+       |    CAST(SUM(CAST(n_r AS HUGEINT) * n_s) AS BIGINT) AS join_exact
+       |  FROM (SELECT k, COUNT(*) AS n_r FROM ko GROUP BY 1) a
+       |  JOIN (SELECT k, COUNT(*) AS n_s FROM kl GROUP BY 1) b USING (k))
+       |SELECT n_shared_keys, join_exact, join_est,
+       |  join_est - join_exact AS overcount
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
   // -- join-key skew diagnostic --------------------------------------------
   // The measurement that decides whether a join needs salting (SURVEY
   // #46): per-key counts → the heaviest keys with their share of the
@@ -993,6 +1050,7 @@ object SemiStructured {
     QueryDef("q_gini", gini, Some(giniSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),
+    QueryDef("q_joinsize_cms", joinSizeCms, Some(joinSizeCmsSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),

@@ -896,6 +896,27 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_joinsize_cms: exact size matches brute force; inner product never undercounts") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q_joinsize_cms")(spark, sf).head()
+    val no = Tables.orders(spark, sf).select($"o_orderkey").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nl = Tables.lineitem(spark, sf).select($"l_orderkey").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val shared = no.keySet & nl.keySet
+    val exact = shared.toSeq.map(k => no(k) * nl(k)).sum
+    assert(r.getAs[Long]("n_shared_keys") == shared.size.toLong)
+    assert(r.getAs[Long]("join_exact") == exact)
+    val est = r.getAs[Long]("join_est")
+    assert(est >= exact, s"CMS inner product must overcount: $est < $exact")
+    assert(r.getAs[Long]("overcount") == est - exact)
+    // the CMS guarantee: overcount <= e*F1(R)*F1(S)/w w.h.p. (w=1024)
+    val f1r = no.values.sum
+    val f1l = nl.values.sum
+    assert(est - exact <= 3L * f1r * f1l / 1024L,
+      s"overcount ${est - exact} breaches the e*F1*F1/w bound")
+  }
+
   test("q_knn_classify: k=5 vote matches a sequential replay of the staged graph") {
     import spark.implicits._
     val pairs = operators.Similarity.verifiedEmbPairs(spark, sf)
