@@ -109,6 +109,113 @@ object Dedup {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- dedup_blocking: multi-pass sorted-neighborhood blocking audit --------
+  // The THIRD blocking family beside hashing (LSH bands) and prefix
+  // filtering (AllPairs): Hernández & Stolfo's 1995 sorted-neighborhood
+  // method — sort the corpus by a cheap key, compare only rows within a
+  // fixed rank window w. One pass misses pairs whose key diverges
+  // early, so production SNM is MULTI-PASS (union candidates over
+  // independent keys); here pass A sorts by the first 24 normalized
+  // chars, pass B by the LAST 24 (a perturbed opening rarely also
+  // perturbs the ending). Candidates = rank distance 1..w-1 under each
+  // order, realized as an EQUI-join (each row probes rank+1..rank+w-1
+  // — never a range join), ranks from the curriculum's layout-free
+  // range-partitioned enumeration. The audit row scores the blocking
+  // against the exact tau=0.8 truth (the shared-gram inverted-index
+  // join, 9c >= 4(sa+sb) integer rule): candidate volume vs recall is
+  // THE sorting-key design loop. 100 TB shape: sort + window is one
+  // range exchange per pass; candidate count is w-bounded per row; the
+  // exact-truth leg is the declared eval baseline (same as
+  // dedup_minhash_recall), not a production path.
+  private val SnmW = 6
+  private def snmRanked(s: SparkSession, df: DataFrame, key: Column)
+      : DataFrame = {
+    import s.implicits._
+    val keyed = df.select($"doc_id", key.as("bk")).orderBy($"bk", $"doc_id")
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rn", org.apache.spark.sql.types.LongType, nullable = false))
+    s.createDataFrame(
+      keyed.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
+      .select($"doc_id", $"rn")
+  }
+  private def snmCandidates(s: SparkSession, ranked: DataFrame): DataFrame = {
+    import s.implicits._
+    val r = ranked.localCheckpoint()
+    val probes = r.select($"doc_id".as("id_a"),
+      explode(array((1 until SnmW).map(i => $"rn" + i): _*)).as("rn"))
+    probes.join(r.select($"doc_id".as("id_b"), $"rn"), "rn")
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"))
+  }
+  private def snmBlocking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val nt = TextPrep.norm($"text")
+    val candA = snmCandidates(s, snmRanked(s, docs, substring(nt, 1, 24)))
+    val candB = snmCandidates(s, snmRanked(s, docs,
+      substring(reverse(nt), 1, 24)))
+    val cand = candA.union(candB).distinct().localCheckpoint()
+    val grams = docs
+      .repartition($"doc_id")
+      .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
+      .localCheckpoint()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val truth = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .filter($"c" * 9 >= ($"sa.sz" + $"sb.sz") * 4)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    // cand is O(w * corpus) rows — never broadcast; narrow shuffle join
+    val found = truth.hint("shuffle_hash").join(cand, Seq("doc_a", "doc_b"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select($"n_docs", $"n_candidates", $"n_truth", $"n_found",
+        when($"n_truth" > 0, expr("n_found * 1000000 div n_truth"))
+          .otherwise(lit(-1L)).as("recall_micro"))
+  }
+  // lazy: jaccardCtes is declared further down in this object
+  private lazy val snmBlockingSql = {
+    val nt = TextPrep.normSql
+    s"""WITH $jaccardCtes,
+       |truth AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 9 >= (sa.sz + sb.sz) * 4),
+       |ka AS (SELECT doc_id, substr($nt, 1, 24) AS bk FROM documents),
+       |kb AS (SELECT doc_id, substr(reverse($nt), 1, 24) AS bk
+       |       FROM documents),
+       |ra AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bk, doc_id) AS rn FROM ka),
+       |rb AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bk, doc_id) AS rn FROM kb),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |           greatest(a.doc_id, b.doc_id) AS doc_b
+       |    FROM ra a JOIN ra b ON b.rn > a.rn AND b.rn <= a.rn + ${SnmW - 1}
+       |    UNION ALL
+       |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+       |    FROM rb a JOIN rb b ON b.rn > a.rn AND b.rn <= a.rn + ${SnmW - 1})),
+       |agg AS (SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM truth t JOIN cand c
+       |     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found)
+       |SELECT n_docs, n_candidates, n_truth, n_found,
+       |  CASE WHEN n_truth > 0
+       |       THEN CAST(n_found * 1000000 // n_truth AS BIGINT)
+       |       ELSE -1 END AS recall_micro
+       |FROM agg""".stripMargin
+  }
+
   // -- exact set-similarity self-join via prefix filtering (AllPairs) -------
   // MinHash-LSH is probabilistic; this is the EXACT τ-Jaccard join made
   // feasible by candidate pruning instead of sketching (Bayardo et al.
@@ -1763,6 +1870,7 @@ object Dedup {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_blocking", snmBlocking, Some(snmBlockingSql)),
     QueryDef("q_modularity", modularity, Some(modularitySql)),
     QueryDef("q_dedup_impact", dedupImpact, Some(dedupImpactSql)),
     QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),

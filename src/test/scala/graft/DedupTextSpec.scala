@@ -232,4 +232,44 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(1) == ((1L, "x")))
     assert(out(2) == ((3L, "one two three"))) // no dups -> unchanged
   }
+
+  test("dedup_blocking: two-pass SNM audit matches a sequential replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String) = t.replaceAll("\\s+", " ").trim.toLowerCase
+    def shingles(t: String): Set[String] = {
+      val w = norm(t).split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = docs.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sh(a) & sh(b)).size
+      if c >= 1 && 9L * c >= 4L * (sh(a).size + sh(b).size)
+    } yield (a, b)).toSet
+    def candPairs(key: String => String): Set[(Long, Long)] = {
+      val order = docs.map { case (id, t) => (key(t), id) }
+        .sortBy(identity).map(_._2)
+      (for {
+        i <- order.indices
+        j <- (i + 1) until math.min(i + 6, order.length)
+      } yield {
+        val (a, b) = (order(i), order(j))
+        (a min b, a max b)
+      }).toSet
+    }
+    val cand = candPairs(t => norm(t).take(24)) ++
+      candPairs(t => norm(t).reverse.take(24))
+    val found = truth & cand
+    val r = SparkEntry.queries("dedup_blocking")(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(r.getAs[Long]("n_candidates") == cand.size.toLong)
+    assert(r.getAs[Long]("n_truth") == truth.size.toLong)
+    assert(r.getAs[Long]("n_found") == found.size.toLong)
+    assert(r.getAs[Long]("recall_micro") ==
+      (if (truth.isEmpty) -1L else found.size.toLong * 1000000L / truth.size))
+  }
 }
