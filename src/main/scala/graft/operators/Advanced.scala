@@ -1048,7 +1048,65 @@ object Advanced {
       |FROM cust c JOIN frontier f ON c.bal = f.bal AND c.act = f.act
       |ORDER BY c.c_custkey""".stripMargin
 
+  // -- q_ewma_trend: exponential smoothing over the daily revenue series ----
+  // The forecasting primitive the rolling/gap-fill family lacks:
+  // exponentially weighted moving average (Brown 1956; Holt's level
+  // term), alpha = 1/4, over daily order revenue. EWMA is inherently
+  // SEQUENTIAL (s_t = s_{t-1} + alpha*(x_t - s_{t-1})), so the
+  // discipline is the PCA one: the corpus collapses to the per-day
+  // aggregate DISTRIBUTED (one map-side-combined groupBy over exact
+  // integer cents), then the recurrence runs driver-side in BigInt over
+  // the O(calendar-days) series — time-proportional, never
+  // data-proportional. State is cents·2^20 integer: s_0 = x_0·2^20,
+  // s_t = s_{t-1} - s_{t-1} div 4 + x_t·2^20 div 4 — truncating div on
+  // nonnegative state == DuckDB's flooring //, so the oracle replays
+  // the identical bits with a recursive CTE in HUGEINT (the engine-run
+  // fixpoint; contrast the driver-loop ops). Output re-scales to
+  // ewma_cents = s div 2^20.
+  private val EwmaShift = 20
+  private def ewmaTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .orderBy($"day")
+    val series = daily.collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    val sc = BigInt(1) << EwmaShift
+    var st = BigInt(-1)
+    val out = series.map { case (day, c) =>
+      st = if (st < 0) BigInt(c) * sc
+           else st - st / 4 + (BigInt(c) * sc) / 4
+      (day, c, (st / sc).toLong)
+    }
+    s.createDataFrame(out.toSeq.map(t => (t._1, t._2, t._3)))
+      .toDF("day", "revenue_cents", "ewma_cents")
+      .orderBy($"day")
+  }
+  private val ewmaTrendSql =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT day, cents,
+       |    row_number() OVER (ORDER BY day) AS rn FROM daily),
+       |ew AS (
+       |  SELECT rn, day, cents, CAST(cents AS HUGEINT) * ${1L << EwmaShift}
+       |    AS s
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.cents,
+       |    e.s - (e.s // 4) + ((CAST(d.cents AS HUGEINT)
+       |      * ${1L << EwmaShift}) // 4)
+       |  FROM ew e JOIN r d ON d.rn = e.rn + 1)
+       |SELECT day, cents AS revenue_cents,
+       |  CAST(s // ${1L << EwmaShift} AS BIGINT) AS ewma_cents
+       |FROM ew ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ewma_trend", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("q_skyline", skyline, Some(skylineSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rolling_agg", qRollingAgg, Some(qRollingAggSql)),

@@ -896,6 +896,32 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_ewma_trend: scaled-integer EWMA matches a BigInt replay of the recurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_date
+    val daily = Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate").as("day"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getDate(0).toString,
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val sc = BigInt(1) << 20
+    var st = BigInt(-1)
+    val expected = daily.map { case (day, c) =>
+      st = if (st < 0) BigInt(c) * sc else st - st / 4 + (BigInt(c) * sc) / 4
+      (day, c, (st / sc).toLong)
+    }
+    val got = SparkEntry.queries("q_ewma_trend")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // smoothing property: after day 1 the EWMA never leaves the data hull
+    val lo = daily.map(_._2).min; val hi = daily.map(_._2).max
+    got.foreach { case (day, _, e) =>
+      assert(e >= lo - 1 && e <= hi + 1, s"$day ewma $e outside [$lo,$hi]")
+    }
+  }
+
   test("q_joinsize_cms: exact size matches brute force; inner product never undercounts") {
     import spark.implicits._
     val r = SparkEntry.queries("q_joinsize_cms")(spark, sf).head()
