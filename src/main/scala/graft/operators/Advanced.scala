@@ -550,9 +550,9 @@ object Advanced {
   // 4-ary tree (2 bits per level): half the binary tree's explode
   // fan-out for ≤ 3 straddling nodes per level — error ≤ 14·3·T,
   // ~2% of rank at K = 2048, well inside the 5% spec bound
-  private val QdLevels = 26 // universe 2^26 cents ≈ $670k upper bound
-  private val QdStep = 2    // bits per tree level (arity 4)
-  private val QdK = 2048L   // compression target: T = max(1, n/K)
+  private[graft] val QdLevels = 26 // universe 2^26 cents ≈ $670k upper bound
+  private[graft] val QdStep = 2    // bits per tree level (arity 4)
+  private val QdK = 2048L          // compression target: T = max(1, n/K)
 
   private def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -575,10 +575,27 @@ object Advanced {
       .select($"g", $"v", explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
       .withColumn("node", expr("shiftright(v, l)"))
     val sub0 = lv.groupBy($"g", $"l", $"node").agg(count(lit(1)).as("sc"))
+    qdigestQuantiles(sub0, "l_returnflag")
+  }
+
+  /** Q-digest epilogue shared by the batch sketch and its streaming
+    * twin: from the MERGEABLE (g, l, node, sc) subtree-count state —
+    * counts are order-insensitive sums, so a drained complete-mode
+    * stream state is bit-identical to the batch aggregate — to
+    * per-group p50/p95/p99. Any drift between the twins is a compile
+    * error, not a test failure (the rollingActivesFrom rule). */
+  private[graft] def qdigestQuantiles(sub0: DataFrame, gOut: String)
+      : DataFrame = {
+    val s = sub0.sparkSession
+    import s.implicits._
+    // alias-break the totals side: the state frame and its aggregate
+    // share attribute ids (visible when the input is a memory-sink
+    // table), so the join keys must be fresh attributes
     val nTot = sub0.filter($"l" === QdLevels)
       .groupBy($"g").agg(sum($"sc").as("n"))
+      .select($"g".as("ng"), $"n")
     val sub = sub0
-      .join(broadcast(nTot), "g")
+      .join(broadcast(nTot), $"g" === $"ng").drop("ng")
       .withColumn("t", greatest(lit(1L), expr(s"n div $QdK")))
       .localCheckpoint() // two consumers (child + parent side) below
     // maximal light nodes: light, with a heavy (or absent = root) parent
@@ -601,14 +618,14 @@ object Advanced {
     val wCum = Window.partitionBy($"g").orderBy($"ub", $"lvl", $"pnode")
     digest
       .withColumn("cum", sum($"dc").over(wCum))
-      .join(broadcast(nTot), "g")
+      .join(broadcast(nTot), $"g" === $"ng").drop("ng")
       .groupBy($"g")
       .agg(
         (min(when($"cum" >= ceil(lit(0.5) * $"n"), $"ub")) / 100.0).as("p50"),
         (min(when($"cum" >= ceil(lit(0.95) * $"n"), $"ub")) / 100.0).as("p95"),
         (min(when($"cum" >= ceil(lit(0.99) * $"n"), $"ub")) / 100.0).as("p99"))
-      .select($"g".as("l_returnflag"), $"p50", $"p95", $"p99")
-      .orderBy($"l_returnflag")
+      .select($"g".as(gOut), $"p50", $"p95", $"p99")
+      .orderBy(col(gOut))
   }
   // -- q_sketch_error: accuracy monitor for the quantile digest --------------
   // The monitor-per-sketch rule applied to quantiles (ANN has recall +
@@ -638,10 +655,13 @@ object Advanced {
       .orderBy($"l_returnflag", $"q")
   }
 
-  private val qQuantileSketchSql =
-    s"""WITH vc AS (SELECT l_returnflag AS g,
-       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v, COUNT(*) AS c
-       |  FROM lineitem GROUP BY 1, 2),
+  /** The full Q-digest oracle for any (table, group col, cent expr) —
+    * shared with the streaming twin's oracle. */
+  private[graft] def qdigestSql(src: String, gcol: String, vexpr: String,
+      out: String): String =
+    s"""WITH vc AS (SELECT $gcol AS g,
+       |    CAST($vexpr AS BIGINT) AS v, COUNT(*) AS c
+       |  FROM $src GROUP BY 1, 2),
        |nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY g),
        |lv AS (SELECT g, v, c, t.l, v >> CAST(t.l AS INTEGER) AS node
        |  FROM vc, unnest(range(0, ${QdLevels + 1}, $QdStep)) t(l)),
@@ -663,12 +683,15 @@ object Advanced {
        |    SUM(dc) OVER (PARTITION BY g ORDER BY
        |      ((pnode + 1) << CAST(lvl AS INTEGER)) - 1, lvl, pnode) AS cum
        |  FROM digest)
-       |SELECT g AS l_returnflag,
+       |SELECT g AS $out,
        |  MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN ub END) / 100.0 AS p50,
        |  MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n) THEN ub END) / 100.0 AS p95,
        |  MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN ub END) / 100.0 AS p99
        |FROM cums JOIN nt USING (g)
-       |GROUP BY g ORDER BY l_returnflag""".stripMargin
+       |GROUP BY g ORDER BY $out""".stripMargin
+
+  private val qQuantileSketchSql = qdigestSql("lineitem", "l_returnflag",
+    "floor(l_extendedprice * 100 + 0.5)", "l_returnflag")
 
   private val qSketchErrorSql =
     s"""WITH ex AS (SELECT * FROM ($qPercentileSql)),

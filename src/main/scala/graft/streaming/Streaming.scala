@@ -1111,6 +1111,36 @@ object Streaming {
         state.select($"user_id", $"day"))
     }
 
+  // -- #43t streaming quantile sketch (mergeable Q-digest state) ------------
+  // The quantile member of the "state IS the artifact" family
+  // (stream_approx_distinct / stream_cms / stream_user_growth): the
+  // stream maintains the Q-digest's (group, level, node) subtree
+  // counts as complete-mode state — plain sums, mergeable and
+  // arrival-order-insensitive, so the drained state is BIT-IDENTICAL
+  // to the batch aggregate — and p50/p95/p99 derive from that state
+  // through the SAME epilogue the batch q_quantile_sketch runs
+  // (Advanced.qdigestQuantiles — shared code, drift is a compile
+  // error). Values are event `value` cents (bounded « 2^26 by the
+  // generator); state is O(groups × digest nodes), independent of
+  // stream length. Oracle = the full batch Q-digest SQL over events.
+  private def quantileStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      import graft.operators.Advanced.{QdLevels, QdStep}
+      val sub0 = eventsStream(s, d)
+        .select($"event_type".as("g"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        .select($"g", $"v",
+          explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
+        .withColumn("node", expr("shiftright(v, l)"))
+        .groupBy($"g", $"l", $"node").agg(count(lit(1)).as("sc"))
+      val state = runToMemory(sub0, "graft_stream_qdigest",
+        OutputMode.Complete())
+      graft.operators.Advanced.qdigestQuantiles(state, "event_type")
+    }
+  private val quantileStreamSql = graft.operators.Advanced.qdigestSql(
+    "events", "event_type", "floor(value * 100 + 0.5)", "event_type")
+
   private def cmsStream(s: SparkSession, d: String): DataFrame =
     withStateParts(s, 8) {
       import s.implicits._
@@ -1185,6 +1215,7 @@ object Streaming {
       Some(approxDistinctStreamSql)),
     QueryDef("stream_file_sink", fileSinkStream, Some(fileSinkStreamSql)),
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
+    QueryDef("stream_quantile", quantileStream, Some(quantileStreamSql)),
     QueryDef("stream_user_growth", userGrowthStream,
       Some(graft.operators.Behavioral.userGrowthSql)),
     QueryDef("stream_rolling_actives", rollingActivesStream,

@@ -896,6 +896,46 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_quantile equals the batch Q-digest and bounds quantile error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("stream_quantile")(spark, sf)
+      .collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val ops = graft.operators.Advanced
+    val sub0 = Tables.events(spark, sf)
+      .select($"event_type".as("g"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .select($"g", $"v",
+        explode(expr(s"sequence(0, ${ops.QdLevels}, ${ops.QdStep})")).as("l"))
+      .withColumn("node", expr("shiftright(v, l)"))
+      .groupBy($"g", $"l", $"node").agg(count(lit(1)).as("sc"))
+    val batch = ops.qdigestQuantiles(sub0, "event_type")
+      .collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch,
+      "drained digest state must reproduce the batch sketch exactly")
+    // the digest bounds RANK error (<= 14 levels * 3 straddling nodes
+    // * T), not value error — assert the structure's actual guarantee
+    val cents = Tables.events(spark, sf)
+      .select($"event_type", expr("CAST(floor(value*100+0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    streamed.foreach { case (t, (p50, p95, p99)) =>
+      val xs = cents(t).toIndexedSeq
+      val tComp = math.max(1L, xs.size / 2048L)
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (q, skv) =>
+        val target = math.ceil(q * xs.size).toLong
+        val rank = xs.count(_ <= math.round(skv * 100)).toLong
+        assert(rank >= target, s"$t p$q: digest UB must not under-rank")
+        assert(rank - target <= 42 * tComp + 3,
+          s"$t p$q rank $rank vs target $target breaches 42T")
+      }
+    }
+  }
+
   test("q_ewma_trend: scaled-integer EWMA matches a BigInt replay of the recurrence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.to_date
