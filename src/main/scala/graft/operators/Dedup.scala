@@ -1743,6 +1743,70 @@ object Dedup {
         expr("n_dropped * 1000000 div n_docs").as("drop_rate_micro"))
       .orderBy($"source")
   }
+  // -- q_assortativity: degree assortativity of the near-dup graph ---------
+  // Newman 2002: the Pearson correlation of degrees across edges —
+  // do high-degree dup hubs attach to other hubs (assortative, r > 0:
+  // template farms linking among themselves) or to leaves
+  // (disassortative, r < 0: one canonical page with many one-off
+  // copies)? The q_regression discipline verbatim: each UNDIRECTED
+  // edge contributes both ordered endpoint-degree pairs (so sx == sy
+  // by construction — emitted once), moments are exact 128-bit
+  // integers from one pass over the degree-joined edge list, and the
+  // only float is the final IEEE quotient (NULL when a degenerate
+  // graph has zero degree variance — no 0/0 to drift between engines).
+  // Reads the STAGED pair graph; two narrow joins against the
+  // O(nodes) degree table, never the corpus.
+  private def assortativity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val deg = pairs.select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    val e = pairs
+      .join(deg.select($"doc_id".as("doc_a"), $"deg".as("dx")), "doc_a")
+      .join(deg.select($"doc_id".as("doc_b"), $"deg".as("dy")), "doc_b")
+    val xy = e.select($"dx".cast("decimal(38,0)").as("x"),
+        $"dy".cast("decimal(38,0)").as("y"))
+      .unionByName(e.select($"dy".cast("decimal(38,0)").as("x"),
+        $"dx".cast("decimal(38,0)").as("y")))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val denx = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select(($"n" / 2).cast("long").as("n_edges"),
+        $"sx".cast("long").as("deg_sum"),
+        when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 6))
+          .otherwise(lit(null)).as("r6"))
+  }
+  private val assortativitySql =
+    s"""WITH $jaccardCtes,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |deg AS (SELECT doc_id, COUNT(*) AS deg FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+       |e AS (SELECT da.deg AS dx, db.deg AS dy FROM pairs p
+       |  JOIN deg da ON da.doc_id = p.doc_a
+       |  JOIN deg db ON db.doc_id = p.doc_b),
+       |xy AS (SELECT CAST(dx AS HUGEINT) AS x, CAST(dy AS HUGEINT) AS y
+       |  FROM e UNION ALL SELECT CAST(dy AS HUGEINT), CAST(dx AS HUGEINT)
+       |  FROM e),
+       |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM xy)
+       |SELECT CAST(n // 2 AS BIGINT) AS n_edges, CAST(sx AS BIGINT)
+       |    AS deg_sum,
+       |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+       |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+       |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       |       ELSE NULL END AS r6
+       |FROM m""".stripMargin
+
   // -- q_modularity: source-partition modularity of the near-dup graph -----
   // Newman-Girvan modularity (2004) with the SOURCE as the community:
   // do near-dups concentrate WITHIN sources (mirrors/boilerplate inside
@@ -1871,6 +1935,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_blocking", snmBlocking, Some(snmBlockingSql)),
+    QueryDef("q_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("q_modularity", modularity, Some(modularitySql)),
     QueryDef("q_dedup_impact", dedupImpact, Some(dedupImpactSql)),
     QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),

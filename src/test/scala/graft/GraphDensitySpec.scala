@@ -549,6 +549,31 @@ class GraphDensitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_assortativity: degree Pearson r matches a BigInt-moment replay") {
+    val r = SparkEntry.queries("q_assortativity")(spark, sf).head()
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(g => BigInt(g.length)).toMap
+    val xy = pairs.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val syy = xy.map(t => t._2 * t._2).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+    assert(r.getAs[Long]("deg_sum") == sx.toLong)
+    val denx = (n * sxx - sx * sx).toDouble
+    val deny = (n * syy - sy * sy).toDouble
+    if (denx > 0 && deny > 0) {
+      val exp = (n * sxy - sx * sy).toDouble / math.sqrt(denx * deny)
+      assert(r.getAs[Double]("r6") ==
+        BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(math.abs(r.getAs[Double]("r6")) <= 1.0)
+    } else assert(r.isNullAt(r.fieldIndex("r6")))
+  }
+
   test("q_modularity: per-source contributions and overall Q match BigInt replay") {
     val got = SparkEntry.queries("q_modularity")(spark, sf).collect()
       .map(r => r.getString(0) ->
