@@ -580,6 +580,66 @@ object RobustStats {
       |  CAST((cum * 1000000) // tot AS BIGINT) AS cum_share_micro
       |FROM c ORDER BY decile""".stripMargin
 
+  // -- q_anova: one-way ANOVA F across return-flag groups -------------------
+  // The parametric complement of Mann-Whitney (two-sample, rank) and
+  // chi-square (categorical): does mean price differ ACROSS the k
+  // groups? F = (SSB/(k-1)) / (SSW/(N-k)) over exact per-group integer
+  // moments (n_g, Σx, Σx²) on 10⁻²-scaled cents (the q_variance rule).
+  // The only non-integer quantity — the per-group s_g²/n_g term — is
+  // FLOORED to an exact cents² integer in 128-bit arithmetic (s_g² ≤
+  // 1e32 at ~1e12 rows, inside decimal38/HUGEINT; a double→decimal
+  // quantization here would NOT be engine-stable at these magnitudes:
+  // Spark converts via the double's shortest decimal string, DuckDB
+  // via its exact binary expansion). Flooring biases each sum-of-
+  // squares by < k cents² on values ~1e12 — 10⁻¹² relative, invisible
+  // at f6's 6 decimals — in exchange for bit-exactness. One map-side-
+  // combined pass over the corpus; everything after runs on k rows.
+  // NULL F on zero within-variance (no 0/0 to drift).
+  private def qAnova(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = floor($"l_extendedprice" * 100 + 0.5).cast("decimal(38,0)")
+    val g = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("flag"), x.as("x"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("ng"), sum($"x").as("sg"),
+        sum($"x" * $"x").as("ssg"))
+    // floor division stays in DECIMAL throughout ((a - a%b)/b, exact on
+    // nonnegatives): Spark's `div` narrows its quotient to LONG, and
+    // s²/n crosses 2^63 already at sf0.1-scale sums
+    g.select($"ng", $"sg", $"ssg",
+        expr("(sg * sg - (sg * sg) % ng) / ng").cast("decimal(38,0)")
+          .as("term"))
+      .agg(count(lit(1)).as("k"), sum($"ng").as("n"), sum($"sg").as("s"),
+        sum($"ssg").as("ss"), sum($"term").as("sterm"))
+      .withColumn("corr",
+        expr("(s * s - (s * s) % n) / n").cast("decimal(38,0)"))
+      .withColumn("ssb", $"sterm" - $"corr")
+      .withColumn("ssw", $"ss" - $"corr" - $"ssb")
+      .select($"k", $"n",
+        $"ssb".cast("double").as("ssb2"), $"ssw".cast("double").as("ssw2"),
+        when($"ssw" > 0, round(($"ssb".cast("double") / ($"k" - 1)) /
+            ($"ssw".cast("double") / ($"n" - $"k")), 6))
+          .otherwise(lit(null)).as("f6"))
+  }
+  private val qAnovaSql = {
+    val cents = "CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)"
+    s"""WITH gr AS (SELECT l_returnflag AS flag, COUNT(*) AS ng,
+       |    SUM($cents) AS sg, SUM($cents * $cents) AS ssg
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT ng, sg, ssg, (sg * sg) // ng AS term FROM gr),
+       |m AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s,
+       |    SUM(ssg) AS ss, SUM(term) AS sterm FROM t),
+       |f AS (SELECT k, n, sterm - (s * s) // n AS ssb,
+       |    ss - (s * s) // n AS sst FROM m)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |  CAST(ssb AS DOUBLE) AS ssb2, CAST(sst - ssb AS DOUBLE) AS ssw2,
+       |  CASE WHEN sst - ssb > 0
+       |       THEN round((CAST(ssb AS DOUBLE) / (k - 1))
+       |         / (CAST(sst - ssb AS DOUBLE) / (n - k)), 6)
+       |       ELSE NULL END AS f6
+       |FROM f""".stripMargin
+  }
+
   // -- q_weighted_median: revenue-weighted median discount -----------------
   // The weighted quantile the plain median can't answer: "half the
   // REVENUE ships at discount <= X" (each row votes its revenue, not
@@ -636,6 +696,7 @@ object RobustStats {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianSql)),
+    QueryDef("q_anova", qAnova, Some(qAnovaSql)),
     QueryDef("q_lorenz", qLorenz, Some(qLorenzSql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),

@@ -370,6 +370,30 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(z6 == BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q_anova: F statistic matches a BigInt-moment replay") {
+    val r = SparkEntry.queries("q_anova")(spark, sf).head()
+    val xs = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(x => (x.getString(0),
+        BigInt(math.floor(x.getDouble(1) * 100 + 0.5).toLong)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val terms = groups.values.map(g => (g.sum * g.sum) / g.length).toSeq
+    val s = xs.map(_._2).sum
+    val n = BigInt(xs.length)
+    val corr = s * s / n
+    val ssb = terms.sum - corr
+    val ssw = xs.map(v => v._2 * v._2).sum - corr - ssb
+    assert(r.getAs[Long]("k") == groups.size.toLong)
+    assert(r.getAs[Long]("n") == xs.length.toLong)
+    assert(r.getAs[Double]("ssb2") == ssb.toDouble)
+    assert(r.getAs[Double]("ssw2") == ssw.toDouble)
+    val f = (ssb.toDouble / (groups.size - 1)) /
+      (ssw.toDouble / (xs.length - groups.size))
+    assert(r.getAs[Double]("f6") ==
+      BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("f6") >= 0.0)
+  }
+
   test("q_weighted_median: lower weighted median matches a sequential fold") {
     val rows = Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_discount", "l_extendedprice")
