@@ -175,6 +175,90 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // -- text_gopher_rules: the published Gopher quality-filter audit ---------
+  // The Rae et al. 2021 (Gopher, Table A1) repetition-free rule subset
+  // as a per-rule corpus audit — the report a filtering run publishes
+  // BEFORE committing to thresholds (text_quality tiers docs; this
+  // scores the RULES): word count in [50, 1e5]; mean word length in
+  // [3, 10] as the integer cross-multiplication 3n <= Σlen <= 10n (no
+  // float mean exists to drift); >= 80% of words containing an
+  // alphabetic char (5·alpha >= 4·n); >= 2 stopword hits; symbol
+  // (#/ellipsis) word ratio <= 10% (10·sym <= n). All five booleans
+  // come from ONE codegen'd pass over the token array (the langid
+  // rule); the unpivot runs on a single aggregate row. fail_micro is
+  // the floored exact quotient.
+  private def gopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = stop.head._2
+    val per = Tables.documents(s, d)
+      .withColumn("words", TextPrep.words($"text"))
+      .select(
+        size($"words").cast("long").as("n"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("sumlen"),
+        expr("size(filter(words, w -> w rlike '[a-z]'))").cast("long")
+          .as("alpha"),
+        expr("size(filter(words, w -> w like '%#%' or w like '%...%'))")
+          .cast("long").as("sym"),
+        stopword_scores($"words", Seq(en))(0).cast("long").as("hits"))
+      .select(
+        when($"n" < 50 || $"n" > 100000, 1L).otherwise(0L).as("f1"),
+        when($"sumlen" < $"n" * 3 || $"sumlen" > $"n" * 10, 1L)
+          .otherwise(0L).as("f2"),
+        when($"alpha" * 5 < $"n" * 4, 1L).otherwise(0L).as("f3"),
+        when($"hits" < 2, 1L).otherwise(0L).as("f4"),
+        when($"sym" * 10 > $"n", 1L).otherwise(0L).as("f5"))
+    per
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"f1").as("c1"), sum($"f2").as("c2"), sum($"f3").as("c3"),
+        sum($"f4").as("c4"), sum($"f5").as("c5"),
+        sum(when($"f1" + $"f2" + $"f3" + $"f4" + $"f5" > 0, 1L)
+          .otherwise(0L)).as("cany"))
+      .select($"n_docs", explode(array(
+        struct(lit("r1_word_count").as("rule"), $"c1".as("n_fail")),
+        struct(lit("r2_mean_word_len").as("rule"), $"c2".as("n_fail")),
+        struct(lit("r3_alpha_words").as("rule"), $"c3".as("n_fail")),
+        struct(lit("r4_stopwords").as("rule"), $"c4".as("n_fail")),
+        struct(lit("r5_symbol_ratio").as("rule"), $"c5".as("n_fail")),
+        struct(lit("r6_any").as("rule"), $"cany".as("n_fail")))).as("r"))
+      .select($"r.rule".as("rule"), $"n_docs", $"r.n_fail".as("n_fail"),
+        expr("r.n_fail * 1000000 div n_docs").as("fail_micro"))
+      .orderBy($"rule")
+  }
+  private val gopherRulesSql = {
+    val en = stop.head._2
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
+       |m AS (SELECT len(words) AS n,
+       |    list_sum(list_transform(words, w -> length(w))) AS sumlen,
+       |    len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+       |    len(list_filter(words, w -> w LIKE '%#%' OR w LIKE '%...%'))
+       |      AS sym,
+       |    ${hitsSql(en)} AS hits
+       |  FROM w),
+       |f AS (SELECT
+       |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN sumlen < n * 3 OR sumlen > n * 10 THEN 1 ELSE 0 END
+       |      AS f2,
+       |    CASE WHEN alpha * 5 < n * 4 THEN 1 ELSE 0 END AS f3,
+       |    CASE WHEN hits < 2 THEN 1 ELSE 0 END AS f4,
+       |    CASE WHEN sym * 10 > n THEN 1 ELSE 0 END AS f5
+       |  FROM m),
+       |a AS (SELECT COUNT(*) AS n_docs, SUM(f1) AS c1, SUM(f2) AS c2,
+       |    SUM(f3) AS c3, SUM(f4) AS c4, SUM(f5) AS c5,
+       |    SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 1 ELSE 0 END)
+       |      AS cany
+       |  FROM f),
+       |u AS (SELECT 'r1_word_count' AS rule, n_docs, c1 AS n_fail FROM a
+       |  UNION ALL SELECT 'r2_mean_word_len', n_docs, c2 FROM a
+       |  UNION ALL SELECT 'r3_alpha_words', n_docs, c3 FROM a
+       |  UNION ALL SELECT 'r4_stopwords', n_docs, c4 FROM a
+       |  UNION ALL SELECT 'r5_symbol_ratio', n_docs, c5 FROM a
+       |  UNION ALL SELECT 'r6_any', n_docs, cany FROM a)
+       |SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_fail AS BIGINT) AS n_fail,
+       |  CAST(n_fail * 1000000 // n_docs AS BIGINT) AS fail_micro
+       |FROM u ORDER BY rule""".stripMargin
+  }
+
   // -- token counting ------------------------------------------------------
   // Whitespace tokens + a BPE-ish split (letter runs / digit runs /
   // single non-alnum marks) + the chars/4 rule of thumb.
@@ -999,6 +1083,7 @@ object TextAnalysis {
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("q_langid_eval", langidEval, Some(langidEvalSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),

@@ -896,6 +896,39 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("text_gopher_rules: per-rule fail counts match a sequential replay") {
+    val en = Set("the", "a", "and", "of", "to", "in", "is")
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    def words(t: String) =
+      t.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1)
+    val flags = docs.map { t =>
+      val w = words(t)
+      val n = w.length.toLong
+      val sumlen = w.map(_.length.toLong).sum
+      val alpha = w.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val sym = w.count(x => x.contains("#") || x.contains("...")).toLong
+      val hits = w.count(en.contains).toLong
+      Seq(n < 50 || n > 100000,
+        sumlen < n * 3 || sumlen > n * 10,
+        alpha * 5 < n * 4, hits < 2, sym * 10 > n)
+    }
+    val exp = (0 until 5).map(i => flags.count(_(i)).toLong) :+
+      flags.count(_.exists(identity)).toLong
+    val got = SparkEntry.queries("text_gopher_rules")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val names = Seq("r1_word_count", "r2_mean_word_len", "r3_alpha_words",
+      "r4_stopwords", "r5_symbol_ratio", "r6_any")
+    assert(got.keySet == names.toSet)
+    names.zip(exp).foreach { case (rule, c) =>
+      val (nd, nf, micro) = got(rule)
+      assert(nd == docs.length.toLong, rule)
+      assert(nf == c, s"$rule expected $c failures")
+      assert(micro == c * 1000000L / docs.length, rule)
+    }
+  }
+
   test("stream_quantile equals the batch Q-digest and bounds quantile error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
