@@ -2218,6 +2218,46 @@ object Similarity {
        |  round(sqrt(MAX(n2)), 6) AS max_norm6
        |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+  // -- q_mutual_nn: reciprocal best matches over the similarity graph ------
+  // The high-precision pairing rule dedup reviewers trust most: a pair
+  // survives only if EACH vector is the OTHER's single best verified
+  // neighbor (mutual nearest neighbors — the classic bijective
+  // matching filter; one-directional best-of is noisy exactly where
+  // hubs attract many asymmetric matches). Best = (cos6 desc, partner
+  // id) pinned total order per node; mutuality = one self-join of the
+  // O(nodes) best-partner table on the reversed pair. Reads the STAGED
+  // pair set — zero band builds; everything after is one rank + one
+  // narrow equi-join. Output is the canonical (a < b) matched pair
+  // list with its score.
+  private def mutualNn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = verifiedEmbPairs(s, d)
+    val sym = pairs.select($"vec_a".as("v"), $"vec_b".as("nbr"), $"cos6")
+      .union(pairs.select($"vec_b".as("v"), $"vec_a".as("nbr"), $"cos6"))
+    val wb = Window.partitionBy($"v").orderBy($"cos6".desc, $"nbr")
+    val best = sym.withColumn("rn", row_number().over(wb))
+      .filter($"rn" === 1).select($"v", $"nbr", $"cos6")
+    best.as("x")
+      .join(best.as("y"), $"x.v" === $"y.nbr" && $"x.nbr" === $"y.v")
+      .filter($"x.v" < $"x.nbr")
+      .select($"x.v".as("vec_a"), $"x.nbr".as("vec_b"),
+        $"x.cos6".as("cos6"))
+      .orderBy($"vec_a")
+  }
+  private val mutualNnSql =
+    s"""WITH $embBandCtes,
+       |pairs AS (SELECT vec_a, vec_b, round(cos, 6) AS cos6 FROM scored
+       |          WHERE cos >= 0.4),
+       |sym AS (SELECT vec_a AS v, vec_b AS nbr, cos6 FROM pairs
+       |        UNION ALL SELECT vec_b, vec_a, cos6 FROM pairs),
+       |best AS (SELECT v, nbr, cos6 FROM (
+       |    SELECT v, nbr, cos6, row_number() OVER (PARTITION BY v
+       |      ORDER BY cos6 DESC, nbr) AS rn FROM sym) WHERE rn = 1)
+       |SELECT x.v AS vec_a, x.nbr AS vec_b, x.cos6 AS cos6
+       |FROM best x JOIN best y ON y.v = x.nbr AND y.nbr = x.v
+       |WHERE x.v < x.nbr ORDER BY vec_a""".stripMargin
+
   // -- q_knn_classify: k-NN vote over the staged similarity graph ----------
   // The instance-based classic beside q_label_prop's graph propagation
   // (Fix & Hodges 1951): each vector is classified by the majority
@@ -2290,6 +2330,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
+    QueryDef("q_mutual_nn", mutualNn, Some(mutualNnSql)),
     QueryDef("q_embedding_norms", embeddingNorms, Some(embeddingNormsSql)),
     QueryDef("q_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("q_label_prop", labelProp, Some(labelPropSql)),

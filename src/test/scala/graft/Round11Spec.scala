@@ -1016,6 +1016,29 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_mutual_nn: reciprocal best matches equal a sequential replay") {
+    import spark.implicits._
+    val pairs = operators.Similarity.verifiedEmbPairs(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs ++ pairs.map { case (a, b, c) => (b, a, c) }
+    val best = sym.groupBy(_._1).map { case (v, es) =>
+      v -> es.map { case (_, n, c) => (c, n) }.minBy { case (c, n) => (-c, n) }
+    }
+    val expected = best.flatMap { case (v, (c, n)) =>
+      best.get(n) match {
+        case Some((c2, n2)) if n2 == v && v < n => Some((v, n, c))
+        case _ => None
+      }
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q_mutual_nn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == expected)
+    // mutual pairs are a matching: no vector appears twice
+    val ends = got.flatMap(t => Seq(t._1, t._2))
+    assert(ends.distinct.size == ends.size)
+  }
+
   test("q_knn_classify: k=5 vote matches a sequential replay of the staged graph") {
     import spark.implicits._
     val pairs = operators.Similarity.verifiedEmbPairs(spark, sf)
