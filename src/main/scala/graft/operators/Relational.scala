@@ -142,6 +142,44 @@ object Relational {
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  // -- q_top_supplier: argmax over an aggregate (TPC-H Q15 shape) -----------
+  // The view-over-aggregate maximum: per-supplier revenue in a fixed
+  // quarter, then EVERY supplier whose revenue equals the max (Q15's
+  // tie-correct semantics — a top-1 LIMIT silently drops ties). The
+  // tie test must be EXACT, so revenue is per-row-quantized integer
+  // cents (floor(x·100+0.5), the dsum rule) — a float-summed revenue
+  // would make "equals the max" partition-order-dependent. Shapes: one
+  // map-side-combined (suppkey, cents) aggregate, a one-row max frame
+  // broadcast back, supplier dim broadcast for names.
+  private def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+        + 0.5).cast("long")).as("total_cents"))
+    val mx = rev.agg(max($"total_cents").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_cents" === $"mx")
+      .join(broadcast(Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_cents")
+      .orderBy($"s_suppkey")
+  }
+  private val qTopSupplierSql =
+    """WITH rev AS (SELECT l_suppkey,
+      |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_cents
+      |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   // -- q3: dim ⋈ fact ⋈ fact with broadcast dim, then top-k ----------------
   private def q3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1287,6 +1325,7 @@ object Relational {
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q6_filter_agg", q6, Some(q6Sql)),
+    QueryDef("q_top_supplier", qTopSupplier, Some(qTopSupplierSql)),
     QueryDef("q3_join_agg", q3, Some(q3Sql)),
     QueryDef("q5_multijoin", q5, Some(q5Sql)),
     QueryDef("q4_semi_join", qSemi, Some(qSemiSql)),

@@ -1016,6 +1016,26 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_top_supplier: tie-correct argmax matches a brute-force replay") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      .collect()
+      .filter { r =>
+        val t = r.get(1).toString
+        t >= "1996-01-01" && t < "1996-04-01"
+      }
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(2) * (1.0 - r.getDouble(3)) * 100 + 0.5).toLong)
+    val rev = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = rev.values.max
+    val expect = rev.filter(_._2 == mx).keySet
+    val got = SparkEntry.queries("q_top_supplier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._1).toSet == expect)
+    got.foreach { case (_, c) => assert(c == mx) }
+  }
+
   test("q_mutual_nn: reciprocal best matches equal a sequential replay") {
     import spark.implicits._
     val pairs = operators.Similarity.verifiedEmbPairs(spark, sf)
