@@ -1743,6 +1743,62 @@ object Dedup {
         expr("n_dropped * 1000000 div n_docs").as("drop_rate_micro"))
       .orderBy($"source")
   }
+  // -- text_novelty: shingle novelty of an incoming batch vs the base ------
+  // The ingestion question dedup rates don't answer: how much NEW
+  // content does a batch add? (A batch can be 0% duplicate yet 95%
+  // boilerplate already seen shingle-by-shingle.) Base = even doc_ids
+  // (the already-ingested half), batch = odd; per batch doc the
+  // fraction of its distinct 3-gram shingles absent from the ENTIRE
+  // base — realized as one anti-join of the batch's gram postings
+  // against the base's DISTINCT gram dictionary (inverted-index shape:
+  // grams meet on equality, never doc×doc), aggregated per source with
+  // floored exact micro-rates. 100 TB: the dictionary is
+  // |distinct grams| and both sides shuffle once on the gram key —
+  // the same shape the dedup family already scales on.
+  private def textNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", $"source",
+        explode(TextPrep.shingleSet($"text", 3)).as("g"))
+      .localCheckpoint()
+    val baseDict = grams.filter($"doc_id" % 2 === 0).select($"g").distinct()
+    val batch = grams.filter($"doc_id" % 2 === 1)
+    // hint the BUILD (right) side: the gram dictionary is
+    // corpus-proportional and must never broadcast
+    val novel = batch
+      .join(baseDict.hint("shuffle_hash"), Seq("g"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+    batch.groupBy($"doc_id", $"source").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_grams").as("n_grams"),
+        sum(coalesce($"n_novel", lit(0L))).as("n_novel"))
+      .select($"source", $"n_docs", $"n_grams", $"n_novel",
+        expr("n_novel * 1000000 div n_grams").as("novelty_micro"))
+      .orderBy($"source")
+  }
+  private val textNoveltySql =
+    s"""WITH docs AS (SELECT doc_id, source, ${TextPrep.wordsSql} AS words
+       |  FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, source,
+       |    array_to_string(words[i:i+2], ' ') AS g
+       |  FROM docs, unnest(range(1, len(words) - 1)) t(i)),
+       |base AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+       |batch AS (SELECT * FROM grams WHERE doc_id % 2 = 1),
+       |novel AS (SELECT b.doc_id, COUNT(*) AS n_novel FROM batch b
+       |  WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.g = b.g)
+       |  GROUP BY 1),
+       |per AS (SELECT doc_id, source, COUNT(*) AS n_grams
+       |  FROM batch GROUP BY 1, 2)
+       |SELECT p.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(SUM(COALESCE(nv.n_novel, 0)) AS BIGINT) AS n_novel,
+       |  CAST(SUM(COALESCE(nv.n_novel, 0)) * 1000000 // SUM(p.n_grams)
+       |    AS BIGINT) AS novelty_micro
+       |FROM per p LEFT JOIN novel nv ON nv.doc_id = p.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- q_assortativity: degree assortativity of the near-dup graph ---------
   // Newman 2002: the Pearson correlation of degrees across edges —
   // do high-degree dup hubs attach to other hubs (assortative, r > 0:
@@ -1936,6 +1992,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_blocking", snmBlocking, Some(snmBlockingSql)),
     QueryDef("q_assortativity", assortativity, Some(assortativitySql)),
+    QueryDef("text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("q_modularity", modularity, Some(modularitySql)),
     QueryDef("q_dedup_impact", dedupImpact, Some(dedupImpactSql)),
     QueryDef("q_link_prediction", linkPrediction, Some(linkPredictionSql)),

@@ -233,6 +233,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "one two three"))) // no dups -> unchanged
   }
 
+  test("text_novelty: per-source novelty matches a sequential replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val baseDict = docs.filter(_._1 % 2 == 0).flatMap(d => shingles(d._3)).toSet
+    val expected = docs.filter(_._1 % 2 == 1)
+      .map { case (_, src, t) =>
+        val sh = shingles(t)
+        (src, sh.size.toLong, sh.count(g => !baseDict.contains(g)).toLong)
+      }
+      .groupBy(_._1).map { case (src, g) =>
+        val ng = g.map(_._2).sum; val nn = g.map(_._3).sum
+        src -> (g.length.toLong, ng, nn, nn * 1000000L / ng)
+      }
+    val got = SparkEntry.queries("text_novelty")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
   test("dedup_blocking: two-pass SNM audit matches a sequential replay") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
