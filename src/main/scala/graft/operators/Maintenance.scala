@@ -67,6 +67,59 @@ object Maintenance {
       |  CAST(SUM(s) AS DOUBLE) AS sum_total, COUNT(*) AS n_shards
       |FROM shards GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q_incremental_join: delta maintenance of a JOIN view ----------------
+  // The join half of incremental view maintenance (q_incremental_agg is
+  // the aggregate half): for V = A ⋈ B, arriving deltas update the
+  // stored view as ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — the classic
+  // counting-algorithm decomposition (Gupta & Mumick 1995), never a
+  // full recompute. Here A = orders (Δ: o_orderkey % 13 = 3), B =
+  // lineitem (Δ: l_orderkey % 17 = 5), V = per-priority (count,
+  // exact revenue cents); the pre-delta view is a STORED parquet
+  // artifact and the output merges it with the three delta-join
+  // aggregates by plain addition (counts and quantized cents are
+  // mergeable). n_shards counts the contributing shards per group —
+  // the audit that all three delta legs actually landed. The ORACLE is
+  // the full recompute over A_new ⋈ B_new: equality IS the IVM
+  // correctness claim. Scale: each delta leg shuffles only
+  // delta-proportional rows against a key-partitioned base.
+  private def incrementalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("q_incremental_join", d)
+    val cents = floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+      + 0.5).cast("long")
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+      ($"o_orderkey" % 13 === 3).as("da"))
+    val l = Tables.lineitem(s, d).select($"l_orderkey", cents.as("cents"),
+      ($"l_orderkey" % 17 === 5).as("db"))
+    def leg(of: DataFrame, lf: DataFrame): DataFrame = of
+      .join(lf, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+    leg(o.filter(!$"da"), l.filter(!$"db"))
+      .write.mode("overwrite").parquet(out) // the stored join view
+    val stored = s.read.parquet(out)
+    stored
+      .unionByName(leg(o.filter($"da"), l.filter(!$"db")))
+      .unionByName(leg(o.filter(!$"da"), l.filter($"db")))
+      .unionByName(leg(o.filter($"da"), l.filter($"db")))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_total"), sum($"c").as("cents_total"),
+        count(lit(1)).as("n_shards"))
+      .orderBy($"o_orderpriority")
+  }
+  private val incrementalJoinSql =
+    """WITH j AS (SELECT o.o_orderpriority,
+      |    o.o_orderkey % 13 = 3 AS da, l.l_orderkey % 17 = 5 AS db,
+      |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |shards AS (SELECT o_orderpriority, da, db, COUNT(*) AS n,
+      |    SUM(cents) AS c
+      |  FROM j GROUP BY 1, 2, 3)
+      |SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n_total,
+      |  CAST(SUM(c) AS BIGINT) AS cents_total, COUNT(*) AS n_shards
+      |FROM shards GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- q_merge_upsert: MERGE INTO semantics over plain parquet -------------
   // Changes batch = deterministic function of the base table: every
   // o_orderkey % 10 == 0 gets a 10% price bump (update), and a shifted
@@ -968,6 +1021,7 @@ object Maintenance {
     QueryDef("io_dynamic_overwrite", qDynamicOverwrite, Some(qDynamicOverwriteSql)),
     QueryDef("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    QueryDef("q_incremental_join", incrementalJoin, Some(incrementalJoinSql)),
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),

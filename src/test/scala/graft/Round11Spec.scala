@@ -1016,6 +1016,31 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_incremental_join: stored view + three delta legs equal the full recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_incremental_join")(spark, sf).collect()
+    val full = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+          + 0.5).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.map(_.getString(0)).toSet == full.keySet)
+    rows.foreach { r =>
+      val (n, c) = full(r.getString(0))
+      assert(r.getAs[Long]("n_total") == n, r.getString(0))
+      assert(r.getAs[Long]("cents_total") == c, r.getString(0))
+      val sh = r.getAs[Long]("n_shards")
+      assert(sh >= 1 && sh <= 4)
+    }
+    // at least one group must have received all four shards, or the
+    // delta decomposition never exercised its cross term
+    assert(rows.exists(_.getAs[Long]("n_shards") == 4))
+  }
+
   test("q_top_supplier: tie-correct argmax matches a brute-force replay") {
     import spark.implicits._
     val rows = Tables.lineitem(spark, sf)
