@@ -1128,7 +1128,68 @@ object Advanced {
        |  CAST(s // ${1L << EwmaShift} AS BIGINT) AS ewma_cents
        |FROM ew ORDER BY day""".stripMargin
 
+  // -- q_aqp_sample: approximate aggregation from a deterministic sample ----
+  // AQP as an operator with its error bill attached (BlinkDB's shape):
+  // a 1% hash-sample of the fact table answers the groupBy, the
+  // Horvitz-Thompson scale-up (×100) estimates count and revenue, and
+  // the EXACT aggregate rides along with abs-error ppm per group — the
+  // row that tells a user whether the 100× cheaper scan is good
+  // enough. Sampling is the systematic-sampling rule (md5-mixKey on
+  // the (orderkey, linenumber) row identity, mod 100): deterministic,
+  // replayable in the oracle, and uncorrelated with any value column.
+  // Revenue stays exact integer cents on BOTH legs, so the error
+  // quotient is integer-exact. 100 TB: at fixed sample RATE this scans
+  // everything once (the exact leg is the declared accounting
+  // baseline); a production deployment stores the sample as its own
+  // table and touches 1% of the bytes.
+  private def qAqpSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100
+      + 0.5).cast("long")
+    val base = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
+      cents.as("c"),
+      (graft.operators.Behavioral.mixKey(
+        concat_ws(":", $"l_orderkey", $"l_linenumber")) % 100).as("h"))
+    val exact = base.groupBy($"flag")
+      .agg(count(lit(1)).as("n_exact"), sum($"c").as("rev_exact"))
+    val est = base.filter($"h" < 1).groupBy($"flag")
+      .agg((count(lit(1)) * 100).as("n_est"),
+        (sum($"c") * 100).as("rev_est"))
+    exact.join(est, Seq("flag"), "left")
+      .select($"flag".as("l_returnflag"), $"n_exact",
+        coalesce($"n_est", lit(0L)).as("n_est"),
+        $"rev_exact", coalesce($"rev_est", lit(0L)).as("rev_est"),
+        expr("abs(coalesce(n_est, 0) - n_exact) * 1000000 div n_exact")
+          .as("n_err_ppm"),
+        expr("abs(coalesce(rev_est, 0) - rev_exact) * 1000000 div rev_exact")
+          .as("rev_err_ppm"))
+      .orderBy($"l_returnflag")
+  }
+  private val qAqpSampleSql = {
+    val h = graft.operators.Behavioral.mixKeySql(
+      "concat(l_orderkey, ':', l_linenumber)")
+    s"""WITH b AS (SELECT l_returnflag AS flag,
+       |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+       |      AS BIGINT) AS c, $h % 100 AS h
+       |  FROM lineitem),
+       |ex AS (SELECT flag, COUNT(*) AS n_exact, SUM(c) AS rev_exact
+       |  FROM b GROUP BY 1),
+       |es AS (SELECT flag, COUNT(*) * 100 AS n_est, SUM(c) * 100 AS rev_est
+       |  FROM b WHERE h < 1 GROUP BY 1)
+       |SELECT ex.flag AS l_returnflag, ex.n_exact,
+       |  CAST(COALESCE(es.n_est, 0) AS BIGINT) AS n_est,
+       |  CAST(ex.rev_exact AS BIGINT) AS rev_exact,
+       |  CAST(COALESCE(es.rev_est, 0) AS BIGINT) AS rev_est,
+       |  CAST(abs(COALESCE(es.n_est, 0) - ex.n_exact) * 1000000
+       |    // ex.n_exact AS BIGINT) AS n_err_ppm,
+       |  CAST(abs(COALESCE(es.rev_est, 0) - ex.rev_exact) * 1000000
+       |    // ex.rev_exact AS BIGINT) AS rev_err_ppm
+       |FROM ex LEFT JOIN es ON es.flag = ex.flag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_aqp_sample", qAqpSample, Some(qAqpSampleSql)),
     QueryDef("q_ewma_trend", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("q_skyline", skyline, Some(skylineSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),

@@ -1016,6 +1016,23 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_aqp_sample: estimates scale the hash-sample and errors are honest") {
+    val rows = SparkEntry.queries("q_aqp_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, nest) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      val (re, rest) = (r.getAs[Long]("rev_exact"), r.getAs[Long]("rev_est"))
+      assert(nest % 100 == 0 && rest % 100 == 0, "HT scale-up is x100")
+      assert(r.getAs[Long]("n_err_ppm") == math.abs(nest - ne) * 1000000L / ne)
+      assert(r.getAs[Long]("rev_err_ppm") ==
+        math.abs(rest - re) * 1000000L / re)
+      // 1% Bernoulli-ish sample on tens of thousands of rows per group:
+      // the estimate is within half of truth (loose but structural)
+      assert(nest >= ne / 2 && nest <= ne * 2,
+        s"count estimate $nest implausible vs $ne")
+    }
+  }
+
   test("q_incremental_join: stored view + three delta legs equal the full recompute") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
