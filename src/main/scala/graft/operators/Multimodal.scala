@@ -187,6 +187,46 @@ object Multimodal {
       case _ => decodeVideo(r)
     }
 
+    /** 64-bit average-hash over the DECODED pixels: 8×8 block means of
+      * the 3-channel luminance, each bit = (block mean >= global mean)
+      * as the exact integer cross-multiplication bs·npx >= tot·cnt
+      * (values bounded ~2.5e9 — LONG-safe at the generator's <=152×96
+      * sizes). Packed as two nonnegative 32-bit halves so the oracle
+      * never fights two's-complement sign. */
+    def aHash(payload: Array[Byte]): (Long, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bs = Array.ofDim[Long](8, 8)
+      val cnt = Array.ofDim[Long](8, 8)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val bi = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val bj = math.min(x * 8 / w, 7)
+          val p = img.getRGB(x, y)
+          val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          bs(bi)(bj) += lum
+          cnt(bi)(bj) += 1
+          tot += lum
+          x += 1
+        }
+        y += 1
+      }
+      val npx = w.toLong * h
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < 64) {
+        val bit =
+          if (bs(i / 8)(i % 8) * npx >= tot * cnt(i / 8)(i % 8)) 1L else 0L
+        if (i < 32) hi |= bit << (31 - i) else lo |= bit << (63 - i)
+        i += 1
+      }
+      (hi, lo)
+    }
+
     /** EXACT-INTEGER decode features for the losslessly-coded
       * modalities: PNG luminance channel-sum + pixel count (PNG is
       * lossless, so the decoded pixels ARE the generator formula's) and
@@ -493,12 +533,77 @@ object Multimodal {
       |       ELSE 0.0 END AS rms_level
       |FROM agg ORDER BY mime""".stripMargin
 
+  // -- mm_phash_dedup: perceptual image dedup via average hash --------------
+  // Image near-dup the way production media pipelines do it: a 64-bit
+  // aHash over the REAL ImageIO-decoded pixels (8×8 block means vs the
+  // global mean — byte-identical crops/re-encodes collapse; here the
+  // generator's gradient family collides across sizes, which is the
+  // point: the hash sees structure, not bytes), then dup groups by
+  // exact hash equality — one 16-byte-key groupBy, the dedup_exact
+  // shape, scalable to any corpus. The ORACLE replays the whole hash
+  // closed-form: the pixel field is separable (r depends on x, g on y,
+  // and b = (x+y)%256 = x+y since max 246 < 256), so every 8×8 block
+  // sum assembles from two 1-D prefix aggregates per image —
+  // ny·(Σr+Σx) + nx·(Σg+Σy) — never a pixel grid; bits use the same
+  // integer cross-multiplication as the Scala decoder. Equality proves
+  // decode + hash == generator arithmetic bit-for-bit.
+  private def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = stagedMedia(s, d)
+      .filter(_.meta.mime == "image/png")
+      .map { r =>
+        val (hi, lo) = JdkCodec.aHash(r.payload)
+        (r.doc_id, hi, lo)
+      }
+      .toDF("doc_id", "h_hi", "h_lo")
+    hashes.groupBy($"h_hi", $"h_lo")
+      .agg(count(lit(1)).as("n_images"), min($"doc_id").as("keep_id"))
+      .filter($"n_images" >= 2)
+      .select($"keep_id", $"n_images", $"h_hi", $"h_lo")
+      .orderBy($"keep_id")
+  }
+  private val phashDedupSql =
+    """WITH imgs AS (SELECT doc_id AS id,
+      |    32 + (doc_id % 16) * 8 AS w, 32 + (doc_id % 9) * 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT id, w, h, x.x AS x, least((x.x * 8) // w, 7) AS bj,
+      |    (id + x.x) % 256 AS r
+      |  FROM imgs, unnest(range(0, w)) x(x)),
+      |ys AS (SELECT id, w, h, y.y AS y, least((y.y * 8) // h, 7) AS bi,
+      |    (id * 31 + y.y) % 256 AS g
+      |  FROM imgs, unnest(range(0, h)) y(y)),
+      |bx AS (SELECT id, bj, COUNT(*) AS nx, SUM(r) AS sr, SUM(x) AS sx
+      |  FROM xs GROUP BY 1, 2),
+      |byy AS (SELECT id, bi, COUNT(*) AS ny, SUM(g) AS sg, SUM(y) AS sy
+      |  FROM ys GROUP BY 1, 2),
+      |blocks AS (SELECT bx.id, byy.bi, bx.bj,
+      |    byy.ny * (bx.sr + bx.sx) + bx.nx * (byy.sg + byy.sy) AS bs,
+      |    byy.ny * bx.nx AS cnt
+      |  FROM bx JOIN byy ON byy.id = bx.id),
+      |tot AS (SELECT id, SUM(bs) AS tot, SUM(cnt) AS npx
+      |  FROM blocks GROUP BY 1),
+      |bits AS (SELECT b.id, b.bi * 8 + b.bj AS idx,
+      |    CASE WHEN b.bs * t.npx >= t.tot * b.cnt THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot t ON t.id = b.id),
+      |hashes AS (SELECT id,
+      |    CAST(SUM(CASE WHEN idx < 32
+      |      THEN CAST(bit AS BIGINT) << (31 - idx) ELSE 0 END) AS BIGINT)
+      |      AS h_hi,
+      |    CAST(SUM(CASE WHEN idx >= 32
+      |      THEN CAST(bit AS BIGINT) << (63 - idx) ELSE 0 END) AS BIGINT)
+      |      AS h_lo
+      |  FROM bits GROUP BY 1)
+      |SELECT MIN(id) AS keep_id, COUNT(*) AS n_images, h_hi, h_lo
+      |FROM hashes GROUP BY h_hi, h_lo HAVING COUNT(*) >= 2
+      |ORDER BY keep_id""".stripMargin
+
   // mm_binary_pipeline stays rows-only by declared necessity — its
   // video brightness decodes LOSSY JPEG frames (codec-specific DCT
   // quantization no SQL engine replays); every other decode quantity
   // graduated: container arithmetic → mm_metadata, lossless pixel/PCM
   // decode → mm_decode_features.
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     QueryDef("mm_binary_pipeline", pipeline, None),
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_decode_features", decodeExactQ, Some(decodeExactSql)),

@@ -425,4 +425,39 @@ class StreamMultimodalSpec extends AnyFunSuite {
       IsoBmff.parse("not an mp4 at all".getBytes("UTF-8"))
     }
   }
+
+  test("mm_phash_dedup: decoded-pixel aHash groups match a formula replay") {
+    import TestSession._
+    def ahash(id: Long): (Long, Long) = {
+      val w = (32 + (id % 16) * 8).toInt
+      val h = (32 + (id % 9) * 8).toInt
+      val bs = Array.ofDim[Long](8, 8); val cnt = Array.ofDim[Long](8, 8)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = ((id + x) % 256) + ((id * 31 + y) % 256) + (x + y) % 256
+        val (bi, bj) = (math.min(y * 8 / h, 7), math.min(x * 8 / w, 7))
+        bs(bi)(bj) += lum; cnt(bi)(bj) += 1; tot += lum
+      }
+      val npx = w.toLong * h
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64) {
+        val bit =
+          if (bs(i / 8)(i % 8) * npx >= tot * cnt(i / 8)(i % 8)) 1L else 0L
+        if (i < 32) hi |= bit << (31 - i) else lo |= bit << (63 - i)
+      }
+      (hi, lo)
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0)
+    val groups = ids.map(id => ahash(id) -> id).groupBy(_._1)
+      .filter(_._2.length >= 2)
+      .map { case (hash, g) => (g.map(_._2).min, g.length.toLong, hash) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), (r.getLong(2), r.getLong(3))))
+      .toSeq
+    assert(got == groups,
+      "ImageIO-decoded hash must equal the generator-formula hash")
+    assert(got.nonEmpty, "the gradient family must collide at least once")
+  }
 }
