@@ -546,4 +546,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
       s"fingerprint pipeline fell out of codegen:\n$p")
   }
+
+  test("r11 additions: scale-shape pins") {
+    // top_supplier: the date filter reaches the scan; supplier dim broadcasts
+    val ts = plan("q_top_supplier")
+    assert(ts.contains("PushedFilters:") &&
+      ts.contains("GreaterThanOrEqual(l_shipdate"), "shipdate not pushed")
+    assert(ts.contains("BroadcastHashJoin"), "supplier dim should broadcast")
+    // text_novelty: the gram dictionary anti-join is a SHUFFLED hash
+    // join — a corpus-proportional dictionary must never broadcast
+    val nv = plan("text_novelty")
+    assert(nv.contains("ShuffledHashJoin") && nv.contains("LeftAnti"),
+      s"novelty anti-join should shuffle-hash:\n${nv.take(800)}")
+    // modularity: the pair-sized builds broadcast INTO the corpus-sized
+    // doc dimension (never the reverse)
+    assert(plan("q_modularity").contains("BroadcastHashJoin"))
+    // joinsize sketch: both sides aggregate map-side before they meet
+    val js = plan("q_joinsize_cms")
+    assert("HashAggregate".r.findAllIn(js).size >= 4,
+      "both CMS grids should partial-aggregate")
+    // blocking: the O(w·corpus) candidate set meets the truth set in a
+    // SHUFFLED hash join — a corpus-proportional relation must never
+    // broadcast (the rank equi-join itself materializes inside the
+    // localCheckpoint, so it is pinned by the replay spec, not here)
+    val bl = plan("dedup_blocking")
+    assert(bl.contains("ShuffledHashJoin"),
+      s"truth⋈cand should shuffle-hash:\n${bl.take(600)}")
+    assert(!bl.toLowerCase.contains("cartesianproduct"), "no cartesian")
+  }
 }
