@@ -226,6 +226,36 @@ object ScaleOps {
        |GROUP BY o_orderstatus, l_linestatus
        |ORDER BY o_orderstatus, l_linestatus""".stripMargin
 
+  // -- q_bucketed_agg: shuffle-free aggregation on the bucket key -----------
+  // The aggregation half of bucketing (q_bucketed_join is the join
+  // half): a groupBy on the bucket key is satisfied by the TABLE
+  // LAYOUT — the per-orderkey aggregate runs with ZERO exchange before
+  // it (PlanSpec pins exactly one Exchange in the whole plan: the
+  // O(distinct line-counts) histogram rollup after). At 100 TB this is
+  // the difference between re-shuffling the fact table on every
+  // per-entity aggregation and never shuffling it at all — the layout
+  // paid the shuffle once at write time. Output folds to the
+  // lines-per-order histogram with exact revenue cents so the oracle
+  // is layout-free.
+  private def bucketedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ensureBucketedTables(s, d)
+    s.table("graft_li_bucketed")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy($"n_lines")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+      .orderBy($"n_lines")
+  }
+  private val bucketedAggSql =
+    """WITH per AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT n_lines, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- salted skew join ----------------------------------------------------
   // When one join key dominates (here: the synthetic hot key = every
   // lineitem joined to its returnflag group stats), a plain shuffle
@@ -735,6 +765,7 @@ object ScaleOps {
     QueryDef("io_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     QueryDef("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     QueryDef("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    QueryDef("q_bucketed_agg", bucketedAgg, Some(bucketedAggSql)),
     QueryDef("q_salted_skew_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("q_zorder_skipping", zorderSkipping, Some(zorderSkippingSql)),
     QueryDef("io_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),

@@ -547,6 +547,21 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprint pipeline fell out of codegen:\n$p")
   }
 
+  test("q_bucketed_agg: the bucket-key aggregate runs with zero exchange") {
+    val p = plan("q_bucketed_agg")
+    val tree = p.split("\n\\(1\\) ").head // formatted tree section only
+    val lines = tree.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("graft_li_bucketed"))
+    assert(scanIdx > 0, s"bucketed scan missing:\n$tree")
+    // walk up from the scan: the per-orderkey aggregate pair must appear
+    // BEFORE any Exchange — the bucket layout satisfies the distribution
+    val above = lines.take(scanIdx).reverse
+    val firstExchange = above.indexWhere(_.contains("Exchange"))
+    val aggsBefore = above.take(firstExchange).count(_.contains("HashAggregate"))
+    assert(aggsBefore >= 2,
+      s"per-orderkey agg should complete before the first Exchange:\n$tree")
+  }
+
   test("r11 additions: scale-shape pins") {
     // top_supplier: the date filter reaches the scan; supplier dim broadcasts
     val ts = plan("q_top_supplier")
