@@ -1188,7 +1188,72 @@ object Advanced {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // -- q_holt_trend: double exponential smoothing (level + trend) -----------
+  // Holt 1957 — the EWMA's trend-aware sibling, and the first model
+  // that can FORECAST a drifting series (EWMA lags a trend forever):
+  // l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
+  // (1−β)b_{t−1}, α = β = 1/4, init l_0 = x_0, b_0 = 0. Same
+  // discipline as q_ewma_trend: distributed exact-cents daily
+  // aggregate, then the inherently-sequential recurrence driver-side
+  // in BigInt over O(calendar-days) rows; state is cents·2²⁰ integers.
+  // The trend term goes NEGATIVE, so division semantics are load-
+  // bearing: BOTH engines truncate toward zero on integer division
+  // (BigInt `/` here; DuckDB's HUGEINT `//` — verified: -7//2 = -3,
+  // NOT floor's -4), so plain truncating division is used throughout
+  // and agrees bit-for-bit on every sign. Emits the one-step-ahead
+  // forecast l+b — the column a capacity planner actually reads.
+  private def holtTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .orderBy($"day")
+    val series = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+    val sc = BigInt(1) << EwmaShift
+    var l = BigInt(0); var b = BigInt(0); var first = true
+    val out = series.map { case (day, c) =>
+      if (first) { first = false; l = BigInt(c) * sc; b = BigInt(0) }
+      else {
+        val l1 = BigInt(c) * sc / 4 + 3 * (l + b) / 4
+        b = (l1 - l) / 4 + 3 * b / 4
+        l = l1
+      }
+      (day, c, (l / sc).toLong, (b / sc).toLong, ((l + b) / sc).toLong)
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("day", "revenue_cents", "level_cents", "trend_cents",
+        "forecast_cents")
+      .orderBy($"day")
+  }
+  private val holtTrendSql = {
+    val S = 1L << EwmaShift
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT day, cents,
+       |    row_number() OVER (ORDER BY day) AS rn FROM daily),
+       |h AS (
+       |  SELECT rn, day, cents, CAST(cents AS HUGEINT) * $S AS l,
+       |    CAST(0 AS HUGEINT) AS b
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.cents,
+       |    (CAST(d.cents AS HUGEINT) * $S) // 4 + (3 * (h.l + h.b)) // 4,
+       |    ((CAST(d.cents AS HUGEINT) * $S) // 4 + (3 * (h.l + h.b)) // 4
+       |      - h.l) // 4 + (3 * h.b) // 4
+       |  FROM h JOIN r d ON d.rn = h.rn + 1)
+       |SELECT day, cents AS revenue_cents,
+       |  CAST(l // $S AS BIGINT) AS level_cents,
+       |  CAST(b // $S AS BIGINT) AS trend_cents,
+       |  CAST((l + b) // $S AS BIGINT) AS forecast_cents
+       |FROM h ORDER BY day""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_holt_trend", holtTrend, Some(holtTrendSql)),
     QueryDef("q_aqp_sample", qAqpSample, Some(qAqpSampleSql)),
     QueryDef("q_ewma_trend", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("q_skyline", skyline, Some(skylineSql)),

@@ -1871,8 +1871,8 @@ object Dedup {
   // 'ALL' row — everything exact 128-bit integers: contrib_micro =
   // (4m*e_s + 4m^2 - d_s^2)*10^6 div 4m^2 - 10^6, the +4m^2 SHIFT
   // keeping the numerator nonnegative (d_s <= 2m structurally) so
-  // Spark's truncating div and DuckDB's flooring // agree (the
-  // q_mutual_info rule). Reads the STAGED pair graph; the corpus-sized
+  // the quotient is sign-safe regardless of division semantics —
+  // both engines truncate toward zero (the q_mutual_info shift rule). Reads the STAGED pair graph; the corpus-sized
   // doc->source dimension never shuffles (pair-sized builds broadcast
   // into it), aggregates are map-side combined.
   private def modularity(s: SparkSession, d: String): DataFrame = {

@@ -1016,6 +1016,35 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_holt_trend: level+trend recurrence matches a BigInt replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_date
+    val daily = Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate").as("day"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getDate(0).toString,
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val sc = BigInt(1) << 20
+    var l = BigInt(0); var b = BigInt(0); var first = true
+    val expected = daily.map { case (day, c) =>
+      if (first) { first = false; l = BigInt(c) * sc; b = BigInt(0) }
+      else {
+        val l1 = BigInt(c) * sc / 4 + 3 * (l + b) / 4
+        b = (l1 - l) / 4 + 3 * b / 4
+        l = l1
+      }
+      (day, c, (l / sc).toLong, (b / sc).toLong, ((l + b) / sc).toLong)
+    }
+    val got = SparkEntry.queries("q_holt_trend")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the trend term actually moves (a flat b would mean EWMA in disguise)
+    assert(got.exists(_._4 != 0L))
+  }
+
   test("q_aqp_sample: estimates scale the hash-sample and errors are honest") {
     val rows = SparkEntry.queries("q_aqp_sample")(spark, sf).collect()
     assert(rows.nonEmpty)
