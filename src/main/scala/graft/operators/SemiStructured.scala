@@ -655,6 +655,75 @@ object SemiStructured {
        |FROM ex CROSS JOIN est""".stripMargin
   }
 
+  // -- q_fd_check: uniqueness + functional-dependency profiling -------------
+  // The data-quality question constraint validation (57h) can't answer
+  // because nobody DECLARED the constraint: does this candidate key
+  // actually identify rows, does this column determine that one?
+  // (Metanome-style dependency profiling, here over a fixed candidate
+  // set — at discovery scale the lattice search prunes, but each CHECK
+  // is exactly this shape.) Every candidate is ONE map-side-combined
+  // groupBy on its LHS: uniqueness counts rows per key, an FD counts
+  // DISTINCT RHS per LHS; a violation is a group past 1. The audit row
+  // carries group count, violating-group count, worst cardinality, and
+  // the verdict — candidates chosen to exercise both outcomes (order
+  // keys hold; part→supplier and user→event_type genuinely fail).
+  private def fdCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def audit(name: String, grouped: DataFrame): DataFrame = grouped
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"card" > 1, 1L).otherwise(0L)).as("n_violations"),
+        max($"card").as("max_card"))
+      .select(lit(name).as("candidate"), $"n_groups", $"n_violations",
+        $"max_card",
+        when($"n_violations" === 0, 1L).otherwise(0L).as("holds"))
+    val u1 = audit("unique:orders.o_orderkey",
+      Tables.orders(s, d).groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("card")))
+    val u2 = audit("unique:lineitem.(l_orderkey,l_linenumber)",
+      Tables.lineitem(s, d).groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("card")))
+    val f1 = audit("fd:lineitem.l_partkey->l_suppkey",
+      Tables.lineitem(s, d).groupBy($"l_partkey")
+        .agg(countDistinct($"l_suppkey").as("card")))
+    val f2 = audit("fd:customer.c_custkey->c_nationkey",
+      Tables.customer(s, d).groupBy($"c_custkey")
+        .agg(countDistinct($"c_nationkey").as("card")))
+    val f3 = audit("fd:events.user_id->event_type",
+      Tables.events(s, d).groupBy($"user_id")
+        .agg(countDistinct($"event_type").as("card")))
+    u1.unionByName(u2).unionByName(f1).unionByName(f2).unionByName(f3)
+      .orderBy($"candidate")
+  }
+  private val fdCheckSql =
+    """WITH u1 AS (SELECT COUNT(*) AS card FROM orders GROUP BY o_orderkey),
+      |u2 AS (SELECT COUNT(*) AS card FROM lineitem
+      |       GROUP BY l_orderkey, l_linenumber),
+      |f1 AS (SELECT COUNT(DISTINCT l_suppkey) AS card FROM lineitem
+      |       GROUP BY l_partkey),
+      |f2 AS (SELECT COUNT(DISTINCT c_nationkey) AS card FROM customer
+      |       GROUP BY c_custkey),
+      |f3 AS (SELECT COUNT(DISTINCT event_type) AS card FROM events
+      |       GROUP BY user_id),
+      |a AS (
+      |  SELECT 'unique:orders.o_orderkey' AS candidate, COUNT(*) AS n_groups,
+      |    SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS n_violations,
+      |    MAX(card) AS max_card FROM u1
+      |  UNION ALL SELECT 'unique:lineitem.(l_orderkey,l_linenumber)',
+      |    COUNT(*), SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END), MAX(card)
+      |  FROM u2
+      |  UNION ALL SELECT 'fd:lineitem.l_partkey->l_suppkey', COUNT(*),
+      |    SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END), MAX(card) FROM f1
+      |  UNION ALL SELECT 'fd:customer.c_custkey->c_nationkey', COUNT(*),
+      |    SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END), MAX(card) FROM f2
+      |  UNION ALL SELECT 'fd:events.user_id->event_type', COUNT(*),
+      |    SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END), MAX(card) FROM f3)
+      |SELECT candidate, n_groups, CAST(n_violations AS BIGINT)
+      |    AS n_violations,
+      |  CAST(max_card AS BIGINT) AS max_card,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS holds
+      |FROM a ORDER BY candidate""".stripMargin
+
   // -- join-key skew diagnostic --------------------------------------------
   // The measurement that decides whether a join needs salting (SURVEY
   // #46): per-key counts → the heaviest keys with their share of the
@@ -1051,6 +1120,7 @@ object SemiStructured {
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)),
     QueryDef("q_selfjoin_size", selfJoinSize, Some(selfJoinSizeSql)),
     QueryDef("q_joinsize_cms", joinSizeCms, Some(joinSizeCmsSql)),
+    QueryDef("q_fd_check", fdCheck, Some(fdCheckSql)),
     QueryDef("q_key_skew", keySkew, Some(keySkewSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_validate_rows", validateRows, Some(validateRowsSql)),

@@ -1016,6 +1016,34 @@ class Round11Spec extends AnyFunSuite {
       s"overcount ${est - exact} breaches the e*F1*F1/w bound")
   }
 
+  test("q_fd_check: verdicts match brute-force dependency replay") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_fd_check")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def exp(cards: Seq[Long]) = (cards.length.toLong,
+      cards.count(_ > 1).toLong, cards.max,
+      if (cards.forall(_ <= 1)) 1L else 0L)
+    val ordersK = Tables.orders(spark, sf).select($"o_orderkey").collect()
+      .map(_.getLong(0)).groupBy(identity).values.map(_.length.toLong).toSeq
+    assert(got("unique:orders.o_orderkey") == exp(ordersK))
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .collect()
+    assert(got("unique:lineitem.(l_orderkey,l_linenumber)") ==
+      exp(li.groupBy(r => (r.getLong(0), r.getInt(1)))
+        .values.map(_.length.toLong).toSeq))
+    assert(got("fd:lineitem.l_partkey->l_suppkey") ==
+      exp(li.groupBy(_.getLong(2))
+        .values.map(_.map(_.getLong(3)).distinct.length.toLong).toSeq))
+    val ev = Tables.events(spark, sf).select($"user_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got("fd:events.user_id->event_type") ==
+      exp(ev.groupBy(_._1)
+        .values.map(_.map(_._2).distinct.length.toLong).toSeq))
+    assert(got("fd:customer.c_custkey->c_nationkey")._4 == 1L)
+  }
+
   test("q_holt_trend: level+trend recurrence matches a BigInt replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.to_date
