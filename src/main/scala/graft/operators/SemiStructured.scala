@@ -611,22 +611,32 @@ object SemiStructured {
   // ground truth via the (key, count)⋈(key, count) aggregate.
   private def joinSizeCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def sketch(keys: DataFrame, cname: String): DataFrame = keys
-      .select(explode(array((0 until CmsD).map(j =>
-        struct(lit(j).as("j"),
-          (Behavioral.mixKey(concat_ws(":", lit(j), $"k")) % F2W)
-            .as("bucket"))): _*)).as("h"))
-      .select($"h.j", $"h.bucket")
-      .groupBy($"j", $"bucket").agg(count(lit(1)).as(cname))
-    val ko = Tables.orders(s, d).select($"o_orderkey".as("k"))
-    val kl = Tables.lineitem(s, d).select($"l_orderkey".as("k"))
+    // ONE scan per table: the (key, count) aggregate feeds BOTH legs —
+    // the sketch hashes each DISTINCT key once with its count as the
+    // increment weight (identical counters to per-row increments, 4×
+    // fewer exploded rows on a 4-lines-per-order fact), and the exact
+    // inner product reuses the same frame (localCheckpoint: two
+    // consumers)
+    def keyCounts(df: DataFrame, cname: String): DataFrame = df
+      .groupBy($"k").agg(count(lit(1)).as(cname)).localCheckpoint()
+    def sketch(kc: DataFrame, cname: String): DataFrame = kc
+      .select(col(cname).as("n"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"),
+            (Behavioral.mixKey(concat_ws(":", lit(j), $"k")) % F2W)
+              .as("bucket"))): _*)).as("h"))
+      .select($"h.j", $"h.bucket", $"n")
+      .groupBy($"j", $"bucket").agg(sum($"n").as(cname))
+    val ko = keyCounts(Tables.orders(s, d).select($"o_orderkey".as("k")),
+      "n_r")
+    val kl = keyCounts(Tables.lineitem(s, d).select($"l_orderkey".as("k")),
+      "n_s")
     // cast BEFORE multiplying (the q_selfjoin_size 128-bit rule)
-    val est = sketch(ko, "co").join(sketch(kl, "cl"), Seq("j", "bucket"))
+    val est = sketch(ko, "n_r").join(sketch(kl, "n_s"), Seq("j", "bucket"))
       .groupBy($"j")
-      .agg(sum($"co".cast("decimal(38,0)") * $"cl").as("e"))
+      .agg(sum($"n_r".cast("decimal(38,0)") * $"n_s").as("e"))
       .agg(min($"e").cast("long").as("join_est"))
-    val exact = ko.groupBy($"k").agg(count(lit(1)).as("n_r"))
-      .join(kl.groupBy($"k").agg(count(lit(1)).as("n_s")), "k")
+    val exact = ko.join(kl, "k")
       .agg(count(lit(1)).as("n_shared_keys"),
         sum($"n_r".cast("decimal(38,0)") * $"n_s").cast("long")
           .as("join_exact"))
