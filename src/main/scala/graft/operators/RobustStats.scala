@@ -640,6 +640,78 @@ object RobustStats {
        |FROM f""".stripMargin
   }
 
+  // -- q_seasonal_anomaly: day-of-week-aware robust anomaly flags ----------
+  // The ops question a plain z-score gets wrong: Sunday revenue is
+  // always "anomalous" against a weekday mean. Deseasonalize by
+  // COMPARING LIKE WITH LIKE — each day is judged against its own
+  // day-of-week's median and MAD (q_mad's pinned-position exactness,
+  // the 3·1.4826·MAD robust fence as row-local IEEE). Day-of-week is
+  // the PORTABLE epoch-day mod 7 (Spark's dayofweek is 1=Sunday,
+  // DuckDB's 0=Sunday — an off-by-one oracle trap); the corpus
+  // collapses to the daily aggregate first, so every window walks
+  // O(calendar-days/7) rows. Emits every day with its verdict — the
+  // dashboard series, not just the alerts.
+  private def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .withColumn("dow",
+        expr("datediff(day, DATE '1970-01-01') % 7").cast("long"))
+    val wd = Window.partitionBy($"dow")
+    val w1 = wd.orderBy($"cents", $"day")
+    val med = daily
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wd))
+      .groupBy($"dow")
+      .agg(max(when($"rn" <= ceil($"n" * 0.5), $"cents")).as("med"))
+    val dev = daily.join(broadcast(med), "dow")
+      .withColumn("dev", abs($"cents" - $"med"))
+    val w2 = wd.orderBy($"dev", $"day")
+    val mad = dev
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("n", count(lit(1)).over(wd))
+      .groupBy($"dow")
+      .agg(max(when($"rn" <= ceil($"n" * 0.5), $"dev")).as("mad"))
+    dev.join(broadcast(mad), "dow")
+      .select($"day", $"dow", $"cents", $"med".as("med_cents"),
+        $"mad".as("mad_cents"),
+        when($"dev".cast("double") >
+            lit(3) * lit(1.4826) * $"mad".cast("double"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy($"day")
+  }
+  private val qSeasonalAnomalySql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT day, cents,
+      |    CAST((day - DATE '1970-01-01') AS BIGINT) % 7 AS dow FROM daily),
+      |med AS (SELECT dow,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.5) THEN cents END) AS med
+      |  FROM (SELECT dow, cents,
+      |      row_number() OVER (PARTITION BY dow ORDER BY cents, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY dow) AS n FROM d)
+      |  GROUP BY dow),
+      |dv AS (SELECT d.day, d.dow, d.cents, m.med,
+      |    abs(d.cents - m.med) AS dev
+      |  FROM d JOIN med m ON m.dow = d.dow),
+      |mad AS (SELECT dow,
+      |    MAX(CASE WHEN rn <= ceil(n * 0.5) THEN dev END) AS mad
+      |  FROM (SELECT dow, dev,
+      |      row_number() OVER (PARTITION BY dow ORDER BY dev, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY dow) AS n FROM dv)
+      |  GROUP BY dow)
+      |SELECT dv.day, dv.dow, dv.cents, dv.med AS med_cents,
+      |  mad.mad AS mad_cents,
+      |  CAST(CASE WHEN CAST(dv.dev AS DOUBLE)
+      |         > 3 * 1.4826 * CAST(mad.mad AS DOUBLE)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM dv JOIN mad ON mad.dow = dv.dow
+      |ORDER BY dv.day""".stripMargin
+
   // -- q_weighted_median: revenue-weighted median discount -----------------
   // The weighted quantile the plain median can't answer: "half the
   // REVENUE ships at discount <= X" (each row votes its revenue, not
@@ -697,6 +769,8 @@ object RobustStats {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianSql)),
     QueryDef("q_anova", qAnova, Some(qAnovaSql)),
+    QueryDef("q_seasonal_anomaly", qSeasonalAnomaly,
+      Some(qSeasonalAnomalySql)),
     QueryDef("q_lorenz", qLorenz, Some(qLorenzSql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_id_gaps", qIdGaps, Some(qIdGapsSql)),

@@ -370,6 +370,47 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(z6 == BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q_seasonal_anomaly: per-dow robust flags match a sequential replay") {
+    import org.apache.spark.sql.functions.to_date
+    import TestSession.spark.implicits._
+    val daily = Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate").as("day"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getDate(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toString)
+    def dow(d: java.sql.Date): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1970, 1, 1), d.toLocalDate) % 7
+    def pinnedMed[K](xs: Seq[(Long, K)]): Long = {
+      val sorted = xs.sortBy(t => (t._1, t._2.toString))
+      sorted(math.ceil(xs.size * 0.5).toInt - 1)._1
+    }
+    val byDow = daily.groupBy(t => dow(t._1))
+    val med = byDow.map { case (k, g) =>
+      k -> pinnedMed(g.map(t => (t._2, t._1.toString)))
+    }
+    val mad = byDow.map { case (k, g) =>
+      k -> pinnedMed(g.map(t =>
+        (math.abs(t._2 - med(k)), t._1.toString)))
+    }
+    val got = SparkEntry.queries("q_seasonal_anomaly")(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == daily.length)
+    got.foreach { case (day, dw, cents, m, md, fl) =>
+      assert(dw == dow(day), s"$day dow")
+      assert(m == med(dw), s"$day med")
+      assert(md == mad(dw), s"$day mad")
+      val expFlag =
+        if (math.abs(cents - m).toDouble > 3 * 1.4826 * md.toDouble) 1L
+        else 0L
+      assert(fl == expFlag, s"$day flag")
+    }
+  }
+
   test("q_anova: F statistic matches a BigInt-moment replay") {
     val r = SparkEntry.queries("q_anova")(spark, sf).head()
     val xs = Tables.lineitem(spark, sf)
