@@ -91,6 +91,22 @@ object EncryptedParquet {
     parseManifest(json)
   }
 
+  /** Flip one bit of the encrypted manifest IN PLACE — the hook the
+    * tamper gate (crypto_footer_tamper) and specs use to prove the
+    * footer fails CLOSED: GCM authenticates the whole manifest blob, so
+    * any single-bit change must surface as an authentication error
+    * before a single column key is unwrapped or a data row decrypted. */
+  def tamperManifest(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, ManifestFile)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val blob = Base64.getDecoder.decode(raw)
+    blob(blob.length / 2) = (blob(blob.length / 2) ^ 0x01).toByte
+    val out = fs.create(p, true)
+    try out.write(Base64.getEncoder.encode(blob)) finally out.close()
+  }
+
   /** Raw (still-encrypted) manifest bytes — for specs asserting the
     * footer really is ciphertext. */
   def rawManifestBytes(spark: SparkSession, dir: String): Array[Byte] = {

@@ -278,7 +278,137 @@ object CryptoQueries {
       |  MAX(c_name) AS max_name
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // -- crypto_footer_tamper: encrypted footer fails CLOSED ------------------
+  // §2.1 row 7 (encrypted footer / metadata protection), driver-gated:
+  // the manifest rides as one AES-GCM blob, so a single flipped bit
+  // anywhere in it must fail authentication BEFORE any column key is
+  // unwrapped — the tampered read exposes zero plaintext rows. Stage
+  // 1_intact reads normally (its keys resolve while the manifest is
+  // still sound; execution later needs no manifest); stage 2_tampered
+  // re-opens after the bit flip and must throw GeneralSecurityException
+  // (AEADBadTagException). If the tampered read ever SUCCEEDS the query
+  // emits read_ok=true / fails_closed=false and the oracle compare
+  // fails the round — the gate can only pass by failing closed.
+  private def footerTamper(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_footer_tamper", d)
+    val cfg = CryptoConfig("master-tamper",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-tamper")),
+        ColumnPolicy("c_acctbal", explicitKey = Some("0123456789abcdef"))))
+    EncryptedParquet.write(Tables.customer(s, d), out, cfg)
+    val intact = EncryptedParquet.readAll(s, out, cfg)
+      .agg(count(lit(1)).as("rows_readable"),
+        countDistinct($"c_name").as("n_names"))
+      .select(lit("1_intact").as("stage"), lit(true).as("read_ok"),
+        $"rows_readable", $"n_names", lit(true).as("fails_closed"))
+    EncryptedParquet.tamperManifest(s, out)
+    val tampered =
+      try {
+        EncryptedParquet.readAll(s, out, cfg) // must throw at manifest auth
+        Seq(("2_tampered", true, 0L, 0L, false))
+      } catch {
+        case _: java.security.GeneralSecurityException =>
+          Seq(("2_tampered", false, 0L, 0L, true))
+      }
+    intact.unionByName(tampered
+        .toDF("stage", "read_ok", "rows_readable", "n_names", "fails_closed"))
+      .orderBy($"stage")
+  }
+  private val footerTamperSql =
+    """SELECT '1_intact' AS stage, true AS read_ok,
+      |  COUNT(*) AS rows_readable, COUNT(DISTINCT c_name) AS n_names,
+      |  true AS fails_closed
+      |FROM customer
+      |UNION ALL
+      |SELECT '2_tampered', false, 0, 0, true
+      |ORDER BY stage""".stripMargin
+
+  // -- crypto_fallback_chain: the full key-resolution walk ------------------
+  // §2.1 row 8 driver-gated (reference parquet_writer.cpp:78-135):
+  // c_name resolves at link 1 (valid explicit column key); c_mktsegment
+  // carries an INVALID-length explicit key, which must fall through —
+  // not fail — to link 2 (KMS data key, wrapped DEK in the manifest);
+  // c_acctbal has no column-level key at all and lands on link 3 (the
+  // config fallback key). The manifest's persisted mode per column IS
+  // part of the output (the oracle pins the literal chain), and each
+  // column's decrypted n_distinct must equal plaintext's — proving all
+  // three resolution paths actually open the data.
+  private def fallbackChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_fallback_chain", d)
+    val cfg = CryptoConfig("master-fb",
+      Seq(ColumnPolicy("c_name", explicitKey = Some("0123456789abcdef")),
+        ColumnPolicy("c_mktsegment", explicitKey = Some("tooshort!"),
+          kmsMasterKeyId = Some("mk-fb-seg")),
+        ColumnPolicy("c_acctbal")),
+      fallbackKey = Some("fedcba9876543210"))
+    val manifest = EncryptedParquet.write(Tables.customer(s, d), out, cfg)
+    val modes = manifest.columns.map(c => (c.name, c.mode))
+      .toDF("col_name", "mode")
+    val stats = EncryptedParquet.readAll(s, out, cfg)
+      .agg(countDistinct($"c_name").as("v_c_name"),
+        countDistinct($"c_mktsegment").as("v_c_mktsegment"),
+        countDistinct($"c_acctbal").as("v_c_acctbal"))
+      .selectExpr("""stack(3,
+        'c_name', v_c_name,
+        'c_mktsegment', v_c_mktsegment,
+        'c_acctbal', v_c_acctbal) AS (col_name, n_distinct)""")
+    modes.join(stats, "col_name").orderBy($"col_name")
+  }
+  private val fallbackChainSql =
+    """SELECT 'c_acctbal' AS col_name, 'fallback' AS mode,
+      |  COUNT(DISTINCT c_acctbal) AS n_distinct FROM customer
+      |UNION ALL
+      |SELECT 'c_mktsegment', 'kms', COUNT(DISTINCT c_mktsegment) FROM customer
+      |UNION ALL
+      |SELECT 'c_name', 'column-key', COUNT(DISTINCT c_name) FROM customer
+      |ORDER BY col_name""".stripMargin
+
+  // -- crypto_nulls_roundtrip: sparse/null round trip, value-oracled --------
+  // §2.1 row 11 driver-gated (reference main.cpp sparse-row scenarios:
+  // missing values, empty strings): NULL every 5th name and EMPTY every
+  // 7th segment BEFORE encryption; aes_encrypt propagates NULL (no
+  // ciphertext is ever written for a missing value) and encrypts "" to
+  // a real 28-byte [IV][tag] blob, and the read path must hand back
+  // exactly the sparse plaintext — null/empty/distinct counts all
+  // value-checked against an oracle replaying the same sparsification.
+  private def nullsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("crypto_nulls_roundtrip", d)
+    val sparse = Tables.customer(s, d)
+      .withColumn("c_name",
+        when($"c_custkey" % 5 === 0, lit(null)).otherwise($"c_name"))
+      .withColumn("c_mktsegment",
+        when($"c_custkey" % 7 === 0, lit("")).otherwise($"c_mktsegment"))
+    val cfg = CryptoConfig("master-nulls",
+      Seq(ColumnPolicy("c_name", kmsMasterKeyId = Some("mk-nulls-name")),
+        ColumnPolicy("c_mktsegment", explicitKey = Some("0123456789abcdef"))))
+    EncryptedParquet.write(sparse, out, cfg)
+    EncryptedParquet.readAll(s, out, cfg)
+      .agg(count(lit(1)).as("n"),
+        sum(when($"c_name".isNull, 1L).otherwise(0L)).as("n_null_names"),
+        countDistinct($"c_name").as("n_names"),
+        sum(when($"c_mktsegment" === "", 1L).otherwise(0L)).as("n_empty_segs"),
+        countDistinct($"c_mktsegment").as("n_segs"))
+  }
+  private val nullsRoundtripSql =
+    """WITH sparse AS (
+      |  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_names,
+      |  COUNT(DISTINCT c_name) AS n_names,
+      |  CAST(SUM(CASE WHEN c_mktsegment = '' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_empty_segs,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segs
+      |FROM sparse""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("crypto_footer_tamper", footerTamper, Some(footerTamperSql)),
+    QueryDef("crypto_fallback_chain", fallbackChain, Some(fallbackChainSql)),
+    QueryDef("crypto_nulls_roundtrip", nullsRoundtrip, Some(nullsRoundtripSql)),
     QueryDef("crypto_shred", cryptoShred, Some(cryptoShredSql)),
     QueryDef("crypto_aad_binding", aadBinding, Some(aadBindingSql)),
     QueryDef("io_parquet_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),

@@ -61,38 +61,123 @@ object Dedup {
        |GROUP BY ${TextPrep.normSql}
        |ORDER BY keep_id""".stripMargin
 
-  // -- exact n-gram Jaccard via inverted-index join ------------------------
-  // Pairwise similarity WITHOUT a cross join: explode distinct 3-grams,
-  // self-join on the gram (only docs sharing a gram ever meet), count
-  // shared grams, then Jaccard = c / (|A| + |B| - c).
+  // -- exact n-gram Jaccard via df-capped two-lane candidates ---------------
+  // Pairwise similarity WITHOUT a cross join — and WITHOUT the hot-gram
+  // tail the r11 shape carried: the naive inverted-index self-join
+  // meets every pair sharing ANY gram, so one gram appearing in k docs
+  // costs k² candidate rows (one boilerplate phrase across the corpus
+  // is a quadratic stage). Fixed EXACTLY by a df-capped two-lane
+  // split ([[jaccardCappedCandidates]]): hot grams (df > cap) never
+  // join in the cold lane, and the lemma-backed hot lane catches the
+  // only pairs the cap could lose. Verification then counts the exact
+  // intersection for candidate pairs only — output identical to the
+  // brute-force oracle. (Prefix filtering à la dedup_setsim was
+  // measured first and rejected: at τ = 3/10 prefixes keep 70% of every
+  // doc — the documented τ-cliff — and the mid-df grams they retain
+  // still blow up the candidate space.)
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // shingle once, parallel, checkpointed: the self-join's two branches
-    // and the sizes aggregate all consume this frame, and the local
-    // one-file scan otherwise runs the CPU-bound shingle map serially
-    // per branch (the dedup_simhash lesson)
+    // shingle once, parallel, checkpointed: every consumer below reads
+    // this frame, and the local one-file scan otherwise runs the
+    // CPU-bound shingle map serially per branch (the dedup_simhash
+    // lesson)
     val grams = Tables.documents(s, d)
       .repartition($"doc_id")
       .select($"doc_id", explode(TextPrep.shingleSet($"text", 3)).as("g"))
       .localCheckpoint()
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    // shuffle-hash hint: the planner would otherwise broadcast the
-    // whole gram table the moment its size estimate dips under the
-    // threshold — a single-threaded hash build of the corpus-sized
-    // relation (measured 1.3-1.9 s single-task stages; the r10 BM25
-    // lesson), and corpus-proportional broadcast is exactly what dies
-    // at 100 TB
-    val shared = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
-        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    shared
+    jaccardCappedPairs(grams, JaccTauNum, JaccTauDen)
       .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .select($"doc_a", $"doc_b",
         ($"c" / ($"sa.sz" + $"sb.sz" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"doc_a", $"doc_b")
+  }
+  private val JaccTauNum = 3L
+  private val JaccTauDen = 10L
+  private[graft] val JaccHotDf = 64L
+
+  /** (doc_a, doc_b, c) with c = the EXACT shared-gram count, for every
+    * pair that could reach J ≥ n/dd, computed without ever self-joining
+    * a hot posting list. Two lanes over the df split
+    * cap = max(64, nDocs/16) (corpus-relative, so "hot" keeps meaning
+    * boilerplate as N grows):
+    *
+    *  - COLD: the r11 inverted-index self-join restricted to grams with
+    *    df ≤ cap — gives c_cold per meeting pair directly (one groupBy,
+    *    no candidate materialization), with the quadratic hot lists
+    *    removed;
+    *  - HOT: each doc's hot grams are FEW DISTINCT VALUES (df > cap ⇒
+    *    at most corpus_grams/cap of them exist), so they ride as one
+    *    small sorted array per doc and c_hot = |hotA ∩ hotB| is an
+    *    array_intersect on the PAIR rows — never a per-gram join.
+    *    c = c_cold + c_hot exactly (shingleSet is distinct).
+    *
+    * Completeness of the pair set: a true pair missing from the cold
+    * lane shares ONLY hot grams. J(A,B) ≥ n/dd forces
+    * |A∩B| ≥ n/(n+dd)·(|A|+|B|) and |B| ≥ (n/dd)·|A|, so such a pair
+    * needs hot(A) ≥ n/(n+dd)·(1+n/dd)·|A| = (n/dd)·|A| — BOTH endpoints
+    * ≥ τ hot. The hot-heavy lane self-joins only those docs' hot grams;
+    * on a natural corpus hot-heavy docs are the rare boilerplate-only
+    * rows, and on a degenerate all-identical corpus the OUTPUT itself
+    * is quadratic — no candidate scheme beats its own result size.
+    * Audited by the Round12 hot-gram spec (planted corpus-wide phrase ⇒
+    * no quadratic candidate stage, results equal brute force). */
+  private[graft] def jaccardCappedPairs(grams: DataFrame,
+      n: Long, dd: Long): DataFrame = {
+    val s = grams.sparkSession
+    import s.implicits._
+    val stats = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dfreq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("hot", $"df" > greatest(lit(JaccHotDf), $"n_docs" / 16))
+      .select($"g", $"hot")
+      .localCheckpoint()
+    // fast path: a corpus with NO hot gram (the common case — the
+    // driver-side probe is one limit(1) count over the checkpointed
+    // dfreq, never the corpus) runs the plain r11 inverted-index join,
+    // zero extra stages; the lanes below engage only when a hot gram
+    // actually exists
+    if (dfreq.filter($"hot").limit(1).count() == 0) {
+      return grams.as("a").hint("shuffle_hash").join(grams.as("b"),
+          $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+    }
+    // shuffle-hash on the gram joins (the r10 no-corpus-broadcast rule)
+    val tagged = grams.hint("shuffle_hash").join(dfreq, "g")
+    val cold = tagged.filter(!$"hot").select($"doc_id", $"g")
+    val cColdPairs = cold.as("a").hint("shuffle_hash").join(cold.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c_cold"))
+    // hot-heavy lane: pairs whose EVERY shared gram is hot (provably
+    // both endpoints ≥ τ hot) meet here on their hot grams
+    val hotByDoc = tagged.filter($"hot").groupBy($"doc_id")
+      .agg(count(lit(1)).as("hot_cnt"), sort_array(collect_list($"g")).as("hotg"))
+    val szs = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val hh = hotByDoc.join(szs, "doc_id")
+      .filter($"hot_cnt" * dd >= $"sz" * n)
+      .select($"doc_id", explode($"hotg").as("g"))
+    val hotLanePairs = hh.as("a").hint("shuffle_hash").join(hh.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+      .withColumn("c_cold", lit(0L))
+    // total c = c_cold + |hotA ∩ hotB| on the pair rows; a pair seen by
+    // both lanes dedups through max(c_cold) (the hot lane contributes
+    // 0), which keeps the expensive cold join computed exactly once —
+    // an anti-join here would re-evaluate its whole subtree
+    val hotArr = hotByDoc.select($"doc_id", $"hotg")
+    cColdPairs.unionByName(hotLanePairs)
+      .groupBy($"doc_a", $"doc_b").agg(max($"c_cold").as("c_cold"))
+      .join(hotArr.as("ha"), $"doc_a" === $"ha.doc_id", "left")
+      .join(hotArr.as("hb"), $"doc_b" === $"hb.doc_id", "left")
+      .select($"doc_a", $"doc_b",
+        ($"c_cold" + when($"ha.hotg".isNull || $"hb.hotg".isNull, lit(0))
+          .otherwise(size(array_intersect($"ha.hotg", $"hb.hotg")))).as("c"))
   }
   private val ngramJaccardSql =
     s"""WITH docs AS (SELECT doc_id, ${TextPrep.wordsSql} AS words FROM documents),
@@ -1405,7 +1490,7 @@ object Dedup {
        |  SELECT e.src, b.dist + 1 FROM edges e JOIN bfs b ON e.dst = b.id
        |  WHERE b.dist < $BfsRounds),
        |md AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
-       |SELECT COALESCE(md.dist, -1) AS dist, COUNT(*) AS n_docs,
+       |SELECT CAST(COALESCE(md.dist, -1) AS BIGINT) AS dist, COUNT(*) AS n_docs,
        |  MIN(c.id) AS min_doc, MAX(c.id) AS max_doc
        |FROM comp c LEFT JOIN md ON md.id = c.id
        |GROUP BY 1 ORDER BY dist""".stripMargin
@@ -1456,7 +1541,8 @@ object Dedup {
     val w = Window.partitionBy($"doc_a", $"doc_b").orderBy($"j")
     cand.withColumn("neg_rank", row_number().over(w))
       .filter($"neg_rank" <= NegKeep)
-      .select($"doc_a", $"doc_b", $"neg_rank", $"neg_id")
+      .select($"doc_a", $"doc_b", $"neg_rank".cast("long").as("neg_rank"),
+        $"neg_id")
       .orderBy($"doc_a", $"doc_b", $"neg_rank")
   }
   private val negativeSamplingSql =

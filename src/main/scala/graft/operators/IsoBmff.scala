@@ -74,11 +74,29 @@ object IsoBmff {
     bos.toByteArray
   }
 
-  /** A structurally-valid one-track MP4: `frames` motion-JPEG samples
-    * in one chunk, sample tables consistent with the payload layout. */
-  def mp4Bytes(docId: Long, w: Int, h: Int, durationMs: Long, fps: Int = 4): Array[Byte] = {
+  /** One motion-PNG sample: the frame image as a complete PNG byte
+    * stream. LOSSLESS — decoded pixels are exactly [[frameImage]]'s
+    * formula, which is what lets the video leg of the multimodal
+    * pipeline carry a closed-form SQL value oracle (JPEG's DCT
+    * quantization is codec-specific; deflate is not lossy). */
+  def pngFrame(docId: Long, i: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frameImage(docId, i, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  /** A structurally-valid one-track MP4: `frames` samples in one chunk,
+    * sample tables consistent with the payload layout. `codec` picks
+    * the frame encoding — "png" (default; lossless, oracle-replayable
+    * pixels) or "jpeg" (the lossy robustness variant the specs keep
+    * exercising). */
+  def mp4Bytes(docId: Long, w: Int, h: Int, durationMs: Long, fps: Int = 4,
+      codec: String = "png"): Array[Byte] = {
     val frames = math.max(1, durationMs * fps / 1000).toInt
-    val framePayloads = (0 until frames).map(i => jpegFrame(docId, i, w, h))
+    val frameOf: Int => Array[Byte] =
+      if (codec == "jpeg") jpegFrame(docId, _, w, h)
+      else pngFrame(docId, _, w, h)
+    val framePayloads = (0 until frames).map(frameOf)
     val sizes = framePayloads.map(_.length)
     val frameData = cat(framePayloads: _*)
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
@@ -101,7 +119,8 @@ object IsoBmff {
       be32(0), be32(0), be32(0), Array[Byte](0))
     val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
     val dinf = box("dinf", box("dref", be32(0), be32(1), box("url ", be32(1))))
-    val sampleEntry = box("jpeg", new Array[Byte](6), be16(1),
+    val sampleEntry = box(if (codec == "jpeg") "jpeg" else "png ",
+      new Array[Byte](6), be16(1),
       new Array[Byte](16), be16(w), be16(h), be32(0x00480000L), be32(0x00480000L),
       be32(0), be16(1), new Array[Byte](32), be16(24), be16(0xffff))
     val stsd = box("stsd", be32(0), be32(1), sampleEntry)

@@ -686,6 +686,190 @@ object Maintenance {
        |FROM lineitem WHERE NOT ($DvDeletePred)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- io_merge_dv: MERGE as one Merge-on-Read snapshot commit --------------
+  // q_merge_upsert is MERGE's COPY-ON-WRITE shape (rewrite whole file
+  // groups); this is the MoR shape Delta deletion vectors / Iceberg v2
+  // position deletes use, and it ties the §2.6 pieces together: one
+  // MERGE (update + delete + insert legs) commits exactly TWO small
+  // artifacts onto the snapshot store — a deletion vector marking the
+  // base positions the update/delete legs hit, and one insert-leg data
+  // file with the new and re-written rows — through the same OCC commit
+  // path as every writer. Write amplification is O(changed rows), never
+  // O(touched files); the base files move zero bytes. The DV rides the
+  // manifest as a `dv:`-prefixed line (readSnapshotMoR subtracts it
+  // with a broadcast anti-join — DVs are change-sized, the one thing
+  // here that IS safe to broadcast). Data artifacts are staged once per
+  // dataset (content-fingerprinted); per-call work is manifest
+  // arithmetic + the read, like io_branching/io_rollback after r12's
+  // de-noising.
+  private val MorDeleteMod = 25L
+  private val MorDeleteRem = 7L
+
+  /** Staged immutable MoR artifacts: 4-group base, the DV parquet, and
+    * the insert-leg file. Update keys (%10=0) and delete keys (%25=7)
+    * are disjoint (one needs last digit 0, the other 2 or 7). */
+  private def morData(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "orders")
+    val root = s"/tmp/graft_q/mordata_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v2-mor-data|$fp" // v2: + compacted groups
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.vacuum()
+    val tmpDir = graft.Staging.tempBuildDir()
+    val base = Tables.orders(s, d).withColumn("g", ($"o_orderkey" % 4).cast("int"))
+    base.write.partitionBy("g").parquet(s"$tmpDir/base")
+    // the DV: positions (file, row) whose keys the update or delete leg
+    // hits — ONE metadata-projected scan of the base, no data rewrite
+    // position identity = the path's last two segments (g=X/part-*.parquet)
+    // + row index: stable across Staging.publish's directory move, where
+    // the absolute _metadata.file_path recorded at build time would not be
+    s.read.parquet((0 to 3).map(g => s"$tmpDir/base/g=$g"): _*)
+      .filter($"o_orderkey" % 10 === 0 ||
+        $"o_orderkey" % MorDeleteMod === MorDeleteRem)
+      .select(regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("file_key"),
+        col("_metadata.row_index").as("row_index"))
+      .coalesce(1).write.parquet(s"$tmpDir/dv")
+    // the insert leg: re-written update rows + genuinely new rows
+    val orders = Tables.orders(s, d)
+    orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
+      .unionByName(orders.filter($"o_orderkey" % 1000 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
+      .coalesce(1).write.parquet(s"$tmpDir/newfile")
+    // compacted groups (io_dv_compaction's v3): each base group minus
+    // its DV rows — the fold-DV-into-files rewrite, staged with the
+    // rest so the per-call compaction commit is manifest arithmetic
+    base.filter(!($"o_orderkey" % 10 === 0 ||
+        $"o_orderkey" % MorDeleteMod === MorDeleteRem))
+      .write.partitionBy("g").parquet(s"$tmpDir/compact")
+    java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmpDir, root, d, "orders", fp)
+    root
+  }
+
+  /** MoR snapshot read: manifest data paths minus every `dv:` sidecar's
+    * positions. DVs are bounded by the churn, not the table — the one
+    * broadcast in the maintenance family that stays safe at 100 TB. */
+  def readSnapshotMoR(s: SparkSession, root: String, version: Int): DataFrame = {
+    val (dvLines, dataPaths) = manifestPaths(root, version).partition(_.startsWith("dv:"))
+    val base = s.read.parquet(dataPaths: _*)
+    if (dvLines.isEmpty) base
+    else {
+      val dv = s.read.parquet(dvLines.map(_.stripPrefix("dv:")): _*)
+      base
+        .withColumn("file_key",
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        .withColumn("row_index", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("file_key", "row_index"), "left_anti")
+        .drop("file_key", "row_index")
+    }
+  }
+
+  private def qMergeDv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = morData(s, d)
+    val root = tmp("io_merge_dv", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    // the MERGE commit: one OCC commit adds the insert file + DV line;
+    // zero base groups move
+    val v2 = commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    val stamp = (v: Int, df: DataFrame) =>
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(v.toLong).as("version"), $"o_orderpriority", $"n", $"sum_price")
+    stamp(1, readSnapshotMoR(s, root, 1))
+      .unionByName(stamp(v2, readSnapshotMoR(s, root, v2)))
+      .orderBy($"version", $"o_orderpriority")
+  }
+  private val qMergeDvSql =
+    s"""WITH merged AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0)
+       |SELECT CAST(1 AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY o_orderpriority
+       |UNION ALL
+       |SELECT 2, o_orderpriority, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM merged GROUP BY o_orderpriority
+       |ORDER BY version, o_orderpriority""".stripMargin
+
+  // -- io_dv_compaction: fold deletion vectors back into data files ---------
+  // The lifecycle step that completes MoR (Delta OPTIMIZE / Iceberg
+  // rewrite_data_files on DV-carrying tables): reads that subtract a
+  // growing DV pay the anti-join forever, so maintenance REWRITES the
+  // groups the DV touches (base rows minus their deleted positions) and
+  // commits a version that lists the compacted groups WITHOUT the dv
+  // line — the one time MoR pays data IO, scoped to the touched groups.
+  // v2 (MoR read: base + dv + insert file) and v3 (plain read:
+  // compacted groups + insert file, zero DV machinery) must agree
+  // exactly — compaction is never allowed to change an answer — and
+  // the emitted n_dv_lines column (1 → 0) pins that the DV actually
+  // retired. Compacted groups are staged once with the other MoR
+  // artifacts; the per-call work is manifest arithmetic.
+  private def qDvCompaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = morData(s, d)
+    val root = tmp("io_dv_compaction", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    // the compaction commit: every DV-touched group swaps for its
+    // compacted rewrite, and the dv line is dropped with them
+    val v3 = commitSnapshot(root, v2,
+      (0 to 3).map(g => s"$data/base/g=$g") :+ s"dv:$data/dv",
+      (0 to 3).map(g => s"$data/compact/g=$g"))
+    def stamp(v: Int, df: DataFrame): DataFrame = {
+      val nDv = manifestPaths(root, v).count(_.startsWith("dv:")).toLong
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(v.toLong).as("version"), lit(nDv).as("n_dv_lines"),
+          $"o_orderpriority", $"n", $"sum_price")
+    }
+    stamp(v2, readSnapshotMoR(s, root, v2))
+      .unionByName(stamp(v3, readSnapshotMoR(s, root, v3)))
+      .orderBy($"version", $"o_orderpriority")
+  }
+  private val qDvCompactionSql =
+    s"""WITH merged AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0),
+       |agg AS (SELECT o_orderpriority, COUNT(*) AS n,
+       |    ${sqlSum("o_totalprice")} AS sum_price
+       |  FROM merged GROUP BY o_orderpriority)
+       |SELECT CAST(2 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_dv_lines,
+       |  o_orderpriority, n, sum_price FROM agg
+       |UNION ALL
+       |SELECT 3, 0, o_orderpriority, n, sum_price FROM agg
+       |ORDER BY version, o_orderpriority""".stripMargin
+
   // -- io_dynamic_overwrite: partition-scoped INSERT OVERWRITE -------------
   // Static overwrite mode truncates the WHOLE table before writing —
   // the classic footgun that turns "reprocess yesterday" into "drop
@@ -735,27 +919,59 @@ object Maintenance {
   // store is staged fresh per call (a small slice of orders): rollback
   // APPENDS a version, so layout reuse would grow history unboundedly
   // across verify/bench reps and break determinism.
-  private def rollbackRoot(s: SparkSession, d: String): String = {
+  /** The rollback/WAP store's DATA files — base table, the
+    * copy-on-write g=0 rewrite, and the WAP insert batch — staged ONCE
+    * per dataset behind a marker (the pairsRoot/annIndexRoot
+    * discipline): snapshot versions only ever re-LIST these immutable
+    * paths, so every per-query Spark write was staging cost paid
+    * inside the measured window (the r11 io_branching bench noise).
+    * Only the manifest text files — microsecond driver-side writes —
+    * are rebuilt per call. */
+  private def rollbackData(s: SparkSession, d: String): String = {
     import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "orders")
+    val root = s"/tmp/graft_q/rbdata_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-rollback-data|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.vacuum()
+    val tmpDir = graft.Staging.tempBuildDir()
+    val t = Tables.orders(s, d).filter($"o_orderkey" % 10 < 3)
+      .withColumn("g", ($"o_orderkey" % 2).cast("int"))
+    t.write.partitionBy("g").parquet(s"$tmpDir/base")
+    // churn: copy-on-write rewrite of g=0, the only group whose keys
+    // the update predicate hits (% 20 == 0 ⇒ even ⇒ g = 0)
+    s.read.parquet(s"$tmpDir/base/g=0")
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 20 === 0, bumpedPrice($"o_totalprice"))
+          .otherwise($"o_totalprice"))
+      .write.parquet(s"$tmpDir/rewrite_g0")
+    // the WAP insert batch (shifted copies of % 500 == 0 keys): also
+    // deterministic pure-function-of-the-dataset data, also immutable
+    Tables.orders(s, d)
+      .filter($"o_orderkey" % 10 < 3 && $"o_orderkey" % 500 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L))
+      .write.parquet(s"$tmpDir/wap_batch")
+    java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmpDir, root, d, "orders", fp)
+    root
+  }
+
+  private def rollbackRoot(s: SparkSession, d: String): String = {
+    val data = rollbackData(s, d)
     val root = tmp("rollback", d)
     def wipe(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
     }
     wipe(new java.io.File(root))
-    val t = Tables.orders(s, d).filter($"o_orderkey" % 10 < 3)
-      .withColumn("g", ($"o_orderkey" % 2).cast("int"))
-    t.write.partitionBy("g").parquet(s"$root/base")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
-      Seq(0, 1).map(g => s"$root/base/g=$g").mkString("\n").getBytes("UTF-8"))
-    // churn: copy-on-write rewrite of g=0, the only group whose keys
-    // the update predicate hits (% 20 == 0 ⇒ even ⇒ g = 0)
-    s.read.parquet(s"$root/base/g=0")
-      .withColumn("o_totalprice",
-        when($"o_orderkey" % 20 === 0, bumpedPrice($"o_totalprice"))
-          .otherwise($"o_totalprice"))
-      .write.parquet(s"$root/rewrite_g0")
-    commitSnapshot(root, 1, Seq(s"$root/base/g=0"), Seq(s"$root/rewrite_g0"))
+      Seq(0, 1).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    commitSnapshot(root, 1, Seq(s"$data/base/g=0"), Seq(s"$data/rewrite_g0"))
     root
   }
 
@@ -829,14 +1045,12 @@ object Maintenance {
   private def qBranching(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = rollbackRoot(s, d) // fresh store, versions {1, 2}
+    val data = rollbackData(s, d) // immutable staged data files
     val cur = currentSnapshotVersion(root)
-    // stage a batch on the branch: shifted copies of % 500 == 0 keys
-    // (the merge_upsert insert-leg shape), never touching main's files
-    val batch = Tables.orders(s, d)
-      .filter($"o_orderkey" % 10 < 3 && $"o_orderkey" % 500 === 0)
-      .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L))
-    batch.write.parquet(s"$root/wap_batch")
-    writeBranch(root, "wap", manifestPaths(root, cur) :+ s"$root/wap_batch")
+    // stage a batch on the branch: the pre-staged shifted copies of
+    // % 500 == 0 keys (the merge_upsert insert-leg shape), never
+    // touching main's files — branching is a pointer write, zero data IO
+    writeBranch(root, "wap", manifestPaths(root, cur) :+ s"$data/wap_batch")
     // audit runs on the BRANCH view; the constraint must hold there
     val branchView = s.read.parquet(branchPaths(root, "wap"): _*)
     val bad = branchView.filter($"o_totalprice" <= 0.0).count()
@@ -1031,5 +1245,7 @@ object Maintenance {
     QueryDef("io_metadata_count", qMetadataCount, Some(qMetadataCountSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
+    QueryDef("io_merge_dv", qMergeDv, Some(qMergeDvSql)),
+    QueryDef("io_dv_compaction", qDvCompaction, Some(qDvCompactionSql)),
   )
 }

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *  - `video/mp4`: real ISO BMFF container parse ([[IsoBmff]]) —
   *    duration/dimensions measured from mvhd/tkhd, frame sampling
   *    indexes genuine sample byte ranges via stsz/stco, and each sample
-  *    is a motion-JPEG frame whose pixels `javax.imageio` decodes, so
+  *    is a motion-PNG frame whose pixels `javax.imageio` decodes, so
   *    the video feature is computed from decoded pixels like the image
-  *    leg's.
+  *    leg's — and, PNG being lossless, replays closed-form in the SQL
+  *    oracle (the lossy motion-JPEG variant stays spec-exercised).
   */
 object Multimodal {
 
@@ -150,7 +151,7 @@ object Multimodal {
       * come from mvhd/tkhd (measured, never the declared metadata),
       * frame SAMPLING indexes actual sample byte ranges through
       * stsz/stco — 1 frame/second capped at 8 — and each sampled frame
-      * is a complete motion-JPEG sample whose PIXELS ImageIO decodes.
+      * is a complete frame sample (PNG by default) whose PIXELS ImageIO decodes.
       * brightness = mean RGB luminance over the decoded pixels of
       * exactly the sampled frames (same feature as the image leg). */
     def decodeVideo(r: MediaRow): MediaFeatures = {
@@ -227,19 +228,45 @@ object Multimodal {
       (hi, lo)
     }
 
-    /** EXACT-INTEGER decode features for the losslessly-coded
-      * modalities: PNG luminance channel-sum + pixel count (PNG is
-      * lossless, so the decoded pixels ARE the generator formula's) and
-      * WAV PCM energy Σv² + sample count (the PCM rides uncompressed).
-      * These are the quantities a SQL oracle can replay closed-form
-      * from the generator arithmetic — the float surface (mean, RMS)
-      * derives from them OUTSIDE the aggregation, as one IEEE
-      * expression over exact integers. Video is excluded by
-      * construction: its frames round-trip a LOSSY JPEG encode (DCT
-      * quantization specific to the JDK codec), so decoded pixels are
-      * genuinely codec-dependent — the written proof that
-      * mm_binary_pipeline's video brightness stays rows-only. */
+    /** EXACT-INTEGER decode features for ALL THREE modalities: PNG
+      * luminance channel-sum + pixel count (PNG is lossless, so the
+      * decoded pixels ARE the generator formula's), WAV PCM energy Σv²
+      * + sample count (the PCM rides uncompressed), and — since the
+      * generator's video track moved to motion-PNG frames — the video
+      * leg's sampled-frame luminance sum + pixel count end-to-end
+      * through the REAL path (ISO BMFF box walk → stsz/stco byte-range
+      * frame sampling → ImageIO pixel decode), with `fs` = frames
+      * actually sampled. These are the quantities a SQL oracle can
+      * replay closed-form from the generator arithmetic — the float
+      * surface (mean, RMS) derives from them OUTSIDE the aggregation,
+      * as one IEEE expression over exact integers. (The lossy JPEG
+      * frame variant survives as a spec-exercised robustness case:
+      * `IsoBmff.mp4Bytes(codec = "jpeg")`.) */
     def decodeExact(r: MediaRow): ExactDecode = r.meta.mime match {
+      case "video/mp4" =>
+        val info = IsoBmff.parse(r.payload)
+        val nFrames = info.sampleSizes.length
+        val sampled = math.min(math.min((info.durationMs / 1000).toInt, 8), nFrames)
+        var sum = 0L
+        var pixels = 0L
+        var k = 0
+        while (k < sampled) {
+          val (off, len) = info.frameRange(k * nFrames / math.max(1, sampled))
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload, off.toInt, len))
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          pixels += img.getWidth.toLong * img.getHeight
+          k += 1
+        }
+        ExactDecode(r.doc_id, r.meta.mime, sum, pixels, 0L, 0L, sampled.toLong)
       case "image/png" =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
         var sum = 0L
@@ -254,7 +281,7 @@ object Multimodal {
           y += 1
         }
         ExactDecode(r.doc_id, r.meta.mime, sum,
-          img.getWidth.toLong * img.getHeight, 0L, 0L)
+          img.getWidth.toLong * img.getHeight, 0L, 0L, 0L)
       case _ => // audio/wav
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
         val frames = ais.getFrameLength.toInt
@@ -266,15 +293,20 @@ object Multimodal {
           energy += v * v
           i += 1
         }
-        ExactDecode(r.doc_id, r.meta.mime, 0L, 0L, energy, frames.toLong)
+        // fs mirrors decodeAudio's sampled-frame count: 1 per 100 ms of
+        // MEASURED PCM (frames/frameRate), capped at 8 — replayable as
+        // least(durMs/100, 8) since the generator writes durMs·8 samples
+        val durSec = frames.toDouble / ais.getFormat.getFrameRate
+        val fs = math.min((durSec * 10).round, 8L)
+        ExactDecode(r.doc_id, r.meta.mime, 0L, 0L, energy, frames.toLong, fs)
     }
   }
 
   final case class ExactDecode(doc_id: Long, mime: String,
-      lum: Long, px: Long, energy: Long, ns: Long)
+      lum: Long, px: Long, energy: Long, ns: Long, fs: Long)
 
   /** Deterministic media table derived from documents: REAL png/wav/mp4
-    * payloads (JDK-encoded; mp4 = motion-JPEG in ISO BMFF) keyed off
+    * payloads (JDK-encoded; mp4 = motion-PNG in ISO BMFF) keyed off
     * doc_id. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -316,7 +348,7 @@ object Multimodal {
 
   /** The media table STAGED as parquet — binary payload column + typed
     * metadata struct made literal on disk, exactly the layout the
-    * Scaladoc above argues for. Encoding (PNG/WAV/MJPEG-MP4 byte
+    * Scaladoc above argues for. Encoding (PNG/WAV/motion-PNG-MP4 byte
     * generation) runs once per dataset; every media query reads the
     * staged bytes. Same [[graft.Staging]] lifecycle as the ANN/BM25
     * indexes. The read path re-sizes partitions by ROW count: payload
@@ -326,7 +358,7 @@ object Multimodal {
     val (dirKey, fp) = graft.Tables.stagingKey(d, "documents")
     val root = s"/tmp/graft_q/mm_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v2-media-parquet|$fp" // v2: integer-triangle PCM
+    val fmt = s"v3-media-parquet|$fp" // v3: lossless motion-PNG video frames
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
       if (!new java.io.File(root, "staging_source.txt").exists())
@@ -352,24 +384,131 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  // The flagship end-to-end readout over all three modalities — image
+  // pixel decode, audio PCM decode, video container walk → byte-range
+  // frame sampling → pixel decode — aggregated per mime as EXACT
+  // integers (lum/pixel sums, PCM energy/samples, frames sampled), the
+  // floats derived in one IEEE expression after aggregation: the
+  // mm_decode_features discipline, now covering video because the
+  // generator's frames are lossless motion-PNG. This is what graduated
+  // mm_binary_pipeline from rows-only to a full value oracle (the last
+  // no_oracle row in CORRECTNESS_r11).
   private def pipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    decodeFeatures(stagedMedia(s, d))
+    stagedMedia(s, d)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(JdkCodec.decodeExact)
+      }
       .groupBy($"mime")
       .agg(count(lit(1)).as("n"),
-        round(avg($"brightness"), 4).as("avg_brightness"),
-        sum($"framesSampled").as("frames_sampled"),
-        sum($"payloadBytes").as("total_bytes"))
+        sum($"fs").as("frames_sampled"),
+        sum($"lum".cast("decimal(38,0)")).cast("long").as("lum_sum"),
+        sum($"px".cast("decimal(38,0)")).cast("long").as("pixels"),
+        sum($"energy".cast("decimal(38,0)")).cast("long").as("pcm_energy"),
+        sum($"ns".cast("decimal(38,0)")).cast("long").as("pcm_samples"))
+      .withColumn("brightness",
+        when($"pixels" > 0,
+          $"lum_sum" / ($"pixels" * lit(3.0))).otherwise(lit(0.0)))
+      .withColumn("rms_level",
+        when($"pcm_samples" > 0,
+          sqrt($"pcm_energy" / ($"pcm_samples" * lit(1.0))) / 32768.0 * 255.0)
+          .otherwise(lit(0.0)))
       .orderBy($"mime")
   }
+  // Closed-form replay of the video leg: per sampled frame i of video
+  // doc_id (w×h), the gradient is separable with single-wrap mods —
+  // r = ((id+5i)%256 + x)%256 row-invariant, g = ((31·id+11i)%256+y)%256
+  // column-invariant, b = ((y+3i)%256 + x)%256 — so each frame's
+  // channel sum assembles from three arithmetic series of the form
+  // Σ_{x<w}(c+x)%256 = w·c + w(w−1)/2 − 256·max(0, c+w−256) (w ≤ 152,
+  // h ≤ 96 < 256 ⇒ at most one wrap), with only the b term needing a
+  // y-unnest (≤ 96 rows/frame). Frame indices replay the Scala
+  // sampler: k·nFrames // sampled, sampled = least(id%20, 8).
+  private val pipelineSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    32 + (doc_id % 16) * 8 AS w,
+      |    32 + (doc_id % 9) * 8 AS h,
+      |    CASE doc_id % 3 WHEN 1 THEN (doc_id % 5) * 100 + 100 ELSE 0 END AS dur,
+      |    220 + doc_id % 220 AS freq
+      |  FROM documents),
+      |sx AS (SELECT doc_id, SUM((doc_id + x.x) % 256) AS v
+      |       FROM m, unnest(range(0, m.w)) x(x)
+      |       WHERE mime = 'image/png' GROUP BY doc_id),
+      |sy AS (SELECT doc_id, SUM((doc_id * 31 + y.y) % 256) AS v
+      |       FROM m, unnest(range(0, m.h)) y(y)
+      |       WHERE mime = 'image/png' GROUP BY doc_id),
+      |img AS (SELECT m.doc_id,
+      |    m.h * sx.v + m.w * sy.v
+      |      + m.h * (m.w * (m.w - 1) // 2) + m.w * (m.h * (m.h - 1) // 2) AS lum,
+      |    m.w * m.h AS px
+      |  FROM m JOIN sx USING (doc_id) JOIN sy USING (doc_id)),
+      |pcm AS (SELECT doc_id, SUM(CAST(v AS HUGEINT) * v) AS energy, COUNT(*) AS ns,
+      |    least(MAX(dur) // 100, 8) AS fs
+      |  FROM (SELECT doc_id, dur,
+      |      CASE WHEN t < 2000 THEN t * 6
+      |           WHEN t < 6000 THEN (4000 - t) * 6
+      |           ELSE (t - 8000) * 6 END AS v
+      |    FROM (SELECT doc_id, dur, (freq * i.i) % 8000 AS t
+      |          FROM m, unnest(range(0, m.dur * 8)) i(i)
+      |          WHERE mime = 'audio/wav'))
+      |  GROUP BY doc_id),
+      |vid AS (SELECT doc_id, w, h,
+      |    greatest(1, (doc_id % 20) * 4) AS nf, least(doc_id % 20, 8) AS samp
+      |  FROM m WHERE mime = 'video/mp4'),
+      |vframes AS (SELECT doc_id, w, h, samp, (k.k * nf) // samp AS i
+      |  FROM vid, unnest(range(0, vid.samp)) k(k)),
+      |vframe_rg AS (SELECT doc_id, w, h, samp, i,
+      |    -- r: row-invariant series, times h rows
+      |    h * (w * ((doc_id + i * 5) % 256) + w * (w - 1) // 2
+      |         - 256 * greatest(0, (doc_id + i * 5) % 256 + w - 256)) AS rsum,
+      |    -- g: column-invariant series, times w columns
+      |    w * (h * ((doc_id * 31 + i * 11) % 256) + h * (h - 1) // 2
+      |         - 256 * greatest(0, (doc_id * 31 + i * 11) % 256 + h - 256)) AS gsum
+      |  FROM vframes),
+      |vframe_b AS (SELECT doc_id, i,
+      |    SUM(w * ((y.y + i * 3) % 256) + w * (w - 1) // 2
+      |        - 256 * greatest(0, (y.y + i * 3) % 256 + w - 256)) AS bsum
+      |  FROM vframes, unnest(range(0, vframes.h)) y(y) GROUP BY doc_id, i),
+      |vdoc AS (SELECT f.doc_id,
+      |    SUM(f.rsum + f.gsum + b.bsum) AS lum,
+      |    MAX(f.samp) * MAX(f.w) * MAX(f.h) AS px, MAX(f.samp) AS fs
+      |  FROM vframe_rg f JOIN vframe_b b ON b.doc_id = f.doc_id AND b.i = f.i
+      |  GROUP BY f.doc_id),
+      |agg AS (
+      |  SELECT 'image/png' AS mime, COUNT(*) AS n, CAST(0 AS BIGINT) AS fs,
+      |    CAST(SUM(lum) AS BIGINT) AS lum_sum, CAST(SUM(px) AS BIGINT) AS pixels,
+      |    CAST(0 AS BIGINT) AS pcm_energy, CAST(0 AS BIGINT) AS pcm_samples
+      |  FROM img
+      |  UNION ALL
+      |  SELECT 'audio/wav', COUNT(*), CAST(SUM(fs) AS BIGINT),
+      |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(SUM(energy) AS BIGINT), CAST(SUM(ns) AS BIGINT)
+      |  FROM pcm
+      |  UNION ALL
+      |  SELECT 'video/mp4', COUNT(*) AS n, CAST(SUM(v.fs) AS BIGINT),
+      |    CAST(SUM(v.lum) AS BIGINT), CAST(SUM(v.px) AS BIGINT),
+      |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM vid LEFT JOIN vdoc v USING (doc_id))
+      |SELECT mime, n, fs AS frames_sampled, lum_sum, pixels,
+      |  pcm_energy, pcm_samples,
+      |  CASE WHEN pixels > 0 THEN lum_sum / (pixels * 3.0) ELSE 0.0 END AS brightness,
+      |  CASE WHEN pcm_samples > 0
+      |       THEN sqrt(pcm_energy / (pcm_samples * 1.0)) / 32768.0 * 255.0
+      |       ELSE 0.0 END AS rms_level
+      |FROM agg ORDER BY mime""".stripMargin
 
   // -- mm_metadata: the value-oracled container-level half ------------------
   // Everything below is MEASURED from the real payload bytes — PNG IHDR
   // fields, the canonical 44-byte WAV header arithmetic, the ISO BMFF
   // box walk — but involves no pixel/PCM decode, so a SQL engine can
   // replay the identical quantities from the generator's arithmetic.
-  // This shrinks the declared rows-only surface of mm_binary_pipeline
-  // to the genuinely codec-bound columns (brightness, resize, RMS).
+  // (Historically this carved the oracle-able half out of a rows-only
+  // mm_binary_pipeline; since the video track moved to lossless
+  // motion-PNG frames, the pipeline itself is value-oracled too.)
 
   final case class ContainerMeta(
       doc_id: Long, mime: String, duration_ms: Long, frames: Long,
@@ -422,7 +561,7 @@ object Multimodal {
 
   /** DuckDB replay of the generator arithmetic the container parse must
     * land on: mime/dims/duration from doc_id, WAV bytes = 44 + 16·durMs
-    * (8 kHz, 16-bit mono), MJPEG frame count = max(1, durMs·4/1000),
+    * (8 kHz, 16-bit mono), video frame count = max(1, durMs·4/1000),
     * 3 top-level BMFF boxes. */
   private val metadataSql =
     """WITH m AS (
@@ -597,14 +736,9 @@ object Multimodal {
       |FROM hashes GROUP BY h_hi, h_lo HAVING COUNT(*) >= 2
       |ORDER BY keep_id""".stripMargin
 
-  // mm_binary_pipeline stays rows-only by declared necessity — its
-  // video brightness decodes LOSSY JPEG frames (codec-specific DCT
-  // quantization no SQL engine replays); every other decode quantity
-  // graduated: container arithmetic → mm_metadata, lossless pixel/PCM
-  // decode → mm_decode_features.
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
-    QueryDef("mm_binary_pipeline", pipeline, None),
+    QueryDef("mm_binary_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_decode_features", decodeExactQ, Some(decodeExactSql)),
   )

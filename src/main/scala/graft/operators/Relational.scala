@@ -284,7 +284,8 @@ object Relational {
     Tables.orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .select($"o_orderpriority", $"rn".cast("long").as("rn"),
+        $"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderpriority", $"rn")
   }
   private val qWindowSql =
@@ -309,7 +310,8 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       .withColumn("seq", row_number().over(w))
-      .select($"user_id", $"event_id", $"seq", $"running_value")
+      .select($"user_id", $"event_id", $"seq".cast("long").as("seq"),
+        $"running_value")
       .orderBy($"user_id", $"seq")
   }
   private val qRunningSql =
@@ -395,7 +397,8 @@ object Relational {
       .groupingSets(
         Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"l_linestatus")),
         $"l_returnflag", $"l_linestatus")
-      .agg((grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("gid"),
+      .agg((grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+          .cast("long").as("gid"),
         dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n")
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
@@ -718,12 +721,12 @@ object Relational {
     val total = Window.partitionBy($"l_returnflag")
       .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
     base.select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
-        row_number().over(total).as("rn"),
-        rank().over(ties).as("rk"),
-        dense_rank().over(ties).as("drk"),
+        row_number().over(total).cast("long").as("rn"),
+        rank().over(ties).cast("long").as("rk"),
+        dense_rank().over(ties).cast("long").as("drk"),
         percent_rank().over(ties).as("prk"),
         cume_dist().over(ties).as("cd"),
-        ntile(4).over(total).as("quartile"))
+        ntile(4).over(total).cast("long").as("quartile"))
       .orderBy($"l_returnflag", $"rn")
   }
   private val qRankFunctionsSql =
@@ -1033,8 +1036,8 @@ object Relational {
     val wtop = Window.partitionBy($"cust").orderBy($"score".desc, $"nbr")
     cand.withColumn("rank", row_number().over(wtop))
       .filter($"rank" <= 3)
-      .select($"cust".as("custkey"), $"rank", $"nbr".as("rec_part"),
-        $"score", $"n_paths")
+      .select($"cust".as("custkey"), $"rank".cast("long").as("rank"),
+        $"nbr".as("rec_part"), $"score", $"n_paths")
   }
 
   private def qRecommend(s: SparkSession, d: String): DataFrame = {
@@ -1140,7 +1143,7 @@ object Relational {
     val w = Window.partitionBy($"side").orderBy($"score".desc, $"id")
     both.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 20)
-      .select($"side", $"rank", $"id", $"score")
+      .select($"side", $"rank".cast("long").as("rank"), $"id", $"score")
       .orderBy($"side", $"rank")
   }
   private val qHitsSql = {

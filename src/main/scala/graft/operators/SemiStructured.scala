@@ -184,7 +184,7 @@ object SemiStructured {
        |              FROM lineitem GROUP BY 1),
        |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
        |               SUM(c) OVER () AS n FROM vals)
-       |SELECT (cum - c) * $DepthBuckets // n AS bucket,
+       |SELECT CAST((cum - c) * $DepthBuckets // n AS BIGINT) AS bucket,
        |  CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi,
        |  COUNT(*) AS n_distinct
        |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin
@@ -262,10 +262,19 @@ object SemiStructured {
           .as("di"),
         $"tot_c1".as("n1"), $"tot_c2".as("n2"))
     val dmax = di.agg(max($"di").as("d_scaled"))
+    // output types: BIGINT + DOUBLE only. The 128-bit decimal exists
+    // only INSIDE the cross-multiply; the maximum itself is bounded by
+    // n1·n2 (≈5e9 at sf0.1, ≈5e17 at a 100 TB sf1000 — comfortably
+    // int64), so the emitted d_scaled is an exact long on both
+    // engines. Emitting the decimal directly was the r11 driver
+    // hash-red suspect: DECIMAL(38,0) surfaces as decimal128 through
+    // Arrow-family readers, a plausibly hash-distinct representation
+    // where integer widths canonicalize together.
     di.join(broadcast(dmax), $"di" === $"d_scaled")
       .groupBy($"n1", $"n2", $"d_scaled")
       .agg(min($"v").as("v_at_max"))
-      .select($"n1", $"n2", $"d_scaled", $"v_at_max",
+      .select($"n1", $"n2", $"d_scaled".cast("long").as("d_scaled"),
+        $"v_at_max",
         ($"d_scaled".cast("double") / ($"n1".cast("double") * $"n2")).as("ks_d"))
   }
   private val ksTestSql =
@@ -281,7 +290,7 @@ object SemiStructured {
       |    n1, n2 FROM c),
       |m AS (SELECT MAX(di) AS d_scaled FROM di)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  CAST(m.d_scaled AS DECIMAL(38,0)) AS d_scaled, MIN(v) AS v_at_max,
+      |  CAST(m.d_scaled AS BIGINT) AS d_scaled, MIN(v) AS v_at_max,
       |  CAST(m.d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS ks_d
       |FROM di JOIN m ON di.di = m.d_scaled
       |GROUP BY n1, n2, m.d_scaled""".stripMargin

@@ -93,7 +93,7 @@ object Similarity {
     scored
       .withColumn("pr", row_number().over(partial)).filter($"pr" <= 5)
       .withColumn("rank", row_number().over(global)).filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("cos6"))
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id", round($"cos", 6).as("cos6"))
       .orderBy($"query_id", $"rank")
   }
   private val bruteforceTopkSql =
@@ -138,7 +138,7 @@ object Similarity {
       .select($"query_id", $"neighbor_id",
         VectorOps.cosine($"qe", $"embedding").as("cos"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("cos6"))
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id", round($"cos", 6).as("cos6"))
       .orderBy($"query_id", $"rank")
   }
   private val annLshSql =
@@ -235,7 +235,7 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"),
         VectorOps.cosine($"qe", $"embedding").as("cos"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("cos6"))
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id", round($"cos", 6).as("cos6"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -612,7 +612,7 @@ object Similarity {
       .join(broadcast(qfull), Seq("query_id"))
       .select($"query_id", $"neighbor_id", l2sq($"qe", $"fe").as("d"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id", round($"d", 6).as("d6"))
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id", round($"d", 6).as("d6"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -1817,7 +1817,9 @@ object Similarity {
           s"CAST(CASE WHEN vec_rank > 0 THEN $RrfScale div ($RrfK + vec_rank) ELSE 0 END AS BIGINT)"))
       .withColumn("rank", row_number().over(fusedW))
       .filter($"rank" <= HybridTopK)
-      .select($"query_id", $"rank", $"doc_id", $"lex_rank", $"vec_rank", $"rrf")
+      .select($"query_id", $"rank".cast("long").as("rank"), $"doc_id",
+        $"lex_rank".cast("long").as("lex_rank"),
+        $"vec_rank".cast("long").as("vec_rank"), $"rrf")
       .orderBy($"query_id", $"rank")
   }
   private val hybridRrfSql =
@@ -1879,6 +1881,95 @@ object Similarity {
        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
        |  FROM fused) WHERE rank <= $HybridTopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // -- q_rerank_crossenc: late-interaction reranking of retrieval output ----
+  // The third retrieval stage production search runs after the
+  // bi-encoder/BM25 candidate pass: a CROSS-ENCODER rescores the few
+  // top candidates per query with features computed over BOTH token
+  // sequences JOINTLY — here a deterministic late-interaction scorer
+  // (the ColBERT-style shape with an exact-integer interaction in place
+  // of a learned model; the heavy neural scorer would slot into the
+  // same plumbing): for every candidate pair, over the tokens shared by
+  // query and document,
+  //   score = Σ_t [ S div (1 + df_t)            (rarity: IDF-ish)
+  //               + S div (1 + |p1_q(t) − p1_d(t)|) ]  (positional
+  //                 alignment of first occurrences — an interaction
+  //                 feature NO bag-of-words / pooled-vector leg can
+  //                 express, which is the whole point of the stage).
+  // 100 TB shape — the defining property of reranking: cost is
+  // O(queries × HybridTopK × tokens-per-doc), INDEPENDENT of corpus
+  // size. Candidates come from the staged hybrid pipeline; raw text is
+  // fetched by a candidate-proportional semi-join (rerankers pull the
+  // full text of only the shortlist); df reads the staged BM25 df
+  // table. Everything is exact integers — no float drifts.
+  private val CrossScale = 1000000L
+  private val CrossTopK = 5
+  private def rerankCrossenc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fused = hybridRrf(s, d)
+      .select($"query_id", $"doc_id", $"rank".as("rrf_rank"))
+    val (_, _, dfTname) = lexIndexRoot(s, d)
+    val dfa = s.table(dfTname) // (tok, df), staged + bucketed
+    // candidate-proportional text fetch: only shortlist docs + queries
+    val needIds = fused.select($"doc_id")
+      .unionByName(fused.select($"query_id".as("doc_id"))).distinct()
+    val toksp = Tables.documents(s, d)
+      .join(needIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", posexplode(TextPrep.words($"text")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok")
+      .agg((min($"pos") + 1).as("p1")) // 1-based first occurrence
+    val qt = toksp.select($"doc_id".as("query_id"), $"tok", $"p1".as("p1q"))
+    val dt = toksp.select($"doc_id", $"tok", $"p1".as("p1d"))
+    val inter = fused
+      .join(qt, "query_id")
+      .join(dt, Seq("doc_id", "tok"))
+      .join(dfa.hint("shuffle_hash"), "tok") // staged df, no corpus broadcast
+      .withColumn("w",
+        expr(s"$CrossScale div (1 + df)") +
+          expr(s"$CrossScale div (1 + abs(p1q - p1d))"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"w").as("score"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    fused
+      .join(inter, Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("score")) // zero shared tokens → interaction score 0
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= CrossTopK)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"doc_id",
+        $"score", $"rrf_rank")
+      .orderBy($"query_id", $"rank")
+  }
+  private val rerankCrossencSql =
+    s"""WITH fused AS (
+       |  SELECT query_id, doc_id, rank AS rrf_rank FROM ($hybridRrfSql)),
+       |alltoks AS (SELECT doc_id, unnest(${TextPrep.wordsSql}) AS tok
+       |            FROM documents),
+       |t2 AS (SELECT doc_id, tok FROM alltoks WHERE tok <> ''),
+       |dfa2 AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY tok),
+       |need AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_id FROM fused UNION ALL SELECT query_id FROM fused)),
+       |docs2 AS (SELECT d.doc_id, ${TextPrep.wordsSql} AS words
+       |          FROM documents d JOIN need n ON n.doc_id = d.doc_id),
+       |toksp AS (SELECT doc_id, words[i.i] AS tok, MIN(i.i) AS p1
+       |  FROM docs2, unnest(range(1, len(words) + 1)) i(i)
+       |  WHERE words[i.i] <> '' GROUP BY 1, 2),
+       |inter AS (SELECT f.query_id, f.doc_id,
+       |    SUM($CrossScale // (1 + dfa2.df)
+       |        + $CrossScale // (1 + abs(q.p1 - dd.p1))) AS score
+       |  FROM fused f
+       |  JOIN toksp q ON q.doc_id = f.query_id
+       |  JOIN toksp dd ON dd.doc_id = f.doc_id AND dd.tok = q.tok
+       |  JOIN dfa2 ON dfa2.tok = q.tok
+       |  GROUP BY f.query_id, f.doc_id)
+       |SELECT query_id, rank, doc_id, score, rrf_rank FROM (
+       |  SELECT f.query_id, f.doc_id, f.rrf_rank,
+       |    CAST(COALESCE(i.score, 0) AS BIGINT) AS score,
+       |    row_number() OVER (PARTITION BY f.query_id
+       |      ORDER BY COALESCE(i.score, 0) DESC, f.doc_id) AS rank
+       |  FROM fused f LEFT JOIN inter i
+       |    ON i.query_id = f.query_id AND i.doc_id = f.doc_id)
+       |WHERE rank <= $CrossTopK ORDER BY query_id, rank""".stripMargin
 
   // -- sim_dbscan: density-based clustering over the banded graph ----------
   // DBSCAN (Ester et al. KDD'96) with the LSH-served neighborhood: the
@@ -2125,7 +2216,7 @@ object Similarity {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     import s.implicits._
     vec.zipWithIndex
-      .map { case (v0, i) => (i, v0.toLong, evr6) }.toSeq
+      .map { case (v0, i) => (i.toLong, v0.toLong, evr6) }.toSeq
       .toDF("dim", "loading", "evr6")
       .orderBy($"dim")
   }
@@ -2335,6 +2426,7 @@ object Similarity {
     QueryDef("q_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("q_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    QueryDef("q_rerank_crossenc", rerankCrossenc, Some(rerankCrossencSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q_ndcg", ndcgEval, Some(ndcgEvalSql)),
     QueryDef("q_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),

@@ -158,7 +158,8 @@ object TextAnalysis {
           .when($"rep_ratio" < 0.3, "repetitive")
           .when($"stop_ratio" > 0.5, "boilerplate")
           .otherwise("ok"))
-      .select($"doc_id", $"n_words", $"rep_ratio", $"stop_ratio", $"tier")
+      .select($"doc_id", $"n_words".cast("long").as("n_words"),
+        $"rep_ratio", $"stop_ratio", $"tier")
       .orderBy($"doc_id")
   }
   private val qualitySql = {
@@ -269,7 +270,8 @@ object TextAnalysis {
       .withColumn("n_bpeish",
         size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
       .withColumn("est_tokens", ceil(length($"text") / 4.0).cast("long"))
-      .select($"doc_id", $"n_ws_tokens", $"n_bpeish", $"est_tokens")
+      .select($"doc_id", $"n_ws_tokens".cast("long").as("n_ws_tokens"),
+        $"n_bpeish".cast("long").as("n_bpeish"), $"est_tokens")
       .orderBy($"doc_id")
   }
   private val tokensSql =
@@ -323,7 +325,8 @@ object TextAnalysis {
       .select($"doc_id", $"term",
         (($"tf" * ($"n_docs" - $"df" + lit(0.5))) / ($"df" + lit(0.5))).as("score"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"doc_id", $"rank", $"term", round($"score", 6).as("score6"))
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term",
+        round($"score", 6).as("score6"))
       .orderBy($"doc_id", $"rank")
   }
   private val tfidfSql =
@@ -386,7 +389,9 @@ object TextAnalysis {
   }
   private def prepareCorpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    preparedDocs(s, d).select($"doc_id", $"n_words").orderBy($"doc_id")
+    preparedDocs(s, d)
+      .select($"doc_id", $"n_words".cast("long").as("n_words"))
+      .orderBy($"doc_id")
   }
 
   // -- pipeline_attrition: per-stage survival of the cleaning funnel --------
@@ -594,7 +599,9 @@ object TextAnalysis {
           lit("-"), lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0"),
           lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.1")))
       .withColumn("p", piiScrub($"aug"))
-      .select($"doc_id", $"p.n_emails", $"p.n_phones", $"p.n_ips",
+      .select($"doc_id", $"p.n_emails".cast("long").as("n_emails"),
+        $"p.n_phones".cast("long").as("n_phones"),
+        $"p.n_ips".cast("long").as("n_ips"),
         md5($"p.redacted").as("red_md5"))
       .orderBy($"doc_id")
   }
@@ -930,7 +937,9 @@ object TextAnalysis {
       .withColumn("fkre",
         lit(206.835) - lit(1.015) * ($"n_words" / $"n_sentences")
           - lit(84.6) * ($"n_syll" / $"n_words"))
-      .select($"doc_id", $"n_words", $"n_sentences", $"n_syll",
+      .select($"doc_id", $"n_words".cast("long").as("n_words"),
+        $"n_sentences".cast("long").as("n_sentences"),
+        $"n_syll".cast("long").as("n_syll"),
         round($"fkre", 6).as("fkre6"),
         when($"fkre" >= 90, "very_easy").when($"fkre" >= 70, "easy")
           .when($"fkre" >= 50, "medium").when($"fkre" >= 30, "difficult")

@@ -1146,7 +1146,7 @@ object Streaming {
       import s.implicits._
       val buckets = eventsStream(s, d).select($"user_id",
           explode(array((0 until StreamCmsD).map(j =>
-            struct(lit(j).as("j"),
+            struct(lit(j.toLong).as("j"),
               (graft.operators.Behavioral.mixKey(
                 concat_ws(":", lit(j), $"user_id")) % StreamCmsW)
                 .as("bucket"))): _*)).as("h"))
@@ -1210,10 +1210,95 @@ object Streaming {
     s"""SELECT event_type, COUNT(*) AS n, ${OracleMath.sqlSum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- stream_restart_exactly_once: STATEFUL restart, end-to-end ------------
+  // stream_file_sink proves offset-replay exactly-once for a stateless
+  // append; this is the harder contract: a WINDOWED AGGREGATE stopped
+  // MID-STREAM and restarted. Staging splits the event file at the
+  // midpoint of its time range into chunk1/chunk2 (chunk2 carries the
+  // far-future heartbeat), then: run 1 processes ONLY chunk1 and
+  // terminates — in-flight window state (including the hour straddling
+  // the split) is checkpointed, not emitted; run 2 restarts from the
+  // same checkpoint, sees only the NEW file, restores that state and
+  // finishes every window once the heartbeat advances the watermark.
+  // Every warm invocation restarts a third time with nothing new — the
+  // no-op replay. The value oracle is the plain batch windowed
+  // aggregate over ALL events: a lost chunk-boundary window (state not
+  // restored), a doubled chunk1 (offsets replayed), or a no-op restart
+  // that re-emits anything all fail the exact compare.
+  private def restartExactlyOnce(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val (dirKey, fp) = Tables.stagingKey(d, "events")
+      val root = s"/tmp/graft_q/srestart_$dirKey"
+      val src = s"$root/src"
+      val marker = Paths.get(root, "staging_format.txt")
+      val fmt = s"v1-restart-sink|$fp"
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fmt
+      def hbNs: Long =
+        new String(Files.readAllBytes(Paths.get(root, "hb_ns.txt")), "UTF-8").toLong
+      def runOnce(): Unit = {
+        val q = eventsStream(s, src, glob = "chunk*.parquet")
+          .withWatermark("ts", "1 hour")
+          .filter($"ts" < timestamp_micros(lit(hbNs / 1000))) // see windowedAggStream
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"), OracleMath.dsum($"value").as("sum_value"))
+          .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            $"event_type", $"n_events", $"sum_value")
+          .writeStream.format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def publishChunk(df: DataFrame, name: String): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      }
+      if (!fresh) {
+        graft.Staging.rmTree(new java.io.File(root))
+        new java.io.File(src).mkdirs()
+        val ev = Tables.events(s, d)
+        val mm = ev.agg(min($"ts_ns"), max($"ts_ns")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        Files.write(Paths.get(root, "hb_ns.txt"),
+          (mx + 3L * 3600 * 1000 * 1000 * 1000).toString.getBytes("UTF-8"))
+        val mid = mn + (mx - mn) / 2 // deterministic mid-range split
+        publishChunk(ev.filter($"ts_ns" <= mid).drop("ts_ns"), "chunk1")
+        runOnce() // run 1: chunk1 only — stops with open window state
+        publishChunk(
+          ev.filter($"ts_ns" > mid).drop("ts_ns")
+            .unionByName(ev.limit(1).drop("ts_ns")
+              .withColumn("ts", timestamp_micros(lit(hbNs / 1000)))
+              .withColumn("event_type", lit("__heartbeat"))),
+          "chunk2")
+        runOnce() // run 2: restart — restores state, heartbeat closes all
+        Files.write(marker, fmt.getBytes("UTF-8"))
+        graft.Staging.recordSource(root, d, "events", fp)
+      } else {
+        runOnce() // warm: the no-op restart (offsets say all batches done)
+      }
+      s.read.parquet(s"$root/data").orderBy($"win_start", $"event_type")
+    }
+  private val restartExactlyOnceSql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${OracleMath.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_approx_distinct", approxDistinctStream,
       Some(approxDistinctStreamSql)),
     QueryDef("stream_file_sink", fileSinkStream, Some(fileSinkStreamSql)),
+    QueryDef("stream_restart_exactly_once", restartExactlyOnce,
+      Some(restartExactlyOnceSql)),
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
     QueryDef("stream_quantile", quantileStream, Some(quantileStreamSql)),
     QueryDef("stream_user_growth", userGrowthStream,

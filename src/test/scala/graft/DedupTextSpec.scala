@@ -144,12 +144,12 @@ class DedupTextSpec extends AnyFunSuite {
   test("tfidf: corpus-wide terms rank below doc-distinctive terms") {
     import spark.implicits._
     val top = SparkEntry.queries("text_tfidf")(spark, sf)
-      .as[(Long, Int, String, Double)].collect()
+      .as[(Long, Long, String, Double)].collect()
     assert(top.nonEmpty)
     // per-doc invariants: ranks are 1..k, scores non-increasing
     top.groupBy(_._1).foreach { case (doc, rows) =>
       val byRank = rows.sortBy(_._2)
-      assert(byRank.map(_._2).toSeq == (1 to rows.length),
+      assert(byRank.map(_._2).toSeq == (1L to rows.length),
         s"doc $doc ranks not contiguous")
       assert(byRank.sliding(2).forall {
         case Array(hi, lo) => hi._4 >= lo._4; case _ => true

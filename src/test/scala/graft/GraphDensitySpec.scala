@@ -141,7 +141,7 @@ class GraphDensitySpec extends AnyFunSuite {
 
   test("q_recommend: item-item CF top-3 matches a brute-force replay") {
     val got = SparkEntry.queries("q_recommend")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) ->
+      .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -291,7 +291,7 @@ class GraphDensitySpec extends AnyFunSuite {
 
   test("q_hits: 3-round exact power iteration matches a BigInt replay") {
     val got = SparkEntry.queries("q_hits")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     val edges = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf),
@@ -329,8 +329,8 @@ class GraphDensitySpec extends AnyFunSuite {
 
   test("q_pca_power: quantized moments + 6-round iteration match a replay") {
     val got = SparkEntry.queries("q_pca_power")(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    assert(got.map(_._1).toSeq == (0 until 64))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L until 64L))
     val emb = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val n = emb.length

@@ -90,7 +90,7 @@ class RobustStatsSpec extends AnyFunSuite {
   test("text_readability: counts and FKRE match a per-doc recompute") {
     val got = SparkEntry.queries("text_readability")(spark, sf).collect()
       .map(r => r.getLong(0) ->
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))
       .toMap
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))

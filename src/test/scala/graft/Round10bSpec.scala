@@ -278,10 +278,10 @@ class Round10bSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     for ((_, part) <- rows.groupBy(_.getAs[String]("l_returnflag"))) {
       val n = part.length
-      val sorted = part.sortBy(_.getAs[Int]("rn"))
-      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to n), "rn must be 1..n")
+      val sorted = part.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to n), "rn must be 1..n")
       for (r <- sorted) {
-        val (rk, drk, qty) = (r.getAs[Int]("rk"), r.getAs[Int]("drk"),
+        val (rk, drk, qty) = (r.getAs[Long]("rk"), r.getAs[Long]("drk"),
           r.getAs[Double]("l_quantity"))
         assert(drk <= rk, "dense_rank never exceeds rank")
         assert(r.getAs[Double]("prk") == (rk - 1).toDouble / (n - 1))
@@ -291,9 +291,9 @@ class Round10bSpec extends AnyFunSuite {
       }
       // rank jumps after tie groups; dense_rank is consecutive over groups
       val distinctQ = part.map(_.getAs[Double]("l_quantity")).distinct.length
-      assert(sorted.map(_.getAs[Int]("drk")).max == distinctQ)
+      assert(sorted.map(_.getAs[Long]("drk")).max == distinctQ)
       // ntile(4) buckets differ by at most one in size
-      val sizes = part.groupBy(_.getAs[Int]("quartile")).values.map(_.length)
+      val sizes = part.groupBy(_.getAs[Long]("quartile")).values.map(_.length)
       assert(sizes.max - sizes.min <= 1)
     }
   }

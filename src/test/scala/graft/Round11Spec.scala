@@ -133,7 +133,7 @@ class Round11Spec extends AnyFunSuite {
     val r = SparkEntry.queries("q_ks_test")(spark, sf).collect()(0)
     assert(r.getAs[Long]("n1") == a.length.toLong)
     assert(r.getAs[Long]("n2") == b.length.toLong)
-    assert(r.getAs[java.math.BigDecimal]("d_scaled").longValueExact() == dInt,
+    assert(r.getAs[Long]("d_scaled") == dInt,
       s"d_scaled ${r.get(2)} != brute-force $dInt")
     assert(math.abs(r.getAs[Double]("ks_d") -
       dInt.toDouble / (a.length.toLong * b.length)) < 1e-12)
@@ -229,7 +229,7 @@ class Round11Spec extends AnyFunSuite {
         assert(labels(r.getAs[Long]("neighbor_id")) == labels(q),
           s"query $q: neighbor ${r.get(2)} violates the label predicate")
       }
-      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
       assert(ranked.map(_.getAs[Double]("d6")).toSeq ==
         ranked.map(_.getAs[Double]("d6")).sortBy(identity).toSeq,
         s"query $q: distances not monotone in rank")
@@ -296,7 +296,7 @@ class Round11Spec extends AnyFunSuite {
   test("stream_cms: finished-stream counters equal the batch sketch exactly") {
     import spark.implicits._
     val streamed = SparkEntry.queries("stream_cms")(spark, sf).collect()
-      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("counter"))
+      .map(r => (r.getAs[Long]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("counter"))
       .toMap
     // batch twin: identical bucket mapping over the static events table
     val batch = Tables.events(spark, sf).select($"user_id")

@@ -69,10 +69,10 @@ class Round7Spec extends AnyFunSuite {
 
   test("q_hybrid_rrf: fused score is exactly the scaled reciprocal-rank sum and ordering is consistent") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getInt(3), r.getInt(4), r.getLong(5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
-    def leg(r: Int): Long = if (r > 0) 1000000000000L / (60L + r) else 0L
+    def leg(r: Long): Long = if (r > 0) 1000000000000L / (60L + r) else 0L
     for ((q, rank, doc, lr, vr, rrf) <- rows) {
       assert(rrf == leg(lr) + leg(vr),
         s"rrf mismatch for query=$q doc=$doc: $rrf vs ${leg(lr) + leg(vr)}")
@@ -81,7 +81,7 @@ class Round7Spec extends AnyFunSuite {
     }
     rows.groupBy(_._1).foreach { case (q, g) =>
       val sorted = g.sortBy(_._2)
-      assert(sorted.map(_._2).toSeq == (1 to g.length).toSeq,
+      assert(sorted.map(_._2).toSeq == (1L to g.length).toSeq,
         s"ranks for query $q must be consecutive from 1")
       // ordering follows (rrf desc, doc_id) exactly
       val resorted = g.sortBy(t => (-t._6, t._3)).map(_._3).toSeq
@@ -92,7 +92,7 @@ class Round7Spec extends AnyFunSuite {
 
   test("q_hybrid_rrf: a doc strong in both legs outranks docs strong in only one") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getInt(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
     // within each query, if the top doc has both legs > 0 it must beat
     // every single-leg doc — definitional, but pins the fill(0) path
     rows.groupBy(_._1).foreach { case (_, g) =>

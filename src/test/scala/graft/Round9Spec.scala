@@ -196,8 +196,8 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val byQuery = rows.groupBy(_.getLong(0))
     byQuery.foreach { case (q, rs) =>
-      val ranked = rs.sortBy(_.getInt(1))
-      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length),
         s"query $q ranks must be 1..k")
       val ds = ranked.map(_.getDouble(3))
       assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
@@ -271,7 +271,7 @@ class Round9Spec extends AnyFunSuite {
     assert(a.nonEmpty)
     assert(a == b, "beyond-depth leg entries changed the fused output")
     // overlap doc (appears in both legs for q0) must carry both ranks
-    val overlap = a.filter(r => r.getLong(0) == 0L && r.getInt(3) > 0 && r.getInt(4) > 0)
+    val overlap = a.filter(r => r.getLong(0) == 0L && r.getLong(3) > 0 && r.getLong(4) > 0)
     assert(overlap.nonEmpty, "expected at least one doc ranked by both legs")
   }
 }

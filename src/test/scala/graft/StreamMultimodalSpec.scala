@@ -359,16 +359,67 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(q.count() == 3)
   }
 
-  test("multimodal decode: real MP4 parse + motion-JPEG frame PIXEL decode") {
+  test("multimodal decode: real MP4 parse + motion-PNG frame PIXEL decode") {
     import Multimodal.{JdkCodec, MediaMeta, MediaRow}
     import graft.operators.IsoBmff
     // writer↔parser roundtrip: every sample-table quantity is recovered
     val bytes = IsoBmff.mp4Bytes(9L, w = 64, h = 48, durationMs = 3000, fps = 4)
     val info = IsoBmff.parse(bytes)
     assert(info.durationMs == 3000 && info.width == 64 && info.height == 48)
+    assert(info.sampleSizes == (0 until 12).map(i => IsoBmff.pngFrame(9L, i, 64, 48).length))
+    // every indexed sample byte range is a complete PNG stream
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    (0 until 12).foreach { i =>
+      val (off, len) = info.frameRange(i)
+      assert((0 until 4).forall(j => bytes(off.toInt + j) == pngSig(j)),
+        s"frame $i does not start with the PNG signature")
+      assert(len == info.sampleSizes(i))
+    }
+    // decode uses the CONTAINER, never the declared metadata: bogus
+    // declared 999×999 / 999999 ms must all be ignored
+    val f = JdkCodec.decodeVideo(
+      MediaRow(9L, bytes, MediaMeta("video/mp4", 999, 999, 999999L)))
+    assert(f.resizedW == 32 && f.resizedH == 24, s"${f.resizedW}x${f.resizedH}")
+    assert(f.framesSampled == 3, f.framesSampled)
+    // PNG frames are LOSSLESS: decoded luminance must equal the
+    // pre-encode source gradient's mean EXACTLY (the property that
+    // graduated mm_binary_pipeline's video column to a value oracle)
+    val picks = (0 until 3).map(k => k * 12 / 3)
+    val (srcSum, srcPx) = {
+      var sum = 0L
+      picks.foreach { i =>
+        val img = IsoBmff.frameImage(9L, i, 64, 48)
+        for (y <- 0 until 48; x <- 0 until 64) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+      }
+      (sum, 3L * 64 * 48)
+    }
+    assert(f.brightness == srcSum.toDouble / (3L * srcPx),
+      s"${f.brightness} != lossless source mean")
+    // the exact-integer path used by mm_binary_pipeline agrees bit-level
+    val ex = JdkCodec.decodeExact(
+      MediaRow(9L, bytes, MediaMeta("video/mp4", 999, 999, 999999L)))
+    assert(ex.lum == srcSum && ex.px == srcPx && ex.fs == 3,
+      s"(${ex.lum}, ${ex.px}, ${ex.fs}) != ($srcSum, $srcPx, 3)")
+    // malformed container fails loudly, not with garbage features
+    intercept[IllegalArgumentException] {
+      IsoBmff.parse("not an mp4 at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("multimodal decode: lossy motion-JPEG variant still decodes end-to-end") {
+    import Multimodal.{JdkCodec, MediaMeta, MediaRow}
+    import graft.operators.IsoBmff
+    // the robustness case: same container, lossy frame codec — the
+    // pipeline must survive codec-dependent pixels (brightness lands
+    // NEAR the source mean, never exactly on it)
+    val bytes = IsoBmff.mp4Bytes(9L, w = 64, h = 48, durationMs = 3000,
+      fps = 4, codec = "jpeg")
+    val info = IsoBmff.parse(bytes)
     assert(info.sampleSizes == (0 until 12).map(i => IsoBmff.jpegFrame(9L, i, 64, 48).length))
-    // every indexed sample byte range is a complete JPEG: SOI marker at
-    // the start, EOI marker at the end
+    // every indexed sample byte range is a complete JPEG: SOI … EOI
     (0 until 12).foreach { i =>
       val (off, len) = info.frameRange(i)
       assert(bytes(off.toInt) == 0xff.toByte && bytes(off.toInt + 1) == 0xd8.toByte,
@@ -377,36 +428,10 @@ class StreamMultimodalSpec extends AnyFunSuite {
         bytes(off.toInt + len - 1) == 0xd9.toByte,
         s"frame $i does not end with a JPEG EOI marker")
     }
-    // decode uses the CONTAINER, never the declared metadata: bogus
-    // declared 999×999 / 999999 ms must all be ignored
     val f = JdkCodec.decodeVideo(
       MediaRow(9L, bytes, MediaMeta("video/mp4", 999, 999, 999999L)))
-    assert(f.resizedW == 32 && f.resizedH == 24, s"${f.resizedW}x${f.resizedH}")
     assert(f.framesSampled == 3, f.framesSampled)
-    // brightness = mean RGB luminance over the DECODED pixels of exactly
-    // the 3 sampled frames (0, 4, 8) — recomputed here through an
-    // independent decode of the same byte ranges
     val picks = (0 until 3).map(k => k * 12 / 3)
-    val expected = {
-      var sum = 0L
-      var px = 0L
-      picks.foreach { i =>
-        val (off, len) = info.frameRange(i)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, off.toInt, len))
-        assert(img != null && img.getWidth == 64 && img.getHeight == 48,
-          s"frame $i did not decode as a 64x48 image")
-        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
-          val p = img.getRGB(x, y)
-          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-        }
-        px += img.getWidth.toLong * img.getHeight
-      }
-      sum.toDouble / (3L * px)
-    }
-    assert(f.brightness == expected, s"${f.brightness} != $expected")
-    // and the decoded stats are PIXEL stats: within JPEG loss of the
-    // pre-encode source gradient's mean luminance
     val sourceMean = {
       var sum = 0L
       picks.foreach { i =>
@@ -420,10 +445,6 @@ class StreamMultimodalSpec extends AnyFunSuite {
     }
     assert(math.abs(f.brightness - sourceMean) < 4.0,
       s"decoded luma ${f.brightness} too far from source ${sourceMean}")
-    // malformed container fails loudly, not with garbage features
-    intercept[IllegalArgumentException] {
-      IsoBmff.parse("not an mp4 at all".getBytes("UTF-8"))
-    }
   }
 
   test("mm_phash_dedup: decoded-pixel aHash groups match a formula replay") {
