@@ -1906,8 +1906,12 @@ object Similarity {
   private val CrossTopK = 5
   private def rerankCrossenc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // checkpointed: the candidate list (queries × HybridTopK rows —
+    // tiny) feeds BOTH the interaction join and the final left join;
+    // without it each reference re-executes the whole hybrid pipeline
     val fused = hybridRrf(s, d)
       .select($"query_id", $"doc_id", $"rank".as("rrf_rank"))
+      .localCheckpoint()
     val (_, _, dfTname) = lexIndexRoot(s, d)
     val dfa = s.table(dfTname) // (tok, df), staged + bucketed
     // candidate-proportional text fetch: only shortlist docs + queries

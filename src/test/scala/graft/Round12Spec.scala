@@ -119,6 +119,67 @@ class Round12Spec extends AnyFunSuite {
     assert(back == Map(1L -> Some("alpha"), 2L -> None, 3L -> Some("")))
   }
 
+  // -- MoR merge + compaction -------------------------------------------------
+
+  test("io_merge_dv / io_dv_compaction: compaction changes no answer, retires the DV") {
+    val merge = SparkEntry.queries("io_merge_dv")(spark, sf).collect()
+    // v2 differs from v1: the MERGE deleted and inserted rows
+    val v1 = merge.filter(_.getLong(0) == 1L).map(r => r.getString(1) -> r.getLong(2)).toMap
+    val v2n = merge.filter(_.getLong(0) != 1L).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(v1 != v2n, "the MoR commit must change visible rows")
+    val comp = SparkEntry.queries("io_dv_compaction")(spark, sf).collect()
+    // v2 (MoR read through the DV) and v3 (plain read of compacted
+    // groups) must agree row-for-row on everything but the version cols
+    def body(v: Long) = comp.filter(_.getLong(0) == v)
+      .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(body(2L) == body(3L), "compaction changed an answer")
+    // the dv manifest line retired: n_dv_lines 1 -> 0
+    assert(comp.filter(_.getLong(0) == 2L).forall(_.getLong(1) == 1L))
+    assert(comp.filter(_.getLong(0) == 3L).forall(_.getLong(1) == 0L))
+  }
+
+  // -- streaming stateful restart ---------------------------------------------
+
+  test("stream_restart_exactly_once: no duplicate window keys, no-op restart writes nothing") {
+    import spark.implicits._
+    val out = SparkEntry.queries("stream_restart_exactly_once")(spark, sf)
+    val n = out.count()
+    assert(out.select($"win_start", $"event_type").distinct().count() == n,
+      "restart re-emitted a window (exactly-once violated)")
+    // the staged sink exists; a repeat invocation (the no-op restart
+    // path) must leave the committed data byte-count unchanged
+    val (dirKey, _) = Tables.stagingKey(sf, "events")
+    val dataDir = new java.io.File(s"/tmp/graft_q/srestart_$dirKey/data")
+    def sizes = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+    val before = sizes
+    val again = SparkEntry.queries("stream_restart_exactly_once")(spark, sf).count()
+    assert(again == n && sizes == before,
+      "a no-op restart must not append, rewrite or drop sink files")
+  }
+
+  // -- cross-encoder rerank -----------------------------------------------------
+
+  test("q_rerank_crossenc: reranks exactly the hybrid candidates, contiguous ranks") {
+    import spark.implicits._
+    val rr = SparkEntry.queries("q_rerank_crossenc")(spark, sf).collect()
+    assert(rr.nonEmpty)
+    val cand = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+      .select($"query_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2 - 1))).toSet
+    for (r <- rr)
+      assert(cand.contains((r.getLong(0), r.getLong(2))),
+        s"reranked pair not among hybrid candidates: $r")
+    rr.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length),
+        s"query $q: ranks not contiguous")
+      // ordering is (score desc, doc_id): re-derive and compare
+      val byRank = g.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      val reder = g.sortBy(r => (-r.getLong(3), r.getLong(2))).map(_.getLong(2)).toSeq
+      assert(byRank == reder, s"query $q: rank order != (score desc, doc_id)")
+    }
+  }
+
   // -- oracle type exactness: pin the two repeat offenders --------------------
 
   test("q_equidepth_histogram and q_ks_test emit only BIGINT/DOUBLE columns") {
