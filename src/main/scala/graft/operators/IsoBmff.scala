@@ -78,12 +78,16 @@ object IsoBmff {
     * stream. LOSSLESS — decoded pixels are exactly [[frameImage]]'s
     * formula, which is what lets the video leg of the multimodal
     * pipeline carry a closed-form SQL value oracle (JPEG's DCT
-    * quantization is codec-specific; deflate is not lossy). */
-  def pngFrame(docId: Long, i: Int, w: Int, h: Int): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(frameImage(docId, i, w, h), "png", bos)
-    bos.toByteArray
-  }
+    * quantization is codec-specific; deflate is not lossy). Encoded by
+    * [[PngCodec]], not `ImageIO.write`: the JDK writer leaves these
+    * gradient frames nearly raw (~14 KB for 44 KB of pixels), which at
+    * 4 fps bloated the staged media store ~6× over the JPEG era and
+    * taxed every media query's scan; Sub-filtered rows of the gradient
+    * are constant deltas, so a proper filter + max deflate crushes a
+    * frame to a few hundred bytes. `ImageIO.read` decodes it like any
+    * other PNG — the read path stays the real JDK codec. */
+  def pngFrame(docId: Long, i: Int, w: Int, h: Int): Array[Byte] =
+    PngCodec.encode(frameImage(docId, i, w, h))
 
   /** A structurally-valid one-track MP4: `frames` samples in one chunk,
     * sample tables consistent with the payload layout. `codec` picks

@@ -64,9 +64,9 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      // IsoBmff.PngCodec, not ImageIO.write: the JDK writer leaves the
+      // gradient nearly raw (see PngCodec's scaladoc); decode stays ImageIO
+      PngCodec.encode(img)
     }
 
     /** Deterministic 16-bit mono PCM WAV: triangle wave at
@@ -329,7 +329,7 @@ object Multimodal {
           MediaRow(id, JdkCodec.wavBytes(id, durMs), MediaMeta("audio/wav", 0, 0, durMs))
         case _ =>
           val durMs = (id % 20) * 1000
-          MediaRow(id, IsoBmff.mp4Bytes(id, w, h, durMs),
+          MediaRow(id, IsoBmff.mp4Bytes(id, w, h, durMs, fps = 1),
             MediaMeta("video/mp4", w, h, durMs))
       }
     }
@@ -358,7 +358,10 @@ object Multimodal {
     val (dirKey, fp) = graft.Tables.stagingKey(d, "documents")
     val root = s"/tmp/graft_q/mm_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v3-media-parquet|$fp" // v3: lossless motion-PNG video frames
+    val fmt = s"v5-media-parquet|$fp" // v4: motion-PNG at 1 fps (PNG frames barely
+    // compress the gradient, so 4 fps bloated the staged store ~6x and every
+    // media query paid the read; 1 fps restores r11-parity payload bytes
+    // while the sampler math is fps-independent: sampled = min(dur_s, 8))
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
       if (!new java.io.File(root, "staging_source.txt").exists())
@@ -457,7 +460,7 @@ object Multimodal {
       |          WHERE mime = 'audio/wav'))
       |  GROUP BY doc_id),
       |vid AS (SELECT doc_id, w, h,
-      |    greatest(1, (doc_id % 20) * 4) AS nf, least(doc_id % 20, 8) AS samp
+      |    greatest(1, (doc_id % 20) * 1) AS nf, least(doc_id % 20, 8) AS samp
       |  FROM m WHERE mime = 'video/mp4'),
       |vframes AS (SELECT doc_id, w, h, samp, (k.k * nf) // samp AS i
       |  FROM vid, unnest(range(0, vid.samp)) k(k)),
@@ -561,7 +564,7 @@ object Multimodal {
 
   /** DuckDB replay of the generator arithmetic the container parse must
     * land on: mime/dims/duration from doc_id, WAV bytes = 44 + 16·durMs
-    * (8 kHz, 16-bit mono), video frame count = max(1, durMs·4/1000),
+    * (8 kHz, 16-bit mono), video frame count = max(1, durMs/1000),
     * 3 top-level BMFF boxes. */
   private val metadataSql =
     """WITH m AS (
@@ -576,10 +579,10 @@ object Multimodal {
       |f AS (
       |  SELECT mime, dur,
       |    CASE mime WHEN 'image/png' THEN 1 WHEN 'audio/wav' THEN dur * 8
-      |         ELSE GREATEST(1, dur * 4 // 1000) END AS frames,
+      |         ELSE GREATEST(1, dur * 1 // 1000) END AS frames,
       |    CASE mime WHEN 'image/png' THEN 0
       |         WHEN 'audio/wav' THEN LEAST(dur // 100, 8)
-      |         ELSE LEAST(LEAST(dur // 1000, 8), GREATEST(1, dur * 4 // 1000)) END AS sampled,
+      |         ELSE LEAST(LEAST(dur // 1000, 8), GREATEST(1, dur * 1 // 1000)) END AS sampled,
       |    CASE WHEN mime = 'audio/wav' THEN 0 ELSE w END AS w2,
       |    CASE WHEN mime = 'audio/wav' THEN 0 ELSE h END AS h2,
       |    CASE WHEN mime = 'audio/wav' THEN 44 + dur * 16 ELSE 0 END AS wav_bytes,
