@@ -810,6 +810,50 @@ object Maintenance {
        |FROM merged GROUP BY o_orderpriority
        |ORDER BY version, o_orderpriority""".stripMargin
 
+  // -- q_cdc_mor: change-data-feed from a Merge-on-Read commit --------------
+  // q_cdc_diff derives changes by DIFFING two snapshots — O(both
+  // versions) of data. A MoR commit needs no diff at all: its artifacts
+  // ARE the change log (Delta CDF's insight). The deletion vector names
+  // exactly the removed row positions — fetched with a positive
+  // position join against the base, at scale pruned to the files the
+  // DV references — and the insert-leg file IS the added rows. An
+  // update therefore surfaces as the standard D(pre-image) + I(post-
+  // image) pair keyed by o_orderkey. Cost: O(changed rows) + the
+  // position fetch; never a snapshot-sized diff. The oracle replays
+  // both legs from the MERGE predicates.
+  private def qCdcMor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = morData(s, d)
+    val dv = s.read.parquet(s"$data/dv")
+    val deleted = s.read.parquet((0 to 3).map(g => s"$data/base/g=$g"): _*)
+      .withColumn("file_key",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("file_key", "row_index"), "left_semi")
+      .select(lit("D").as("op"), $"o_orderpriority", $"o_totalprice")
+    val inserted = s.read.parquet(s"$data/newfile")
+      .select(lit("I").as("op"), $"o_orderpriority", $"o_totalprice")
+    deleted.unionByName(inserted)
+      .groupBy($"op", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"op", $"o_orderpriority")
+  }
+  private val qCdcMorSql =
+    s"""WITH changes AS (
+       |  SELECT 'D' AS op, o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |     OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |  UNION ALL
+       |  SELECT 'I', o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT 'I', o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0)
+       |SELECT op, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM changes GROUP BY op, o_orderpriority
+       |ORDER BY op, o_orderpriority""".stripMargin
+
   // -- io_dv_compaction: fold deletion vectors back into data files ---------
   // The lifecycle step that completes MoR (Delta OPTIMIZE / Iceberg
   // rewrite_data_files on DV-carrying tables): reads that subtract a
@@ -1247,5 +1291,6 @@ object Maintenance {
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
     QueryDef("io_merge_dv", qMergeDv, Some(qMergeDvSql)),
     QueryDef("io_dv_compaction", qDvCompaction, Some(qDvCompactionSql)),
+    QueryDef("q_cdc_mor", qCdcMor, Some(qCdcMorSql)),
   )
 }
