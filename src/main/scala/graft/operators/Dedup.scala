@@ -122,6 +122,16 @@ object Dedup {
     * on a natural corpus hot-heavy docs are the rare boilerplate-only
     * rows, and on a degenerate all-identical corpus the OUTPUT itself
     * is quadratic — no candidate scheme beats its own result size.
+    * Residual tail (documented, accepted): the hot-heavy filter is
+    * INCLUSIVE at τ, so a corpus of uniformly SHORT docs that all carry
+    * the same small banner (e.g. 3 hot grams in 10-gram docs at τ=0.3)
+    * makes every doc hot-heavy and the hot lane re-creates a quadratic
+    * candidate stage — correct output, quadratic cost. That corpus
+    * shape is exactly the one where the true pair set is itself
+    * near-quadratic (every doc pair shares the banner's grams and the
+    * short length keeps J near τ), so a tighter lane would trade
+    * completeness for little: boilerplate-stripping (text_boilerplate)
+    * upstream is the real fix for banner-dominated corpora.
     * Audited by the Round12 hot-gram spec (planted corpus-wide phrase ⇒
     * no quadratic candidate stage, results equal brute force). */
   private[graft] def jaccardCappedPairs(grams: DataFrame,

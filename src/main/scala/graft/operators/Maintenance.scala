@@ -182,15 +182,36 @@ object Maintenance {
       .write.mode("overwrite").parquet(outDir)
   }
 
-  /** Fragmented + compacted layouts for the spec; returns (frag, compacted). */
-  def compactionDirs(s: SparkSession, d: String): (String, String) = {
+  /** The fragmented 64-file layout (the pathology INPUT) staged once
+    * per dataset behind a content fingerprint — re-fragmenting inside
+    * the measured window was pure staging noise (r12 verdict #5, the
+    * same fix io_branching's rbdata_ got in r12). Only the compaction
+    * itself runs per call. */
+  private def fragData(s: SparkSession, d: String): String = {
     import s.implicits._
-    val frag = tmp("io_compaction_frag", d)
-    val compacted = tmp("io_compaction_out", d)
+    val (dirKey, fp) = Tables.stagingKey(d, "lineitem")
+    val root = s"/tmp/graft_q/cpdata_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-compaction-frag|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.vacuum()
+    val tmpDir = graft.Staging.tempBuildDir()
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
       .repartition(64)
-      .write.mode("overwrite").parquet(frag)
+      .write.mode("overwrite").parquet(s"$tmpDir/frag")
+    java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmpDir, root, d, "lineitem", fp)
+    root
+  }
+
+  /** Fragmented + compacted layouts for the spec; returns (frag, compacted). */
+  def compactionDirs(s: SparkSession, d: String): (String, String) = {
+    val frag = s"${fragData(s, d)}/frag"
+    val compacted = tmp("io_compaction_out", d)
     compact(s, frag, compacted, files = 4, sortKey = "l_orderkey")
     (frag, compacted)
   }
@@ -704,16 +725,23 @@ object Maintenance {
   // de-noising.
   private val MorDeleteMod = 25L
   private val MorDeleteRem = 7L
+  private val MorDelete2Rem = 11L
 
-  /** Staged immutable MoR artifacts: 4-group base, the DV parquet, and
-    * the insert-leg file. Update keys (%10=0) and delete keys (%25=7)
-    * are disjoint (one needs last digit 0, the other 2 or 7). */
+  /** Staged immutable MoR artifacts for TWO stacked MERGE commits —
+    * the production steady state is a DV PILE, not a single DV (r12
+    * verdict missing #2): 4-group base; merge-1's DV + insert leg
+    * (update %10=0, delete %25=7); merge-2's DV + insert leg atop v2
+    * (update %10=5, delete %25=11); and the both-DVs compaction
+    * rewrite. All four key predicates are pairwise disjoint by last
+    * digit (0 / {2,7} / 5 / {1,6}), and neither merge-2 predicate can
+    * hit merge-1's insert file (its keys all end in 0), so dv2
+    * references base files only. */
   private def morData(s: SparkSession, d: String): String = {
     import s.implicits._
     val (dirKey, fp) = Tables.stagingKey(d, "orders")
     val root = s"/tmp/graft_q/mordata_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v2-mor-data|$fp" // v2: + compacted groups
+    val fmt = s"v3-mor-data|$fp" // v3: second MERGE (dv2/newfile2) + both-DVs compact
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
       return root
@@ -721,30 +749,40 @@ object Maintenance {
     val tmpDir = graft.Staging.tempBuildDir()
     val base = Tables.orders(s, d).withColumn("g", ($"o_orderkey" % 4).cast("int"))
     base.write.partitionBy("g").parquet(s"$tmpDir/base")
-    // the DV: positions (file, row) whose keys the update or delete leg
-    // hits — ONE metadata-projected scan of the base, no data rewrite
+    val hit1 = ($"o_orderkey" % 10 === 0) ||
+      ($"o_orderkey" % MorDeleteMod === MorDeleteRem)
+    val hit2 = ($"o_orderkey" % 10 === 5) ||
+      ($"o_orderkey" % MorDeleteMod === MorDelete2Rem)
+    // each DV: positions (file, row) its merge's update or delete leg
+    // hits — ONE metadata-projected scan of the base, no data rewrite.
     // position identity = the path's last two segments (g=X/part-*.parquet)
     // + row index: stable across Staging.publish's directory move, where
     // the absolute _metadata.file_path recorded at build time would not be
-    s.read.parquet((0 to 3).map(g => s"$tmpDir/base/g=$g"): _*)
-      .filter($"o_orderkey" % 10 === 0 ||
-        $"o_orderkey" % MorDeleteMod === MorDeleteRem)
-      .select(regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
-          .as("file_key"),
-        col("_metadata.row_index").as("row_index"))
-      .coalesce(1).write.parquet(s"$tmpDir/dv")
-    // the insert leg: re-written update rows + genuinely new rows
+    def writeDv(hit: org.apache.spark.sql.Column, out: String): Unit =
+      s.read.parquet((0 to 3).map(g => s"$tmpDir/base/g=$g"): _*)
+        .filter(hit)
+        .select(regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+            .as("file_key"),
+          col("_metadata.row_index").as("row_index"))
+        .coalesce(1).write.parquet(s"$tmpDir/$out")
+    writeDv(hit1, "dv")
+    writeDv(hit2, "dv2")
+    // the insert legs: re-written update rows + genuinely new rows
     val orders = Tables.orders(s, d)
     orders.filter($"o_orderkey" % 10 === 0)
       .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
       .unionByName(orders.filter($"o_orderkey" % 1000 === 0)
         .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
       .coalesce(1).write.parquet(s"$tmpDir/newfile")
-    // compacted groups (io_dv_compaction's v3): each base group minus
-    // its DV rows — the fold-DV-into-files rewrite, staged with the
-    // rest so the per-call compaction commit is manifest arithmetic
-    base.filter(!($"o_orderkey" % 10 === 0 ||
-        $"o_orderkey" % MorDeleteMod === MorDeleteRem))
+    orders.filter($"o_orderkey" % 10 === 5)
+      .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
+      .unionByName(orders.filter($"o_orderkey" % 1000 === 500)
+        .withColumn("o_orderkey", $"o_orderkey" + 200000000L))
+      .coalesce(1).write.parquet(s"$tmpDir/newfile2")
+    // compacted groups: each base group minus BOTH DVs' rows — the
+    // fold-the-whole-pile rewrite, staged with the rest so the
+    // per-call compaction commit is manifest arithmetic
+    base.filter(!hit1 && !hit2)
       .write.partitionBy("g").parquet(s"$tmpDir/compact")
     java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
       fmt.getBytes("UTF-8"))
@@ -779,16 +817,20 @@ object Maintenance {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
-    // the MERGE commit: one OCC commit adds the insert file + DV line;
-    // zero base groups move
+    // MERGE #1: one OCC commit adds the insert file + DV line; zero
+    // base groups move. MERGE #2 stacks a SECOND dv line + insert leg
+    // atop v2 — the DV-pile steady state: reads must subtract BOTH.
     val v2 = commitSnapshot(root, 1, Seq.empty,
       Seq(s"$data/newfile", s"dv:$data/dv"))
+    val v3 = commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
     val stamp = (v: Int, df: DataFrame) =>
       df.groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
         .select(lit(v.toLong).as("version"), $"o_orderpriority", $"n", $"sum_price")
     stamp(1, readSnapshotMoR(s, root, 1))
       .unionByName(stamp(v2, readSnapshotMoR(s, root, v2)))
+      .unionByName(stamp(v3, readSnapshotMoR(s, root, v3)))
       .orderBy($"version", $"o_orderpriority")
   }
   private val qMergeDvSql =
@@ -801,13 +843,34 @@ object Maintenance {
        |  WHERE o_orderkey % 10 = 0
        |  UNION ALL
        |  SELECT o_orderpriority, o_totalprice FROM orders
-       |  WHERE o_orderkey % 1000 = 0)
+       |  WHERE o_orderkey % 1000 = 0),
+       |merged2 AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |             OR o_orderkey % 10 = 5
+       |             OR o_orderkey % $MorDeleteMod = $MorDelete2Rem)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 500)
        |SELECT CAST(1 AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n,
        |  ${sqlSum("o_totalprice")} AS sum_price
        |FROM orders GROUP BY o_orderpriority
        |UNION ALL
        |SELECT 2, o_orderpriority, COUNT(*), ${sqlSum("o_totalprice")}
        |FROM merged GROUP BY o_orderpriority
+       |UNION ALL
+       |SELECT 3, o_orderpriority, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM merged2 GROUP BY o_orderpriority
        |ORDER BY version, o_orderpriority""".stripMargin
 
   // -- q_cdc_mor: change-data-feed from a Merge-on-Read commit --------------
@@ -878,10 +941,15 @@ object Maintenance {
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
     val v2 = commitSnapshot(root, 1, Seq.empty,
       Seq(s"$data/newfile", s"dv:$data/dv"))
+    // the second MERGE stacks a second dv line: the steady state a
+    // compaction actually meets is a DV PILE, not one sidecar
+    val v3 = commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
     // the compaction commit: every DV-touched group swaps for its
-    // compacted rewrite, and the dv line is dropped with them
-    val v3 = commitSnapshot(root, v2,
-      (0 to 3).map(g => s"$data/base/g=$g") :+ s"dv:$data/dv",
+    // compacted rewrite and BOTH dv lines are dropped with them
+    val v4 = commitSnapshot(root, v3,
+      (0 to 3).map(g => s"$data/base/g=$g") ++
+        Seq(s"dv:$data/dv", s"dv:$data/dv2"),
       (0 to 3).map(g => s"$data/compact/g=$g"))
     def stamp(v: Int, df: DataFrame): DataFrame = {
       val nDv = manifestPaths(root, v).count(_.startsWith("dv:")).toLong
@@ -892,6 +960,7 @@ object Maintenance {
     }
     stamp(v2, readSnapshotMoR(s, root, v2))
       .unionByName(stamp(v3, readSnapshotMoR(s, root, v3)))
+      .unionByName(stamp(v4, readSnapshotMoR(s, root, v4)))
       .orderBy($"version", $"o_orderpriority")
   }
   private val qDvCompactionSql =
@@ -905,13 +974,36 @@ object Maintenance {
        |  UNION ALL
        |  SELECT o_orderpriority, o_totalprice FROM orders
        |  WHERE o_orderkey % 1000 = 0),
+       |merged2 AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |             OR o_orderkey % 10 = 5
+       |             OR o_orderkey % $MorDeleteMod = $MorDelete2Rem)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 500),
        |agg AS (SELECT o_orderpriority, COUNT(*) AS n,
        |    ${sqlSum("o_totalprice")} AS sum_price
-       |  FROM merged GROUP BY o_orderpriority)
+       |  FROM merged GROUP BY o_orderpriority),
+       |agg2 AS (SELECT o_orderpriority, COUNT(*) AS n,
+       |    ${sqlSum("o_totalprice")} AS sum_price
+       |  FROM merged2 GROUP BY o_orderpriority)
        |SELECT CAST(2 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_dv_lines,
        |  o_orderpriority, n, sum_price FROM agg
        |UNION ALL
-       |SELECT 3, 0, o_orderpriority, n, sum_price FROM agg
+       |SELECT 3, 2, o_orderpriority, n, sum_price FROM agg2
+       |UNION ALL
+       |SELECT 4, 0, o_orderpriority, n, sum_price FROM agg2
        |ORDER BY version, o_orderpriority""".stripMargin
 
   // -- io_dynamic_overwrite: partition-scoped INSERT OVERWRITE -------------

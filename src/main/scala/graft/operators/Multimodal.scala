@@ -358,10 +358,13 @@ object Multimodal {
     val (dirKey, fp) = graft.Tables.stagingKey(d, "documents")
     val root = s"/tmp/graft_q/mm_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v5-media-parquet|$fp" // v4: motion-PNG at 1 fps (PNG frames barely
-    // compress the gradient, so 4 fps bloated the staged store ~6x and every
-    // media query paid the read; 1 fps restores r11-parity payload bytes
-    // while the sampler math is fps-independent: sampled = min(dur_s, 8))
+    val fmt = s"v5-media-parquet|$fp" // v4 moved video to motion-PNG at 1 fps
+    // (PNG frames barely compress the gradient, so 4 fps bloated the staged
+    // store ~6x and every media query paid the read; 1 fps restores r11-parity
+    // payload bytes while the sampler math is fps-independent: sampled =
+    // min(dur_s, 8)); v5 switched the PNG encoder to Sub filtering, which
+    // shrank the staged store ~85x — bump the prefix again on the next
+    // byte-layout change
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
       if (!new java.io.File(root, "staging_source.txt").exists())

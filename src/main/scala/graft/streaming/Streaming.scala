@@ -1262,6 +1262,7 @@ object Streaming {
         Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
       }
       if (!fresh) {
+        graft.Staging.vacuum() // reap dead staged dirs, like every stage-once root
         graft.Staging.rmTree(new java.io.File(root))
         new java.io.File(src).mkdirs()
         val ev = Tables.events(s, d)

@@ -121,21 +121,25 @@ class Round12Spec extends AnyFunSuite {
 
   // -- MoR merge + compaction -------------------------------------------------
 
-  test("io_merge_dv / io_dv_compaction: compaction changes no answer, retires the DV") {
+  test("io_merge_dv / io_dv_compaction: compaction changes no answer, retires the DV pile") {
     val merge = SparkEntry.queries("io_merge_dv")(spark, sf).collect()
-    // v2 differs from v1: the MERGE deleted and inserted rows
-    val v1 = merge.filter(_.getLong(0) == 1L).map(r => r.getString(1) -> r.getLong(2)).toMap
-    val v2n = merge.filter(_.getLong(0) != 1L).map(r => r.getString(1) -> r.getLong(2)).toMap
-    assert(v1 != v2n, "the MoR commit must change visible rows")
+    // each MERGE changes visible rows: v1 != v2 != v3 (the second
+    // commit stacks a SECOND dv — the steady-state DV pile)
+    def vis(v: Long) = merge.filter(_.getLong(0) == v)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(vis(1L) != vis(2L), "the first MoR commit must change visible rows")
+    assert(vis(2L) != vis(3L), "the second MoR commit must change visible rows")
     val comp = SparkEntry.queries("io_dv_compaction")(spark, sf).collect()
-    // v2 (MoR read through the DV) and v3 (plain read of compacted
+    // v3 (MoR read through BOTH DVs) and v4 (plain read of compacted
     // groups) must agree row-for-row on everything but the version cols
     def body(v: Long) = comp.filter(_.getLong(0) == v)
       .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
-    assert(body(2L) == body(3L), "compaction changed an answer")
-    // the dv manifest line retired: n_dv_lines 1 -> 0
+    assert(body(3L) == body(4L), "compaction changed an answer")
+    assert(body(2L) != body(3L), "the stacked merge must change the snapshot")
+    // the dv manifest lines retired together: n_dv_lines 1 -> 2 -> 0
     assert(comp.filter(_.getLong(0) == 2L).forall(_.getLong(1) == 1L))
-    assert(comp.filter(_.getLong(0) == 3L).forall(_.getLong(1) == 0L))
+    assert(comp.filter(_.getLong(0) == 3L).forall(_.getLong(1) == 2L))
+    assert(comp.filter(_.getLong(0) == 4L).forall(_.getLong(1) == 0L))
   }
 
   // -- streaming stateful restart ---------------------------------------------
@@ -166,7 +170,7 @@ class Round12Spec extends AnyFunSuite {
     assert(rr.nonEmpty)
     val cand = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
       .select($"query_id", $"doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(2 - 1))).toSet
+      .map(r => (r.getLong(0), r.getAs[Long]("doc_id"))).toSet
     for (r <- rr)
       assert(cand.contains((r.getLong(0), r.getLong(2))),
         s"reranked pair not among hybrid candidates: $r")
