@@ -651,6 +651,78 @@ object Maintenance {
        |SELECT priority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
        |FROM evolved GROUP BY priority ORDER BY priority""".stripMargin
 
+  // -- io_column_mapping: rename/drop columns without rewriting data --------
+  // Iceberg column mapping / Delta name-mapping, the OTHER direction of
+  // schema evolution (io_schema_evolution ADDS columns; this renames
+  // and drops them): physical parquet keeps its original field names
+  // forever; each snapshot version carries a logical→physical mapping,
+  // so a rename — or a drop, a mapping entry simply removed — is a
+  // METADATA-ONLY commit. At 100 TB a rename that rewrote files would
+  // be a full-table job for a no-op; here zero data bytes move (the
+  // data files are the staged MoR base groups, shared read-only — the
+  // Round13 spec pins that the commit writes only mapping text). Reads
+  // apply the mapping as a projection, so column pruning still reaches
+  // the scan: only mapped physical columns are read.
+  private val CmPhysCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Read a mapped snapshot: logical names projected over the physical
+    * files; unmapped physical columns are invisible (dropped). */
+  def readMapped(s: SparkSession, root: String, data: String,
+      version: Int): DataFrame = {
+    val mapping = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, s"mapping_v$version.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(lg, ph) = l.split("=", 2); (lg, ph) }
+    s.read.parquet((0 to 3).map(g => s"$data/base/g=$g"): _*)
+      .select(mapping.map { case (lg, ph) => col(ph).as(lg) }: _*)
+  }
+
+  /** Builds the two mapping commits over the shared staged base;
+    * returns (root, data). */
+  def columnMappingStore(s: SparkSession, d: String): (String, String) = {
+    val data = morData(s, d)
+    val root = tmp("io_column_mapping", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "mapping_v1.txt"),
+      CmPhysCols.map(p => s"$p=$p").mkString("\n").getBytes("UTF-8"))
+    // the rename+drop commit: price_usd now maps to the physical
+    // o_totalprice; o_custkey's entry is gone (dropped — bytes stay)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "mapping_v2.txt"),
+      CmPhysCols.filterNot(_ == "o_custkey")
+        .map(p => if (p == "o_totalprice") s"price_usd=$p" else s"$p=$p")
+        .mkString("\n").getBytes("UTF-8"))
+    (root, data)
+  }
+
+  private def qColumnMapping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (root, data) = columnMappingStore(s, d)
+    val v1 = readMapped(s, root, data, 1)
+    val v2 = readMapped(s, root, data, 2)
+    val leg1 = v1
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .select(lit(1L).as("version"), lit("o_totalprice").as("logical_field"),
+        $"n", $"sum_price", lit(v1.columns.length.toLong).as("n_visible_cols"))
+    val leg2 = v2
+      .agg(count(lit(1)).as("n"), dsum($"price_usd").as("sum_price"))
+      .select(lit(2L).as("version"), lit("price_usd").as("logical_field"),
+        $"n", $"sum_price", lit(v2.columns.length.toLong).as("n_visible_cols"))
+    leg1.unionByName(leg2).orderBy($"version")
+  }
+  private val qColumnMappingSql =
+    s"""SELECT CAST(1 AS BIGINT) AS version, 'o_totalprice' AS logical_field,
+       |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(6 AS BIGINT) AS n_visible_cols
+       |FROM orders
+       |UNION ALL
+       |SELECT 2, 'price_usd', COUNT(*), ${sqlSum("o_totalprice")}, 5
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
   // -- io_deletion_vectors: merge-on-read deletes --------------------------
   // The CoW snapshot (io_snapshot_read) rewrites a whole file group to
   // change one row; a delete touching rows in EVERY file would rewrite
@@ -1380,6 +1452,7 @@ object Maintenance {
     QueryDef("io_manifest_skipping", qManifestSkipping, Some(qManifestSkippingSql)),
     QueryDef("io_metadata_count", qMetadataCount, Some(qMetadataCountSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
+    QueryDef("io_column_mapping", qColumnMapping, Some(qColumnMappingSql)),
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
     QueryDef("io_merge_dv", qMergeDv, Some(qMergeDvSql)),
     QueryDef("io_dv_compaction", qDvCompaction, Some(qDvCompactionSql)),

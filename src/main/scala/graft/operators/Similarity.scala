@@ -1125,6 +1125,91 @@ object Similarity {
        |GROUP BY cl.cell_id ORDER BY cl.cell_id""".stripMargin
   }
 
+  // -- sim_mrl_recall: Matryoshka truncation quality --------------------------
+  // Matryoshka representation learning (Kusupati et al. 2022) ships ONE
+  // embedding whose PREFIXES are themselves usable embeddings; every
+  // deployment choosing a truncation dim needs this readout first: at
+  // prefix length m, what fraction of the full-dimension top-k does the
+  // truncated cosine still retrieve? Gold = full-64-dim brute-force
+  // top-3 (pinned (cos desc, id) order); each truncated leg is the same
+  // brute-force scan over PREFIX slices — prefix dots/norms accumulate
+  // in the same index order on both engines, so ranks are exact and the
+  // whole readout hash-stable. n_hit is an integer semi-join count;
+  // recall3 one IEEE division. Scale: each leg is the declared
+  // O(corpus × queries / MrlQueryMod) eval baseline (the
+  // sim_bruteforce_topk shape — broadcast queries, per-partition
+  // partial top-k, merged); production swaps the staged ANN index into
+  // the legs and keeps the same recall harness.
+  private val MrlDims = Seq(8, 16, 32)
+  private val MrlK = 3
+  private val MrlQueryMod = 100
+  private def mrlTopk(emb: DataFrame, m: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    def pre(c: org.apache.spark.sql.Column) =
+      if (m >= Dims) c else slice(c, 1, m)
+    val docs = emb.select($"vec_id".as("neighbor_id"),
+      pre($"embedding").as("de"))
+    val queries = emb.filter($"vec_id" % MrlQueryMod === 0)
+      .select($"vec_id".as("query_id"), pre($"embedding").as("qe"))
+    val partial = Window.partitionBy($"query_id", spark_partition_id())
+      .orderBy($"cos".desc, $"neighbor_id")
+    val global = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    docs.crossJoin(broadcast(queries))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        VectorOps.cosine($"qe", $"de").as("cos"))
+      .withColumn("pr", row_number().over(partial)).filter($"pr" <= MrlK)
+      .withColumn("r", row_number().over(global)).filter($"r" <= MrlK)
+      .select($"query_id", $"neighbor_id")
+  }
+  private def mrlRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // checkpointed: the gold top-3 feeds one join per truncation leg
+    val gold = mrlTopk(emb, Dims).localCheckpoint()
+    MrlDims.map { m =>
+      mrlTopk(emb, m)
+        .join(gold.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct($"query_id").as("n_queries"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select(lit(m.toLong).as("m_dims"), $"n_queries", $"n_hit",
+          round($"n_hit" / ($"n_queries" * MrlK).cast("double"), 6)
+            .as("recall3"))
+    }.reduce(_ unionByName _).orderBy($"m_dims")
+  }
+  private def dotSqlN(a: String, b: String, n: Int) =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSqlN(a: String, b: String, n: Int) =
+    s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+  private val mrlRecallSql = {
+    def leg(m: Int) =
+      s"""t$m AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSqlN("q.qe", "e.embedding", m)} DESC, e.vec_id)
+         |      AS r
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |  WHERE r <= $MrlK)""".stripMargin
+    def agg(m: Int) =
+      s"""SELECT CAST($m AS BIGINT) AS m_dims,
+         |  COUNT(DISTINCT l.query_id) AS n_queries,
+         |  CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1
+         |      ELSE 0 END) AS DOUBLE)
+         |    / (COUNT(DISTINCT l.query_id) * $MrlK), 6) AS recall3
+         |FROM t$m l LEFT JOIN t${Dims} g
+         |  ON g.query_id = l.query_id AND g.neighbor_id = l.neighbor_id""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id % $MrlQueryMod = 0),
+       |${(MrlDims :+ Dims).map(leg).mkString(",\n")}
+       |${MrlDims.map(agg).mkString("\nUNION ALL\n")}
+       |ORDER BY m_dims""".stripMargin
+  }
+
   // -- embedding outlier screen ----------------------------------------------
   // The noise/poisoning screen curation pipelines run after clustering
   // (the CLIP-filter analog for structureless metadata): a vector far
@@ -2486,6 +2571,7 @@ object Similarity {
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_rerank_crossenc", rerankCrossenc, Some(rerankCrossencSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("sim_mrl_recall", mrlRecall, Some(mrlRecallSql)),
     QueryDef("q_ndcg", ndcgEval, Some(ndcgEvalSql)),
     QueryDef("q_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     QueryDef("q_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),

@@ -240,6 +240,65 @@ class Round13Spec extends AnyFunSuite {
     assert(rows("r6_any")._1 == 2L)
   }
 
+  // -- sim_mrl_recall ------------------------------------------------------------
+
+  test("sim_mrl_recall: recall is monotone in prefix length and exact at full dim") {
+    import graft.operators.Similarity
+    val rows = SparkEntry.queries("sim_mrl_recall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    // each leg sees all queries and n_hit ≤ 3·queries
+    for ((m, (nq, hit, rec)) <- rows) {
+      assert(hit >= 0 && hit <= 3 * nq, s"m=$m hit=$hit nq=$nq")
+      assert(math.abs(rec - hit.toDouble / (3 * nq)) < 1e-6) // rec rounds at 6
+    }
+    // NOTE: on matryoshka-TRAINED embeddings recall rises with m; these
+    // synthetic vectors are random, so prefixes are arbitrary
+    // projections and no monotonicity holds — the exactness check below
+    // is the real gate: replay every leg brute-force on the driver
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top3(m: Int): Map[Long, Set[Long]] =
+      emb.filter(_._1 % 100 == 0).map { case (q, qe) =>
+        q -> emb.filter(_._1 != q)
+          .map { case (nid, e) => (nid, cos(qe, e, m)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(3).map(_._1).toSet
+      }.toMap
+    val gold = top3(64)
+    for (m <- Seq(8, 16, 32)) {
+      val hits = top3(m).map { case (q, s) => (s & gold(q)).size }.sum
+      assert(rows(m.toLong)._2 == hits.toLong,
+        s"m=$m n_hit ${rows(m.toLong)._2} != driver brute force $hits")
+    }
+  }
+
+  // -- io_column_mapping ---------------------------------------------------------
+
+  test("io_column_mapping: rename+drop is metadata-only and values are identical") {
+    import graft.operators.Maintenance
+    val (root, data) = Maintenance.columnMappingStore(spark, sf)
+    // the commit wrote ONLY mapping text — no parquet under the store root
+    val wrote = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(wrote.toSeq == Seq("mapping_v1.txt", "mapping_v2.txt"),
+      s"column-mapping commit touched data: ${wrote.mkString(",")}")
+    val v2 = Maintenance.readMapped(spark, root, data, 2)
+    assert(v2.columns.contains("price_usd") && !v2.columns.contains("o_totalprice"))
+    assert(!v2.columns.contains("o_custkey"), "dropped column still visible")
+    val out = SparkEntry.queries("io_column_mapping")(spark, sf).collect()
+    val bySum = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bySum(1L) == bySum(2L), "rename changed the aggregate value")
+    assert(out.map(r => r.getLong(0) -> r.getLong(4)).toMap ==
+      Map(1L -> 6L, 2L -> 5L))
+  }
+
   test("text_gopher_rep: corpus run is all-rules, exact header") {
     val rows = SparkEntry.queries("text_gopher_rep")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("r1_dup_lines",
