@@ -765,6 +765,52 @@ object Corpus {
        |FROM dw JOIN enc USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- text_fertility: tokenizer fertility & compression per source ---------
+  // The readout that decides whether a tokenizer fits a corpus slice
+  // (and the budget gauge behind every "how many tokens is this
+  // dataset" estimate): FERTILITY = subword tokens per word, and
+  // CHARS PER TOKEN = the compression the vocabulary actually achieves,
+  // both per source. A tokenizer trained on one distribution fragments
+  // another (high fertility = wasted sequence length, inflated training
+  // cost — the reason multilingual corpora retrain vocabularies). Same
+  // machinery as text_bpe_encode: the trained dictionary broadcasts,
+  // the corpus never shuffles beyond the per-source aggregate; ratios
+  // are IEEE divisions of exact integer sums rounded at 6.
+  private def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, state) = bpeCore(s, d)
+    val dict = state.select($"word", size($"syms").cast("long").as("n_sub"))
+    Tables.documents(s, d)
+      .select($"source", explode(TextPrep.words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_sub").as("n_bpe_tokens"),
+        sum(length($"word").cast("long")).as("n_chars"))
+      .select($"source", $"n_words", $"n_bpe_tokens", $"n_chars",
+        round($"n_bpe_tokens" / $"n_words".cast("double"), 6).as("fertility6"),
+        round($"n_chars" / $"n_bpe_tokens".cast("double"), 6)
+          .as("chars_per_token6"))
+      .orderBy($"source")
+  }
+  private val bpeFertilitySql =
+    s"""WITH $bpeCtes,
+       |enc AS (SELECT word, len(syms) AS n_sub FROM s$BpeRounds),
+       |docw AS (SELECT source, unnest(${TextPrep.wordsSql}) AS word
+       |         FROM documents),
+       |dw AS (SELECT source, word FROM docw WHERE word <> ''),
+       |a AS (SELECT source, COUNT(*) AS n_words,
+       |    CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |  FROM dw JOIN enc USING (word)
+       |  GROUP BY source)
+       |SELECT source, n_words, n_bpe_tokens, n_chars,
+       |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility6,
+       |  round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6)
+       |    AS chars_per_token6
+       |FROM a ORDER BY source""".stripMargin
+
   // -- text_lm_score: corpus bigram-LM familiarity -------------------------
   // The shape of LM-based quality filtering (CCNet's wikipedia-LM
   // perplexity gate) with the LM trained ON the corpus itself: score =
@@ -1155,6 +1201,7 @@ object Corpus {
     QueryDef("text_dsir", dsir, Some(dsirSql)),
     QueryDef("text_bpe", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("text_fertility", bpeFertility, Some(bpeFertilitySql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_perplexity", perplexity, Some(perplexitySql)),
     QueryDef("text_chunk", chunk, Some(chunkSql)),

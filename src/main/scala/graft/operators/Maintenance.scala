@@ -434,6 +434,65 @@ object Maintenance {
        |FROM orders
        |ORDER BY version""".stripMargin
 
+  // -- io_time_travel_ts: TIMESTAMP AS OF resolution -------------------------
+  // Version time travel (io_snapshot_read) is the storage primitive;
+  // the API users actually call is `TIMESTAMP AS OF` (Delta and Iceberg
+  // both): resolve the LATEST commit whose instant <= the probe, then
+  // read that version. The commit log is a per-store text file of
+  // (version, epoch-seconds) pairs — resolution is O(commits)
+  // driver-side manifest arithmetic, zero data IO until the resolved
+  // read. Commit instants here are deterministic (v1/v2 an hour apart —
+  // production records wall clock; determinism is what lets the oracle
+  // replay the resolution), and a probe BEFORE the first commit fails
+  // closed like both production systems do.
+  private val CommitEpochs = Seq(1 -> 1767261600L, 2 -> 1767265200L)
+
+  /** Latest version with commit instant <= asof; throws (fail-closed)
+    * when the probe predates the first commit. */
+  def resolveAsOf(root: String, asofEpoch: Long): Int = {
+    val log = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "commits_ts.txt")), "UTF-8")
+      .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(v, t) = l.split("=", 2); (v.toInt, t.toLong) }
+    val ok = log.filter(_._2 <= asofEpoch)
+    require(ok.nonEmpty,
+      s"no commit at or before $asofEpoch (earliest: ${log.map(_._2).min})")
+    ok.map(_._1).max
+  }
+
+  private def qTimeTravelTs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotRoot(s, d)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "commits_ts.txt"),
+      CommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n")
+        .getBytes("UTF-8"))
+    // one probe between the commits (resolves v1), one after the last
+    // (resolves v2) — the two shapes every AS OF query takes
+    val probes = Seq(("t_after_last", 1767272400L),
+      ("t_between_commits", 1767263400L))
+    probes.map { case (label, asof) =>
+      val v = resolveAsOf(root, asof)
+      readSnapshot(s, root, v)
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(label).as("probe"), lit(asof).as("asof_epoch"),
+          lit(v.toLong).as("resolved_version"), $"n", $"sum_price")
+    }.reduce(_.unionByName(_)).orderBy($"probe")
+  }
+  private val qTimeTravelTsSql =
+    s"""SELECT 't_after_last' AS probe, CAST(1767272400 AS BIGINT)
+       |    AS asof_epoch,
+       |  CAST(2 AS BIGINT) AS resolved_version, COUNT(*) AS n,
+       |  ${sqlSum(
+            s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}
+       |    AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT 't_between_commits', 1767263400, 1, COUNT(*),
+       |  ${sqlSum("o_totalprice")}
+       |FROM orders
+       |ORDER BY probe""".stripMargin
+
   // -- q_cdc_diff: change feed between two snapshot versions ---------------
   // CDC the way a lake table computes it: two versions differ only in
   // the file groups their manifests disagree on, so the diff reads
@@ -1453,6 +1512,7 @@ object Maintenance {
     QueryDef("io_metadata_count", qMetadataCount, Some(qMetadataCountSql)),
     QueryDef("io_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
     QueryDef("io_column_mapping", qColumnMapping, Some(qColumnMappingSql)),
+    QueryDef("io_time_travel_ts", qTimeTravelTs, Some(qTimeTravelTsSql)),
     QueryDef("io_deletion_vectors", qDeletionVectors, Some(qDeletionVectorsSql)),
     QueryDef("io_merge_dv", qMergeDv, Some(qMergeDvSql)),
     QueryDef("io_dv_compaction", qDvCompaction, Some(qDvCompactionSql)),

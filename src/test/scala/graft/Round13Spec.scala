@@ -299,6 +299,41 @@ class Round13Spec extends AnyFunSuite {
       Map(1L -> 6L, 2L -> 5L))
   }
 
+  // -- io_time_travel_ts -------------------------------------------------------
+
+  test("io_time_travel_ts: AS OF resolves the latest commit <= probe, fails closed before v1") {
+    import graft.operators.Maintenance
+    val out = SparkEntry.queries("io_time_travel_ts")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("t_between_commits" -> 1L, "t_after_last" -> 2L))
+    val root = Maintenance.snapshotRoot(spark, sf)
+    // exactly at a commit instant → that commit (inclusive bound)
+    assert(Maintenance.resolveAsOf(root, 1767265200L) == 2)
+    assert(Maintenance.resolveAsOf(root, 1767261600L) == 1)
+    intercept[IllegalArgumentException] {
+      Maintenance.resolveAsOf(root, 1767261599L) // before the first commit
+    }
+  }
+
+  // -- text_fertility --------------------------------------------------------
+
+  test("text_fertility: per-source sums reconcile with the per-doc encoder") {
+    import spark.implicits._
+    val perDoc = SparkEntry.queries("text_bpe_encode")(spark, sf)
+    val srcs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    val want = perDoc.join(srcs, "doc_id").groupBy($"source")
+      .agg(sum($"n_words").as("w"), sum($"n_bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SparkEntry.queries("text_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"per-source totals diverged: got=$got want=$want")
+    // every word is at least one subword token; no token beats its word
+    for (r <- SparkEntry.queries("text_fertility")(spark, sf).collect()) {
+      assert(r.getDouble(4) >= 1.0, s"fertility < 1 for ${r.getString(0)}")
+      assert(r.getDouble(5) >= 1.0, s"chars/token < 1 for ${r.getString(0)}")
+    }
+  }
+
   test("text_gopher_rep: corpus run is all-rules, exact header") {
     val rows = SparkEntry.queries("text_gopher_rep")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("r1_dup_lines",
