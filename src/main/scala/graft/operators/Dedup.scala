@@ -631,6 +631,105 @@ object Dedup {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- q_rouge_pairs: ROUGE-1/2 overlap report over the near-dup pairs ------
+  // The eval-metric layer on top of the dedup graph: Jaccard said the
+  // pair is a near-dup; ROUGE says HOW the texts overlap — the
+  // summarization-eval staple (Lin 2004) doubling as the dedup
+  // adjudication report a human reviews before committing a keep-rule.
+  // Per verified pair and n ∈ {1, 2}: modified n-gram overlap with
+  // MULTIPLICITY (Σ_g min(cnt_a, cnt_b) — the "modified" in modified
+  // precision; set-Jaccard can't see a doc that repeats its twin's
+  // vocabulary), recall = ov/|a|, precision = ov/|b|, and F1 collapses
+  // to the exact single division 2·ov/(|a|+|b|). All counts are exact
+  // integers; the three ratios are IEEE divisions rounded at 6. Scale:
+  // pairs come from the STAGED graph (no LSH replay); only pair-member
+  // docs are re-tokenized (a left-semi pushdown), so cost is
+  // O(pairs × doc length), corpus-independent.
+  private def rougePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
+    val need = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val docs = Tables.documents(s, d)
+      .join(need, Seq("doc_id"), "left_semi")
+      .select($"doc_id", TextPrep.words($"text").as("words"))
+      .localCheckpoint() // pair-proportional; feeds both gram legs
+    def counts(n: Int): DataFrame = {
+      val g =
+        if (n == 1) docs.select($"doc_id", explode($"words").as("g"))
+          .filter($"g" =!= "")
+        else docs.filter(size($"words") >= n).select($"doc_id",
+          explode(expr(s"transform(sequence(1, size(words) - ${n - 1}), " +
+            s"i -> array_join(slice(words, i, $n), ' '))")).as("g"))
+      g.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    }
+    def leg(n: Int): DataFrame = {
+      val cn = counts(n)
+      val totals = cn.groupBy($"doc_id").agg(sum($"c").as("tot"))
+      val ov = pairs
+        .join(cn.as("x"), $"doc_a" === $"x.doc_id")
+        .join(cn.as("y"), $"doc_b" === $"y.doc_id" && $"x.g" === $"y.g")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum(least($"x.c", $"y.c")).as("ov"))
+      pairs
+        .join(ov, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ov"))
+        .join(totals.select($"doc_id".as("doc_a"), $"tot".as("total_a")), "doc_a")
+        .join(totals.select($"doc_id".as("doc_b"), $"tot".as("total_b")), "doc_b")
+        .select($"doc_a", $"doc_b", lit(n.toLong).as("n"),
+          $"ov".as("overlap"), $"total_a", $"total_b",
+          round($"ov" / $"total_b".cast("double"), 6).as("p6"),
+          round($"ov" / $"total_a".cast("double"), 6).as("r6"),
+          round(lit(2.0) * $"ov" / ($"total_a" + $"total_b").cast("double"), 6)
+            .as("f6"))
+    }
+    leg(1).unionByName(leg(2)).orderBy($"doc_a", $"doc_b", $"n")
+  }
+  private val rougePairsSql =
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
+       |g1 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(words) AS g FROM docs)
+       |  WHERE g <> '' GROUP BY 1, 2),
+       |g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+       |    FROM docs, unnest(range(1, len(words))) t(i))
+       |  GROUP BY 1, 2),
+       |t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM g1 GROUP BY 1),
+       |t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM g2 GROUP BY 1),
+       |o1 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(least(x.c, y.c)) AS BIGINT)
+       |      AS ov
+       |  FROM pairs p
+       |  JOIN g1 x ON x.doc_id = p.doc_a
+       |  JOIN g1 y ON y.doc_id = p.doc_b AND y.g = x.g
+       |  GROUP BY 1, 2),
+       |o2 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(least(x.c, y.c)) AS BIGINT)
+       |      AS ov
+       |  FROM pairs p
+       |  JOIN g2 x ON x.doc_id = p.doc_a
+       |  JOIN g2 y ON y.doc_id = p.doc_b AND y.g = x.g
+       |  GROUP BY 1, 2),
+       |l1 AS (SELECT p.doc_a, p.doc_b, CAST(1 AS BIGINT) AS n,
+       |    COALESCE(o1.ov, 0) AS overlap, ta.tot AS total_a, tb.tot AS total_b
+       |  FROM pairs p
+       |  LEFT JOIN o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+       |  JOIN t1 ta ON ta.doc_id = p.doc_a
+       |  JOIN t1 tb ON tb.doc_id = p.doc_b),
+       |l2 AS (SELECT p.doc_a, p.doc_b, CAST(2 AS BIGINT) AS n,
+       |    COALESCE(o2.ov, 0) AS overlap, ta.tot AS total_a, tb.tot AS total_b
+       |  FROM pairs p
+       |  LEFT JOIN o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+       |  JOIN t2 ta ON ta.doc_id = p.doc_a
+       |  JOIN t2 tb ON tb.doc_id = p.doc_b),
+       |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+       |SELECT doc_a, doc_b, n, overlap, total_a, total_b,
+       |  round(overlap / CAST(total_b AS DOUBLE), 6) AS p6,
+       |  round(overlap / CAST(total_a AS DOUBLE), 6) AS r6,
+       |  round(2.0 * overlap / CAST(total_a + total_b AS DOUBLE), 6) AS f6
+       |FROM u ORDER BY doc_a, doc_b, n""".stripMargin
+
   // -- MinHash-LSH candidate-recall accounting ------------------------------
   // The dedup twin of q_ann_recall: banded LSH is probabilistic — a
   // J ≥ 0.8 pair that never collides on any band is silently missed —
@@ -2108,6 +2207,7 @@ object Dedup {
     QueryDef("dedup_containment_apply", containmentApply, Some(containmentApplySql)),
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("q_rouge_pairs", rougePairs, Some(rougePairsSql)),
     QueryDef("dedup_minhash_recall", minhashRecall, Some(minhashRecallSql)),
     QueryDef("q_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("q_entity_resolution", entityResolution, Some(entityResolutionSql)),

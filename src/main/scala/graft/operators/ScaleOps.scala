@@ -535,6 +535,49 @@ object ScaleOps {
        |  ${sqlSum("round(c_acctbal, -2)")} AS sum_bucketed_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // -- crypto_blind_join: equality-preserving join tokens --------------------
+  // The join problem RBAC/masking leaves open: two datasets must join
+  // on a sensitive key WITHOUT the join executor (or the counterparty)
+  // ever seeing the raw key — the "blind index" pattern every
+  // encrypted-database product ships (CipherSweet, MongoDB CSFLE
+  // deterministic mode, SQL Server Always Encrypted). Each side maps
+  // its key through a KEYED one-way digest token = sha256(secret ‖
+  // key): equality is preserved (deterministic), the raw key is not
+  // recoverable (one-way + secret), and the join runs on tokens only —
+  // the plaintext key column is dropped BEFORE the exchange, so
+  // nothing sensitive ever shuffles. Deterministic tokens leak
+  // equality by design; that is the accepted trade every blind index
+  // documents. n_tokens == distinct keys pins collision-freedom on
+  // this corpus. Scale shape: a plain token-keyed shuffle join — the
+  // digest adds one codegen'd map pass, no new shuffle.
+  private def blindJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val secret = "graft-blind-join-demo-secret"
+    def token(c: org.apache.spark.sql.Column) =
+      sha2(concat(lit(secret), c.cast("string")), 256)
+    val cust = Tables.customer(s, d)
+      .select(token($"c_custkey").as("tok"), $"c_mktsegment")
+    val ords = Tables.orders(s, d)
+      .select(token($"o_custkey").as("tok"), $"o_totalprice")
+    ords.join(cust, "tok")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"),
+        countDistinct($"tok").as("n_tokens"))
+      .orderBy($"c_mktsegment")
+  }
+  private val blindJoinSql =
+    s"""WITH cust AS (SELECT sha256('graft-blind-join-demo-secret'
+       |      || CAST(c_custkey AS VARCHAR)) AS tok, c_mktsegment
+       |    FROM customer),
+       |ords AS (SELECT sha256('graft-blind-join-demo-secret'
+       |      || CAST(o_custkey AS VARCHAR)) AS tok, o_totalprice
+       |    FROM orders)
+       |SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  COUNT(DISTINCT tok) AS n_tokens
+       |FROM ords JOIN cust USING (tok)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- runtime Bloom-filter join pruning ------------------------------------
   // A fact⋈fact join where one side carries a selective filter: Spark's
   // InjectRuntimeFilter builds a Bloom filter over the filtered side's
@@ -828,5 +871,6 @@ object ScaleOps {
     QueryDef("io_csv_malformed", csvMalformed, Some(csvMalformedSql)),
     QueryDef("io_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("crypto_rbac_decrypt", rbacDecrypt, Some(rbacDecryptSql)),
+    QueryDef("crypto_blind_join", blindJoin, Some(blindJoinSql)),
   )
 }

@@ -299,6 +299,57 @@ class Round13Spec extends AnyFunSuite {
       Map(1L -> 6L, 2L -> 5L))
   }
 
+  // -- q_rouge_pairs -------------------------------------------------------------
+
+  test("q_rouge_pairs: doubled document scores exact multiplicity-aware ROUGE") {
+    // B = A ++ A: 3-gram Jaccard(A,B) = 8/10 = 0.8 → a verified pair;
+    // ROUGE-1: ov = Σ min(1,2) = 10, R = 10/10, P = 10/20, F = 20/30;
+    // ROUGE-2: A has 9 bigrams ×1, B 19 (9 doubled + the seam) → ov 9,
+    // R = 1, P = 9/19, F = 18/28. Set-based overlap would read 10/20
+    // as perfect — the multiplicity is the point.
+    val a = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val b = a + " " + a
+    val d = corpusDir(Seq((1L, a, "en", "s1"), (2L, b, "en", "s1"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "), "en", "s2")))
+    val rows = SparkEntry.queries("q_rouge_pairs")(spark, d).collect()
+    assert(rows.length == 2, s"expected the planted pair × 2 gram orders: got ${rows.length}")
+    val r1 = rows.find(_.getLong(2) == 1L).get
+    assert((r1.getLong(0), r1.getLong(1)) == (1L, 2L))
+    assert(r1.getLong(3) == 10L && r1.getLong(4) == 10L && r1.getLong(5) == 20L)
+    assert(r1.getDouble(6) == 0.5 && r1.getDouble(7) == 1.0)
+    assert(math.abs(r1.getDouble(8) - 0.666667) < 1e-9)
+    val r2 = rows.find(_.getLong(2) == 2L).get
+    assert(r2.getLong(3) == 9L && r2.getLong(4) == 9L && r2.getLong(5) == 19L)
+    assert(math.abs(r2.getDouble(6) - 0.473684) < 1e-9)
+    assert(r2.getDouble(7) == 1.0)
+    assert(math.abs(r2.getDouble(8) - 0.642857) < 1e-9)
+  }
+
+  // -- crypto_blind_join ---------------------------------------------------------
+
+  test("crypto_blind_join: token join equals the plaintext join, tokens are one-way") {
+    import spark.implicits._
+    val out = SparkEntry.queries("crypto_blind_join")(spark, sf).collect()
+    val want = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("nk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty && out.length == want.size)
+    for (r <- out) {
+      assert(want(r.getString(0))._1 == r.getLong(1), s"count diverged: $r")
+      assert(want(r.getString(0))._2 == r.getLong(3),
+        s"token collision or loss: $r")
+    }
+    // one-way: a token never equals its key's decimal rendering, and
+    // the same key tokenizes identically on both sides (join worked)
+    val tok = Tables.customer(spark, sf)
+      .select(sha2(concat(lit("graft-blind-join-demo-secret"),
+        $"c_custkey".cast("string")), 256).as("t"), $"c_custkey".cast("string").as("k"))
+      .filter($"t" === $"k").count()
+    assert(tok == 0L)
+  }
+
   // -- io_time_travel_ts -------------------------------------------------------
 
   test("io_time_travel_ts: AS OF resolves the latest commit <= probe, fails closed before v1") {
