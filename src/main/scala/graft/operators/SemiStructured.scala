@@ -1116,6 +1116,92 @@ object SemiStructured {
        |      UNION ALL SELECT * FROM sup)
        |ORDER BY level, nation, seg""".stripMargin
 
+  // -- q_t_closeness: the distribution-shape strengthening of l-diversity ---
+  // l-diversity counts distinct sensitive values; it still leaks when a
+  // cell's DISTRIBUTION is skewed (99% of a cell in the top balance
+  // band tells you the secret with 99% confidence even with L distinct
+  // values present). t-closeness (Li, Li & Venkatasubramanian, ICDE
+  // 2007) bounds the Earth Mover's Distance between each cell's
+  // sensitive distribution and the GLOBAL one: for an ordered attribute
+  // EMD = (1/(m−1)) Σ_i |CumP_i − CumQ_i|. Everything is exact integers
+  // via cross-multiplication — the per-step term is
+  // |cum_cell·N − cum_global·n_cell| (no per-row fractions exist to
+  // drift) in decimal(38,0) (the product overflows int64 past ~1e6
+  // rows), the pass test t ≤ 1/5 is the integer comparison
+  // 5·emd_num ≤ n·N·(m−1), and emd_micro one floored quotient. Scale:
+  // two groupBys over the raw rows (cell and cell×value), the global
+  // cum over the ≤ value-domain band rows (bounded: the band ladder is
+  // fixed by the attribute's range, audited in the window gate), the
+  // cell cums per-cell-partitioned — no data-proportional global sort.
+  private val TCloseDen = 5L // t = 1/5
+  private def tCloseness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val c = Tables.customer(s, d)
+      .select($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / 2000).cast("long").as("sens"))
+    val gv = c.groupBy($"sens").agg(count(lit(1)).as("gc"))
+    val wg = Window.orderBy($"sens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gv.withColumn("cumg", sum($"gc").over(wg))
+      .select($"sens", $"cumg")
+    val stats = gv.agg(sum($"gc").as("big_n"), count(lit(1)).as("m"))
+    val cells = c.groupBy($"nation", $"seg").agg(count(lit(1)).as("n"))
+    val cv = c.groupBy($"nation", $"seg", $"sens").agg(count(lit(1)).as("cc"))
+    val wc = Window.partitionBy($"nation", $"seg").orderBy($"sens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(gcum))
+      .join(cv, Seq("nation", "seg", "sens"), "left")
+      .na.fill(0L, Seq("cc"))
+      .withColumn("cumc", sum($"cc").over(wc))
+      .crossJoin(broadcast(stats))
+      .select($"nation", $"seg", $"n", $"m", $"big_n",
+        abs($"cumc".cast(dec) * $"big_n" - $"cumg".cast(dec) * $"n")
+          .as("term"))
+      .groupBy($"nation", $"seg", $"n", $"m", $"big_n")
+      .agg(sum($"term").as("emd_num"))
+      .select($"nation", $"seg", $"n",
+        expr("CAST((emd_num * 1000000) div (CAST(n AS DECIMAL(38,0)) " +
+          "* big_n * greatest(m - 1, 1)) AS BIGINT)").as("emd_micro"),
+        when($"emd_num" * TCloseDen <=
+            $"n".cast(dec) * $"big_n" * greatest($"m" - 1, lit(1L)), 1L)
+          .otherwise(0L).as("t_pass"))
+      .orderBy($"nation", $"seg")
+  }
+  private val tClosenessSql =
+    s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens FROM customer),
+       |gv AS (SELECT sens, COUNT(*) AS gc FROM c GROUP BY 1),
+       |g AS (SELECT sens, SUM(gc) OVER (ORDER BY sens) AS cumg FROM gv),
+       |st AS (SELECT CAST(SUM(gc) AS BIGINT) AS big_n, COUNT(*) AS m
+       |       FROM gv),
+       |cells AS (SELECT nation, seg, COUNT(*) AS n FROM c GROUP BY 1, 2),
+       |cv AS (SELECT nation, seg, sens, COUNT(*) AS cc FROM c
+       |       GROUP BY 1, 2, 3),
+       |grid AS (SELECT cells.nation, cells.seg, cells.n, g.sens, g.cumg,
+       |    COALESCE(cv.cc, 0) AS cc
+       |  FROM cells CROSS JOIN g
+       |  LEFT JOIN cv ON cv.nation = cells.nation AND cv.seg = cells.seg
+       |    AND cv.sens = g.sens),
+       |cum AS (SELECT *, SUM(cc) OVER (PARTITION BY nation, seg
+       |    ORDER BY sens) AS cumc FROM grid),
+       |agg AS (SELECT nation, seg, n,
+       |    SUM(ABS(CAST(cumc AS HUGEINT) * st.big_n
+       |      - CAST(cumg AS HUGEINT) * n)) AS emd_num,
+       |    MAX(st.big_n) AS big_n, MAX(st.m) AS m
+       |  FROM cum CROSS JOIN st GROUP BY 1, 2, 3)
+       |SELECT nation, seg, CAST(n AS BIGINT) AS n,
+       |  CAST((emd_num * 1000000)
+       |    // (CAST(n AS HUGEINT) * big_n * greatest(m - 1, 1)) AS BIGINT)
+       |    AS emd_micro,
+       |  CAST(CASE WHEN emd_num * $TCloseDen
+       |      <= CAST(n AS HUGEINT) * big_n * greatest(m - 1, 1)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS t_pass
+       |FROM agg ORDER BY nation, seg""".stripMargin
+
   private val kAnonymitySql =
     s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
        |    c_mktsegment AS seg FROM customer),
@@ -1134,6 +1220,7 @@ object SemiStructured {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q_l_diversity", lDiversity, Some(lDiversitySql)),
+    QueryDef("q_t_closeness", tCloseness, Some(tClosenessSql)),
     QueryDef("q_drift_psi", driftPsi, Some(driftPsiSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_collate_group", collateGroup, Some(collateGroupSql)),

@@ -66,7 +66,10 @@ class Round13Spec extends AnyFunSuite {
     // grand totals over category-pair cells (enum × enum contingency
     // tables — bounded by the category cardinalities, not the data)
     "q_chi_square" -> Set("∅"),
-    "q_mutual_info" -> Set("∅")
+    "q_mutual_info" -> Set("∅"),
+    // global cum over the ≤ value-domain balance-band rows (the band
+    // ladder is fixed by the attribute range, not the corpus)
+    "q_t_closeness" -> Set("sens")
   ).withDefaultValue(Set.empty)
 
   private def unpartitionedSigs(df: DataFrame): Seq[String] = {
@@ -348,6 +351,18 @@ class Round13Spec extends AnyFunSuite {
         $"c_custkey".cast("string")), 256).as("t"), $"c_custkey".cast("string").as("k"))
       .filter($"t" === $"k").count()
     assert(tok == 0L)
+    // the PLAN-level privacy pin: no exchange (shuffle or broadcast)
+    // ever carries the raw key — tokenization happens below every
+    // exchange, so the join executor sees tokens only
+    val df = SparkEntry.queries("crypto_blind_join")(spark, sf)
+    df.collect()
+    val leaked = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.output.map(_.name).filter(n =>
+          n.contains("custkey"))
+    }.flatten
+    assert(leaked.isEmpty,
+      s"raw join key crossed an exchange: ${leaked.mkString(",")}")
   }
 
   // -- io_time_travel_ts -------------------------------------------------------
