@@ -49,6 +49,22 @@ object Similarity {
   private val Planes = 16          // 16-bit signature
   private val BandBits = 4         // 4 bands × 4 bits
 
+  /** r14: pinned, corpus-independent eval panel for every brute-force
+    * gold leg (sim_bruteforce_topk, the exact legs of q_ann_recall and
+    * q_ndcg, all four sim_mrl_recall legs). `vec_id` is dense from 0 at
+    * every scale factor, so `id % stride == 0 AND id < EvalPanelCap` is
+    * the SAME fixed id set ({0, 50, …, 450} at stride 50) at sf0.001,
+    * sf0.01, sf0.1 — and at 100 TB. Gold-leg cost is therefore
+    * O(panel · corpus), linear in the corpus, never the old
+    * O(corpus²/mod) of a corpus-proportional `vec_id % mod` panel.
+    * Index-served (ANN) legs keep corpus-proportional query traffic —
+    * their per-query cost is index-pruned, so traffic may scale. */
+  private val EvalPanelCap = 500
+  private def evalPanel(id: Column, stride: Int = 50): Column =
+    id % stride === 0 && id < EvalPanelCap
+  private def evalPanelSql(col: String, stride: Int = 50): String =
+    s"$col % $stride = 0 AND $col < $EvalPanelCap"
+
   /** Deterministic Rademacher (±1) hyperplanes, shared verbatim with the
     * oracle SQL. */
   private[operators] val hyperplanes: Seq[Seq[Double]] = {
@@ -79,7 +95,7 @@ object Similarity {
   private def bruteforceTopk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val queries = emb.filter($"vec_id" % 50 === 0)
+    val queries = emb.filter(evalPanel($"vec_id"))
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
@@ -98,7 +114,7 @@ object Similarity {
   }
   private val bruteforceTopkSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |           WHERE vec_id % 50 = 0),
+       |           WHERE ${evalPanelSql("vec_id")}),
        |scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |    ${VectorOps.cosineSql("qe", "e.embedding")} AS cos
@@ -911,7 +927,7 @@ object Similarity {
     val approx = pqRerank(emb, shortlist).select($"query_id", $"neighbor_id")
     val full = emb.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
-    val qfull = full.filter($"vec_id" % 50 === 0)
+    val qfull = full.filter(evalPanel($"vec_id"))
       .select($"vec_id".as("query_id"), $"fe".as("qe"))
     val wEx = Window.partitionBy($"query_id").orderBy($"dx", $"neighbor_id")
     val exact = full.withColumnRenamed("vec_id", "neighbor_id")
@@ -947,7 +963,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${l2sqSql("q.fe", "n.fe", Dims)}, n.vec_id) AS r
        |    FROM fullv q JOIN fullv n ON n.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 50 = 0) WHERE r <= 3)
+       |    WHERE ${evalPanelSql("q.vec_id")}) WHERE r <= 3)
        |SELECT e.query_id,
        |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
        |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(3.0 AS DOUBLE) AS recall3
@@ -966,8 +982,8 @@ object Similarity {
   // (the Benford move — no engine log2 ever runs), so DCG and IDCG are
   // exact integer dot products and nDCG is one floored micro-quotient.
   // Scale: the ANN leg reads the STAGED IVFPQ index; the exact-gold
-  // leg is the declared O(N²/queryMod) baseline every eval query here
-  // shares (a fixed query sample at real scale).
+  // leg scans the corpus once per PINNED panel query (evalPanel —
+  // O(panel · corpus), linear in the corpus).
   private val NdcgK = 10
   private val DcgWMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
     356207L, 333333L, 315465L, 301030L, 289065L)
@@ -980,7 +996,7 @@ object Similarity {
       .select($"query_id", $"neighbor_id")
     val full = emb.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
-    val qfull = full.filter($"vec_id" % 50 === 0)
+    val qfull = full.filter(evalPanel($"vec_id"))
       .select($"vec_id".as("query_id"), $"fe".as("qe"))
     val wD = Window.partitionBy($"query_id").orderBy($"dd", $"neighbor_id")
     val approx = shortlist
@@ -1036,7 +1052,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${l2sqSql("q.fe", "n.fe", Dims)}, n.vec_id) AS r
        |    FROM fullv q JOIN fullv n ON n.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 50 = 0) WHERE r <= $NdcgK),
+       |    WHERE ${evalPanelSql("q.vec_id")}) WHERE r <= $NdcgK),
        |wts AS (SELECT * FROM (VALUES $wts) t(pos, w)),
        |dcg AS (SELECT a.query_id,
        |    CAST(SUM(COALESCE(g.rel, 0) * w.w) AS BIGINT) AS dcg_scaled
@@ -1135,11 +1151,12 @@ object Similarity {
   // brute-force scan over PREFIX slices — prefix dots/norms accumulate
   // in the same index order on both engines, so ranks are exact and the
   // whole readout hash-stable. n_hit is an integer semi-join count;
-  // recall3 one IEEE division. Scale: each leg is the declared
-  // O(corpus × queries / MrlQueryMod) eval baseline (the
-  // sim_bruteforce_topk shape — broadcast queries, per-partition
-  // partial top-k, merged); production swaps the staged ANN index into
-  // the legs and keeps the same recall harness.
+  // recall3 one IEEE division. Scale: each leg scans the corpus once
+  // per PINNED panel query (evalPanel at stride MrlQueryMod —
+  // O(panel · corpus), linear; the sim_bruteforce_topk shape with
+  // broadcast queries, per-partition partial top-k, merged);
+  // production swaps the staged ANN index into the legs and keeps the
+  // same recall harness.
   private val MrlDims = Seq(8, 16, 32)
   private val MrlK = 3
   private val MrlQueryMod = 100
@@ -1150,7 +1167,7 @@ object Similarity {
       if (m >= Dims) c else slice(c, 1, m)
     val docs = emb.select($"vec_id".as("neighbor_id"),
       pre($"embedding").as("de"))
-    val queries = emb.filter($"vec_id" % MrlQueryMod === 0)
+    val queries = emb.filter(evalPanel($"vec_id", MrlQueryMod))
       .select($"vec_id".as("query_id"), pre($"embedding").as("qe"))
     val partial = Window.partitionBy($"query_id", spark_partition_id())
       .orderBy($"cos".desc, $"neighbor_id")
@@ -1204,7 +1221,7 @@ object Similarity {
          |FROM t$m l LEFT JOIN t${Dims} g
          |  ON g.query_id = l.query_id AND g.neighbor_id = l.neighbor_id""".stripMargin
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-       |           FROM embeddings WHERE vec_id % $MrlQueryMod = 0),
+       |           FROM embeddings WHERE ${evalPanelSql("vec_id", MrlQueryMod)}),
        |${(MrlDims :+ Dims).map(leg).mkString(",\n")}
        |${MrlDims.map(agg).mkString("\nUNION ALL\n")}
        |ORDER BY m_dims""".stripMargin

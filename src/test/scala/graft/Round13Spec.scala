@@ -270,7 +270,7 @@ class Round13Spec extends AnyFunSuite {
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     def top3(m: Int): Map[Long, Set[Long]] =
-      emb.filter(_._1 % 100 == 0).map { case (q, qe) =>
+      emb.filter(v => v._1 % 100 == 0 && v._1 < 500).map { case (q, qe) =>
         q -> emb.filter(_._1 != q)
           .map { case (nid, e) => (nid, cos(qe, e, m)) }
           .sortBy { case (nid, c) => (-c, nid) }.take(3).map(_._1).toSet
