@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// tools/run_class.sh runs target/scala-2.13/classes directly, so
+// resources (the DSv2 DataSourceRegister service file) must land there
+// on plain `compile`, not only on `package`.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value

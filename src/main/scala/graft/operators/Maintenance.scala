@@ -419,8 +419,10 @@ object Maintenance {
   private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
+    // served through the DSv2 front door (r13 verdict #2): the same
+    // manifest resolution, reached the way a user reaches it
     Seq(1, 2).map { v =>
-      readSnapshot(s, root, v)
+      s.read.format("graft").option("versionAsOf", v).load(root)
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
         .select(lit(v).as("version"), $"n", $"sum_price")
     }.reduce(_.unionByName(_)).orderBy($"version")
@@ -463,17 +465,28 @@ object Maintenance {
   private def qTimeTravelTs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "commits_ts.txt"),
-      CommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n")
-        .getBytes("UTF-8"))
+    val log = CommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n")
+    val target = java.nio.file.Paths.get(root, "commits_ts.txt")
+    // skip-if-current + temp-and-ATOMIC_MOVE: a concurrent reader (a
+    // parallel bench rep mid-resolveAsOf) must never observe a
+    // truncated log, which a plain truncate-then-write allows
+    if (!java.nio.file.Files.exists(target) ||
+        new String(java.nio.file.Files.readAllBytes(target), "UTF-8") != log) {
+      val tmpF = java.nio.file.Files.createTempFile(
+        target.getParent, ".commits_ts", ".tmp")
+      java.nio.file.Files.write(tmpF, log.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpF, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // one probe between the commits (resolves v1), one after the last
-    // (resolves v2) — the two shapes every AS OF query takes
+    // (resolves v2) — the two shapes every AS OF query takes; reads go
+    // through spark.read.format("graft").option("timestampAsOf", …)
     val probes = Seq(("t_after_last", 1767272400L),
       ("t_between_commits", 1767263400L))
     probes.map { case (label, asof) =>
-      val v = resolveAsOf(root, asof)
-      readSnapshot(s, root, v)
+      val v = resolveAsOf(root, asof) // pinned in the output row
+      s.read.format("graft").option("timestampAsOf", asof).load(root)
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
         .select(lit(label).as("probe"), lit(asof).as("asof_epoch"),
           lit(v.toLong).as("resolved_version"), $"n", $"sum_price")
@@ -583,7 +596,7 @@ object Maintenance {
     import s.implicits._
     val root = tmp("zonemap", d)
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = "v2-year-groups+counts" // v2: per-group row counts in zones
+    val fmt = "v3-year-groups+counts+col" // v3: zones_col.txt for the DSv2 scan
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
       return root
@@ -603,6 +616,10 @@ object Maintenance {
       zoneLines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
       stats.map(r => s"$root/data/y=${r.getInt(0)}").mkString("\n").getBytes("UTF-8"))
+    // the zone column's physical name, for spark.read.format("graft")'s
+    // pushed-filter group pruning (GraftScan.zoneBounds)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "zones_col.txt"),
+      "o_orderdate".getBytes("UTF-8"))
     java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
     root
   }
@@ -754,14 +771,25 @@ object Maintenance {
       CmPhysCols.filterNot(_ == "o_custkey")
         .map(p => if (p == "o_totalprice") s"price_usd=$p" else s"$p=$p")
         .mkString("\n").getBytes("UTF-8"))
+    // manifests for the DSv2 front door: the rename/drop commit is
+    // metadata-only, so BOTH versions pin the same (shared, read-only)
+    // base groups — only the mapping file differs
+    val groups = (0 to 3).map(g => s"$data/base/g=$g").mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), groups.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v2.txt"), groups.getBytes("UTF-8"))
     (root, data)
   }
 
   private def qColumnMapping(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (root, data) = columnMappingStore(s, d)
-    val v1 = readMapped(s, root, data, 1)
-    val v2 = readMapped(s, root, data, 2)
+    val (root, _) = columnMappingStore(s, d)
+    // DSv2 front door: the provider resolves mapping_v<N> itself, so
+    // the rename/drop is visible to ANY reader of the format — filter
+    // pushdown and pruning translate logical -> physical on the scan
+    val v1 = s.read.format("graft").option("versionAsOf", 1).load(root)
+    val v2 = s.read.format("graft").option("versionAsOf", 2).load(root)
     val leg1 = v1
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
       .select(lit(1L).as("version"), lit("o_totalprice").as("logical_field"),
@@ -867,7 +895,7 @@ object Maintenance {
     * digit (0 / {2,7} / 5 / {1,6}), and neither merge-2 predicate can
     * hit merge-1's insert file (its keys all end in 0), so dv2
     * references base files only. */
-  private def morData(s: SparkSession, d: String): String = {
+  private[graft] def morData(s: SparkSession, d: String): String = {
     import s.implicits._
     val (dirKey, fp) = Tables.stagingKey(d, "orders")
     val root = s"/tmp/graft_q/mordata_$dirKey"
@@ -955,13 +983,19 @@ object Maintenance {
       Seq(s"$data/newfile", s"dv:$data/dv"))
     val v3 = commitSnapshot(root, v2, Seq.empty,
       Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    // MoR reads through the DSv2 front door: the provider partitions
+    // the manifest into data groups + dv: sidecars and subtracts the
+    // deleted positions per file (readSnapshotMoR stays the library
+    // path; values must be identical)
     val stamp = (v: Int, df: DataFrame) =>
       df.groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
         .select(lit(v.toLong).as("version"), $"o_orderpriority", $"n", $"sum_price")
-    stamp(1, readSnapshotMoR(s, root, 1))
-      .unionByName(stamp(v2, readSnapshotMoR(s, root, v2)))
-      .unionByName(stamp(v3, readSnapshotMoR(s, root, v3)))
+    def dsv2(v: Int): DataFrame =
+      s.read.format("graft").option("versionAsOf", v).load(root)
+    stamp(1, dsv2(1))
+      .unionByName(stamp(v2, dsv2(v2)))
+      .unionByName(stamp(v3, dsv2(v3)))
       .orderBy($"version", $"o_orderpriority")
   }
   private val qMergeDvSql =
@@ -1017,17 +1051,24 @@ object Maintenance {
   // both legs from the MERGE predicates.
   private def qCdcMor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // served as a change-feed read of the DSv2 front door (Delta-CDF
+    // shape): the MERGE commit's added dv: sidecar names the delete
+    // pre-images (a keep-positions read of ONLY the referenced base
+    // files), its added data file is the insert post-image — the scan
+    // emits `_change_type`, cost stays O(changed rows)
     val data = morData(s, d)
-    val dv = s.read.parquet(s"$data/dv")
-    val deleted = s.read.parquet((0 to 3).map(g => s"$data/base/g=$g"): _*)
-      .withColumn("file_key",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
-      .withColumn("row_index", col("_metadata.row_index"))
-      .join(broadcast(dv), Seq("file_key", "row_index"), "left_semi")
-      .select(lit("D").as("op"), $"o_orderpriority", $"o_totalprice")
-    val inserted = s.read.parquet(s"$data/newfile")
-      .select(lit("I").as("op"), $"o_orderpriority", $"o_totalprice")
-    deleted.unionByName(inserted)
+    val root = tmp("q_cdc_mor", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", v2).load(root)
+      .select(when($"_change_type" === "delete", "D").otherwise("I").as("op"),
+        $"o_orderpriority", $"o_totalprice")
       .groupBy($"op", $"o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
       .orderBy($"op", $"o_orderpriority")

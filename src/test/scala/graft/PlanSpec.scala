@@ -589,4 +589,51 @@ class PlanSpec extends AnyFunSuite {
       s"truth⋈cand should shuffle-hash:\n${bl.take(600)}")
     assert(!bl.toLowerCase.contains("cartesianproduct"), "no cartesian")
   }
+
+  // ---- DSv2 front door (r14): spark.read.format("graft") -----------------
+
+  test("DSv2: filters push into the GraftScan and the delegate stays columnar") {
+    import spark.implicits._
+    val root = graft.operators.Maintenance.snapshotRoot(spark, sf)
+    val df = spark.read.format("graft").option("versionAsOf", 2).load(root)
+      .filter($"o_orderkey" > 100L).select($"o_orderkey", $"o_totalprice")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftScan") && p.contains("version=2"), p.take(600))
+    assert(p.contains("GreaterThan(o_orderkey,100)"),
+      s"filter not pushed into the DSv2 scan:\n${p.take(600)}")
+    // vectorized parquet delegation: batches arrive columnar
+    assert(p.contains("ColumnarToRow"), s"delegate fell out of columnar:\n${p.take(600)}")
+  }
+
+  test("DSv2: zone maps skip file groups from pushed filters, values exact") {
+    import spark.implicits._
+    val zroot = graft.operators.Maintenance.zonemapRoot(spark, sf)
+    val df = spark.read.format("graft").load(zroot)
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" <= "1995-09-30")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+) zoneSkipped=(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no group accounting in scan description: $desc")
+    val (kept, total, skipped) =
+      (m.get.group(1).toInt, m.get.group(2).toInt, m.get.group(3).toInt)
+    assert(skipped > 0 && kept + skipped == total && kept < total,
+      s"zone map should prune groups: $desc")
+    // pruning is a pure superset optimization — the answer is exact
+    val oracle = spark.read.parquet(s"$zroot/data")
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" <= "1995-09-30")
+      .count()
+    assert(df.count() == oracle, "zone pruning changed the answer")
+  }
+
+  test("DSv2: column mapping translates pushed filters to physical names") {
+    import spark.implicits._
+    val (root, _) = graft.operators.Maintenance.columnMappingStore(spark, sf)
+    val df = spark.read.format("graft").option("versionAsOf", 2).load(root)
+      .filter($"price_usd" > 1000.0).select($"price_usd")
+    assert(df.columns.sameElements(Array("price_usd")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mapping=v2"), p.take(600))
+    assert(p.contains("GreaterThan(o_totalprice,1000.0)"),
+      s"logical filter should push under its PHYSICAL name:\n${p.take(600)}")
+  }
 }
