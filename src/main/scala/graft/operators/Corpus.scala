@@ -613,10 +613,52 @@ object Corpus {
   // by unpersisting exactly the round's own LogicalRDD.
   private[graft] val BpeRounds = 10
 
-  /** The training loop proper: returns (merge table, final per-word
-    * segmentation). The final state doubles as the ENCODER's dictionary
-    * — `text_bpe_encode` joins it back onto the corpus. */
+  /** Counts BPE TRAINING jobs — the spec pins that warm encode /
+    * fertility / train paths read the staged model and never retrain
+    * (the hybridBuildRuns discipline). */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The trained tokenizer as a STORED artifact (r13 verdict #3):
+    * merges + final segmentation state persist under the
+    * content-fingerprint lifecycle keyed on `documents` alone — the
+    * canonical production shape, where a tokenizer is trained once and
+    * every encode job loads it. Vocab-sized (31 words here, millions at
+    * web scale) — dictionary-sized against a 100 TB corpus either way. */
+  private[graft] def bpeModelRoot(s: SparkSession, d: String): String = {
+    val (dirKey, fp) = Tables.stagingKey(d, "documents")
+    val root = s"/tmp/graft_q/bpe_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-bpe-merges+state|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt) {
+      if (!new java.io.File(root, "staging_source.txt").exists())
+        Staging.recordSource(root, d, "documents", fp)
+      return root
+    }
+    bpeTrainRuns.incrementAndGet()
+    Staging.vacuum()
+    val (merges, state) = bpeTrainLoop(s, d)
+    val tmp = Staging.tempBuildDir()
+    merges.write.mode("overwrite").parquet(s"$tmp/merges")
+    state.write.mode("overwrite").parquet(s"$tmp/state")
+    java.nio.file.Files.write(tmp.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    Staging.publish(tmp, root, d, "documents", fp)
+    root
+  }
+
+  /** Staged-model accessors: (merge table, final per-word segmentation).
+    * The final state doubles as the ENCODER's dictionary —
+    * `text_bpe_encode` joins it back onto the corpus. No training job
+    * runs on a warm call. */
   private def bpeCore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = bpeModelRoot(s, d)
+    (s.read.parquet(s"$root/merges"), s.read.parquet(s"$root/state"))
+  }
+
+  /** The training loop proper — only [[bpeModelRoot]] calls it, once
+    * per corpus fingerprint. */
+  private def bpeTrainLoop(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select(explode(TextPrep.words($"text")).as("word"))
@@ -677,7 +719,10 @@ object Corpus {
     (merges.orderBy($"merge_rank"), state)
   }
 
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = bpeCore(s, d)._1
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeCore(s, d)._1.orderBy($"merge_rank")
+  }
 
   // -- text_bpe_encode: the trained tokenizer applied at corpus scale ------
   // Closes the trainer → tokenizer → corpus loop: the final training

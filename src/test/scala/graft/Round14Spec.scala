@@ -130,6 +130,27 @@ class Round14Spec extends AnyFunSuite {
       s"pre-first-commit probe must fail closed, got: ${e.getMessage}")
   }
 
+  // ---- staged tokenizer (r13 verdict "Next round" #3) ----------------------
+
+  test("warm BPE paths read the staged model: zero training jobs") {
+    import graft.operators.Corpus
+    // prime the store (trains at most once per corpus fingerprint)
+    Corpus.bpeModelRoot(spark, sf)
+    val before = Corpus.bpeTrainRuns.get()
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, sf).collect()
+    val fert = SparkEntry.queries("text_fertility")(spark, sf).collect()
+    val train = SparkEntry.queries("text_bpe")(spark, sf).collect()
+    assert(enc.nonEmpty && fert.nonEmpty && train.length == Corpus.BpeRounds)
+    assert(Corpus.bpeTrainRuns.get() == before,
+      "warm encode/fertility/train must NOT retrain the tokenizer")
+    // the staged state must reproduce the trainer's invariant: encoding
+    // compresses (tokens <= chars) and covers every word
+    fert.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt >= nw && nt <= nc, s"fertility row out of bounds: $r")
+    }
+  }
+
   test("DSv2 rejects contradictory version options") {
     val root = Maintenance.snapshotRoot(spark, sf)
     val e = intercept[Exception] {
