@@ -62,14 +62,36 @@ class Round13Spec extends AnyFunSuite {
     "q_tail_index" -> Set("k+x"),
     "text_zipf" -> Set("t+tf"),
     // q_lorenz's cumulative-share walk: exactly 10 decile rows
-    "q_lorenz" -> Set("decile"),
+    "q_lorenz" -> Set("decile", "vk_rk"),
     // grand totals over category-pair cells (enum × enum contingency
     // tables — bounded by the category cardinalities, not the data)
     "q_chi_square" -> Set("∅"),
     "q_mutual_info" -> Set("∅"),
     // global cum over the ≤ value-domain balance-band rows (the band
     // ladder is fixed by the attribute range, not the corpus)
-    "q_t_closeness" -> Set("sens")
+    "q_t_closeness" -> Set("sens"),
+    // r14 (verdict #4): the former blanket signatures, audited
+    // per-query so a FUTURE query cannot ride an incidental column
+    // name past the gate.
+    //  - vk_rk: valueKeyedCums' offsets/grand-total pass — ordered
+    //    full-frame windows over the ≤ 256 value-range SUBTOTAL rows,
+    //    never the data (RobustStats.valueKeyedCums)
+    "q_gini" -> Set("vk_rk"),
+    "q_ks_test" -> Set("vk_rk"),
+    "q_mann_whitney" -> Set("vk_rk"),
+    "q_rfm" -> Set("vk_rk"),
+    "q_time_split" -> Set("vk_rk"),
+    //  - rk: the same coarse-range stitch over per-range (min, max)
+    //    rows (≤ 256): equidepth's boundary walk, q_id_gaps' seam lag
+    "q_equidepth_histogram" -> Set("rk"),
+    "q_id_gaps" -> Set("rk"),
+    //  - day / week: calendar-bounded series (O(days) after the
+    //    per-day groupBy; a data-proportional column merely NAMED
+    //    `day` elsewhere now fails the gate)
+    "q_autocorr" -> Set("day"),
+    "q_concurrency" -> Set("day"),
+    "q_cusum" -> Set("day"),
+    "q_period_over_period" -> Set("week")
   ).withDefaultValue(Set.empty)
 
   private def unpartitionedSigs(df: DataFrame): Seq[String] = {
@@ -92,15 +114,11 @@ class Round13Spec extends AnyFunSuite {
     // plans — an empty enumeration means the walk broke
     assert(found.size >= 5,
       s"unpartitioned-window detector found implausibly few: $found")
-    println(s"[r13-window-gate] found: ${found.sorted.mkString(", ")}")
-    val allowedSigs = Set(
-      "vk_rk", // valueKeyedCums offsets + totals: ≤ 256 subtotal rows
-      "rk",    // the same coarse-range shape (equidepth, q_id_gaps stitch)
-      "day",   // calendar-day series (autocorr, concurrency, cusum)
-      "week"   // calendar-week series (period-over-period)
-    )
+    println(s"[r14-window-gate] found: ${found.sorted.mkString(", ")}")
+    // no blanket signatures (r14): every (query, global-window) pair
+    // must be individually audited in auditedUnpartitioned
     val offenders = found.filterNot { case (q, sig) =>
-      allowedSigs.contains(sig) || auditedUnpartitioned(q).contains(sig)
+      auditedUnpartitioned(q).contains(sig)
     }
     assert(offenders.isEmpty,
       "unaudited unpartitioned window(s) — rewrite to the value-keyed " +
