@@ -645,6 +645,12 @@ object Dedup {
   // pairs come from the STAGED graph (no LSH replay); only pair-member
   // docs are re-tokenized (a left-semi pushdown), so cost is
   // O(pairs × doc length), corpus-independent.
+  // Degenerate-member rule (intentional, oracle-mirrored): a pair whose
+  // member has < n words has NO n-gram totals row, and the inner join
+  // on totals drops that pair from the n=2 leg — it reports only its
+  // n=1 row. ROUGE-2 of a one-word doc is undefined (0/0), so omission
+  // is the honest report; the SQL oracle's `JOIN t2` drops the same
+  // rows, keeping both engines exactly symmetric.
   private def rougePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")

@@ -143,8 +143,13 @@ object ScaleOps {
     val (dirKey, fp) = Tables.stagingKey(d, "lineitem")
     val root = s"/tmp/graft_q/pidata_$dirKey"
     val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-    val fmt = s"v2-page-index|$fp" // v2: 500-row pages (5k pages were coarser
-    // than the probe range at small SF — the index needs resolution ≪ range)
+    val fmt = s"v3-page-index|$fp" // v2: 500-row pages (5k pages were coarser
+    // than the probe range at small SF — the index needs resolution ≪ range);
+    // v3: 1 GiB row groups, so "one file, one row group" is ENFORCED at
+    // write time rather than implied by data size — at larger SF the
+    // projection would otherwise split at parquet's default ~128 MB and
+    // row-group stats would start pruning, contaminating the spec's
+    // page-vs-row-group separation control
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
       return root
@@ -159,6 +164,7 @@ object ScaleOps {
       // limit binds before the byte size on this narrow projection
       .option("parquet.page.row.count.limit", "500")
       .option("parquet.page.size", "16384")
+      .option("parquet.block.size", (1L << 30).toString)
       .parquet(s"$tmpDir/data")
     java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
       fmt.getBytes("UTF-8"))

@@ -187,6 +187,19 @@ class Round13Spec extends AnyFunSuite {
     val files = new java.io.File(data).listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length == 1, "layout must be a single file")
+    // the single-ROW-GROUP invariant is enforced, not assumed: the
+    // writer pins parquet.block.size = 1 GiB, and this footer read
+    // fails the gate the moment a second row group appears (which
+    // would let row-group stats contaminate the index-off control)
+    locally {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(files.head.getAbsolutePath),
+          spark.sessionState.newHadoopConf()))
+      try assert(rdr.getFooter.getBlocks.size == 1,
+        s"expected one row group, found ${rdr.getFooter.getBlocks.size}")
+      finally rdr.close()
+    }
     val total = spark.read.parquet(data).count()
 
     def scannedRows(ciEnabled: Boolean): Long = {
@@ -306,10 +319,17 @@ class Round13Spec extends AnyFunSuite {
   test("io_column_mapping: rename+drop is metadata-only and values are identical") {
     import graft.operators.Maintenance
     val (root, data) = Maintenance.columnMappingStore(spark, sf)
-    // the commit wrote ONLY mapping text — no parquet under the store root
+    // the commit wrote ONLY metadata text (mappings + the manifests the
+    // DSv2 front door resolves) — no parquet under the store root; both
+    // manifests pin the SAME shared base groups (rename/drop moves zero
+    // data bytes)
     val wrote = new java.io.File(root).listFiles().map(_.getName).sorted
-    assert(wrote.toSeq == Seq("mapping_v1.txt", "mapping_v2.txt"),
+    assert(wrote.toSeq == Seq("manifest_v1.txt", "manifest_v2.txt",
+      "mapping_v1.txt", "mapping_v2.txt"),
       s"column-mapping commit touched data: ${wrote.mkString(",")}")
+    assert(graft.operators.Maintenance.manifestPaths(root, 1) ==
+      graft.operators.Maintenance.manifestPaths(root, 2),
+      "metadata-only commit must not change the data groups")
     val v2 = Maintenance.readMapped(spark, root, data, 2)
     assert(v2.columns.contains("price_usd") && !v2.columns.contains("o_totalprice"))
     assert(!v2.columns.contains("o_custkey"), "dropped column still visible")
@@ -391,14 +411,53 @@ class Round13Spec extends AnyFunSuite {
     assert(tok == 0L)
     // the PLAN-level privacy pin: no exchange (shuffle or broadcast)
     // ever carries the raw key — tokenization happens below every
-    // exchange, so the join executor sees tokens only
+    // exchange, so the join executor sees tokens only. Tracked by
+    // attribute LINEAGE, not name: taint seeds at the parquet scan
+    // outputs (schema names — un-aliasable) and propagates through any
+    // Alias/Cast that is an identity copy of a tainted attribute, so an
+    // aliased raw key crossing an exchange is caught; sha2(...) is not
+    // an identity copy, so the one-way token stays clean by design.
     val df = SparkEntry.queries("crypto_blind_join")(spark, sf)
     df.collect()
-    val leaked = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange =>
-        e.output.map(_.name).filter(n =>
-          n.contains("custkey"))
-    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, Cast, ExprId, Expression}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps the plan in leaf-like nodes (AdaptiveSparkPlanExec /
+    // QueryStageExec); recurse through them or the gate is vacuous
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val seed: Set[ExprId] = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.output.filter(_.name.endsWith("custkey")).map(_.exprId)
+    }.flatten.toSet
+    assert(seed.size == 2, s"expected both raw-key scan columns, got $seed")
+    def identityOf(e: Expression): Option[ExprId] = e match {
+      case a: AttributeReference => Some(a.exprId)
+      case c: Cast => identityOf(c.child)
+      case _ => None // sha2/concat/arith: value-transforming, not a copy
+    }
+    // fixpoint: an Alias of a tainted identity chain is itself tainted
+    var tainted = seed
+    var grew = true
+    while (grew) {
+      val next = tainted ++ nodes.flatMap(_.expressions).flatMap(_.collect {
+        case a: Alias if identityOf(a.child).exists(tainted) => a.exprId
+      })
+      grew = next.size > tainted.size
+      tainted = next
+    }
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "no exchanges found — the gate went vacuous")
+    val leaked = exchanges.flatMap(
+      _.output.filter(o => tainted(o.exprId)).map(o => s"${o.name}#${o.exprId.id}"))
     assert(leaked.isEmpty,
       s"raw join key crossed an exchange: ${leaked.mkString(",")}")
   }
