@@ -74,19 +74,50 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Pinned canary set for cross-round normalization. Ten trivial,
+    * plan-stable queries (single-scan aggs, one broadcast join, a
+    * row-local text pass) whose intrinsic cost has been flat since r5;
+    * the MEDIAN of their mins inside a run measures the BOX, not the
+    * code. Every query's `norm` = min / canary-median is therefore a
+    * box-drift-free signal: the r12→r13 adjudication (four untouched
+    * queries "regressing" 1.2-1.5× because the driver box slowed) is
+    * answered by one field instead of an A/B archaeology run.
+    * Membership is part of the contract — changing it breaks
+    * cross-round comparability, so it only grows, never reshuffles. */
+  val CanaryQueries: Seq[String] = Seq(
+    "q1_agg", "q6_filter_agg", "q_topk", "q_distinct", "q3_join_agg",
+    "q_case_pivot", "q_setops", "q_rollup", "text_quality", "text_tokens")
+
+  /** Median of the canary queries' min-times within `results`; -1 when
+    * fewer than 5 canaries ran (subset runs — normalization undefined). */
+  def canaryMedian(results: Seq[QueryResult]): Double = {
+    val mins = results.filter(r => CanaryQueries.contains(r.name) && r.error.isEmpty)
+      .map(_.seconds).sorted
+    if (mins.size < 5) -1.0
+    else if (mins.size % 2 == 1) mins(mins.size / 2)
+    else (mins(mins.size / 2 - 1) + mins(mins.size / 2)) / 2
+  }
+
   def toJson(results: Seq[QueryResult], sfDir: String): String = {
     // "queries" stays a flat name→seconds map (the driver parses it);
     // "stats" adds the per-query min/median/n so the committed artifact
     // carries the noise-control signal instead of leaving it in scratch logs
     val qs = results.map(r => s"${jstr(r.name)}:${r.seconds}").mkString("{", ",", "}")
+    val cm = canaryMedian(results)
+    def norm(r: QueryResult): Double =
+      if (cm > 0) math.round(r.seconds / cm * 1e4) / 1e4 else -1.0
     val stats = results.map(r =>
       s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},""" +
-        s""""cpu":${r.cpuSeconds},"n":${r.times.size}}""")
+        s""""cpu":${r.cpuSeconds},"n":${r.times.size},"norm":${norm(r)}}""")
       .mkString("{", ",", "}")
     val errs = results.collect { case QueryResult(n, _, Some(e), _) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
+    val canary = s"""{"median_min":$cm,"n_present":${
+      results.count(r => CanaryQueries.contains(r.name) && r.error.isEmpty)},""" +
+      s""""queries":[${CanaryQueries.map(jstr).mkString(",")}]}"""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,""" +
+      s""""canary":$canary,""" +
       s""""errors":$errs,"n_errors":${results.count(_.error.isDefined)},"sf":${jstr(sfDir)}}"""
   }
 
@@ -157,7 +188,8 @@ object Bench {
     val cpuTotal = results.map(r => math.max(0.0, r.cpuSeconds)).sum
     println(s"""{"metric":"total","value":${f"${results.map(_.seconds).sum}%.3f"},""" +
       s""""unit":"sec","cpu_total":${f"$cpuTotal%.3f"},"n_queries":${results.size},""" +
-      s""""n_errors":${results.count(_.error.isDefined)},"top":$top,""" +
+      s""""n_errors":${results.count(_.error.isDefined)},""" +
+      s""""canary_median":${canaryMedian(results)},"top":$top,""" +
       s""""detail":"full per-query stats in $outPath","sf":${jstr(sfDir)}}""")
     spark.stop()
   }

@@ -61,4 +61,37 @@ class BenchSpec extends AnyFunSuite {
     val json = Bench.toJson(results, sf)
     assert(json.contains("\"n_errors\":0") && json.contains("\"errors\":{}"), json)
   }
+
+  // -- self-normalizing canary (r13 verdict #5) ------------------------------
+
+  private def qr(name: String, t: Double, err: Option[String] = None) =
+    Bench.QueryResult(name, Seq(t), err, Seq(t))
+
+  test("canary median is the median of canary mins and ignores failed canaries") {
+    // 9 live canaries at known times + a failed one that must not count
+    val times = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val canaries = Bench.CanaryQueries.take(9).zip(times).map { case (n, t) => qr(n, t) }
+    val failed = qr(Bench.CanaryQueries(9), 0.001, Some("boom"))
+    val other = qr("q_expensive", 5.0)
+    val results = canaries :+ failed :+ other
+    assert(Bench.canaryMedian(results) == 0.5)
+    val json = Bench.toJson(results, sf)
+    assert(json.contains(""""canary":{"median_min":0.5,"n_present":9"""), json)
+    // q_expensive: 5.0 / 0.5 = 10× the canary — the box-drift-free signal
+    assert(json.contains(""""q_expensive":{"min":5.0,"median":5.0,"cpu":5.0,"n":1,"norm":10.0"""),
+      json)
+  }
+
+  test("canary median degrades to -1 on subset runs with <5 canaries present") {
+    val results = Seq(qr("q1_agg", 0.1), qr("q_topk", 0.2), qr("q_only", 1.0))
+    assert(Bench.canaryMedian(results) == -1.0)
+    assert(Bench.toJson(results, sf).contains(""""norm":-1.0"""))
+  }
+
+  test("the canary contract: 10 pinned members, all registered driver queries") {
+    assert(Bench.CanaryQueries.size == 10)
+    assert(Bench.CanaryQueries.distinct.size == 10)
+    val missing = Bench.CanaryQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"canary names not in the driver contract: $missing")
+  }
 }
