@@ -120,8 +120,9 @@ object Tables {
 object Staging {
   val Base = "/tmp/graft_q"
   /** Prefixes of content-fingerprinted stage-once dirs (the per-query
-    * tmp() scratch dirs have their own lifecycle and are not walked). */
-  private val Kinds = Seq("ann_", "annb_", "annr_", "lex_", "index_", "mm_", "pairs_", "epairs_", "nbrs_", "ssink_", "rbdata_", "mordata_", "srestart_", "hyb_", "cpdata_", "pidata_")
+    * tmp() scratch dirs have their own lifecycle and are not walked).
+    * private[graft]: the crypto-parity spec walks the same list. */
+  private[graft] val Kinds = Seq("ann_", "annb_", "annr_", "lex_", "index_", "mm_", "pairs_", "epairs_", "nbrs_", "ssink_", "rbdata_", "mordata_", "srestart_", "hyb_", "cpdata_", "pidata_", "occdata_", "bpe_")
   private val SourceFile = "staging_source.txt"
 
   /** Spec instrumentation: dirs deleted by the last vacuum. */

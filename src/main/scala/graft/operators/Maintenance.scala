@@ -416,6 +416,149 @@ object Maintenance {
     }
     -1 // unreachable
   }
+
+  // -- io_occ_commit: the commit protocol itself, driver-gated --------------
+  // §2.6 row 59i graduates from spec-only to a value-oracled driver
+  // key (r13 verdict #6). Two writers race the SAME base version:
+  // writer A rewrites group g=0 and wins the v2 claim; writer B also
+  // rewrites g=0 from the now-stale v1 and MUST abort with
+  // SnapshotConflictException (a blind manifest write would resurrect
+  // base g=0 and silently drop A's files); writer C rewrites the
+  // DISJOINT group g=2 from the same stale v1 and must REBASE onto v2
+  // — both surviving rewrites land in v3. The gate can only pass by
+  // the loser failing closed: if B's commit ever succeeds, stage 3
+  // flips to committed=true/conflict=false AND stage 4 resolves v4,
+  // so the oracle compare fails the round twice over. Stage 4's sum
+  // carries BOTH bumps — arithmetic proof the winner's files survived
+  // the rebase. Data files are content-fingerprint staged ONCE; each
+  // invocation replays only the manifest PROTOCOL in a fresh run dir —
+  // commit cost is manifest arithmetic, O(1) in table size, which is
+  // the property that makes OCC viable on a 100 TB store.
+  def occDataRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val (dirKey, fp) = Tables.stagingKey(d, "orders")
+    val root = s"/tmp/graft_q/occdata_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-occ|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.vacuum()
+    val tmpDir = graft.Staging.tempBuildDir()
+    Tables.orders(s, d).withColumn("g", ($"o_orderkey" % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("g").parquet(s"$tmpDir/base")
+    def rewrite(g: Int, mod: Int, out: String): Unit =
+      s.read.parquet(s"$tmpDir/base/g=$g")
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 40 === mod, bumpedPrice($"o_totalprice"))
+            .otherwise($"o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmpDir/$out")
+    rewrite(0, 0, "rw_a_g0")  // writer A: g0, keys ≡ 0 (mod 40)
+    rewrite(0, 20, "rw_b_g0") // writer B: the SAME group — the conflict
+    rewrite(2, 2, "rw_c_g2")  // writer C: disjoint g2, keys ≡ 2 (mod 40)
+    java.nio.file.Files.write(tmpDir.toPath.resolve("staging_format.txt"),
+      fmt.getBytes("UTF-8"))
+    graft.Staging.publish(tmpDir, root, d, "orders", fp)
+    root
+  }
+  /** Replays the 3-writer race in a fresh run dir; returns it (for the
+    * spec's post-mortem of the manifest files the race left behind). */
+  def occRun(s: SparkSession, d: String, name: String = "io_occ_run"): String = {
+    val data = occDataRoot(s, d)
+    val run = tmp(name, d)
+    graft.Staging.rmTree(new java.io.File(run))
+    new java.io.File(run).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(run, "manifest_v1.txt"),
+      String.join("\n", (0 to 3).map(g => s"$data/base/g=$g"): _*).getBytes("UTF-8"))
+    run
+  }
+  private def qOccCommit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = occDataRoot(s, d)
+    val run = occRun(s, d)
+    val vA = commitSnapshot(run, 1, Seq(s"$data/base/g=0"), Seq(s"$data/rw_a_g0"))
+    val (bCommitted, bConflict) =
+      try {
+        commitSnapshot(run, 1, Seq(s"$data/base/g=0"), Seq(s"$data/rw_b_g0"))
+        (true, false)
+      } catch { case _: SnapshotConflictException => (false, true) }
+    val vAfterB = currentSnapshotVersion(run) // B must not have bumped it
+    val vC = commitSnapshot(run, 1, Seq(s"$data/base/g=2"), Seq(s"$data/rw_c_g2"))
+    def stageAgg(v: Int, stage: String) =
+      readSnapshot(s, run, v)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(stage).as("stage"), lit(v.toLong).as("version"),
+          lit(true).as("committed"), lit(false).as("conflict"),
+          $"n_rows", $"sum_price")
+    stageAgg(1, "1_base")
+      .unionByName(stageAgg(vA, "2_writer_a_commit"))
+      .unionByName(
+        Seq(("3_writer_b_overlap", vAfterB.toLong, bCommitted, bConflict, 0L, 0.0))
+          .toDF("stage", "version", "committed", "conflict", "n_rows", "sum_price"))
+      .unionByName(stageAgg(vC, "4_writer_c_rebase"))
+      .orderBy($"stage")
+  }
+  private val qOccCommitSql =
+    s"""SELECT '1_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |  true AS committed, false AS conflict,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT '2_writer_a_commit', 2, true, false, COUNT(*), ${sqlSum(
+          s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}
+       |FROM orders
+       |UNION ALL
+       |SELECT '3_writer_b_overlap', 2, false, true,
+       |  CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+       |UNION ALL
+       |SELECT '4_writer_c_rebase', 3, true, false, COUNT(*), ${sqlSum(
+          s"CASE WHEN o_orderkey % 40 IN (0, 2) THEN $bumpedPriceSql ELSE o_totalprice END")}
+       |FROM orders
+       |ORDER BY stage""".stripMargin
+
+  // -- io_dsv2_write: the WRITE half of the DSv2 front door ------------------
+  // Completes the engine round trip the r13 verdict's #2 started: a
+  // user appends with `df.write.format("graft").mode("append")` and
+  // the batch lands as ONE OCC-committed snapshot version; overwrite
+  // replaces every live group in the same one-commit shape. The gate
+  // drives the full cycle — append (v2 = v1 ∪ batch7), overwrite
+  // (v3 = batch3 only) — then reads all three versions back through
+  // the READ front door with versionAsOf; every version's (count, sum)
+  // is value-oracled from raw orders, so a write that duplicated,
+  // dropped, or reordered rows fails the compare. Data files stage
+  // once (occDataRoot); the writes themselves are the measured work —
+  // one distributed parquet write + manifest arithmetic per commit,
+  // independent of table size.
+  private def qDsv2Write(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_dsv2_run")
+    val base = s.read.format("graft").option("versionAsOf", 1).load(run)
+    val cols = base.columns.toSeq
+    def batch(mod: Int) = Tables.orders(s, d)
+      .filter($"o_orderkey" % 20 === mod)
+      .select(cols.map(col): _*)
+    batch(7).write.format("graft").mode("append").save(run)    // -> v2
+    batch(3).write.format("graft").mode("overwrite").save(run) // -> v3
+    Seq(1, 2, 3).map { v =>
+      s.read.format("graft").option("versionAsOf", v).load(run)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"sum_price")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+  private val qDsv2WriteSql =
+    s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT 2, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM (SELECT o_totalprice FROM orders
+       |      UNION ALL
+       |      SELECT o_totalprice FROM orders WHERE o_orderkey % 20 = 7)
+       |UNION ALL
+       |SELECT 3, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 20 = 3
+       |ORDER BY version""".stripMargin
+
   private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
@@ -1547,6 +1690,8 @@ object Maintenance {
     QueryDef("io_compaction", qCompaction, Some(qCompactionSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
+    QueryDef("io_occ_commit", qOccCommit, Some(qOccCommitSql)),
+    QueryDef("io_dsv2_write", qDsv2Write, Some(qDsv2WriteSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
     QueryDef("io_manifest_skipping", qManifestSkipping, Some(qManifestSkippingSql)),

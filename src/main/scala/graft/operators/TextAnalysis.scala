@@ -1267,6 +1267,212 @@ object TextAnalysis {
        |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2_6
        |FROM m""".stripMargin
 
+  // -- text_fix_encoding: mojibake / control-char / width repair ------------
+  // The ftfy-class pass every real ingest runs before anything else:
+  // crawled text arrives with UTF-8 bytes mis-decoded as cp1252
+  // ("cafÃ©" for "café"), zero-width/control characters that break
+  // tokenizers invisibly, and fullwidth/ligature forms that fragment
+  // the vocabulary. The repair kernel is a fixed chain of literal
+  // replaces + one character-class strip + one translate — pure
+  // row-local codegen'd string work, zero shuffle, streams over 100 TB
+  // exactly like the quality scorer. The corpus is clean ASCII, so the
+  // query PLANTS deterministic corruptions per doc_id class (mojibake /
+  // ctrl+zero-width / none / width-fold) alongside the intended clean
+  // form, then repairs the dirty column: n_roundtrip_ok == n_docs is
+  // the built-in proof the repair reconstructs the intended text
+  // exactly, and the oracle replays plant+repair from the SAME pinned
+  // constants (the SQL below is GENERATED from them — one source of
+  // truth, two engines).
+  /** What UTF-8 text looks like after a cp1252 mis-decode — the
+    * corruption this operator both PLANTS and repairs. ASCII bytes are
+    * fixed points of cp1252, so only the non-ASCII chars mangle. */
+  def cp1252Mojibake(good: String): String =
+    new String(good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+  /** Repair table for the classic ftfy offenders (curly quotes, dashes,
+    * Latin-1 letters), DERIVED from the true characters so the mangled
+    * forms are exact by construction, never hand-typed. All repair
+    * bytes are defined in cp1252 for these targets (no U+FFFD). */
+  val MojibakeMap: Seq[(String, String)] = Seq(
+    "’", "“", "”", "–", "—", // ’ “ ” – —
+    "é", "è", "ï", "ü", "ñ") // é è ï ü ñ
+    .map(g => cp1252Mojibake(g) -> g)
+  /** Control + zero-width strip class (keeps \t \n \r). The \x{...}
+    * spelling parses identically in Java regex and RE2/DuckDB. */
+  val CtrlZwRe: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
+  /** Fullwidth→ASCII fold (NFKC's biggest block, as a translate pair). */
+  val FwFrom: String = (0x21 to 0x7e).map(c => (c + 0xfee0).toChar).mkString
+  val FwTo: String = (0x21 to 0x7e).map(_.toChar).mkString
+  val Ligatures: Seq[(String, String)] =
+    Seq("ﬀ" -> "ff", "ﬁ" -> "fi", "ﬂ" -> "fl")
+
+  /** The repair kernel: demojibake → strip ctrl/zero-width → fold
+    * widths → expand ligatures. Row-local; every step codegen'd. */
+  def fixEncoding(c: Column): Column = {
+    val demoji = MojibakeMap.foldLeft(c) { case (x, (bad, good)) =>
+      replace(x, lit(bad), lit(good)) }
+    val stripped = regexp_replace(demoji, CtrlZwRe, "")
+    val folded = translate(stripped, FwFrom, FwTo)
+    Ligatures.foldLeft(folded) { case (x, (bad, good)) =>
+      replace(x, lit(bad), lit(good)) }
+  }
+
+  // planted corruption classes (dirty suffix, intended clean suffix).
+  // Escapes, not literals: an invisible zero-width char typed into
+  // source would make the plant unreviewable, and the mojibake form is
+  // DERIVED from the clean one so it is exact by construction.
+  private val MojiClean = " caf\u00e9 r\u00e9sum\u00e9 \u2014 na\u00efve"
+  private val MojiDirty = cp1252Mojibake(MojiClean)
+  private val CtrlClean = " zerowidth marked"
+  private val CtrlDirty = " zero\u200Bwidth\uFEFF mark\u0007ed"
+  private val FoldClean = " ABC file"
+  private val FoldDirty = " \uFF21\uFF22\uFF23 \uFB01le"
+
+  private def fixEncoding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // class key = (doc_id div 20) % 4, NOT doc_id % 4: the corpus deals
+    // sources as doc_id % 20, so a mod-4 key would give every source a
+    // single corruption class; the div-20 key cycles all four classes
+    // WITHIN each source and the per-source report shows mixed rates
+    val m4 = expr("(doc_id div 20) % 4")
+    val dirty = concat($"text",
+      when(m4 === 0, lit(MojiDirty)).when(m4 === 1, lit(CtrlDirty))
+        .when(m4 === 3, lit(FoldDirty)).otherwise(lit("")))
+    val clean = concat($"text",
+      when(m4 === 0, lit(MojiClean)).when(m4 === 1, lit(CtrlClean))
+        .when(m4 === 3, lit(FoldClean)).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", dirty.as("dirty"), clean.as("clean"))
+      .withColumn("repaired", fixEncoding($"dirty"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"dirty".contains("Ã") ||
+          $"dirty".contains("â€"), 1L).otherwise(0L)).as("n_mojibake"),
+        sum(when($"dirty".rlike(CtrlZwRe), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when($"dirty".rlike("[\\x{FF01}-\\x{FF5E}\\x{FB00}-\\x{FB06}]"), 1L)
+          .otherwise(0L)).as("n_fold"),
+        sum(when($"repaired" =!= $"dirty", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"repaired" === $"clean", 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy($"source")
+  }
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private val fixEncodingSql: String = {
+    val demoji = MojibakeMap.foldLeft("dirty") { case (e, (b, g)) =>
+      s"replace($e, ${sqlLit(b)}, ${sqlLit(g)})" }
+    val stripped = s"regexp_replace($demoji, ${sqlLit(CtrlZwRe)}, '', 'g')"
+    val folded = s"translate($stripped, ${sqlLit(FwFrom)}, ${sqlLit(FwTo)})"
+    val repaired = Ligatures.foldLeft(folded) { case (e, (b, g)) =>
+      s"replace($e, ${sqlLit(b)}, ${sqlLit(g)})" }
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    text || CASE WHEN (doc_id // 20) % 4 = 0 THEN ${sqlLit(MojiDirty)}
+       |                 WHEN (doc_id // 20) % 4 = 1 THEN ${sqlLit(CtrlDirty)}
+       |                 WHEN (doc_id // 20) % 4 = 3 THEN ${sqlLit(FoldDirty)}
+       |                 ELSE '' END AS dirty,
+       |    text || CASE WHEN (doc_id // 20) % 4 = 0 THEN ${sqlLit(MojiClean)}
+       |                 WHEN (doc_id // 20) % 4 = 1 THEN ${sqlLit(CtrlClean)}
+       |                 WHEN (doc_id // 20) % 4 = 3 THEN ${sqlLit(FoldClean)}
+       |                 ELSE '' END AS clean
+       |  FROM documents),
+       |r AS (SELECT *, $repaired AS repaired FROM planted)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN contains(dirty, ${sqlLit("Ã")})
+       |    OR contains(dirty, ${sqlLit("â€")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+       |  CAST(SUM(CASE WHEN regexp_matches(dirty, ${sqlLit(CtrlZwRe)})
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+       |  CAST(SUM(CASE WHEN regexp_matches(dirty,
+       |    '[\\x{FF01}-\\x{FF5E}\\x{FB00}-\\x{FB06}]') THEN 1 ELSE 0 END) AS BIGINT) AS n_fold,
+       |  CAST(SUM(CASE WHEN repaired <> dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(SUM(CASE WHEN repaired = clean THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // -- text_url_domains: domain extraction + per-domain cap -----------------
+  // Source-level governance (q_source_cap) is too coarse for web data:
+  // production mixes cap by REGISTRABLE DOMAIN — one hot domain behind
+  // ten subdomains must not dominate the corpus. Extract URLs from the
+  // text (planted deterministically: the corpus has none), roll hosts
+  // up to the registrable domain, and report per-domain exact counts
+  // plus the cap application (first-K docs by doc_id; kept_docid_sum
+  // pins WHICH docs survived, not just how many). Scale shape: explode
+  // on extracted hosts (O(urls), never O(docs²)); the per-domain rank
+  // filter plans as WindowGroupLimit — each map partition ships at
+  // most K rows per domain, so a 10⁹-doc domain caps without sorting
+  // its full document set.
+  val UrlHosts: Seq[String] = Seq(
+    "www.example.com", "docs.example.com", "blog.foo-press.org",
+    "cdn.foo-press.org", "news.barnews.net", "wiki.knowledge.io")
+  val DomainCap = 40
+  private val HostRe = "https?://([A-Za-z0-9.-]+)"
+  private val RegDomRe = "[A-Za-z0-9-]+\\.[A-Za-z]+$"
+
+  private def urlDomains(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val host = element_at(
+      array(UrlHosts.map(lit): _*), ($"doc_id" % 6).cast("int") + 1)
+    val aug = concat($"text", lit(" see https://"), host,
+      lit("/p"), $"doc_id".cast("string"),
+      when($"doc_id" % 3 === 0,
+        concat(lit(" and http://mirror.example.com/p"), $"doc_id".cast("string")))
+        .otherwise(lit("")))
+    val urls = Tables.documents(s, d)
+      .select($"doc_id", size(TextPrep.words($"text")).cast("long").as("n_words"),
+        explode(regexp_extract_all(aug, lit(HostRe), lit(1))).as("host"))
+      .withColumn("domain", regexp_extract($"host", RegDomRe, 0))
+    val perUrl = urls.groupBy($"domain").agg(count(lit(1)).as("n_urls"))
+    val dd = urls.select($"domain", $"doc_id", $"n_words").distinct()
+      .localCheckpoint() // consumed by the totals AND the cap leg
+    val perDoc = dd.groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+    // rank FILTER (not a windowed sum) so Spark plans WindowGroupLimit:
+    // each map partition ships at most K rows per domain to the sort —
+    // a 10⁹-doc hot domain caps without ever fully sorting its docs
+    val rn = Window.partitionBy($"domain").orderBy($"doc_id")
+    val kept = dd.withColumn("rn", row_number().over(rn))
+      .filter($"rn" <= DomainCap)
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("kept_docid_sum"))
+    perUrl.join(perDoc, "domain").join(kept, "domain")
+      .select($"domain", $"n_urls", $"n_docs", $"n_tokens", $"n_kept",
+        $"kept_docid_sum")
+      .orderBy($"domain")
+  }
+  private val urlDomainsSql = {
+    val hostCase = UrlHosts.zipWithIndex
+      .map { case (h, i) => s"WHEN $i THEN '$h'" }
+      .mkString("CASE doc_id % 6 ", " ", " END")
+    s"""WITH aug AS (
+       |  SELECT doc_id, len(${TextPrep.wordsSql}) AS n_words,
+       |    text || ' see https://' || ($hostCase) ||
+       |    '/p' || CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' and http://mirror.example.com/p' || CAST(doc_id AS VARCHAR)
+       |      ELSE '' END AS aug
+       |  FROM documents),
+       |urls AS (
+       |  SELECT doc_id, n_words,
+       |    regexp_extract(host, '$RegDomRe', 0) AS domain
+       |  FROM (SELECT doc_id, n_words,
+       |          unnest(regexp_extract_all(aug, '$HostRe', 1)) AS host
+       |        FROM aug)),
+       |per_url AS (SELECT domain, COUNT(*) AS n_urls FROM urls GROUP BY 1),
+       |dd AS (SELECT DISTINCT domain, doc_id, n_words FROM urls),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+       |  FROM dd),
+       |per_doc AS (SELECT domain, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN rn <= $DomainCap THEN doc_id ELSE 0 END) AS BIGINT)
+       |      AS kept_docid_sum
+       |  FROM ranked GROUP BY 1)
+       |SELECT domain, n_urls, n_docs, n_tokens, n_kept, kept_docid_sum
+       |FROM per_url JOIN per_doc USING (domain)
+       |ORDER BY domain""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_zipf", zipf, Some(zipfSql)),
     QueryDef("text_burstiness", burstiness, Some(burstinessSql)),
@@ -1285,6 +1491,8 @@ object TextAnalysis {
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("text_pii", pii, Some(piiSql)),
+    QueryDef("text_fix_encoding", fixEncoding, Some(fixEncodingSql)),
+    QueryDef("text_url_domains", urlDomains, Some(urlDomainsSql)),
     QueryDef("text_rep_removal", repRemoval, Some(repRemovalSql)),
     QueryDef("pipeline_prepare_corpus", prepareCorpus, Some(prepareCorpusSql)),
     QueryDef("pipeline_attrition", pipelineAttrition, Some(pipelineAttritionSql)),

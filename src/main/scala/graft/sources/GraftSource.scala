@@ -7,9 +7,11 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources
@@ -167,16 +169,102 @@ private[sources] object GraftStore {
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
       mapping, zoneCol, zones, changeFeed, physicalSchema)
   }
+
+  /** Stage the batch as one new file group, then OCC-commit it. */
+  def write(store: Resolved, data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(store.changeFeed.isEmpty, "cannot write through a change-feed read")
+    val cur = Maintenance.currentSnapshotVersion(store.root)
+    require(store.version == cur,
+      s"cannot write to a time-travel snapshot (resolved v${store.version}, current v$cur)")
+    // schema contract: exact logical names and types, in order — a
+    // mispositioned or re-typed column must fail before any file lands
+    val want = store.logicalSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = data.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"write schema $got does not match table schema $want")
+    // write through the column mapping: files always carry PHYSICAL names
+    val physical = store.mapping match {
+      case Some(_) => data.select(store.logicalSchema.fieldNames.toSeq
+        .map(n => data(n).as(store.phys(n))): _*)
+      case None => data
+    }
+    val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
+    physical.write.mode("overwrite").parquet(stage)
+    try {
+      val removed =
+        if (overwrite) Maintenance.manifestPaths(store.root, cur) else Seq.empty
+      Maintenance.commitSnapshot(store.root, cur, removed, Seq(stage))
+      ()
+    } catch { case t: Throwable =>
+      graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
+      throw t
+    }
+  }
 }
 
 private[sources] class GraftTable(val store: GraftStore.Resolved)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft.`${store.root}`@v${store.version}"
+    extends Table with SupportsRead with SupportsWrite {
+  // no dots/backticks: analyzer errors render this inside attribute
+  // names, and punctuation turns a clear TOO_MANY_DATA_COLUMNS into an
+  // INVALID_ATTRIBUTE_NAME_SYNTAX about the table name itself
+  override def name(): String = s"graft:${store.root}@v${store.version}"
   override def schema(): StructType = store.logicalSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      // BATCH_WRITE admits the plan; V1_BATCH_WRITE selects the
+      // InsertableRelation execution path for the V1Write below
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(store)
+}
+
+/** `df.write.format("graft")` — the WRITE half of the front door: an
+  * append (or truncate-overwrite) lands as ONE OCC snapshot commit.
+  *
+  * {{{
+  * batch.write.format("graft").mode("append").save(root)     // v+1 = v ∪ batch
+  * batch.write.format("graft").mode("overwrite").save(root)  // v+1 = batch
+  * }}}
+  *
+  * Shape: the incoming DataFrame is written ONCE as a new file group
+  * under the store (Spark's own distributed parquet write — this
+  * connector adds zero data movement), then
+  * [[Maintenance.commitSnapshot]] claims the next manifest version
+  * atomically. Appends remove nothing, so concurrent appenders never
+  * conflict — the OCC retry rebases them into consecutive versions;
+  * an overwrite replaces every live group and loses to any concurrent
+  * writer that already replaced one (fail-closed, like the
+  * io_occ_commit race). Cost: one data write + manifest arithmetic,
+  * independent of table size.
+  *
+  * Schema contract (Spark's by-name output resolution, then this
+  * connector's exact-match require): extra, renamed, or non-castable
+  * columns fail during ANALYSIS — nothing lands in the store; a
+  * missing NULLABLE column is null-padded by the resolver (standard
+  * Spark append semantics — the padding happens above the connector,
+  * which then sees a fully-conformant frame).
+  *
+  * Via [[V1Write]]/[[InsertableRelation]] deliberately: the fallback
+  * hands over the whole resolved DataFrame, so the store reuses
+  * Spark's native parquet writer (codegen, dynamic partitions, task
+  * commit protocol) instead of re-implementing a row-level
+  * DataWriter against internal parquet classes. */
+private[sources] class GraftWriteBuilder(store: GraftStore.Resolved)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwriteFlag: Boolean): Unit =
+          GraftStore.write(store, data, overwrite || overwriteFlag)
+      }
+  }
 }
 
 private[sources] class GraftScanBuilder(store: GraftStore.Resolved)

@@ -159,4 +159,198 @@ class Round14Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
+
+  // ---- text_fix_encoding (r13 verdict "Next round" #7) ----------------------
+
+  test("fixEncoding kernel: each corruption class repairs on crafted strings") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val cases = Seq(
+      // double-encoded UTF-8 (the cp1252 round trip is exact by construction)
+      TextAnalysis.cp1252Mojibake("caf\u00e9 \u2014 \u201cna\u00efve\u201d") ->
+        "caf\u00e9 \u2014 \u201cna\u00efve\u201d",
+      // zero-width + control chars vanish, \t \n survive
+      "a\u200Bb\u200C\u200Dc\uFEFFd\te\nf" -> "abcd\te\nf",
+      // fullwidth block folds, ligatures expand
+      "\uFF28\uFF49 \uFF11\uFF12\uFF13! \uFB00\uFB01\uFB02" -> "Hi 123! fffifl",
+      // clean ASCII is a fixed point
+      "already clean text 42" -> "already clean text 42")
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.fixEncoding(col("text"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
+  test("text_fix_encoding: repair round-trips every doc on every source") {
+    val out = SparkEntry.queries("text_fix_encoding")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(6) == r.getLong(1), s"repair failed to round-trip: $r")
+      // detection found each planted class (docs are dealt mod 4 across
+      // sources, so every source has all three dirty classes)
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0 && r.getLong(4) > 0, s"$r")
+      // exactly the three dirty classes changed (class 2 is the control)
+      assert(r.getLong(5) == r.getLong(2) + r.getLong(3) + r.getLong(4), s"$r")
+    }
+  }
+
+  // ---- text_url_domains (r13 verdict "Next round" #8) -----------------------
+
+  test("text_url_domains: rollup is exact and the cap keeps the first-K doc ids") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_url_domains")(spark, sf).collect()
+    val byDom = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(byDom.keySet ==
+      Set("example.com", "foo-press.org", "barnews.net", "knowledge.io"))
+    // brute-force replay of the plant from the raw table
+    val docs = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().sorted
+    val hosts = graft.operators.TextAnalysis.UrlHosts
+    def regDom(h: String) = h.split("\\.").takeRight(2).mkString(".")
+    val planted = docs.flatMap { id =>
+      val first = regDom(hosts((id % 6).toInt))
+      if (id % 3 == 0) Seq(id -> first, id -> "example.com") else Seq(id -> first)
+    }
+    val wantUrls = planted.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val docsPerDom = planted.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+    for ((dom, (nUrls, nDocs, nKept, keptSum)) <- byDom) {
+      assert(nUrls == wantUrls(dom), s"$dom urls")
+      val ds = docsPerDom(dom)
+      assert(nDocs == ds.length.toLong, s"$dom docs")
+      val kept = ds.take(graft.operators.TextAnalysis.DomainCap)
+      assert(nKept == kept.length.toLong && keptSum == kept.sum, s"$dom cap")
+    }
+  }
+
+  // ---- DSv2 write path (r14) -------------------------------------------------
+
+  test("DSv2 write: appends rebase into consecutive versions, overwrite truncates") {
+    import spark.implicits._
+    val run = Maintenance.occRun(spark, sf, name = "r14_dsv2w")
+    val base = spark.read.format("graft").option("versionAsOf", 1).load(run)
+    val cols = base.columns.toSeq
+    val n1 = base.count()
+    val batch = Tables.orders(spark, sf).filter($"o_orderkey" % 20 === 7)
+      .select(cols.map(col): _*)
+    val nb = batch.count()
+    // two appends from the same logical base: both commit — appends
+    // remove nothing, so OCC rebases them into v2 then v3
+    batch.write.format("graft").mode("append").save(run)
+    batch.write.format("graft").mode("append").save(run)
+    assert(Maintenance.currentSnapshotVersion(run) == 3)
+    assert(spark.read.format("graft").load(run).count() == n1 + 2 * nb)
+    // every version stays readable — the write path never mutates
+    // committed groups
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(run)
+      .count() == n1)
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(run)
+      .count() == n1 + nb)
+    // overwrite = truncate-and-replace in ONE commit
+    batch.write.format("graft").mode("overwrite").save(run)
+    assert(Maintenance.currentSnapshotVersion(run) == 4)
+    assert(spark.read.format("graft").load(run).count() == nb)
+    // v1..v3 still time-travel intact after the truncating commit
+    assert(spark.read.format("graft").option("versionAsOf", 3).load(run)
+      .count() == n1 + 2 * nb)
+  }
+
+  test("DSv2 write: schema drift and time-travel writes fail before any commit") {
+    import spark.implicits._
+    val run = Maintenance.occRun(spark, sf, name = "r14_dsv2w_bad")
+    val before = new java.io.File(run).listFiles().map(_.getName).toSet
+    // wrong shape: rejected at ANALYSIS by by-name output resolution —
+    // nothing may land in the store. (A missing NULLABLE column is
+    // null-padded by the resolver — standard Spark append semantics —
+    // so the fail-closed cases are extra and renamed columns.)
+    val base = spark.read.format("graft").load(run)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      base.withColumn("bogus", lit(1))
+        .write.format("graft").mode("append").save(run)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      base.withColumnRenamed("o_totalprice", "price")
+        .write.format("graft").mode("append").save(run)
+    }
+    assert(Maintenance.currentSnapshotVersion(run) == 1)
+    assert(new java.io.File(run).listFiles().map(_.getName).toSet == before,
+      "a rejected write left files in the store")
+    // a write addressed at a historical snapshot must fail closed
+    val cols = spark.read.format("graft").load(run).columns.toSeq
+    val batch = Tables.orders(spark, sf).filter($"o_orderkey" % 20 === 7)
+      .select(cols.map(col): _*)
+    batch.write.format("graft").mode("append").save(run) // -> v2
+    val e2 = intercept[Exception] {
+      batch.write.format("graft").option("versionAsOf", 1)
+        .mode("append").save(run)
+    }
+    assert(e2.getMessage.contains("time-travel"), e2.getMessage)
+    assert(Maintenance.currentSnapshotVersion(run) == 2)
+  }
+
+  // ---- staged-artifact crypto parity (r13 verdict "Next round" #10) ---------
+
+  test("no staged root derives from crypto-surface data (plaintext-store invariant)") {
+    // The content-fingerprint stores under /tmp/graft_q are PLAINTEXT
+    // parquet. That is sound only while every staged artifact derives
+    // from the plain test tables; the moment one derives from an
+    // encrypted-surface table it must inherit envelope encryption
+    // (design note: SURVEY.md §8). This gate pins the precondition:
+    // every staged root's recorded source is a plain Tables table
+    // under the testdata tree — never a crypto_* surface or a
+    // /tmp/graft_q-resident derived store.
+    val staged = Option(new java.io.File(graft.Staging.Base).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && graft.Staging.Kinds.exists(f.getName.startsWith))
+    assert(staged.nonEmpty, "expected at least one staged artifact to audit")
+    staged.foreach { dir =>
+      val srcFile = new java.io.File(dir, "staging_source.txt")
+      assert(srcFile.exists(), s"${dir.getName}: staged root without a source record")
+      val Array(d, table, _*) = new String(
+        java.nio.file.Files.readAllBytes(srcFile.toPath), "UTF-8").split("\n")
+      assert(Tables.names.contains(table),
+        s"${dir.getName}: staged from non-canonical table '$table'")
+      assert(!table.startsWith("crypto") && !d.contains("/tmp/graft_q"),
+        s"${dir.getName}: staged from a derived/crypto surface: $d/$table")
+      assert(new java.io.File(d, s"$table.parquet").exists(),
+        s"${dir.getName}: recorded source is not a plain parquet table: $d/$table")
+    }
+  }
+
+  // ---- io_occ_commit (r13 verdict "Next round" #6) --------------------------
+
+  test("io_occ_commit: the loser aborts, the winner's files survive the rebase") {
+    val out = SparkEntry.queries("io_occ_commit")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("1_base", "2_writer_a_commit", "3_writer_b_overlap", "4_writer_c_rebase"))
+    val b = out(2)
+    assert(!b.getBoolean(2) && b.getBoolean(3),
+      s"overlapping writer must abort with a conflict: $b")
+    assert(b.getLong(1) == 2L, "the aborted commit must not bump the version")
+    // post-mortem of the manifest files the race left behind: exactly
+    // v1..v3 committed, zero in-flight temp files leaked by the loser
+    val run = s"/tmp/graft_q/io_occ_run_${new java.io.File(sf).getName}"
+    val left = new java.io.File(run).listFiles().map(_.getName).sorted.toSeq
+    assert(left == Seq("manifest_v1.txt", "manifest_v2.txt", "manifest_v3.txt"),
+      s"race left unexpected files: $left")
+    // v3 carries BOTH survivors and neither replaced base group
+    val v3 = Maintenance.manifestPaths(run, 3)
+    assert(v3.exists(_.endsWith("rw_a_g0")) && v3.exists(_.endsWith("rw_c_g2")),
+      s"a winner's files vanished: $v3")
+    assert(!v3.exists(_.endsWith("g=0")) && !v3.exists(_.endsWith("g=2")),
+      s"a replaced base group was resurrected: $v3")
+    // the loser's staged data never entered any committed manifest
+    (1 to 3).foreach { v =>
+      assert(!Maintenance.manifestPaths(run, v).exists(_.endsWith("rw_b_g0")),
+        s"the aborted writer's files leaked into manifest v$v")
+    }
+    // arithmetic proof stage 4 includes both rewrites: recompute from orders
+    import org.apache.spark.sql.functions._
+    val want = Tables.orders(spark, sf)
+      .agg(graft.OracleMath.dsum(
+        when(col("o_orderkey") % 40 === 0 || col("o_orderkey") % 40 === 2,
+          floor(col("o_totalprice") * lit(1.1) * 100.0 + 0.5) / 100.0)
+          .otherwise(col("o_totalprice"))).as("s"))
+      .collect()(0).getDouble(0)
+    assert(out(3).getDouble(5) == want, "stage-4 sum must carry A's AND C's bumps")
+  }
 }
