@@ -122,7 +122,7 @@ object Staging {
   /** Prefixes of content-fingerprinted stage-once dirs (the per-query
     * tmp() scratch dirs have their own lifecycle and are not walked).
     * private[graft]: the crypto-parity spec walks the same list. */
-  private[graft] val Kinds = Seq("ann_", "annb_", "annr_", "lex_", "index_", "mm_", "pairs_", "epairs_", "nbrs_", "ssink_", "rbdata_", "mordata_", "srestart_", "hyb_", "cpdata_", "pidata_", "occdata_", "bpe_")
+  private[graft] val Kinds = Seq("ann_", "annb_", "annr_", "lex_", "index_", "mm_", "pairs_", "epairs_", "nbrs_", "ssink_", "rbdata_", "mordata_", "srestart_", "hyb_", "cpdata_", "pidata_", "occdata_", "bpe_", "gsink_")
   private val SourceFile = "staging_source.txt"
 
   /** Spec instrumentation: dirs deleted by the last vacuum. */

@@ -287,6 +287,41 @@ class Round14Spec extends AnyFunSuite {
     assert(Maintenance.currentSnapshotVersion(run) == 2)
   }
 
+  // ---- stream_graft_sink (r14) ----------------------------------------------
+
+  test("stream_graft_sink: versioned ingest history, idempotent batch commits") {
+    import spark.implicits._
+    val out = SparkEntry.queries("stream_graft_sink")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (dirKey, _) = Tables.stagingKey(sf, "events")
+    val root = s"/tmp/graft_q/gsink_$dirKey"
+    val vMax = Maintenance.currentSnapshotVersion(root)
+    assert(vMax >= 2, "ingest must have committed at least one batch atop the empty v1")
+    // the ingest history time-travels: every version readable through
+    // the front door, counts monotone from the empty store to all events
+    val counts = (1 to vMax).map { v =>
+      if (Maintenance.manifestPaths(root, v).isEmpty) 0L
+      else spark.read.format("graft").option("versionAsOf", v).load(root).count()
+    }
+    assert(counts.head == 0L)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a < b },
+      s"ingest history must grow strictly: $counts")
+    assert(counts.last == Tables.events(spark, sf).count())
+    // a directly replayed batch is recognized and commits NOTHING —
+    // the idempotence layer under the checkpoint's offset log
+    val someBatch = Maintenance.manifestPaths(root, vMax)
+      .find(_.contains("/batch_")).get
+    val batchId = someBatch.split("_").last.toLong
+    val replayed = graft.streaming.Streaming.graftSinkCommit(
+      root, batchId, spark.range(3).toDF("event_id"))
+    assert(!replayed && Maintenance.currentSnapshotVersion(root) == vMax,
+      "a replayed batch must not commit a new version")
+    // warm end-to-end: the checkpoint restart replays no batch either
+    val again = SparkEntry.queries("stream_graft_sink")(spark, sf).collect()
+    assert(Maintenance.currentSnapshotVersion(root) == vMax)
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   // ---- staged-artifact crypto parity (r13 verdict "Next round" #10) ---------
 
   test("no staged root derives from crypto-surface data (plaintext-store invariant)") {
