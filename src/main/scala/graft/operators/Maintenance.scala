@@ -605,14 +605,13 @@ object Maintenance {
     ok.map(_._1).max
   }
 
-  private def qTimeTravelTs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val root = snapshotRoot(s, d)
+  /** Idempotent, atomic commit-log staging. Skip-if-current +
+    * temp-and-ATOMIC_MOVE: a concurrent reader (a parallel bench rep
+    * mid-resolveAsOf) must never observe a truncated log, which a
+    * plain truncate-then-write allows. */
+  def ensureCommitLog(root: String): Unit = {
     val log = CommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n")
     val target = java.nio.file.Paths.get(root, "commits_ts.txt")
-    // skip-if-current + temp-and-ATOMIC_MOVE: a concurrent reader (a
-    // parallel bench rep mid-resolveAsOf) must never observe a
-    // truncated log, which a plain truncate-then-write allows
     if (!java.nio.file.Files.exists(target) ||
         new String(java.nio.file.Files.readAllBytes(target), "UTF-8") != log) {
       val tmpF = java.nio.file.Files.createTempFile(
@@ -622,6 +621,12 @@ object Maintenance {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+  }
+
+  private def qTimeTravelTs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotRoot(s, d)
+    ensureCommitLog(root)
     // one probe between the commits (resolves v1), one after the last
     // (resolves v2) — the two shapes every AS OF query takes; reads go
     // through spark.read.format("graft").option("timestampAsOf", …)
@@ -635,6 +640,48 @@ object Maintenance {
           lit(v.toLong).as("resolved_version"), $"n", $"sum_price")
     }.reduce(_.unionByName(_)).orderBy($"probe")
   }
+  // -- q_sql_time_travel: native SQL time travel through the catalog --------
+  // The pure-SQL front door (GraftCatalog): after registering
+  // spark.sql.catalog.graft, the store is a SQL table and the
+  // ANALYZER's own `VERSION AS OF` / `TIMESTAMP AS OF` syntax routes
+  // to the catalog's loadTable overloads — no graft API in the query
+  // text at all, which is how a SQL-only user (BI tool, notebook)
+  // reaches time travel. Four probes: both versions by number, both by
+  // timestamp literal (the analyzer hands down MICROseconds; the
+  // catalog floor-divides to the commit log's seconds). Values are the
+  // same (count, decimal sum) pair as io_snapshot_read, so the SQL
+  // path must agree exactly with the DataFrame path.
+  private def qSqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = snapshotRoot(s, d)
+    ensureCommitLog(root)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    def leg(probe: String, suffix: String) =
+      s"""SELECT '$probe' AS probe, COUNT(*) AS n,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM graft.`$name` $suffix""".stripMargin
+    s.sql(Seq(
+      leg("1_version_v1", "VERSION AS OF 1"),
+      leg("2_version_v2", "VERSION AS OF 2"),
+      leg("3_ts_between_commits", "TIMESTAMP AS OF '2026-01-01 10:30:00'"),
+      leg("4_ts_after_last", "TIMESTAMP AS OF '2026-01-01 13:00:00'"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY probe"))
+  }
+  private val qSqlTimeTravelSql = {
+    val v1 = s"COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price"
+    val v2 = s"COUNT(*), ${sqlSum(
+      s"CASE WHEN o_orderkey % 40 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")}"
+    s"""SELECT '1_version_v1' AS probe, $v1 FROM orders
+       |UNION ALL
+       |SELECT '2_version_v2', $v2 FROM orders
+       |UNION ALL
+       |SELECT '3_ts_between_commits', $v1 FROM orders
+       |UNION ALL
+       |SELECT '4_ts_after_last', $v2 FROM orders
+       |ORDER BY probe""".stripMargin
+  }
+
   private val qTimeTravelTsSql =
     s"""SELECT 't_after_last' AS probe, CAST(1767272400 AS BIGINT)
        |    AS asof_epoch,
@@ -1692,6 +1739,7 @@ object Maintenance {
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
     QueryDef("io_occ_commit", qOccCommit, Some(qOccCommitSql)),
     QueryDef("io_dsv2_write", qDsv2Write, Some(qDsv2WriteSql)),
+    QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
     QueryDef("io_manifest_skipping", qManifestSkipping, Some(qManifestSkippingSql)),

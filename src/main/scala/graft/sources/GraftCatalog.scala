@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{
+  CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Maintenance
+
+/** SQL catalog over graft snapshot stores — the pure-SQL front door
+  * (the DSv2 reader's sibling): register once,
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.base = /tmp/graft_q
+  * }}}
+  *
+  * and every store directory under `base` is a SQL table with NATIVE
+  * time-travel syntax — the analyzer routes `VERSION AS OF` /
+  * `TIMESTAMP AS OF` to the `loadTable` overloads below:
+  *
+  * {{{
+  * SELECT * FROM graft.my_store                          -- latest
+  * SELECT * FROM graft.my_store VERSION AS OF 2
+  * SELECT * FROM graft.my_store TIMESTAMP AS OF '2026-01-01 10:00:00'
+  * }}}
+  *
+  * Resolution work is the same driver-side manifest arithmetic as the
+  * reader (`GraftStore.resolve`); scans delegate to Spark's vectorized
+  * parquet path. The analyzer hands `TIMESTAMP AS OF` down in
+  * MICROSECONDS; the store's commit log is in epoch seconds —
+  * floor-divide, so a probe inside a second resolves like the
+  * commit-log granularity says it should. Writes go through the
+  * DataFrame front door (`df.write.format("graft")`); DDL through SQL
+  * is deliberately unsupported — stores are created by the engine's
+  * maintenance operators, not by CREATE TABLE.
+  */
+class GraftCatalog extends CatalogPlugin with TableCatalog {
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.base"))
+  }
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("default")),
+      s"graft catalog has a single flat namespace, got ${ident.namespace().mkString(".")}")
+    s"$base/${ident.name()}"
+  }
+  private def isStore(root: String): Boolean =
+    new java.io.File(root, "manifest_v1.txt").exists()
+
+  private def load(ident: Identifier, extra: Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (!isStore(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name()))
+    val opts = new CaseInsensitiveStringMap(
+      (Map("path" -> root) ++ extra).foldLeft(
+        new java.util.HashMap[String, String]()) { case (m, (k, v)) => m.put(k, v); m })
+    new GraftTable(GraftStore.resolve(opts))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+  /** `VERSION AS OF <v>` — the analyzer passes the version text. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("versionAsOf" -> version))
+  /** `TIMESTAMP AS OF <ts>` — the analyzer passes MICROseconds; the
+    * commit log is epoch seconds (floor keeps sub-second probes on the
+    * log's granularity). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Map("timestampAsOf" -> Math.floorDiv(timestampMicros, 1000000L).toString))
+
+  override def tableExists(ident: Identifier): Boolean = isStore(rootOf(ident))
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty, "graft catalog has a single flat namespace")
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && isStore(f.getAbsolutePath))
+      .map(f => Identifier.of(Array.empty, f.getName))
+  }
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  private def ddlUnsupported =
+    throw new UnsupportedOperationException(
+      "graft stores are created by the engine's maintenance operators, not SQL DDL")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    ddlUnsupported
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    ddlUnsupported
+  override def dropTable(ident: Identifier): Boolean = ddlUnsupported
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    ddlUnsupported
+}

@@ -287,6 +287,48 @@ class Round14Spec extends AnyFunSuite {
     assert(Maintenance.currentSnapshotVersion(run) == 2)
   }
 
+  // ---- GraftCatalog: pure-SQL front door (r14) -------------------------------
+
+  test("GraftCatalog: SQL time travel agrees with the DataFrame path; fails closed") {
+    val root = Maintenance.snapshotRoot(spark, sf)
+    Maintenance.ensureCommitLog(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    // the analyzer's own syntax routes to loadTable(ident, version)
+    for (v <- Seq(1, 2)) {
+      val sql = spark.sql(s"SELECT COUNT(*) AS n, SUM(o_totalprice) AS s " +
+        s"FROM graft.`$name` VERSION AS OF $v").collect()(0)
+      val df = spark.read.format("graft").option("versionAsOf", v).load(root)
+        .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+      assert(sql.getLong(0) == df.getLong(0) && sql.getDouble(1) == df.getDouble(1),
+        s"SQL and DataFrame paths diverge at v$v")
+    }
+    // TIMESTAMP AS OF resolves through the commit log (micros -> seconds)
+    val between = spark.sql(s"SELECT COUNT(*) FROM graft.`$name` " +
+      "TIMESTAMP AS OF '2026-01-01 10:30:00'").collect()(0).getLong(0)
+    assert(between == spark.read.format("graft").option("versionAsOf", 1)
+      .load(root).count())
+    // a probe before the first commit fails closed, same as the reader
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM graft.`$name` " +
+        "TIMESTAMP AS OF '2020-01-01 00:00:00'").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("no commit at or before")))
+    // unknown tables and DDL fail closed
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.`no_such_store`").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$name`")
+    }
+    // the store is discoverable
+    val listed = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
+    assert(listed.contains(name), s"store not listed: ${listed.take(10).mkString(",")}")
+  }
+
   // ---- stream_graft_sink (r14) ----------------------------------------------
 
   test("stream_graft_sink: versioned ingest history, idempotent batch commits") {
