@@ -191,14 +191,55 @@ private[sources] object GraftStore {
     }
     val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
     physical.write.mode("overwrite").parquet(stage)
-    try {
-      val removed =
-        if (overwrite) Maintenance.manifestPaths(store.root, cur) else Seq.empty
-      Maintenance.commitSnapshot(store.root, cur, removed, Seq(stage))
-      ()
-    } catch { case t: Throwable =>
+    val removed =
+      if (overwrite) Maintenance.manifestPaths(store.root, cur) else Seq.empty
+    try { Maintenance.commitSnapshot(store.root, cur, removed, Seq(stage)); () }
+    catch { case t: Throwable =>
       graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
       throw t
+    }
+    // zone-map maintenance, AFTER the commit: a store with zone stats
+    // must keep them covering every live group, or appended data is
+    // never pruned (fail-open keeps answers right, but the skipping
+    // would degrade forever). Stats come from the files just written —
+    // at scale they are free from the footers the writer produced.
+    // Crash between commit and this update leaves the new group
+    // fail-open and removed groups' lines ignored (not in dataPaths):
+    // both harmless, so best-effort ordering is correct.
+    store.zoneCol.foreach { zc =>
+      import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min}
+      val spark = data.sparkSession
+      val c = col(zc)
+      // render like the store convention: temporal zones are ISO dates
+      // (lexicographic comparison IS date comparison)
+      val temporal = store.physicalSchema(zc).dataType match {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      val (loC, hiC) =
+        if (temporal) (date_format(min(c), "yyyy-MM-dd"),
+          date_format(max(c), "yyyy-MM-dd"))
+        else (min(c).cast("string"), max(c).cast("string"))
+      val row = spark.read.parquet(stage)
+        .agg(loC.as("lo"), hiC.as("hi"), count(lit(1)).as("n")).collect()(0)
+      if (!row.isNullAt(0)) { // empty batch: no stats, group stays fail-open
+        val zonesPath = java.nio.file.Paths.get(store.root, "zones_v1.txt")
+        val keep = (if (java.nio.file.Files.exists(zonesPath))
+          new String(java.nio.file.Files.readAllBytes(zonesPath), "UTF-8")
+            .split("\n").toSeq
+        else Seq.empty[String])
+          .filter(_.nonEmpty)
+          .filterNot(l => removed.contains(l.split('|')(0)))
+        val next = keep :+ s"$stage|${row.getString(0)}|${row.getString(1)}|${row.getLong(2)}"
+        val tmpF = java.nio.file.Files.createTempFile(
+          zonesPath.getParent, ".zones", ".tmp")
+        java.nio.file.Files.write(tmpF, next.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmpF, zonesPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 }

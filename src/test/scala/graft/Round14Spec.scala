@@ -287,6 +287,49 @@ class Round14Spec extends AnyFunSuite {
     assert(Maintenance.currentSnapshotVersion(run) == 2)
   }
 
+  // ---- DSv2 write: zone-map maintenance (r14) --------------------------------
+
+  test("DSv2 write maintains the zone map: appended groups prune immediately") {
+    import spark.implicits._
+    // metadata-only scratch copy of the zonemap store (same shared,
+    // read-only data groups — the staged store itself must stay pristine
+    // for io_manifest_skipping's oracle)
+    val zroot = Maintenance.zonemapRoot(spark, sf)
+    val root = freshRoot("r14_zones_w")
+    for (f <- Seq("manifest_v1.txt", "zones_v1.txt", "zones_col.txt"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(zroot, f), java.nio.file.Paths.get(root, f))
+    // append one known-range year of orders through the front door
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    val batch = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1997).select(cols.map(col): _*)
+    batch.write.format("graft").mode("append").save(root)
+    // the new group carries exact zone stats...
+    val zones = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8")
+      .split("\n").map(_.split('|'))
+    val added = zones.filter(_.head.contains("/append_"))
+    assert(added.length == 1, "exactly one zone line for the appended group")
+    val (lo, hi, n) = (added(0)(1), added(0)(2), added(0)(3).toLong)
+    val want = batch.agg(date_format(min($"o_orderdate"), "yyyy-MM-dd"),
+      date_format(max($"o_orderdate"), "yyyy-MM-dd"), count(lit(1))).collect()(0)
+    assert(lo == want.getString(0) && hi == want.getString(1) && n == want.getLong(2))
+    // ...and a read outside its range prunes it from the very next scan
+    val df = spark.read.format("graft").load(root)
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" <= "1995-09-30")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+) zoneSkipped=(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no group accounting: $desc")
+    assert(m.get.group(3).toInt >= 1, s"appended group not pruned: $desc")
+    // pruning stays a pure superset optimization after the append
+    val paths = Maintenance.manifestPaths(root, 2)
+    val oracle = spark.read.parquet(paths: _*)
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" <= "1995-09-30")
+      .count()
+    assert(df.count() == oracle, "zone maintenance changed an answer")
+  }
+
   // ---- GraftCatalog: pure-SQL front door (r14) -------------------------------
 
   test("GraftCatalog: SQL time travel agrees with the DataFrame path; fails closed") {
