@@ -130,13 +130,17 @@ object Similarity {
   // Candidates = corpus vectors sharing ≥1 signature band with the
   // query; re-ranked by exact cosine. The oracle replays the identical
   // seeded hyperplanes, so even LSH false negatives match exactly.
+  // Query side is the PINNED evalPanel (r14 discipline, applied here in
+  // r15): the broadcast query-band set is a fixed ≤10-query frame at
+  // every corpus size, so candidate generation is O(panel · bucket)
+  // and nothing in the plan grows with the corpus.
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).withColumn("sig", signature($"embedding"))
     // bands carry only ids — dedup of candidates shuffles 2 longs per
     // row, never the 64-float vectors (those are re-joined afterwards)
     val corpusBands = emb.select($"vec_id", explode(bandsOf($"sig")).as("band"))
-    val queryBands = emb.filter($"vec_id" % 50 === 0)
+    val queryBands = emb.filter(evalPanel($"vec_id"))
       .select($"vec_id".as("query_id"), explode(bandsOf($"sig")).as("qband"))
     val cand = corpusBands.join(broadcast(queryBands),
         $"band.band_id" === $"qband.band_id" &&
@@ -144,7 +148,7 @@ object Similarity {
           $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
       .distinct()
-    val queries = Tables.embeddings(s, d).filter($"vec_id" % 50 === 0)
+    val queries = Tables.embeddings(s, d).filter(evalPanel($"vec_id"))
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val corpus = Tables.embeddings(s, d).select($"vec_id".as("nid"), $"embedding")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
@@ -163,7 +167,7 @@ object Similarity {
        |            (sig // POWER(2, b * $BandBits)::BIGINT) % ${1 << BandBits} AS band_val
        |          FROM sigs, unnest(range(0, ${Planes / BandBits})) t(b)),
        |qb AS (SELECT vec_id AS query_id, embedding AS qe, band_id, band_val
-       |       FROM bands WHERE vec_id % 50 = 0),
+       |       FROM bands WHERE ${evalPanelSql("vec_id")}),
        |cand AS (SELECT DISTINCT qb.query_id, qb.qe, b.vec_id AS neighbor_id, b.embedding
        |         FROM bands b JOIN qb ON b.band_id = qb.band_id
        |           AND b.band_val = qb.band_val AND b.vec_id <> qb.query_id),
@@ -189,11 +193,21 @@ object Similarity {
   // re-joined by key once per update.
   private val LloydIters = 2
 
+  /** FIXED-size coarse codebook: ≤ [[IvfSeedCells]] seed medoids drawn
+    * from a bounded id range (the PqSeedMod/PqSeedCap discipline,
+    * applied to IVF in r15). A corpus-proportional codebook
+    * (`vec_id % k` alone) makes [[ivfAssign]] an O(corpus²/k) broadcast
+    * cross product and the training broadcast itself corpus-sized —
+    * capping the seeds keeps the codebook KBs and assignment
+    * O(corpus × cells) at any scale. */
+  private val IvfSeedCap = 500   // vec_id % 50 == 7 AND vec_id < 500
+  private val IvfSeedCells = IvfSeedCap / 50 // ≤ 10 coarse cells
+
   /** Seed medoids, promoted to double so every generation of centroid
     * (seeded or decimal-sum-trained) has one type. */
   private def ivfSeeds(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.filter($"vec_id" % 50 === 7)
+    emb.filter($"vec_id" % 50 === 7 && $"vec_id" < IvfSeedCap)
       .select($"vec_id".as("cell_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
   }
@@ -226,6 +240,11 @@ object Similarity {
     (1 to LloydIters).foldLeft(ivfSeeds(emb))((c, _) =>
       ivfUpdate(emb, ivfAssign(emb, c)))
 
+  /** Spec instrumentation: the trained coarse codebook (the r15 gate
+    * pins its cell set corpus-independent at every scale factor). */
+  private[graft] def ivfCodebook(s: SparkSession, d: String): DataFrame =
+    ivfTrain(Tables.embeddings(s, d))
+
   /** Top-`nProbe` coarse cells per query (cosine; centroids broadcast). */
   private def ivfProbe(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     import queries.sparkSession.implicits._
@@ -242,7 +261,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val trained = ivfTrain(emb)
     val assigned = ivfAssign(emb, trained).join(emb, "vec_id")
-    val queries = emb.filter($"vec_id" % 50 === 0)
+    val queries = emb.filter(evalPanel($"vec_id"))
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val probed = ivfProbe(queries, trained, nProbe = 2)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
@@ -273,7 +292,7 @@ object Similarity {
 
   private val annIvfSql =
     s"""WITH c0 AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS ce
-       |            FROM embeddings WHERE vec_id % 50 = 7),
+       |            FROM embeddings WHERE vec_id % 50 = 7 AND vec_id < $IvfSeedCap),
        |a1 AS (${assignSql("c0")}),
        |c1 AS (${updateSql("a1")}),
        |a2 AS (${assignSql("c1")}),
@@ -282,7 +301,7 @@ object Similarity {
        |  SELECT f.vec_id, e.embedding, f.cell_id
        |  FROM (${assignSql("c2")}) f JOIN embeddings e ON f.vec_id = e.vec_id),
        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |      WHERE vec_id % 50 = 0),
+       |      WHERE ${evalPanelSql("vec_id")}),
        |probed AS (
        |  SELECT query_id, qe, cell_id FROM (
        |    SELECT q.query_id, q.qe, c.cell_id,
@@ -599,10 +618,14 @@ object Similarity {
   }
 
   /** Per-query ADC distance TABLES tab[m][j], packed and broadcastable:
-    * l2 computed once per (query, subspace, centroid). */
-  private def pqDtabWide(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    * l2 computed once per (query, subspace, centroid). `panel` selects
+    * the query rows of `subs` — callers on an exhaustive (non-index)
+    * scan MUST pass the pinned [[evalPanel]] so the broadcast table is
+    * fixed-size at any corpus. */
+  private def pqDtabWide(subs: DataFrame, codebook: DataFrame,
+      panel: Column = col("vec_id") % 50 === 0): DataFrame = {
     import subs.sparkSession.implicits._
-    val qsubs = subs.filter($"vec_id" % 50 === 0)
+    val qsubs = subs.filter(panel)
       .select($"vec_id".as("query_id"), $"m", $"sub".as("qsub"), $"sn".as("qn"))
     qsubs
       .join(broadcast(codebook.withColumn("cn", VectorOps.dot($"ce", $"ce"))), Seq("m"))
@@ -615,12 +638,15 @@ object Similarity {
   }
 
   /** Exact re-rank of a (query_id, neighbor_id) shortlist on the full
-    * vectors (FAISS refine step): fetches ≤ shortlist rows per query. */
-  private def pqRerank(emb: DataFrame, shortlist: DataFrame): DataFrame = {
+    * vectors (FAISS refine step): fetches ≤ shortlist rows per query.
+    * `panel` must cover every query_id in the shortlist (a superset is
+    * fine — the join drops unmatched rows). */
+  private def pqRerank(emb: DataFrame, shortlist: DataFrame,
+      panel: Column = col("vec_id") % 50 === 0): DataFrame = {
     import emb.sparkSession.implicits._
     val full = emb.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
-    val qfull = full.filter($"vec_id" % 50 === 0)
+    val qfull = full.filter(panel)
       .select($"vec_id".as("query_id"), $"fe".as("qe"))
     val w = Window.partitionBy($"query_id").orderBy($"d", $"neighbor_id")
     shortlist
@@ -680,9 +706,12 @@ object Similarity {
     // times, 8.4s), no 8M-row join fan-out, no K×-row argmin sort
     // (together 8.4s → 2.7s at sf0.1). The M lookups sum in fixed m
     // order, so the result is deterministic without decimal casts.
-    // Query side only: subspace rows for the query set against the
-    // STORED codebook.
-    val dtabWide = pqDtabWide(pqSubs(emb.filter($"vec_id" % 50 === 0)), c1)
+    // Query side only: subspace rows for the PINNED evalPanel (r15 —
+    // this leg's candidate scan is exhaustive over the codes, so the
+    // panel must be fixed-size or both the dtab broadcast and the scan
+    // grow quadratically with the corpus) against the STORED codebook.
+    val dtabWide = pqDtabWide(pqSubs(emb.filter(evalPanel($"vec_id"))), c1,
+      panel = evalPanel($"vec_id"))
     val wAdc = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
     val shortlist = codes.crossJoin(broadcast(dtabWide))
       .filter($"vec_id" =!= $"query_id")
@@ -690,7 +719,7 @@ object Similarity {
         expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
       .select($"query_id", $"neighbor_id")
-    pqRerank(emb, shortlist)
+    pqRerank(emb, shortlist, panel = evalPanel($"vec_id"))
   }
 
   // -- #36d IVF×PQ composed ANN (the production FAISS IVFPQ shape) ----------
@@ -1491,7 +1520,7 @@ object Similarity {
        |      ORDER BY ${l2FastSql("s.sub", "c.ce", sub)}, c.cell_id) AS rn
        |    FROM subs s JOIN c1d c ON s.m = c.m) WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs
-       |      WHERE vec_id % 50 = 0),
+       |      WHERE ${evalPanelSql("vec_id")}),
        |codesw AS (
        |  SELECT vec_id, list((cell_id - 3) // $PqSeedMod ORDER BY m) AS code
        |  FROM codes GROUP BY vec_id),
