@@ -284,11 +284,30 @@ object Maintenance {
   /** The ONE parser for manifest files — qCdcDiff, vacuum, and
     * readSnapshot all go through here so the format can't drift
     * between them. Blank lines (e.g. a trailing newline) are dropped
-    * rather than becoming an empty parquet path. */
+    * rather than becoming an empty parquet path. `zone:` stat lines
+    * (r15 — per-group column min/max carried INSIDE the committed
+    * manifest, so zone maps inherit OCC atomicity and versioning) are
+    * metadata, not paths, and are stripped here so every existing
+    * consumer keeps seeing only data and `dv:` lines. */
   def manifestPaths(root: String, version: Int): Seq[String] =
+    manifestRawLines(root, version).filterNot(_.startsWith("zone:"))
+
+  /** Every line of a manifest, including `zone:` stat lines. */
+  private[graft] def manifestRawLines(root: String, version: Int): Seq[String] =
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, s"manifest_v$version.txt")), "UTF-8")
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Zone stats committed in a manifest: `zone:<path>|<col>|<lo>|<hi>|<n>`
+    * lines → (group path, column, lo, hi, rows). Unparseable lines are
+    * dropped (zone stats must fail OPEN — a malformed line degrades
+    * pruning, never correctness). */
+  private[graft] def manifestZones(root: String, version: Int)
+      : Seq[(String, String, String, String, Long)] =
+    manifestRawLines(root, version)
+      .filter(_.startsWith("zone:"))
+      .map(_.stripPrefix("zone:").split('|'))
+      .collect { case Array(p, c, lo, hi, n) => (p, c, lo, hi, n.toLong) }
 
   // bump when the staged CONTENT changes (e.g. the rewrite's rounding
   // formula) — an intact-looking layout staged by older code would
@@ -373,16 +392,31 @@ object Maintenance {
     * rewrite on) are replaced by `added`. Returns the committed version.
     * Retries transparently on lost races with non-conflicting writers;
     * throws [[SnapshotConflictException]] when an intervening commit
-    * replaced a group this writer also replaces. */
+    * replaced a group this writer also replaces.
+    *
+    * `added` may include `zone:` stat lines (see [[manifestZones]]) —
+    * they ride the same atomic claim, so per-group stats can never be
+    * lost to a concurrent writer the way a shared side file could.
+    * Zone lines of `removed` groups are dropped with their group.
+    *
+    * `strict = true` additionally fails on ANY intervening commit, not
+    * just a conflicting one — truncate/overwrite semantics: a writer
+    * that replaces "everything live at v" must not silently rebase over
+    * a concurrent append it never saw (Delta/Iceberg fail an overwrite
+    * closed against any concurrent commit). */
   def commitSnapshot(root: String, readVersion: Int, removed: Seq[String],
-      added: Seq[String], maxRetries: Int = 5): Int = {
+      added: Seq[String], maxRetries: Int = 5, strict: Boolean = false): Int = {
     val base = manifestPaths(root, readVersion)
     require(removed.forall(base.contains),
       s"removed paths must come from manifest v$readVersion")
     var attempt = 0
     while (true) {
       val cur = currentSnapshotVersion(root)
-      val curPaths = manifestPaths(root, cur)
+      if (strict && cur != readVersion)
+        throw new SnapshotConflictException(
+          s"strict commit based on v$readVersion lost to concurrent commit v$cur")
+      val curLines = manifestRawLines(root, cur)
+      val curPaths = curLines.filterNot(_.startsWith("zone:"))
       // conflict iff a group we replace is no longer live — some
       // intervening commit already replaced or dropped it
       val gone = removed.filterNot(curPaths.contains)
@@ -391,7 +425,10 @@ object Maintenance {
           s"commit based on v$readVersion conflicts with v$cur: " +
             s"groups already replaced by a concurrent writer: ${gone.mkString(", ")}")
       val next = cur + 1
-      val newManifest = curPaths.filterNot(removed.contains) ++ added
+      val newManifest = curLines.filterNot(l =>
+        removed.contains(l) ||
+          (l.startsWith("zone:") &&
+            removed.contains(l.stripPrefix("zone:").takeWhile(_ != '|')))) ++ added
       // staged under a name every manifest lister ignores (no
       // "manifest_v" prefix): an in-flight or crash-orphaned temp file
       // must never be parsed as a committed version

@@ -97,6 +97,9 @@ private[sources] object GraftStore {
       mapping: Option[Seq[(String, String)]], // logical -> physical
       zoneCol: Option[String],         // physical zone-map column
       zones: Map[String, (String, String)],   // group path -> (lo, hi)
+      // r15: multi-column stats committed INSIDE the manifest (zone:
+      // lines) — group path -> physical column -> (lo, hi)
+      groupZones: Map[String, Map[String, (String, String)]],
       changeFeed: Option[(Int, Int)],  // (startingVersion, endingVersion)
       physicalSchema: StructType) {
 
@@ -153,7 +156,11 @@ private[sources] object GraftStore {
       .getOrElse(Maintenance.currentSnapshotVersion(root))
     val (dvLines, dataPaths) =
       Maintenance.manifestPaths(root, version).partition(_.startsWith("dv:"))
-    val mapping = readLines(root, s"mapping_v$version.txt").map(_.map { l =>
+    // the mapping of the NEAREST version <= the resolved one: mappings
+    // are metadata commits; a data commit (DSv2 append, streaming sink)
+    // between two mapping versions must keep serving the mapped schema,
+    // not silently revert to physical names (r14 ADVICE)
+    val mapping = mappingAt(root, version).map(_.map { l =>
       val Array(lg, ph) = l.split("=", 2); (lg, ph)
     })
     val zoneCol = readLines(root, "zones_col.txt").flatMap(_.headOption)
@@ -161,14 +168,30 @@ private[sources] object GraftStore {
       .map(_.split('|')).collect {
         case a if a.length >= 3 => a(0) -> (a(1), a(2))
       }.toMap
+    val groupZones = Maintenance.manifestZones(root, version)
+      .groupBy(_._1)
+      .map { case (p, zs) => p -> zs.map(z => z._2 -> (z._3, z._4)).toMap }
     // one footer read for the physical schema — same cost class as the
     // manifest parse; partition columns were folded into the files'
     // directories at write time, so the file schema IS the data schema
     val physicalSchema =
       SparkSession.active.read.parquet(dataPaths: _*).schema
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
-      mapping, zoneCol, zones, changeFeed, physicalSchema)
+      mapping, zoneCol, zones, groupZones, changeFeed, physicalSchema)
   }
+
+  /** mapping_v<M>.txt lines for the largest M <= version, if any. */
+  private def mappingAt(root: String, version: Int): Option[Seq[String]] =
+    readLines(root, s"mapping_v$version.txt").orElse {
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .filter(n => n.startsWith("mapping_v") && n.endsWith(".txt"))
+        .map(_.stripPrefix("mapping_v").stripSuffix(".txt"))
+        .flatMap(_.toIntOption)
+        .filter(_ <= version)
+        .maxOption
+        .flatMap(m => readLines(root, s"mapping_v$m.txt"))
+    }
 
   /** Stage the batch as one new file group, then OCC-commit it. */
   def write(store: Resolved, data: org.apache.spark.sql.DataFrame,
@@ -191,55 +214,28 @@ private[sources] object GraftStore {
     }
     val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
     physical.write.mode("overwrite").parquet(stage)
+    // zone stats for the new group come from the parquet FOOTERS the
+    // write just produced — zero extra Spark jobs, zero data re-read —
+    // for EVERY supported scalar column (multi-column skipping, r15).
+    // They ride the commit as `zone:` manifest lines, so stats inherit
+    // the claim's atomicity: concurrent appenders can't lose each
+    // other's lines the way a shared side file could, and time travel
+    // sees each version's own stats. Failure to render any bound just
+    // drops that column's line — zone maps fail open by construction.
+    val (rows, stats) = FooterStats.harvest(stage, store.physicalSchema,
+      data.sparkSession.sessionState.newHadoopConf())
+    val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"zone:$stage|$c|$lo|$hi|$rows" }
     val removed =
       if (overwrite) Maintenance.manifestPaths(store.root, cur) else Seq.empty
-    try { Maintenance.commitSnapshot(store.root, cur, removed, Seq(stage)); () }
+    // overwrite is strict: "replace everything live at v" must fail
+    // closed against ANY concurrent commit, not rebase over an append
+    // it never saw (truncate semantics — r14 ADVICE)
+    try { Maintenance.commitSnapshot(store.root, cur, removed,
+      stage +: zoneLines, strict = overwrite); () }
     catch { case t: Throwable =>
       graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
       throw t
-    }
-    // zone-map maintenance, AFTER the commit: a store with zone stats
-    // must keep them covering every live group, or appended data is
-    // never pruned (fail-open keeps answers right, but the skipping
-    // would degrade forever). Stats come from the files just written —
-    // at scale they are free from the footers the writer produced.
-    // Crash between commit and this update leaves the new group
-    // fail-open and removed groups' lines ignored (not in dataPaths):
-    // both harmless, so best-effort ordering is correct.
-    store.zoneCol.foreach { zc =>
-      import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min}
-      val spark = data.sparkSession
-      val c = col(zc)
-      // render like the store convention: temporal zones are ISO dates
-      // (lexicographic comparison IS date comparison)
-      val temporal = store.physicalSchema(zc).dataType match {
-        case org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => true
-        case _ => false
-      }
-      val (loC, hiC) =
-        if (temporal) (date_format(min(c), "yyyy-MM-dd"),
-          date_format(max(c), "yyyy-MM-dd"))
-        else (min(c).cast("string"), max(c).cast("string"))
-      val row = spark.read.parquet(stage)
-        .agg(loC.as("lo"), hiC.as("hi"), count(lit(1)).as("n")).collect()(0)
-      if (!row.isNullAt(0)) { // empty batch: no stats, group stays fail-open
-        val zonesPath = java.nio.file.Paths.get(store.root, "zones_v1.txt")
-        val keep = (if (java.nio.file.Files.exists(zonesPath))
-          new String(java.nio.file.Files.readAllBytes(zonesPath), "UTF-8")
-            .split("\n").toSeq
-        else Seq.empty[String])
-          .filter(_.nonEmpty)
-          .filterNot(l => removed.contains(l.split('|')(0)))
-        val next = keep :+ s"$stage|${row.getString(0)}|${row.getString(1)}|${row.getLong(2)}"
-        val tmpF = java.nio.file.Files.createTempFile(
-          zonesPath.getParent, ".zones", ".tmp")
-        java.nio.file.Files.write(tmpF, next.mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.move(tmpF, zonesPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
     }
   }
 }
@@ -359,20 +355,28 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private def spark = SparkSession.active
 
   // ---- zone-map group pruning (manifest arithmetic, no data IO) ----------
-  /** Conjunctive [lo, hi] bounds the pushed filters put on the zone
-    * column; comparison space is the zone file's ISO strings. */
-  private def zoneBounds(col: String): (Option[String], Option[String]) = {
-    def iso(v: Any): String = v.toString // Date/LocalDate/String all ISO-sort
-    var lo: Option[String] = None
-    var hi: Option[String] = None
-    def tightenLo(v: String): Unit = if (lo.forall(_ < v)) lo = Some(v)
-    def tightenHi(v: String): Unit = if (hi.forall(_ > v)) hi = Some(v)
+  /** Conjunctive [lo, hi] bounds the pushed filters put on `col`,
+    * parsed into [[ZoneOrder]]'s interval domain (a string compare on
+    * numeric stats would prune wrongly — "9" > "10" — and date-
+    * truncated temporal stats need whole-day intervals). Unrenderable
+    * values contribute no bound (fail open). */
+  private def zoneBounds(col: String, dt: DataType)
+      : (Option[ZoneOrder.Parsed], Option[ZoneOrder.Parsed]) = {
+    var lo: Option[ZoneOrder.Parsed] = None
+    var hi: Option[ZoneOrder.Parsed] = None
+    def bound(v: Any): Option[ZoneOrder.Parsed] =
+      ZoneOrder.renderValue(dt, v).flatMap(ZoneOrder.parse(dt, _))
+    def tightenLo(p: ZoneOrder.Parsed): Unit =
+      lo = Some(lo.fold(p)(ZoneOrder.maxByMin(_, p)))
+    def tightenHi(p: ZoneOrder.Parsed): Unit =
+      hi = Some(hi.fold(p)(ZoneOrder.minByMax(_, p)))
     def walk(f: Filter): Unit = f match {
-      case sources.EqualTo(a, v) if a == col => tightenLo(iso(v)); tightenHi(iso(v))
-      case sources.GreaterThan(a, v) if a == col => tightenLo(iso(v))
-      case sources.GreaterThanOrEqual(a, v) if a == col => tightenLo(iso(v))
-      case sources.LessThan(a, v) if a == col => tightenHi(iso(v))
-      case sources.LessThanOrEqual(a, v) if a == col => tightenHi(iso(v))
+      case sources.EqualTo(a, v) if a == col =>
+        bound(v).foreach { p => tightenLo(p); tightenHi(p) }
+      case sources.GreaterThan(a, v) if a == col => bound(v).foreach(tightenLo)
+      case sources.GreaterThanOrEqual(a, v) if a == col => bound(v).foreach(tightenLo)
+      case sources.LessThan(a, v) if a == col => bound(v).foreach(tightenHi)
+      case sources.LessThanOrEqual(a, v) if a == col => bound(v).foreach(tightenHi)
       case sources.And(l, r) => walk(l); walk(r)
       case _ => () // Or/Not/other: no safe conjunctive bound
     }
@@ -380,26 +384,50 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     (lo, hi)
   }
 
-  /** (kept paths, skipped count): groups whose zone misses the pushed
-    * bounds drop before file listing; unmapped groups are kept
-    * (missing stats must fail open for pruning). */
-  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) =
-    store.zoneCol match {
-      case Some(zc) if store.zones.nonEmpty && pushed.nonEmpty =>
-        val (lo, hi) = zoneBounds(zc)
-        if (lo.isEmpty && hi.isEmpty) (store.dataPaths, 0)
-        else {
-          val kept = store.dataPaths.filter { p =>
-            store.zones.get(p) match {
-              case Some((zlo, zhi)) =>
-                lo.forall(_ <= zhi) && hi.forall(_ >= zlo)
+  /** Stats for (group, physical column): manifest `zone:` lines first
+    * (per-version, OCC-committed), then the legacy single-column side
+    * file. None = unmapped → fail open. */
+  private def statsFor(p: String, c: String): Option[(String, String)] =
+    store.groupZones.get(p).flatMap(_.get(c))
+      .orElse(if (store.zoneCol.contains(c)) store.zones.get(p) else None)
+
+  /** (kept paths, skipped count): groups whose stats provably miss the
+    * pushed bounds on ANY zone-mapped column drop before file listing;
+    * unmapped (group, column)s are kept — missing or incomparable
+    * stats must fail open for pruning. */
+  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) = {
+    val zonedCols: Set[String] =
+      store.groupZones.values.flatMap(_.keys).toSet ++ store.zoneCol
+    if (pushed.isEmpty || zonedCols.isEmpty) (store.dataPaths, 0)
+    else {
+      val types = store.physicalSchema.fields.map(f => f.name -> f.dataType).toMap
+      val bounds = zonedCols.toSeq.sorted.flatMap { c =>
+        types.get(c).flatMap { dt =>
+          val (lo, hi) = zoneBounds(c, dt)
+          if (lo.isEmpty && hi.isEmpty) None else Some((c, dt, lo, hi))
+        }
+      }
+      if (bounds.isEmpty) (store.dataPaths, 0)
+      else {
+        val kept = store.dataPaths.filter { p =>
+          bounds.forall { case (c, dt, lo, hi) =>
+            statsFor(p, c) match {
+              case Some((zloS, zhiS)) =>
+                val zlo = ZoneOrder.parse(dt, zloS)
+                val zhi = ZoneOrder.parse(dt, zhiS)
+                // keep unless PROVABLY disjoint: lo > zone hi or zone lo > hi
+                val disjoint =
+                  lo.exists(l => zhi.exists(ZoneOrder.provablyAbove(l, _))) ||
+                  hi.exists(h => zlo.exists(ZoneOrder.provablyAbove(_, h)))
+                !disjoint
               case None => true
             }
           }
-          (kept, store.dataPaths.size - kept.size)
         }
-      case _ => (store.dataPaths, 0)
+        (kept, store.dataPaths.size - kept.size)
+      }
     }
+  }
 
   private def isCdf = store.changeFeed.isDefined
   private def needsPositions = store.dvPaths.nonEmpty || isCdf

@@ -304,16 +304,22 @@ class Round14Spec extends AnyFunSuite {
     val batch = Tables.orders(spark, sf)
       .filter(year($"o_orderdate") === 1997).select(cols.map(col): _*)
     batch.write.format("graft").mode("append").save(root)
-    // the new group carries exact zone stats...
-    val zones = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8")
-      .split("\n").map(_.split('|'))
-    val added = zones.filter(_.head.contains("/append_"))
-    assert(added.length == 1, "exactly one zone line for the appended group")
-    val (lo, hi, n) = (added(0)(1), added(0)(2), added(0)(3).toLong)
+    // the new group carries exact zone stats — committed as `zone:`
+    // lines INSIDE manifest_v2 (r15: stats inherit OCC atomicity), the
+    // legacy side file stays untouched
+    val added = Maintenance.manifestZones(root, 2)
+      .filter(z => z._1.contains("/append_") && z._2 == "o_orderdate")
+    assert(added.length == 1, "exactly one o_orderdate zone line for the appended group")
+    val (_, _, lo, hi, n) = added.head
+    // footer-harvested stats render the full timestamp; the date
+    // prefix must be the batch's exact min/max day
     val want = batch.agg(date_format(min($"o_orderdate"), "yyyy-MM-dd"),
       date_format(max($"o_orderdate"), "yyyy-MM-dd"), count(lit(1))).collect()(0)
-    assert(lo == want.getString(0) && hi == want.getString(1) && n == want.getLong(2))
+    assert(lo.startsWith(want.getString(0)) && hi.startsWith(want.getString(1)) &&
+      n == want.getLong(2), s"zone stats $lo..$hi ($n) vs $want")
+    assert(!new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "zones_v1.txt")), "UTF-8").contains("/append_"),
+      "the racy shared side file must no longer be rewritten")
     // ...and a read outside its range prunes it from the very next scan
     val df = spark.read.format("graft").load(root)
       .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" <= "1995-09-30")

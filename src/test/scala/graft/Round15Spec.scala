@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Similarity
+import graft.operators.{Maintenance, Similarity}
+import graft.sources.{FooterStats, ZoneOrder}
 
 /** Round-15 gates: the last three legacy ANN demo rows become
   * corpus-independent (r14 verdict "What's wrong" #1/#2) — a FIXED
@@ -42,5 +43,176 @@ class Round15Spec extends AnyFunSuite {
         s"$k: panel outside the pinned evalPanel id set: $small")
       assert(small.nonEmpty, s"$k: empty panel")
     }
+  }
+
+  // ---- zone stats inside the committed manifest (r14 verdict #3/#4) --------
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_q/${name}_spec"
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    root
+  }
+
+  /** A writable scratch store over the shared zonemap data groups. */
+  private def scratchZoneStore(name: String): String = {
+    val zroot = Maintenance.zonemapRoot(spark, sf)
+    val root = freshRoot(name)
+    for (f <- Seq("manifest_v1.txt", "zones_v1.txt", "zones_col.txt"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(zroot, f), java.nio.file.Paths.get(root, f))
+    root
+  }
+
+  test("r15: concurrent appenders never lose each other's zone stats") {
+    import spark.implicits._
+    val root = scratchZoneStore("r15_conc_zones")
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    def batch(y: Int) = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === y).select(cols.map(col): _*)
+    // two appenders race the same base version; OCC rebases the loser,
+    // and the zone: lines ride the SAME atomic manifest claim — the r14
+    // shared-side-file design could drop one appender's line here
+    val ts = Seq(1996, 1997).map { y =>
+      val t = new Thread(() =>
+        batch(y).write.format("graft").mode("append").save(root))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val v = Maintenance.currentSnapshotVersion(root)
+    assert(v == 3, s"both appends must commit (v=$v)")
+    val zoneGroups = Maintenance.manifestZones(root, v)
+      .filter(z => z._1.contains("/append_") && z._2 == "o_orderkey")
+      .map(_._1).distinct
+    assert(zoneGroups.size == 2,
+      s"zone stats lost in the race: only $zoneGroups carry stats")
+  }
+
+  test("r15: multi-column zone pruning, numeric order-correct, fail-open") {
+    import spark.implicits._
+    val root = scratchZoneStore("r15_zones2")
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    val batch = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1997).select(cols.map(col): _*)
+    batch.write.format("graft").mode("append").save(root)
+    def scan(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      val desc = df.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+      val m = """zoneSkipped=(\d+)""".r.findFirstMatchIn(desc)
+      (df.count(), m.map(_.group(1).toInt).getOrElse(-1))
+    }
+    // a SECOND column (o_orderkey, numeric — the legacy store only
+    // mapped o_orderdate) prunes the appended group from the manifest
+    // stats alone; the base groups carry no o_orderkey stats → fail open
+    // strict > is treated as >= by the conservative bound collector, so
+    // probe strictly past the stat to demand a prune
+    val maxKey = batch.agg(max($"o_orderkey")).collect()(0).getLong(0) + 1
+    val (nAbove, skippedAbove) =
+      scan(spark.read.format("graft").load(root).filter($"o_orderkey" > maxKey))
+    assert(skippedAbove == 1, s"appended group must prune on o_orderkey (skipped=$skippedAbove)")
+    assert(nAbove == spark.read.parquet(
+      Maintenance.manifestPaths(root, 2): _*).filter($"o_orderkey" > maxKey).count())
+    // numeric ordering: "9" > "1488" lexicographically — a string
+    // compare would wrongly prune the [0, maxKey] group on key >= 9
+    val (n9, skipped9) =
+      scan(spark.read.format("graft").load(root).filter($"o_orderkey" >= 9))
+    assert(skipped9 == 0, s"typed compare must keep the group (skipped=$skipped9)")
+    assert(n9 == spark.read.parquet(
+      Maintenance.manifestPaths(root, 2): _*).filter($"o_orderkey" >= 9).count())
+  }
+
+  test("r15: footer harvest runs zero Spark jobs and exact stats") {
+    import spark.implicits._
+    val root = freshRoot("r15_footers")
+    val df = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    df.write.mode("overwrite").parquet(s"$root/g0")
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (rows, stats) = FooterStats.harvest(s"$root/g0",
+        spark.read.parquet(s"$root/g0").schema,
+        spark.sessionState.newHadoopConf())
+      // the write path's stats come from footers alone — the r14
+      // read-the-batch-back job is gone (counter-pinned)
+      Thread.sleep(500) // let any (forbidden) job-start events drain
+      assert(jobs.get() <= 1, s"harvest must not launch data-read jobs (jobs=${jobs.get()})")
+      val want = df.agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey"),
+        min($"o_totalprice"), max($"o_totalprice")).collect()(0)
+      assert(rows == want.getLong(0))
+      assert(stats("o_orderkey") == (want.getLong(1).toString, want.getLong(2).toString))
+      assert(stats("o_totalprice") == (want.getDouble(3).toString, want.getDouble(4).toString))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("r15: ZoneOrder — numeric, temporal day-intervals, strings") {
+    import org.apache.spark.sql.types._
+    def p(dt: DataType, s: String) = ZoneOrder.parse(dt, s).get
+    // the r14 ADVICE bug shape: "9" vs "10"
+    assert(!ZoneOrder.provablyAbove(p(LongType, "9"), p(LongType, "10")))
+    assert(ZoneOrder.provablyAbove(p(LongType, "10"), p(LongType, "9")))
+    // date-truncated stat on a timestamp column covers the whole day:
+    // a 10:00 probe is NOT provably above a "1995-09-30" zone hi
+    assert(!ZoneOrder.provablyAbove(
+      p(TimestampNTZType, "1995-09-30T10:00"), p(TimestampNTZType, "1995-09-30")))
+    assert(ZoneOrder.provablyAbove(
+      p(TimestampNTZType, "1995-10-01T00:00"), p(TimestampNTZType, "1995-09-30")))
+    assert(ZoneOrder.provablyAbove(p(StringType, "b"), p(StringType, "a")))
+    // incomparable kinds fail open
+    assert(!ZoneOrder.provablyAbove(p(StringType, "z"), p(LongType, "1")))
+  }
+
+  // ---- r14 ADVICE: mapping carry-forward + strict overwrite ----------------
+
+  test("r15: a data commit after a mapping commit keeps the mapped schema") {
+    import spark.implicits._
+    val (mroot, _) = Maintenance.columnMappingStore(spark, sf)
+    // writable copy (columnMappingStore's staged root must stay pristine)
+    val root = freshRoot("r15_map_fwd")
+    for (f <- Seq("manifest_v1.txt", "manifest_v2.txt", "mapping_v1.txt", "mapping_v2.txt"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(mroot, f), java.nio.file.Paths.get(root, f))
+    val v2 = spark.read.format("graft").load(root)
+    assert(v2.columns.contains("price_usd") && !v2.columns.contains("o_custkey"))
+    val before = v2.agg(sum($"price_usd")).collect()(0).getDouble(0)
+    // DSv2 append -> v3, a DATA commit with no mapping_v3.txt; the
+    // nearest mapping <= v3 (v2's) must keep serving the logical schema
+    val batch = v2.limit(10)
+    batch.write.format("graft").mode("append").save(root)
+    assert(Maintenance.currentSnapshotVersion(root) == 3)
+    val v3 = spark.read.format("graft").load(root)
+    assert(v3.columns.contains("price_usd") && !v3.columns.contains("o_custkey"),
+      s"mapping lost after a data commit: ${v3.columns.mkString(",")}")
+    val after = v3.agg(sum($"price_usd")).collect()(0).getDouble(0)
+    val added = batch.agg(sum($"price_usd")).collect()(0).getDouble(0)
+    assert(math.abs(after - (before + added)) < 1e-6)
+    // time travel to v1 still sees v1's identity mapping
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(root)
+      .columns.contains("o_custkey"))
+  }
+
+  test("r15: overwrite fails closed against ANY concurrent commit") {
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_strict_ow")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    // a concurrent APPEND lands v2 after the overwriter read v1
+    Maintenance.commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile"))
+    // non-strict (append semantics) would rebase; strict truncate must
+    // abort — committing batch ∪ concurrently-appended-group silently
+    // violates overwrite semantics
+    intercept[Maintenance.SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, 1,
+        removed = Maintenance.manifestPaths(root, 1),
+        added = Seq(s"$data/newfile2"), strict = true)
+    }
+    assert(Maintenance.currentSnapshotVersion(root) == 2, "nothing must land")
   }
 }
