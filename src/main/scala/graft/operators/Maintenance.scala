@@ -21,9 +21,9 @@ object Maintenance {
     * (BigDecimal.valueOf: "315506.785" → .79) while DuckDB rounds the
     * exact binary value (…78499999997 → .78); at sf0.1 one row lands
     * on such a boundary and flips the hash. */
-  private def bumpedPrice(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def bumpedPrice(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1.1) * 100.0 + 0.5) / 100.0
-  private val bumpedPriceSql =
+  private[graft] val bumpedPriceSql =
     "floor(o_totalprice * CAST(1.1 AS DOUBLE) * 100 + 0.5) / 100"
 
   // -- q_incremental_agg: stored aggregate + delta merge --------------------
@@ -1109,9 +1109,9 @@ object Maintenance {
   // dataset (content-fingerprinted); per-call work is manifest
   // arithmetic + the read, like io_branching/io_rollback after r12's
   // de-noising.
-  private val MorDeleteMod = 25L
-  private val MorDeleteRem = 7L
-  private val MorDelete2Rem = 11L
+  private[graft] val MorDeleteMod = 25L
+  private[graft] val MorDeleteRem = 7L
+  private[graft] val MorDelete2Rem = 11L
 
   /** Staged immutable MoR artifacts for TWO stacked MERGE commits —
     * the production steady state is a DV PILE, not a single DV (r12

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, Unsaf
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
@@ -101,6 +102,7 @@ private[sources] object GraftStore {
       // lines) — group path -> physical column -> (lo, hi)
       groupZones: Map[String, Map[String, (String, String)]],
       changeFeed: Option[(Int, Int)],  // (startingVersion, endingVersion)
+      startingVersion: Option[Int],    // streaming base version (exclusive)
       physicalSchema: StructType) {
 
     def phys(logical: String): String =
@@ -139,9 +141,12 @@ private[sources] object GraftStore {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a store path"))
     val cdf = options.getBoolean("readChangeFeed", false)
+    val startingVersion = Option(options.get("startingVersion")).map(_.toInt)
     val changeFeed = if (cdf) {
-      val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(
-        throw new IllegalArgumentException("readChangeFeed requires startingVersion"))
+      // base version is EXCLUSIVE (the feed serves changes after it);
+      // 0 = the whole history including the initial snapshot — the
+      // streaming source's default
+      val from = startingVersion.getOrElse(0)
       val to = Option(options.get("endingVersion")).map(_.toInt)
         .getOrElse(Maintenance.currentSnapshotVersion(root))
       Some((from, to))
@@ -177,7 +182,8 @@ private[sources] object GraftStore {
     val physicalSchema =
       SparkSession.active.read.parquet(dataPaths: _*).schema
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
-      mapping, zoneCol, zones, groupZones, changeFeed, physicalSchema)
+      mapping, zoneCol, zones, groupZones, changeFeed, startingVersion,
+      physicalSchema)
   }
 
   /** mapping_v<M>.txt lines for the largest M <= version, if any. */
@@ -252,7 +258,10 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
       // BATCH_WRITE admits the plan; V1_BATCH_WRITE selects the
       // InsertableRelation execution path for the V1Write below
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // spark.readStream.format("graft"): the commit log is the offset
+      // source, each micro-batch serves per-commit deltas (r15)
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -499,7 +508,9 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     if (!needsPositions) return delegate.planInputPartitions()
     store.changeFeed match {
       case Some((from, to)) =>
-        val fromLines = Maintenance.manifestPaths(store.root, from)
+        val fromLines =
+          if (from <= 0) Seq.empty[String]
+          else Maintenance.manifestPaths(store.root, from)
         val toLines = Maintenance.manifestPaths(store.root, to)
         val (fromDv, fromData) = fromLines.partition(_.startsWith("dv:"))
         val (toDv, toData) = toLines.partition(_.startsWith("dv:"))
@@ -510,8 +521,11 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
         val newDv = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
         val newData = toData.filterNot(fromData.contains)
         val dv = dvPositions(newDv)
-        // delete pre-images: keep-position reads of ONLY referenced files
-        val deleteParts = listFiles(fromData)
+        // delete pre-images: keep-position reads of ONLY referenced
+        // files. Listed from the TO side — removals fail closed above,
+        // so every FROM file is still live at TO, and a from=0 feed
+        // (full history) finds the dv-referenced base files too.
+        val deleteParts = listFiles(toData)
           .filter(f => dv.contains(fileKey(f.filePath.toString)))
           .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
         val insertParts = listFiles(newData)
@@ -534,6 +548,84 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     if (!needsPositions) inner
     else new GraftPositionReaderFactory(inner, delegate.readDataSchema,
       isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol))
+  }
+
+  // ---- streaming source: the commit log is the offset log (r15) -----------
+  // `spark.readStream.format("graft")` — each micro-batch serves the
+  // PER-COMMIT deltas of the versions between two offsets (offset N =
+  // "committed through snapshot version N"), built on the same
+  // machinery as the batch change feed: added data files are insert
+  // post-images; with readChangeFeed, added dv: sidecars name delete
+  // pre-images (keep-position reads of only the referenced files).
+  // Restart safety comes from Spark's offset checkpoint: a version
+  // pair replays to the identical partitions, so a restarted batch
+  // re-serves exactly the same rows. Cost per trigger: O(changed rows)
+  // + manifest arithmetic; nothing rescans the table. Commits that
+  // REMOVE data files (compaction/overwrite) fail closed — same
+  // contract as the batch feed; without readChangeFeed the history
+  // must additionally be append-only (no dv: lines), because a plain
+  // stream has no way to represent a delete.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : rstreaming.MicroBatchStream = new GraftMicroBatchStream
+
+  private case class GraftVersionOffset(version: Int)
+      extends rstreaming.Offset {
+    override def json(): String = version.toString
+  }
+
+  private class GraftMicroBatchStream extends rstreaming.MicroBatchStream {
+    override def initialOffset(): rstreaming.Offset =
+      GraftVersionOffset(
+        store.changeFeed.map(_._1).orElse(store.startingVersion).getOrElse(0))
+
+    override def latestOffset(): rstreaming.Offset =
+      GraftVersionOffset(Maintenance.currentSnapshotVersion(store.root))
+
+    override def deserializeOffset(json: String): rstreaming.Offset =
+      GraftVersionOffset(json.trim.toInt)
+
+    override def planInputPartitions(start: rstreaming.Offset,
+        end: rstreaming.Offset): Array[InputPartition] = {
+      val from = start.asInstanceOf[GraftVersionOffset].version
+      val to = end.asInstanceOf[GraftVersionOffset].version
+      val parts = Seq.newBuilder[(PartitionedFile, Array[Long], Boolean, String)]
+      for (v <- from + 1 to to) {
+        val prev = if (v <= 1) Seq.empty[String]
+          else Maintenance.manifestPaths(store.root, v - 1)
+        val curL = Maintenance.manifestPaths(store.root, v)
+        val (pDv, pData) = prev.partition(_.startsWith("dv:"))
+        val (cDv, cData) = curL.partition(_.startsWith("dv:"))
+        val removed = pData.filterNot(cData.contains)
+        require(removed.isEmpty,
+          s"stream hit commit v$v which removed data groups " +
+            s"(${removed.mkString(", ")}) — compaction/overwrite commits " +
+            "have no row-level feed; restart from a later startingVersion")
+        val newData = cData.filterNot(pData.contains)
+        val newDv = cDv.filterNot(pDv.contains).map(_.stripPrefix("dv:"))
+        require(isCdf || newDv.isEmpty,
+          s"commit v$v carries row-level deletes (dv: sidecars) — " +
+            "stream with option(\"readChangeFeed\", \"true\") to receive them")
+        val dv = dvPositions(newDv)
+        parts ++= listFiles(cData)
+          .filter(f => dv.contains(fileKey(f.filePath.toString)))
+          .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
+        parts ++= listFiles(newData)
+          .map(f => (f, Array.empty[Long], false, "insert"))
+      }
+      parts.result().zipWithIndex.map { case ((f, pos, keep, ct), i) =>
+        GraftInputPartition(i, f, pos, keep, ct): InputPartition
+      }.toArray
+    }
+
+    // partitions are GraftInputPartitions even on the append-only path,
+    // so the position-aware factory always wraps the delegate here
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftPositionReaderFactory(delegate.createReaderFactory(),
+        delegate.readDataSchema,
+        isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol))
+
+    override def commit(end: rstreaming.Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   override def description(): String = {

@@ -1285,6 +1285,91 @@ object Streaming {
     s"""SELECT event_type, COUNT(*) AS n, ${OracleMath.sqlSum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- stream_graft_source: streaming OUT of the snapshot store -------------
+  // The read twin of stream_graft_sink (r14 verdict "Next round" #2):
+  // `spark.readStream.format("graft")` with readChangeFeed makes the
+  // store a Delta-style pipeline hub — the commit log is the offset
+  // log, and each micro-batch serves the PER-COMMIT deltas between two
+  // versions: added data files as insert post-images, added dv:
+  // sidecars as delete pre-images (keep-position reads of only the
+  // referenced base files). The staged history is real MERGE commits:
+  // v1 = 4-group base snapshot, v2/v3 = two stacked MERGEs (insert leg
+  // + deletion vector each). The feed lands in an exactly-once parquet
+  // file sink (offset checkpoint: the warm invocation restarts the
+  // stream, finds no new commits, and must re-emit NOTHING), and the
+  // result is a month-windowed aggregate over the streamed feed —
+  // value-oracled against DuckDB's replay of the same history from the
+  // MERGE predicates. Per-trigger cost is O(changed rows) + manifest
+  // arithmetic, never a table rescan.
+  private def graftSourceStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val data = Maintenance.morData(s, d)
+      val (dirKey, fp) = Tables.stagingKey(d, "orders")
+      val root = s"/tmp/graft_q/gsrc_$dirKey"
+      val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+      val fmt = s"v1-graft-source|$fp"
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt
+      if (!fresh) {
+        graft.Staging.rmTree(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, "manifest_v1.txt"),
+          (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+        val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+          Seq(s"$data/newfile", s"dv:$data/dv"))
+        Maintenance.commitSnapshot(root, v2, Seq.empty,
+          Seq(s"$data/newfile2", s"dv:$data/dv2"))
+      }
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .load(root)
+        .select($"_change_type".as("op"), $"o_orderdate", $"o_totalprice")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (!fresh) {
+        java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+        graft.Staging.recordSource(root, d, "orders", fp)
+      }
+      s.read.parquet(s"$root/out")
+        .groupBy($"op",
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), OracleMath.dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"op", $"month")
+    }
+  private val graftSourceStreamSql = {
+    import graft.operators.Maintenance.{bumpedPriceSql, MorDeleteMod, MorDeleteRem, MorDelete2Rem}
+    s"""WITH feed AS (
+       |  SELECT 'insert' AS op, o_orderdate, o_totalprice FROM orders
+       |  UNION ALL
+       |  SELECT 'delete', o_orderdate, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 = 0 OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |  UNION ALL
+       |  SELECT 'insert', o_orderdate, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT 'insert', o_orderdate, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT 'delete', o_orderdate, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 = 5 OR o_orderkey % $MorDeleteMod = $MorDelete2Rem
+       |  UNION ALL
+       |  SELECT 'insert', o_orderdate, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT 'insert', o_orderdate, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 500)
+       |SELECT op, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       |  COUNT(*) AS n, ${OracleMath.sqlSum("o_totalprice")} AS sum_price
+       |FROM feed GROUP BY op, month ORDER BY op, month""".stripMargin
+  }
+
   // -- stream_restart_exactly_once: STATEFUL restart, end-to-end ------------
   // stream_file_sink proves offset-replay exactly-once for a stateless
   // append; this is the harder contract: a WINDOWED AGGREGATE stopped
@@ -1374,6 +1459,8 @@ object Streaming {
       Some(approxDistinctStreamSql)),
     QueryDef("stream_file_sink", fileSinkStream, Some(fileSinkStreamSql)),
     QueryDef("stream_graft_sink", graftSinkStream, Some(graftSinkStreamSql)),
+    QueryDef("stream_graft_source", graftSourceStream,
+      Some(graftSourceStreamSql)),
     QueryDef("stream_restart_exactly_once", restartExactlyOnce,
       Some(restartExactlyOnceSql)),
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),

@@ -197,6 +197,96 @@ class Round15Spec extends AnyFunSuite {
       .columns.contains("o_custkey"))
   }
 
+  // ---- streaming source over the store (r14 verdict #2) --------------------
+
+  test("r15: streaming source serves per-commit deltas and is restart-safe") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_stream_src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .select($"_change_type", $"o_orderkey", $"o_totalprice")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val n1 = spark.read.parquet(s"$root/out").count()
+    // a new MERGE commit lands; the restarted stream must serve ONLY
+    // its delta (offset checkpoint), never re-emit v1/v2
+    val v3 = Maintenance.commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    runStream()
+    val out = spark.read.parquet(s"$root/out")
+    val deltaRows = spark.read.parquet(s"$data/newfile2").count() +
+      spark.read.parquet(s"$data/dv2").count()
+    assert(out.count() - n1 == deltaRows,
+      s"restart must append exactly the v$v3 delta (${out.count()} - $n1 != $deltaRows)")
+    // the full streamed feed equals the batch change feed 0..v3
+    val batch = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 0).option("endingVersion", v3).load(root)
+      .select($"_change_type", $"o_orderkey", $"o_totalprice")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"_change_type")
+        .agg(count(lit(1)),
+          // decimal: order-independent, so the two runs compare exactly
+          sum($"o_totalprice".cast("decimal(28,10)")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+    assert(sig(out) == sig(batch), "streamed feed diverges from batch replay")
+  }
+
+  test("r15: plain streaming fails closed on delete commits, serves appends") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    // append-only history streams without readChangeFeed
+    val rootA = freshRoot("r15_stream_app")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rootA, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    Maintenance.commitSnapshot(rootA, 1, Seq.empty, Seq(s"$data/newfile"))
+    val q = spark.readStream.format("graft").load(rootA)
+      .select($"o_orderkey")
+      .writeStream.format("parquet")
+      .option("path", s"$rootA/out").option("checkpointLocation", s"$rootA/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val want = (0 to 3).map(g => s"$data/base/g=$g") :+ s"$data/newfile"
+    assert(spark.read.parquet(s"$rootA/out").count() ==
+      spark.read.parquet(want: _*).count())
+    // a dv: commit has no representation in a plain append stream
+    val rootB = freshRoot("r15_stream_dv")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rootB, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    Maintenance.commitSnapshot(rootB, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qb = spark.readStream.format("graft").load(rootB)
+        .select($"o_orderkey")
+        .writeStream.format("parquet")
+        .option("path", s"$rootB/out").option("checkpointLocation", s"$rootB/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qb.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("readChangeFeed")),
+      s"unexpected failure: ${causes(e).mkString(" | ")}")
+  }
+
   test("r15: overwrite fails closed against ANY concurrent commit") {
     val data = Maintenance.morData(spark, sf)
     val root = freshRoot("r15_strict_ow")
