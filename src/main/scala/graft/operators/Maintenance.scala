@@ -596,6 +596,52 @@ object Maintenance {
        |FROM orders WHERE o_orderkey % 20 = 3
        |ORDER BY version""".stripMargin
 
+  // -- io_sql_insert: the SQL write route through the catalog ----------------
+  // Completes the catalog front door (r14 verdict "Next round" #7): a
+  // SQL-only user INSERTs into the store with the analyzer's own
+  // syntax — `INSERT INTO graft.<store> SELECT …` appends one OCC
+  // snapshot commit, `INSERT OVERWRITE` truncates in one strict commit
+  // — through the same GraftTable V1Write path the DataFrame writer
+  // uses, so every write front door shares one commit protocol. The
+  // gate reads all three versions back with `VERSION AS OF` (pure SQL
+  // end to end) and value-oracles each (count, sum) pair; schema drift
+  // failing at ANALYSIS with nothing landed is pinned by Round15Spec.
+  private def qSqlInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_sql_insert_run")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(run)
+      .columns.toSeq
+    def stage(mod: Int, view: String): Unit =
+      Tables.orders(s, d).filter($"o_orderkey" % 20 === mod)
+        .select(cols.map(col): _*).createOrReplaceTempView(view)
+    stage(7, "sql_insert_batch7")
+    stage(3, "sql_insert_batch3")
+    s.sql(s"INSERT INTO graft.`$name` SELECT * FROM sql_insert_batch7")      // v2
+    s.sql(s"INSERT OVERWRITE graft.`$name` SELECT * FROM sql_insert_batch3") // v3
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq(1, 2, 3).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, COUNT(*) AS n_rows,
+                |  $sumSql AS sum_price
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+  private val qSqlInsertSql =
+    s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT 2, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM (SELECT o_totalprice FROM orders
+       |      UNION ALL
+       |      SELECT o_totalprice FROM orders WHERE o_orderkey % 20 = 7)
+       |UNION ALL
+       |SELECT 3, COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 20 = 3
+       |ORDER BY version""".stripMargin
+
   private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
@@ -1776,6 +1822,7 @@ object Maintenance {
     QueryDef("io_snapshot_read", qSnapshotRead, Some(qSnapshotReadSql)),
     QueryDef("io_occ_commit", qOccCommit, Some(qOccCommitSql)),
     QueryDef("io_dsv2_write", qDsv2Write, Some(qDsv2WriteSql)),
+    QueryDef("io_sql_insert", qSqlInsert, Some(qSqlInsertSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

@@ -177,6 +177,23 @@ private[graft] object FooterStats {
     (rows, acc.toMap.collect { case (c, Some(b)) => c -> b })
   }
 
+  /** Exact total row count over every `*.parquet` under `dirs`, from
+    * block metadata alone — footer IO, zero Spark jobs. */
+  def rowCount(dirs: Seq[String], conf: Configuration): Long = {
+    var rows = 0L
+    for (dir <- dirs) {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      for (st <- fs.listStatus(p)
+          if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try rows += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }
+    }
+    rows
+  }
+
   /** Render one typed footer bound as a `zone:` stat string; None =
     * unsupported / unsafe (caller fails open for the column). */
   private def render(prim: PrimitiveTypeName, logical: LogicalTypeAnnotation,

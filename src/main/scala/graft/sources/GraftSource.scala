@@ -313,6 +313,23 @@ private[sources] class GraftWriteBuilder(store: GraftStore.Resolved)
   }
 }
 
+/** [[ParquetScanBuilder]] with a first-class entry for pre-translated
+  * `sources.Filter`s (r14 verdict #8 — replaces a reflection hack).
+  * `pushDataFilters` / `pushedDataFilters` are `protected` members of
+  * `FileScanBuilder`, normally driven by its own `pushFilters` whose
+  * catalyst-`Expression` form this connector never receives; a
+  * subclass reaches them directly and breaks LOUDLY at compile time if
+  * a Spark upgrade moves them. */
+private[sources] class GraftParquetScanBuilder(
+    spark: SparkSession,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    schema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ParquetScanBuilder(spark, index, schema, dataSchema, options) {
+  def pushGraftDataFilters(filters: Array[Filter]): Unit =
+    pushedDataFilters = pushDataFilters(filters)
+}
+
 private[sources] class GraftScanBuilder(store: GraftStore.Resolved)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -450,22 +467,13 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     val index = new InMemoryFileIndex(spark, keptPaths.map(new Path(_)),
       Map.empty[String, String], Some(store.physicalSchema),
       FileStatusCache.getOrCreate(spark), None, None)
-    val b = ParquetScanBuilder(spark, index, store.physicalSchema,
+    val b = new GraftParquetScanBuilder(spark, index, store.physicalSchema,
       store.physicalSchema, CaseInsensitiveStringMap.empty())
     b.pruneColumns(physRequired)
     // position-filtered reads (DV / change feed) must see every row of
     // the file in order — row-group/page skipping would desynchronize
     // the position counter, so data filters stay out of the delegate.
-    // (pushDataFilters/pushedDataFilters are Scala-protected but public
-    // in bytecode — normally driven by FileScanBuilder.pushFilters,
-    // whose catalyst-Expression form this builder never receives.)
-    if (!needsPositions) {
-      val cls = classOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
-      val supported = cls.getMethod("pushDataFilters", classOf[Array[Filter]])
-        .invoke(b, pushed).asInstanceOf[Array[Filter]]
-      cls.getMethod("pushedDataFilters_$eq", classOf[Array[Filter]])
-        .invoke(b, supported)
-    }
+    if (!needsPositions) b.pushGraftDataFilters(pushed)
     b.build()
   }
 
@@ -494,6 +502,27 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
       .groupBy(_.getString(0))
       .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
 
+  /** True iff a removal commit PROVABLY preserves rows — the DV-fold
+    * compaction shape (r14 verdict #9): no new deletes, at least one
+    * dv sidecar folded, every folded position references a removed
+    * file, and footer row counts balance exactly
+    * (new = removed − folded positions). Such a pair is data-neutral
+    * and serves an EMPTY feed; anything unprovable stays fail-closed.
+    * Cost: footer metadata + the churn-bounded dv sidecars — never a
+    * data scan. Overlapping folded DVs double-count positions and
+    * fail the balance, which is the conservative direction. */
+  private def provablyNeutralCompaction(removedData: Seq[String],
+      newData: Seq[String], foldedDv: Seq[String], newDv: Seq[String]): Boolean = {
+    if (newDv.nonEmpty || foldedDv.isEmpty || removedData.isEmpty) return false
+    val dv = dvPositions(foldedDv)
+    val removedKeys = listFiles(removedData).map(f => fileKey(f.filePath.toString)).toSet
+    if (!dv.keySet.subsetOf(removedKeys)) return false
+    val deleted = dv.valuesIterator.map(_.length.toLong).sum
+    val conf = spark.sessionState.newHadoopConf()
+    FooterStats.rowCount(newData, conf) ==
+      FooterStats.rowCount(removedData, conf) - deleted
+  }
+
   private def listFiles(paths: Seq[String]): Seq[PartitionedFile] = {
     val index = new InMemoryFileIndex(spark, paths.map(new Path(_)),
       Map.empty[String, String], Some(store.physicalSchema),
@@ -515,9 +544,18 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
         val (fromDv, fromData) = fromLines.partition(_.startsWith("dv:"))
         val (toDv, toData) = toLines.partition(_.startsWith("dv:"))
         val removed = fromData.filterNot(toData.contains)
-        require(removed.isEmpty,
-          s"change feed $from..$to removed data groups (${removed.mkString(", ")}) — " +
-            "only append+DV (MERGE) commit deltas have a row-level feed")
+        if (removed.nonEmpty) {
+          // a PROVEN-neutral compaction pair has, by definition, no
+          // row-level changes: serve the empty feed instead of failing
+          val foldedDv = fromDv.filterNot(toDv.contains).map(_.stripPrefix("dv:"))
+          val newDvL = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
+          val newDataL = toData.filterNot(fromData.contains)
+          require(provablyNeutralCompaction(removed, newDataL, foldedDv, newDvL),
+            s"change feed $from..$to removed data groups (${removed.mkString(", ")}) " +
+              "and is not a provably row-neutral compaction — " +
+              "only append+DV (MERGE) commit deltas have a row-level feed")
+          return Array.empty
+        }
         val newDv = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
         val newData = toData.filterNot(fromData.contains)
         val dv = dvPositions(newDv)
@@ -596,21 +634,27 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
         val (pDv, pData) = prev.partition(_.startsWith("dv:"))
         val (cDv, cData) = curL.partition(_.startsWith("dv:"))
         val removed = pData.filterNot(cData.contains)
-        require(removed.isEmpty,
-          s"stream hit commit v$v which removed data groups " +
-            s"(${removed.mkString(", ")}) — compaction/overwrite commits " +
-            "have no row-level feed; restart from a later startingVersion")
         val newData = cData.filterNot(pData.contains)
         val newDv = cDv.filterNot(pDv.contains).map(_.stripPrefix("dv:"))
-        require(isCdf || newDv.isEmpty,
-          s"commit v$v carries row-level deletes (dv: sidecars) — " +
-            "stream with option(\"readChangeFeed\", \"true\") to receive them")
-        val dv = dvPositions(newDv)
-        parts ++= listFiles(cData)
-          .filter(f => dv.contains(fileKey(f.filePath.toString)))
-          .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
-        parts ++= listFiles(newData)
-          .map(f => (f, Array.empty[Long], false, "insert"))
+        if (removed.nonEmpty) {
+          // a proven-neutral compaction commit changes no rows: the
+          // stream SKIPS it and keeps flowing past the maintenance
+          val foldedDv = pDv.filterNot(cDv.contains).map(_.stripPrefix("dv:"))
+          require(provablyNeutralCompaction(removed, newData, foldedDv, newDv),
+            s"stream hit commit v$v which removed data groups " +
+              s"(${removed.mkString(", ")}) and is not a provably " +
+              "row-neutral compaction — restart from a later startingVersion")
+        } else {
+          require(isCdf || newDv.isEmpty,
+            s"commit v$v carries row-level deletes (dv: sidecars) — " +
+              "stream with option(\"readChangeFeed\", \"true\") to receive them")
+          val dv = dvPositions(newDv)
+          parts ++= listFiles(cData)
+            .filter(f => dv.contains(fileKey(f.filePath.toString)))
+            .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
+          parts ++= listFiles(newData)
+            .map(f => (f, Array.empty[Long], false, "insert"))
+        }
       }
       parts.result().zipWithIndex.map { case ((f, pos, keep, ct), i) =>
         GraftInputPartition(i, f, pos, keep, ct): InputPartition

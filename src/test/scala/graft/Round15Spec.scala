@@ -246,6 +246,53 @@ class Round15Spec extends AnyFunSuite {
     assert(sig(out) == sig(batch), "streamed feed diverges from batch replay")
   }
 
+  test("r15: proven-neutral compaction serves an empty feed; stream flows past") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_neutral")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    val v3 = Maintenance.commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .select($"_change_type", $"o_orderkey")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val n3 = spark.read.parquet(s"$root/out").count()
+    // the whole-pile fold: compact = base − dv − dv2, both sidecars
+    // retired — rows balance exactly, so the pair is PROVABLY neutral
+    val v4 = Maintenance.commitSnapshot(root, v3,
+      (0 to 3).map(g => s"$data/base/g=$g") ++
+        Seq(s"dv:$data/dv", s"dv:$data/dv2"),
+      (0 to 3).map(g => s"$data/compact/g=$g"))
+    val pair = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v3).option("endingVersion", v4).load(root)
+    assert(pair.count() == 0, "neutral compaction pair must serve an empty feed")
+    // the stream crosses the compaction without dying or fabricating rows
+    runStream()
+    assert(spark.read.parquet(s"$root/out").count() == n3,
+      "stream must skip the neutral compaction commit")
+    // ...and keeps serving real commits after it
+    spark.read.parquet(s"$data/newfile").limit(7)
+      .write.mode("overwrite").parquet(s"$root/extra")
+    Maintenance.commitSnapshot(root, v4, Seq.empty, Seq(s"$root/extra"))
+    runStream()
+    assert(spark.read.parquet(s"$root/out").count() == n3 + 7,
+      "post-compaction commits must keep feeding")
+    // a removal pair that LOSES rows it never named stays fail-closed
+    // (r14 partial-fold shape, asserted in Round14Spec)
+  }
+
   test("r15: plain streaming fails closed on delete commits, serves appends") {
     import spark.implicits._
     val data = Maintenance.morData(spark, sf)
@@ -285,6 +332,26 @@ class Round15Spec extends AnyFunSuite {
       if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
     assert(causes(e).exists(m => m != null && m.contains("readChangeFeed")),
       s"unexpected failure: ${causes(e).mkString(" | ")}")
+  }
+
+  test("r15: SQL insert schema drift fails at analysis, nothing lands") {
+    val run = Maintenance.occRun(spark, sf, name = "r15_sql_drift_run")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    val before = Maintenance.currentSnapshotVersion(run)
+    val files = new java.io.File(run).listFiles().map(_.getName).toSet
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"INSERT INTO graft.`$name` SELECT 1 AS bogus")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // right arity, wrong (non-castable) types
+      spark.sql(s"INSERT INTO graft.`$name` " +
+        "SELECT array(1), array(2), array(3), array(4), array(5), array(6)")
+    }
+    assert(Maintenance.currentSnapshotVersion(run) == before, "a version landed")
+    assert(new java.io.File(run).listFiles().map(_.getName).toSet == files,
+      "a rejected SQL insert left files in the store")
   }
 
   test("r15: overwrite fails closed against ANY concurrent commit") {
