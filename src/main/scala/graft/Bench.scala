@@ -68,6 +68,41 @@ object Bench {
       reps: Int = 1): Seq[QueryResult] =
     queries.toSeq.sortBy(_._1).map { case (name, fn) => runOne(spark, sfDir, name, fn, reps) }
 
+  /** [[runAll]] plus an INTERLEAVED canary (r14 verdict "Next round"
+    * #6): one probe run of a fixed cheap query before the first query,
+    * after every `canaryEvery` queries, and after the last — so a
+    * transient load spike DURING one segment of the run is visible as
+    * a localized bump in the samples instead of averaging into one
+    * global median (the r14 instrument's blind spot: its end-of-run
+    * canary read identical medians across two runs whose middles
+    * differed 3×). Returns the results in RUN ORDER plus
+    * (query-index, probe-seconds) samples; each query's `lnorm` in the
+    * artifact divides by the NEAREST sample. */
+  def runAllWithCanary(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      reps: Int = 1, canaryEvery: Int = 30,
+      probe: Option[(String, (SparkSession, String) => DataFrame)] = None)
+      : (Seq[QueryResult], Seq[(Int, Double)]) = {
+    val probePair = probe.orElse(
+      queries.get(InterleaveProbe).map(InterleaveProbe -> _))
+    val samples = Seq.newBuilder[(Int, Double)]
+    def sample(i: Int): Unit = probePair.foreach { case (_, fn) =>
+      samples += i -> runOne(spark, sfDir, "canary_probe", fn, reps = 1).seconds
+    }
+    val ordered = queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % math.max(1, canaryEvery) == 0) sample(i)
+      runOne(spark, sfDir, name, fn, reps)
+    }
+    sample(ordered.size)
+    (results, samples.result())
+  }
+
+  /** The interleaved probe: a single-scan filter+agg that has been
+    * plan-stable since r1 — cheap enough that ~11 extra runs cost
+    * ~1 s of a 180 s bench. Membership is part of the contract. */
+  val InterleaveProbe: String = "q6_filter_agg"
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -98,7 +133,8 @@ object Bench {
     else (mins(mins.size / 2 - 1) + mins(mins.size / 2)) / 2
   }
 
-  def toJson(results: Seq[QueryResult], sfDir: String): String = {
+  def toJson(results: Seq[QueryResult], sfDir: String,
+      samples: Seq[(Int, Double)] = Nil): String = {
     // "queries" stays a flat name→seconds map (the driver parses it);
     // "stats" adds the per-query min/median/n so the committed artifact
     // carries the noise-control signal instead of leaving it in scratch logs
@@ -106,16 +142,27 @@ object Bench {
     val cm = canaryMedian(results)
     def norm(r: QueryResult): Double =
       if (cm > 0) math.round(r.seconds / cm * 1e4) / 1e4 else -1.0
-    val stats = results.map(r =>
+    // lnorm: min over the NEAREST interleaved canary sample — the
+    // within-run-transient-aware twin of norm (r15)
+    def lnorm(i: Int, r: QueryResult): Double =
+      if (samples.isEmpty) -1.0
+      else {
+        val t = samples.minBy { case (si, _) => math.abs(si - i) }._2
+        if (t > 0) math.round(r.seconds / t * 1e4) / 1e4 else -1.0
+      }
+    val stats = results.zipWithIndex.map { case (r, i) =>
       s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},""" +
-        s""""cpu":${r.cpuSeconds},"n":${r.times.size},"norm":${norm(r)}}""")
-      .mkString("{", ",", "}")
+        s""""cpu":${r.cpuSeconds},"n":${r.times.size},"norm":${norm(r)},""" +
+        s""""lnorm":${lnorm(i, r)}}"""
+    }.mkString("{", ",", "}")
     val errs = results.collect { case QueryResult(n, _, Some(e), _) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
+    val sampleJson = samples.map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")
     val canary = s"""{"median_min":$cm,"n_present":${
       results.count(r => CanaryQueries.contains(r.name) && r.error.isEmpty)},""" +
-      s""""queries":[${CanaryQueries.map(jstr).mkString(",")}]}"""
+      s""""queries":[${CanaryQueries.map(jstr).mkString(",")}],""" +
+      s""""probe":${jstr(InterleaveProbe)},"samples":$sampleJson}"""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,""" +
       s""""canary":$canary,""" +
       s""""errors":$errs,"n_errors":${results.count(_.error.isDefined)},"sf":${jstr(sfDir)}}"""
@@ -161,11 +208,13 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = runAll(spark, sfDir, selected, reps)
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "30").toInt
+    val (results, samples) =
+      runAllWithCanary(spark, sfDir, selected, reps, canaryEvery)
     results.flatMap(r => r.error.map(e => r.name -> e)).foreach { case (n, e) =>
       System.err.println(s"[graft.bench] FAILED $n: $e")
     }
-    val json = toJson(results, sfDir)
+    val json = toJson(results, sfDir, samples)
     println(json)
     // the driver keeps only a truncated tail of stdout, which cut half
     // the per-query stats out of the r7/r8 artifacts — also persist the

@@ -21,19 +21,23 @@ object AesGcm {
   private val TagBits = 128
   private val rng = new SecureRandom()
 
-  def encrypt(key: Array[Byte], plaintext: Array[Byte]): Array[Byte] = {
+  def encrypt(key: Array[Byte], plaintext: Array[Byte],
+      aad: Array[Byte] = Array.empty): Array[Byte] = {
     val iv = new Array[Byte](IvLen)
     rng.nextBytes(iv)
     val c = Cipher.getInstance("AES/GCM/NoPadding")
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new GCMParameterSpec(TagBits, iv))
+    if (aad.nonEmpty) c.updateAAD(aad)
     val ct = c.doFinal(plaintext)
     iv ++ ct
   }
 
-  def decrypt(key: Array[Byte], blob: Array[Byte]): Array[Byte] = {
+  def decrypt(key: Array[Byte], blob: Array[Byte],
+      aad: Array[Byte] = Array.empty): Array[Byte] = {
     val iv = blob.take(IvLen)
     val c = Cipher.getInstance("AES/GCM/NoPadding")
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"), new GCMParameterSpec(TagBits, iv))
+    if (aad.nonEmpty) c.updateAAD(aad)
     c.doFinal(blob.drop(IvLen))
   }
 }

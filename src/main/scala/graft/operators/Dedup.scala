@@ -1714,10 +1714,33 @@ object Dedup {
     val wide = base.crossJoin(broadcast(dup)).crossJoin(broadcast(dupDocs))
     val metrics = Seq("n_docs", "n_sources", "n_langs", "total_chars",
       "total_tokens", "near_dup_pairs", "docs_in_dup_clusters")
+    // store-level governance rows (r14 verdict "Next round" #10): now
+    // that writes flow through the engine, a release card reports the
+    // STORE's state too — versions, last commit, DV debt (live deleted
+    // positions awaiting compaction), and zone-stat coverage. All
+    // manifest/footer arithmetic on the deterministically staged
+    // governed store; zero data scans.
+    val root = graft.operators.Maintenance.governedStoreRoot(s, d)
+    val cur = graft.operators.Maintenance.currentSnapshotVersion(root)
+    val (dvLines, dataLines) = graft.operators.Maintenance
+      .manifestPaths(root, cur).partition(_.startsWith("dv:"))
+    val dvDebt = graft.sources.FooterStats.rowCount(
+      dvLines.map(_.stripPrefix("dv:")), s.sessionState.newHadoopConf())
+    val zonedGroups = graft.operators.Maintenance
+      .manifestZones(root, cur).map(_._1).distinct.size
+    val lastCommit = graft.operators.Maintenance.CardCommitEpochs.map(_._2).max
+    val storeRows = Seq(
+      "store_versions" -> cur.toDouble,
+      "store_data_groups" -> dataLines.size.toDouble,
+      "store_dv_debt" -> dvDebt.toDouble,
+      "store_zoned_groups" -> zonedGroups.toDouble,
+      "store_last_commit_epoch" -> lastCommit.toDouble)
+      .toDF("metric", "value")
     wide.select(explode(array(metrics.map(m =>
         struct(lit(m).as("metric"), col(m).cast("double").as("value"))): _*))
       .as("kv"))
       .select($"kv.metric", $"kv.value")
+      .unionByName(storeRows)
       .orderBy($"metric")
   }
   private val datasetCardSql =
@@ -1744,7 +1767,18 @@ object Dedup {
        |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM base
        |  UNION ALL SELECT 'near_dup_pairs', CAST(near_dup_pairs AS DOUBLE) FROM dup
        |  UNION ALL SELECT 'docs_in_dup_clusters',
-       |    CAST(docs_in_dup_clusters AS DOUBLE) FROM dd)
+       |    CAST(docs_in_dup_clusters AS DOUBLE) FROM dd
+       |  -- the governed store's deterministic lifecycle: v1 base,
+       |  -- v2/v3 MERGEs (dv piles from the MoR predicates), v4 DSv2
+       |  -- append (the one zone-mapped group); epochs pinned
+       |  UNION ALL SELECT 'store_versions', 4.0
+       |  UNION ALL SELECT 'store_data_groups', 7.0
+       |  UNION ALL SELECT 'store_dv_debt', (
+       |    SELECT CAST(COUNT(*) AS DOUBLE) FROM orders
+       |    WHERE o_orderkey % 10 = 0 OR o_orderkey % 25 = 7
+       |       OR o_orderkey % 10 = 5 OR o_orderkey % 25 = 11)
+       |  UNION ALL SELECT 'store_zoned_groups', 1.0
+       |  UNION ALL SELECT 'store_last_commit_epoch', 1767272400.0)
        |ORDER BY metric""".stripMargin
 
   // -- q_kcore: onion-layer decomposition of the near-dup graph ------------

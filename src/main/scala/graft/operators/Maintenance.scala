@@ -294,9 +294,123 @@ object Maintenance {
 
   /** Every line of a manifest, including `zone:` stat lines. */
   private[graft] def manifestRawLines(root: String, version: Int): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, s"manifest_v$version.txt")), "UTF-8")
+    readStoreText(root, s"manifest_v$version.txt")
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  // -- encrypted store metadata (r15) ----------------------------------------
+  // The reference's core idea — an AES-GCM-protected footer — applied
+  // to the SNAPSHOT store's control plane: manifests (which since r15
+  // carry the zone stats), the commit log, and mapping files can be
+  // encrypted under a per-store DEK that is persisted only KMS-WRAPPED
+  // (`store_key.txt`: masterKeyId + wrapped DEK — the
+  // /root/reference/src/kms.cpp:8-31 envelope, done with real AES-GCM).
+  // Every ciphertext is AAD-BOUND to its file name, so substituting one
+  // version's manifest for another fails authentication exactly like
+  // flipping a byte does (the crypto_footer_tamper fail-closed
+  // discipline). KEK rotation rewraps the DEK under a new master key —
+  // an O(1) metadata operation; ciphertexts never rewrite. All of this
+  // is driver-side O(manifest) work; data files are untouched (column
+  // encryption is the separate graft.crypto surface).
+  private val StoreEncMagic = "GRAFTENC1\n".getBytes("UTF-8")
+  private val StoreKeyFile = "store_key.txt"
+
+  /** The store's unwrapped DEK, when metadata encryption is enabled. */
+  private[graft] def storeDek(root: String): Option[Array[Byte]] = {
+    val p = java.nio.file.Paths.get(root, StoreKeyFile)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      Some(graft.crypto.Kms.unwrapFromBase64(kv("wrappedDek"), kv("masterKeyId")))
+    }
+  }
+
+  /** Read a store metadata file, transparently decrypting when it
+    * carries the encryption magic. Fail-closed by construction: a
+    * tampered, substituted, or wrong-key ciphertext throws, it never
+    * degrades to serving bytes. */
+  private[graft] def readStoreText(root: String, name: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, name))
+    if (bytes.length < StoreEncMagic.length ||
+        !bytes.take(StoreEncMagic.length).sameElements(StoreEncMagic))
+      return new String(bytes, "UTF-8")
+    val dek = storeDek(root).getOrElse(throw new SecurityException(
+      s"$name is encrypted but $root has no $StoreKeyFile"))
+    val blob = java.util.Base64.getDecoder.decode(
+      new String(bytes.drop(StoreEncMagic.length), "UTF-8").trim)
+    try new String(graft.crypto.AesGcm.decrypt(dek, blob,
+      name.getBytes("UTF-8")), "UTF-8")
+    catch { case _: javax.crypto.AEADBadTagException =>
+      throw new SecurityException(
+        s"$name failed AES-GCM authentication — tampered, substituted, " +
+          "or wrong key; failing closed")
+    }
+  }
+
+  /** Encrypted (when the store has a DEK) bytes for metadata file
+    * `name`, AAD-bound to the name. */
+  private[graft] def encodeStoreText(root: String, name: String,
+      text: String): Array[Byte] = storeDek(root) match {
+    case None => text.getBytes("UTF-8")
+    case Some(dek) =>
+      StoreEncMagic ++ java.util.Base64.getEncoder.encode(
+        graft.crypto.AesGcm.encrypt(dek, text.getBytes("UTF-8"),
+          name.getBytes("UTF-8")))
+  }
+
+  /** Atomic write of a (possibly encrypted) metadata file. */
+  private[graft] def writeStoreText(root: String, name: String,
+      text: String): Unit = {
+    val target = java.nio.file.Paths.get(root, name)
+    val tmpF = java.nio.file.Files.createTempFile(target.getParent, s".$name", ".tmp")
+    java.nio.file.Files.write(tmpF, encodeStoreText(root, name, text))
+    java.nio.file.Files.move(tmpF, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Enable metadata encryption: mint a DEK wrapped under
+    * `masterKeyId`, then encrypt every existing metadata file in place
+    * (idempotent — already-encrypted files are left alone). */
+  def enableStoreEncryption(root: String, masterKeyId: String): Unit = {
+    if (!new java.io.File(root, StoreKeyFile).exists()) {
+      val dk = graft.crypto.Kms.generateDataKey(masterKeyId, numBytes = 32)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, StoreKeyFile),
+        s"masterKeyId=$masterKeyId\nwrappedDek=${graft.crypto.Kms.wrapToBase64(dk)}"
+          .getBytes("UTF-8"))
+    }
+    val names = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.endsWith(".txt") && n != StoreKeyFile &&
+        (n.startsWith("manifest_v") || n.startsWith("mapping_v") ||
+          n.startsWith("zones") || n == "commits_ts.txt"))
+    for (n <- names) {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(root, n))
+      if (bytes.length < StoreEncMagic.length ||
+          !bytes.take(StoreEncMagic.length).sameElements(StoreEncMagic))
+        writeStoreText(root, n, new String(bytes, "UTF-8"))
+    }
+  }
+
+  /** KEK rotation: rewrap the DEK under a new master key. O(1) — no
+    * ciphertext rewrites; readers keep working mid-rotation because
+    * the DEK itself never changes. */
+  def rotateStoreKek(root: String, newMasterKeyId: String): Unit = {
+    val dek = storeDek(root).getOrElse(
+      throw new IllegalStateException(s"$root has no $StoreKeyFile to rotate"))
+    val wrapped = graft.crypto.AesGcm.encrypt(
+      graft.crypto.Kms.masterKey(newMasterKeyId), dek)
+    val target = java.nio.file.Paths.get(root, StoreKeyFile)
+    val tmpF = java.nio.file.Files.createTempFile(target.getParent, ".store_key", ".tmp")
+    java.nio.file.Files.write(tmpF,
+      s"masterKeyId=$newMasterKeyId\nwrappedDek=${
+        java.util.Base64.getEncoder.encodeToString(wrapped)}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpF, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Zone stats committed in a manifest: `zone:<path>|<col>|<lo>|<hi>|<n>`
     * lines → (group path, column, lo, hi, rows). Unparseable lines are
@@ -434,8 +548,10 @@ object Maintenance {
       // must never be parsed as a committed version
       val tmpPath = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get(root), s".tmp_manifest_v$next", ".tmp")
+      // encrypted stores claim AAD-bound ciphertext manifests through
+      // the identical atomic-link protocol
       java.nio.file.Files.write(tmpPath,
-        String.join("\n", newManifest: _*).getBytes("UTF-8"))
+        encodeStoreText(root, s"manifest_v$next.txt", newManifest.mkString("\n")))
       try {
         // atomic claim: link(2) fails with EEXIST if someone else won
         java.nio.file.Files.createLink(
@@ -642,6 +758,130 @@ object Maintenance {
        |FROM orders WHERE o_orderkey % 20 = 3
        |ORDER BY version""".stripMargin
 
+  // -- io_encrypted_manifest: envelope-encrypted store control plane ---------
+  // r14 verdict "Next round" #5: the reference's protected-footer idea
+  // applied to the SNAPSHOT store. The store's manifests (with their
+  // zone lines), commit log, and mappings are AES-GCM ciphertexts
+  // under a per-store DEK persisted only KMS-wrapped; every file is
+  // AAD-bound to its own name. The gate drives the full lifecycle
+  // through the DSv2 front door: an encrypted-from-birth store takes a
+  // DSv2 append (the commit claims an ENCRYPTED manifest through the
+  // same atomic link), the KEK rotates (DEK rewrapped, O(1), no
+  // ciphertext rewrites), and both versions read back value-exact
+  // AFTER rotation. Stage 3 proves fail-closure twice on a scratch
+  // clone: a flipped ciphertext byte AND a same-key file substitution
+  // (v1's ciphertext copied over v2 — caught by the AAD name binding)
+  // must both throw; if either read succeeds the emitted boolean flips
+  // and the value oracle fails the round.
+  private def qEncryptedManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = occDataRoot(s, d)
+    val run = tmp("io_enc_manifest", d)
+    graft.Staging.rmTree(new java.io.File(run))
+    new java.io.File(run).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(run, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    enableStoreEncryption(run, "store-mk-1")
+    // DSv2 append commits v2 as an AAD-bound ciphertext manifest
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(run).columns.toSeq
+    Tables.orders(s, d).filter($"o_orderkey" % 20 === 7)
+      .select(cols.map(col): _*)
+      .write.format("graft").mode("append").save(run)
+    val encAtRest = Seq(1, 2).forall { v =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(run, s"manifest_v$v.txt"))
+        .startsWith("GRAFTENC1".getBytes("UTF-8"))
+    }
+    rotateStoreKek(run, "store-mk-2")
+    def leg(stage: String, v: Int) =
+      s.read.format("graft").option("versionAsOf", v).load(run)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(stage).as("stage"), $"n_rows", $"sum_price",
+          lit(encAtRest).as("encrypted_at_rest"), lit(true).as("fail_closed"))
+    // scratch clone for the two attacks (the live store must stay intact)
+    val bad = tmp("io_enc_manifest_bad", d)
+    graft.Staging.rmTree(new java.io.File(bad))
+    new java.io.File(bad).mkdirs()
+    for (f <- new java.io.File(run).listFiles() if f.isFile)
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(bad, f.getName))
+    def readFails(): Boolean =
+      try { s.read.format("graft").option("versionAsOf", 2).load(bad).count(); false }
+      catch { case _: Exception => true }
+    // attack 1: flip one ciphertext byte inside the base64 payload
+    val m2 = java.nio.file.Paths.get(bad, "manifest_v2.txt")
+    val orig = java.nio.file.Files.readAllBytes(m2)
+    val magicLen = "GRAFTENC1\n".length
+    val blob = java.util.Base64.getDecoder.decode(
+      new String(orig.drop(magicLen), "UTF-8").trim)
+    blob(blob.length / 2) = (blob(blob.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(m2, "GRAFTENC1\n".getBytes("UTF-8") ++
+      java.util.Base64.getEncoder.encode(blob))
+    val tamperFailed = readFails()
+    // attack 2: substitute v1's (validly encrypted) manifest for v2 —
+    // the AAD name binding must reject it
+    java.nio.file.Files.copy(java.nio.file.Paths.get(bad, "manifest_v1.txt"),
+      m2, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val substitutionFailed = readFails()
+    leg("1_v1", 1)
+      .unionByName(leg("2_v2_after_rotation", 2))
+      .unionByName(Seq(("3_attacks", 0L, 0.0, encAtRest,
+        tamperFailed && substitutionFailed))
+        .toDF("stage", "n_rows", "sum_price", "encrypted_at_rest", "fail_closed"))
+      .orderBy($"stage")
+  }
+  private val qEncryptedManifestSql =
+    s"""SELECT '1_v1' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  true AS encrypted_at_rest, true AS fail_closed
+       |FROM orders
+       |UNION ALL
+       |SELECT '2_v2_after_rotation', COUNT(*), ${sqlSum("o_totalprice")},
+       |  true, true
+       |FROM (SELECT o_totalprice FROM orders
+       |      UNION ALL
+       |      SELECT o_totalprice FROM orders WHERE o_orderkey % 20 = 7)
+       |UNION ALL
+       |SELECT '3_attacks', 0, 0.0, true, true
+       |ORDER BY stage""".stripMargin
+
+  // -- the governed store q_dataset_card reports on (r15) --------------------
+  /** A deterministic store with the full engine lifecycle on it — base
+    * snapshot, a two-MERGE deletion-vector pile, one DSv2 append (which
+    * commits zone stats), and a fixed commit log — staged once per
+    * dataset so the card's governance rows are replayable constants.
+    * Epochs are deterministic for the same reason io_time_travel_ts's
+    * are: the oracle must replay the resolution. */
+  private[graft] val CardCommitEpochs =
+    Seq(1 -> 1767261600L, 2 -> 1767265200L, 3 -> 1767268800L, 4 -> 1767272400L)
+
+  private[graft] def governedStoreRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val data = morData(s, d)
+    val (dirKey, fp) = Tables.stagingKey(d, "orders")
+    val root = s"/tmp/graft_q/cardstore_$dirKey"
+    val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+    val fmt = s"v1-card-store|$fp"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt)
+      return root
+    graft.Staging.rmTree(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile", s"dv:$data/dv"))
+    commitSnapshot(root, v2, Seq.empty, Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(root).columns.toSeq
+    Tables.orders(s, d).filter($"o_orderkey" % 100 === 1)
+      .select(cols.map(col): _*)
+      .write.format("graft").mode("append").save(root) // v4, with zone: lines
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      CardCommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+    graft.Staging.recordSource(root, d, "orders", fp)
+    root
+  }
+
   private def qSnapshotRead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
@@ -678,8 +918,7 @@ object Maintenance {
   /** Latest version with commit instant <= asof; throws (fail-closed)
     * when the probe predates the first commit. */
   def resolveAsOf(root: String, asofEpoch: Long): Int = {
-    val log = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, "commits_ts.txt")), "UTF-8")
+    val log = readStoreText(root, "commits_ts.txt")
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
       .map { l => val Array(v, t) = l.split("=", 2); (v.toInt, t.toLong) }
     val ok = log.filter(_._2 <= asofEpoch)
@@ -1823,6 +2062,8 @@ object Maintenance {
     QueryDef("io_occ_commit", qOccCommit, Some(qOccCommitSql)),
     QueryDef("io_dsv2_write", qDsv2Write, Some(qDsv2WriteSql)),
     QueryDef("io_sql_insert", qSqlInsert, Some(qSqlInsertSql)),
+    QueryDef("io_encrypted_manifest", qEncryptedManifest,
+      Some(qEncryptedManifestSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

@@ -133,7 +133,9 @@ private[sources] object GraftStore {
   private def readLines(root: String, name: String): Option[Seq[String]] = {
     val p = java.nio.file.Paths.get(root, name)
     if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // routed through the store-metadata reader: encrypted stores
+    // (r15) decrypt transparently, tampering fails closed
+    else Some(Maintenance.readStoreText(root, name)
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
   }
 

@@ -334,6 +334,49 @@ class Round15Spec extends AnyFunSuite {
       s"unexpected failure: ${causes(e).mkString(" | ")}")
   }
 
+  // ---- interleaved bench canary (r14 verdict #6) ---------------------------
+
+  test("r15: interleaved canary localizes a mid-run load transient") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    // a CPU-bound probe: shared-box load inflates it measurably
+    val probe: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(4000000L).agg(sum("id"))
+    val hogs = new java.util.concurrent.atomic.AtomicReference[Seq[Thread]](Nil)
+    def setLoad(on: Boolean): Unit =
+      if (on) {
+        val ts = (1 to 3 * Runtime.getRuntime.availableProcessors).map { _ =>
+          val t = new Thread(() => {
+            var x = 0L
+            while (!Thread.interrupted()) { x += 1; if (x == Long.MaxValue) x = 0 }
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        hogs.set(ts)
+      } else { hogs.get.foreach(_.interrupt()); hogs.set(Nil) }
+    def q(load: Option[Boolean]): (SparkSession, String) => DataFrame =
+      (s, _) => { load.foreach(setLoad); s.range(10).toDF() }
+    // queries run in NAME order; the hog spins during q3/q4 only
+    val queries = Map[String, (SparkSession, String) => DataFrame](
+      "q1" -> q(None), "q2" -> q(None), "q3" -> q(Some(true)),
+      "q4" -> q(None), "q5" -> q(Some(false)), "q6" -> q(None))
+    try {
+      val (results, samples) = Bench.runAllWithCanary(spark, sf, queries,
+        reps = 1, canaryEvery = 1, probe = Some(("probe", probe)))
+      assert(results.size == 6 && samples.size == 7,
+        s"one sample before each query + one final (got ${samples.size})")
+      // samples at indices 4 and 5 ran under load (after q3/q4 set it)
+      val loaded = samples.filter(s => s._1 == 4 || s._1 == 5).map(_._2)
+      val calm = samples.filter(s => s._1 <= 2 || s._1 == 6).map(_._2)
+      info(s"canary samples: ${samples.mkString(", ")}")
+      assert(loaded.max > calm.min * 1.2,
+        s"deliberate load must surface in the local samples " +
+          s"(loaded=${loaded.mkString(",")} calm=${calm.mkString(",")})")
+      // the artifact carries the samples and per-query lnorm
+      val json = Bench.toJson(results, sf, samples)
+      assert(json.contains("\"samples\":[[0,") && json.contains("\"lnorm\":"))
+    } finally setLoad(false)
+  }
+
   test("r15: SQL insert schema drift fails at analysis, nothing lands") {
     val run = Maintenance.occRun(spark, sf, name = "r15_sql_drift_run")
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
