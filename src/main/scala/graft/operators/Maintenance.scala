@@ -845,6 +845,43 @@ object Maintenance {
        |SELECT '3_attacks', 0, 0.0, true, true
        |ORDER BY stage""".stripMargin
 
+  // -- io_sql_delete: SQL row-level DELETE as a MoR commit -------------------
+  // `DELETE FROM graft.<store> WHERE <pred>` — the io_merge_dv shape
+  // reached from pure SQL: no data file is rewritten, the matching
+  // positions land as ONE deletion-vector sidecar committed as a `dv:`
+  // manifest line through the OCC path. The candidate scan is
+  // zone-pruned exactly like a read of the same predicate; an
+  // anti-join against existing DVs makes the operation IDEMPOTENT —
+  // the gate replays the identical DELETE and pins that no new
+  // version lands (n_versions stays 2 on every row). Untranslatable
+  // predicates fail at analysis (Round15Spec). Reads after the delete
+  // go through the same MoR machinery every DV consumer uses.
+  private def qSqlDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_sql_delete_run")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    s.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '1-URGENT'") // -> v2
+    // the replayed DELETE finds every position already deleted: no-op
+    s.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '1-URGENT'")
+    val nv = currentSnapshotVersion(run).toLong
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq("1_before" -> 1, "2_after_delete" -> 2).map { case (stage, v) =>
+      s.sql(s"""SELECT '$stage' AS stage, COUNT(*) AS n_rows,
+                |  $sumSql AS sum_price, CAST($nv AS BIGINT) AS n_versions
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qSqlDeleteSql =
+    s"""SELECT '1_before' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price, CAST(2 AS BIGINT) AS n_versions
+       |FROM orders
+       |UNION ALL
+       |SELECT '2_after_delete', COUNT(*), ${sqlSum("o_totalprice")}, 2
+       |FROM orders WHERE o_orderpriority <> '1-URGENT'
+       |ORDER BY stage""".stripMargin
+
   // -- the governed store q_dataset_card reports on (r15) --------------------
   /** A deterministic store with the full engine lifecycle on it — base
     * snapshot, a two-MERGE deletion-vector pile, one DSv2 append (which
@@ -2064,6 +2101,7 @@ object Maintenance {
     QueryDef("io_sql_insert", qSqlInsert, Some(qSqlInsertSql)),
     QueryDef("io_encrypted_manifest", qEncryptedManifest,
       Some(qEncryptedManifestSql)),
+    QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

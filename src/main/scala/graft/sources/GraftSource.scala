@@ -188,6 +188,137 @@ private[sources] object GraftStore {
       physicalSchema)
   }
 
+  /** Rewrite a filter's column names logical -> physical; None when
+    * the filter shape is unknown or touches `_change_type` (those stay
+    * residual-only — Spark re-evaluates them above the scan). Shared
+    * by the scan's pushdown and the SQL DELETE route. */
+  def translate(store: Resolved, f: Filter): Option[Filter] = f match {
+    case sources.AlwaysTrue() => Some(sources.AlwaysTrue())
+    case sources.AlwaysFalse() => Some(sources.AlwaysFalse())
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(store.phys(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(store.phys(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(store.phys(a), v))
+    case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(store.phys(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(store.phys(a), v))
+    case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(store.phys(a), v))
+    case sources.In(a, vs) => Some(sources.In(store.phys(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(store.phys(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(store.phys(a)))
+    case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(store.phys(a), v))
+    case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(store.phys(a), v))
+    case sources.StringContains(a, v) => Some(sources.StringContains(store.phys(a), v))
+    case sources.And(l, r) =>
+      for (a <- translate(store, l); b <- translate(store, r)) yield sources.And(a, b)
+    case sources.Or(l, r) =>
+      for (a <- translate(store, l); b <- translate(store, r)) yield sources.Or(a, b)
+    case sources.Not(c) => translate(store, c).map(sources.Not)
+    case _ => None
+  }
+
+  /** A translated (physical-name) filter as a Column over the raw
+    * files — the DELETE route's row predicate. Callers guarantee
+    * translatability via [[translate]]. */
+  def toColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.AlwaysTrue() => lit(true)
+      case sources.AlwaysFalse() => lit(false)
+      case sources.EqualTo(a, v) => col(a) === lit(v)
+      case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case sources.GreaterThan(a, v) => col(a) > lit(v)
+      case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case sources.LessThan(a, v) => col(a) < lit(v)
+      case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case sources.IsNull(a) => col(a).isNull
+      case sources.IsNotNull(a) => col(a).isNotNull
+      case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+      case sources.StringEndsWith(a, v) => col(a).endsWith(v)
+      case sources.StringContains(a, v) => col(a).contains(v)
+      case sources.And(l, r) => toColumn(l) && toColumn(r)
+      case sources.Or(l, r) => toColumn(l) || toColumn(r)
+      case sources.Not(c) => not(toColumn(c))
+      case other => throw new IllegalArgumentException(s"untranslatable filter $other")
+    }
+  }
+
+  /** Conjunctive [lo, hi] bounds filters put on `col`, parsed into
+    * [[ZoneOrder]]'s interval domain (a string compare on numeric
+    * stats would prune wrongly — "9" > "10" — and date-truncated
+    * temporal stats need whole-day intervals). Unrenderable values
+    * contribute no bound (fail open). */
+  private def zoneBounds(pushed: Array[Filter], col: String, dt: DataType)
+      : (Option[ZoneOrder.Parsed], Option[ZoneOrder.Parsed]) = {
+    var lo: Option[ZoneOrder.Parsed] = None
+    var hi: Option[ZoneOrder.Parsed] = None
+    def bound(v: Any): Option[ZoneOrder.Parsed] =
+      ZoneOrder.renderValue(dt, v).flatMap(ZoneOrder.parse(dt, _))
+    def tightenLo(p: ZoneOrder.Parsed): Unit =
+      lo = Some(lo.fold(p)(ZoneOrder.maxByMin(_, p)))
+    def tightenHi(p: ZoneOrder.Parsed): Unit =
+      hi = Some(hi.fold(p)(ZoneOrder.minByMax(_, p)))
+    def walk(f: Filter): Unit = f match {
+      case sources.EqualTo(a, v) if a == col =>
+        bound(v).foreach { p => tightenLo(p); tightenHi(p) }
+      case sources.GreaterThan(a, v) if a == col => bound(v).foreach(tightenLo)
+      case sources.GreaterThanOrEqual(a, v) if a == col => bound(v).foreach(tightenLo)
+      case sources.LessThan(a, v) if a == col => bound(v).foreach(tightenHi)
+      case sources.LessThanOrEqual(a, v) if a == col => bound(v).foreach(tightenHi)
+      case sources.And(l, r) => walk(l); walk(r)
+      case _ => () // Or/Not/other: no safe conjunctive bound
+    }
+    pushed.foreach(walk)
+    (lo, hi)
+  }
+
+  /** Stats for (group, physical column): manifest `zone:` lines first
+    * (per-version, OCC-committed), then the legacy single-column side
+    * file. None = unmapped → fail open. */
+  private def statsFor(store: Resolved, p: String, c: String)
+      : Option[(String, String)] =
+    store.groupZones.get(p).flatMap(_.get(c))
+      .orElse(if (store.zoneCol.contains(c)) store.zones.get(p) else None)
+
+  /** (kept paths, skipped count): groups whose stats provably miss the
+    * pushed (physical-name) bounds on ANY zone-mapped column drop
+    * before file listing; unmapped (group, column)s are kept —
+    * missing or incomparable stats must fail open. Shared by the scan
+    * and the SQL DELETE route (which prunes its candidate set the
+    * same way a read would). */
+  def zonePrune(store: Resolved, pushed: Array[Filter]): (Seq[String], Int) = {
+    val zonedCols: Set[String] =
+      store.groupZones.values.flatMap(_.keys).toSet ++ store.zoneCol
+    if (pushed.isEmpty || zonedCols.isEmpty) (store.dataPaths, 0)
+    else {
+      val types = store.physicalSchema.fields.map(f => f.name -> f.dataType).toMap
+      val bounds = zonedCols.toSeq.sorted.flatMap { c =>
+        types.get(c).flatMap { dt =>
+          val (lo, hi) = zoneBounds(pushed, c, dt)
+          if (lo.isEmpty && hi.isEmpty) None else Some((c, dt, lo, hi))
+        }
+      }
+      if (bounds.isEmpty) (store.dataPaths, 0)
+      else {
+        val kept = store.dataPaths.filter { p =>
+          bounds.forall { case (c, dt, lo, hi) =>
+            statsFor(store, p, c) match {
+              case Some((zloS, zhiS)) =>
+                val zlo = ZoneOrder.parse(dt, zloS)
+                val zhi = ZoneOrder.parse(dt, zhiS)
+                // keep unless PROVABLY disjoint: lo > zone hi or zone lo > hi
+                val disjoint =
+                  lo.exists(l => zhi.exists(ZoneOrder.provablyAbove(l, _))) ||
+                  hi.exists(h => zlo.exists(ZoneOrder.provablyAbove(_, h)))
+                !disjoint
+              case None => true
+            }
+          }
+        }
+        (kept, store.dataPaths.size - kept.size)
+      }
+    }
+  }
+
   /** mapping_v<M>.txt lines for the largest M <= version, if any. */
   private def mappingAt(root: String, version: Int): Option[Seq[String]] =
     readLines(root, s"mapping_v$version.txt").orElse {
@@ -200,6 +331,54 @@ private[sources] object GraftStore {
         .maxOption
         .flatMap(m => readLines(root, s"mapping_v$m.txt"))
     }
+
+  /** `DELETE FROM graft.<store> WHERE <pred>` — a MERGE-ON-READ
+    * delete: no data file is rewritten; the matching rows' positions
+    * land as ONE deletion-vector sidecar committed as a `dv:` manifest
+    * line through the OCC path (the io_merge_dv shape, reached from
+    * SQL). Cost structure at 100 TB: the candidate set is ZONE-PRUNED
+    * exactly like a read of the same predicate, then one
+    * metadata-projected scan of the candidate groups emits (file_key,
+    * row_index) pairs; already-deleted positions are excluded with a
+    * churn-bounded anti-join, so re-running the same DELETE commits
+    * nothing. A predicate matching zero rows is a no-op (no version). */
+  def deleteWhere(store: Resolved, physFilters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+    val spark = SparkSession.active
+    val cur = Maintenance.currentSnapshotVersion(store.root)
+    require(store.version == cur,
+      s"cannot delete against a time-travel snapshot (resolved v${store.version}, current v$cur)")
+    require(store.changeFeed.isEmpty, "cannot delete through a change-feed read")
+    val (candidates, _) = zonePrune(store, physFilters)
+    if (candidates.isEmpty) return
+    val cond = physFilters.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+    val hit = spark.read.parquet(candidates: _*)
+      .withColumn("file_key",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .filter(cond)
+      .select(col("file_key"), col("row_index"))
+    val fresh =
+      if (store.dvPaths.isEmpty) hit
+      else hit.join(
+        broadcast(spark.read.parquet(store.dvPaths: _*)
+          .select(col("file_key"), col("row_index"))),
+        Seq("file_key", "row_index"), "left_anti")
+    val dvDir = s"${store.root}/dv_${java.util.UUID.randomUUID().toString.take(12)}"
+    fresh.write.mode("overwrite").parquet(dvDir)
+    // position count from the footers just written — no second job
+    if (FooterStats.rowCount(Seq(dvDir),
+        spark.sessionState.newHadoopConf()) == 0L) {
+      graft.Staging.rmTree(new java.io.File(dvDir)) // no-op delete
+      return
+    }
+    try { Maintenance.commitSnapshot(store.root, cur, Seq.empty,
+      Seq(s"dv:$dvDir")); () }
+    catch { case t: Throwable =>
+      graft.Staging.rmTree(new java.io.File(dvDir))
+      throw t
+    }
+  }
 
   /** Stage the batch as one new file group, then OCC-commit it. */
   def write(store: Resolved, data: org.apache.spark.sql.DataFrame,
@@ -249,7 +428,8 @@ private[sources] object GraftStore {
 }
 
 private[sources] class GraftTable(val store: GraftStore.Resolved)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   // no dots/backticks: analyzer errors render this inside attribute
   // names, and punctuation turns a clear TOO_MANY_DATA_COLUMNS into an
   // INVALID_ATTRIBUTE_NAME_SYNTAX about the table name itself
@@ -266,6 +446,14 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store)
+  // SQL row-level delete: only predicates the source can translate are
+  // accepted — anything else fails at ANALYSIS rather than silently
+  // deleting the wrong rows (fail closed)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftStore.translate(store, f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftStore.deleteWhere(store,
+      filters.flatMap(GraftStore.translate(store, _)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(store)
 }
@@ -339,32 +527,10 @@ private[sources] class GraftScanBuilder(store: GraftStore.Resolved)
   private var required: StructType = store.logicalSchema
   private var pushedPhys: Array[Filter] = Array.empty
 
-  /** Rewrite a pushed filter's column names logical -> physical; None
-    * when the filter shape is unknown or touches `_change_type` (those
-    * stay residual-only — Spark re-evaluates them above the scan). */
-  private def translate(f: Filter): Option[Filter] = f match {
-    case sources.EqualTo(a, v) => Some(sources.EqualTo(store.phys(a), v))
-    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(store.phys(a), v))
-    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(store.phys(a), v))
-    case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(store.phys(a), v))
-    case sources.LessThan(a, v) => Some(sources.LessThan(store.phys(a), v))
-    case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(store.phys(a), v))
-    case sources.In(a, vs) => Some(sources.In(store.phys(a), vs))
-    case sources.IsNull(a) => Some(sources.IsNull(store.phys(a)))
-    case sources.IsNotNull(a) => Some(sources.IsNotNull(store.phys(a)))
-    case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(store.phys(a), v))
-    case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(store.phys(a), v))
-    case sources.StringContains(a, v) => Some(sources.StringContains(store.phys(a), v))
-    case sources.And(l, r) => for (a <- translate(l); b <- translate(r)) yield sources.And(a, b)
-    case sources.Or(l, r) => for (a <- translate(l); b <- translate(r)) yield sources.Or(a, b)
-    case sources.Not(c) => translate(c).map(sources.Not)
-    case _ => None
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushedPhys = filters
       .filterNot(_.references.contains(GraftStore.ChangeTypeCol))
-      .flatMap(translate)
+      .flatMap(GraftStore.translate(store, _))
     // everything stays residual: zone/row-group pruning is a strict
     // superset read, the engine re-checks each predicate above the scan
     filters
@@ -383,79 +549,8 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private def spark = SparkSession.active
 
   // ---- zone-map group pruning (manifest arithmetic, no data IO) ----------
-  /** Conjunctive [lo, hi] bounds the pushed filters put on `col`,
-    * parsed into [[ZoneOrder]]'s interval domain (a string compare on
-    * numeric stats would prune wrongly — "9" > "10" — and date-
-    * truncated temporal stats need whole-day intervals). Unrenderable
-    * values contribute no bound (fail open). */
-  private def zoneBounds(col: String, dt: DataType)
-      : (Option[ZoneOrder.Parsed], Option[ZoneOrder.Parsed]) = {
-    var lo: Option[ZoneOrder.Parsed] = None
-    var hi: Option[ZoneOrder.Parsed] = None
-    def bound(v: Any): Option[ZoneOrder.Parsed] =
-      ZoneOrder.renderValue(dt, v).flatMap(ZoneOrder.parse(dt, _))
-    def tightenLo(p: ZoneOrder.Parsed): Unit =
-      lo = Some(lo.fold(p)(ZoneOrder.maxByMin(_, p)))
-    def tightenHi(p: ZoneOrder.Parsed): Unit =
-      hi = Some(hi.fold(p)(ZoneOrder.minByMax(_, p)))
-    def walk(f: Filter): Unit = f match {
-      case sources.EqualTo(a, v) if a == col =>
-        bound(v).foreach { p => tightenLo(p); tightenHi(p) }
-      case sources.GreaterThan(a, v) if a == col => bound(v).foreach(tightenLo)
-      case sources.GreaterThanOrEqual(a, v) if a == col => bound(v).foreach(tightenLo)
-      case sources.LessThan(a, v) if a == col => bound(v).foreach(tightenHi)
-      case sources.LessThanOrEqual(a, v) if a == col => bound(v).foreach(tightenHi)
-      case sources.And(l, r) => walk(l); walk(r)
-      case _ => () // Or/Not/other: no safe conjunctive bound
-    }
-    pushed.foreach(walk)
-    (lo, hi)
-  }
-
-  /** Stats for (group, physical column): manifest `zone:` lines first
-    * (per-version, OCC-committed), then the legacy single-column side
-    * file. None = unmapped → fail open. */
-  private def statsFor(p: String, c: String): Option[(String, String)] =
-    store.groupZones.get(p).flatMap(_.get(c))
-      .orElse(if (store.zoneCol.contains(c)) store.zones.get(p) else None)
-
-  /** (kept paths, skipped count): groups whose stats provably miss the
-    * pushed bounds on ANY zone-mapped column drop before file listing;
-    * unmapped (group, column)s are kept — missing or incomparable
-    * stats must fail open for pruning. */
-  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) = {
-    val zonedCols: Set[String] =
-      store.groupZones.values.flatMap(_.keys).toSet ++ store.zoneCol
-    if (pushed.isEmpty || zonedCols.isEmpty) (store.dataPaths, 0)
-    else {
-      val types = store.physicalSchema.fields.map(f => f.name -> f.dataType).toMap
-      val bounds = zonedCols.toSeq.sorted.flatMap { c =>
-        types.get(c).flatMap { dt =>
-          val (lo, hi) = zoneBounds(c, dt)
-          if (lo.isEmpty && hi.isEmpty) None else Some((c, dt, lo, hi))
-        }
-      }
-      if (bounds.isEmpty) (store.dataPaths, 0)
-      else {
-        val kept = store.dataPaths.filter { p =>
-          bounds.forall { case (c, dt, lo, hi) =>
-            statsFor(p, c) match {
-              case Some((zloS, zhiS)) =>
-                val zlo = ZoneOrder.parse(dt, zloS)
-                val zhi = ZoneOrder.parse(dt, zhiS)
-                // keep unless PROVABLY disjoint: lo > zone hi or zone lo > hi
-                val disjoint =
-                  lo.exists(l => zhi.exists(ZoneOrder.provablyAbove(l, _))) ||
-                  hi.exists(h => zlo.exists(ZoneOrder.provablyAbove(_, h)))
-                !disjoint
-              case None => true
-            }
-          }
-        }
-        (kept, store.dataPaths.size - kept.size)
-      }
-    }
-  }
+  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) =
+    GraftStore.zonePrune(store, pushed)
 
   private def isCdf = store.changeFeed.isDefined
   private def needsPositions = store.dvPaths.nonEmpty || isCdf

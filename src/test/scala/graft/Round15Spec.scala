@@ -397,6 +397,39 @@ class Round15Spec extends AnyFunSuite {
       "a rejected SQL insert left files in the store")
   }
 
+  test("r15: SQL DELETE is MoR, no-op-safe, fails closed when untranslatable") {
+    import spark.implicits._
+    val run = Maintenance.occRun(spark, sf, name = "r15_sql_del_run")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    val before = Maintenance.currentSnapshotVersion(run)
+    // a predicate the source can't translate (modulo) must fail at
+    // analysis — a silent wrong-rows delete is the one unforgivable
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 10 = 0")
+    }
+    assert(Maintenance.currentSnapshotVersion(run) == before)
+    // matching nothing: no version lands
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = 'NO-SUCH'")
+    assert(Maintenance.currentSnapshotVersion(run) == before)
+    // a real delete commits EXACTLY one dv: line; data lines untouched
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey < 100")
+    val v2 = Maintenance.currentSnapshotVersion(run)
+    assert(v2 == before + 1)
+    val l1 = Maintenance.manifestPaths(run, before)
+    val l2 = Maintenance.manifestPaths(run, v2)
+    val added = l2.filterNot(l1.contains)
+    assert(added.size == 1 && added.head.startsWith("dv:"),
+      s"a MoR delete must add exactly one dv line, got $added")
+    assert(l2.filterNot(_.startsWith("dv:")).toSet ==
+      l1.filterNot(_.startsWith("dv:")).toSet, "no data file may move")
+    // and the MoR read agrees with the predicate
+    val got = spark.read.format("graft").load(run).count()
+    val want = spark.read.parquet(l1: _*).filter($"o_orderkey" >= 100).count()
+    assert(got == want, s"post-delete read $got != $want")
+  }
+
   test("r15: overwrite fails closed against ANY concurrent commit") {
     val data = Maintenance.morData(spark, sf)
     val root = freshRoot("r15_strict_ow")
