@@ -1102,9 +1102,14 @@ object Maintenance {
   // proves the retired version is actually gone from disk.
   def vacuum(root: String, retainVersions: Seq[Int]): Seq[String] = {
     val all = manifestVersions(root)
-    val live = retainVersions.flatMap(v => manifestPaths(root, v)).toSet
+    // dv: sidecars are files like any other — strip the prefix so a
+    // RETIRED deletion vector is reclaimed (r15; the prefixed string
+    // previously never matched an existing path and leaked forever)
+    // while one still referenced by a retained version stays safe
+    val paths = (v: Int) => manifestPaths(root, v).map(_.stripPrefix("dv:"))
+    val live = retainVersions.flatMap(paths).toSet
     val dead = (all.diff(retainVersions)
-      .flatMap(v => manifestPaths(root, v)).toSet -- live).toSeq.sorted
+      .flatMap(paths).toSet -- live).toSeq.sorted
     dead.foreach { dir =>
       val p = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(p))

@@ -1231,7 +1231,10 @@ object Streaming {
 
   /** Idempotent per-batch commit: stage under a batchId-named group,
     * skip when that group is already live. Returns whether a commit
-    * happened (false = recognized replay). */
+    * happened (false = recognized replay). r15: each batch's commit
+    * carries footer-harvested `zone:` stat lines (the DSv2 write
+    * discipline — zero extra Spark jobs), so streaming-ingested data
+    * participates in zone-map skipping from its very first read. */
   def graftSinkCommit(root: String, batchId: Long, batch: DataFrame): Boolean = {
     val dir = s"$root/data/batch_$batchId"
     val cur = Maintenance.currentSnapshotVersion(root)
@@ -1240,7 +1243,11 @@ object Streaming {
       // overwrite: a crashed earlier ATTEMPT may have left a partial
       // dir — it was never committed, so rewriting it is safe
       batch.write.mode("overwrite").parquet(dir)
-      Maintenance.commitSnapshot(root, cur, Seq.empty, Seq(dir))
+      val (rows, stats) = graft.sources.FooterStats.harvest(dir, batch.schema,
+        batch.sparkSession.sessionState.newHadoopConf())
+      val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"zone:$dir|$c|$lo|$hi|$rows" }
+      Maintenance.commitSnapshot(root, cur, Seq.empty, dir +: zoneLines)
       true
     }
   }

@@ -430,6 +430,46 @@ class Round15Spec extends AnyFunSuite {
     assert(got == want, s"post-delete read $got != $want")
   }
 
+  test("r15: vacuum reclaims retired DV sidecars, keeps referenced ones") {
+    import spark.implicits._
+    val root = freshRoot("r15_vacuum_dv")
+    def tiny(name: String): String = {
+      val dir = s"$root/$name"
+      spark.range(3).toDF("id").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val g1 = tiny("g1"); val g2 = tiny("g2"); val g3 = tiny("g3")
+    val dv = tiny("dv1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), g1.getBytes("UTF-8"))
+    Maintenance.commitSnapshot(root, 1, Seq.empty, Seq(s"dv:$dv", g2))
+    // v3: compaction-like rewrite drops everything for g3
+    Maintenance.commitSnapshot(root, 2, Seq(g1, g2, s"dv:$dv"), Seq(g3))
+    val dead = Maintenance.vacuum(root, retainVersions = Seq(3))
+    assert(!new java.io.File(dv).exists(),
+      "a retired dv sidecar must be reclaimed, not leak forever")
+    assert(!new java.io.File(g1).exists() && !new java.io.File(g2).exists())
+    assert(new java.io.File(g3).exists(), "live groups must survive")
+    assert(dead.toSet == Set(g1, g2, dv), s"unexpected dead set $dead")
+  }
+
+  test("r15: streaming sink commits carry zone stats") {
+    import spark.implicits._
+    val root = freshRoot("r15_sink_zones")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), Array.empty[Byte])
+    val batch = Tables.orders(spark, sf).limit(50)
+      .select($"o_orderkey", $"o_totalprice")
+    assert(graft.streaming.Streaming.graftSinkCommit(root, 0L, batch))
+    val zones = Maintenance.manifestZones(root, 2)
+    assert(zones.exists(_._2 == "o_orderkey") &&
+      zones.exists(_._2 == "o_totalprice"),
+      s"sink commit must carry zone stats, got $zones")
+    // replay stays a no-op
+    assert(!graft.streaming.Streaming.graftSinkCommit(root, 0L, batch))
+    assert(Maintenance.currentSnapshotVersion(root) == 2)
+  }
+
   test("r15: overwrite fails closed against ANY concurrent commit") {
     val data = Maintenance.morData(spark, sf)
     val root = freshRoot("r15_strict_ow")
