@@ -882,6 +882,37 @@ object Maintenance {
        |FROM orders WHERE o_orderpriority <> '1-URGENT'
        |ORDER BY stage""".stripMargin
 
+  // -- io_history_table: DESCRIBE HISTORY as a SQL metadata table ------------
+  // Delta's `DESCRIBE HISTORY` / Iceberg's `.history` over the graft
+  // store: `SELECT * FROM graft.`<store>$history`` serves one row per
+  // committed snapshot version — commit instant, live data-group /
+  // dv-sidecar / zone-covered-group counts — from pure manifest
+  // arithmetic at PLANNING time (no data file listed or opened; the
+  // rows ship inside the single input partition, history being the one
+  // store artifact that is always driver-small). Runs over the
+  // deterministic governed store, so every row is a replayable
+  // constant except dv debt... which is also deterministic from the
+  // MERGE predicates — the oracle replays all of it.
+  private def qHistoryTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = governedStoreRoot(s, d)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    s.sql(s"SELECT * FROM graft.`$name$$history`")
+      .orderBy($"version")
+  }
+  private val qHistoryTableSql =
+    s"""SELECT version, CAST(commit_epoch AS BIGINT) AS commit_epoch,
+       |  n_data_groups, n_dv_lines, n_zoned_groups
+       |FROM (VALUES
+       |  (1, 1767261600, 4, 0, 0),
+       |  (2, 1767265200, 5, 1, 0),
+       |  (3, 1767268800, 6, 2, 0),
+       |  (4, 1767272400, 7, 2, 1))
+       |AS t(version, commit_epoch, n_data_groups, n_dv_lines, n_zoned_groups)
+       |ORDER BY version""".stripMargin
+
   // -- the governed store q_dataset_card reports on (r15) --------------------
   /** A deterministic store with the full engine lifecycle on it — base
     * snapshot, a two-MERGE deletion-vector pile, one DSv2 append (which
@@ -2107,6 +2138,7 @@ object Maintenance {
     QueryDef("io_encrypted_manifest", qEncryptedManifest,
       Some(qEncryptedManifestSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
+    QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

@@ -57,6 +57,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
     new java.io.File(root, "manifest_v1.txt").exists()
 
   private def load(ident: Identifier, extra: Map[String, String]): Table = {
+    // `<store>$history` — the DESCRIBE HISTORY metadata table (r15):
+    // one row per committed version, pure manifest arithmetic
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      val root = rootOf(base)
+      if (!isStore(root))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName, ident.name()))
+      return new GraftHistoryTable(root)
+    }
     val root = rootOf(ident)
     if (!isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
