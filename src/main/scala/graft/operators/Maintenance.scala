@@ -845,6 +845,55 @@ object Maintenance {
        |SELECT '3_attacks', 0, 0.0, true, true
        |ORDER BY stage""".stripMargin
 
+  // -- io_dsv2_schema_merge: schema evolution through the write front door ---
+  // Delta's mergeSchema on the graft store (r15): an append that
+  // carries a NEW column, written with option("mergeSchema", "true"),
+  // commits normally and records the EVOLVED physical schema in the
+  // store's per-version schema log (schema_v<N>.json — O(1) planning,
+  // the Delta-log-schema discipline; encrypted stores encrypt it like
+  // any metadata file). Readers of the new version see the evolved
+  // schema with OLD file groups null-padding the new column at scan
+  // time (the io_schema_evolution read shape, now reachable from the
+  // write side); time travel to v1 keeps v1's own schema. Without the
+  // option the analyzer's exact-schema gate still rejects extras
+  // (ACCEPT_ANY_SCHEMA is granted only on explicit opt-in); re-typing
+  // an existing column fails even WITH the option (Round15Spec).
+  private def qDsv2SchemaMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_schema_merge_run")
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(run)
+      .columns.toSeq
+    Tables.orders(s, d).filter($"o_orderkey" % 20 === 9)
+      .select(cols.map(col): _*)
+      .withColumn("o_flag", ($"o_orderkey" % 2).cast("long"))
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(run) // -> v2, evolved schema
+    def leg(v: Int) = {
+      val df = s.read.format("graft").option("versionAsOf", v).load(run)
+      val flagSum =
+        if (df.columns.contains("o_flag")) sum($"o_flag") else lit(0L)
+      df.agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"),
+          flagSum.cast("long").as("flag_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(df.columns.length.toLong).as("n_cols"),
+          $"n_rows", $"sum_price", $"flag_sum")
+    }
+    leg(1).unionByName(leg(2)).orderBy($"version")
+  }
+  private val qDsv2SchemaMergeSql =
+    s"""SELECT CAST(1 AS BIGINT) AS version, CAST(6 AS BIGINT) AS n_cols,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(0 AS BIGINT) AS flag_sum
+       |FROM orders
+       |UNION ALL
+       |SELECT 2, 7, COUNT(*), ${sqlSum("o_totalprice")},
+       |  CAST((SELECT SUM(o_orderkey % 2) FROM orders
+       |        WHERE o_orderkey % 20 = 9) AS BIGINT)
+       |FROM (SELECT o_totalprice FROM orders
+       |      UNION ALL
+       |      SELECT o_totalprice FROM orders WHERE o_orderkey % 20 = 9)
+       |ORDER BY version""".stripMargin
+
   // -- io_sql_delete: SQL row-level DELETE as a MoR commit -------------------
   // `DELETE FROM graft.<store> WHERE <pred>` — the io_merge_dv shape
   // reached from pure SQL: no data file is rewritten, the matching
@@ -2139,6 +2188,8 @@ object Maintenance {
       Some(qEncryptedManifestSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
+    QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
+      Some(qDsv2SchemaMergeSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

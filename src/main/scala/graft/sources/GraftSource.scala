@@ -103,6 +103,7 @@ private[sources] object GraftStore {
       groupZones: Map[String, Map[String, (String, String)]],
       changeFeed: Option[(Int, Int)],  // (startingVersion, endingVersion)
       startingVersion: Option[Int],    // streaming base version (exclusive)
+      mergeSchema: Boolean,            // writer opted into schema evolution
       physicalSchema: StructType) {
 
     def phys(logical: String): String =
@@ -178,14 +179,17 @@ private[sources] object GraftStore {
     val groupZones = Maintenance.manifestZones(root, version)
       .groupBy(_._1)
       .map { case (p, zs) => p -> zs.map(z => z._2 -> (z._3, z._4)).toMap }
-    // one footer read for the physical schema — same cost class as the
+    // physical schema: the per-version schema LOG when present (r15 —
+    // written by mergeSchema commits; O(1) planning like Delta's log
+    // schema, and the only way heterogeneous groups resolve to the
+    // EVOLVED shape), else one footer read — same cost class as the
     // manifest parse; partition columns were folded into the files'
     // directories at write time, so the file schema IS the data schema
-    val physicalSchema =
-      SparkSession.active.read.parquet(dataPaths: _*).schema
+    val physicalSchema = schemaAt(root, version).getOrElse(
+      SparkSession.active.read.parquet(dataPaths: _*).schema)
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
       mapping, zoneCol, zones, groupZones, changeFeed, startingVersion,
-      physicalSchema)
+      options.getBoolean("mergeSchema", false), physicalSchema)
   }
 
   /** Rewrite a filter's column names logical -> physical; None when
@@ -319,6 +323,25 @@ private[sources] object GraftStore {
     }
   }
 
+  /** schema_v<M>.json for the largest M <= version, if any — the
+    * per-version physical schema recorded by mergeSchema commits. */
+  private def schemaAt(root: String, version: Int): Option[StructType] = {
+    def read(m: Int): Option[StructType] =
+      try Some(DataType.fromJson(
+        Maintenance.readStoreText(root, s"schema_v$m.json")).asInstanceOf[StructType])
+      catch { case _: IllegalArgumentException => None } // malformed: fail open
+    val exact = java.nio.file.Paths.get(root, s"schema_v$version.json")
+    if (java.nio.file.Files.exists(exact)) read(version)
+    else Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("schema_v") && n.endsWith(".json"))
+      .map(_.stripPrefix("schema_v").stripSuffix(".json"))
+      .flatMap(_.toIntOption)
+      .filter(_ <= version)
+      .maxOption
+      .flatMap(read)
+  }
+
   /** mapping_v<M>.txt lines for the largest M <= version, if any. */
   private def mappingAt(root: String, version: Int): Option[Seq[String]] =
     readLines(root, s"mapping_v$version.txt").orElse {
@@ -387,17 +410,53 @@ private[sources] object GraftStore {
     val cur = Maintenance.currentSnapshotVersion(store.root)
     require(store.version == cur,
       s"cannot write to a time-travel snapshot (resolved v${store.version}, current v$cur)")
-    // schema contract: exact logical names and types, in order — a
-    // mispositioned or re-typed column must fail before any file lands
+    // schema contract. Default: exact logical names and types, in
+    // order — a mispositioned or re-typed column must fail before any
+    // file lands. With option("mergeSchema", "true") the table accepts
+    // SCHEMA EVOLUTION (ACCEPT_ANY_SCHEMA admits the plan, so this
+    // by-name resolution is the whole contract): every table column
+    // must match by name and type (a missing NULLABLE column is
+    // null-padded; a re-typed one still fails), and genuinely NEW
+    // columns append after the table's — the commit then records the
+    // evolved physical schema in the store's schema log, so later
+    // readers resolve it in O(1) and OLD file groups null-pad the new
+    // columns at scan time (the io_schema_evolution read discipline).
     val want = store.logicalSchema.fields.map(f => (f.name, f.dataType)).toSeq
     val got = data.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(got == want,
-      s"write schema $got does not match table schema $want")
-    // write through the column mapping: files always carry PHYSICAL names
+    import org.apache.spark.sql.functions.{col, lit}
+    val (resolved, extras) =
+      if (!store.mergeSchema) {
+        require(got == want,
+          s"write schema $got does not match table schema $want")
+        (data, Seq.empty[StructField])
+      } else {
+        val byName = data.schema.fields.map(f => f.name -> f).toMap
+        val knownCols = store.logicalSchema.fields.toSeq.map { f =>
+          byName.get(f.name) match {
+            case Some(g) =>
+              require(g.dataType == f.dataType,
+                s"mergeSchema cannot re-type column ${f.name}: " +
+                  s"${f.dataType} -> ${g.dataType}")
+              data(f.name)
+            case None =>
+              require(f.nullable,
+                s"batch is missing non-nullable column ${f.name}")
+              lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        val extraFields = data.schema.fields.toSeq
+          .filterNot(f => store.logicalSchema.fieldNames.contains(f.name))
+        ((data.select(knownCols ++ extraFields.map(f => data(f.name)): _*)),
+          extraFields.map(_.copy(nullable = true)))
+      }
+    // write through the column mapping: files always carry PHYSICAL
+    // names; evolved columns are identity-mapped
     val physical = store.mapping match {
-      case Some(_) => data.select(store.logicalSchema.fieldNames.toSeq
-        .map(n => data(n).as(store.phys(n))): _*)
-      case None => data
+      case Some(_) => resolved.select(
+        (store.logicalSchema.fieldNames.toSeq.map(n =>
+          resolved(n).as(store.phys(n))) ++
+          extras.map(f => resolved(f.name))): _*)
+      case None => resolved
     }
     val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
     physical.write.mode("overwrite").parquet(stage)
@@ -409,7 +468,7 @@ private[sources] object GraftStore {
     // other's lines the way a shared side file could, and time travel
     // sees each version's own stats. Failure to render any bound just
     // drops that column's line — zone maps fail open by construction.
-    val (rows, stats) = FooterStats.harvest(stage, store.physicalSchema,
+    val (rows, stats) = FooterStats.harvest(stage, physical.schema,
       data.sparkSession.sessionState.newHadoopConf())
     val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"zone:$stage|$c|$lo|$hi|$rows" }
@@ -418,11 +477,25 @@ private[sources] object GraftStore {
     // overwrite is strict: "replace everything live at v" must fail
     // closed against ANY concurrent commit, not rebase over an append
     // it never saw (truncate semantics — r14 ADVICE)
-    try { Maintenance.commitSnapshot(store.root, cur, removed,
-      stage +: zoneLines, strict = overwrite); () }
-    catch { case t: Throwable =>
-      graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
-      throw t
+    val committed =
+      try Maintenance.commitSnapshot(store.root, cur, removed,
+        stage +: zoneLines, strict = overwrite)
+      catch { case t: Throwable =>
+        graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
+        throw t
+      }
+    if (extras.nonEmpty) {
+      // the evolved physical schema becomes this version's log entry;
+      // a crash before these writes degrades to the OLD schema (new
+      // columns invisible — fail open, rows stay right)
+      val evolved = StructType(store.physicalSchema.fields ++ extras)
+      Maintenance.writeStoreText(store.root, s"schema_v$committed.json",
+        evolved.json)
+      store.mapping.foreach { m =>
+        Maintenance.writeStoreText(store.root, s"mapping_v$committed.txt",
+          (m ++ extras.map(f => f.name -> f.name))
+            .map { case (lg, ph) => s"$lg=$ph" }.mkString("\n"))
+      }
     }
   }
 }
@@ -435,8 +508,8 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
   // INVALID_ATTRIBUTE_NAME_SYNTAX about the table name itself
   override def name(): String = s"graft:${store.root}@v${store.version}"
   override def schema(): StructType = store.logicalSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       // BATCH_WRITE admits the plan; V1_BATCH_WRITE selects the
       // InsertableRelation execution path for the V1Write below
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -444,6 +517,13 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
       // spark.readStream.format("graft"): the commit log is the offset
       // source, each micro-batch serves per-commit deltas (r15)
       TableCapability.MICRO_BATCH_READ)
+    // only when the writer explicitly opted into schema evolution does
+    // the connector take over schema resolution (GraftStore.write's
+    // by-name contract) — otherwise the analyzer's exact-schema checks
+    // stay the first gate
+    if (store.mergeSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store)
   // SQL row-level delete: only predicates the source can translate are

@@ -470,6 +470,43 @@ class Round15Spec extends AnyFunSuite {
     assert(Maintenance.currentSnapshotVersion(root) == 2)
   }
 
+  test("r15: mergeSchema evolution — opt-in only, type-safe, null-padding") {
+    import spark.implicits._
+    val run = Maintenance.occRun(spark, sf, name = "r15_schema_merge_run")
+    val cols = spark.read.format("graft").load(run).columns.toSeq
+    def batch = Tables.orders(spark, sf).filter($"o_orderkey" % 20 === 9)
+      .select(cols.map(col): _*)
+    // an extra column WITHOUT the option: analyzer rejects, nothing lands
+    intercept[org.apache.spark.sql.AnalysisException] {
+      batch.withColumn("o_flag", lit(1L))
+        .write.format("graft").mode("append").save(run)
+    }
+    assert(Maintenance.currentSnapshotVersion(run) == 1)
+    // re-typing an existing column fails even WITH the option
+    intercept[Exception] {
+      batch.withColumn("o_totalprice", $"o_totalprice".cast("string"))
+        .write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(run)
+    }
+    assert(Maintenance.currentSnapshotVersion(run) == 1, "nothing may land")
+    // a batch MISSING a nullable column + carrying a new one: padded +
+    // evolved in one commit
+    batch.drop("o_orderpriority").withColumn("o_flag", lit(7L))
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(run)
+    assert(Maintenance.currentSnapshotVersion(run) == 2)
+    val v2 = spark.read.format("graft").load(run)
+    assert(v2.columns.toSeq == cols :+ "o_flag", v2.columns.mkString(","))
+    val nBatch = batch.count()
+    assert(v2.filter($"o_flag".isNotNull).count() == nBatch,
+      "new column must carry the batch's values, old rows null")
+    assert(v2.filter($"o_orderpriority".isNull).count() == nBatch,
+      "missing nullable column must null-pad exactly the batch rows")
+    // time travel to v1 keeps v1's own schema
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(run)
+      .columns.toSeq == cols)
+  }
+
   test("r15: overwrite fails closed against ANY concurrent commit") {
     val data = Maintenance.morData(spark, sf)
     val root = freshRoot("r15_strict_ow")
