@@ -845,6 +845,115 @@ object Maintenance {
        |SELECT '3_attacks', 0, 0.0, true, true
        |ORDER BY stage""".stripMargin
 
+  // -- io_compact_store: the engine's own DV-fold compaction -----------------
+  // io_dv_compaction proves the COMMIT arithmetic with pre-staged
+  // artifacts; this is the operator a user actually calls:
+  // [[compactStore]] folds the ENTIRE deletion-vector pile of a live
+  // store in one commit — rewrite only the DV-touched groups minus
+  // their deleted positions, retire every dv: line, leave untouched
+  // groups shared — and harvests zone stats for the compacted group
+  // from the rewrite's own footers, so skipping keeps covering the
+  // data. The commit is PROVABLY row-neutral by construction, which
+  // the r15 change feed recognizes: the gate pins feed_rows = 0 across
+  // the compaction pair while v3 (MoR) and v4 (plain) reads stay
+  // value-identical — compaction never changes an answer, and a
+  // stream in flight keeps flowing.
+  /** Fold every live DV into the groups it touches. Returns the new
+    * version (or the current one when there is nothing to fold).
+    * Data IO is scoped to the touched groups — untouched groups move
+    * zero bytes. */
+  def compactStore(s: SparkSession, root: String): Int = {
+    import s.implicits._
+    val cur = currentSnapshotVersion(root)
+    val lines = manifestPaths(root, cur)
+    val (dvLines, dataLines) = lines.partition(_.startsWith("dv:"))
+    if (dvLines.isEmpty) return cur
+    val dvPaths = dvLines.map(_.stripPrefix("dv:"))
+    // positions are churn-bounded: the touched-group set resolves
+    // driver-side from the same path-tail identity readSnapshotMoR uses
+    val refKeys = s.read.parquet(dvPaths: _*)
+      .select($"file_key").distinct().collect().map(_.getString(0))
+      .map(_.takeWhile(_ != '/')).toSet
+    val touched = dataLines.filter(g =>
+      refKeys.contains(g.split('/').last))
+    require(touched.nonEmpty, "dv positions reference no live group")
+    val dv = s.read.parquet(dvPaths: _*)
+    val rewritten = s.read.parquet(touched: _*)
+      .withColumn("file_key",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(dv.select($"file_key", $"row_index")),
+        Seq("file_key", "row_index"), "left_anti")
+      .drop("file_key", "row_index")
+    val out = s"$root/compact_${java.util.UUID.randomUUID().toString.take(12)}"
+    rewritten.write.mode("overwrite").parquet(out)
+    val (rows, stats) = graft.sources.FooterStats.harvest(out,
+      rewritten.schema, s.sessionState.newHadoopConf())
+    val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"zone:$out|$c|$lo|$hi|$rows" }
+    try commitSnapshot(root, cur, touched ++ dvLines, out +: zoneLines)
+    catch { case t: Throwable =>
+      graft.Staging.rmTree(new java.io.File(out))
+      throw t
+    }
+  }
+
+  private def qCompactStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = morData(s, d)
+    val root = tmp("io_compact_store", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    val v3 = commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    val v4 = compactStore(s, root)
+    val feedRows = s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v3).option("endingVersion", v4).load(root)
+      .count() // provably neutral -> empty feed
+    def leg(stage: String, v: Int, nDv: Int) =
+      s.read.format("graft").option("versionAsOf", v).load(root)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(stage).as("stage"), $"n_rows", $"sum_price",
+          lit(nDv.toLong).as("n_dv_lines"), lit(feedRows).as("feed_rows"))
+    leg("1_mor_pile", v3,
+        manifestPaths(root, v3).count(_.startsWith("dv:")))
+      .unionByName(leg("2_compacted", v4,
+        manifestPaths(root, v4).count(_.startsWith("dv:"))))
+      .orderBy($"stage")
+  }
+  // lazy: MorDeleteMod/-Rem are declared LATER in this object; a plain
+  // val would capture their uninitialized 0 (Scala vals init in order)
+  private lazy val qCompactStoreSql = {
+    val survives =
+      s"""o_orderkey % 10 <> 0 AND o_orderkey % 10 <> 5
+         |      AND o_orderkey % $MorDeleteMod <> $MorDeleteRem
+         |      AND o_orderkey % $MorDeleteMod <> $MorDelete2Rem""".stripMargin
+    s"""WITH snap AS (
+       |  SELECT o_totalprice FROM orders
+       |  WHERE $survives
+       |  UNION ALL
+       |  SELECT $bumpedPriceSql FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT $bumpedPriceSql FROM orders WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 500)
+       |SELECT '1_mor_pile' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_dv_lines, CAST(0 AS BIGINT) AS feed_rows
+       |FROM snap
+       |UNION ALL
+       |SELECT '2_compacted', COUNT(*), ${sqlSum("o_totalprice")}, 0, 0
+       |FROM snap
+       |ORDER BY stage""".stripMargin
+  }
+
   // -- io_dsv2_schema_merge: schema evolution through the write front door ---
   // Delta's mergeSchema on the graft store (r15): an append that
   // carries a NEW column, written with option("mergeSchema", "true"),
@@ -2190,6 +2299,7 @@ object Maintenance {
     QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
       Some(qDsv2SchemaMergeSql)),
+    QueryDef("io_compact_store", qCompactStore, Some(qCompactStoreSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),
