@@ -104,6 +104,7 @@ private[sources] object GraftStore {
       changeFeed: Option[(Int, Int)],  // (startingVersion, endingVersion)
       startingVersion: Option[Int],    // streaming base version (exclusive)
       mergeSchema: Boolean,            // writer opted into schema evolution
+      maxVersionsPerTrigger: Option[Int], // streaming admission cap
       physicalSchema: StructType) {
 
     def phys(logical: String): String =
@@ -189,7 +190,9 @@ private[sources] object GraftStore {
       SparkSession.active.read.parquet(dataPaths: _*).schema)
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
       mapping, zoneCol, zones, groupZones, changeFeed, startingVersion,
-      options.getBoolean("mergeSchema", false), physicalSchema)
+      options.getBoolean("mergeSchema", false),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      physicalSchema)
   }
 
   /** Rewrite a filter's column names logical -> physical; None when
@@ -788,12 +791,39 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     override def json(): String = version.toString
   }
 
-  private class GraftMicroBatchStream extends rstreaming.MicroBatchStream {
+  private class GraftMicroBatchStream extends rstreaming.MicroBatchStream
+      with rstreaming.SupportsTriggerAvailableNow {
     override def initialOffset(): rstreaming.Offset =
       GraftVersionOffset(
         store.changeFeed.map(_._1).orElse(store.startingVersion).getOrElse(0))
 
     override def latestOffset(): rstreaming.Offset =
+      GraftVersionOffset(Maintenance.currentSnapshotVersion(store.root))
+
+    // Trigger.AvailableNow pins the drain TARGET at start — implemented
+    // natively (not via Spark's wrapper) so the admission cap below
+    // still splits the catch-up into bounded micro-batches
+    private var availableNowTarget: Option[Int] = None
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(Maintenance.currentSnapshotVersion(store.root))
+
+    // admission control (the Delta maxFilesPerTrigger discipline): a
+    // stream starting on a LONG commit history must not serve it as
+    // one giant micro-batch — option("maxVersionsPerTrigger", k) caps
+    // each batch at k commits, so catch-up cost per trigger is bounded
+    // and checkpoint progress lands every k commits. Unset = all
+    // available (the small-history default).
+    override def latestOffset(start: rstreaming.Offset,
+        limit: rstreaming.ReadLimit): rstreaming.Offset = {
+      val cur = availableNowTarget.getOrElse(
+        Maintenance.currentSnapshotVersion(store.root))
+      val s0 = start.asInstanceOf[GraftVersionOffset].version
+      GraftVersionOffset(
+        store.maxVersionsPerTrigger.fold(cur)(k => math.min(cur, s0 + k)))
+    }
+    override def getDefaultReadLimit: rstreaming.ReadLimit =
+      rstreaming.ReadLimit.allAvailable()
+    override def reportLatestOffset(): rstreaming.Offset =
       GraftVersionOffset(Maintenance.currentSnapshotVersion(store.root))
 
     override def deserializeOffset(json: String): rstreaming.Offset =

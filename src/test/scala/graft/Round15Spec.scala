@@ -293,6 +293,43 @@ class Round15Spec extends AnyFunSuite {
     // (r14 partial-fold shape, asserted in Round14Spec)
   }
 
+  test("r15: maxVersionsPerTrigger bounds each streaming micro-batch") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_stream_cap")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", s"dv:$data/dv"))
+    Maintenance.commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    def run(cap: Option[Int], chk: String): Seq[Long] = {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val reader = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+      val q = cap.fold(reader)(k =>
+          reader.option("maxVersionsPerTrigger", k)).load(root)
+        .select($"_change_type")
+        .writeStream
+        .option("checkpointLocation", s"$root/$chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ids.synchronized { ids += b.count(); () }
+        }
+        .start()
+      q.awaitTermination()
+      ids.toSeq
+    }
+    // a 3-commit history: uncapped catch-up = ONE giant batch; capped
+    // at one version per trigger = three bounded batches
+    val uncapped = run(None, "chk_all")
+    assert(uncapped.size == 1, s"uncapped should drain in one batch: $uncapped")
+    val capped = run(Some(1), "chk_one")
+    assert(capped.size == 3, s"cap=1 should take 3 batches: $capped")
+    assert(capped.sum == uncapped.sum, "same total rows either way")
+  }
+
   test("r15: plain streaming fails closed on delete commits, serves appends") {
     import spark.implicits._
     val data = Maintenance.morData(spark, sf)
