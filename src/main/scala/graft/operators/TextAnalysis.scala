@@ -1473,7 +1473,84 @@ object TextAnalysis {
        |ORDER BY domain""".stripMargin
   }
 
+  // -- text_pack_sequences: concat-and-chunk training-sequence packing -------
+  // The step between chunking (40f) and the training loader: pretraining
+  // batches are FIXED-length token sequences, and the standard way to
+  // fill them (GPT-2 onward) is to concatenate the corpus in a
+  // deterministic document order and split every PackCap tokens —
+  // documents may span sequence boundaries, padding exists only in the
+  // final sequence. Exactly that, distributed: per-doc token counts,
+  // then each doc's global token interval [t_start, t_end) from the
+  // range-partitioned prefix sum (valueKeyedCums over doc_id — NO
+  // single-partition global window; the r11 q_lorenz discipline), then
+  // each doc explodes to the ≤ O(len/PackCap) sequence bins it
+  // overlaps. The emitted one-row packing audit (sequence count, full
+  // sequences, boundary-spanning docs, max docs per sequence, last-
+  // sequence fill) is exact integers — the numbers a data-loader
+  // release checks before training. The oracle replays the identical
+  // deterministic packing with one SQL window.
+  private val PackCap = 256L // tokens per training sequence
+
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", size(TextPrep.words($"text")).cast("long").as("n_tok"))
+    val cum = SemiStructured.valueKeyedCums(toks, "doc_id", Seq("n_tok"))
+      .withColumn("t_end", $"cum_n_tok")
+      .withColumn("t_start", $"cum_n_tok" - $"n_tok")
+      .filter($"n_tok" > 0)
+    val spans = cum
+      .withColumn("bin", explode(expr(
+        s"sequence(t_start div $PackCap, (t_end - 1) div $PackCap)")))
+      .withColumn("tok_in_bin",
+        least($"t_end", ($"bin" + 1) * PackCap) -
+          greatest($"t_start", $"bin" * PackCap))
+    val bins = spans.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok_in_bin").as("n_tokens"))
+    val boundary = cum.filter(
+      expr(s"t_start div $PackCap") =!= expr(s"(t_end - 1) div $PackCap"))
+      .agg(count(lit(1)).as("n_boundary_docs"))
+    bins.agg(
+        count(lit(1)).as("n_sequences"),
+        sum(when($"n_tokens" === PackCap, 1L).otherwise(0L)).as("n_full_sequences"),
+        max($"n_docs").as("max_docs_per_sequence"),
+        sum($"n_tokens").as("total_tokens"),
+        max(struct($"bin", $"n_tokens")).getField("n_tokens").as("last_sequence_fill"))
+      .crossJoin(broadcast(boundary))
+      .select($"n_sequences", $"n_full_sequences", $"n_boundary_docs",
+        $"max_docs_per_sequence", $"total_tokens", $"last_sequence_fill")
+  }
+  private val packSequencesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len(${TextPrep.wordsSql}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY doc_id) AS t_end FROM toks),
+       |r AS (SELECT doc_id, n_tok, t_end - n_tok AS t_start, t_end
+       |      FROM cum WHERE n_tok > 0),
+       |spans AS (
+       |  SELECT doc_id, t_start, t_end,
+       |    unnest(range(CAST(t_start // $PackCap AS BIGINT),
+       |                 CAST((t_end - 1) // $PackCap + 1 AS BIGINT))) AS bin
+       |  FROM r),
+       |b AS (SELECT bin, COUNT(*) AS n_docs,
+       |    SUM(LEAST(t_end, (bin + 1) * $PackCap) -
+       |        GREATEST(t_start, bin * $PackCap)) AS n_tokens
+       |  FROM spans GROUP BY bin),
+       |bd AS (SELECT COUNT(*) AS n_boundary_docs FROM r
+       |       WHERE t_start // $PackCap <> (t_end - 1) // $PackCap)
+       |SELECT COUNT(*) AS n_sequences,
+       |  CAST(SUM(CASE WHEN n_tokens = $PackCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_full_sequences,
+       |  (SELECT n_boundary_docs FROM bd) AS n_boundary_docs,
+       |  MAX(n_docs) AS max_docs_per_sequence,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST((SELECT n_tokens FROM b ORDER BY bin DESC LIMIT 1) AS BIGINT)
+       |    AS last_sequence_fill
+       |FROM b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("text_zipf", zipf, Some(zipfSql)),
     QueryDef("text_burstiness", burstiness, Some(burstinessSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),

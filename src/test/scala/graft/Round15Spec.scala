@@ -371,6 +371,22 @@ class Round15Spec extends AnyFunSuite {
       s"unexpected failure: ${causes(e).mkString(" | ")}")
   }
 
+  test("r15: sequence packing audit satisfies the concat-and-chunk identities") {
+    import spark.implicits._
+    val r = SparkEntry.queries("text_pack_sequences")(spark, sf).collect()(0)
+    val (nSeq, nFull, maxDocs, total, lastFill) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+    val cap = 256L
+    val wantTotal = Tables.documents(spark, sf)
+      .select(sum(size(split(lower(trim(regexp_replace($"text", "\\s+", " "))), " "))
+        .cast("long"))).collect()(0).getLong(0)
+    assert(total == wantTotal, s"packing must conserve every token ($total != $wantTotal)")
+    assert(nSeq == (total + cap - 1) / cap, "sequence count = ceil(total/cap)")
+    assert(lastFill == total - (nSeq - 1) * cap, "only the last sequence underfills")
+    assert(nFull == (if (lastFill == cap) nSeq else nSeq - 1))
+    assert(maxDocs >= 1 && maxDocs <= cap, "a sequence holds 1..cap docs")
+  }
+
   // ---- interleaved bench canary (r14 verdict #6) ---------------------------
 
   test("r15: interleaved canary localizes a mid-run load transient") {
