@@ -81,6 +81,7 @@ class Round13Spec extends AnyFunSuite {
     "q_mann_whitney" -> Set("vk_rk"),
     "q_rfm" -> Set("vk_rk"),
     "q_time_split" -> Set("vk_rk"),
+    "text_pack_sequences" -> Set("vk_rk"), // r15: packing's prefix sum
     //  - rk: the same coarse-range stitch over per-range (min, max)
     //    rows (≤ 256): equidepth's boundary walk, q_id_gaps' seam lag
     "q_equidepth_histogram" -> Set("rk"),
