@@ -560,6 +560,43 @@ class Round15Spec extends AnyFunSuite {
       .columns.toSeq == cols)
   }
 
+  test("r15: encrypted stores serve time travel, history, and OCC races") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_enc_combo")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "commits_ts.txt"),
+      "1=1767261600\n2=1767265200".getBytes("UTF-8"))
+    Maintenance.enableStoreEncryption(root, "combo-mk-1")
+    // the commit log is now ciphertext; resolveAsOf still resolves
+    Maintenance.commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "commits_ts.txt")), "UTF-8")
+      .startsWith("GRAFTENC1"), "commit log must be encrypted at rest")
+    assert(Maintenance.resolveAsOf(root, 1767263400L) == 1)
+    val n1 = spark.read.format("graft")
+      .option("timestampAsOf", 1767263400L).load(root).count()
+    assert(n1 == spark.read.parquet(
+      (0 to 3).map(g => s"$data/base/g=$g"): _*).count())
+    // the history table decrypts transparently too
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    val hist = spark.sql(s"SELECT * FROM graft.`$name$$history` ORDER BY version")
+      .collect()
+    assert(hist.length == 2 && hist(0).getInt(2) == 4 && hist(1).getInt(2) == 5,
+      s"history over the encrypted store: ${hist.mkString(",")}")
+    // OCC conflict detection reads encrypted manifests correctly
+    intercept[Maintenance.SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, 1,
+        removed = Seq(s"$data/base/g=0"), added = Seq(s"$data/newfile2"),
+        strict = true)
+    }
+  }
+
   test("r15: overwrite fails closed against ANY concurrent commit") {
     val data = Maintenance.morData(spark, sf)
     val root = freshRoot("r15_strict_ow")
