@@ -145,7 +145,13 @@ private[sources] object GraftStore {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a store path"))
     val cdf = options.getBoolean("readChangeFeed", false)
+    // streaming may also anchor its base by TIME: startingTimestamp
+    // resolves through the commit log to the latest version at-or-
+    // before the instant (so the stream serves everything AFTER it) —
+    // fail-closed before the first commit, like timestampAsOf
     val startingVersion = Option(options.get("startingVersion")).map(_.toInt)
+      .orElse(Option(options.get("startingTimestamp")).map(t =>
+        Maintenance.resolveAsOf(root, t.toLong)))
     val changeFeed = if (cdf) {
       // base version is EXCLUSIVE (the feed serves changes after it);
       // 0 = the whole history including the initial snapshot — the

@@ -330,6 +330,32 @@ class Round15Spec extends AnyFunSuite {
     assert(capped.sum == uncapped.sum, "same total rows either way")
   }
 
+  test("r15: startingTimestamp anchors the stream's base by commit time") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r15_stream_ts")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    Maintenance.commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "commits_ts.txt"),
+      "1=1767261600\n2=1767265200".getBytes("UTF-8"))
+    // a probe between the commits resolves base v1 -> the stream
+    // serves ONLY v2's delta, never the initial snapshot
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", 1767263400L.toString).load(root)
+      .select($"o_orderkey")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$root/out").count() ==
+      spark.read.parquet(s"$data/newfile").count(),
+      "only the post-timestamp commit may feed")
+  }
+
   test("r15: plain streaming fails closed on delete commits, serves appends") {
     import spark.implicits._
     val data = Maintenance.morData(spark, sf)
