@@ -291,11 +291,57 @@ object Maintenance {
     * consumer keeps seeing only data and `dv:` lines. */
   def manifestPaths(root: String, version: Int): Seq[String] =
     manifestRawLines(root, version).filterNot(_.startsWith("zone:"))
+      .map(DvLine.normalize)
 
-  /** Every line of a manifest, including `zone:` stat lines. */
+  /** Every line of a manifest, including `zone:` stat lines and raw
+    * (read-set-annotated) `dv:` lines. */
   private[graft] def manifestRawLines(root: String, version: Int): Seq[String] =
     readStoreText(root, s"manifest_v$version.txt")
       .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Deletion-vector manifest lines (r16). Two forms:
+    *
+    *  - `dv:<sidecar>@<group1>,<group2>,…` — annotated with the data
+    *    groups whose rows the sidecar's positions reference. The
+    *    annotation is the commit's READ SET: [[commitSnapshot]] fails
+    *    any rebase that would leave a dv referencing a non-live group
+    *    (a compaction racing the MERGE that added it — the write-write
+    *    anomaly that silently resurrects deleted rows), and conflicts
+    *    two concurrent dv-adds on the same group (serializable MERGE).
+    *  - `dv:<sidecar>` — legacy, no read-set info; conflict checks
+    *    degrade as documented per rule.
+    *
+    * [[Maintenance.manifestPaths]] NORMALIZES the annotation away, so
+    * every reader (MoR subtraction, CDF diffs, vacuum, history) keeps
+    * seeing plain `dv:<sidecar>` lines; only the commit protocol reads
+    * the raw form. Group paths never contain '@' or ',' (staging
+    * uses /tmp paths + hex UUIDs); [[render]] enforces it. */
+  object DvLine {
+    def is(line: String): Boolean = line.startsWith("dv:")
+    /** Sidecar path with any read-set annotation stripped. */
+    def sidecar(line: String): String = {
+      val body = line.stripPrefix("dv:")
+      val i = body.indexOf('@')
+      if (i < 0) body else body.substring(0, i)
+    }
+    /** Annotated referenced data groups; None = legacy unannotated. */
+    def groups(line: String): Option[Seq[String]] = {
+      val body = line.stripPrefix("dv:")
+      val i = body.indexOf('@')
+      if (i < 0) None
+      else Some(body.substring(i + 1).split(',').toIndexedSeq.filter(_.nonEmpty))
+    }
+    def render(sidecar: String, groups: Seq[String]): String = {
+      require(groups.nonEmpty, "a dv read set must name at least one group")
+      require(!sidecar.exists(c => c == '@' || c == ',' || c == '|') &&
+        groups.forall(g => !g.exists(c => c == '@' || c == ',' || c == '|')),
+        "dv paths must not contain '@', ',' or '|'")
+      s"dv:$sidecar@${groups.mkString(",")}"
+    }
+    /** `dv:` lines to their un-annotated form; other lines unchanged. */
+    def normalize(line: String): String =
+      if (is(line)) s"dv:${sidecar(line)}" else line
+  }
 
   // -- encrypted store metadata (r15) ----------------------------------------
   // The reference's core idea — an AES-GCM-protected footer — applied
@@ -382,10 +428,16 @@ object Maintenance {
         s"masterKeyId=$masterKeyId\nwrappedDek=${graft.crypto.Kms.wrapToBase64(dk)}"
           .getBytes("UTF-8"))
     }
+    // schema_v*.json logs are control plane like any manifest — leaving
+    // them plaintext would break the "encrypted control plane"
+    // guarantee for stores that evolved their schema before enabling
+    // encryption (r15 ADVICE)
     val names = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(n => n.endsWith(".txt") && n != StoreKeyFile &&
-        (n.startsWith("manifest_v") || n.startsWith("mapping_v") ||
-          n.startsWith("zones") || n == "commits_ts.txt"))
+      .map(_.getName).filter(n => n != StoreKeyFile &&
+        ((n.endsWith(".txt") &&
+          (n.startsWith("manifest_v") || n.startsWith("mapping_v") ||
+            n.startsWith("zones") || n == "commits_ts.txt")) ||
+          (n.startsWith("schema_v") && n.endsWith(".json"))))
     for (n <- names) {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(root, n))
       if (bytes.length < StoreEncMagic.length ||
@@ -521,8 +573,16 @@ object Maintenance {
   def commitSnapshot(root: String, readVersion: Int, removed: Seq[String],
       added: Seq[String], maxRetries: Int = 5, strict: Boolean = false): Int = {
     val base = manifestPaths(root, readVersion)
-    require(removed.forall(base.contains),
+    require(removed.map(DvLine.normalize).forall(base.contains),
       s"removed paths must come from manifest v$readVersion")
+    val removedNorm = removed.map(DvLine.normalize)
+    // the dv read-set this commit ADDS (serializable-MERGE conflict
+    // domain), and the dv sidecars live at the read version (so
+    // concurrent dv-adds are distinguishable from inherited ones)
+    val addedDvGroups = added.filter(DvLine.is)
+      .flatMap(l => DvLine.groups(l).getOrElse(Seq.empty)).toSet
+    val baseDvNorm = manifestRawLines(root, readVersion)
+      .filter(DvLine.is).map(DvLine.normalize).toSet
     var attempt = 0
     while (true) {
       val cur = currentSnapshotVersion(root)
@@ -530,19 +590,57 @@ object Maintenance {
         throw new SnapshotConflictException(
           s"strict commit based on v$readVersion lost to concurrent commit v$cur")
       val curLines = manifestRawLines(root, cur)
-      val curPaths = curLines.filterNot(_.startsWith("zone:"))
+      val curPaths = curLines.filterNot(_.startsWith("zone:")).map(DvLine.normalize)
       // conflict iff a group we replace is no longer live — some
       // intervening commit already replaced or dropped it
-      val gone = removed.filterNot(curPaths.contains)
+      val gone = removedNorm.filterNot(curPaths.contains)
       if (gone.nonEmpty)
         throw new SnapshotConflictException(
           s"commit based on v$readVersion conflicts with v$cur: " +
             s"groups already replaced by a concurrent writer: ${gone.mkString(", ")}")
+      // serializable dv-adds (r15 verdict #1): a dv this commit adds
+      // conflicts with any CONCURRENT dv (committed since readVersion)
+      // on the same group — otherwise two MERGEs updating the same key
+      // both land their insert legs (duplicate row versions, write
+      // skew). An unannotated concurrent dv has an unknown read set
+      // and conflicts with every dv-add: fail closed.
+      if (addedDvGroups.nonEmpty) {
+        val concurrentDv = curLines.filter(DvLine.is)
+          .filterNot(l => baseDvNorm.contains(DvLine.normalize(l)))
+        val collisions = concurrentDv.flatMap(l => DvLine.groups(l) match {
+          case Some(gs) =>
+            val hit = gs.filter(addedDvGroups.contains)
+            if (hit.isEmpty) Nil else Seq(s"${DvLine.sidecar(l)} on ${hit.mkString("+")}")
+          case None => Seq(s"${DvLine.sidecar(l)} (unannotated read set)")
+        })
+        if (collisions.nonEmpty)
+          throw new SnapshotConflictException(
+            s"dv-add based on v$readVersion conflicts with v$cur: concurrent " +
+              s"row-level writes touched the same groups: ${collisions.mkString("; ")}")
+      }
       val next = cur + 1
-      val newManifest = curLines.filterNot(l =>
-        removed.contains(l) ||
+      val newManifest = curLines.filterNot { l =>
+        val norm = DvLine.normalize(l)
+        removedNorm.contains(norm) ||
           (l.startsWith("zone:") &&
-            removed.contains(l.stripPrefix("zone:").takeWhile(_ != '|')))) ++ added
+            removedNorm.contains(l.stripPrefix("zone:").takeWhile(_ != '|')))
+      } ++ added
+      // a rebased manifest must never carry a dv referencing a
+      // non-live group: the MoR reader drops unmatched keys SILENTLY,
+      // so a dangling dv resurrects the rows its writer deleted (the
+      // compaction-vs-MERGE write-write anomaly, r15 verdict #1).
+      // Legacy unannotated dvs can't be validated — fail open.
+      val liveData = newManifest
+        .filterNot(l => l.startsWith("zone:") || DvLine.is(l)).toSet
+      val dangling = newManifest.filter(DvLine.is).flatMap(l =>
+        DvLine.groups(l).map(_.filterNot(liveData.contains)).getOrElse(Nil)
+          .map(g => s"${DvLine.sidecar(l)} -> $g"))
+      if (dangling.nonEmpty)
+        throw new SnapshotConflictException(
+          s"commit based on v$readVersion conflicts with v$cur: the rebased " +
+            s"manifest would leave deletion vectors referencing removed " +
+            s"groups (their deletes would silently resurrect): " +
+            dangling.mkString("; "))
       // staged under a name every manifest lister ignores (no
       // "manifest_v" prefix): an in-flight or crash-orphaned temp file
       // must never be parsed as a committed version
@@ -862,15 +960,31 @@ object Maintenance {
     * version (or the current one when there is nothing to fold).
     * Data IO is scoped to the touched groups — untouched groups move
     * zero bytes. */
-  def compactStore(s: SparkSession, root: String): Int = {
+  def compactStore(s: SparkSession, root: String): Int =
+    planCompaction(s, root) match {
+      case Some(plan) => commitCompaction(root, plan)
+      case None => currentSnapshotVersion(root)
+    }
+
+  /** The data-IO half of [[compactStore]]: resolve the touched groups,
+    * write the DV-folded rewrite, harvest its zone stats. Split from
+    * [[commitCompaction]] so the read-then-commit race window is
+    * directly testable (the r15 verdict-#1 interleaving). None = no
+    * live DVs, nothing to fold. */
+  private[graft] final case class CompactionPlan(readVersion: Int,
+      removed: Seq[String], added: Seq[String], out: String)
+
+  private[graft] def planCompaction(s: SparkSession, root: String)
+      : Option[CompactionPlan] = {
     import s.implicits._
     val cur = currentSnapshotVersion(root)
     val lines = manifestPaths(root, cur)
     val (dvLines, dataLines) = lines.partition(_.startsWith("dv:"))
-    if (dvLines.isEmpty) return cur
+    if (dvLines.isEmpty) return None
     val dvPaths = dvLines.map(_.stripPrefix("dv:"))
-    // positions are churn-bounded: the touched-group set resolves
-    // driver-side from the same path-tail identity readSnapshotMoR uses
+    // the touched-group set resolves driver-side from DISTINCT file
+    // keys — O(files with deletes), never O(positions) — with the same
+    // path-tail identity readSnapshotMoR uses
     val refKeys = s.read.parquet(dvPaths: _*)
       .select($"file_key").distinct().collect().map(_.getString(0))
       .map(_.takeWhile(_ != '/')).toSet
@@ -878,11 +992,15 @@ object Maintenance {
       refKeys.contains(g.split('/').last))
     require(touched.nonEmpty, "dv positions reference no live group")
     val dv = s.read.parquet(dvPaths: _*)
+    // the anti-join is deliberately UNHINTED: the DV side of a large
+    // accumulated pile can be billions of positions — broadcasting it
+    // is the 8-GB-driver-ceiling shape (r15 verdict #2). Spark/AQE
+    // picks broadcast when the pile is actually small.
     val rewritten = s.read.parquet(touched: _*)
       .withColumn("file_key",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("row_index", col("_metadata.row_index"))
-      .join(broadcast(dv.select($"file_key", $"row_index")),
+      .join(dv.select($"file_key", $"row_index"),
         Seq("file_key", "row_index"), "left_anti")
       .drop("file_key", "row_index")
     val out = s"$root/compact_${java.util.UUID.randomUUID().toString.take(12)}"
@@ -891,12 +1009,20 @@ object Maintenance {
       rewritten.schema, s.sessionState.newHadoopConf())
     val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"zone:$out|$c|$lo|$hi|$rows" }
-    try commitSnapshot(root, cur, touched ++ dvLines, out +: zoneLines)
+    Some(CompactionPlan(cur, touched ++ dvLines, out +: zoneLines, out))
+  }
+
+  /** Commit a [[planCompaction]] result through the OCC path. A lost
+    * race surfaces as [[SnapshotConflictException]] — never a silent
+    * rebase: the commit removes every folded dv line, and the dangling-
+    * dv rule fails the rebase if a concurrent MERGE/DELETE added a dv
+    * on a group this compaction retires (r15 verdict #1). */
+  private[graft] def commitCompaction(root: String, plan: CompactionPlan): Int =
+    try commitSnapshot(root, plan.readVersion, plan.removed, plan.added)
     catch { case t: Throwable =>
-      graft.Staging.rmTree(new java.io.File(out))
+      graft.Staging.rmTree(new java.io.File(plan.out))
       throw t
     }
-  }
 
   private def qCompactStore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -908,9 +1034,9 @@ object Maintenance {
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
     val v2 = commitSnapshot(root, 1, Seq.empty,
-      Seq(s"$data/newfile", s"dv:$data/dv"))
+      Seq(s"$data/newfile", morDvLine(data, "dv")))
     val v3 = commitSnapshot(root, v2, Seq.empty,
-      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+      Seq(s"$data/newfile2", morDvLine(data, "dv2")))
     val v4 = compactStore(s, root)
     val feedRows = s.read.format("graft").option("readChangeFeed", "true")
       .option("startingVersion", v3).option("endingVersion", v4).load(root)
@@ -953,6 +1079,100 @@ object Maintenance {
        |FROM snap
        |ORDER BY stage""".stripMargin
   }
+
+  // -- io_occ_dv_race: the compaction-vs-MERGE write-write race, both orders -
+  // The r15 verdict's #1 anomaly, replayed DETERMINISTICALLY as a value
+  // gate: a DV-fold compaction and a MERGE (dv-add) race the same base
+  // version in both interleavings, and in each EXACTLY ONE writer may
+  // survive. Before r16, the loser silently rebased: a compaction that
+  // lost still committed a manifest whose inherited dv referenced the
+  // group the compaction had just retired — the MoR reader drops
+  // unmatched keys, so the MERGE's deleted rows came back. Now every
+  // dv line carries its READ SET (`dv:<sidecar>@<groups>`) and
+  // commitSnapshot fails (a) any rebase leaving a dangling dv and
+  // (b) any dv-add whose groups were retired since readVersion — so
+  // order A (merge wins) aborts the compaction and order B (compaction
+  // wins) aborts the merge. The gate emits both conflict booleans AND
+  // value-oracles the surviving store of each order: if either loser
+  // ever commits, the version column bumps and the sums drift — the
+  // compare fails twice over. Commit cost stays manifest arithmetic;
+  // the only data IO is the compaction rewrite itself.
+  private def qOccDvRace(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val data = morData(s, d)
+    def freshStore(name: String): String = {
+      val root = tmp(name, d)
+      graft.Staging.rmTree(new java.io.File(root))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "manifest_v1.txt"),
+        morBaseGroups(data).mkString("\n").getBytes("UTF-8"))
+      commitSnapshot(root, 1, Seq.empty,
+        Seq(s"$data/newfile", morDvLine(data, "dv"))) // v2: MERGE #1
+      root
+    }
+    def merge2(root: String, readVersion: Int): Int =
+      commitSnapshot(root, readVersion, Seq.empty,
+        Seq(s"$data/newfile2", morDvLine(data, "dv2")))
+    // order A: compaction PLANS at v2, the merge commits v3 first,
+    // the compaction's commit must fail closed (dangling dv2)
+    val rootA = freshStore("io_occ_dv_race_a")
+    val planA = planCompaction(s, rootA).get
+    merge2(rootA, 2) // -> v3
+    val aConflict =
+      try { commitCompaction(rootA, planA); false }
+      catch { case _: SnapshotConflictException => true }
+    // order B: the compaction commits v3 first, the merge (still based
+    // on v2) must fail closed (its dv's groups were retired)
+    val rootB = freshStore("io_occ_dv_race_b")
+    val planB = planCompaction(s, rootB).get
+    val vB = commitCompaction(rootB, planB) // -> v3
+    val bConflict =
+      try { merge2(rootB, 2); false }
+      catch { case _: SnapshotConflictException => true }
+    def leg(stage: String, root: String, conflict: Boolean) = {
+      val v = currentSnapshotVersion(root)
+      s.read.format("graft").option("versionAsOf", v).load(root)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(stage).as("stage"), lit(conflict).as("loser_failed_closed"),
+          lit(v.toLong).as("surviving_version"), $"n_rows", $"sum_price")
+    }
+    leg("1_merge_wins_compaction_aborts", rootA, aConflict)
+      .unionByName(leg("2_compaction_wins_merge_aborts", rootB, bConflict))
+      .orderBy($"stage")
+  }
+  private lazy val qOccDvRaceSql =
+    s"""WITH merged AS (
+       |  SELECT o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem)
+       |  UNION ALL
+       |  SELECT $bumpedPriceSql FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 0),
+       |merged2 AS (
+       |  SELECT o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |             OR o_orderkey % 10 = 5
+       |             OR o_orderkey % $MorDeleteMod = $MorDelete2Rem)
+       |  UNION ALL
+       |  SELECT $bumpedPriceSql FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT $bumpedPriceSql FROM orders WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 500)
+       |SELECT '1_merge_wins_compaction_aborts' AS stage,
+       |  true AS loser_failed_closed, CAST(3 AS BIGINT) AS surviving_version,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM merged2
+       |UNION ALL
+       |SELECT '2_compaction_wins_merge_aborts', true, 3,
+       |  COUNT(*), ${sqlSum("o_totalprice")}
+       |FROM merged
+       |ORDER BY stage""".stripMargin
 
   // -- io_dsv2_schema_merge: schema evolution through the write front door ---
   // Delta's mergeSchema on the graft store (r15): an append that
@@ -1095,8 +1315,8 @@ object Maintenance {
     new java.io.File(root).mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
-    val v2 = commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile", s"dv:$data/dv"))
-    commitSnapshot(root, v2, Seq.empty, Seq(s"$data/newfile2", s"dv:$data/dv2"))
+    val v2 = commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile", morDvLine(data, "dv")))
+    commitSnapshot(root, v2, Seq.empty, Seq(s"$data/newfile2", morDvLine(data, "dv2")))
     val cols = s.read.format("graft").option("versionAsOf", 1).load(root).columns.toSeq
     Tables.orders(s, d).filter($"o_orderkey" % 100 === 1)
       .select(cols.map(col): _*)
@@ -1629,6 +1849,13 @@ object Maintenance {
   private[graft] val MorDeleteRem = 7L
   private[graft] val MorDelete2Rem = 11L
 
+  /** The staged MoR base groups — the read set of both staged DVs. */
+  private[graft] def morBaseGroups(data: String): Seq[String] =
+    (0 to 3).map(g => s"$data/base/g=$g")
+  /** A staged dv sidecar as a read-set-annotated manifest line. */
+  private[graft] def morDvLine(data: String, sidecar: String): String =
+    DvLine.render(s"$data/$sidecar", morBaseGroups(data))
+
   /** Staged immutable MoR artifacts for TWO stacked MERGE commits —
     * the production steady state is a DV PILE, not a single DV (r12
     * verdict missing #2): 4-group base; merge-1's DV + insert leg
@@ -1693,8 +1920,9 @@ object Maintenance {
   }
 
   /** MoR snapshot read: manifest data paths minus every `dv:` sidecar's
-    * positions. DVs are bounded by the churn, not the table — the one
-    * broadcast in the maintenance family that stays safe at 100 TB. */
+    * positions. The anti-join is UNHINTED (r16): Spark/AQE broadcasts a
+    * churn-sized DV pile on its own, and a pile that has grown past the
+    * broadcast threshold shuffles instead of capping at the driver. */
   def readSnapshotMoR(s: SparkSession, root: String, version: Int): DataFrame = {
     val (dvLines, dataPaths) = manifestPaths(root, version).partition(_.startsWith("dv:"))
     val base = s.read.parquet(dataPaths: _*)
@@ -1705,7 +1933,7 @@ object Maintenance {
         .withColumn("file_key",
           regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
         .withColumn("row_index", col("_metadata.row_index"))
-        .join(broadcast(dv), Seq("file_key", "row_index"), "left_anti")
+        .join(dv, Seq("file_key", "row_index"), "left_anti")
         .drop("file_key", "row_index")
     }
   }
@@ -1723,9 +1951,9 @@ object Maintenance {
     // base groups move. MERGE #2 stacks a SECOND dv line + insert leg
     // atop v2 — the DV-pile steady state: reads must subtract BOTH.
     val v2 = commitSnapshot(root, 1, Seq.empty,
-      Seq(s"$data/newfile", s"dv:$data/dv"))
+      Seq(s"$data/newfile", morDvLine(data, "dv")))
     val v3 = commitSnapshot(root, v2, Seq.empty,
-      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+      Seq(s"$data/newfile2", morDvLine(data, "dv2")))
     // MoR reads through the DSv2 front door: the provider partitions
     // the manifest into data groups + dv: sidecars and subtracts the
     // deleted positions per file (readSnapshotMoR stays the library
@@ -1807,7 +2035,7 @@ object Maintenance {
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
     val v2 = commitSnapshot(root, 1, Seq.empty,
-      Seq(s"$data/newfile", s"dv:$data/dv"))
+      Seq(s"$data/newfile", morDvLine(data, "dv")))
     s.read.format("graft").option("readChangeFeed", "true")
       .option("startingVersion", 1).option("endingVersion", v2).load(root)
       .select(when($"_change_type" === "delete", "D").otherwise("I").as("op"),
@@ -1855,11 +2083,11 @@ object Maintenance {
       java.nio.file.Paths.get(root, "manifest_v1.txt"),
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
     val v2 = commitSnapshot(root, 1, Seq.empty,
-      Seq(s"$data/newfile", s"dv:$data/dv"))
+      Seq(s"$data/newfile", morDvLine(data, "dv")))
     // the second MERGE stacks a second dv line: the steady state a
     // compaction actually meets is a DV PILE, not one sidecar
     val v3 = commitSnapshot(root, v2, Seq.empty,
-      Seq(s"$data/newfile2", s"dv:$data/dv2"))
+      Seq(s"$data/newfile2", morDvLine(data, "dv2")))
     // the compaction commit: every DV-touched group swaps for its
     // compacted rewrite and BOTH dv lines are dropped with them
     val v4 = commitSnapshot(root, v3,
@@ -2300,6 +2528,7 @@ object Maintenance {
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
       Some(qDsv2SchemaMergeSql)),
     QueryDef("io_compact_store", qCompactStore, Some(qCompactStoreSql)),
+    QueryDef("io_occ_dv_race", qOccDvRace, Some(qOccDvRaceSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),
     QueryDef("io_vacuum", qVacuum, Some(qVacuumSql)),

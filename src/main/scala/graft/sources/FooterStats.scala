@@ -30,6 +30,27 @@ private[graft] object ZoneOrder {
   /** Left((min, max)) in a numeric domain, Right(exact string point). */
   type Parsed = Either[(BigDecimal, BigDecimal), String]
 
+  /** String stats order as UNSIGNED UTF-8 BYTES — the order parquet
+    * footers store binary min/max in and the order Spark's UTF8String
+    * comparisons (and therefore pushed string filters) use. Java's
+    * String '>' compares UTF-16 code units, which DIVERGES for
+    * supplementary characters (an emoji's surrogates sort below U+E000
+    * in UTF-16 but above it in UTF-8 bytes) — a zone "provably
+    * disjoint" under the wrong order silently drops matching rows
+    * (r15 ADVICE, high). */
+  private[graft] def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private val DayMicros = 86400000000L
 
   private def num(s: String): Option[Parsed] =
@@ -86,7 +107,7 @@ private[graft] object ZoneOrder {
     * value under `b`; false (fail open) for incomparable kinds. */
   def provablyAbove(a: Parsed, b: Parsed): Boolean = (a, b) match {
     case (Left((alo, _)), Left((_, bhi))) => alo > bhi
-    case (Right(x), Right(y)) => x > y
+    case (Right(x), Right(y)) => utf8Cmp(x, y) > 0
     case _ => false
   }
 
@@ -94,14 +115,14 @@ private[graft] object ZoneOrder {
     * unchanged when incomparable. */
   def maxByMin(a: Parsed, b: Parsed): Parsed = (a, b) match {
     case (Left((alo, _)), Left((blo, _))) => if (blo > alo) b else a
-    case (Right(x), Right(y)) => if (y > x) b else a
+    case (Right(x), Right(y)) => if (utf8Cmp(y, x) > 0) b else a
     case _ => a
   }
 
   /** Pick the interval whose MAX is smaller (for merging upper bounds). */
   def minByMax(a: Parsed, b: Parsed): Parsed = (a, b) match {
     case (Left((_, ahi)), Left((_, bhi))) => if (bhi < ahi) b else a
-    case (Right(x), Right(y)) => if (y < x) b else a
+    case (Right(x), Right(y)) => if (utf8Cmp(y, x) < 0) b else a
     case _ => a
   }
 }

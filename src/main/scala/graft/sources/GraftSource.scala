@@ -89,7 +89,7 @@ class GraftSource extends TableProvider with DataSourceRegister {
 
 /** Driver-side resolution of a graft store root + read options into the
   * concrete snapshot to scan. Pure manifest arithmetic. */
-private[sources] object GraftStore {
+private[graft] object GraftStore {
   final case class Resolved(
       root: String,
       version: Int,
@@ -102,6 +102,8 @@ private[sources] object GraftStore {
       // lines) — group path -> physical column -> (lo, hi)
       groupZones: Map[String, Map[String, (String, String)]],
       changeFeed: Option[(Int, Int)],  // (startingVersion, endingVersion)
+      cdfStartGiven: Boolean,          // explicit startingVersion/-Timestamp
+      pinnedVersion: Boolean,          // explicit versionAsOf/timestampAsOf
       startingVersion: Option[Int],    // streaming base version (exclusive)
       mergeSchema: Boolean,            // writer opted into schema evolution
       maxVersionsPerTrigger: Option[Int], // streaming admission cap
@@ -154,8 +156,12 @@ private[sources] object GraftStore {
         Maintenance.resolveAsOf(root, t.toLong)))
     val changeFeed = if (cdf) {
       // base version is EXCLUSIVE (the feed serves changes after it);
-      // 0 = the whole history including the initial snapshot — the
-      // streaming source's default
+      // 0 = the whole history including the initial snapshot. Only the
+      // STREAMING path may default to 0 (full history is its documented
+      // initial-offset semantic); a batch CDF read without an explicit
+      // start fails at planning (cdfStartGiven) — Delta's contract, and
+      // the difference between a typo and a table-sized feed (r15
+      // ADVICE).
       val from = startingVersion.getOrElse(0)
       val to = Option(options.get("endingVersion")).map(_.toInt)
         .getOrElse(Maintenance.currentSnapshotVersion(root))
@@ -195,7 +201,9 @@ private[sources] object GraftStore {
     val physicalSchema = schemaAt(root, version).getOrElse(
       SparkSession.active.read.parquet(dataPaths: _*).schema)
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
-      mapping, zoneCol, zones, groupZones, changeFeed, startingVersion,
+      mapping, zoneCol, zones, groupZones, changeFeed,
+      startingVersion.isDefined, vOpt.isDefined || tOpt.isDefined,
+      startingVersion,
       options.getBoolean("mergeSchema", false),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       physicalSchema)
@@ -390,11 +398,14 @@ private[sources] object GraftStore {
       .withColumn("row_index", col("_metadata.row_index"))
       .filter(cond)
       .select(col("file_key"), col("row_index"))
+    // unhinted anti-join against the existing DV pile: Spark/AQE
+    // broadcasts it while small; a large accumulated pile shuffles
+    // instead of hitting the driver's broadcast ceiling (r15 verdict #2)
     val fresh =
       if (store.dvPaths.isEmpty) hit
       else hit.join(
-        broadcast(spark.read.parquet(store.dvPaths: _*)
-          .select(col("file_key"), col("row_index"))),
+        spark.read.parquet(store.dvPaths: _*)
+          .select(col("file_key"), col("row_index")),
         Seq("file_key", "row_index"), "left_anti")
     val dvDir = s"${store.root}/dv_${java.util.UUID.randomUUID().toString.take(12)}"
     fresh.write.mode("overwrite").parquet(dvDir)
@@ -404,8 +415,15 @@ private[sources] object GraftStore {
       graft.Staging.rmTree(new java.io.File(dvDir)) // no-op delete
       return
     }
+    // the dv line carries its READ SET — the candidate groups the
+    // position scan resolved against. commitSnapshot then fails the
+    // commit if any of them was retired by a concurrent compaction /
+    // overwrite between the scan and the claim (a dangling dv would
+    // silently delete zero rows while reporting success), and
+    // conflicts a concurrent dv on the same groups (serializable
+    // row-level writes). r15 ADVICE + verdict #1.
     try { Maintenance.commitSnapshot(store.root, cur, Seq.empty,
-      Seq(s"dv:$dvDir")); () }
+      Seq(Maintenance.DvLine.render(dvDir, candidates))); () }
     catch { case t: Throwable =>
       graft.Staging.rmTree(new java.io.File(dvDir))
       throw t
@@ -416,9 +434,14 @@ private[sources] object GraftStore {
   def write(store: Resolved, data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
     require(store.changeFeed.isEmpty, "cannot write through a change-feed read")
+    // an EXPLICITLY pinned snapshot (versionAsOf/timestampAsOf) never
+    // accepts writes; a latest-resolved snapshot that merely RACED a
+    // concurrent commit is fine — the commit below bases on the
+    // current manifest and the OCC rules arbitrate (overwrites stay
+    // strict; mergeSchema merges into the latest committed schema log)
+    require(!store.pinnedVersion,
+      s"cannot write to a time-travel snapshot (pinned v${store.version})")
     val cur = Maintenance.currentSnapshotVersion(store.root)
-    require(store.version == cur,
-      s"cannot write to a time-travel snapshot (resolved v${store.version}, current v$cur)")
     // schema contract. Default: exact logical names and types, in
     // order — a mispositioned or re-typed column must fail before any
     // file lands. With option("mergeSchema", "true") the table accepts
@@ -496,14 +519,29 @@ private[sources] object GraftStore {
     if (extras.nonEmpty) {
       // the evolved physical schema becomes this version's log entry;
       // a crash before these writes degrades to the OLD schema (new
-      // columns invisible — fail open, rows stay right)
-      val evolved = StructType(store.physicalSchema.fields ++ extras)
+      // columns invisible — fail open, rows stay right).
+      // The BASE of the merge is the latest schema log at committed-1,
+      // NOT this writer's pre-commit snapshot: the commit may have
+      // rebased over a concurrent writer's own schema evolution, and
+      // deriving from the stale snapshot would silently drop that
+      // writer's columns from the newest log (r15 ADVICE). A residual
+      // window remains (the concurrent winner committing its manifest
+      // but not yet its schema file); closing it fully needs the
+      // schema inside the committed manifest.
+      val parent = schemaAt(store.root, committed - 1)
+        .getOrElse(store.physicalSchema)
+      val fresh = extras.filterNot(f => parent.fieldNames.contains(f.name))
+      val evolved = StructType(parent.fields ++ fresh)
       Maintenance.writeStoreText(store.root, s"schema_v$committed.json",
         evolved.json)
       store.mapping.foreach { m =>
+        val parentM = mappingAt(store.root, committed - 1)
+          .map(_.map { l => val Array(lg, ph) = l.split("=", 2); (lg, ph) })
+          .getOrElse(m)
+        val newM = parentM ++ extras.map(f => f.name -> f.name)
+          .filterNot { case (lg, _) => parentM.exists(_._1 == lg) }
         Maintenance.writeStoreText(store.root, s"mapping_v$committed.txt",
-          (m ++ extras.map(f => f.name -> f.name))
-            .map { case (lg, ph) => s"$lg=$ph" }.mkString("\n"))
+          newM.map { case (lg, ph) => s"$lg=$ph" }.mkString("\n"))
       }
     }
   }
@@ -679,14 +717,24 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private def fileKey(path: String): String =
     path.split('/').takeRight(2).mkString("/")
 
-  /** DV positions per file_key, read driver-side: sidecars are bounded
-    * by churn, not table size. */
-  private def dvPositions(paths: Seq[String]): Map[String, Array[Long]] =
+  /** Which sidecar parquet FILES carry positions for which file_key —
+    * the ONLY per-DV state the driver ever materializes (r15 verdict
+    * #2): O(data files × sidecar files) keys, never O(positions). The
+    * positions themselves are loaded TASK-side by
+    * [[GraftPositionReaderFactory]], each task reading only the
+    * sidecar files that contain its own file's key (footer-filtered).
+    * The distinct() runs distributed; the collect ships file names. */
+  private def dvKeyIndex(paths: Seq[String]): Map[String, Seq[String]] =
     if (paths.isEmpty) Map.empty
-    else spark.read.parquet(paths: _*)
-      .select("file_key", "row_index").collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+    else {
+      import org.apache.spark.sql.functions.col
+      val rows = spark.read.parquet(paths: _*)
+        .select(col("file_key"), col("_metadata.file_path").as("sidecar_file"))
+        .distinct().collect()
+      GraftScanCounters.driverDvIndexRows.addAndGet(rows.length)
+      rows.toSeq.map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (k, fs) => k -> fs.map(_._2).sorted }
+    }
 
   /** True iff a removal commit PROVABLY preserves rows — the DV-fold
     * compaction shape (r14 verdict #9): no new deletes, at least one
@@ -700,13 +748,15 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private def provablyNeutralCompaction(removedData: Seq[String],
       newData: Seq[String], foldedDv: Seq[String], newDv: Seq[String]): Boolean = {
     if (newDv.nonEmpty || foldedDv.isEmpty || removedData.isEmpty) return false
-    val dv = dvPositions(foldedDv)
+    val dvKeys = dvKeyIndex(foldedDv).keySet
     val removedKeys = listFiles(removedData).map(f => fileKey(f.filePath.toString)).toSet
-    if (!dv.keySet.subsetOf(removedKeys)) return false
-    val deleted = dv.valuesIterator.map(_.length.toLong).sum
+    if (!dvKeys.subsetOf(removedKeys)) return false
     val conf = spark.sessionState.newHadoopConf()
+    // position COUNTS from footer row counts — never the positions
+    // themselves; overlapping folded DVs double-count and fail the
+    // balance, which is the conservative direction
     FooterStats.rowCount(newData, conf) ==
-      FooterStats.rowCount(removedData, conf) - deleted
+      FooterStats.rowCount(removedData, conf) - FooterStats.rowCount(foldedDv, conf)
   }
 
   private def listFiles(paths: Seq[String]): Seq[PartitionedFile] = {
@@ -719,10 +769,22 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
       Map.empty[String, Any]))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (!needsPositions) return delegate.planInputPartitions()
+  // memoized: Spark calls planInputPartitions more than once per scan
+  // (planning + execution); the (file_key -> sidecar) index job must
+  // run once, not per call
+  override def planInputPartitions(): Array[InputPartition] =
+    if (!needsPositions) delegate.planInputPartitions()
+    else plannedPositionPartitions
+
+  private lazy val plannedPositionPartitions: Array[InputPartition] =
     store.changeFeed match {
       case Some((from, to)) =>
+        // batch CDF must name its start explicitly; only the streaming
+        // path (GraftMicroBatchStream below) defaults to full history
+        require(store.cdfStartGiven,
+          "batch readChangeFeed requires startingVersion or " +
+            "startingTimestamp — a change feed without a start would " +
+            "serve the entire history including the initial snapshot")
         val fromLines =
           if (from <= 0) Seq.empty[String]
           else Maintenance.manifestPaths(store.root, from)
@@ -740,38 +802,40 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
             s"change feed $from..$to removed data groups (${removed.mkString(", ")}) " +
               "and is not a provably row-neutral compaction — " +
               "only append+DV (MERGE) commit deltas have a row-level feed")
-          return Array.empty
+          Array.empty
+        } else {
+          val newDv = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
+          val newData = toData.filterNot(fromData.contains)
+          val dv = dvKeyIndex(newDv)
+          // delete pre-images: keep-position reads of ONLY referenced
+          // files. Listed from the TO side — removals fail closed above,
+          // so every FROM file is still live at TO, and a from=0 feed
+          // (full history) finds the dv-referenced base files too.
+          val deleteParts = listFiles(toData)
+            .filter(f => dv.contains(fileKey(f.filePath.toString)))
+            .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
+          val insertParts = listFiles(newData)
+            .map(f => (f, Seq.empty[String], false, "insert"))
+          (deleteParts ++ insertParts).zipWithIndex.map {
+            case ((f, dvFiles, keep, ct), i) =>
+              GraftInputPartition(i, f, fileKey(f.filePath.toString), dvFiles, keep, ct)
+          }.toArray
         }
-        val newDv = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
-        val newData = toData.filterNot(fromData.contains)
-        val dv = dvPositions(newDv)
-        // delete pre-images: keep-position reads of ONLY referenced
-        // files. Listed from the TO side — removals fail closed above,
-        // so every FROM file is still live at TO, and a from=0 feed
-        // (full history) finds the dv-referenced base files too.
-        val deleteParts = listFiles(toData)
-          .filter(f => dv.contains(fileKey(f.filePath.toString)))
-          .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
-        val insertParts = listFiles(newData)
-          .map(f => (f, Array.empty[Long], false, "insert"))
-        (deleteParts ++ insertParts).zipWithIndex.map {
-          case ((f, pos, keep, ct), i) => GraftInputPartition(i, f, pos, keep, ct)
-        }.toArray
       case None => // MoR snapshot read: drop DV positions per file
-        val dv = dvPositions(store.dvPaths)
+        val dv = dvKeyIndex(store.dvPaths)
         listFiles(keptPaths).zipWithIndex.map { case (f, i) =>
-          GraftInputPartition(i, f,
-            dv.getOrElse(fileKey(f.filePath.toString), Array.empty),
+          val key = fileKey(f.filePath.toString)
+          GraftInputPartition(i, f, key, dv.getOrElse(key, Seq.empty),
             keep = false, changeType = "")
         }.toArray
     }
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
     if (!needsPositions) inner
     else new GraftPositionReaderFactory(inner, delegate.readDataSchema,
-      isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol))
+      isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol),
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   }
 
   // ---- streaming source: the commit log is the offset log (r15) -----------
@@ -839,7 +903,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
         end: rstreaming.Offset): Array[InputPartition] = {
       val from = start.asInstanceOf[GraftVersionOffset].version
       val to = end.asInstanceOf[GraftVersionOffset].version
-      val parts = Seq.newBuilder[(PartitionedFile, Array[Long], Boolean, String)]
+      val parts = Seq.newBuilder[(PartitionedFile, Seq[String], Boolean, String)]
       for (v <- from + 1 to to) {
         val prev = if (v <= 1) Seq.empty[String]
           else Maintenance.manifestPaths(store.root, v - 1)
@@ -861,16 +925,17 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
           require(isCdf || newDv.isEmpty,
             s"commit v$v carries row-level deletes (dv: sidecars) — " +
               "stream with option(\"readChangeFeed\", \"true\") to receive them")
-          val dv = dvPositions(newDv)
+          val dv = dvKeyIndex(newDv)
           parts ++= listFiles(cData)
             .filter(f => dv.contains(fileKey(f.filePath.toString)))
             .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
           parts ++= listFiles(newData)
-            .map(f => (f, Array.empty[Long], false, "insert"))
+            .map(f => (f, Seq.empty[String], false, "insert"))
         }
       }
-      parts.result().zipWithIndex.map { case ((f, pos, keep, ct), i) =>
-        GraftInputPartition(i, f, pos, keep, ct): InputPartition
+      parts.result().zipWithIndex.map { case ((f, dvFiles, keep, ct), i) =>
+        GraftInputPartition(i, f, fileKey(f.filePath.toString), dvFiles,
+          keep, ct): InputPartition
       }.toArray
     }
 
@@ -879,7 +944,8 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftPositionReaderFactory(delegate.createReaderFactory(),
         delegate.readDataSchema,
-        isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol))
+        isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol),
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
     override def commit(end: rstreaming.Offset): Unit = ()
     override def stop(): Unit = ()
@@ -896,30 +962,93 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   override def toString: String = description()
 }
 
-/** One whole (unsplit) file + the row positions to keep or drop, plus
-  * the change-feed tag. Whole files are the point: row position within
-  * the file equals rows read so far. */
+/** One whole (unsplit) file, its position identity (`fileKey`), and
+  * the sidecar parquet files that carry its delete positions. Whole
+  * files are the point: row position within the file equals rows read
+  * so far. The POSITIONS are deliberately absent — the task loads its
+  * own file's positions from `dvFiles` (r15 verdict #2: a driver that
+  * materializes every position of the read window caps out at the
+  * 8-GB broadcast ceiling on a large MERGE; file names are O(files)). */
 private[sources] case class GraftInputPartition(idx: Int,
-    file: PartitionedFile, positions: Array[Long], keep: Boolean,
-    changeType: String) extends InputPartition {
+    file: PartitionedFile, fileKey: String, dvFiles: Seq[String],
+    keep: Boolean, changeType: String) extends InputPartition {
   override def preferredLocations(): Array[String] =
     FilePartition(idx, Array(file)).preferredLocations()
+}
+
+/** A Hadoop `Configuration` that survives task serialization (the
+  * class itself is not `Serializable`; this is the standard
+  * write/readFields envelope). */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Task-side DV sidecar access: read `(file_key, row_index)` rows of
+  * the given sidecar parquet files, keeping only `key`'s positions.
+  * Uses parquet's own record filter, so row groups whose file_key
+  * stats exclude the key are skipped on footer arithmetic alone; a
+  * task's cost is its own file's churn, not the sidecar pile. */
+private[sources] object DvSidecars {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.io.api.Binary
+
+  /** Sorted (ascending, possibly duplicated) positions of `key`. */
+  def positionsFor(files: Seq[String], key: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    for (f <- files) {
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(f))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(FilterApi.eq(
+          FilterApi.binaryColumn("file_key"), Binary.fromString(key))))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getLong("row_index", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
 }
 
 /** Wraps the delegate parquet reader with position filtering and the
   * optional constant `_change_type` column. Row-based on purpose: DV
   * subtraction is per-row; the non-DV path never comes through here
-  * and keeps the delegate's columnar batches. */
+  * and keeps the delegate's columnar batches. Positions load on the
+  * EXECUTOR ([[DvSidecars]]), sorted — and the file streams in
+  * position order, so the subtraction is one merge pointer, O(1) per
+  * row, no hash set. */
 private[sources] class GraftPositionReaderFactory(
     delegate: PartitionReaderFactory, dataSchema: StructType,
-    appendChangeType: Boolean) extends PartitionReaderFactory {
+    appendChangeType: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     val inner = delegate.createReader(FilePartition(gp.idx, Array(gp.file)))
-    val posSet = gp.positions.toSet
+    val positions: Array[Long] =
+      if (gp.dvFiles.isEmpty) Array.empty
+      else DvSidecars.positionsFor(gp.dvFiles, gp.fileKey, conf.value)
     val proj = if (appendChangeType) {
       val refs = dataSchema.fields.zipWithIndex.map { case (f, i) =>
         BoundReference(i, f.dataType, f.nullable) }
@@ -928,11 +1057,14 @@ private[sources] class GraftPositionReaderFactory(
     } else null
     new PartitionReader[InternalRow] {
       private var pos = -1L
+      private var pi = 0
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (inner.next()) {
           pos += 1
-          if (posSet.contains(pos) == gp.keep || (posSet.isEmpty && !gp.keep)) {
+          while (pi < positions.length && positions(pi) < pos) pi += 1
+          val inSet = pi < positions.length && positions(pi) == pos
+          if (inSet == gp.keep) {
             current = if (proj == null) inner.get() else proj(inner.get())
             return true
           }
@@ -943,4 +1075,11 @@ private[sources] class GraftPositionReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** Plan-gate counters (the FooterStats jobs-counter discipline): specs
+  * pin that MoR/CDF planning ships O(files) index rows to the driver —
+  * never positions. */
+object GraftScanCounters {
+  val driverDvIndexRows = new java.util.concurrent.atomic.AtomicLong(0)
 }

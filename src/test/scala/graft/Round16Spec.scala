@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintenance
+import graft.operators.Maintenance.{DvLine, SnapshotConflictException}
+import graft.sources.{FooterStats, GraftScanCounters, GraftStore, ZoneOrder}
+
+/** Round-16 gates: the serializable OCC conflict model over dv
+  * read-sets (r15 verdict #1 — the compaction-vs-MERGE write-write
+  * anomaly), executor-side DV position loading (r15 verdict #2),
+  * UTF-8-byte string zone ordering (r15 ADVICE, high), and the
+  * schema-log rebase fix (r15 ADVICE).
+  */
+class Round16Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_q/${name}_spec"
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    root
+  }
+
+  /** A fresh store over the shared staged MoR base groups at v1. */
+  private def morStore(name: String): (String, String) = {
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot(name)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+    (root, data)
+  }
+  private def baseGroups(data: String): Seq[String] =
+    (0 to 3).map(g => s"$data/base/g=$g")
+  private def dvLine(data: String, sc: String): String =
+    DvLine.render(s"$data/$sc", baseGroups(data))
+
+  // ---- UTF-8 byte ordering of string zone stats (r15 ADVICE, high) --------
+
+  test("r16: string zone ordering is unsigned UTF-8 bytes, not UTF-16") {
+    // U+E000 (private use) is ABOVE a surrogate pair in UTF-16 code
+    // units but BELOW U+1F600's UTF-8 bytes (EE.. < F0..)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(ZoneOrder.utf8Cmp(emoji, "") > 0,
+      "UTF-8 bytes must order the emoji above U+E000")
+    assert(emoji.compareTo("") < 0,
+      "sanity: Java UTF-16 order disagrees (the bug this gate pins)")
+    val pe = ZoneOrder.parse(org.apache.spark.sql.types.StringType, emoji).get
+    val pp = ZoneOrder.parse(org.apache.spark.sql.types.StringType, "").get
+    assert(ZoneOrder.provablyAbove(pe, pp) && !ZoneOrder.provablyAbove(pp, pe))
+  }
+
+  test("r16: supplementary-char rows survive zone pruning end-to-end") {
+    import spark.implicits._
+    val emoji = new String(Character.toChars(0x1F600))
+    val root = freshRoot("r16_utf8_zone")
+    // initial group: plain ASCII values, no zone stats (fails open)
+    val init = s"$root/init"
+    Seq(("aa", 1L), ("bb", 2L)).toDF("tag", "v").write.parquet(init)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      init.getBytes("UTF-8"))
+    // appended group carries the emoji row; its string zone stats are
+    // harvested from the footer ([lo, hi] both within supplementary
+    // range when the batch is emoji-only)
+    Seq((emoji, 3L)).toDF("tag", "v")
+      .write.format("graft").mode("append").save(root)
+    // a UTF-16 comparator concludes probe "" > zone hi (emoji)
+    // and prunes the only matching group — silently losing the row
+    val got = spark.read.format("graft").load(root)
+      .filter($"tag" >= "").collect()
+    assert(got.length == 1 && got(0).getString(0) == emoji,
+      s"zone pruning dropped the supplementary-char row: ${got.toSeq}")
+  }
+
+  // ---- dv read-set lines ----------------------------------------------------
+
+  test("r16: DvLine render/parse/normalize round-trip") {
+    val l = DvLine.render("/tmp/x/dv", Seq("/tmp/x/base/g=0", "/tmp/x/base/g=1"))
+    assert(l == "dv:/tmp/x/dv@/tmp/x/base/g=0,/tmp/x/base/g=1")
+    assert(DvLine.sidecar(l) == "/tmp/x/dv")
+    assert(DvLine.groups(l).contains(Seq("/tmp/x/base/g=0", "/tmp/x/base/g=1")))
+    assert(DvLine.normalize(l) == "dv:/tmp/x/dv")
+    assert(DvLine.groups("dv:/tmp/x/dv").isEmpty) // legacy form
+    assert(DvLine.normalize("zone:p|c|a|b|1") == "zone:p|c|a|b|1")
+  }
+
+  test("r16: manifestPaths strips dv read-set annotations for readers") {
+    val (root, data) = morStore("r16_dv_norm")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv")))
+    val paths = Maintenance.manifestPaths(root, 2)
+    assert(paths.contains(s"dv:$data/dv"), s"normalized dv line missing: $paths")
+    assert(!paths.exists(_.contains("@")), s"annotation leaked to readers: $paths")
+    // but the raw manifest keeps the read set for the commit protocol
+    assert(Maintenance.manifestRawLines(root, 2).exists(l =>
+      l.startsWith("dv:") && l.contains("@")))
+  }
+
+  // ---- the serializable conflict rules (r15 verdict #1) --------------------
+
+  test("r16: a rebase that would dangle a dv fails closed (merge wins)") {
+    val (root, data) = morStore("r16_race_merge_wins")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv"))) // v2
+    val plan = Maintenance.planCompaction(spark, root).get
+    // concurrent MERGE lands v3 with a second dv on the base groups
+    Maintenance.commitSnapshot(root, 2, Seq.empty,
+      Seq(s"$data/newfile2", dvLine(data, "dv2")))
+    val e = intercept[SnapshotConflictException] {
+      Maintenance.commitCompaction(root, plan)
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    assert(Maintenance.currentSnapshotVersion(root) == 3)
+    // the compaction's staged rewrite was cleaned up
+    assert(!new java.io.File(plan.out).exists())
+  }
+
+  test("r16: a dv-add whose groups were retired fails closed (compaction wins)") {
+    val (root, data) = morStore("r16_race_compact_wins")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv"))) // v2
+    assert(Maintenance.compactStore(spark, root) == 3)
+    val e = intercept[SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, 2, Seq.empty,
+        Seq(s"$data/newfile2", dvLine(data, "dv2")))
+    }
+    assert(e.getMessage.contains("resurrect") ||
+      e.getMessage.contains("concurrent"), e.getMessage)
+    assert(Maintenance.currentSnapshotVersion(root) == 3)
+  }
+
+  test("r16: concurrent dv-adds on the same group are serializable") {
+    val (root, data) = morStore("r16_dv_vs_dv")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv"))) // v2 from v1
+    // a second MERGE still based on v1: same-group dv collision
+    val e = intercept[SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, 1, Seq.empty,
+        Seq(s"$data/newfile2", dvLine(data, "dv2")))
+    }
+    assert(e.getMessage.contains("concurrent row-level writes"), e.getMessage)
+    // ... while a dv on a DISJOINT group rebases fine
+    val v3 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(DvLine.render(s"$data/dv2", Seq(s"$data/newfile"))))
+    assert(v3 == 3)
+  }
+
+  test("r16: threaded compaction-commit vs MERGE — exactly one survivor") {
+    val (root, data) = morStore("r16_threaded_race")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv"))) // v2
+    // plan BEFORE the race: both writers then claim concurrently, and
+    // whichever commits second MUST fail closed (were the plan taken
+    // after the merge landed, compaction would legitimately fold both
+    // dvs and both writers would serialize cleanly)
+    val plan = Maintenance.planCompaction(spark, root).get
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val t1 = new Thread(() =>
+      try { Maintenance.commitCompaction(root, plan); outcomes.put("compact", true); () }
+      catch { case _: SnapshotConflictException => outcomes.put("compact", false); () })
+    val t2 = new Thread(() =>
+      try {
+        Maintenance.commitSnapshot(root, 2, Seq.empty,
+          Seq(s"$data/newfile2", dvLine(data, "dv2")))
+        outcomes.put("merge", true); ()
+      } catch { case _: SnapshotConflictException => outcomes.put("merge", false); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val winners = Seq("compact", "merge").filter(outcomes.get(_))
+    assert(winners.size == 1, s"expected exactly one survivor, got $winners")
+    // whoever survived, the final manifest has no dangling dv
+    val v = Maintenance.currentSnapshotVersion(root)
+    val lines = Maintenance.manifestRawLines(root, v)
+    val live = lines.filterNot(l => l.startsWith("zone:") || DvLine.is(l)).toSet
+    val dangling = lines.filter(DvLine.is).flatMap(l =>
+      DvLine.groups(l).getOrElse(Nil).filterNot(live.contains))
+    assert(dangling.isEmpty, s"dangling dv refs after the race: $dangling")
+  }
+
+  test("r16: deleteWhere commits a read-set-annotated dv line") {
+    val (root, _) = morStore("r16_delete_annotated")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '1-URGENT'")
+    val raw = Maintenance.manifestRawLines(root, 2).filter(DvLine.is)
+    assert(raw.size == 1 && raw.head.contains("@"),
+      s"DELETE's dv line must carry its read set: $raw")
+    val groups = DvLine.groups(raw.head).get
+    assert(groups.nonEmpty && groups.forall(_.contains("/base/g=")),
+      s"unexpected read set: $groups")
+  }
+
+  // ---- executor-side DV application (r15 verdict #2) ------------------------
+
+  test("r16: MoR planning ships O(files) index rows, never positions") {
+    import spark.implicits._
+    val (root, data) = morStore("r16_exec_dv")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv")))
+    Maintenance.commitSnapshot(root, 2, Seq.empty,
+      Seq(s"$data/newfile2", dvLine(data, "dv2")))
+    val dvDirs = Seq(s"$data/dv", s"$data/dv2")
+    val positions = FooterStats.rowCount(dvDirs,
+      spark.sessionState.newHadoopConf())
+    assert(positions > 0)
+    // the exact driver-side state: distinct (file_key, sidecar file)
+    val pairs = spark.read.parquet(dvDirs: _*)
+      .select($"file_key", col("_metadata.file_path")).distinct().count()
+    val before = GraftScanCounters.driverDvIndexRows.get()
+    val n = spark.read.format("graft").load(root).count()
+    val delta = GraftScanCounters.driverDvIndexRows.get() - before
+    assert(n > 0)
+    assert(delta == pairs,
+      s"driver DV state must be the (file_key, sidecar) index: $delta vs $pairs")
+    // MoR values agree with the library read path
+    val dsv2 = spark.read.format("graft").load(root)
+      .agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    val lib = Maintenance.readSnapshotMoR(spark, root, 3)
+      .agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    assert(dsv2.getLong(0) == lib.getLong(0))
+    assert(math.abs(dsv2.getDouble(1) - lib.getDouble(1)) <=
+      1e-9 * math.abs(lib.getDouble(1)) + 1e-6)
+  }
+
+  // ---- batch CDF start contract (r15 ADVICE) --------------------------------
+
+  test("r16: batch readChangeFeed requires an explicit start") {
+    val (root, data) = morStore("r16_cdf_start")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv")))
+    val e = intercept[Throwable] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(root).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("startingVersion")),
+      messages(e).mkString(" | "))
+    // with an explicit start the feed serves the commit's delta
+    val n = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(root).count()
+    assert(n > 0)
+  }
+
+  // ---- schema-log rebase (r15 ADVICE) ---------------------------------------
+
+  test("r16: a stale mergeSchema writer keeps the concurrent winner's column") {
+    import spark.implicits._
+    val (root, _) = morStore("r16_schema_rebase")
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    def batch(mod: Int) = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 20 === mod).select(cols.map(col): _*)
+    // resolve BEFORE the concurrent winner commits (a stale snapshot)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", root); opts.put("mergeSchema", "true")
+    val stale = GraftStore.resolve(new CaseInsensitiveStringMap(opts))
+    // concurrent winner: evolves col_a in v2
+    batch(3).withColumn("col_a", lit(1L))
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(root)
+    // stale writer evolves col_b; its commit rebases to v3 and its
+    // schema log must carry BOTH columns (pre-r16 it silently dropped
+    // the winner's col_a from the newest log)
+    GraftStore.write(stale, batch(7).withColumn("col_b", lit(2L)),
+      overwrite = false)
+    val fields = spark.read.format("graft").load(root).schema.fieldNames.toSet
+    assert(fields.contains("col_a") && fields.contains("col_b"),
+      s"schema log lost a concurrent writer's column: $fields")
+  }
+
+  // ---- encrypted control plane covers schema logs (r15 ADVICE) --------------
+
+  test("r16: enableStoreEncryption encrypts pre-existing schema logs") {
+    val (root, data) = morStore("r16_enc_schema")
+    import spark.implicits._
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    Tables.orders(spark, sf).filter($"o_orderkey" % 20 === 9)
+      .select(cols.map(col): _*).withColumn("o_extra", lit(1L))
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(root) // writes schema_v2.json
+    Maintenance.enableStoreEncryption(root, "r16-mk-1")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "schema_v2.json"))
+    assert(new String(bytes.take(9), "UTF-8") == "GRAFTENC1",
+      "schema log left plaintext after enabling store encryption")
+    // and the encrypted schema log still resolves
+    val fields = spark.read.format("graft").load(root).schema.fieldNames.toSet
+    assert(fields.contains("o_extra"))
+    val _ = data
+  }
+}
