@@ -1260,6 +1260,108 @@ object Maintenance {
        |FROM orders WHERE o_orderpriority <> '1-URGENT'
        |ORDER BY stage""".stripMargin
 
+  // -- io_sql_update: SQL UPDATE as one MoR commit (r16) ---------------------
+  // `UPDATE graft.<store> SET … WHERE …` — the third DML verb, served
+  // by the delta-based row-level rewrite (GraftRowLevel.scala): the
+  // rewrite scans live rows with their position identity, executors
+  // land ONE deletion-vector sidecar (the touched positions) and ONE
+  // insert-leg file (the re-written rows), and the driver commits both
+  // through the OCC path — write amplification O(changed rows), zero
+  // base-file rewrites, exactly the io_merge_dv shape reached from
+  // pure SQL. The gate updates with the engine-exact 2dp bump (the
+  // bumpedPrice discipline), reads both versions back with
+  // `VERSION AS OF`, and pins n_versions = 2 (ONE commit) plus the
+  // dv-line count — a rewrite that committed twice, rewrote a base
+  // group, or updated the wrong rows fails the value compare.
+  private def qSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_sql_update_run")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    s.sql(s"""UPDATE graft.`$name`
+              |SET o_totalprice = $bumpedPriceSql
+              |WHERE o_orderkey % 10 = 0""".stripMargin) // -> v2, ONE commit
+    val nv = currentSnapshotVersion(run).toLong
+    val nDv = manifestPaths(run, nv.toInt).count(_.startsWith("dv:")).toLong
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq("1_before" -> 1, "2_after_update" -> 2).map { case (stage, v) =>
+      s.sql(s"""SELECT '$stage' AS stage, COUNT(*) AS n_rows,
+                |  $sumSql AS sum_price, CAST($nv AS BIGINT) AS n_versions,
+                |  CAST($nDv AS BIGINT) AS n_dv_lines
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qSqlUpdateSql =
+    s"""SELECT '1_before' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_dv_lines
+       |FROM orders
+       |UNION ALL
+       |SELECT '2_after_update', COUNT(*), ${sqlSum(
+          s"CASE WHEN o_orderkey % 10 = 0 THEN $bumpedPriceSql ELSE o_totalprice END")},
+       |  2, 1
+       |FROM orders
+       |ORDER BY stage""".stripMargin
+
+  // -- io_sql_merge: SQL MERGE INTO as one MoR commit (r16) -------------------
+  // `MERGE INTO … USING … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  // MATCHED THEN INSERT *` — the full upsert verb through the analyzer
+  // (q_merge_upsert's semantics, previously DataFrame-only), rewritten
+  // delta-based: matched rows split into delete(position) +
+  // insert(post-image), unmatched source rows insert — ONE commit, one
+  // dv sidecar + one insert leg. The changes batch is the
+  // q_merge_upsert function of the base table (10% bump for %10==0,
+  // shifted copies of %1000==0 as new rows), so the oracle replays the
+  // MERGE exactly; per-priority (count, decimal sum) across BOTH
+  // versions pins update, insert, and time travel at once.
+  private def qSqlMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_sql_merge_run")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(run)
+      .columns.toSeq
+    val orders = Tables.orders(s, d)
+    orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
+      .unionByName(orders.filter($"o_orderkey" % 1000 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
+      .select(cols.map(col): _*)
+      .createOrReplaceTempView("io_sql_merge_src")
+    s.sql(s"""MERGE INTO graft.`$name` t USING io_sql_merge_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // -> v2
+    val nv = currentSnapshotVersion(run).toLong
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq(1, 2).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, o_orderpriority,
+                |  COUNT(*) AS n, $sumSql AS sum_price,
+                |  CAST($nv AS BIGINT) AS n_versions
+                |FROM graft.`$name` VERSION AS OF $v
+                |GROUP BY o_orderpriority""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"version", $"o_orderpriority")
+  }
+  private val qSqlMergeSql =
+    s"""WITH merged AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 <> 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0)
+       |SELECT CAST(1 AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price, CAST(2 AS BIGINT) AS n_versions
+       |FROM orders GROUP BY o_orderpriority
+       |UNION ALL
+       |SELECT 2, o_orderpriority, COUNT(*), ${sqlSum("o_totalprice")}, 2
+       |FROM merged GROUP BY o_orderpriority
+       |ORDER BY version, o_orderpriority""".stripMargin
+
   // -- io_history_table: DESCRIBE HISTORY as a SQL metadata table ------------
   // Delta's `DESCRIBE HISTORY` / Iceberg's `.history` over the graft
   // store: `SELECT * FROM graft.`<store>$history`` serves one row per
@@ -2524,6 +2626,8 @@ object Maintenance {
     QueryDef("io_encrypted_manifest", qEncryptedManifest,
       Some(qEncryptedManifestSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
+    QueryDef("io_sql_update", qSqlUpdate, Some(qSqlUpdateSql)),
+    QueryDef("io_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
       Some(qDsv2SchemaMergeSql)),

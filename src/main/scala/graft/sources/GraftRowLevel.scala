@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Maintenance
+
+/** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` over the graft
+  * store (r15 verdict "Next round" #3) — the DSv2 row-level-operation
+  * contract, DELTA-based (Spark's `SupportsDelta`): the rewrite plans
+  * a scan that carries each row's POSITION IDENTITY (the
+  * `_graft_file_key` / `_graft_row_index` metadata columns the scan
+  * already tracks for merge-on-read), executors write exactly two
+  * kinds of artifacts — a deletion-vector sidecar of touched positions
+  * and an insert-leg data file — and the driver lands both as ONE OCC
+  * snapshot commit. UPDATE is represented as delete+insert
+  * (`representUpdateAsDeleteAndInsert`), so `UPDATE` = MoR dv +
+  * reinsert leg in one commit, and `MERGE INTO` maps onto the
+  * io_merge_dv shape with zero data-file rewrites.
+  *
+  * Scale shape: write amplification is O(changed rows) — the base
+  * files move zero bytes; the dv line carries the operation's READ SET
+  * (the zone-pruned groups its scan resolved), so a concurrent
+  * compaction/overwrite that retires any of them fails this commit
+  * closed instead of silently dropping the deletes, and two concurrent
+  * row-level writes on the same groups serialize (commitSnapshot's r16
+  * rules). Executors write parquet through Spark's own
+  * `ParquetFileFormat#prepareWrite` factory — codegen'd write support,
+  * no bespoke row encoder.
+  */
+private[sources] class GraftRowLevelOperation(store: GraftStore.Resolved,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+
+  /** The groups the operation's scan resolved (post zone-pruning) —
+    * the dv line's read set. Defaults to every live group until the
+    * scan is built. */
+  @volatile private[sources] var scannedGroups: Seq[String] = store.dataPaths
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(store, scan => scannedGroups = scan.keptGroupPaths)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(store,
+        GraftRowLevelOperation.this, info.schema())
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftStore.FileKeyCol),
+    Expressions.column(GraftStore.RowIndexCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def description(): String = s"GraftRowLevel($cmd) ${store.root}"
+}
+
+private[sources] class GraftDeltaWrite(store: GraftStore.Resolved,
+    op: GraftRowLevelOperation, rowSchema: StructType) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(store, op, rowSchema)
+}
+
+/** Commit message: the files one task wrote plus its op counts. */
+private[sources] case class GraftDeltaCommitMessage(
+    dataFile: Option[String], dvFile: Option[String],
+    deletes: Long, inserts: Long) extends WriterCommitMessage
+
+private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
+    op: GraftRowLevelOperation, rowSchema: StructType) extends DeltaBatchWrite {
+
+  private def spark = SparkSession.active
+  private val runId = java.util.UUID.randomUUID().toString.take(12)
+  private val appendDir = s"${store.root}/rlw_$runId"
+  private val dvDir = s"${store.root}/dv_rlw_$runId"
+  // files carry PHYSICAL names (column mapping); row order is the
+  // logical schema's, so a rename is just a header swap
+  private val physSchema = StructType(
+    rowSchema.fields.map(f => f.copy(name = store.phys(f.name))))
+  private val dvSchema = StructType(Seq(
+    StructField("file_key", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false)))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val fmt = new ParquetFileFormat()
+    val dataJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val dataFactory = fmt.prepareWrite(spark, dataJob, Map.empty, physSchema)
+    val dvJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val dvFactory = fmt.prepareWrite(spark, dvJob, Map.empty, dvSchema)
+    new GraftDeltaWriterFactory(appendDir, dvDir, physSchema, dvSchema,
+      dataFactory, new SerializableHadoopConf(dataJob.getConfiguration),
+      dvFactory, new SerializableHadoopConf(dvJob.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    val nDel = msgs.map(_.deletes).sum
+    val nIns = msgs.map(_.inserts).sum
+    def drop(dir: String): Unit = graft.Staging.rmTree(new java.io.File(dir))
+    if (nDel == 0 && nIns == 0) { drop(appendDir); drop(dvDir); return }
+    val added = Seq.newBuilder[String]
+    if (nIns > 0) {
+      // zone stats for the insert leg from its own footers — the same
+      // zero-job harvest every write front door does
+      val (rows, stats) = FooterStats.harvest(appendDir, physSchema,
+        spark.sessionState.newHadoopConf())
+      added += appendDir
+      added ++= stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"zone:$appendDir|$c|$lo|$hi|$rows" }
+    } else drop(appendDir)
+    if (nDel > 0) added += Maintenance.DvLine.render(dvDir, op.scannedGroups)
+    else drop(dvDir)
+    try { Maintenance.commitSnapshot(store.root, store.version, Seq.empty,
+      added.result()); () }
+    catch { case t: Throwable =>
+      if (nIns > 0) drop(appendDir)
+      if (nDel > 0) drop(dvDir)
+      throw t
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    graft.Staging.rmTree(new java.io.File(appendDir))
+    graft.Staging.rmTree(new java.io.File(dvDir))
+  }
+}
+
+private[sources] class GraftDeltaWriterFactory(
+    appendDir: String, dvDir: String,
+    physSchema: StructType, dvSchema: StructType,
+    dataFactory: OutputWriterFactory, dataConf: SerializableHadoopConf,
+    dvFactory: OutputWriterFactory, dvConf: SerializableHadoopConf)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private def ctx(conf: org.apache.hadoop.conf.Configuration) =
+        new TaskAttemptContextImpl(conf, new TaskAttemptID(
+          new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
+          (taskId % Int.MaxValue).toInt))
+
+      private var dataWriter: OutputWriter = _
+      private var dvWriter: OutputWriter = _
+      private var dataPath: Option[String] = None
+      private var dvPath: Option[String] = None
+      private var nDel = 0L
+      private var nIns = 0L
+
+      private def data(): OutputWriter = {
+        if (dataWriter == null) {
+          val c = ctx(dataConf.value)
+          val p = f"$appendDir/part-$partitionId%05d-$taskId${dataFactory.getFileExtension(c)}"
+          dataWriter = dataFactory.newInstance(p, physSchema, c)
+          dataPath = Some(p)
+        }
+        dataWriter
+      }
+      private def dv(): OutputWriter = {
+        if (dvWriter == null) {
+          val c = ctx(dvConf.value)
+          val p = f"$dvDir/part-$partitionId%05d-$taskId${dvFactory.getFileExtension(c)}"
+          dvWriter = dvFactory.newInstance(p, dvSchema, c)
+          dvPath = Some(p)
+        }
+        dvWriter
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        dv().write(id); nDel += 1
+      }
+      override def insert(row: InternalRow): Unit = {
+        data().write(row); nIns += 1
+      }
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = { delete(metadata, id); insert(row) }
+      override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+        insert(row)
+
+      override def commit(): WriterCommitMessage = {
+        close()
+        GraftDeltaCommitMessage(dataPath, dvPath, nDel, nIns)
+      }
+      override def abort(): Unit = {
+        close()
+        for (p <- dataPath ++ dvPath)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      }
+      override def close(): Unit = {
+        if (dataWriter != null) { dataWriter.close(); dataWriter = null }
+        if (dvWriter != null) { dvWriter.close(); dvWriter = null }
+      }
+    }
+}

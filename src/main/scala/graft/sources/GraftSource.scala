@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => rstreaming}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -133,6 +133,11 @@ private[graft] object GraftStore {
   }
 
   val ChangeTypeCol = "_change_type"
+  /** Metadata columns: a row's position identity — the same (file tail,
+    * row index) pair every DV consumer uses. Row-level operations
+    * (UPDATE/MERGE/DELETE rewrites) select them as the row ID. */
+  val FileKeyCol = "_graft_file_key"
+  val RowIndexCol = "_graft_row_index"
 
   private def readLines(root: String, name: String): Option[Seq[String]] = {
     val p = java.nio.file.Paths.get(root, name)
@@ -549,7 +554,9 @@ private[graft] object GraftStore {
 
 private[sources] class GraftTable(val store: GraftStore.Resolved)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   // no dots/backticks: analyzer errors render this inside attribute
   // names, and punctuation turns a clear TOO_MANY_DATA_COLUMNS into an
   // INVALID_ATTRIBUTE_NAME_SYNTAX about the table name itself
@@ -583,6 +590,32 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
       filters.flatMap(GraftStore.translate(store, _)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(store)
+  // row position identity as metadata columns — selectable for audit
+  // and the row ID of UPDATE/MERGE/DELETE rewrites
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftStore.FileKeyCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftStore.RowIndexCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+    })
+  // SQL UPDATE / MERGE INTO / row-level DELETE: the delta-based
+  // rewrite (GraftRowLevelOperation) — MoR dv + insert leg in ONE
+  // commit. Translatable DELETEs still take the metadata-only dv path
+  // above (Spark's OptimizeMetadataOnlyDeleteFromTable); predicates the
+  // source can't translate now execute EXACTLY through the rewrite
+  // instead of failing at analysis.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(store, info.command())
+    }
 }
 
 /** `df.write.format("graft")` — the WRITE half of the front door: an
@@ -647,16 +680,20 @@ private[sources] class GraftParquetScanBuilder(
     pushedDataFilters = pushDataFilters(filters)
 }
 
-private[sources] class GraftScanBuilder(store: GraftStore.Resolved)
+private[sources] class GraftScanBuilder(store: GraftStore.Resolved,
+    onBuild: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var required: StructType = store.logicalSchema
   private var pushedPhys: Array[Filter] = Array.empty
 
+  private val MetaCols = Set(GraftStore.ChangeTypeCol,
+    GraftStore.FileKeyCol, GraftStore.RowIndexCol)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushedPhys = filters
-      .filterNot(_.references.contains(GraftStore.ChangeTypeCol))
+      .filterNot(_.references.exists(MetaCols.contains))
       .flatMap(GraftStore.translate(store, _))
     // everything stays residual: zone/row-group pruning is a strict
     // superset read, the engine re-checks each predicate above the scan
@@ -667,7 +704,11 @@ private[sources] class GraftScanBuilder(store: GraftStore.Resolved)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(store, required, pushedPhys)
+  override def build(): Scan = {
+    val s = new GraftScan(store, required, pushedPhys)
+    onBuild(s)
+    s
+  }
 }
 
 private[sources] class GraftScan(store: GraftStore.Resolved,
@@ -679,12 +720,26 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private lazy val (keptPaths: Seq[String], zoneSkipped: Int) =
     GraftStore.zonePrune(store, pushed)
 
+  /** The data groups this scan resolved after zone pruning — a
+    * row-level operation's read set. */
+  private[sources] def keptGroupPaths: Seq[String] = keptPaths
+
   private def isCdf = store.changeFeed.isDefined
-  private def needsPositions = store.dvPaths.nonEmpty || isCdf
+  /** Non-data columns this scan must synthesize per row, in output
+    * order: the CDF tag and/or the position-identity metadata columns
+    * a row-level rewrite selects as the row ID. */
+  private lazy val extraCols: Seq[String] =
+    required.fields.map(_.name).filter(n =>
+      (n == GraftStore.ChangeTypeCol && isCdf) ||
+        n == GraftStore.FileKeyCol || n == GraftStore.RowIndexCol).toSeq
+  private def needsPositions =
+    store.dvPaths.nonEmpty || isCdf || extraCols.exists(_ != GraftStore.ChangeTypeCol)
 
   // ---- delegate: Spark's own vectorized DSv2 parquet scan ---------------
+  private val MetaColNames = Set(GraftStore.ChangeTypeCol,
+    GraftStore.FileKeyCol, GraftStore.RowIndexCol)
   private lazy val physRequired = StructType(
-    required.fields.filterNot(_.name == GraftStore.ChangeTypeCol)
+    required.fields.filterNot(f => MetaColNames.contains(f.name))
       .map(f => f.copy(name = store.phys(f.name))))
 
   private lazy val delegate = {
@@ -702,11 +757,13 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   }
 
   override def readSchema(): StructType = {
-    val data = StructType(delegate.readDataSchema.fields
-      .map(f => f.copy(name = store.logical(f.name))))
-    if (isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol))
-      StructType(data.fields :+ StructField(GraftStore.ChangeTypeCol, StringType, nullable = false))
-    else data
+    val data = delegate.readDataSchema.fields
+      .map(f => f.copy(name = store.logical(f.name)))
+    val extras = extraCols.map {
+      case n @ GraftStore.RowIndexCol => StructField(n, LongType, nullable = false)
+      case n => StructField(n, StringType, nullable = false)
+    }
+    StructType(data ++ extras)
   }
 
   override def toBatch: Batch = this
@@ -834,7 +891,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     val inner = delegate.createReaderFactory()
     if (!needsPositions) inner
     else new GraftPositionReaderFactory(inner, delegate.readDataSchema,
-      isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol),
+      extraCols,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   }
 
@@ -943,8 +1000,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     // so the position-aware factory always wraps the delegate here
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftPositionReaderFactory(delegate.createReaderFactory(),
-        delegate.readDataSchema,
-        isCdf && required.fieldNames.contains(GraftStore.ChangeTypeCol),
+        delegate.readDataSchema, extraCols,
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
     override def commit(end: rstreaming.Offset): Unit = ()
@@ -1030,7 +1086,8 @@ private[sources] object DvSidecars {
 }
 
 /** Wraps the delegate parquet reader with position filtering and the
-  * optional constant `_change_type` column. Row-based on purpose: DV
+  * synthesized extra columns (`_change_type` tag, `_graft_file_key` /
+  * `_graft_row_index` position identity). Row-based on purpose: DV
   * subtraction is per-row; the non-DV path never comes through here
   * and keeps the delegate's columnar batches. Positions load on the
   * EXECUTOR ([[DvSidecars]]), sorted — and the file streams in
@@ -1038,7 +1095,7 @@ private[sources] object DvSidecars {
   * row, no hash set. */
 private[sources] class GraftPositionReaderFactory(
     delegate: PartitionReaderFactory, dataSchema: StructType,
-    appendChangeType: Boolean, conf: SerializableHadoopConf)
+    extraCols: Seq[String], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -1049,12 +1106,26 @@ private[sources] class GraftPositionReaderFactory(
     val positions: Array[Long] =
       if (gp.dvFiles.isEmpty) Array.empty
       else DvSidecars.positionsFor(gp.dvFiles, gp.fileKey, conf.value)
-    val proj = if (appendChangeType) {
-      val refs = dataSchema.fields.zipWithIndex.map { case (f, i) =>
+    val rowIndexSlot = extraCols.indexOf(GraftStore.RowIndexCol)
+    val (proj, extraRow) = if (extraCols.isEmpty) (null, null) else {
+      val dataRefs = dataSchema.fields.zipWithIndex.map { case (f, i) =>
         BoundReference(i, f.dataType, f.nullable) }
-      UnsafeProjection.create(refs.toSeq :+
-        Literal(UTF8String.fromString(gp.changeType), StringType))
-    } else null
+      val extraRefs = extraCols.zipWithIndex.map { case (n, i) =>
+        BoundReference(dataSchema.length + i,
+          if (n == GraftStore.RowIndexCol) LongType else StringType,
+          nullable = false) }
+      val er = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        extraCols.length)
+      extraCols.zipWithIndex.foreach { case (n, i) => n match {
+        case GraftStore.ChangeTypeCol =>
+          er.update(i, UTF8String.fromString(gp.changeType))
+        case GraftStore.FileKeyCol =>
+          er.update(i, UTF8String.fromString(gp.fileKey))
+        case _ => () // row index: per row
+      }}
+      (UnsafeProjection.create((dataRefs ++ extraRefs).toIndexedSeq), er)
+    }
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var pi = 0
@@ -1065,7 +1136,12 @@ private[sources] class GraftPositionReaderFactory(
           while (pi < positions.length && positions(pi) < pos) pi += 1
           val inSet = pi < positions.length && positions(pi) == pos
           if (inSet == gp.keep) {
-            current = if (proj == null) inner.get() else proj(inner.get())
+            current =
+              if (proj == null) inner.get()
+              else {
+                if (rowIndexSlot >= 0) extraRow.update(rowIndexSlot, pos)
+                proj(joined(inner.get(), extraRow))
+              }
             return true
           }
         }

@@ -476,19 +476,32 @@ class Round15Spec extends AnyFunSuite {
       "a rejected SQL insert left files in the store")
   }
 
-  test("r15: SQL DELETE is MoR, no-op-safe, fails closed when untranslatable") {
+  test("r15: SQL DELETE is MoR, no-op-safe, exact when untranslatable (r16)") {
     import spark.implicits._
     val run = Maintenance.occRun(spark, sf, name = "r15_sql_del_run")
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
     val name = new java.io.File(run).getName
     val before = Maintenance.currentSnapshotVersion(run)
-    // a predicate the source can't translate (modulo) must fail at
-    // analysis — a silent wrong-rows delete is the one unforgivable
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 10 = 0")
-    }
-    assert(Maintenance.currentSnapshotVersion(run) == before)
+    // r16: a predicate the source can't translate (modulo) no longer
+    // fails at analysis — it executes EXACTLY through the delta-based
+    // row-level rewrite (Round16Spec gates that path); here we pin that
+    // it deletes precisely the matching rows and nothing else
+    val pre = spark.read.format("graft").load(run)
+    val wantAfterMod = pre.filter(expr("o_orderkey % 10 <> 0")).count()
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 10 = 0")
+    assert(spark.read.format("graft").load(run).count() == wantAfterMod)
+    assert(Maintenance.currentSnapshotVersion(run) == before + 1)
+    // the rest of the gate runs on a fresh store (the metadata-delete
+    // fast path must still hold on a dv-free manifest)
+    val run2 = Maintenance.occRun(spark, sf, name = "r15_sql_del_run2")
+    val name2 = new java.io.File(run2).getName
+    val before2 = Maintenance.currentSnapshotVersion(run2)
+    testDeleteRest(run2, name2, before2)
+  }
+
+  private def testDeleteRest(run: String, name: String, before: Int): Unit = {
+    import spark.implicits._
     // matching nothing: no version lands
     spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = 'NO-SUCH'")
     assert(Maintenance.currentSnapshotVersion(run) == before)

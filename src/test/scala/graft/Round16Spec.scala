@@ -272,6 +272,95 @@ class Round16Spec extends AnyFunSuite {
       s"schema log lost a concurrent writer's column: $fields")
   }
 
+  // ---- SQL UPDATE / MERGE INTO (r15 verdict "Next round" #3) ----------------
+
+  private def catalogStore(name: String): (String, String) = {
+    val (root, data) = morStore(name)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    (root, new java.io.File(root).getName)
+  }
+
+  test("r16: position-identity metadata columns are selectable") {
+    import spark.implicits._
+    val (root, _) = morStore("r16_meta_cols")
+    val rows = spark.read.format("graft").load(root)
+      .select($"o_orderkey", $"_graft_file_key", $"_graft_row_index")
+      .limit(5).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(1).contains("/") && r.getLong(2) >= 0))
+  }
+
+  test("r16: SQL UPDATE = one MoR commit (dv + reinsert leg), value-exact") {
+    import spark.implicits._
+    val (root, name) = catalogStore("r16_sql_update")
+    val before = spark.read.format("graft").load(root)
+      .agg(sum($"o_totalprice"), count(lit(1))).collect()(0)
+    spark.sql(s"""UPDATE graft.`$name` SET o_totalprice = o_totalprice + 1.0
+                 |WHERE o_orderkey % 10 = 0""".stripMargin)
+    assert(Maintenance.currentSnapshotVersion(root) == 2, "exactly one commit")
+    val lines = Maintenance.manifestPaths(root, 2)
+    assert(lines.count(_.startsWith("dv:")) == 1, s"one dv line: $lines")
+    // base groups untouched, one insert leg added
+    val l1 = Maintenance.manifestPaths(root, 1)
+    assert(l1.forall(lines.contains), "no base group may move")
+    val after = spark.read.format("graft").load(root)
+      .agg(sum($"o_totalprice"), count(lit(1))).collect()(0)
+    val touched = spark.read.parquet(l1: _*)
+      .filter($"o_orderkey" % 10 === 0).count()
+    assert(after.getLong(1) == before.getLong(1), "UPDATE must not change counts")
+    assert(math.abs(after.getDouble(0) - (before.getDouble(0) + touched)) < 1e-3,
+      s"sum drifted: ${after.getDouble(0)} vs ${before.getDouble(0)} + $touched")
+    // time travel still serves the pre-update values
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(root)
+      .agg(sum($"o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(v1 - before.getDouble(0)) < 1e-6)
+  }
+
+  test("r16: SQL MERGE INTO = one MoR commit, matched + not-matched legs") {
+    import spark.implicits._
+    val (root, name) = catalogStore("r16_sql_merge")
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    val base = spark.read.parquet(Maintenance.manifestPaths(root, 1): _*)
+    base.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(base.filter($"o_orderkey" % 1000 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 900000000L))
+      .select(cols.map(col): _*)
+      .createOrReplaceTempView("r16_merge_src")
+    spark.sql(s"""MERGE INTO graft.`$name` t USING r16_merge_src s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Maintenance.currentSnapshotVersion(root) == 2, "exactly one commit")
+    val got = spark.read.format("graft").load(root)
+    val want = base.filter($"o_orderkey" % 10 =!= 0)
+      .unionByName(base.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2))
+      .unionByName(base.filter($"o_orderkey" % 1000 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 900000000L))
+    val g = got.agg(count(lit(1)), sum($"o_totalprice"), sum($"o_orderkey")).collect()(0)
+    val w = want.agg(count(lit(1)), sum($"o_totalprice"), sum($"o_orderkey")).collect()(0)
+    assert(g.getLong(0) == w.getLong(0), s"counts: ${g.getLong(0)} vs ${w.getLong(0)}")
+    assert(math.abs(g.getDouble(1) - w.getDouble(1)) <=
+      1e-9 * math.abs(w.getDouble(1)) + 1e-6)
+    assert(g.getLong(2) == w.getLong(2))
+  }
+
+  test("r16: untranslatable DELETE predicates execute via the row-level path") {
+    import spark.implicits._
+    val (root, name) = catalogStore("r16_rowlevel_delete")
+    val base = spark.read.parquet(Maintenance.manifestPaths(root, 1): _*)
+    val want = base.filter(!($"o_orderkey" % 7 === 0)).count()
+    // modulo is not a translatable source Filter: pre-r16 this failed
+    // at analysis; now the delta-based rewrite deletes exactly
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 7 = 0")
+    assert(spark.read.format("graft").load(root).count() == want)
+    val lines = Maintenance.manifestPaths(root,
+      Maintenance.currentSnapshotVersion(root))
+    assert(lines.count(_.startsWith("dv:")) == 1)
+  }
+
   // ---- encrypted control plane covers schema logs (r15 ADVICE) --------------
 
   test("r16: enableStoreEncryption encrypts pre-existing schema logs") {
