@@ -553,6 +553,24 @@ object Maintenance {
   /** Highest committed manifest version under `root`. */
   def currentSnapshotVersion(root: String): Int = manifestVersions(root).max
 
+  /** Create an EMPTY store: v1 lists zero groups, the schema log pins
+    * the table shape (resolve needs no footer on an empty store), and
+    * `partition_cols.txt` declares the partitioning every DSv2 write
+    * lays out (r16 — `df.write.format("graft").partitionBy(...)`
+    * validates against it through `Table.partitioning()`). */
+  def createStore(root: String, schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"partition columns not in schema: $missing")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    require(manifestVersions(root).isEmpty, s"$root is already a store")
+    writeStoreText(root, "schema_v1.json", schema.json)
+    if (partitionCols.nonEmpty)
+      writeStoreText(root, "partition_cols.txt", partitionCols.mkString(","))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), Array.empty[Byte])
+  }
+
   /** Commit a copy-on-write rewrite: `removed` file groups (as listed in
     * the manifest of `readVersion`, the version the writer based its
     * rewrite on) are replaced by `added`. Returns the committed version.
@@ -1259,6 +1277,58 @@ object Maintenance {
        |SELECT '2_after_delete', COUNT(*), ${sqlSum("o_totalprice")}, 2
        |FROM orders WHERE o_orderpriority <> '1-URGENT'
        |ORDER BY stage""".stripMargin
+
+  // -- io_partitioned_store: partitionBy on the DSv2 write front door (r16) --
+  // Every real lake table is partitioned. A graft store declares its
+  // partitioning at creation (`partition_cols.txt`, surfaced through
+  // Table.partitioning() so `df.write.format("graft")
+  // .partitionBy(...)` passes the analyzer's check); each DSv2 write
+  // then lands ONE MANIFEST GROUP PER PARTITION VALUE in a single
+  // dynamic partitionBy job, with the partition column duplicated into
+  // the files (the peRoot discipline) so each group's footer stats pin
+  // it to a single value. Partition pruning therefore IS zone pruning:
+  // a point read keeps exactly the matching groups from manifest
+  // arithmetic, before any file is listed, and it composes with every
+  // other zone-mapped column for free. The gate appends two batches
+  // (one with explicit partitionBy, one relying on the store's
+  // declared layout), emits the planned group counts next to the
+  // values, and the oracle recomputes both counts independently — an
+  // over- OR under-pruning bug fails the value compare itself.
+  private def qPartitionedStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tmp("io_partitioned_store", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(s, d)
+    createStore(root, orders.schema, Seq("o_orderpriority"))
+    orders.filter($"o_orderkey" % 2 === 0)
+      .write.format("graft").partitionBy("o_orderpriority")
+      .mode("append").save(root) // v2: one group per priority
+    orders.filter($"o_orderkey" % 2 === 1)
+      .write.format("graft")
+      .mode("append").save(root) // v3: the store's layout applies anyway
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", root)
+    val store = graft.sources.GraftStore.resolve(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val (kept, _) = graft.sources.GraftStore.zonePrune(store,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT")))
+    s.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+      .select(lit(store.dataPaths.size.toLong).as("n_groups_total"),
+        lit(kept.size.toLong).as("n_groups_read"), $"n_rows", $"sum_price")
+  }
+  private val qPartitionedStoreSql =
+    s"""SELECT
+       |  CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+       |        WHERE o_orderkey % 2 = 0)
+       |     + (SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+       |        WHERE o_orderkey % 2 = 1) AS BIGINT) AS n_groups_total,
+       |  CAST((SELECT COUNT(DISTINCT o_orderkey % 2) FROM orders
+       |        WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_groups_read,
+       |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
   // -- io_sql_update: SQL UPDATE as one MoR commit (r16) ---------------------
   // `UPDATE graft.<store> SET … WHERE …` — the third DML verb, served
@@ -2627,6 +2697,8 @@ object Maintenance {
       Some(qEncryptedManifestSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("io_sql_update", qSqlUpdate, Some(qSqlUpdateSql)),
+    QueryDef("io_partitioned_store", qPartitionedStore,
+      Some(qPartitionedStoreSql)),
     QueryDef("io_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,

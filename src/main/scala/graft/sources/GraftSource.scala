@@ -107,6 +107,7 @@ private[graft] object GraftStore {
       startingVersion: Option[Int],    // streaming base version (exclusive)
       mergeSchema: Boolean,            // writer opted into schema evolution
       maxVersionsPerTrigger: Option[Int], // streaming admission cap
+      partitionCols: Seq[String],      // store partitioning (logical names)
       physicalSchema: StructType) {
 
     def phys(logical: String): String =
@@ -201,8 +202,9 @@ private[graft] object GraftStore {
     // written by mergeSchema commits; O(1) planning like Delta's log
     // schema, and the only way heterogeneous groups resolve to the
     // EVOLVED shape), else one footer read — same cost class as the
-    // manifest parse; partition columns were folded into the files'
-    // directories at write time, so the file schema IS the data schema
+    // manifest parse; partition columns are DUPLICATED into the files
+    // at write time (the path tag is a copy), so the file schema IS
+    // the data schema even for partitioned stores
     val physicalSchema = schemaAt(root, version).getOrElse(
       SparkSession.active.read.parquet(dataPaths: _*).schema)
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
@@ -211,6 +213,9 @@ private[graft] object GraftStore {
       startingVersion,
       options.getBoolean("mergeSchema", false),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      readLines(root, "partition_cols.txt")
+        .map(_.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
       physicalSchema)
   }
 
@@ -435,6 +440,30 @@ private[graft] object GraftStore {
     }
   }
 
+  /** `zone:` manifest lines for one written group dir, from its own
+    * parquet footers (zero Spark jobs). */
+  private def zonesOf(dir: String, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val (rows, stats) = FooterStats.harvest(dir, schema, conf)
+    stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"zone:$dir|$c|$lo|$hi|$rows" }
+  }
+
+  /** Leaf partition dirs under a dynamic-partitioned stage — the dirs
+    * that directly hold parquet files. Driver-side listing, O(dirs). */
+  private def leafGroupDirs(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    def walk(p: Path): Seq[String] = {
+      val st = fs.listStatus(p)
+      val subdirs = st.filter(_.isDirectory)
+      if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        Seq(p.toUri.getPath)
+      else subdirs.toSeq.flatMap(s => walk(s.getPath))
+    }
+    walk(new Path(dir)).sorted
+  }
+
   /** Stage the batch as one new file group, then OCC-commit it. */
   def write(store: Resolved, data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
@@ -496,19 +525,40 @@ private[graft] object GraftStore {
       case None => resolved
     }
     val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
-    physical.write.mode("overwrite").parquet(stage)
-    // zone stats for the new group come from the parquet FOOTERS the
-    // write just produced — zero extra Spark jobs, zero data re-read —
-    // for EVERY supported scalar column (multi-column skipping, r15).
-    // They ride the commit as `zone:` manifest lines, so stats inherit
-    // the claim's atomicity: concurrent appenders can't lose each
-    // other's lines the way a shared side file could, and time travel
-    // sees each version's own stats. Failure to render any bound just
-    // drops that column's line — zone maps fail open by construction.
-    val (rows, stats) = FooterStats.harvest(stage, physical.schema,
-      data.sparkSession.sessionState.newHadoopConf())
-    val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-      s"zone:$stage|$c|$lo|$hi|$rows" }
+    val conf = data.sparkSession.sessionState.newHadoopConf()
+    // Partitioned stores (r16): each partition value lands as its OWN
+    // manifest group — `<stage>/__p_<col>=<value>` — written in ONE
+    // dynamic partitionBy job. The path tag is a DUPLICATE of the
+    // column (the peRoot discipline), so files keep the full schema
+    // and the group's footer stats pin the partition column to a
+    // single value: partition pruning IS zone pruning, composing with
+    // every other zone-mapped column for free, and a point read keeps
+    // exactly the matching groups before any file is listed.
+    val partPhysCols = store.partitionCols.map(store.phys)
+    val (groupDirs, zoneLines) =
+      if (partPhysCols.isEmpty) {
+        physical.write.mode("overwrite").parquet(stage)
+        (Seq(stage), zonesOf(stage, physical.schema, conf))
+      } else {
+        import org.apache.spark.sql.functions.{col => c}
+        val tags = partPhysCols.map(p => s"__p_$p")
+        val tagged = partPhysCols.foldLeft(physical)((df, p) =>
+          df.withColumn(s"__p_$p", c(p)))
+        tagged.write.partitionBy(tags: _*).mode("overwrite").parquet(stage)
+        val fileSchema = StructType(
+          physical.schema.fields.filterNot(f => tags.contains(f.name)))
+        val leaves = leafGroupDirs(stage, conf)
+        (leaves, leaves.flatMap(d => zonesOf(d, fileSchema, conf)))
+      }
+    // zone stats for the new group(s) come from the parquet FOOTERS
+    // the write just produced — zero extra Spark jobs, zero data
+    // re-read — for EVERY supported scalar column (multi-column
+    // skipping, r15). They ride the commit as `zone:` manifest lines,
+    // so stats inherit the claim's atomicity: concurrent appenders
+    // can't lose each other's lines the way a shared side file could,
+    // and time travel sees each version's own stats. Failure to render
+    // any bound just drops that column's line — zone maps fail open by
+    // construction.
     val removed =
       if (overwrite) Maintenance.manifestPaths(store.root, cur) else Seq.empty
     // overwrite is strict: "replace everything live at v" must fail
@@ -516,7 +566,7 @@ private[graft] object GraftStore {
     // it never saw (truncate semantics — r14 ADVICE)
     val committed =
       try Maintenance.commitSnapshot(store.root, cur, removed,
-        stage +: zoneLines, strict = overwrite)
+        groupDirs ++ zoneLines, strict = overwrite)
       catch { case t: Throwable =>
         graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
         throw t
@@ -562,6 +612,12 @@ private[sources] class GraftTable(val store: GraftStore.Resolved)
   // INVALID_ATTRIBUTE_NAME_SYNTAX about the table name itself
   override def name(): String = s"graft:${store.root}@v${store.version}"
   override def schema(): StructType = store.logicalSchema
+  // identity partitioning over partition_cols.txt — what makes
+  // `df.write.format("graft").partitionBy(...)` pass the analyzer's
+  // table-vs-provided partitioning check (r16)
+  override def partitioning(): Array[Transform] =
+    store.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       // BATCH_WRITE admits the plan; V1_BATCH_WRITE selects the

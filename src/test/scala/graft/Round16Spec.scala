@@ -361,6 +361,54 @@ class Round16Spec extends AnyFunSuite {
     assert(lines.count(_.startsWith("dv:")) == 1)
   }
 
+  // ---- partitioned stores (r15 verdict "Next round" #4) ---------------------
+
+  test("r16: partition-pruned point read lists only matching groups") {
+    import spark.implicits._
+    val root = freshRoot("r16_part_store")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf)
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    orders.filter($"o_orderkey" % 2 === 0)
+      .write.format("graft").partitionBy("o_orderpriority")
+      .mode("append").save(root)
+    orders.filter($"o_orderkey" % 2 === 1)
+      .write.format("graft").mode("append").save(root)
+    // BOTH appends laid out one group per partition value
+    val groups = Maintenance.manifestPaths(root,
+      Maintenance.currentSnapshotVersion(root)).filterNot(_.startsWith("dv:"))
+    assert(groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"non-partitioned group leaked: $groups")
+    val nPri = orders.select($"o_orderpriority").distinct().count()
+    assert(groups.size == 2 * nPri, s"${groups.size} groups for $nPri values")
+    // the point read's executed plan keeps exactly the 2 matching groups
+    val df = spark.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.exists(x => x.group(1).toInt == 2 && x.group(2).toInt == 2 * nPri),
+      s"expected groups=2/${2 * nPri} in: $desc")
+    // and the values are right
+    assert(df.count() ==
+      orders.filter($"o_orderpriority" === "1-URGENT").count())
+    // wrong partitioning is rejected by the analyzer's check
+    val e = intercept[Exception] {
+      orders.limit(1).write.format("graft").partitionBy("o_orderstatus")
+        .mode("append").save(root)
+    }
+    assert(e.getMessage.contains("partitioning"), e.getMessage)
+    // partition pruning composes with zone stats on OTHER columns:
+    // a key range past the store's max prunes every group
+    val maxKey = orders.agg(max($"o_orderkey")).collect()(0).getLong(0) + 1
+    val df2 = spark.read.format("graft").load(root)
+      .filter($"o_orderkey" > maxKey)
+    val desc2 = df2.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m2 = """groups=(\d+)/""".r.findFirstMatchIn(desc2)
+    assert(m2.exists(_.group(1).toInt == 0), s"expected groups=0 in: $desc2")
+  }
+
   // ---- encrypted control plane covers schema logs (r15 ADVICE) --------------
 
   test("r16: enableStoreEncryption encrypts pre-existing schema logs") {
