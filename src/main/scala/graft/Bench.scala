@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   final case class QueryResult(name: String, times: Seq[Double], error: Option[String],
-      cpuTimes: Seq[Double] = Nil) {
+      cpuTimes: Seq[Double] = Nil, remeasured: Boolean = false) {
     /** Headline cost: min over the timed reps — on a shared box the min
       * is the best estimator of intrinsic cost (load spikes only add). */
     def seconds: Double = times.min
@@ -153,9 +153,9 @@ object Bench {
     val stats = results.zipWithIndex.map { case (r, i) =>
       s"""${jstr(r.name)}:{"min":${r.seconds},"median":${r.median},""" +
         s""""cpu":${r.cpuSeconds},"n":${r.times.size},"norm":${norm(r)},""" +
-        s""""lnorm":${lnorm(i, r)}}"""
+        s""""lnorm":${lnorm(i, r)},"remeasured":${r.remeasured}}"""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case QueryResult(n, _, Some(e), _) => s"${jstr(n)}:${jstr(e)}" }
+    val errs = results.collect { case QueryResult(n, _, Some(e), _, _) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
     val sampleJson = samples.map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")
@@ -209,8 +209,43 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "30").toInt
-    val (results, samples) =
+    val (firstPass, samples) =
       runAllWithCanary(spark, sfDir, selected, reps, canaryEvery)
+    // Self-healing remeasure (r15 verdict "Next round" #5): the r15
+    // text_* "regression" was a transient box-load spike localized to
+    // one alphabetical window, visible ONLY in the interleaved canary
+    // samples and adjudicated by hand. Automate that adjudication:
+    // any query whose NEAREST canary sample ran >=3x the run's median
+    // sample executed under measurable external load — re-run it once
+    // after the sweep (the spike has usually passed) and keep the min
+    // across both passes, flagged `remeasured:true` in the artifact.
+    val results = {
+      val ts = samples.map(_._2).sorted
+      if (ts.size < 3) firstPass
+      else {
+        val med = ts(ts.size / 2)
+        def nearest(i: Int): Double =
+          samples.minBy { case (si, _) => math.abs(si - i) }._2
+        val suspects = firstPass.zipWithIndex.filter { case (r, i) =>
+          r.error.isEmpty && med > 0 && nearest(i) >= 3 * med
+        }.map(_._1.name).toSet
+        if (suspects.isEmpty) firstPass
+        else {
+          System.err.println(s"[graft.bench] remeasuring ${suspects.size} " +
+            s"queries that ran under a canary-visible load spike: " +
+            suspects.toSeq.sorted.mkString(", "))
+          firstPass.map { r =>
+            if (!suspects.contains(r.name)) r
+            else {
+              val again = runOne(spark, sfDir, r.name, selected(r.name), reps = 1)
+              if (again.error.isDefined) r
+              else r.copy(times = r.times ++ again.times,
+                cpuTimes = r.cpuTimes ++ again.cpuTimes, remeasured = true)
+            }
+          }
+        }
+      }
+    }
     results.flatMap(r => r.error.map(e => r.name -> e)).foreach { case (n, e) =>
       System.err.println(s"[graft.bench] FAILED $n: $e")
     }

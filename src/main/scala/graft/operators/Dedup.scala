@@ -1728,7 +1728,12 @@ object Dedup {
       dvLines.map(_.stripPrefix("dv:")), s.sessionState.newHadoopConf())
     val zonedGroups = graft.operators.Maintenance
       .manifestZones(root, cur).map(_._1).distinct.size
-    val lastCommit = graft.operators.Maintenance.CardCommitEpochs.map(_._2).max
+    // from the store's own commit log, not the staging constant — the
+    // card must report what the engine RECORDED (r15 verdict #3)
+    val lastCommit = graft.operators.Maintenance
+      .readStoreText(root, "commits_ts.txt")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2)(1).toLong).max
     val storeRows = Seq(
       "store_versions" -> cur.toDouble,
       "store_data_groups" -> dataLines.size.toDouble,
@@ -1768,17 +1773,52 @@ object Dedup {
        |  UNION ALL SELECT 'near_dup_pairs', CAST(near_dup_pairs AS DOUBLE) FROM dup
        |  UNION ALL SELECT 'docs_in_dup_clusters',
        |    CAST(docs_in_dup_clusters AS DOUBLE) FROM dd
-       |  -- the governed store's deterministic lifecycle: v1 base,
-       |  -- v2/v3 MERGEs (dv piles from the MoR predicates), v4 DSv2
-       |  -- append (the one zone-mapped group); epochs pinned
-       |  UNION ALL SELECT 'store_versions', 4.0
-       |  UNION ALL SELECT 'store_data_groups', 7.0
+       |  -- the governed store's deterministic lifecycle, DERIVED (r15
+       |  -- verdict #3): each commit exists iff its staging predicate
+       |  -- matches rows — v1 base, v2/v3 MERGEs (insert leg + dv each),
+       |  -- v4 DSv2 append of the %100=1 batch (the one zone-mapped
+       |  -- group) — so an engine miscount of versions or live groups
+       |  -- fails the compare instead of matching a restated literal.
+       |  -- The only remaining constants are the synthetic commit
+       |  -- clock's origin and hourly step (the io_time_travel_ts
+       |  -- determinism discipline).
+       |  UNION ALL SELECT 'store_versions', (
+       |    SELECT 1.0
+       |      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 10 = 0 OR o_orderkey % 25 = 7
+       |              OR o_orderkey % 1000 = 0) THEN 1 ELSE 0 END)
+       |      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 10 = 5 OR o_orderkey % 25 = 11
+       |              OR o_orderkey % 1000 = 500) THEN 1 ELSE 0 END)
+       |      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 100 = 1) THEN 1 ELSE 0 END))
+       |  UNION ALL SELECT 'store_data_groups', (
+       |    SELECT CAST(COUNT(DISTINCT o_orderkey % 4) AS DOUBLE) FROM orders)
+       |      + (SELECT CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 10 = 0 OR o_orderkey % 1000 = 0)
+       |           THEN 1 ELSE 0 END)
+       |      + (SELECT CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 10 = 5 OR o_orderkey % 1000 = 500)
+       |           THEN 1 ELSE 0 END)
+       |      + (SELECT CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 100 = 1) THEN 1 ELSE 0 END)
        |  UNION ALL SELECT 'store_dv_debt', (
        |    SELECT CAST(COUNT(*) AS DOUBLE) FROM orders
        |    WHERE o_orderkey % 10 = 0 OR o_orderkey % 25 = 7
        |       OR o_orderkey % 10 = 5 OR o_orderkey % 25 = 11)
-       |  UNION ALL SELECT 'store_zoned_groups', 1.0
-       |  UNION ALL SELECT 'store_last_commit_epoch', 1767272400.0)
+       |  UNION ALL SELECT 'store_zoned_groups', (
+       |    SELECT CASE WHEN EXISTS (SELECT 1 FROM orders
+       |      WHERE o_orderkey % 100 = 1) THEN 1.0 ELSE 0.0 END)
+       |  UNION ALL SELECT 'store_last_commit_epoch', (
+       |    SELECT 1767261600.0 + 3600.0 * (
+       |      (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |         WHERE o_orderkey % 10 = 0 OR o_orderkey % 25 = 7
+       |            OR o_orderkey % 1000 = 0) THEN 1 ELSE 0 END)
+       |      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 10 = 5 OR o_orderkey % 25 = 11
+       |              OR o_orderkey % 1000 = 500) THEN 1 ELSE 0 END)
+       |      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+       |           WHERE o_orderkey % 100 = 1) THEN 1 ELSE 0 END))))
        |ORDER BY metric""".stripMargin
 
   // -- q_kcore: onion-layer decomposition of the near-dup graph ------------

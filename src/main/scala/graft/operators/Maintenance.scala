@@ -1454,13 +1454,17 @@ object Maintenance {
   }
   private val qHistoryTableSql =
     s"""SELECT version, CAST(commit_epoch AS BIGINT) AS commit_epoch,
+       |  operation, is_blind_append,
+       |  n_added_groups, n_removed_groups,
        |  n_data_groups, n_dv_lines, n_zoned_groups
        |FROM (VALUES
-       |  (1, 1767261600, 4, 0, 0),
-       |  (2, 1767265200, 5, 1, 0),
-       |  (3, 1767268800, 6, 2, 0),
-       |  (4, 1767272400, 7, 2, 1))
-       |AS t(version, commit_epoch, n_data_groups, n_dv_lines, n_zoned_groups)
+       |  (1, 1767261600, 'create', false, 4, 0, 4, 0, 0),
+       |  (2, 1767265200, 'merge',  false, 1, 0, 5, 1, 0),
+       |  (3, 1767268800, 'merge',  false, 1, 0, 6, 2, 0),
+       |  (4, 1767272400, 'append', true,  1, 0, 7, 2, 1))
+       |AS t(version, commit_epoch, operation, is_blind_append,
+       |     n_added_groups, n_removed_groups,
+       |     n_data_groups, n_dv_lines, n_zoned_groups)
        |ORDER BY version""".stripMargin
 
   // -- the governed store q_dataset_card reports on (r15) --------------------
@@ -1700,6 +1704,27 @@ object Maintenance {
     }
     dead
   }
+  /** Retention-by-age vacuum (r15 verdict "Next round" #8): reclaim
+    * files referenced ONLY by versions whose commit instant is older
+    * than `horizonEpoch`. Fail-closed floor: the CURRENT version is
+    * always retained regardless of age (a table must stay readable
+    * after any vacuum), and so is any version with NO commit-log entry
+    * (unknown age must never be treated as expired). Returns the
+    * reclaimed paths. Cost is manifest/commit-log arithmetic + the
+    * deletes — no data is read. */
+  def vacuumExpired(root: String, horizonEpoch: Long): Seq[String] = {
+    val epochs: Map[Int, Long] =
+      if (!new java.io.File(root, "commits_ts.txt").exists()) Map.empty
+      else readStoreText(root, "commits_ts.txt")
+        .split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(v, t) = l.split("=", 2); v.toInt -> t.toLong }
+        .toMap
+    val cur = currentSnapshotVersion(root)
+    val retain = manifestVersions(root).filter(v =>
+      v == cur || epochs.get(v).forall(_ >= horizonEpoch))
+    vacuum(root, retain)
+  }
+
   private def qVacuum(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = snapshotRoot(s, d)
