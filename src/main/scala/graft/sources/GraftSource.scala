@@ -107,6 +107,7 @@ private[graft] object GraftStore {
       startingVersion: Option[Int],    // streaming base version (exclusive)
       mergeSchema: Boolean,            // writer opted into schema evolution
       maxVersionsPerTrigger: Option[Int], // streaming admission cap
+      initialSnapshot: Boolean,        // stream batch 0 = anchor's full state
       partitionCols: Seq[String],      // store partitioning (logical names)
       physicalSchema: StructType) {
 
@@ -213,6 +214,7 @@ private[graft] object GraftStore {
       startingVersion,
       options.getBoolean("mergeSchema", false),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      options.getBoolean("initialSnapshot", false),
       readLines(root, "partition_cols.txt")
         .map(_.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty),
@@ -969,15 +971,28 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream = new GraftMicroBatchStream
 
-  private case class GraftVersionOffset(version: Int)
-      extends rstreaming.Offset {
-    override def json(): String = version.toString
+  /** Offset = "committed through snapshot version N". `pendingSnapshot`
+    * (serialized `snap:<N>`) is the initialSnapshot bootstrap phase:
+    * the NEXT batch serves version N's full merge-on-read state as
+    * batch 0, after which offsets are plain versions and batches are
+    * per-commit deltas — Delta's initial-snapshot semantics, so a new
+    * consumer bootstraps without replaying every historical commit. */
+  private case class GraftVersionOffset(version: Int,
+      pendingSnapshot: Boolean = false) extends rstreaming.Offset {
+    override def json(): String =
+      if (pendingSnapshot) s"snap:$version" else version.toString
   }
 
   private class GraftMicroBatchStream extends rstreaming.MicroBatchStream
       with rstreaming.SupportsTriggerAvailableNow {
     override def initialOffset(): rstreaming.Offset =
-      GraftVersionOffset(
+      if (store.initialSnapshot)
+        // anchor at startingVersion (or latest-at-start): batch 0 is
+        // the anchor's full state, deltas follow — history BEFORE the
+        // anchor is never replayed
+        GraftVersionOffset(store.startingVersion.getOrElse(
+          Maintenance.currentSnapshotVersion(store.root)), pendingSnapshot = true)
+      else GraftVersionOffset(
         store.changeFeed.map(_._1).orElse(store.startingVersion).getOrElse(0))
 
     override def latestOffset(): rstreaming.Offset =
@@ -998,25 +1013,43 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     // available (the small-history default).
     override def latestOffset(start: rstreaming.Offset,
         limit: rstreaming.ReadLimit): rstreaming.Offset = {
+      val s = start.asInstanceOf[GraftVersionOffset]
+      // the bootstrap batch serves EXACTLY the anchor snapshot —
+      // admission control resumes on the delta batches after it
+      if (s.pendingSnapshot) return GraftVersionOffset(s.version)
       val cur = availableNowTarget.getOrElse(
         Maintenance.currentSnapshotVersion(store.root))
-      val s0 = start.asInstanceOf[GraftVersionOffset].version
       GraftVersionOffset(
-        store.maxVersionsPerTrigger.fold(cur)(k => math.min(cur, s0 + k)))
+        store.maxVersionsPerTrigger.fold(cur)(k => math.min(cur, s.version + k)))
     }
     override def getDefaultReadLimit: rstreaming.ReadLimit =
       rstreaming.ReadLimit.allAvailable()
     override def reportLatestOffset(): rstreaming.Offset =
       GraftVersionOffset(Maintenance.currentSnapshotVersion(store.root))
 
-    override def deserializeOffset(json: String): rstreaming.Offset =
-      GraftVersionOffset(json.trim.toInt)
+    override def deserializeOffset(json: String): rstreaming.Offset = {
+      val t = json.trim
+      if (t.startsWith("snap:"))
+        GraftVersionOffset(t.stripPrefix("snap:").toInt, pendingSnapshot = true)
+      else GraftVersionOffset(t.toInt)
+    }
 
     override def planInputPartitions(start: rstreaming.Offset,
         end: rstreaming.Offset): Array[InputPartition] = {
-      val from = start.asInstanceOf[GraftVersionOffset].version
+      val s0 = start.asInstanceOf[GraftVersionOffset]
+      val from = s0.version
       val to = end.asInstanceOf[GraftVersionOffset].version
       val parts = Seq.newBuilder[(PartitionedFile, Seq[String], Boolean, String)]
+      if (s0.pendingSnapshot) {
+        // batch 0: the anchor version's full MoR state, served as
+        // inserts — the same partition shape as a batch snapshot read
+        val lines = Maintenance.manifestPaths(store.root, from)
+        val (sDv, sData) = lines.partition(_.startsWith("dv:"))
+        val dvIdx = dvKeyIndex(sDv.map(_.stripPrefix("dv:")))
+        parts ++= listFiles(sData).map(f =>
+          (f, dvIdx.getOrElse(fileKey(f.filePath.toString), Seq.empty),
+            false, "insert"))
+      }
       for (v <- from + 1 to to) {
         val prev = if (v <= 1) Seq.empty[String]
           else Maintenance.manifestPaths(store.root, v - 1)

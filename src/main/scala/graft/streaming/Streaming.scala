@@ -1377,6 +1377,102 @@ object Streaming {
        |FROM feed GROUP BY op, month ORDER BY op, month""".stripMargin
   }
 
+  // -- stream_initial_snapshot: Delta-style bootstrap + delta continuation ---
+  // r15 verdict "Next round" #10: a NEW consumer of a long-history
+  // store must not replay every historical commit — with
+  // option("initialSnapshot", "true") the stream's batch 0 serves the
+  // anchor version's full merge-on-read STATE (deleted positions
+  // subtracted, insert legs in), and every later batch is a per-commit
+  // delta. The staged history is two stacked MERGEs; the stream
+  // anchors AFTER them (so the dv-carrying commits are never replayed
+  // — a plain stream couldn't represent them), drains the snapshot
+  // into an exactly-once parquet sink, and a staged post-anchor APPEND
+  // lands as the one delta batch the SAME CHECKPOINT continues with.
+  // The oracle replays snapshot (merged2) + delta (%100 == 3 batch)
+  // from the predicates; the warm rerun restarts the stream, finds no
+  // new commits, and must re-emit nothing (the offset-checkpoint
+  // discipline of stream_graft_source).
+  private def initialSnapshotStream(s: SparkSession, d: String): DataFrame =
+    withStateParts(s, 8) {
+      import s.implicits._
+      val data = Maintenance.morData(s, d)
+      val (dirKey, fp) = Tables.stagingKey(d, "orders")
+      val root = s"/tmp/graft_q/gsnap_$dirKey"
+      val marker = java.nio.file.Paths.get(root, "staging_format.txt")
+      val fmt = s"v1-initial-snapshot|$fp"
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt
+      if (!fresh) {
+        graft.Staging.rmTree(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, "manifest_v1.txt"),
+          (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
+        val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+          Seq(s"$data/newfile", Maintenance.morDvLine(data, "dv")))
+        Maintenance.commitSnapshot(root, v2, Seq.empty,
+          Seq(s"$data/newfile2", Maintenance.morDvLine(data, "dv2")))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("initialSnapshot", "true")
+          .load(root)
+          .select($"o_orderpriority", $"o_totalprice")
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // batch 0: the anchor (v3) MoR state
+      if (!fresh) {
+        // the post-anchor delta: one DSv2 append, committed exactly once
+        val cols = s.read.format("graft").option("versionAsOf", 1).load(root)
+          .columns.toSeq
+        Tables.orders(s, d).filter($"o_orderkey" % 100 === 3)
+          .select(cols.map(col): _*)
+          .write.format("graft").mode("append").save(root) // -> v4
+      }
+      drain() // the SAME checkpoint continues with only v4's delta
+      if (!fresh) {
+        java.nio.file.Files.write(marker, fmt.getBytes("UTF-8"))
+        graft.Staging.recordSource(root, d, "orders", fp)
+      }
+      s.read.parquet(s"$root/out")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), OracleMath.dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }
+  private val initialSnapshotStreamSql = {
+    import graft.operators.Maintenance.{bumpedPriceSql, MorDeleteMod, MorDeleteRem, MorDelete2Rem}
+    s"""WITH feed AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE NOT (o_orderkey % 10 = 0
+       |             OR o_orderkey % $MorDeleteMod = $MorDeleteRem
+       |             OR o_orderkey % 10 = 5
+       |             OR o_orderkey % $MorDeleteMod = $MorDelete2Rem)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 10 = 5
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 1000 = 500
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 100 = 3)
+       |SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${OracleMath.sqlSum("o_totalprice")} AS sum_price
+       |FROM feed GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
   // -- stream_restart_exactly_once: STATEFUL restart, end-to-end ------------
   // stream_file_sink proves offset-replay exactly-once for a stateless
   // append; this is the harder contract: a WINDOWED AGGREGATE stopped
@@ -1468,6 +1564,8 @@ object Streaming {
     QueryDef("stream_graft_sink", graftSinkStream, Some(graftSinkStreamSql)),
     QueryDef("stream_graft_source", graftSourceStream,
       Some(graftSourceStreamSql)),
+    QueryDef("stream_initial_snapshot", initialSnapshotStream,
+      Some(initialSnapshotStreamSql)),
     QueryDef("stream_restart_exactly_once", restartExactlyOnce,
       Some(restartExactlyOnceSql)),
     QueryDef("stream_cms", cmsStream, Some(cmsStreamSql)),
