@@ -419,14 +419,27 @@ object Maintenance {
 
   /** Enable metadata encryption: mint a DEK wrapped under
     * `masterKeyId`, then encrypt every existing metadata file in place
-    * (idempotent — already-encrypted files are left alone). */
-  def enableStoreEncryption(root: String, masterKeyId: String): Unit = {
+    * (idempotent — already-encrypted files are left alone).
+    *
+    * `dataPlane = true` additionally turns on the DATA plane (r15
+    * verdict "Next round" #6): every parquet file the engine writes
+    * into the store from then on — data groups AND deletion-vector
+    * sidecars — is native Parquet Modular Encryption ciphertext under
+    * uniform-key mode (`parquet.encryption.uniform.key`: footer and
+    * all columns, so the files carry the PARE magic and a flipped data
+    * page fails closed inside the reader). The data-plane master key
+    * id is recorded separately from the control plane's, so
+    * [[rotateStoreKek]] stays an O(1) metadata rewrap: data files pin
+    * their write-time master id, which the resolver keeps serving. */
+  def enableStoreEncryption(root: String, masterKeyId: String,
+      dataPlane: Boolean = false): Unit = {
     if (!new java.io.File(root, StoreKeyFile).exists()) {
       val dk = graft.crypto.Kms.generateDataKey(masterKeyId, numBytes = 32)
+      val dp = if (dataPlane) s"\ndataKeyId=$masterKeyId" else ""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, StoreKeyFile),
-        s"masterKeyId=$masterKeyId\nwrappedDek=${graft.crypto.Kms.wrapToBase64(dk)}"
-          .getBytes("UTF-8"))
+        (s"masterKeyId=$masterKeyId\nwrappedDek=${graft.crypto.Kms.wrapToBase64(dk)}"
+          + dp).getBytes("UTF-8"))
     }
     // schema_v*.json logs are control plane like any manifest — leaving
     // them plaintext would break the "encrypted control plane"
@@ -446,6 +459,41 @@ object Maintenance {
     }
   }
 
+  /** The store's data-plane master key id, when the data plane is
+    * encrypted ([[enableStoreEncryption]] with dataPlane = true). */
+  private[graft] def storeDataKeyId(root: String): Option[String] = {
+    val p = java.nio.file.Paths.get(root, StoreKeyFile)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      .get("dataKeyId")
+  }
+
+  /** Parquet Modular Encryption reader/writer properties for the
+    * store's data plane; empty for plaintext stores so every caller
+    * can apply unconditionally. Uniform-key mode: footer + all
+    * columns under one wrapped key per file. */
+  private[graft] def dataPlaneOptions(root: String): Map[String, String] =
+    storeDataKeyId(root) match {
+      case None => Map.empty
+      case Some(id) => Map(
+        "parquet.crypto.factory.class" -> graft.crypto.ModularEncryption.FactoryClass,
+        "parquet.encryption.kms.client.class" ->
+          classOf[graft.crypto.GraftKmsClient].getName,
+        "parquet.encryption.uniform.key" -> id)
+    }
+
+  /** A hadoop conf carrying the store's data-plane crypto properties —
+    * what every footer read (harvest/rowCount) and task-side sidecar
+    * read must use on an encrypted-data store. */
+  private[graft] def storeHadoopConf(s: SparkSession, root: String)
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = s.sessionState.newHadoopConf()
+    dataPlaneOptions(root).foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   /** KEK rotation: rewrap the DEK under a new master key. O(1) — no
     * ciphertext rewrites; readers keep working mid-rotation because
     * the DEK itself never changes. */
@@ -456,9 +504,16 @@ object Maintenance {
       graft.crypto.Kms.masterKey(newMasterKeyId), dek)
     val target = java.nio.file.Paths.get(root, StoreKeyFile)
     val tmpF = java.nio.file.Files.createTempFile(target.getParent, ".store_key", ".tmp")
+    // data-plane key id (and any future fields) survive the rotation —
+    // data files pin their write-time master id, which stays resolvable
+    val extras = new String(java.nio.file.Files.readAllBytes(target), "UTF-8")
+      .split("\n").map(_.trim)
+      .filter(l => l.contains("=") &&
+        !l.startsWith("masterKeyId=") && !l.startsWith("wrappedDek="))
     java.nio.file.Files.write(tmpF,
-      s"masterKeyId=$newMasterKeyId\nwrappedDek=${
-        java.util.Base64.getEncoder.encodeToString(wrapped)}".getBytes("UTF-8"))
+      (Seq(s"masterKeyId=$newMasterKeyId",
+        s"wrappedDek=${java.util.Base64.getEncoder.encodeToString(wrapped)}")
+        ++ extras).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmpF, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -961,6 +1016,96 @@ object Maintenance {
        |SELECT '3_attacks', 0, 0.0, true, true
        |ORDER BY stage""".stripMargin
 
+  // -- io_encrypted_data: the encrypted DATA plane (r16) ---------------------
+  // io_encrypted_manifest protects the CONTROL plane; this closes the
+  // other half (r15 verdict "Next round" #6): a store enabled with
+  // dataPlane = true writes every parquet artifact — data groups AND
+  // deletion-vector sidecars — as native Parquet Modular Encryption
+  // ciphertext in uniform-key mode (footer + all columns under a
+  // per-file key wrapped by the store's master key; the files carry
+  // the PARE magic). Encryption happens INSIDE the parquet writer, so
+  // columns keep compression+encoding and reads stay vectorized; zone
+  // stats still harvest from the (decrypted) footers with zero Spark
+  // jobs. The gate drives append → SQL DELETE (encrypted dv) through
+  // the normal front doors, pins ciphertext-at-rest for both artifact
+  // kinds, value-oracles both versions AFTER an O(1) control-plane KEK
+  // rotation, and proves fail-closure on a scratch clone with one
+  // flipped ciphertext byte.
+  private def qEncryptedData(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tmp("io_enc_data", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(s, d)
+    createStore(root, orders.schema)
+    enableStoreEncryption(root, "store-dk-1", dataPlane = true)
+    orders.filter($"o_orderkey" % 20 === 7)
+      .write.format("graft").mode("append").save(root) // v2: encrypted group
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    s.sql(s"DELETE FROM graft.`$name` WHERE o_orderpriority = '1-URGENT'") // v3
+    // ciphertext at rest: every parquet artifact carries the PARE magic
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val pfs = parquetFiles(new java.io.File(root))
+    val encAtRest = pfs.nonEmpty && pfs.forall { f =>
+      val in = new java.io.FileInputStream(f)
+      try { val b = new Array[Byte](4); in.read(b); new String(b, "UTF-8") == "PARE" }
+      finally in.close()
+    }
+    val hasDv = manifestPaths(root, 3).exists(_.startsWith("dv:"))
+    rotateStoreKek(root, "store-dk-2") // O(1); data files pin their key id
+    // fail-closure: flip one ciphertext byte in a scratch clone
+    val bad = tmp("io_enc_data_bad", d)
+    graft.Staging.rmTree(new java.io.File(bad))
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).toSeq.flatten.foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(new java.io.File(root), new java.io.File(bad))
+    val victim = parquetFiles(new java.io.File(bad))
+      .find(f => !f.getAbsolutePath.contains("/dv_")).get
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try { raf.seek(victim.length / 2)
+      val b = raf.read(); raf.seek(victim.length / 2); raf.write(b ^ 0x01)
+    } finally raf.close()
+    // the probe reads EVERY column (xxhash64 over the full struct) so
+    // the flipped byte cannot hide in a pruned-away column's pages
+    val tamperFailed =
+      try {
+        s.read.format("graft").option("versionAsOf", 2).load(bad)
+          .agg(sum(xxhash64(struct(col("*"))))).collect(); false
+      } catch { case _: Throwable => true }
+    def leg(stage: String, v: Int) =
+      s.read.format("graft").option("versionAsOf", v).load(root)
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"))
+        .select(lit(stage).as("stage"), $"n_rows", $"sum_price",
+          lit(encAtRest && hasDv).as("encrypted_at_rest"),
+          lit(true).as("fail_closed"))
+    leg("1_appended", 2)
+      .unionByName(leg("2_after_delete", 3))
+      .unionByName(Seq(("3_attacks", 0L, 0.0, encAtRest && hasDv, tamperFailed))
+        .toDF("stage", "n_rows", "sum_price", "encrypted_at_rest", "fail_closed"))
+      .orderBy($"stage")
+  }
+  private val qEncryptedDataSql =
+    s"""SELECT '1_appended' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  true AS encrypted_at_rest, true AS fail_closed
+       |FROM orders WHERE o_orderkey % 20 = 7
+       |UNION ALL
+       |SELECT '2_after_delete', COUNT(*), ${sqlSum("o_totalprice")}, true, true
+       |FROM orders
+       |WHERE o_orderkey % 20 = 7 AND o_orderpriority <> '1-URGENT'
+       |UNION ALL
+       |SELECT '3_attacks', 0, 0.0, true, true
+       |ORDER BY stage""".stripMargin
+
   // -- io_compact_store: the engine's own DV-fold compaction -----------------
   // io_dv_compaction proves the COMMIT arithmetic with pre-staged
   // artifacts; this is the operator a user actually calls:
@@ -1003,18 +1148,19 @@ object Maintenance {
     // the touched-group set resolves driver-side from DISTINCT file
     // keys — O(files with deletes), never O(positions) — with the same
     // path-tail identity readSnapshotMoR uses
-    val refKeys = s.read.parquet(dvPaths: _*)
+    val crypto = dataPlaneOptions(root)
+    val refKeys = s.read.options(crypto).parquet(dvPaths: _*)
       .select($"file_key").distinct().collect().map(_.getString(0))
       .map(_.takeWhile(_ != '/')).toSet
     val touched = dataLines.filter(g =>
       refKeys.contains(g.split('/').last))
     require(touched.nonEmpty, "dv positions reference no live group")
-    val dv = s.read.parquet(dvPaths: _*)
+    val dv = s.read.options(crypto).parquet(dvPaths: _*)
     // the anti-join is deliberately UNHINTED: the DV side of a large
     // accumulated pile can be billions of positions — broadcasting it
     // is the 8-GB-driver-ceiling shape (r15 verdict #2). Spark/AQE
     // picks broadcast when the pile is actually small.
-    val rewritten = s.read.parquet(touched: _*)
+    val rewritten = s.read.options(crypto).parquet(touched: _*)
       .withColumn("file_key",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("row_index", col("_metadata.row_index"))
@@ -1022,9 +1168,11 @@ object Maintenance {
         Seq("file_key", "row_index"), "left_anti")
       .drop("file_key", "row_index")
     val out = s"$root/compact_${java.util.UUID.randomUUID().toString.take(12)}"
-    rewritten.write.mode("overwrite").parquet(out)
+    crypto.foldLeft(rewritten.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(out)
     val (rows, stats) = graft.sources.FooterStats.harvest(out,
-      rewritten.schema, s.sessionState.newHadoopConf())
+      rewritten.schema, storeHadoopConf(s, root))
     val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"zone:$out|$c|$lo|$hi|$rows" }
     Some(CompactionPlan(cur, touched ++ dvLines, out +: zoneLines, out))
@@ -2122,10 +2270,11 @@ object Maintenance {
     * broadcast threshold shuffles instead of capping at the driver. */
   def readSnapshotMoR(s: SparkSession, root: String, version: Int): DataFrame = {
     val (dvLines, dataPaths) = manifestPaths(root, version).partition(_.startsWith("dv:"))
-    val base = s.read.parquet(dataPaths: _*)
+    val crypto = dataPlaneOptions(root)
+    val base = s.read.options(crypto).parquet(dataPaths: _*)
     if (dvLines.isEmpty) base
     else {
-      val dv = s.read.parquet(dvLines.map(_.stripPrefix("dv:")): _*)
+      val dv = s.read.options(crypto).parquet(dvLines.map(_.stripPrefix("dv:")): _*)
       base
         .withColumn("file_key",
           regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
@@ -2720,6 +2869,7 @@ object Maintenance {
     QueryDef("io_sql_insert", qSqlInsert, Some(qSqlInsertSql)),
     QueryDef("io_encrypted_manifest", qEncryptedManifest,
       Some(qEncryptedManifestSql)),
+    QueryDef("io_encrypted_data", qEncryptedData, Some(qEncryptedDataSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("io_sql_update", qSqlUpdate, Some(qSqlUpdateSql)),
     QueryDef("io_partitioned_store", qPartitionedStore,

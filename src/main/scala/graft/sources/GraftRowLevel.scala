@@ -93,9 +93,12 @@ private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val fmt = new ParquetFileFormat()
-    val dataJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    // encrypted-data stores: both artifact kinds are PME ciphertext
+    val dataJob = Job.getInstance(
+      Maintenance.storeHadoopConf(spark, store.root))
     val dataFactory = fmt.prepareWrite(spark, dataJob, Map.empty, physSchema)
-    val dvJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val dvJob = Job.getInstance(
+      Maintenance.storeHadoopConf(spark, store.root))
     val dvFactory = fmt.prepareWrite(spark, dvJob, Map.empty, dvSchema)
     new GraftDeltaWriterFactory(appendDir, dvDir, physSchema, dvSchema,
       dataFactory, new SerializableHadoopConf(dataJob.getConfiguration),
@@ -113,7 +116,7 @@ private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
       // zone stats for the insert leg from its own footers — the same
       // zero-job harvest every write front door does
       val (rows, stats) = FooterStats.harvest(appendDir, physSchema,
-        spark.sessionState.newHadoopConf())
+        Maintenance.storeHadoopConf(spark, store.root))
       added += appendDir
       added ++= stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"zone:$appendDir|$c|$lo|$hi|$rows" }

@@ -109,6 +109,7 @@ private[graft] object GraftStore {
       maxVersionsPerTrigger: Option[Int], // streaming admission cap
       initialSnapshot: Boolean,        // stream batch 0 = anchor's full state
       partitionCols: Seq[String],      // store partitioning (logical names)
+      cryptoOpts: Map[String, String], // PME properties (empty: plaintext)
       physicalSchema: StructType) {
 
     def phys(logical: String): String =
@@ -206,8 +207,9 @@ private[graft] object GraftStore {
     // manifest parse; partition columns are DUPLICATED into the files
     // at write time (the path tag is a copy), so the file schema IS
     // the data schema even for partitioned stores
+    val cryptoOpts = Maintenance.dataPlaneOptions(root)
     val physicalSchema = schemaAt(root, version).getOrElse(
-      SparkSession.active.read.parquet(dataPaths: _*).schema)
+      SparkSession.active.read.options(cryptoOpts).parquet(dataPaths: _*).schema)
     Resolved(root, version, dataPaths, dvLines.map(_.stripPrefix("dv:")),
       mapping, zoneCol, zones, groupZones, changeFeed,
       startingVersion.isDefined, vOpt.isDefined || tOpt.isDefined,
@@ -218,6 +220,7 @@ private[graft] object GraftStore {
       readLines(root, "partition_cols.txt")
         .map(_.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty),
+      cryptoOpts,
       physicalSchema)
   }
 
@@ -404,7 +407,7 @@ private[graft] object GraftStore {
     val (candidates, _) = zonePrune(store, physFilters)
     if (candidates.isEmpty) return
     val cond = physFilters.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
-    val hit = spark.read.parquet(candidates: _*)
+    val hit = spark.read.options(store.cryptoOpts).parquet(candidates: _*)
       .withColumn("file_key",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("row_index", col("_metadata.row_index"))
@@ -416,14 +419,16 @@ private[graft] object GraftStore {
     val fresh =
       if (store.dvPaths.isEmpty) hit
       else hit.join(
-        spark.read.parquet(store.dvPaths: _*)
+        spark.read.options(store.cryptoOpts).parquet(store.dvPaths: _*)
           .select(col("file_key"), col("row_index")),
         Seq("file_key", "row_index"), "left_anti")
     val dvDir = s"${store.root}/dv_${java.util.UUID.randomUUID().toString.take(12)}"
-    fresh.write.mode("overwrite").parquet(dvDir)
+    store.cryptoOpts.foldLeft(fresh.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(dvDir)
     // position count from the footers just written — no second job
     if (FooterStats.rowCount(Seq(dvDir),
-        spark.sessionState.newHadoopConf()) == 0L) {
+        Maintenance.storeHadoopConf(spark, store.root)) == 0L) {
       graft.Staging.rmTree(new java.io.File(dvDir)) // no-op delete
       return
     }
@@ -527,7 +532,7 @@ private[graft] object GraftStore {
       case None => resolved
     }
     val stage = s"${store.root}/append_${java.util.UUID.randomUUID().toString.take(12)}"
-    val conf = data.sparkSession.sessionState.newHadoopConf()
+    val conf = Maintenance.storeHadoopConf(data.sparkSession, store.root)
     // Partitioned stores (r16): each partition value lands as its OWN
     // manifest group — `<stage>/__p_<col>=<value>` — written in ONE
     // dynamic partitionBy job. The path tag is a DUPLICATE of the
@@ -539,14 +544,19 @@ private[graft] object GraftStore {
     val partPhysCols = store.partitionCols.map(store.phys)
     val (groupDirs, zoneLines) =
       if (partPhysCols.isEmpty) {
-        physical.write.mode("overwrite").parquet(stage)
+        store.cryptoOpts.foldLeft(physical.write.mode("overwrite")) {
+          case (w, (k, v)) => w.option(k, v)
+        }.parquet(stage)
         (Seq(stage), zonesOf(stage, physical.schema, conf))
       } else {
         import org.apache.spark.sql.functions.{col => c}
         val tags = partPhysCols.map(p => s"__p_$p")
         val tagged = partPhysCols.foldLeft(physical)((df, p) =>
           df.withColumn(s"__p_$p", c(p)))
-        tagged.write.partitionBy(tags: _*).mode("overwrite").parquet(stage)
+        store.cryptoOpts.foldLeft(
+          tagged.write.partitionBy(tags: _*).mode("overwrite")) {
+          case (w, (k, v)) => w.option(k, v)
+        }.parquet(stage)
         val fileSchema = StructType(
           physical.schema.fields.filterNot(f => tags.contains(f.name)))
         val leaves = leafGroupDirs(stage, conf)
@@ -805,7 +815,10 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
       Map.empty[String, String], Some(store.physicalSchema),
       FileStatusCache.getOrCreate(spark), None, None)
     val b = new GraftParquetScanBuilder(spark, index, store.physicalSchema,
-      store.physicalSchema, CaseInsensitiveStringMap.empty())
+      store.physicalSchema, new CaseInsensitiveStringMap(
+        store.cryptoOpts.foldLeft(new java.util.HashMap[String, String]()) {
+          case (m, (k, v)) => m.put(k, v); m
+        }))
     b.pruneColumns(physRequired)
     // position-filtered reads (DV / change feed) must see every row of
     // the file in order — row-group/page skipping would desynchronize
@@ -843,7 +856,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     if (paths.isEmpty) Map.empty
     else {
       import org.apache.spark.sql.functions.col
-      val rows = spark.read.parquet(paths: _*)
+      val rows = spark.read.options(store.cryptoOpts).parquet(paths: _*)
         .select(col("file_key"), col("_metadata.file_path").as("sidecar_file"))
         .distinct().collect()
       GraftScanCounters.driverDvIndexRows.addAndGet(rows.length)
@@ -866,7 +879,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     val dvKeys = dvKeyIndex(foldedDv).keySet
     val removedKeys = listFiles(removedData).map(f => fileKey(f.filePath.toString)).toSet
     if (!dvKeys.subsetOf(removedKeys)) return false
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = Maintenance.storeHadoopConf(spark, store.root)
     // position COUNTS from footer row counts — never the positions
     // themselves; overlapping folded DVs double-count and fail the
     // balance, which is the conservative direction
@@ -950,7 +963,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     if (!needsPositions) inner
     else new GraftPositionReaderFactory(inner, delegate.readDataSchema,
       extraCols,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(Maintenance.storeHadoopConf(spark, store.root)))
   }
 
   // ---- streaming source: the commit log is the offset log (r15) -----------
@@ -1090,7 +1103,7 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftPositionReaderFactory(delegate.createReaderFactory(),
         delegate.readDataSchema, extraCols,
-        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        new SerializableHadoopConf(Maintenance.storeHadoopConf(spark, store.root)))
 
     override def commit(end: rstreaming.Offset): Unit = ()
     override def stop(): Unit = ()

@@ -626,7 +626,10 @@ class Round15Spec extends AnyFunSuite {
     val name = new java.io.File(root).getName
     val hist = spark.sql(s"SELECT * FROM graft.`$name$$history` ORDER BY version")
       .collect()
-    assert(hist.length == 2 && hist(0).getInt(2) == 4 && hist(1).getInt(2) == 5,
+    // r16 widened the schema (operation metadata); address by name
+    assert(hist.length == 2 &&
+      hist(0).getAs[Int]("n_data_groups") == 4 &&
+      hist(1).getAs[Int]("n_data_groups") == 5,
       s"history over the encrypted store: ${hist.mkString(",")}")
     // OCC conflict detection reads encrypted manifests correctly
     intercept[Maintenance.SnapshotConflictException] {
