@@ -1152,9 +1152,20 @@ object Maintenance {
     val refKeys = s.read.options(crypto).parquet(dvPaths: _*)
       .select($"file_key").distinct().collect().map(_.getString(0))
       .map(_.takeWhile(_ != '/')).toSet
-    val touched = dataLines.filter(g =>
-      refKeys.contains(g.split('/').last))
+    // dv file_keys come from `_metadata.file_path`, which renders the
+    // URI-ESCAPED form (a partition value with a space is "%20" there
+    // but raw in the manifest's filesystem path) — compare the group's
+    // last segment in the same escaped rendering, or a dv on such a
+    // group would be retired WITHOUT rewriting it (resurrected rows)
+    def escapedTail(g: String): String =
+      new org.apache.hadoop.fs.Path(g).toUri.toString.split('/').last
+    val touched = dataLines.filter(g => refKeys.contains(escapedTail(g)))
     require(touched.nonEmpty, "dv positions reference no live group")
+    // and the retired dv set must reference ONLY touched groups — a
+    // partially-matched pile must fail loudly, never fold blind
+    val touchedTails = touched.map(escapedTail).toSet
+    require(refKeys.subsetOf(touchedTails),
+      s"dv positions reference groups not in the manifest: ${refKeys -- touchedTails}")
     val dv = s.read.options(crypto).parquet(dvPaths: _*)
     // the anti-join is deliberately UNHINTED: the DV side of a large
     // accumulated pile can be billions of positions — broadcasting it
@@ -1168,14 +1179,57 @@ object Maintenance {
         Seq("file_key", "row_index"), "left_anti")
       .drop("file_key", "row_index")
     val out = s"$root/compact_${java.util.UUID.randomUUID().toString.take(12)}"
-    crypto.foldLeft(rewritten.write.mode("overwrite")) {
-      case (w, (k, v)) => w.option(k, v)
-    }.parquet(out)
-    val (rows, stats) = graft.sources.FooterStats.harvest(out,
-      rewritten.schema, storeHadoopConf(s, root))
-    val zoneLines = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-      s"zone:$out|$c|$lo|$hi|$rows" }
-    Some(CompactionPlan(cur, touched ++ dvLines, out +: zoneLines, out))
+    val conf = storeHadoopConf(s, root)
+    // PARTITIONED stores keep their layout through compaction: the
+    // rewrite re-partitions by the same path tags, so the output is
+    // again one group per partition value — partition pruning keeps
+    // working on compacted data instead of degrading to one wide group
+    val partCols = readStoreText2(root, "partition_cols.txt")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val (outGroups, zoneLines) =
+      if (partCols.isEmpty) {
+        crypto.foldLeft(rewritten.write.mode("overwrite")) {
+          case (w, (k, v)) => w.option(k, v)
+        }.parquet(out)
+        val (rows, stats) = graft.sources.FooterStats.harvest(out,
+          rewritten.schema, conf)
+        (Seq(out), stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"zone:$out|$c|$lo|$hi|$rows" })
+      } else {
+        val tags = partCols.map(c => s"__p_$c")
+        val tagged = partCols.foldLeft(rewritten)((df, c) =>
+          df.withColumn(s"__p_$c", col(c)))
+        crypto.foldLeft(
+          tagged.write.partitionBy(tags: _*).mode("overwrite")) {
+          case (w, (k, v)) => w.option(k, v)
+        }.parquet(out)
+        val leaves = leafDirs(out, conf)
+        (leaves, leaves.flatMap { d =>
+          val (rows, stats) = graft.sources.FooterStats.harvest(d,
+            rewritten.schema, conf)
+          stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            s"zone:$d|$c|$lo|$hi|$rows" }
+        })
+      }
+    Some(CompactionPlan(cur, touched ++ dvLines, outGroups ++ zoneLines, out))
+  }
+
+  /** partition_cols.txt (or any store text) when present. */
+  private def readStoreText2(root: String, name: String): Option[String] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, name))) None
+    else Some(readStoreText(root, name))
+
+  /** Leaf partition dirs (dirs directly holding parquet files). */
+  private def leafDirs(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.listStatus(p)
+      if (st.exists(x => x.isFile && x.getPath.getName.endsWith(".parquet")))
+        Seq(p.toUri.getPath)
+      else st.filter(_.isDirectory).toSeq.flatMap(x => walk(x.getPath))
+    }
+    walk(new org.apache.hadoop.fs.Path(dir)).sorted
   }
 
   /** Commit a [[planCompaction]] result through the OCC path. A lost

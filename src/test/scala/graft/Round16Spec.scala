@@ -470,6 +470,80 @@ class Round16Spec extends AnyFunSuite {
       s"compact must show 1 added / 4 removed, got ${v3.getInt(4)}/${v3.getInt(5)}")
   }
 
+  test("r16: compaction preserves a partitioned store's layout") {
+    import spark.implicits._
+    val root = freshRoot("r16_part_compact")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf)
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    orders.filter($"o_orderkey" % 3 === 0)
+      .write.format("graft").mode("append").save(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    spark.sql(s"DELETE FROM graft.`$name` WHERE o_custkey % 2 = 0") // dv
+    val want = spark.read.format("graft").load(root)
+      .agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    val v = Maintenance.compactStore(spark, root)
+    val groups = Maintenance.manifestPaths(root, v)
+    assert(!groups.exists(_.startsWith("dv:")), "dv folded")
+    // every compacted group is still one-partition-value
+    assert(groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"compaction flattened the partition layout: $groups")
+    // values unchanged, and a point read still prunes to ONE group
+    val after = spark.read.format("graft").load(root)
+      .agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    assert(after.getLong(0) == want.getLong(0))
+    assert(math.abs(after.getDouble(1) - want.getDouble(1)) <=
+      1e-9 * math.abs(want.getDouble(1)) + 1e-6)
+    val df = spark.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.exists(x => x.group(1).toInt == 1),
+      s"compacted partitioned store must still point-prune: $desc")
+  }
+
+  test("r16: SQL UPDATE works on an all-ciphertext store") {
+    import spark.implicits._
+    val root = freshRoot("r16_enc_update")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf)
+    Maintenance.createStore(root, orders.schema)
+    Maintenance.enableStoreEncryption(root, "r16-upd-mk", dataPlane = true)
+    orders.filter($"o_orderkey" % 4 === 1)
+      .write.format("graft").mode("append").save(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    val before = spark.read.format("graft").load(root)
+      .agg(sum($"o_totalprice"), count(lit(1))).collect()(0)
+    spark.sql(s"""UPDATE graft.`$name` SET o_totalprice = o_totalprice + 2.0
+                 |WHERE o_orderstatus = 'F'""".stripMargin)
+    val touched = orders.filter($"o_orderkey" % 4 === 1 &&
+      $"o_orderstatus" === "F").count()
+    assert(touched > 0)
+    val after = spark.read.format("graft").load(root)
+      .agg(sum($"o_totalprice"), count(lit(1))).collect()(0)
+    assert(after.getLong(1) == before.getLong(1))
+    assert(math.abs(after.getDouble(0) - (before.getDouble(0) + 2.0 * touched))
+      < 1e-3)
+    // the UPDATE's artifacts are themselves ciphertext
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val rlw = parquetFiles(new java.io.File(root))
+      .filter(_.getAbsolutePath.contains("rlw_"))
+    assert(rlw.nonEmpty)
+    assert(rlw.forall { f =>
+      val in = new java.io.FileInputStream(f)
+      try { val b = new Array[Byte](4); in.read(b); new String(b, "UTF-8") == "PARE" }
+      finally in.close()
+    }, "row-level artifacts must be PME ciphertext on an encrypted-data store")
+  }
+
   // ---- encrypted control plane covers schema logs (r15 ADVICE) --------------
 
   test("r16: enableStoreEncryption encrypts pre-existing schema logs") {
