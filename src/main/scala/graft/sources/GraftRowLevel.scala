@@ -100,9 +100,23 @@ private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
     val dvJob = Job.getInstance(
       Maintenance.storeHadoopConf(spark, store.root))
     val dvFactory = fmt.prepareWrite(spark, dvJob, Map.empty, dvSchema)
+    // partitioned stores: insert legs keep the store's layout — each
+    // task routes rows into per-partition-value subdirs, so the commit
+    // lands one group per touched partition (pruning never degrades
+    // through an UPDATE/MERGE); ordinals resolve against the physical
+    // write schema
+    // a pure DELETE's write schema carries no data columns (it never
+    // inserts), so only resolve ordinals for columns actually present
+    val partIdx = store.partitionCols.map(store.phys)
+      .filter(physSchema.fieldNames.contains)
+      .map { p =>
+        val i = physSchema.fieldIndex(p)
+        (s"__p_$p", i, physSchema.fields(i).dataType)
+      }
     new GraftDeltaWriterFactory(appendDir, dvDir, physSchema, dvSchema,
       dataFactory, new SerializableHadoopConf(dataJob.getConfiguration),
-      dvFactory, new SerializableHadoopConf(dvJob.getConfiguration))
+      dvFactory, new SerializableHadoopConf(dvJob.getConfiguration),
+      partIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -113,13 +127,23 @@ private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
     if (nDel == 0 && nIns == 0) { drop(appendDir); drop(dvDir); return }
     val added = Seq.newBuilder[String]
     if (nIns > 0) {
-      // zone stats for the insert leg from its own footers — the same
-      // zero-job harvest every write front door does
-      val (rows, stats) = FooterStats.harvest(appendDir, physSchema,
-        Maintenance.storeHadoopConf(spark, store.root))
-      added += appendDir
-      added ++= stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-        s"zone:$appendDir|$c|$lo|$hi|$rows" }
+      // zone stats for the insert leg(s) from their own footers — the
+      // same zero-job harvest every write front door does; partitioned
+      // stores commit one group per touched partition value
+      val conf = Maintenance.storeHadoopConf(spark, store.root)
+      val groups =
+        if (store.partitionCols.isEmpty) Seq(appendDir)
+        else {
+          val fs = new org.apache.hadoop.fs.Path(appendDir).getFileSystem(conf)
+          fs.listStatus(new org.apache.hadoop.fs.Path(appendDir))
+            .filter(_.isDirectory).map(_.getPath.toUri.getPath).toSeq.sorted
+        }
+      for (g <- groups) {
+        val (rows, stats) = FooterStats.harvest(g, physSchema, conf)
+        added += g
+        added ++= stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"zone:$g|$c|$lo|$hi|$rows" }
+      }
     } else drop(appendDir)
     if (nDel > 0) added += Maintenance.DvLine.render(dvDir, op.scannedGroups)
     else drop(dvDir)
@@ -142,7 +166,9 @@ private[sources] class GraftDeltaWriterFactory(
     appendDir: String, dvDir: String,
     physSchema: StructType, dvSchema: StructType,
     dataFactory: OutputWriterFactory, dataConf: SerializableHadoopConf,
-    dvFactory: OutputWriterFactory, dvConf: SerializableHadoopConf)
+    dvFactory: OutputWriterFactory, dvConf: SerializableHadoopConf,
+    // (tag dir prefix, row ordinal, type) per store partition column
+    partIdx: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Seq.empty)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -152,22 +178,37 @@ private[sources] class GraftDeltaWriterFactory(
           new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
           (taskId % Int.MaxValue).toInt))
 
-      private var dataWriter: OutputWriter = _
+      // one open insert writer per partition-value directory (a task
+      // usually touches few values; unpartitioned stores use the root)
+      private val dataWriters =
+        scala.collection.mutable.LinkedHashMap.empty[String, OutputWriter]
       private var dvWriter: OutputWriter = _
-      private var dataPath: Option[String] = None
+      private val dataPaths = Seq.newBuilder[String]
       private var dvPath: Option[String] = None
       private var nDel = 0L
       private var nIns = 0L
 
-      private def data(): OutputWriter = {
-        if (dataWriter == null) {
+      /** The partition subdir of a row — Hive-style escaped values
+        * (rendering only affects LAYOUT: the group's footer stats pin
+        * the actual value for pruning). */
+      private def partDir(row: InternalRow): String =
+        if (partIdx.isEmpty) appendDir
+        else appendDir + partIdx.map { case (tag, i, dt) =>
+          val v =
+            if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(String.valueOf(row.get(i, dt)))
+          s"/$tag=$v"
+        }.mkString
+
+      private def data(row: InternalRow): OutputWriter =
+        dataWriters.getOrElseUpdate(partDir(row), {
           val c = ctx(dataConf.value)
-          val p = f"$appendDir/part-$partitionId%05d-$taskId${dataFactory.getFileExtension(c)}"
-          dataWriter = dataFactory.newInstance(p, physSchema, c)
-          dataPath = Some(p)
-        }
-        dataWriter
-      }
+          val p = f"${partDir(row)}/part-$partitionId%05d-$taskId-${
+            dataWriters.size}${dataFactory.getFileExtension(c)}"
+          dataPaths += p
+          dataFactory.newInstance(p, physSchema, c)
+        })
       private def dv(): OutputWriter = {
         if (dvWriter == null) {
           val c = ctx(dvConf.value)
@@ -182,7 +223,7 @@ private[sources] class GraftDeltaWriterFactory(
         dv().write(id); nDel += 1
       }
       override def insert(row: InternalRow): Unit = {
-        data().write(row); nIns += 1
+        data(row).write(row); nIns += 1
       }
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = { delete(metadata, id); insert(row) }
@@ -191,15 +232,16 @@ private[sources] class GraftDeltaWriterFactory(
 
       override def commit(): WriterCommitMessage = {
         close()
-        GraftDeltaCommitMessage(dataPath, dvPath, nDel, nIns)
+        GraftDeltaCommitMessage(dataPaths.result().headOption, dvPath, nDel, nIns)
       }
       override def abort(): Unit = {
         close()
-        for (p <- dataPath ++ dvPath)
+        for (p <- dataPaths.result() ++ dvPath)
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
       }
       override def close(): Unit = {
-        if (dataWriter != null) { dataWriter.close(); dataWriter = null }
+        dataWriters.valuesIterator.foreach(_.close())
+        dataWriters.clear()
         if (dvWriter != null) { dvWriter.close(); dvWriter = null }
       }
     }

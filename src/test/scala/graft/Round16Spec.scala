@@ -505,6 +505,43 @@ class Round16Spec extends AnyFunSuite {
       s"compacted partitioned store must still point-prune: $desc")
   }
 
+  test("r16: UPDATE on a partitioned store keeps per-partition insert legs") {
+    import spark.implicits._
+    val root = freshRoot("r16_part_update")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf)
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    orders.filter($"o_orderkey" % 3 === 1)
+      .write.format("graft").mode("append").save(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    spark.sql(s"""UPDATE graft.`$name` SET o_totalprice = o_totalprice + 5.0
+                 |WHERE o_custkey % 3 = 0""".stripMargin)
+    val v = Maintenance.currentSnapshotVersion(root)
+    val groups = Maintenance.manifestPaths(root, v).filterNot(_.startsWith("dv:"))
+    // EVERY group — including the UPDATE's insert legs — is a
+    // single-partition-value dir, so pruning never degrades
+    assert(groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"UPDATE's insert leg broke the partition layout: ${
+        groups.filterNot(_.contains("/__p_o_orderpriority="))}")
+    val df = spark.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "2-HIGH")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.exists(x => x.group(1).toInt <= 2 &&
+      x.group(1).toInt < x.group(2).toInt),
+      s"point read must prune on the updated store: $desc")
+    // and the values are right
+    val base = orders.filter($"o_orderkey" % 3 === 1)
+    val wantSum = base.agg(sum($"o_totalprice")).collect()(0).getDouble(0) +
+      5.0 * base.filter($"o_custkey" % 3 === 0).count()
+    val gotSum = spark.read.format("graft").load(root)
+      .agg(sum($"o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-3, s"$gotSum vs $wantSum")
+  }
+
   test("r16: SQL UPDATE works on an all-ciphertext store") {
     import spark.implicits._
     val root = freshRoot("r16_enc_update")
