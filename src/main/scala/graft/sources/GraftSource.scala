@@ -785,8 +785,23 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   private def spark = SparkSession.active
 
   // ---- zone-map group pruning (manifest arithmetic, no data IO) ----------
-  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) =
-    GraftStore.zonePrune(store, pushed)
+  private lazy val (keptPaths: Seq[String], zoneSkipped: Int) = {
+    val (kept, skipped) = GraftStore.zonePrune(store, pushed)
+    // fail CLOSED when a group the snapshot references is gone from
+    // disk (a time-travel read racing a vacuum that retired the
+    // version): an empty file listing would silently serve wrong —
+    // usually zero — rows for a version that once had data. O(groups)
+    // driver existence checks, the manifest-arithmetic cost class.
+    val conf = spark.sessionState.newHadoopConf()
+    val missing = kept.filterNot { p =>
+      val hp = new Path(p); hp.getFileSystem(conf).exists(hp)
+    }
+    if (missing.nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"snapshot v${store.version} of ${store.root} references groups " +
+          s"no longer on disk (vacuumed?): ${missing.mkString(", ")}")
+    (kept, skipped)
+  }
 
   /** The data groups this scan resolved after zone pruning — a
     * row-level operation's read set. */

@@ -581,6 +581,88 @@ class Round16Spec extends AnyFunSuite {
     }, "row-level artifacts must be PME ciphertext on an encrypted-data store")
   }
 
+  // ---- cross-feature composition --------------------------------------------
+
+  test("r16: a streaming sink into a partitioned store keeps its layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("r16_stream_part_sink")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf).limit(200).cache()
+    Maintenance.createStore(root,
+      orders.select($"o_orderkey", $"o_orderpriority", $"o_totalprice").schema,
+      Seq("o_orderpriority"))
+    val src = s"$root/src"
+    orders.select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .write.parquet(src)
+    val q = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+      .writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.format("graft").mode("append").save(root); ()
+      }
+      .start()
+    q.awaitTermination()
+    val groups = Maintenance.manifestPaths(root,
+      Maintenance.currentSnapshotVersion(root))
+    assert(groups.nonEmpty &&
+      groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"streamed batch broke the partition layout: $groups")
+    assert(spark.read.format("graft").load(root).count() == orders.count())
+    orders.unpersist()
+  }
+
+  test("r16: initialSnapshot composes with readChangeFeed (_change_type)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val (root, data) = morStore("r16_snap_cdf")
+    Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine(data, "dv"))) // v2: a dv-carrying MERGE
+    val out = s"$root/out"
+    val q = spark.readStream.format("graft")
+      .option("initialSnapshot", "true")
+      .option("readChangeFeed", "true")
+      .load(root)
+      .select($"_change_type", $"o_totalprice")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$root/chk")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    // batch 0 = the anchor's (v2) full MoR state, all tagged insert
+    assert(got.filter($"_change_type" =!= "insert").count() == 0)
+    assert(got.count() ==
+      Maintenance.readSnapshotMoR(spark, root, 2).count())
+  }
+
+  test("r16: a time-travel read loses cleanly to a vacuum that retired it") {
+    import spark.implicits._
+    val root = freshRoot("r16_vacuum_race")
+    def tiny(name: String): String = {
+      val dir = s"$root/$name"
+      spark.range(5).toDF("id").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val g1 = tiny("g1"); val g2 = tiny("g2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), g1.getBytes("UTF-8"))
+    Maintenance.commitSnapshot(root, 1, Seq(g1), Seq(g2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      "1=1000\n2=2000".getBytes("UTF-8"))
+    // the reader plans v1 BEFORE the vacuum...
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(root)
+    Maintenance.vacuumExpired(root, horizonEpoch = 1500L)
+    // ...and the race resolves FAIL-CLOSED (files gone -> the read
+    // errors; it can never silently serve v2's data as v1's)
+    intercept[Throwable] { v1.count() }
+    // the retained version is untouched by the racing reader
+    assert(spark.read.format("graft").load(root).count() == 5)
+  }
+
   // ---- encrypted control plane covers schema logs (r15 ADVICE) --------------
 
   test("r16: enableStoreEncryption encrypts pre-existing schema logs") {
