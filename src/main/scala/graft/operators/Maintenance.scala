@@ -1532,6 +1532,61 @@ object Maintenance {
        |  COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price
        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // -- io_sql_ddl: CREATE TABLE through the catalog (r16) --------------------
+  // The last missing front door: a SQL-ONLY user goes CREATE TABLE →
+  // INSERT → UPDATE → SELECT … VERSION AS OF without a line of graft
+  // API. `CREATE TABLE graft.t (…) PARTITIONED BY (col)` bootstraps an
+  // empty store (v1 with zero groups + schema log + partition spec) —
+  // the schema comes from the DDL, so the first read needs no footer;
+  // the INSERT lands one manifest group PER PARTITION VALUE (the
+  // io_partitioned_store layout, reached from DDL-declared
+  // partitioning); the UPDATE is the delta-based row-level rewrite.
+  // The gate pins the empty-store read (0 rows), both DML versions'
+  // values, and the partition-pruned group count — all replayable from
+  // orders.
+  private def qSqlDdl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val root = tmp("io_sql_ddl", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val name = new java.io.File(root).getName
+    s.sql(s"""CREATE TABLE graft.`$name` (
+              |  o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+              |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    val emptyRows = s.sql(s"SELECT COUNT(*) FROM graft.`$name`")
+      .collect()(0).getLong(0)
+    Tables.orders(s, d).createOrReplaceTempView("io_sql_ddl_orders")
+    s.sql(s"""INSERT INTO graft.`$name`
+              |SELECT o_orderkey, o_orderpriority, o_totalprice
+              |FROM io_sql_ddl_orders WHERE o_orderkey % 4 = 2""".stripMargin) // v2
+    s.sql(s"""UPDATE graft.`$name`
+              |SET o_totalprice = $bumpedPriceSql
+              |WHERE o_orderkey % 8 = 2""".stripMargin) // v3
+    val groups = manifestPaths(root, currentSnapshotVersion(root))
+      .filterNot(_.startsWith("dv:"))
+    val partitioned = groups.forall(_.contains("/__p_o_orderpriority="))
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq("2_inserted" -> 2, "3_updated" -> 3).map { case (stage, v) =>
+      s.sql(s"""SELECT '$stage' AS stage, COUNT(*) AS n_rows,
+                |  $sumSql AS sum_price,
+                |  CAST($emptyRows AS BIGINT) AS empty_rows,
+                |  $partitioned AS partitioned_layout
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qSqlDdlSql =
+    s"""SELECT '2_inserted' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(0 AS BIGINT) AS empty_rows, true AS partitioned_layout
+       |FROM orders WHERE o_orderkey % 4 = 2
+       |UNION ALL
+       |SELECT '3_updated', COUNT(*), ${sqlSum(
+          s"CASE WHEN o_orderkey % 8 = 2 THEN $bumpedPriceSql ELSE o_totalprice END")},
+       |  0, true
+       |FROM orders WHERE o_orderkey % 4 = 2
+       |ORDER BY stage""".stripMargin
+
   // -- io_sql_update: SQL UPDATE as one MoR commit (r16) ---------------------
   // `UPDATE graft.<store> SET … WHERE …` — the third DML verb, served
   // by the delta-based row-level rewrite (GraftRowLevel.scala): the
@@ -2926,6 +2981,7 @@ object Maintenance {
     QueryDef("io_encrypted_data", qEncryptedData, Some(qEncryptedDataSql)),
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("io_sql_update", qSqlUpdate, Some(qSqlUpdateSql)),
+    QueryDef("io_sql_ddl", qSqlDdl, Some(qSqlDdlSql)),
     QueryDef("io_partitioned_store", qPartitionedStore,
       Some(qPartitionedStoreSql)),
     QueryDef("io_sql_merge", qSqlMerge, Some(qSqlMergeSql)),

@@ -99,10 +99,29 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
 
   private def ddlUnsupported =
     throw new UnsupportedOperationException(
-      "graft stores are created by the engine's maintenance operators, not SQL DDL")
+      "graft stores support CREATE TABLE; other DDL goes through the " +
+        "engine's maintenance operators")
+  /** `CREATE TABLE graft.t (…) PARTITIONED BY (col, …)` — bootstraps an
+    * empty store (v1 with zero groups, schema log, partition spec), so
+    * the pure-SQL user can go CREATE → INSERT → SELECT … VERSION AS OF
+    * without a line of graft API (r16). Only identity partition
+    * transforms are accepted: bucket/days/etc. would need a physical
+    * layout this store does not implement — fail at DDL, not at write. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    ddlUnsupported
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isStore(root))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name()))
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft stores support only identity partitioning, got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    Maintenance.createStore(root, schema, partCols)
+    loadTable(ident)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     ddlUnsupported
   override def dropTable(ident: Identifier): Boolean = ddlUnsupported

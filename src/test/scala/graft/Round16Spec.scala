@@ -581,6 +581,25 @@ class Round16Spec extends AnyFunSuite {
     }, "row-level artifacts must be PME ciphertext on an encrypted-data store")
   }
 
+  test("r16: CREATE TABLE fails closed on existing stores and exotic transforms") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val (root, _) = morStore("r16_ddl_guard")
+    val name = new java.io.File(root).getName
+    // an existing store must not be clobbered
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE graft.`$name` (a BIGINT)")
+    }
+    // non-identity partition transforms have no physical layout here
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.r16_ddl_bucket (a BIGINT, b STRING)
+                  |PARTITIONED BY (bucket(4, a))""".stripMargin)
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    assert(!new java.io.File("/tmp/graft_q/r16_ddl_bucket/manifest_v1.txt").exists(),
+      "a failed CREATE must leave no store behind")
+  }
+
   // ---- cross-feature composition --------------------------------------------
 
   test("r16: a streaming sink into a partitioned store keeps its layout") {
