@@ -290,8 +290,15 @@ object Maintenance {
     * metadata, not paths, and are stripped here so every existing
     * consumer keeps seeing only data and `dv:` lines. */
   def manifestPaths(root: String, version: Int): Seq[String] =
-    manifestRawLines(root, version).filterNot(_.startsWith("zone:"))
+    manifestRawLines(root, version)
+      .filterNot(l => l.startsWith("zone:") || l.startsWith("txn:"))
       .map(DvLine.normalize)
+
+  /** Latest idempotent-writer version recorded for `app` at snapshot
+    * `version`, if any (the `txn:` registry, r16 verdict #2). */
+  private[graft] def txnVersionAt(root: String, version: Int,
+      app: String): Option[Long] =
+    TxnLine.versionOf(manifestRawLines(root, version), app)
 
   /** Every line of a manifest, including `zone:` stat lines and raw
     * (read-set-annotated) `dv:` lines. */
@@ -318,29 +325,77 @@ object Maintenance {
     * uses /tmp paths + hex UUIDs); [[render]] enforces it. */
   object DvLine {
     def is(line: String): Boolean = line.startsWith("dv:")
+    /** The annotation's reserved characters are percent-encoded in
+      * path components (r16 ADVICE): partitioned-store group dirs
+      * embed partition VALUES (`__p_col=value`), and Hive path
+      * escaping leaves '@' and ',' alone — forbidding them would
+      * break a legitimate DELETE on such a store. '%' is encoded too
+      * so Hive-escaped values (which themselves use %XX) round-trip. */
+    private def enc(p: String): String = p.flatMap {
+      case '%' => "%25"; case '@' => "%40"; case ',' => "%2C"
+      case '|' => "%7C"; case c => c.toString
+    }
+    private def dec(p: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < p.length) {
+        if (p.charAt(i) == '%' && i + 3 <= p.length) {
+          sb.append(Integer.parseInt(p.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(p.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
     /** Sidecar path with any read-set annotation stripped. */
     def sidecar(line: String): String = {
       val body = line.stripPrefix("dv:")
       val i = body.indexOf('@')
-      if (i < 0) body else body.substring(0, i)
+      if (i < 0) body else dec(body.substring(0, i))
     }
     /** Annotated referenced data groups; None = legacy unannotated. */
     def groups(line: String): Option[Seq[String]] = {
       val body = line.stripPrefix("dv:")
       val i = body.indexOf('@')
       if (i < 0) None
-      else Some(body.substring(i + 1).split(',').toIndexedSeq.filter(_.nonEmpty))
+      else Some(body.substring(i + 1).split(',').toIndexedSeq
+        .filter(_.nonEmpty).map(dec))
     }
     def render(sidecar: String, groups: Seq[String]): String = {
       require(groups.nonEmpty, "a dv read set must name at least one group")
-      require(!sidecar.exists(c => c == '@' || c == ',' || c == '|') &&
-        groups.forall(g => !g.exists(c => c == '@' || c == ',' || c == '|')),
-        "dv paths must not contain '@', ',' or '|'")
-      s"dv:$sidecar@${groups.mkString(",")}"
+      s"dv:${enc(sidecar)}@${groups.map(enc).mkString(",")}"
     }
     /** `dv:` lines to their un-annotated form; other lines unchanged. */
     def normalize(line: String): String =
       if (is(line)) s"dv:${sidecar(line)}" else line
+  }
+
+  /** `txn:<appId>=<version>` manifest lines — the idempotent-writer
+    * registry (r16 verdict #2, Delta's txnAppId/txnVersion). Riding
+    * the manifest means the "has this (app, version) already
+    * committed?" check shares the claim's atomicity: a foreachBatch
+    * retry that replays a batch re-reads the registry inside the OCC
+    * loop and SKIPS, so at-least-once producers get exactly-once
+    * without a side channel. One line per appId (latest version wins);
+    * O(writers) metadata, invisible to every path consumer
+    * ([[manifestPaths]] strips them like `zone:` stats). */
+  private[graft] object TxnLine {
+    def is(line: String): Boolean = line.startsWith("txn:")
+    private def enc(s: String): String = s.flatMap {
+      case '%' => "%25"; case '=' => "%3D"; case c => c.toString
+    }
+    def render(appId: String, version: Long): String =
+      s"txn:${enc(appId)}=$version"
+    def appId(line: String): String = {
+      val body = line.stripPrefix("txn:")
+      val raw = body.substring(0, body.lastIndexOf('='))
+      raw.replace("%3D", "=").replace("%25", "%")
+    }
+    def version(line: String): Long =
+      line.substring(line.lastIndexOf('=') + 1).toLong
+    /** Latest committed version for `app` among `lines`, if any. */
+    def versionOf(lines: Seq[String], app: String): Option[Long] = {
+      val vs = lines.filter(is).filter(l => appId(l) == app).map(version)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   // -- encrypted store metadata (r15) ----------------------------------------
@@ -433,13 +488,22 @@ object Maintenance {
     * their write-time master id, which the resolver keeps serving. */
   def enableStoreEncryption(root: String, masterKeyId: String,
       dataPlane: Boolean = false): Unit = {
-    if (!new java.io.File(root, StoreKeyFile).exists()) {
+    val keyPath = java.nio.file.Paths.get(root, StoreKeyFile)
+    if (!java.nio.file.Files.exists(keyPath)) {
       val dk = graft.crypto.Kms.generateDataKey(masterKeyId, numBytes = 32)
       val dp = if (dataPlane) s"\ndataKeyId=$masterKeyId" else ""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(root, StoreKeyFile),
+      java.nio.file.Files.write(keyPath,
         (s"masterKeyId=$masterKeyId\nwrappedDek=${graft.crypto.Kms.wrapToBase64(dk)}"
           + dp).getBytes("UTF-8"))
+    } else if (dataPlane && storeDataKeyId(root).isEmpty) {
+      // control plane was enabled earlier WITHOUT the data plane:
+      // merge the dataKeyId line in instead of silently leaving the
+      // data plane off (the caller believes PME is on — subsequent
+      // data files landing plaintext would be a silent policy breach)
+      val txt = new String(java.nio.file.Files.readAllBytes(keyPath), "UTF-8")
+      java.nio.file.Files.write(keyPath,
+        (txt.reverse.dropWhile(_ == '\n').reverse +
+          s"\ndataKeyId=$masterKeyId").getBytes("UTF-8"))
     }
     // schema_v*.json logs are control plane like any manifest — leaving
     // them plaintext would break the "encrypted control plane"
@@ -643,8 +707,13 @@ object Maintenance {
     * that replaces "everything live at v" must not silently rebase over
     * a concurrent append it never saw (Delta/Iceberg fail an overwrite
     * closed against any concurrent commit). */
+  /** [[commitSnapshot]]'s return when an idempotent commit recognized
+    * an already-committed (txnAppId, txnVersion) pair and skipped. */
+  val TxnSkipped: Int = -2
+
   def commitSnapshot(root: String, readVersion: Int, removed: Seq[String],
-      added: Seq[String], maxRetries: Int = 5, strict: Boolean = false): Int = {
+      added: Seq[String], maxRetries: Int = 5, strict: Boolean = false,
+      txn: Option[(String, Long)] = None): Int = {
     val base = manifestPaths(root, readVersion)
     require(removed.map(DvLine.normalize).forall(base.contains),
       s"removed paths must come from manifest v$readVersion")
@@ -663,7 +732,19 @@ object Maintenance {
         throw new SnapshotConflictException(
           s"strict commit based on v$readVersion lost to concurrent commit v$cur")
       val curLines = manifestRawLines(root, cur)
-      val curPaths = curLines.filterNot(_.startsWith("zone:")).map(DvLine.normalize)
+      // idempotent writers (r16 verdict #2): the registry check runs
+      // INSIDE the claim loop, so a replay racing the original commit
+      // either wins the claim (original then skips) or re-reads the
+      // registry after losing and skips here — never both commit
+      txn match {
+        case Some((app, v))
+            if TxnLine.versionOf(curLines, app).exists(_ >= v) =>
+          return TxnSkipped
+        case _ => ()
+      }
+      val curPaths = curLines
+        .filterNot(l => l.startsWith("zone:") || TxnLine.is(l))
+        .map(DvLine.normalize)
       // conflict iff a group we replace is no longer live — some
       // intervening commit already replaced or dropped it
       val gone = removedNorm.filterNot(curPaths.contains)
@@ -696,15 +777,23 @@ object Maintenance {
         val norm = DvLine.normalize(l)
         removedNorm.contains(norm) ||
           (l.startsWith("zone:") &&
-            removedNorm.contains(l.stripPrefix("zone:").takeWhile(_ != '|')))
-      } ++ added
+            removedNorm.contains(l.stripPrefix("zone:").takeWhile(_ != '|'))) ||
+          // one registry line per appId: this commit's txn replaces it
+          txn.exists { case (app, _) => TxnLine.is(l) && TxnLine.appId(l) == app }
+      } ++ added ++ txn.map { case (app, v) => TxnLine.render(app, v) }
       // a rebased manifest must never carry a dv referencing a
       // non-live group: the MoR reader drops unmatched keys SILENTLY,
       // so a dangling dv resurrects the rows its writer deleted (the
       // compaction-vs-MERGE write-write anomaly, r15 verdict #1).
-      // Legacy unannotated dvs can't be validated — fail open.
+      // Legacy unannotated dvs have an UNKNOWN read set, so any commit
+      // that retires a data group while one survives must be assumed
+      // dangerous — fail CLOSED (r16 verdict #6; the old fail-open
+      // branch readmitted exactly the resurrect anomaly for pre-r16
+      // stores). [[migrateDvReadSets]] annotates legacy lines from
+      // their sidecars' file_keys so such stores commit normally again.
       val liveData = newManifest
-        .filterNot(l => l.startsWith("zone:") || DvLine.is(l)).toSet
+        .filterNot(l => l.startsWith("zone:") || TxnLine.is(l) || DvLine.is(l))
+        .toSet
       val dangling = newManifest.filter(DvLine.is).flatMap(l =>
         DvLine.groups(l).map(_.filterNot(liveData.contains)).getOrElse(Nil)
           .map(g => s"${DvLine.sidecar(l)} -> $g"))
@@ -714,6 +803,16 @@ object Maintenance {
             s"manifest would leave deletion vectors referencing removed " +
             s"groups (their deletes would silently resurrect): " +
             dangling.mkString("; "))
+      val removesData = removedNorm.exists(l => !DvLine.is(l) && !TxnLine.is(l))
+      val legacyDv = newManifest.filter(l => DvLine.is(l) &&
+        DvLine.groups(l).isEmpty)
+      if (removesData && legacyDv.nonEmpty)
+        throw new SnapshotConflictException(
+          s"commit based on v$readVersion retires data groups while " +
+            s"legacy deletion vectors with unknown read sets survive " +
+            s"(${legacyDv.map(DvLine.sidecar).mkString(", ")}); run " +
+            s"Maintenance.migrateDvReadSets($root) first — an unvalidated " +
+            s"rebase could silently resurrect their deletes")
       // staged under a name every manifest lister ignores (no
       // "manifest_v" prefix): an in-flight or crash-orphaned temp file
       // must never be parsed as a committed version
@@ -739,6 +838,41 @@ object Maintenance {
       }
     }
     -1 // unreachable
+  }
+
+  /** One-time migration for pre-r16 stores (r16 verdict #6): annotate
+    * every LEGACY unannotated `dv:` line with the read set derived
+    * from its sidecar's own file_keys, landed as one metadata-only
+    * commit (normalized lines are unchanged, so the change feed and
+    * history see no row-level delta). After migration,
+    * [[commitSnapshot]]'s fail-closed legacy-dv rule no longer blocks
+    * rebases that retire data groups. Returns the committed version
+    * (the current one when nothing is legacy). Cost: one
+    * O(distinct file_keys) scan per legacy sidecar — positions are
+    * never materialized driver-side. */
+  def migrateDvReadSets(s: SparkSession, root: String): Int = {
+    import s.implicits._
+    val cur = currentSnapshotVersion(root)
+    val lines = manifestPaths(root, cur)
+    val legacy = manifestRawLines(root, cur)
+      .filter(l => DvLine.is(l) && DvLine.groups(l).isEmpty)
+    if (legacy.isEmpty) return cur
+    val dataLines = lines.filterNot(DvLine.is)
+    def escapedTail(g: String): String =
+      new org.apache.hadoop.fs.Path(g).toUri.toString.split('/').last
+    val byTail = dataLines.map(g => escapedTail(g) -> g).toMap
+    val crypto = dataPlaneOptions(root)
+    val annotated = legacy.map { l =>
+      val sc = DvLine.sidecar(l)
+      val tails = s.read.options(crypto).parquet(sc)
+        .select($"file_key").distinct().collect().map(_.getString(0))
+        .map(_.takeWhile(_ != '/')).toSet
+      val unknown = tails.filterNot(byTail.contains)
+      require(unknown.isEmpty,
+        s"dv sidecar $sc references groups not live at v$cur: $unknown")
+      (DvLine.normalize(l), DvLine.render(sc, tails.toSeq.sorted.map(byTail)))
+    }
+    commitSnapshot(root, cur, annotated.map(_._1), annotated.map(_._2))
   }
 
   // -- io_occ_commit: the commit protocol itself, driver-gated --------------
@@ -1585,6 +1719,84 @@ object Maintenance {
           s"CASE WHEN o_orderkey % 8 = 2 THEN $bumpedPriceSql ELSE o_totalprice END")},
        |  0, true
        |FROM orders WHERE o_orderkey % 4 = 2
+       |ORDER BY stage""".stripMargin
+
+  // -- io_sql_alter: schema evolution through pure SQL (r17) -----------------
+  // `ALTER TABLE graft.t ADD|RENAME|DROP COLUMN` — the last DDL gap
+  // (r16 verdict #3): a SQL-only user can now evolve a schema without
+  // dropping to the Scala API. Every change is a METADATA-ONLY commit
+  // (GraftStore.alterStore): ADD = schema-log entry (old groups
+  // null-pad at scan), RENAME/DROP = column-mapping entry (header
+  // swap / entry removal; bytes stay). The gate walks CREATE → INSERT
+  // → ADD → INSERT(with the new column) → RENAME → DROP, reads every
+  // version back with VERSION AS OF, and pins `files_untouched`: the
+  // first insert's data files must carry the SAME (mtime, length)
+  // after all three ALTERs — zero data bytes moved, the property that
+  // makes schema evolution O(1) on a 100 TB store.
+  private def qSqlAlter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val root = tmp("io_sql_alter", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val name = new java.io.File(root).getName
+    s.sql(s"""CREATE TABLE graft.`$name` (
+              |  o_orderkey BIGINT, o_totalprice DOUBLE, o_note STRING)""".stripMargin) // v1
+    Tables.orders(s, d).createOrReplaceTempView("io_sql_alter_orders")
+    s.sql(s"""INSERT INTO graft.`$name`
+              |SELECT o_orderkey, o_totalprice, o_orderpriority
+              |FROM io_sql_alter_orders WHERE o_orderkey % 4 = 1""".stripMargin) // v2
+    def stamps(v: Int): Seq[(String, Long, Long)] =
+      manifestPaths(root, v).filterNot(DvLine.is).flatMap { g =>
+        Option(new java.io.File(g).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getAbsolutePath, f.lastModified(), f.length())).toSeq
+      }.sortBy(_._1)
+    val before = stamps(2)
+    s.sql(s"ALTER TABLE graft.`$name` ADD COLUMN o_band BIGINT")            // v3
+    s.sql(s"""INSERT INTO graft.`$name`
+              |SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderkey % 7
+              |FROM io_sql_alter_orders WHERE o_orderkey % 4 = 3""".stripMargin) // v4
+    s.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN o_totalprice TO price_usd") // v5
+    s.sql(s"ALTER TABLE graft.`$name` DROP COLUMN o_note")                  // v6
+    val untouched = stamps(2) == before
+    val sumSql = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+    def nCols(v: Int): Int =
+      s.sql(s"SELECT * FROM graft.`$name` VERSION AS OF $v LIMIT 0").columns.length
+    def stage(tag: String, v: Int, priceCol: String, bandExpr: String) =
+      s.sql(s"""SELECT '$tag' AS stage, COUNT(*) AS n_rows,
+                |  ${sumSql.format(priceCol)} AS sum_price,
+                |  $bandExpr AS sum_band,
+                |  CAST(${nCols(v)} AS BIGINT) AS n_cols,
+                |  $untouched AS files_untouched
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    val zero = "CAST(0 AS BIGINT)"
+    val bandSum = s"COALESCE(SUM(o_band), $zero)"
+    Seq(stage("2_insert", 2, "o_totalprice", zero),
+      stage("3_add", 3, "o_totalprice", bandSum),
+      stage("4_insert", 4, "o_totalprice", bandSum),
+      stage("5_rename", 5, "price_usd", bandSum),
+      stage("6_drop", 6, "price_usd", bandSum))
+      .reduce(_.unionByName(_)).orderBy($"stage")
+  }
+  private val qSqlAlterSql =
+    s"""WITH s1 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+       |     s2 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 3),
+       |     s12 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+       |SELECT '2_insert' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price, CAST(0 AS BIGINT) AS sum_band,
+       |  CAST(3 AS BIGINT) AS n_cols, true AS files_untouched FROM s1
+       |UNION ALL
+       |SELECT '3_add', COUNT(*), ${sqlSum("o_totalprice")}, 0, 4, true FROM s1
+       |UNION ALL
+       |SELECT '4_insert', COUNT(*), ${sqlSum("o_totalprice")},
+       |  CAST((SELECT SUM(o_orderkey % 7) FROM s2) AS BIGINT), 4, true FROM s12
+       |UNION ALL
+       |SELECT '5_rename', COUNT(*), ${sqlSum("o_totalprice")},
+       |  CAST((SELECT SUM(o_orderkey % 7) FROM s2) AS BIGINT), 4, true FROM s12
+       |UNION ALL
+       |SELECT '6_drop', COUNT(*), ${sqlSum("o_totalprice")},
+       |  CAST((SELECT SUM(o_orderkey % 7) FROM s2) AS BIGINT), 3, true FROM s12
        |ORDER BY stage""".stripMargin
 
   // -- io_sql_update: SQL UPDATE as one MoR commit (r16) ---------------------
@@ -2982,6 +3194,7 @@ object Maintenance {
     QueryDef("io_sql_delete", qSqlDelete, Some(qSqlDeleteSql)),
     QueryDef("io_sql_update", qSqlUpdate, Some(qSqlUpdateSql)),
     QueryDef("io_sql_ddl", qSqlDdl, Some(qSqlDdlSql)),
+    QueryDef("io_sql_alter", qSqlAlter, Some(qSqlAlterSql)),
     QueryDef("io_partitioned_store", qPartitionedStore,
       Some(qPartitionedStoreSql)),
     QueryDef("io_sql_merge", qSqlMerge, Some(qSqlMergeSql)),

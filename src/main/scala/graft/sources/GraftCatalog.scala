@@ -32,9 +32,10 @@ import graft.operators.Maintenance
   * MICROSECONDS; the store's commit log is in epoch seconds —
   * floor-divide, so a probe inside a second resolves like the
   * commit-log granularity says it should. Writes go through the
-  * DataFrame front door (`df.write.format("graft")`); DDL through SQL
-  * is deliberately unsupported — stores are created by the engine's
-  * maintenance operators, not by CREATE TABLE.
+  * DataFrame front door (`df.write.format("graft")`) or SQL
+  * INSERT/UPDATE/MERGE/DELETE; DDL covers CREATE TABLE and
+  * ALTER TABLE ADD/RENAME/DROP COLUMN (metadata-only schema
+  * evolution — r16 verdict #3).
   */
 class GraftCatalog extends CatalogPlugin with TableCatalog {
   private var catalogName: String = _
@@ -122,8 +123,18 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
     Maintenance.createStore(root, schema, partCols)
     loadTable(ident)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    ddlUnsupported
+  /** `ALTER TABLE graft.t ADD|RENAME|DROP COLUMN` — metadata-only
+    * commits through the schema-log / column-mapping machinery
+    * ([[GraftStore.alterStore]]); zero data bytes move (r16 verdict
+    * #3). Every other change kind fails loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isStore(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name()))
+    GraftStore.alterStore(root, changes)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = ddlUnsupported
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     ddlUnsupported

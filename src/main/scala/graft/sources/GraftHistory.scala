@@ -94,8 +94,12 @@ private[sources] object GraftHistoryTable {
           addedDv.isEmpty && removedDv.isEmpty => "metadata"
         case _ if addedDv.nonEmpty && addedData.nonEmpty => "merge"
         case _ if addedDv.nonEmpty => "delete"
-        case _ if removedDv.nonEmpty && removedData.nonEmpty => "compact"
+        // full replacement is checked BEFORE the compact shape (r16
+        // ADVICE): a truncating overwrite of a store that carried dv
+        // lines removes every live line — dvs included — and would
+        // otherwise read as "compact"
         case _ if removedData.nonEmpty && removedData.size == pData.size => "overwrite"
+        case _ if removedDv.nonEmpty && removedData.nonEmpty => "compact"
         case _ if removedData.nonEmpty => "rewrite"
         case _ => "append"
       }

@@ -71,9 +71,14 @@ private[sources] class GraftDeltaWrite(store: GraftStore.Resolved,
     new GraftDeltaBatchWrite(store, op, rowSchema)
 }
 
-/** Commit message: the files one task wrote plus its op counts. */
+/** Commit message: ALL files one task wrote plus its op counts. The
+  * full list is the commit's source of truth — the driver promotes
+  * exactly these files and sweeps everything else out of the staging
+  * dirs, so a task attempt that died without running abort()
+  * (executor crash, killed speculative attempt) cannot leak a partial
+  * or duplicate file into the committed group (r16 ADVICE). */
 private[sources] case class GraftDeltaCommitMessage(
-    dataFile: Option[String], dvFile: Option[String],
+    dataFiles: Seq[String], dvFile: Option[String],
     deletes: Long, inserts: Long) extends WriterCommitMessage
 
 private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
@@ -119,12 +124,34 @@ private[sources] class GraftDeltaBatchWrite(store: GraftStore.Resolved,
       partIdx)
   }
 
+  /** Delete every file under `dir` that is NOT in `committed` (dead /
+    * speculative attempts that never ran abort()), then prune emptied
+    * partition subdirs — the group contents become exactly the file
+    * set the successful tasks reported. */
+  private def sweepUncommitted(dir: String, committed: Set[String]): Unit = {
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else if (!committed.contains(f.getAbsolutePath)) { f.delete(); () }
+    val d = new java.io.File(dir)
+    if (d.exists()) {
+      walk(d)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          Option(f.listFiles()).forall(_.isEmpty)).foreach(_.delete())
+    }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
     val nDel = msgs.map(_.deletes).sum
     val nIns = msgs.map(_.inserts).sum
     def drop(dir: String): Unit = graft.Staging.rmTree(new java.io.File(dir))
     if (nDel == 0 && nIns == 0) { drop(appendDir); drop(dvDir); return }
+    // promote only the files committed tasks reported (r16 ADVICE)
+    val committed = msgs.flatMap(m => m.dataFiles ++ m.dvFile)
+      .map(p => new java.io.File(p).getAbsolutePath).toSet
+    sweepUncommitted(appendDir, committed)
+    sweepUncommitted(dvDir, committed)
     val added = Seq.newBuilder[String]
     if (nIns > 0) {
       // zone stats for the insert leg(s) from their own footers — the
@@ -232,7 +259,7 @@ private[sources] class GraftDeltaWriterFactory(
 
       override def commit(): WriterCommitMessage = {
         close()
-        GraftDeltaCommitMessage(dataPaths.result().headOption, dvPath, nDel, nIns)
+        GraftDeltaCommitMessage(dataPaths.result(), dvPath, nDel, nIns)
       }
       override def abort(): Unit = {
         close()

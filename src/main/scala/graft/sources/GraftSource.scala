@@ -110,7 +110,12 @@ private[graft] object GraftStore {
       initialSnapshot: Boolean,        // stream batch 0 = anchor's full state
       partitionCols: Seq[String],      // store partitioning (logical names)
       cryptoOpts: Map[String, String], // PME properties (empty: plaintext)
-      physicalSchema: StructType) {
+      physicalSchema: StructType,
+      // idempotent-writer identity (r16 verdict #2): when set, the
+      // append commits at most once per (appId, version) — a replay
+      // of an already-recorded version is a silent no-op
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None) {
 
     def phys(logical: String): String =
       mapping.flatMap(_.collectFirst { case (lg, ph) if lg == logical => ph })
@@ -221,7 +226,9 @@ private[graft] object GraftStore {
         .map(_.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty),
       cryptoOpts,
-      physicalSchema)
+      physicalSchema,
+      Option(options.get("txnAppId")),
+      Option(options.get("txnVersion")).map(_.toLong))
   }
 
   /** Rewrite a filter's column names logical -> physical; None when
@@ -387,6 +394,93 @@ private[graft] object GraftStore {
         .flatMap(m => readLines(root, s"mapping_v$m.txt"))
     }
 
+  /** SQL `ALTER TABLE` (r16 verdict #3): ADD / RENAME / DROP COLUMN as
+    * METADATA-ONLY commits — zero data bytes move. Each change lands
+    * as one OCC commit whose manifest is identical to its parent
+    * (history reads it as `metadata`), plus a per-version schema-log
+    * and/or column-mapping entry:
+    *
+    *  - ADD COLUMN: the evolved physical schema goes to
+    *    `schema_v<next>.json` (the io_dsv2_schema_merge machinery);
+    *    old groups null-pad the new column at scan time. A re-added
+    *    name whose physical slot is still occupied by a dropped
+    *    column's bytes gets a fresh physical name — old bytes stay
+    *    invisible, Delta's column-mapping discipline.
+    *  - RENAME COLUMN: a `mapping_v<next>.txt` header swap (the
+    *    io_column_mapping machinery); renaming a partition column
+    *    also rewrites `partition_cols.txt` (the path tags carry
+    *    PHYSICAL names, so the layout is untouched).
+    *  - DROP COLUMN: the mapping entry disappears; bytes stay,
+    *    invisible to every reader from this version on. Dropping a
+    *    partition column is rejected — the layout depends on it.
+    *
+    * Time travel composes: each version resolves the schema log and
+    * mapping nearest at-or-below it, so `VERSION AS OF` serves every
+    * historical shape. */
+  def alterStore(root: String,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Unit = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val m = new java.util.HashMap[String, String](); m.put("path", root)
+    val store = resolve(new CaseInsensitiveStringMap(m))
+    val cur = store.version
+    var mapping: Seq[(String, String)] = store.mapping.getOrElse(
+      store.logicalSchema.fieldNames.toSeq.map(n => (n, n)))
+    var phys = store.physicalSchema
+    var partCols = store.partitionCols
+    var schemaChanged = false
+    var mappingChanged = false
+    def one(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"nested $what is not supported: ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val name = one(a.fieldNames(), "ADD COLUMN")
+        require(!mapping.exists(_._1 == name), s"column $name already exists")
+        require(a.isNullable,
+          s"ADD COLUMN $name must be nullable — existing rows cannot backfill")
+        val p = if (!phys.fieldNames.contains(name)) name
+                else s"${name}__v${cur + 1}"
+        phys = StructType(phys.fields :+ StructField(p, a.dataType(), nullable = true))
+        mapping = mapping :+ (name -> p)
+        schemaChanged = true; mappingChanged = true
+      case r: TableChange.RenameColumn =>
+        val from = one(r.fieldNames(), "RENAME COLUMN")
+        require(mapping.exists(_._1 == from), s"no such column: $from")
+        require(!mapping.exists(_._1 == r.newName),
+          s"column ${r.newName} already exists")
+        mapping = mapping.map { case (lg, ph) =>
+          if (lg == from) (r.newName, ph) else (lg, ph) }
+        if (partCols.contains(from))
+          partCols = partCols.map(c => if (c == from) r.newName else c)
+        mappingChanged = true
+      case d: TableChange.DeleteColumn =>
+        val from = one(d.fieldNames(), "DROP COLUMN")
+        require(mapping.exists(_._1 == from), s"no such column: $from")
+        require(!partCols.contains(from),
+          s"cannot drop partition column $from — the store's layout depends on it")
+        require(mapping.size > 1, "cannot drop the last column")
+        mapping = mapping.filterNot(_._1 == from)
+        mappingChanged = true
+      case other => throw new UnsupportedOperationException(
+        s"graft stores support ALTER TABLE ADD/RENAME/DROP COLUMN, got $other")
+    }
+    // one metadata-only commit claims the version; the schema/mapping
+    // files are that version's log entries (nearest-at-or-below
+    // resolution serves readers between the claim and these writes
+    // the PARENT shape — fail open, rows stay right)
+    val next = Maintenance.commitSnapshot(root, cur, Seq.empty, Seq.empty)
+    if (schemaChanged)
+      Maintenance.writeStoreText(root, s"schema_v$next.json", phys.json)
+    if (mappingChanged)
+      Maintenance.writeStoreText(root, s"mapping_v$next.txt",
+        mapping.map { case (lg, ph) => s"$lg=$ph" }.mkString("\n"))
+    if (partCols != store.partitionCols)
+      Maintenance.writeStoreText(root, "partition_cols.txt",
+        partCols.mkString(","))
+  }
+
   /** `DELETE FROM graft.<store> WHERE <pred>` — a MERGE-ON-READ
     * delete: no data file is rewritten; the matching rows' positions
     * land as ONE deletion-vector sidecar committed as a `dv:` manifest
@@ -482,7 +576,18 @@ private[graft] object GraftStore {
     // strict; mergeSchema merges into the latest committed schema log)
     require(!store.pinnedVersion,
       s"cannot write to a time-travel snapshot (pinned v${store.version})")
+    require(store.txnAppId.isDefined == store.txnVersion.isDefined,
+      "txnAppId and txnVersion must be set together")
+    val txn = store.txnAppId.zip(store.txnVersion)
+    require(txn.isEmpty || !overwrite,
+      "idempotent txn writes are append-only (overwrite is strict by design)")
     val cur = Maintenance.currentSnapshotVersion(store.root)
+    // idempotent replay fast-path: recognized (appId, version) pairs
+    // skip before staging a single byte. The authoritative, race-proof
+    // check runs again inside the OCC claim loop below.
+    if (txn.exists { case (app, v) =>
+        Maintenance.txnVersionAt(store.root, cur, app).exists(_ >= v) })
+      return
     // schema contract. Default: exact logical names and types, in
     // order — a mispositioned or re-typed column must fail before any
     // file lands. With option("mergeSchema", "true") the table accepts
@@ -578,11 +683,17 @@ private[graft] object GraftStore {
     // it never saw (truncate semantics — r14 ADVICE)
     val committed =
       try Maintenance.commitSnapshot(store.root, cur, removed,
-        groupDirs ++ zoneLines, strict = overwrite)
+        groupDirs ++ zoneLines, strict = overwrite, txn = txn)
       catch { case t: Throwable =>
         graft.Staging.rmTree(new java.io.File(stage)) // lost commit: no orphans
         throw t
       }
+    if (committed == Maintenance.TxnSkipped) {
+      // a concurrent replay won the claim between the fast-path check
+      // and ours — drop the staged duplicate, the batch is in
+      graft.Staging.rmTree(new java.io.File(stage))
+      return
+    }
     if (extras.nonEmpty) {
       // the evolved physical schema becomes this version's log entry;
       // a crash before these writes degrades to the OLD schema (new
@@ -790,12 +901,25 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     // fail CLOSED when a group the snapshot references is gone from
     // disk (a time-travel read racing a vacuum that retired the
     // version): an empty file listing would silently serve wrong —
-    // usually zero — rows for a version that once had data. O(groups)
-    // driver existence checks, the manifest-arithmetic cost class.
-    val conf = spark.sessionState.newHadoopConf()
-    val missing = kept.filterNot { p =>
-      val hp = new Path(p); hp.getFileSystem(conf).exists(hp)
-    }
+    // usually zero — rows for a version that once had data. Gated to
+    // the reads where a vacuumed snapshot is POSSIBLE (pinned-version
+    // / change-feed time travel — vacuumExpired never touches the
+    // current snapshot's groups), and batched as ONE listStatus per
+    // parent dir instead of per-group exists RPCs (r16 ADVICE: on an
+    // object store O(groups) round trips taxed every scan planning).
+    val missing =
+      if (!(store.pinnedVersion || store.changeFeed.isDefined)) Seq.empty[String]
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        kept.groupBy(p => new Path(p).getParent).toSeq.flatMap {
+          case (parent, ps) =>
+            val present =
+              try parent.getFileSystem(conf).listStatus(parent)
+                .map(_.getPath.getName).toSet
+              catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+            ps.filterNot(p => present.contains(new Path(p).getName))
+        }
+      }
     if (missing.nonEmpty)
       throw new java.io.FileNotFoundException(
         s"snapshot v${store.version} of ${store.root} references groups " +

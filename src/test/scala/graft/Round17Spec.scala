@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintenance
+import graft.operators.Maintenance.{DvLine, SnapshotConflictException}
+
+/** Round-17 gates: the r16 ADVICE fixes (dv-annotation percent
+  * encoding, dataPlane merge on an already-encrypted store, history
+  * overwrite-vs-compact ordering, time-travel-gated vacuum existence
+  * sweep) and the legacy-dv fail-closed + migration path (r16 verdict
+  * "Next round" #6).
+  */
+class Round17Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_q/${name}_spec"
+    graft.Staging.rmTree(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    root
+  }
+
+  // ---- DvLine percent-encoding (r16 ADVICE, low) ---------------------------
+
+  test("r17: dv annotations round-trip paths containing '@', ',', '|', '%'") {
+    val sc = "/s/dv@2024,part|x%20y"
+    val gs = Seq("/d/__p_c=a@b", "/d/__p_c=x,y", "/d/plain")
+    val line = DvLine.render(sc, gs)
+    assert(DvLine.sidecar(line) == sc, s"sidecar mangled: ${DvLine.sidecar(line)}")
+    assert(DvLine.groups(line).contains(gs), s"groups mangled: ${DvLine.groups(line)}")
+    assert(DvLine.normalize(line) == s"dv:$sc")
+    // unannotated legacy lines are untouched by normalize
+    assert(DvLine.normalize("dv:/plain/path") == "dv:/plain/path")
+  }
+
+  // ---- enableStoreEncryption dataPlane merge (r16 ADVICE, medium) ----------
+
+  test("r17: enabling the data plane on a control-plane-only store merges the key line") {
+    val root = freshRoot("r17_dp_merge")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"), Array.empty[Byte])
+    Maintenance.enableStoreEncryption(root, "r17-mk")
+    assert(Maintenance.dataPlaneOptions(root).isEmpty, "data plane must start off")
+    // second call WITH dataPlane must not silently leave it off
+    Maintenance.enableStoreEncryption(root, "r17-mk", dataPlane = true)
+    assert(Maintenance.dataPlaneOptions(root).nonEmpty,
+      "dataPlane=true on an already-encrypted store silently left PME off")
+    // control plane still decrypts with the original DEK
+    Maintenance.writeStoreText(root, "manifest_v1.txt", "hello")
+    assert(Maintenance.readStoreText(root, "manifest_v1.txt") == "hello")
+    // idempotent: a third call changes nothing
+    val before = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "store_key.txt")), "UTF-8")
+    Maintenance.enableStoreEncryption(root, "r17-mk", dataPlane = true)
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "store_key.txt")), "UTF-8")
+    assert(before == after)
+  }
+
+  // ---- history: truncating overwrite of a dv-carrying store ----------------
+
+  test("r17: truncating overwrite of a store with dvs reads as overwrite, not compact") {
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r17_hist_ovw")
+    val base = (0 to 3).map(g => s"$data/base/g=$g")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      base.mkString("\n").getBytes("UTF-8"))
+    // v2: a MERGE shape (dv + insert leg)
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", DvLine.render(s"$data/dv", base)))
+    // v3: INSERT OVERWRITE — every live line (groups AND the dv) replaced
+    val live = Maintenance.manifestPaths(root, v2)
+    Maintenance.commitSnapshot(root, v2, live, Seq(s"$data/newfile2"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    val ops = spark.sql(s"SELECT version, operation FROM graft.`$name$$history`")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops(v2) == "merge", s"v2 should be merge: $ops")
+    assert(ops(v2 + 1) == "overwrite",
+      s"truncating overwrite misclassified (r16 ADVICE): $ops")
+  }
+
+  // ---- legacy-dv fail-closed + migration (r16 verdict #6) ------------------
+
+  test("r17: retiring data groups past a legacy dv fails closed until migrated") {
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r17_legacy_dv")
+    val base = (0 to 3).map(g => s"$data/base/g=$g")
+    // pre-r16-shaped manifest: unannotated dv line + an extra group the
+    // dv's positions do NOT reference
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      (base ++ Seq(s"$data/newfile", s"dv:$data/dv")).mkString("\n").getBytes("UTF-8"))
+    // a rebase that retires ANY data group while the unvalidatable dv
+    // survives must fail closed (the old fail-open branch readmitted
+    // the resurrect-deletes anomaly for exactly this store shape)
+    val ex = intercept[SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, 1, Seq(s"$data/newfile"), Seq(s"$data/newfile2"))
+    }
+    assert(ex.getMessage.contains("migrateDvReadSets"), ex.getMessage)
+    // migration derives the read set from the sidecar's own file_keys
+    val v2 = Maintenance.migrateDvReadSets(spark, root)
+    val migrated = Maintenance.manifestRawLines(root, v2).filter(DvLine.is)
+    assert(migrated.size == 1 && DvLine.groups(migrated.head).contains(base),
+      s"migration must annotate with the 4 referenced base groups: $migrated")
+    // normalized lines unchanged => metadata-only commit in the history
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    assert(spark.sql(s"SELECT operation FROM graft.`$name$$history` WHERE version = $v2")
+      .collect().map(_.getString(0)).toSeq == Seq("metadata"))
+    // now the same rebase commits (the retired group is outside the read set)
+    val v3 = Maintenance.commitSnapshot(root, v2, Seq(s"$data/newfile"), Seq(s"$data/newfile2"))
+    assert(v3 == v2 + 1)
+    // but retiring a group INSIDE the read set still fails (dangling dv)
+    intercept[SnapshotConflictException] {
+      Maintenance.commitSnapshot(root, v3, Seq(base.head), Seq(s"$data/newfile"))
+    }
+    // idempotent: nothing legacy left
+    assert(Maintenance.migrateDvReadSets(spark, root) == v3)
+  }
+
+  // ---- idempotent txn writes (r16 verdict #2) ------------------------------
+
+  test("r17: txn-registry appends are exactly-once and monotone") {
+    import spark.implicits._
+    val root = freshRoot("r17_txn_write")
+    val orders = Tables.orders(spark, sf).limit(100).cache()
+    Maintenance.createStore(root, orders.schema)
+    def put(v: Long): Unit = orders.write.format("graft").mode("append")
+      .option("txnAppId", "app-a").option("txnVersion", v).save(root)
+    put(0)
+    val v1 = Maintenance.currentSnapshotVersion(root)
+    put(0) // replay: must be a silent no-op
+    assert(Maintenance.currentSnapshotVersion(root) == v1, "replay committed")
+    put(1) // next batch commits
+    assert(Maintenance.currentSnapshotVersion(root) == v1 + 1)
+    put(0) // stale replay after later batches: still a no-op
+    assert(Maintenance.currentSnapshotVersion(root) == v1 + 1)
+    assert(spark.read.format("graft").load(root).count() == 2 * orders.count())
+    // a DIFFERENT app's registry is independent
+    orders.limit(10).write.format("graft").mode("append")
+      .option("txnAppId", "app-b").option("txnVersion", 0).save(root)
+    assert(Maintenance.currentSnapshotVersion(root) == v1 + 2)
+    // registry lines are invisible to every path consumer
+    assert(Maintenance.manifestPaths(root,
+      Maintenance.currentSnapshotVersion(root)).forall(!_.startsWith("txn:")))
+    orders.unpersist()
+  }
+
+  test("r17: graftSinkCommit is idempotent AND layout/crypto-preserving") {
+    import spark.implicits._
+    val root = freshRoot("r17_sink_compose")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf).limit(200)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").cache()
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    Maintenance.enableStoreEncryption(root, "r17-sink-mk", dataPlane = true)
+    assert(graft.streaming.Streaming.graftSinkCommit(root, 0L, orders))
+    assert(!graft.streaming.Streaming.graftSinkCommit(root, 0L, orders),
+      "replayed batch 0 must be recognized")
+    assert(graft.streaming.Streaming.graftSinkCommit(root, 1L, orders))
+    val groups = Maintenance.manifestPaths(root,
+      Maintenance.currentSnapshotVersion(root))
+    assert(groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"sink broke the partition layout: $groups")
+    // PARE at rest: the ingested files are Parquet Modular Encryption
+    // ciphertext, not plaintext parquet
+    val f = new java.io.File(groups.head).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val magic = new Array[Byte](4)
+    val in = new java.io.FileInputStream(f)
+    try in.read(magic) finally in.close()
+    assert(new String(magic, "UTF-8") == "PARE",
+      s"sink landed plaintext into a dataPlane-encrypted store: ${f.getPath}")
+    assert(spark.read.format("graft").load(root).count() == 2 * orders.count())
+    orders.unpersist()
+  }
+
+  // ---- SQL ALTER TABLE edge cases (r16 verdict #3) -------------------------
+
+  test("r17: ALTER TABLE protects partition columns and recycles dropped names safely") {
+    import spark.implicits._
+    val root = freshRoot("r17_alter_edge")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf).limit(50)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").cache()
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    orders.write.format("graft").mode("append").save(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    // dropping a partition column is rejected — the layout depends on it
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$name` DROP COLUMN o_orderpriority")
+    }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    // renaming one works and keeps pruning (path tags are physical)
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN o_orderpriority TO prio")
+    val pruned = spark.read.format("graft").load(root).filter($"prio" === "1-URGENT")
+    assert(pruned.count() ==
+      orders.filter($"o_orderpriority" === "1-URGENT").count())
+    // drop a data column, then RE-ADD the same name: the old bytes must
+    // stay invisible (fresh physical slot), values all null
+    spark.sql(s"ALTER TABLE graft.`$name` DROP COLUMN o_totalprice")
+    spark.sql(s"ALTER TABLE graft.`$name` ADD COLUMN o_totalprice DOUBLE")
+    val vals = spark.sql(s"SELECT o_totalprice FROM graft.`$name`").collect()
+    assert(vals.nonEmpty && vals.forall(_.isNullAt(0)),
+      "re-added column resurrected dropped bytes")
+    // and a write after the evolution round-trips the new slot
+    spark.read.format("graft").load(root).limit(0) // schema sanity
+    orders.unpersist()
+  }
+
+  // ---- vacuum existence sweep gating (r16 ADVICE, low) ---------------------
+
+  test("r17: pinned-version reads of a vacuumed snapshot fail closed via one batched listing") {
+    import spark.implicits._
+    val root = freshRoot("r17_vac_gate")
+    val orders = Tables.orders(spark, sf)
+    Maintenance.createStore(root, orders.schema)
+    orders.limit(100).write.format("graft").mode("append").save(root)
+    orders.limit(50).write.format("graft").mode("append").save(root)
+    val v2 = Maintenance.currentSnapshotVersion(root)
+    // simulate a vacuum retiring v2's first group
+    val g0 = Maintenance.manifestPaths(root, 2).filterNot(DvLine.is).head
+    graft.Staging.rmTree(new java.io.File(g0))
+    val ex = intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", 2).load(root).count()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("vacuumed"),
+      s"pinned read of a vacuumed snapshot must fail closed: $ex")
+  }
+}
