@@ -294,6 +294,15 @@ object Maintenance {
       .filterNot(l => l.startsWith("zone:") || l.startsWith("txn:"))
       .map(DvLine.normalize)
 
+  /** The commit log: snapshot version -> commit epoch (seconds).
+    * Empty for stores without `commits_ts.txt`. */
+  private[graft] def commitEpochs(root: String): Map[Int, Long] =
+    if (!new java.io.File(root, "commits_ts.txt").exists()) Map.empty
+    else readStoreText(root, "commits_ts.txt")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(v, t) = l.split("=", 2); v.toInt -> t.toLong }
+      .toMap
+
   /** Latest idempotent-writer version recorded for `app` at snapshot
     * `version`, if any (the `txn:` registry, r16 verdict #2). */
   private[graft] def txnVersionAt(root: String, version: Int,
@@ -1901,6 +1910,71 @@ object Maintenance {
        |FROM merged GROUP BY o_orderpriority
        |ORDER BY version, o_orderpriority""".stripMargin
 
+  // -- io_sql_merge_full: every MERGE clause kind in one statement (r17) -----
+  // r16 verdict #4: the io_sql_merge gate exercised UPDATE-all +
+  // INSERT-all only; Delta/Iceberg users reach conditional clauses,
+  // `WHEN MATCHED THEN DELETE`, and `WHEN NOT MATCHED BY SOURCE`
+  // weekly. One statement now drives all four shapes through the
+  // delta rewrite — conditional matched UPDATE, matched DELETE,
+  // conditional not-matched INSERT, not-matched-BY-SOURCE DELETE —
+  // landing as ONE MoR commit (one dv sidecar covering both delete
+  // kinds + matched pre-images, one insert leg); write amplification
+  // stays O(changed rows). Per-priority (count, decimal sum) across
+  // both versions pins every clause's row routing; n_versions = 2 and
+  // the single dv line pin the one-commit shape.
+  private def qSqlMergeFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val run = occRun(s, d, name = "io_sql_merge_full_run")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(run).getName
+    val cols = s.read.format("graft").option("versionAsOf", 1).load(run)
+      .columns.toSeq
+    val orders = Tables.orders(s, d).withColumn("g", ($"o_orderkey" % 4).cast("int"))
+    orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", bumpedPrice($"o_totalprice"))
+      .unionByName(orders.filter($"o_orderkey" % 1000 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
+      .select(cols.map(col): _*)
+      .createOrReplaceTempView("io_sql_merge_full_src")
+    s.sql(s"""MERGE INTO graft.`$name` t USING io_sql_merge_full_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN UPDATE SET *
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s.o_orderkey % 2000 = 1000 THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 3
+              |  THEN DELETE""".stripMargin) // -> v2, ONE commit
+    val nv = currentSnapshotVersion(run).toLong
+    val nDv = manifestPaths(run, nv.toInt).count(_.startsWith("dv:")).toLong
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    Seq(1, 2).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, o_orderpriority,
+                |  COUNT(*) AS n, $sumSql AS sum_price,
+                |  CAST($nv AS BIGINT) AS n_versions,
+                |  CAST($nDv AS BIGINT) AS n_dv_lines
+                |FROM graft.`$name` VERSION AS OF $v
+                |GROUP BY o_orderpriority""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy($"version", $"o_orderpriority")
+  }
+  private val qSqlMergeFullSql =
+    s"""WITH merged AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 NOT IN (0, 3)
+       |  UNION ALL
+       |  SELECT o_orderpriority, $bumpedPriceSql FROM orders
+       |  WHERE o_orderkey % 20 = 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 2000 = 1000)
+       |SELECT CAST(1 AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS sum_price, CAST(2 AS BIGINT) AS n_versions,
+       |  CAST(1 AS BIGINT) AS n_dv_lines
+       |FROM orders GROUP BY o_orderpriority
+       |UNION ALL
+       |SELECT 2, o_orderpriority, COUNT(*), ${sqlSum("o_totalprice")}, 2, 1
+       |FROM merged GROUP BY o_orderpriority
+       |ORDER BY version, o_orderpriority""".stripMargin
+
   // -- io_history_table: DESCRIBE HISTORY as a SQL metadata table ------------
   // Delta's `DESCRIBE HISTORY` / Iceberg's `.history` over the graft
   // store: `SELECT * FROM graft.`<store>$history`` serves one row per
@@ -2703,11 +2777,28 @@ object Maintenance {
       (0 to 3).map(g => s"$data/base/g=$g").mkString("\n").getBytes("UTF-8"))
     val v2 = commitSnapshot(root, 1, Seq.empty,
       Seq(s"$data/newfile", morDvLine(data, "dv")))
+    // pinned commit log: _commit_timestamp becomes a replayable
+    // constant, and the DESCRIBE HISTORY join below is deterministic
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      CommitEpochs.map { case (v, t) => s"$v=$t" }.mkString("\n").getBytes("UTF-8"))
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    // r17 (r16 verdict #5): every change row carries its commit
+    // provenance — _commit_version joins the feed back to DESCRIBE
+    // HISTORY (the audit-trail shape), _commit_timestamp serves the
+    // commit log's instant
+    val hist = s.sql(
+      s"SELECT version, operation FROM graft.`$name$$history`")
     s.read.format("graft").option("readChangeFeed", "true")
       .option("startingVersion", 1).option("endingVersion", v2).load(root)
       .select(when($"_change_type" === "delete", "D").otherwise("I").as("op"),
-        $"o_orderpriority", $"o_totalprice")
-      .groupBy($"op", $"o_orderpriority")
+        $"o_orderpriority", $"o_totalprice",
+        $"_commit_version".as("commit_version"),
+        $"_commit_timestamp".as("commit_ts"))
+      .join(broadcast(hist), $"commit_version" === hist("version"))
+      .groupBy($"op", $"o_orderpriority", $"commit_version", $"operation",
+        $"commit_ts")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
       .orderBy($"op", $"o_orderpriority")
   }
@@ -2722,8 +2813,10 @@ object Maintenance {
        |  UNION ALL
        |  SELECT 'I', o_orderpriority, o_totalprice FROM orders
        |  WHERE o_orderkey % 1000 = 0)
-       |SELECT op, o_orderpriority, COUNT(*) AS n,
-       |  ${sqlSum("o_totalprice")} AS sum_price
+       |SELECT op, o_orderpriority, CAST(2 AS BIGINT) AS commit_version,
+       |  'merge' AS operation,
+       |  CAST(to_timestamp(1767265200) AS TIMESTAMP) AS commit_ts,
+       |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
        |FROM changes GROUP BY op, o_orderpriority
        |ORDER BY op, o_orderpriority""".stripMargin
 
@@ -3198,6 +3291,7 @@ object Maintenance {
     QueryDef("io_partitioned_store", qPartitionedStore,
       Some(qPartitionedStoreSql)),
     QueryDef("io_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
+    QueryDef("io_sql_merge_full", qSqlMergeFull, Some(qSqlMergeFullSql)),
     QueryDef("io_history_table", qHistoryTable, Some(qHistoryTableSql)),
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
       Some(qDsv2SchemaMergeSql)),

@@ -65,12 +65,7 @@ private[sources] object GraftHistoryTable {
     * overwrite (replaces every live group), rewrite (CoW swap of a
     * subset), metadata (nothing moved). */
   def rows(root: String): Seq[Row] = {
-    val epochs: Map[Int, Long] =
-      if (!new java.io.File(root, "commits_ts.txt").exists()) Map.empty
-      else Maintenance.readStoreText(root, "commits_ts.txt")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map { l => val Array(v, t) = l.split("=", 2); v.toInt -> t.toLong }
-        .toMap
+    val epochs: Map[Int, Long] = Maintenance.commitEpochs(root)
     val versions = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty).map(_.getName)
       .filter(n => n.startsWith("manifest_v") && n.endsWith(".txt"))

@@ -135,12 +135,21 @@ private[graft] object GraftStore {
         case None => physicalSchema
       }
       if (changeFeed.isDefined)
-        StructType(base.fields :+ StructField(GraftStore.ChangeTypeCol, StringType, nullable = false))
+        StructType(base.fields ++ Seq(
+          StructField(GraftStore.ChangeTypeCol, StringType, nullable = false),
+          // commit provenance (r16 verdict #5, Delta CDF parity): what
+          // lets a consumer join a change batch back to DESCRIBE
+          // HISTORY; timestamp is nullable — a pre-commit-log store
+          // has no epoch for old versions
+          StructField(GraftStore.CommitVersionCol, LongType, nullable = false),
+          StructField(GraftStore.CommitTimestampCol, TimestampType, nullable = true)))
       else base
     }
   }
 
   val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
   /** Metadata columns: a row's position identity — the same (file tail,
     * row index) pair every DV consumer uses. Row-level operations
     * (UPDATE/MERGE/DELETE rewrites) select them as the row ID. */
@@ -937,13 +946,16 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     * a row-level rewrite selects as the row ID. */
   private lazy val extraCols: Seq[String] =
     required.fields.map(_.name).filter(n =>
-      (n == GraftStore.ChangeTypeCol && isCdf) ||
+      (isCdf && (n == GraftStore.ChangeTypeCol ||
+        n == GraftStore.CommitVersionCol ||
+        n == GraftStore.CommitTimestampCol)) ||
         n == GraftStore.FileKeyCol || n == GraftStore.RowIndexCol).toSeq
   private def needsPositions =
     store.dvPaths.nonEmpty || isCdf || extraCols.exists(_ != GraftStore.ChangeTypeCol)
 
   // ---- delegate: Spark's own vectorized DSv2 parquet scan ---------------
   private val MetaColNames = Set(GraftStore.ChangeTypeCol,
+    GraftStore.CommitVersionCol, GraftStore.CommitTimestampCol,
     GraftStore.FileKeyCol, GraftStore.RowIndexCol)
   private lazy val physRequired = StructType(
     required.fields.filterNot(f => MetaColNames.contains(f.name))
@@ -970,7 +982,10 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     val data = delegate.readDataSchema.fields
       .map(f => f.copy(name = store.logical(f.name)))
     val extras = extraCols.map {
-      case n @ GraftStore.RowIndexCol => StructField(n, LongType, nullable = false)
+      case n @ (GraftStore.RowIndexCol | GraftStore.CommitVersionCol) =>
+        StructField(n, LongType, nullable = false)
+      case n @ GraftStore.CommitTimestampCol =>
+        StructField(n, TimestampType, nullable = true)
       case n => StructField(n, StringType, nullable = false)
     }
     StructType(data ++ extras)
@@ -1052,42 +1067,56 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
           "batch readChangeFeed requires startingVersion or " +
             "startingTimestamp — a change feed without a start would " +
             "serve the entire history including the initial snapshot")
-        val fromLines =
-          if (from <= 0) Seq.empty[String]
-          else Maintenance.manifestPaths(store.root, from)
-        val toLines = Maintenance.manifestPaths(store.root, to)
-        val (fromDv, fromData) = fromLines.partition(_.startsWith("dv:"))
-        val (toDv, toData) = toLines.partition(_.startsWith("dv:"))
-        val removed = fromData.filterNot(toData.contains)
-        if (removed.nonEmpty) {
-          // a PROVEN-neutral compaction pair has, by definition, no
-          // row-level changes: serve the empty feed instead of failing
-          val foldedDv = fromDv.filterNot(toDv.contains).map(_.stripPrefix("dv:"))
-          val newDvL = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
-          val newDataL = toData.filterNot(fromData.contains)
-          require(provablyNeutralCompaction(removed, newDataL, foldedDv, newDvL),
-            s"change feed $from..$to removed data groups (${removed.mkString(", ")}) " +
-              "and is not a provably row-neutral compaction — " +
-              "only append+DV (MERGE) commit deltas have a row-level feed")
-          Array.empty
-        } else {
-          val newDv = toDv.filterNot(fromDv.contains).map(_.stripPrefix("dv:"))
-          val newData = toData.filterNot(fromData.contains)
-          val dv = dvKeyIndex(newDv)
-          // delete pre-images: keep-position reads of ONLY referenced
-          // files. Listed from the TO side — removals fail closed above,
-          // so every FROM file is still live at TO, and a from=0 feed
-          // (full history) finds the dv-referenced base files too.
-          val deleteParts = listFiles(toData)
-            .filter(f => dv.contains(fileKey(f.filePath.toString)))
-            .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
-          val insertParts = listFiles(newData)
-            .map(f => (f, Seq.empty[String], false, "insert"))
-          (deleteParts ++ insertParts).zipWithIndex.map {
-            case ((f, dvFiles, keep, ct), i) =>
-              GraftInputPartition(i, f, fileKey(f.filePath.toString), dvFiles, keep, ct)
-          }.toArray
+        // PER-COMMIT walk (r16 verdict #5): every change row carries
+        // its producing version + commit-log epoch (_commit_version /
+        // _commit_timestamp — what joins a change batch back to
+        // DESCRIBE HISTORY), so the feed diffs each consecutive
+        // manifest pair instead of the range's endpoints. Strictly
+        // finer than the old endpoint diff: a provably row-neutral
+        // compaction ANYWHERE in the range is skipped while real
+        // changes on both sides still serve (the endpoint diff failed
+        // the whole range); the union of per-commit deltas equals the
+        // endpoint diff on append+DV histories. Delete pre-image
+        // listing touches only the dv-referenced groups of each
+        // commit, so planning stays O(changed files), never O(table).
+        val epochs = Maintenance.commitEpochs(store.root)
+        val parts = Seq.newBuilder[(PartitionedFile, Seq[String], Boolean, String, Long)]
+        for (v <- math.max(from + 1, 1) to to) {
+          val prev = if (v <= 1) Seq.empty[String]
+            else Maintenance.manifestPaths(store.root, v - 1)
+          val curL = Maintenance.manifestPaths(store.root, v)
+          val (pDv, pData) = prev.partition(_.startsWith("dv:"))
+          val (cDv, cData) = curL.partition(_.startsWith("dv:"))
+          val removed = pData.filterNot(cData.contains)
+          val newData = cData.filterNot(pData.contains)
+          val newDv = cDv.filterNot(pDv.contains).map(_.stripPrefix("dv:"))
+          if (removed.nonEmpty) {
+            // a proven-neutral compaction commit changes no rows: skip
+            val foldedDv = pDv.filterNot(cDv.contains).map(_.stripPrefix("dv:"))
+            require(provablyNeutralCompaction(removed, newData, foldedDv, newDv),
+              s"change feed commit v$v removed data groups " +
+                s"(${removed.mkString(", ")}) and is not a provably " +
+                "row-neutral compaction — only append+DV (MERGE) " +
+                "commit deltas have a row-level feed")
+          } else {
+            val dv = dvKeyIndex(newDv)
+            // delete pre-images: keep-position reads of ONLY the
+            // dv-referenced groups, listed at v (every referenced
+            // group is live there — removals fail closed above)
+            val refGroups = dv.keySet.map(_.takeWhile(_ != '/'))
+            val touched = cData.filter(g => refGroups.contains(
+              new Path(g).toUri.toString.split('/').last))
+            parts ++= listFiles(touched)
+              .filter(f => dv.contains(fileKey(f.filePath.toString)))
+              .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete", v.toLong))
+            parts ++= listFiles(newData)
+              .map(f => (f, Seq.empty[String], false, "insert", v.toLong))
+          }
         }
+        parts.result().zipWithIndex.map { case ((f, dvFiles, keep, ct, v), i) =>
+          GraftInputPartition(i, f, fileKey(f.filePath.toString), dvFiles,
+            keep, ct, v, epochs.getOrElse(v.toInt, -1L)): InputPartition
+        }.toArray
       case None => // MoR snapshot read: drop DV positions per file
         val dv = dvKeyIndex(store.dvPaths)
         listFiles(keptPaths).zipWithIndex.map { case (f, i) =>
@@ -1191,16 +1220,18 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
       val s0 = start.asInstanceOf[GraftVersionOffset]
       val from = s0.version
       val to = end.asInstanceOf[GraftVersionOffset].version
-      val parts = Seq.newBuilder[(PartitionedFile, Seq[String], Boolean, String)]
+      val epochs = Maintenance.commitEpochs(store.root)
+      val parts = Seq.newBuilder[(PartitionedFile, Seq[String], Boolean, String, Long)]
       if (s0.pendingSnapshot) {
         // batch 0: the anchor version's full MoR state, served as
-        // inserts — the same partition shape as a batch snapshot read
+        // inserts — the same partition shape as a batch snapshot read;
+        // provenance = the anchor version itself
         val lines = Maintenance.manifestPaths(store.root, from)
         val (sDv, sData) = lines.partition(_.startsWith("dv:"))
         val dvIdx = dvKeyIndex(sDv.map(_.stripPrefix("dv:")))
         parts ++= listFiles(sData).map(f =>
           (f, dvIdx.getOrElse(fileKey(f.filePath.toString), Seq.empty),
-            false, "insert"))
+            false, "insert", from.toLong))
       }
       for (v <- from + 1 to to) {
         val prev = if (v <= 1) Seq.empty[String]
@@ -1226,14 +1257,14 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
           val dv = dvKeyIndex(newDv)
           parts ++= listFiles(cData)
             .filter(f => dv.contains(fileKey(f.filePath.toString)))
-            .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete"))
+            .map(f => (f, dv(fileKey(f.filePath.toString)), true, "delete", v.toLong))
           parts ++= listFiles(newData)
-            .map(f => (f, Seq.empty[String], false, "insert"))
+            .map(f => (f, Seq.empty[String], false, "insert", v.toLong))
         }
       }
-      parts.result().zipWithIndex.map { case ((f, dvFiles, keep, ct), i) =>
+      parts.result().zipWithIndex.map { case ((f, dvFiles, keep, ct, v), i) =>
         GraftInputPartition(i, f, fileKey(f.filePath.toString), dvFiles,
-          keep, ct): InputPartition
+          keep, ct, v, epochs.getOrElse(v.toInt, -1L)): InputPartition
       }.toArray
     }
 
@@ -1268,7 +1299,12 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
   * 8-GB broadcast ceiling on a large MERGE; file names are O(files)). */
 private[sources] case class GraftInputPartition(idx: Int,
     file: PartitionedFile, fileKey: String, dvFiles: Seq[String],
-    keep: Boolean, changeType: String) extends InputPartition {
+    keep: Boolean, changeType: String,
+    // commit provenance for CDF rows (r16 verdict #5): the version
+    // that produced this partition's changes, and its commit-log epoch
+    // in seconds (-1 = unknown → null _commit_timestamp)
+    commitVersion: Long = -1L, commitEpochSec: Long = -1L)
+    extends InputPartition {
   override def preferredLocations(): Array[String] =
     FilePartition(idx, Array(file)).preferredLocations()
 }
@@ -1348,13 +1384,19 @@ private[sources] class GraftPositionReaderFactory(
       if (gp.dvFiles.isEmpty) Array.empty
       else DvSidecars.positionsFor(gp.dvFiles, gp.fileKey, conf.value)
     val rowIndexSlot = extraCols.indexOf(GraftStore.RowIndexCol)
+    def extraType(n: String): (org.apache.spark.sql.types.DataType, Boolean) = n match {
+      case GraftStore.RowIndexCol | GraftStore.CommitVersionCol =>
+        (LongType, false)
+      // null when the store predates the commit log (epoch unknown)
+      case GraftStore.CommitTimestampCol => (TimestampType, true)
+      case _ => (StringType, false)
+    }
     val (proj, extraRow) = if (extraCols.isEmpty) (null, null) else {
       val dataRefs = dataSchema.fields.zipWithIndex.map { case (f, i) =>
         BoundReference(i, f.dataType, f.nullable) }
       val extraRefs = extraCols.zipWithIndex.map { case (n, i) =>
-        BoundReference(dataSchema.length + i,
-          if (n == GraftStore.RowIndexCol) LongType else StringType,
-          nullable = false) }
+        val (dt, nullable) = extraType(n)
+        BoundReference(dataSchema.length + i, dt, nullable) }
       val er = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         extraCols.length)
       extraCols.zipWithIndex.foreach { case (n, i) => n match {
@@ -1362,6 +1404,10 @@ private[sources] class GraftPositionReaderFactory(
           er.update(i, UTF8String.fromString(gp.changeType))
         case GraftStore.FileKeyCol =>
           er.update(i, UTF8String.fromString(gp.fileKey))
+        case GraftStore.CommitVersionCol => er.setLong(i, gp.commitVersion)
+        case GraftStore.CommitTimestampCol =>
+          if (gp.commitEpochSec >= 0) er.setLong(i, gp.commitEpochSec * 1000000L)
+          else er.setNullAt(i)
         case _ => () // row index: per row
       }}
       (UnsafeProjection.create((dataRefs ++ extraRefs).toIndexedSeq), er)

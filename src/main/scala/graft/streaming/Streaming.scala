@@ -1372,7 +1372,7 @@ object Streaming {
       val (dirKey, fp) = Tables.stagingKey(d, "orders")
       val root = s"/tmp/graft_q/gsrc_$dirKey"
       val marker = java.nio.file.Paths.get(root, "staging_format.txt")
-      val fmt = s"v1-graft-source|$fp"
+      val fmt = s"v2-graft-source|$fp" // v2: _commit_version in the feed
       val fresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fmt
       if (!fresh) {
@@ -1389,7 +1389,9 @@ object Streaming {
       val q = s.readStream.format("graft")
         .option("readChangeFeed", "true")
         .load(root)
-        .select($"_change_type".as("op"), $"o_orderdate", $"o_totalprice")
+        .select($"_change_type".as("op"),
+          $"_commit_version".as("commit_version"),
+          $"o_orderdate", $"o_totalprice")
         .writeStream.format("parquet")
         .option("path", s"$root/out")
         .option("checkpointLocation", s"$root/chk")
@@ -1402,36 +1404,39 @@ object Streaming {
         graft.Staging.recordSource(root, d, "orders", fp)
       }
       s.read.parquet(s"$root/out")
-        .groupBy($"op",
+        .groupBy($"op", $"commit_version",
           date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n"), OracleMath.dsum($"o_totalprice").as("sum_price"))
-        .orderBy($"op", $"month")
+        .orderBy($"op", $"commit_version", $"month")
     }
   private val graftSourceStreamSql = {
     import graft.operators.Maintenance.{bumpedPriceSql, MorDeleteMod, MorDeleteRem, MorDelete2Rem}
     s"""WITH feed AS (
-       |  SELECT 'insert' AS op, o_orderdate, o_totalprice FROM orders
+       |  SELECT 'insert' AS op, CAST(1 AS BIGINT) AS commit_version,
+       |    o_orderdate, o_totalprice FROM orders
        |  UNION ALL
-       |  SELECT 'delete', o_orderdate, o_totalprice FROM orders
+       |  SELECT 'delete', 2, o_orderdate, o_totalprice FROM orders
        |  WHERE o_orderkey % 10 = 0 OR o_orderkey % $MorDeleteMod = $MorDeleteRem
        |  UNION ALL
-       |  SELECT 'insert', o_orderdate, $bumpedPriceSql FROM orders
+       |  SELECT 'insert', 2, o_orderdate, $bumpedPriceSql FROM orders
        |  WHERE o_orderkey % 10 = 0
        |  UNION ALL
-       |  SELECT 'insert', o_orderdate, o_totalprice FROM orders
+       |  SELECT 'insert', 2, o_orderdate, o_totalprice FROM orders
        |  WHERE o_orderkey % 1000 = 0
        |  UNION ALL
-       |  SELECT 'delete', o_orderdate, o_totalprice FROM orders
+       |  SELECT 'delete', 3, o_orderdate, o_totalprice FROM orders
        |  WHERE o_orderkey % 10 = 5 OR o_orderkey % $MorDeleteMod = $MorDelete2Rem
        |  UNION ALL
-       |  SELECT 'insert', o_orderdate, $bumpedPriceSql FROM orders
+       |  SELECT 'insert', 3, o_orderdate, $bumpedPriceSql FROM orders
        |  WHERE o_orderkey % 10 = 5
        |  UNION ALL
-       |  SELECT 'insert', o_orderdate, o_totalprice FROM orders
+       |  SELECT 'insert', 3, o_orderdate, o_totalprice FROM orders
        |  WHERE o_orderkey % 1000 = 500)
-       |SELECT op, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       |SELECT op, commit_version,
+       |  strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        |  COUNT(*) AS n, ${OracleMath.sqlSum("o_totalprice")} AS sum_price
-       |FROM feed GROUP BY op, month ORDER BY op, month""".stripMargin
+       |FROM feed GROUP BY op, commit_version, month
+       |ORDER BY op, commit_version, month""".stripMargin
   }
 
   // -- stream_initial_snapshot: Delta-style bootstrap + delta continuation ---

@@ -399,12 +399,11 @@ class Round14Spec extends AnyFunSuite {
       s"ingest history must grow strictly: $counts")
     assert(counts.last == Tables.events(spark, sf).count())
     // a directly replayed batch is recognized and commits NOTHING —
-    // the idempotence layer under the checkpoint's offset log
-    val someBatch = Maintenance.manifestPaths(root, vMax)
-      .find(_.contains("/batch_")).get
-    val batchId = someBatch.split("_").last.toLong
+    // the txn-registry idempotence layer under the checkpoint's offset
+    // log (r17: the registry line, not batch-named dirs, is the guard)
+    val replayBatch = spark.read.format("graft").load(root).limit(3)
     val replayed = graft.streaming.Streaming.graftSinkCommit(
-      root, batchId, spark.range(3).toDF("event_id"))
+      root, 0L, replayBatch)
     assert(!replayed && Maintenance.currentSnapshotVersion(root) == vMax,
       "a replayed batch must not commit a new version")
     // warm end-to-end: the checkpoint restart replays no batch either

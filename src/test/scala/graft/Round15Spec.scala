@@ -548,10 +548,12 @@ class Round15Spec extends AnyFunSuite {
   test("r15: streaming sink commits carry zone stats") {
     import spark.implicits._
     val root = freshRoot("r15_sink_zones")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "manifest_v1.txt"), Array.empty[Byte])
+    graft.Staging.rmTree(new java.io.File(root))
     val batch = Tables.orders(spark, sf).limit(50)
       .select($"o_orderkey", $"o_totalprice")
+    // r17: the sink rides the DSv2 front door, which resolves the
+    // schema before the first batch — the empty store is schema'd
+    Maintenance.createStore(root, batch.schema)
     assert(graft.streaming.Streaming.graftSinkCommit(root, 0L, batch))
     val zones = Maintenance.manifestZones(root, 2)
     assert(zones.exists(_._2 == "o_orderkey") &&

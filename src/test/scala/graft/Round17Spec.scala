@@ -181,6 +181,54 @@ class Round17Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  // ---- CDF commit provenance (r16 verdict #5) ------------------------------
+
+  test("r17: change rows carry _commit_version/_commit_timestamp per producing commit") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r17_cdf_prov")
+    val base = (0 to 3).map(g => s"$data/base/g=$g")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      base.mkString("\n").getBytes("UTF-8"))
+    def dvLine(sc: String): String =
+      Maintenance.DvLine.render(s"$data/$sc", base)
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty,
+      Seq(s"$data/newfile", dvLine("dv")))
+    val v3 = Maintenance.commitSnapshot(root, v2, Seq.empty,
+      Seq(s"$data/newfile2", dvLine("dv2")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      Seq(s"1=1767261600", s"$v2=1767265200", s"$v3=1767268800")
+        .mkString("\n").getBytes("UTF-8"))
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", v3).load(root)
+    val got = feed.groupBy($"_commit_version",
+        unix_timestamp($"_commit_timestamp").as("epoch"))
+      .agg(countDistinct($"_change_type").as("kinds"))
+      .orderBy($"_commit_version").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1767265200L, 2L), (3L, 1767268800L, 2L)),
+      got.mkString("; "))
+    // a store WITHOUT a commit log serves null timestamps, not garbage
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "commits_ts.txt"))
+    val noLog = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", v3).load(root)
+      .select($"_commit_timestamp").distinct().collect()
+    assert(noLog.forall(_.isNullAt(0)), noLog.mkString(";"))
+    // a neutral compaction MID-RANGE no longer fails the whole feed:
+    // per-commit diffs skip it while both sides still serve
+    val v4 = Maintenance.compactStore(spark, root)
+    val cols = spark.read.format("graft").load(root).columns.toSeq
+    spark.read.parquet(s"$data/newfile").limit(7).select(cols.map(col): _*)
+      .write.format("graft").mode("append").save(root) // v5 append
+    val spanning = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v3).option("endingVersion", v4 + 1).load(root)
+    assert(spanning.count() == 7,
+      "a neutral compaction inside the range must be skipped, not fatal")
+    assert(spanning.select($"_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(v4 + 1L))
+  }
+
   // ---- SQL ALTER TABLE edge cases (r16 verdict #3) -------------------------
 
   test("r17: ALTER TABLE protects partition columns and recycles dropped names safely") {
