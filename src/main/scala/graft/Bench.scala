@@ -209,6 +209,17 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "30").toInt
+    // warmup LAP before canary sample 0 (r16 verdict #10): the driver
+    // artifact showed a cold-start window — first canary sample 0.777 s
+    // vs 0.18 steady-state — polluting the early alphabetical keys'
+    // min-of-n in cross-round comparisons. Three untimed probe runs
+    // absorb session/codegen/shuffle-service init beyond the table
+    // touch above, so sample 0 measures the box, not the JVM warmup.
+    selected.get(InterleaveProbe).foreach { probeFn =>
+      (1 to 3).foreach { _ =>
+        try probeFn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
     val (firstPass, samples) =
       runAllWithCanary(spark, sfDir, selected, reps, canaryEvery)
     // Self-healing remeasure (r15 verdict "Next round" #5): the r15
@@ -227,7 +238,15 @@ object Bench {
         def nearest(i: Int): Double =
           samples.minBy { case (si, _) => math.abs(si - i) }._2
         val suspects = firstPass.zipWithIndex.filter { case (r, i) =>
-          r.error.isEmpty && med > 0 && nearest(i) >= 3 * med
+          r.error.isEmpty && ((med > 0 && nearest(i) >= 3 * med) ||
+            // r16 verdict #10: canary spikes missed the r16 ghosts —
+            // a load burst BETWEEN samples inflates one query's reps
+            // without touching the canary. High rep variance (the
+            // slowest rep ≥ 2.5× the fastest, on a non-trivial query)
+            // is the within-query signal for the same interference;
+            // the extra rep tightens the min either way.
+            (r.times.size >= 3 && r.seconds > 0.3 &&
+              r.times.max >= 2.5 * r.times.min))
         }.map(_._1.name).toSet
         if (suspects.isEmpty) firstPass
         else {

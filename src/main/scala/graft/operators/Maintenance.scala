@@ -557,13 +557,36 @@ object Maintenance {
         "parquet.encryption.uniform.key" -> id)
     }
 
-  /** A hadoop conf carrying the store's data-plane crypto properties —
-    * what every footer read (harvest/rowCount) and task-side sidecar
-    * read must use on an encrypted-data store. */
+  /** Store-level parquet WRITER options (r16 verdict #9):
+    * `parquet_opts.txt` holds `key=value` hadoop/parquet properties —
+    * bloom filters (`parquet.bloom.filter.enabled#col=true`), page
+    * layout (`parquet.page.row.count.limit`), dictionary/row-group
+    * tuning — that every write path into the store threads through:
+    * DSv2 appends, row-level insert legs, compaction and clustering
+    * rewrites. At 100 TB the store's own files want the same skipping
+    * stack raw parquet gets; a read-side conf ignores writer keys, so
+    * merging them into [[storeHadoopConf]] is safe everywhere. */
+  private[graft] def parquetWriteOpts(root: String): Map[String, String] =
+    readStoreText2(root, "parquet_opts.txt").map(
+      _.split('\n').toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && l.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap)
+      .getOrElse(Map.empty)
+
+  /** Declare writer options for every future write into the store. */
+  def setStoreWriteOptions(root: String, opts: Map[String, String]): Unit =
+    writeStoreText(root, "parquet_opts.txt",
+      opts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
+  /** A hadoop conf carrying the store's data-plane crypto properties
+    * plus its writer tuning — what every footer read (harvest/
+    * rowCount), task-side sidecar read, and parquet write against the
+    * store must use. */
   private[graft] def storeHadoopConf(s: SparkSession, root: String)
       : org.apache.hadoop.conf.Configuration = {
     val conf = s.sessionState.newHadoopConf()
     dataPlaneOptions(root).foreach { case (k, v) => conf.set(k, v) }
+    parquetWriteOpts(root).foreach { case (k, v) => conf.set(k, v) }
     conf
   }
 
@@ -1272,6 +1295,98 @@ object Maintenance {
       case None => currentSnapshotVersion(root)
     }
 
+  /** OPTIMIZE ZORDER for the snapshot store (r16 verdict #8): rewrite
+    * every live data group CLUSTERED on `cols` — one column is
+    * range-clustered, two interleave through the codegen'd
+    * [[graft.functions.ZOrder64]] Morton expression over
+    * min/max-scaled dims — into `buckets` new groups with DISJOINT
+    * cluster ranges, folding any dv lines on the way (a clustering
+    * rewrite IS a compaction). Each new group's footer stats become
+    * its `zone:` lines, so a churned store whose every group spanned
+    * the full key range prunes selectively again right after the
+    * rewrite. Partitioned stores keep their layout: the write
+    * partitions by the existing `__p_` tags plus the bucket tag, so
+    * every leaf group is still a single partition value. Answers
+    * never change — the rewrite is the merge-on-read state verbatim
+    * (spec + gate pin it). One OCC commit swaps every live group, so
+    * any concurrent row-level write fails closed (its dv read set
+    * references retired groups) instead of resurrecting deletes.
+    *
+    * Scale shape: one MoR scan + one range-partitioned write — the
+    * same cost class as any compaction; bucket boundaries come from a
+    * one-pass approxQuantile, never a global sort. */
+  def clusterStore(s: SparkSession, root: String, cols: Seq[String],
+      buckets: Int = 8): Int = {
+    import s.implicits._
+    require(cols.nonEmpty && cols.size <= 2,
+      s"clusterBy takes 1 or 2 columns, got $cols")
+    val cur = currentSnapshotVersion(root)
+    val lines = manifestPaths(root, cur)
+    val (dvLines, dataLines) = lines.partition(DvLine.is)
+    require(dataLines.nonEmpty, s"$root has no data groups to cluster")
+    // the MoR state through the front door: dv positions subtracted,
+    // column mapping applied — the rewrite preserves answers verbatim
+    val logical = s.read.format("graft").load(root)
+    // cluster key: rank-scale each dim to [0, 65535] by min/max (the
+    // q_zorder_skipping discipline), interleave when two
+    val zcol = {
+      def scaled(c: org.apache.spark.sql.Column, mn: Double, mx: Double) =
+        floor((c.cast("double") - mn) * 65535d /
+          lit(math.max(mx - mn, 1e-9))).cast("long")
+      val stats = logical.agg(
+        min(col(cols.head).cast("double")), max(col(cols.head).cast("double")),
+        min(col(cols.last).cast("double")), max(col(cols.last).cast("double")))
+        .as[(Double, Double, Double, Double)].head()
+      if (cols.size == 1) scaled(col(cols.head), stats._1, stats._2)
+      else graft.functions.GraftFunctions.zorder64(
+        scaled(col(cols.head), stats._1, stats._2),
+        scaled(col(cols.last), stats._3, stats._4))
+    }
+    val withZ = logical.withColumn("__z", zcol)
+    // disjoint bucket ranges from one approxQuantile pass; duplicate
+    // boundaries (skew) collapse — fewer, still-disjoint buckets
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = withZ.stat.approxQuantile("__z", probs, 0.01)
+      .distinct.sorted
+    // ascending when-chain: the SMALLEST bound must test first
+    val bucketExpr = bounds.zipWithIndex
+      .foldRight(lit(bounds.length): org.apache.spark.sql.Column) {
+        case ((b, i), acc) => when(col("__z") <= b, i).otherwise(acc)
+      }
+    // physical names + partition tags, the DSv2 write discipline
+    val m = new java.util.HashMap[String, String](); m.put("path", root)
+    val store = graft.sources.GraftStore.resolve(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    val partPhys = store.partitionCols.map(store.phys)
+    val physical = withZ.select(
+      (logical.columns.toSeq.map(n => col(n).as(store.phys(n))) :+
+        col("__z") :+ bucketExpr.as("__zb")): _*)
+    val tags = partPhys.map(p => s"__p_$p") :+ "__zb"
+    val tagged = partPhys.foldLeft(physical)((df, p) =>
+      df.withColumn(s"__p_$p", col(p)))
+    val out = s"$root/cluster_${java.util.UUID.randomUUID().toString.take(12)}"
+    val conf = storeHadoopConf(s, root)
+    val crypto = dataPlaneOptions(root) ++ parquetWriteOpts(root)
+    // rows sort by z INSIDE each bucket so row-group stats stay narrow
+    crypto.foldLeft(
+      tagged.repartition(tags.map(col): _*).sortWithinPartitions("__z")
+        .drop("__z")
+        .write.partitionBy(tags: _*).mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(out)
+    val fileSchema = store.physicalSchema
+    val leaves = leafDirs(out, conf)
+    val zoneLines = leaves.flatMap { g =>
+      val (rows, stats) = graft.sources.FooterStats.harvest(g, fileSchema, conf)
+      stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"zone:$g|$c|$lo|$hi|$rows" }
+    }
+    try commitSnapshot(root, cur, dataLines ++ dvLines, leaves ++ zoneLines)
+    catch { case t: Throwable =>
+      graft.Staging.rmTree(new java.io.File(out)); throw t
+    }
+  }
+
   /** The data-IO half of [[compactStore]]: resolve the touched groups,
     * write the DV-folded rewrite, harvest its zone stats. Split from
     * [[commitCompaction]] so the read-then-commit race window is
@@ -1323,6 +1438,7 @@ object Maintenance {
       .drop("file_key", "row_index")
     val out = s"$root/compact_${java.util.UUID.randomUUID().toString.take(12)}"
     val conf = storeHadoopConf(s, root)
+    val writeOpts = crypto ++ parquetWriteOpts(root)
     // PARTITIONED stores keep their layout through compaction: the
     // rewrite re-partitions by the same path tags, so the output is
     // again one group per partition value — partition pruning keeps
@@ -1331,7 +1447,7 @@ object Maintenance {
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
     val (outGroups, zoneLines) =
       if (partCols.isEmpty) {
-        crypto.foldLeft(rewritten.write.mode("overwrite")) {
+        writeOpts.foldLeft(rewritten.write.mode("overwrite")) {
           case (w, (k, v)) => w.option(k, v)
         }.parquet(out)
         val (rows, stats) = graft.sources.FooterStats.harvest(out,
@@ -1342,7 +1458,7 @@ object Maintenance {
         val tags = partCols.map(c => s"__p_$c")
         val tagged = partCols.foldLeft(rewritten)((df, c) =>
           df.withColumn(s"__p_$c", col(c)))
-        crypto.foldLeft(
+        writeOpts.foldLeft(
           tagged.write.partitionBy(tags: _*).mode("overwrite")) {
           case (w, (k, v)) => w.option(k, v)
         }.parquet(out)
@@ -1807,6 +1923,157 @@ object Maintenance {
        |SELECT '6_drop', COUNT(*), ${sqlSum("o_totalprice")},
        |  CAST((SELECT SUM(o_orderkey % 7) FROM s2) AS BIGINT), 3, true FROM s12
        |ORDER BY stage""".stripMargin
+
+  // -- io_sql_maintenance: CALL procedures for the pure-SQL persona (r17) ----
+  // r16 What's missing #5: compaction, vacuum and rollback were Scala
+  // calls; Delta exposes OPTIMIZE/VACUUM/RESTORE in SQL. The Spark 4
+  // stored-procedure contract (ProcedureCatalog + CALL) now serves
+  // them: the gate drives a store's full maintenance lifecycle —
+  // INSERT ×2, row-level DELETE (dv), CALL graft.compact (folds the
+  // dv, rewriting ONLY the dv-touched group), CALL graft.restore
+  // (back to the pre-delete state), pinned commit log, CALL
+  // graft.vacuum (reclaims exactly the compacted group + the dv
+  // sidecar — the fail-closed floor keeps the current version) —
+  // with every version's values oracled and the history operation
+  // column pinning compact/rewrite classification.
+  private def qSqlMaintenance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val root = tmp("io_sql_maintenance", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val name = new java.io.File(root).getName
+    val orders = Tables.orders(s, d)
+    Maintenance.createStore(root, orders.schema)
+    orders.filter($"o_orderkey" % 4 === 1)
+      .write.format("graft").mode("append").save(root) // v2
+    orders.filter($"o_orderkey" % 4 === 3)
+      .write.format("graft").mode("append").save(root) // v3
+    // dv touching ONLY the first group (13 % 4 = 1)
+    s.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 20 = 13") // v4
+    s.sql(s"CALL graft.compact('$name')").collect() // v5: fold the dv
+    s.sql(s"CALL graft.restore('$name', 3)").collect() // v6: pre-delete state
+    val ops = s.sql(s"SELECT version, operation FROM graft.`$name$$history`")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    val stages = Seq("2_insert1" -> 2, "3_insert2" -> 3, "4_delete" -> 4,
+      "5_compact" -> 5, "6_restore" -> 6)
+    val staged = stages.map { case (tag, v) =>
+      s.sql(s"""SELECT '$tag' AS stage, COUNT(*) AS n_rows, $sumSql AS sum_price
+                |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).collect()
+    // pinned commit log, then vacuum with a horizon past every epoch:
+    // the fail-closed floor retains the CURRENT version; everything
+    // referenced only by retired versions is reclaimed
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      (1 to 6).map(v => s"$v=${1767261600L + v * 3600}").mkString("\n")
+        .getBytes("UTF-8"))
+    val nDeleted = s.sql(s"CALL graft.vacuum('$name', 1767290000)")
+      .collect()(0).getInt(0)
+    val finalRow = s.sql(
+      s"SELECT COUNT(*) AS n, $sumSql AS sp FROM graft.`$name`").collect()(0)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(staged.map(r => org.apache.spark.sql.Row(
+      r.getString(0), r.getLong(1), r.getDouble(2),
+      ops(5), ops(6), nDeleted.toLong,
+      finalRow.getLong(0), finalRow.getDouble(1))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stage", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_price", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("op_compact", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("op_restore", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_vacuumed", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("final_n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("final_sum", org.apache.spark.sql.types.DoubleType))))
+      .orderBy($"stage")
+  }
+  private val qSqlMaintenanceSql =
+    s"""WITH s1 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+       |s12 AS (SELECT * FROM orders WHERE o_orderkey % 4 IN (1, 3)),
+       |sdel AS (SELECT * FROM s12 WHERE o_orderkey % 20 <> 13),
+       |consts AS (SELECT 'compact' AS op_compact, 'rewrite' AS op_restore,
+       |  CAST(2 AS BIGINT) AS n_vacuumed,
+       |  (SELECT COUNT(*) FROM s12) AS final_n,
+       |  (SELECT ${sqlSum("o_totalprice")} FROM s12) AS final_sum)
+       |SELECT '2_insert1' AS stage, COUNT(*) AS n_rows,
+       |  ${sqlSum("o_totalprice")} AS sum_price, consts.* FROM s1, consts
+       |GROUP BY ALL
+       |UNION ALL
+       |SELECT '3_insert2', COUNT(*), ${sqlSum("o_totalprice")}, consts.*
+       |FROM s12, consts GROUP BY ALL
+       |UNION ALL
+       |SELECT '4_delete', COUNT(*), ${sqlSum("o_totalprice")}, consts.*
+       |FROM sdel, consts GROUP BY ALL
+       |UNION ALL
+       |SELECT '5_compact', COUNT(*), ${sqlSum("o_totalprice")}, consts.*
+       |FROM sdel, consts GROUP BY ALL
+       |UNION ALL
+       |SELECT '6_restore', COUNT(*), ${sqlSum("o_totalprice")}, consts.*
+       |FROM s12, consts GROUP BY ALL
+       |ORDER BY stage""".stripMargin
+
+  // -- io_cluster_store: OPTIMIZE ZORDER on a churned store (r17) ------------
+  // r16 verdict #8: compaction preserved layout but nothing restored
+  // CLUSTERING under churn — four key-interleaved appends leave every
+  // group spanning the full o_orderkey range, so a key-range probe
+  // scans 4/4 groups however good the zone map is. clusterStore
+  // rewrites the live MoR state (folding the DELETE's dv on the way)
+  // into disjoint key-range buckets; the same probe then plans ≤2 of
+  // ≥4 groups from manifest arithmetic alone. The gate pins BOTH
+  // prunability booleans, dv-folding, the single-commit version
+  // count, and — through the oracle — that the probe's and the full
+  // table's values are unchanged by the rewrite.
+  private def qClusterStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tmp("io_cluster_store", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(s, d)
+    Maintenance.createStore(root, orders.schema)
+    for (r <- 0 until 4)
+      orders.filter($"o_orderkey" % 4 === r)
+        .write.format("graft").mode("append").save(root) // v2..v5
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    s.sql(s"DELETE FROM graft.`$name` WHERE o_orderkey % 20 = 7") // v6: dv
+    val maxKey = orders.agg(max($"o_orderkey")).head().getLong(0)
+    def keptOfTotal(df: DataFrame): (Int, Int) = {
+      val desc = df.queryExecution.executedPlan.toString
+      """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((-1, -1))
+    }
+    def probe() = s.read.format("graft").load(root)
+      .filter($"o_orderkey" <= maxKey / 10)
+    val (kb, tb) = keptOfTotal(probe())
+    val v = Maintenance.clusterStore(s, root, Seq("o_orderkey"), buckets = 8)
+    val (ka, ta) = keptOfTotal(probe())
+    val dvFolded = !manifestPaths(root, v).exists(_.startsWith("dv:"))
+    val scannedAllBefore = kb == tb && tb == 4
+    val prunedAfter = ka < ta && ka <= 2 && ta >= 4
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    s.read.format("graft").load(root).createOrReplaceTempView("io_cluster_t")
+    s.sql(s"""SELECT COUNT(*) AS n_rows, $sumSql AS sum_price,
+              |  CAST(SUM(CASE WHEN o_orderkey <= ${maxKey / 10} THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS probe_n,
+              |  CAST(SUM(CASE WHEN o_orderkey <= ${maxKey / 10}
+              |    THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)
+              |    AS DOUBLE) AS probe_sum,
+              |  $scannedAllBefore AS scanned_all_before,
+              |  $prunedAfter AS pruned_after,
+              |  $dvFolded AS dv_folded,
+              |  CAST($v AS BIGINT) AS n_versions
+              |FROM io_cluster_t""".stripMargin)
+  }
+  private val qClusterStoreSql =
+    s"""SELECT COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(SUM(CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) / 10
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS probe_n,
+       |  CAST(SUM(CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) / 10
+       |    THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS probe_sum,
+       |  true AS scanned_all_before, true AS pruned_after, true AS dv_folded,
+       |  CAST(7 AS BIGINT) AS n_versions
+       |FROM orders WHERE o_orderkey % 20 <> 7""".stripMargin
 
   // -- io_sql_update: SQL UPDATE as one MoR commit (r16) ---------------------
   // `UPDATE graft.<store> SET … WHERE …` — the third DML verb, served
@@ -3296,6 +3563,8 @@ object Maintenance {
     QueryDef("io_dsv2_schema_merge", qDsv2SchemaMerge,
       Some(qDsv2SchemaMergeSql)),
     QueryDef("io_compact_store", qCompactStore, Some(qCompactStoreSql)),
+    QueryDef("io_cluster_store", qClusterStore, Some(qClusterStoreSql)),
+    QueryDef("io_sql_maintenance", qSqlMaintenance, Some(qSqlMaintenanceSql)),
     QueryDef("io_occ_dv_race", qOccDvRace, Some(qOccDvRaceSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{
-  CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+  CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,7 @@ import graft.operators.Maintenance
   * ALTER TABLE ADD/RENAME/DROP COLUMN (metadata-only schema
   * evolution — r16 verdict #3).
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var base: String = _
 
@@ -135,6 +136,21 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
     GraftStore.alterStore(root, changes)
     loadTable(ident)
   }
+  /** `CALL graft.<proc>(…)` — SQL-reachable maintenance (r16 verdict
+    * #7): compact / cluster / vacuum / restore / migrate_dv_read_sets
+    * run the same maintenance operators the Scala API does and return
+    * a one-row result set. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("default")),
+      s"graft catalog has a single flat namespace, got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(base, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty, "graft catalog has a single flat namespace")
+    GraftProcedures.Names.map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
   override def dropTable(ident: Identifier): Boolean = ddlUnsupported
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     ddlUnsupported

@@ -656,9 +656,12 @@ private[graft] object GraftStore {
     // every other zone-mapped column for free, and a point read keeps
     // exactly the matching groups before any file is listed.
     val partPhysCols = store.partitionCols.map(store.phys)
+    // store-declared writer tuning (bloom filters, page layout — r17)
+    // rides every append alongside the crypto properties
+    val writeOpts = store.cryptoOpts ++ Maintenance.parquetWriteOpts(store.root)
     val (groupDirs, zoneLines) =
       if (partPhysCols.isEmpty) {
-        store.cryptoOpts.foldLeft(physical.write.mode("overwrite")) {
+        writeOpts.foldLeft(physical.write.mode("overwrite")) {
           case (w, (k, v)) => w.option(k, v)
         }.parquet(stage)
         (Seq(stage), zonesOf(stage, physical.schema, conf))
@@ -667,7 +670,7 @@ private[graft] object GraftStore {
         val tags = partPhysCols.map(p => s"__p_$p")
         val tagged = partPhysCols.foldLeft(physical)((df, p) =>
           df.withColumn(s"__p_$p", c(p)))
-        store.cryptoOpts.foldLeft(
+        writeOpts.foldLeft(
           tagged.write.partitionBy(tags: _*).mode("overwrite")) {
           case (w, (k, v)) => w.option(k, v)
         }.parquet(stage)
@@ -1029,11 +1032,17 @@ private[sources] class GraftScan(store: GraftStore.Resolved,
     * fail the balance, which is the conservative direction. */
   private def provablyNeutralCompaction(removedData: Seq[String],
       newData: Seq[String], foldedDv: Seq[String], newDv: Seq[String]): Boolean = {
-    if (newDv.nonEmpty || foldedDv.isEmpty || removedData.isEmpty) return false
-    val dvKeys = dvKeyIndex(foldedDv).keySet
-    val removedKeys = listFiles(removedData).map(f => fileKey(f.filePath.toString)).toSet
-    if (!dvKeys.subsetOf(removedKeys)) return false
+    // r17: foldedDv may be EMPTY — a pure re-layout rewrite (z-order
+    // clustering of a dv-less store) is row-neutral when the footer
+    // row counts balance exactly; with folded dvs the balance
+    // additionally subtracts their position counts
+    if (newDv.nonEmpty || removedData.isEmpty) return false
     val conf = Maintenance.storeHadoopConf(spark, store.root)
+    if (foldedDv.nonEmpty) {
+      val dvKeys = dvKeyIndex(foldedDv).keySet
+      val removedKeys = listFiles(removedData).map(f => fileKey(f.filePath.toString)).toSet
+      if (!dvKeys.subsetOf(removedKeys)) return false
+    }
     // position COUNTS from footer row counts — never the positions
     // themselves; overlapping folded DVs double-count and fail the
     // balance, which is the conservative direction
