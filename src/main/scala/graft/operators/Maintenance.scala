@@ -1367,9 +1367,12 @@ object Maintenance {
     val out = s"$root/cluster_${java.util.UUID.randomUUID().toString.take(12)}"
     val conf = storeHadoopConf(s, root)
     val crypto = dataPlaneOptions(root) ++ parquetWriteOpts(root)
-    // rows sort by z INSIDE each bucket so row-group stats stay narrow
+    // rows sort by (tags…, z): leading partition columns keep the
+    // dynamic-partition writer from re-sorting (which would scramble
+    // the z order), so row-group stats inside each bucket stay narrow
     crypto.foldLeft(
-      tagged.repartition(tags.map(col): _*).sortWithinPartitions("__z")
+      tagged.repartition(tags.map(col): _*)
+        .sortWithinPartitions((tags :+ "__z").map(col): _*)
         .drop("__z")
         .write.partitionBy(tags: _*).mode("overwrite")) {
       case (w, (k, v)) => w.option(k, v)
