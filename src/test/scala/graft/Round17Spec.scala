@@ -266,6 +266,50 @@ class Round17Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  // ---- clustering on a partitioned store (r16 verdict #8) ------------------
+
+  test("r17: clusterStore keeps a partitioned store's layout and pruning") {
+    import spark.implicits._
+    val root = freshRoot("r17_part_cluster")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    // churned: two key-interleaved appends per partition value
+    for (r <- 0 to 1)
+      orders.filter($"o_orderkey" % 2 === r)
+        .write.format("graft").mode("append").save(root)
+    val want = orders.agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    val v = Maintenance.clusterStore(spark, root, Seq("o_orderkey"), buckets = 4)
+    val groups = Maintenance.manifestPaths(root, v)
+    // every clustered group is still a single-partition-value dir
+    assert(groups.nonEmpty && groups.forall(_.contains("/__p_o_orderpriority=")),
+      s"clustering flattened the partition layout: $groups")
+    // partition pruning AND key-range pruning both still plan
+    val maxKey = orders.agg(max($"o_orderkey")).collect()(0).getLong(0)
+    val df = spark.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderkey" <= maxKey / 8)
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val m = """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(m.exists(x => x.group(1).toInt < x.group(2).toInt / 2),
+      s"clustered partitioned store must prune on both dims: $desc")
+    // answers unchanged
+    val got = spark.read.format("graft").load(root)
+      .agg(count(lit(1)), sum($"o_totalprice")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0) &&
+      math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-3)
+  }
+
+  test("r17: SHOW PROCEDURES lists the maintenance surface") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val names = spark.sql("SHOW PROCEDURES IN graft")
+      .collect().map(_.toString).mkString(" ")
+    for (p <- Seq("compact", "cluster", "vacuum", "restore", "migrate_dv_read_sets"))
+      assert(names.contains(p), s"missing procedure $p in: $names")
+  }
+
   // ---- store-write parquet tuning passthrough (r16 verdict #9) -------------
 
   test("r17: declared writer options reach every store write path (bloom at rest)") {
