@@ -369,6 +369,65 @@ class Round17Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  // ---- cross-feature composition -------------------------------------------
+
+  test("r17: ALTER TABLE composes with an encrypted control plane") {
+    import spark.implicits._
+    val root = freshRoot("r17_alter_enc")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf).limit(60)
+      .select($"o_orderkey", $"o_totalprice")
+    Maintenance.createStore(root, orders.schema)
+    Maintenance.enableStoreEncryption(root, "r17-alter-mk")
+    orders.write.format("graft").mode("append").save(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    spark.sql(s"ALTER TABLE graft.`$name` ADD COLUMN note STRING")
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN o_totalprice TO price")
+    // the schema log and mapping written by ALTER are ciphertext, not
+    // plaintext metadata leaking through an encrypted control plane
+    for (f <- new java.io.File(root).listFiles()
+        if f.getName.startsWith("schema_v") || f.getName.startsWith("mapping_v")) {
+      val head = new String(java.nio.file.Files.readAllBytes(f.toPath)
+        .take(9), "UTF-8")
+      assert(head == "GRAFTENC1", s"${f.getName} landed plaintext: $head")
+    }
+    val got = spark.sql(s"SELECT price, note FROM graft.`$name`").collect()
+    assert(got.length == 60 && got.forall(_.isNullAt(1)))
+  }
+
+  test("r17: streams flow past a dv-less clustering rewrite (provably neutral)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("r17_stream_cluster")
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(spark, sf).limit(300)
+      .select($"o_orderkey", $"o_totalprice")
+    Maintenance.createStore(root, orders.schema)
+    orders.filter($"o_orderkey" % 2 === 0)
+      .write.format("graft").mode("append").save(root) // v2
+    val vc = Maintenance.clusterStore(spark, root, Seq("o_orderkey"), 4) // v3: no dvs
+    orders.filter($"o_orderkey" % 2 === 1)
+      .write.format("graft").mode("append").save(root) // v4
+    // batch CDF spanning the clustering: the re-layout serves nothing,
+    // the append after it serves normally
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 2).load(root)
+    assert(feed.count() == orders.filter($"o_orderkey" % 2 === 1).count())
+    assert(feed.select($"_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(vc + 1L))
+    // streaming source: full drain crosses the clustering commit too
+    val out = s"$root/out"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == orders.count(),
+      "the stream must serve every row exactly once across the rewrite")
+  }
+
   // ---- vacuum existence sweep gating (r16 ADVICE, low) ---------------------
 
   test("r17: pinned-version reads of a vacuumed snapshot fail closed via one batched listing") {
