@@ -1295,6 +1295,69 @@ object Maintenance {
       case None => currentSnapshotVersion(root)
     }
 
+  /** Small-GROUP bin-packing compaction (r17): streaming ingest lands
+    * one manifest group per micro-batch, so a long-lived stream
+    * accumulates O(batches) groups — each a planning-time line and a
+    * file-listing unit — even when every batch is tiny. binPackStore
+    * merges groups smaller than `smallRows` into ONE group per
+    * partition value (Delta OPTIMIZE's bin-packing half, without the
+    * clustering): big groups are untouched, the rewrite reads only
+    * the small ones, and the commit is provably row-neutral (counts
+    * balance, no dv changes) so change feeds and streams flow past it
+    * like any compaction. Stores carrying dv lines must fold them
+    * first ([[compactStore]]) — bin-packing moves whole groups and
+    * would otherwise have to rewrite sidecar file keys.
+    *
+    * Cost: O(small groups' bytes) read+write + manifest arithmetic —
+    * independent of table size; group row counts come from the
+    * manifest's own zone lines when present (zero IO), footers
+    * otherwise. */
+  def binPackStore(s: SparkSession, root: String,
+      smallRows: Long = 1L << 20): Int = {
+    val cur = currentSnapshotVersion(root)
+    val lines = manifestPaths(root, cur)
+    val (dvLines, dataLines) = lines.partition(DvLine.is)
+    require(dvLines.isEmpty,
+      "fold deletion vectors first (compactStore) — bin-packing moves whole groups")
+    if (dataLines.size <= 1) return cur
+    val conf = storeHadoopConf(s, root)
+    val zoneRows: Map[String, Long] = manifestZones(root, cur)
+      .groupBy(_._1).map { case (g, zs) => g -> zs.head._5 }
+    def rowsOf(g: String): Long = zoneRows.getOrElse(g,
+      graft.sources.FooterStats.rowCount(Seq(g), conf))
+    // partition identity = the path's __p_ tag chain (empty when
+    // unpartitioned); only groups of the SAME partition value merge
+    def partChain(g: String): String =
+      g.split('/').filter(_.startsWith("__p_")).mkString("/")
+    val smalls = dataLines.filter(g => rowsOf(g) < smallRows)
+    val clusters = smalls.groupBy(partChain).filter(_._2.size > 1)
+    if (clusters.isEmpty) return cur
+    val out = s"$root/pack_${java.util.UUID.randomUUID().toString.take(12)}"
+    val crypto = dataPlaneOptions(root)
+    val writeOpts = crypto ++ parquetWriteOpts(root)
+    val removed = Seq.newBuilder[String]
+    val added = Seq.newBuilder[String]
+    for ((chain, gs) <- clusters.toSeq.sortBy(_._1)) {
+      val dst = if (chain.isEmpty) out else s"$out/$chain"
+      val df = s.read.options(crypto).parquet(gs: _*)
+      val nFiles = math.max(1,
+        math.ceil(gs.map(rowsOf).sum.toDouble / smallRows).toInt)
+      writeOpts.foldLeft(
+        df.coalesce(nFiles).write.mode("overwrite")) {
+        case (w, (k, v)) => w.option(k, v)
+      }.parquet(dst)
+      val (rows, stats) = graft.sources.FooterStats.harvest(dst, df.schema, conf)
+      removed ++= gs
+      added += dst
+      added ++= stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"zone:$dst|$c|$lo|$hi|$rows" }
+    }
+    try commitSnapshot(root, cur, removed.result(), added.result())
+    catch { case t: Throwable =>
+      graft.Staging.rmTree(new java.io.File(out)); throw t
+    }
+  }
+
   /** OPTIMIZE ZORDER for the snapshot store (r16 verdict #8): rewrite
     * every live data group CLUSTERED on `cols` — one column is
     * range-clustered, two interleave through the codegen'd
@@ -2015,6 +2078,49 @@ object Maintenance {
        |SELECT '6_restore', COUNT(*), ${sqlSum("o_totalprice")}, consts.*
        |FROM s12, consts GROUP BY ALL
        |ORDER BY stage""".stripMargin
+
+  // -- io_binpack_store: small-group compaction of streaming-ingest debt -----
+  // (r17) A long-lived stream lands one manifest group per micro-batch
+  // — on a partitioned store, one PER PARTITION VALUE per batch. Four
+  // ingested batches over the 5-priority store leave 20 groups;
+  // binPackStore merges same-partition smalls into one group per
+  // value (5), a provably row-neutral commit the change feed flows
+  // past. The gate pins group counts before/after (20 → 5), that a
+  // point read plans exactly ONE group post-pack, one commit, and —
+  // through the oracle — that no value moved.
+  private def qBinPackStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tmp("io_binpack_store", d)
+    graft.Staging.rmTree(new java.io.File(root))
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Maintenance.createStore(root, orders.schema, Seq("o_orderpriority"))
+    for (r <- 0 until 4)
+      graft.streaming.Streaming.graftSinkCommit(root, r,
+        orders.filter($"o_orderkey" % 4 === r), appId = "binpack") // v2..v5
+    val before = manifestPaths(root, currentSnapshotVersion(root))
+      .count(l => !l.startsWith("dv:"))
+    val v = Maintenance.binPackStore(s, root, smallRows = 10000000L) // v6
+    val after = manifestPaths(root, v).count(l => !l.startsWith("dv:"))
+    val probe = s.read.format("graft").load(root)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val desc = probe.queryExecution.executedPlan.toString
+    val onePlanned = """groups=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+      .exists(m => m.group(1).toInt == 1)
+    val sumSql = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    s.read.format("graft").load(root).createOrReplaceTempView("io_binpack_t")
+    s.sql(s"""SELECT COUNT(*) AS n_rows, $sumSql AS sum_price,
+              |  CAST($before AS BIGINT) AS groups_before,
+              |  CAST($after AS BIGINT) AS groups_after,
+              |  $onePlanned AS point_plans_one,
+              |  CAST($v AS BIGINT) AS n_versions
+              |FROM io_binpack_t""".stripMargin)
+  }
+  private val qBinPackStoreSql =
+    s"""SELECT COUNT(*) AS n_rows, ${sqlSum("o_totalprice")} AS sum_price,
+       |  CAST(20 AS BIGINT) AS groups_before, CAST(5 AS BIGINT) AS groups_after,
+       |  true AS point_plans_one, CAST(6 AS BIGINT) AS n_versions
+       |FROM orders""".stripMargin
 
   // -- io_cluster_store: OPTIMIZE ZORDER on a churned store (r17) ------------
   // r16 verdict #8: compaction preserved layout but nothing restored
@@ -3568,6 +3674,7 @@ object Maintenance {
     QueryDef("io_compact_store", qCompactStore, Some(qCompactStoreSql)),
     QueryDef("io_cluster_store", qClusterStore, Some(qClusterStoreSql)),
     QueryDef("io_sql_maintenance", qSqlMaintenance, Some(qSqlMaintenanceSql)),
+    QueryDef("io_binpack_store", qBinPackStore, Some(qBinPackStoreSql)),
     QueryDef("io_occ_dv_race", qOccDvRace, Some(qOccDvRaceSql)),
     QueryDef("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     QueryDef("q_cdc_diff", qCdcDiff, Some(qCdcDiffSql)),

@@ -29,7 +29,8 @@ import graft.operators.Maintenance
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "cluster", "vacuum", "restore", "migrate_dv_read_sets")
+    Seq("binpack", "compact", "cluster", "vacuum", "restore",
+      "migrate_dv_read_sets")
 
   private def one(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] = {
     val ir = InternalRow.fromSeq(row.map {
@@ -87,6 +88,19 @@ private[sources] object GraftProcedures {
           val cols = input.getUTF8String(1).toString.split(',')
             .map(_.trim).filter(_.nonEmpty).toSeq
           val v = Maintenance.clusterStore(spark, r, cols)
+          one(StructType(Seq(
+            StructField("version", IntegerType, nullable = false),
+            StructField("n_groups", IntegerType, nullable = false))),
+            Seq(v, Maintenance.manifestPaths(r, v)
+              .count(l => !l.startsWith("dv:"))))
+        }
+      }
+      case "binpack" => new Proc("binpack",
+        "merge small same-partition groups (streaming-ingest debt) into one group per value",
+        Seq(p("table", StringType), p("small_rows", LongType))) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val r = root(input)
+          val v = Maintenance.binPackStore(spark, r, input.getLong(1))
           one(StructType(Seq(
             StructField("version", IntegerType, nullable = false),
             StructField("n_groups", IntegerType, nullable = false))),

@@ -306,7 +306,7 @@ class Round17Spec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
     val names = spark.sql("SHOW PROCEDURES IN graft")
       .collect().map(_.toString).mkString(" ")
-    for (p <- Seq("compact", "cluster", "vacuum", "restore", "migrate_dv_read_sets"))
+    for (p <- Seq("binpack", "compact", "cluster", "vacuum", "restore", "migrate_dv_read_sets"))
       assert(names.contains(p), s"missing procedure $p in: $names")
   }
 
