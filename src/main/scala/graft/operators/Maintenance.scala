@@ -694,7 +694,7 @@ object Maintenance {
     * counts as committed — a concurrent writer's in-flight staging file
     * (or a stale one left by a crash) must never make version listing
     * throw, so the suffix is part of the match, not assumed. */
-  private def manifestVersions(root: String): Seq[Int] =
+  private[graft] def manifestVersions(root: String): Seq[Int] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .map(_.getName)
       .filter(n => n.startsWith("manifest_v") && n.endsWith(".txt"))

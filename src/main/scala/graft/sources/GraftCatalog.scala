@@ -151,7 +151,48 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
     GraftProcedures.Names.map(n => Identifier.of(Array.empty, n)).toArray
   }
 
-  override def dropTable(ident: Identifier): Boolean = ddlUnsupported
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    ddlUnsupported
+  /** `DROP TABLE graft.t` — removes the whole store directory
+    * (manifests, data groups, sidecars, logs). Returns false for a
+    * non-store path, Spark's contract for "nothing to drop". */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isStore(root)) return false
+    graft.Staging.rmTree(new java.io.File(root))
+    true
+  }
+
+  /** `ALTER TABLE graft.a RENAME TO b` — a directory move; manifests
+    * carry paths under the OLD root for externally-staged groups, but
+    * engine-written groups live inside the store dir, which the
+    * resolver reads relative to nothing — so only fully self-contained
+    * stores (every group under the root) may rename; fail closed
+    * otherwise rather than leave a store whose manifest points at a
+    * location that no longer serves it. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = rootOf(oldIdent)
+    val to = rootOf(newIdent)
+    if (!isStore(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, oldIdent.name()))
+    if (isStore(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, newIdent.name()))
+    val versions = Maintenance.manifestVersions(from)
+    val external = versions.flatMap(v => Maintenance.manifestPaths(from, v))
+      .map(l => l.stripPrefix("dv:"))
+      .filterNot(p => p.startsWith(from + "/"))
+    require(external.isEmpty,
+      s"cannot rename a store whose manifests reference groups outside " +
+        s"its own directory (they would keep serving from the old " +
+        s"location): ${external.take(3).mkString(", ")}")
+    // self-contained: rewrite every manifest's paths to the new root,
+    // then move the directory — metadata-only, zero data bytes copied
+    java.nio.file.Files.move(java.nio.file.Paths.get(from),
+      java.nio.file.Paths.get(to))
+    for (v <- versions) {
+      val lines = Maintenance.manifestRawLines(to, v)
+        .map(_.replace(from + "/", to + "/"))
+      Maintenance.writeStoreText(to, s"manifest_v$v.txt", lines.mkString("\n"))
+    }
+  }
 }

@@ -186,6 +186,8 @@ private[graft] object GraftStore {
       // ADVICE).
       val from = startingVersion.getOrElse(0)
       val to = Option(options.get("endingVersion")).map(_.toInt)
+        .orElse(Option(options.get("endingTimestamp")).map(t =>
+          Maintenance.resolveAsOf(root, t.toLong)))
         .getOrElse(Maintenance.currentSnapshotVersion(root))
       Some((from, to))
     } else None

@@ -369,6 +369,75 @@ class Round17Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  // ---- DROP / RENAME TABLE + endingTimestamp (DDL completeness) ------------
+
+  test("r17: DROP TABLE and RENAME TABLE complete the SQL DDL surface") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val root = freshRoot("r17_ddl_drop")
+    graft.Staging.rmTree(new java.io.File(root))
+    val name = new java.io.File(root).getName
+    spark.sql(s"CREATE TABLE graft.`$name` (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.`$name` VALUES (1, 1.5), (2, 2.5)")
+    // self-contained store: rename = dir move + manifest path rewrite
+    val name2 = name + "_renamed"
+    graft.Staging.rmTree(new java.io.File(s"/tmp/graft_q/$name2"))
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME TO `$name2`")
+    assert(!new java.io.File(root, "manifest_v1.txt").exists())
+    assert(spark.sql(s"SELECT SUM(v) FROM graft.`$name2`")
+      .collect()(0).getDouble(0) == 4.0)
+    // time travel survives the rename (manifest paths rewritten)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$name2` VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2L)
+    spark.sql(s"DROP TABLE graft.`$name2`")
+    assert(!new java.io.File(s"/tmp/graft_q/$name2").exists())
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft.`$name2`").collect() }
+    // and the name is reusable
+    spark.sql(s"CREATE TABLE graft.`$name2` (k BIGINT)")
+    spark.sql(s"DROP TABLE graft.`$name2`")
+  }
+
+  test("r17: a store with externally-staged groups refuses to rename") {
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r17_ddl_norename")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      s"$data/base/g=0".getBytes("UTF-8"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val name = new java.io.File(root).getName
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$name` RENAME TO `${name}_x`")
+    }
+    assert(e.getMessage.contains("outside"), e.getMessage)
+    // fail-closed: the store still serves from its original name
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$name`")
+      .collect()(0).getLong(0) > 0)
+  }
+
+  test("r17: endingTimestamp bounds a change feed through the commit log") {
+    import spark.implicits._
+    val data = Maintenance.morData(spark, sf)
+    val root = freshRoot("r17_cdf_endts")
+    val base = (0 to 3).map(g => s"$data/base/g=$g")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest_v1.txt"),
+      base.mkString("\n").getBytes("UTF-8"))
+    val v2 = Maintenance.commitSnapshot(root, 1, Seq.empty, Seq(s"$data/newfile"))
+    val v3 = Maintenance.commitSnapshot(root, v2, Seq.empty, Seq(s"$data/newfile2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "commits_ts.txt"),
+      Seq(s"1=1767261600", s"$v2=1767265200", s"$v3=1767268800")
+        .mkString("\n").getBytes("UTF-8"))
+    // a probe BETWEEN v2 and v3 serves only v2's delta
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingTimestamp", 1767266000L)
+      .load(root)
+    assert(feed.select($"_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(feed.count() == spark.read.parquet(s"$data/newfile").count())
+  }
+
   // ---- cross-feature composition -------------------------------------------
 
   test("r17: ALTER TABLE composes with an encrypted control plane") {
