@@ -366,16 +366,24 @@ class Round14Spec extends AnyFunSuite {
     def causes(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
     assert(causes(e).exists(m => m != null && m.contains("no commit at or before")))
-    // unknown tables and DDL fail closed
+    // unknown tables fail closed
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft.`no_such_store`").collect()
-    }
-    intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.`$name`")
     }
     // the store is discoverable
     val listed = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
     assert(listed.contains(name), s"store not listed: ${listed.take(10).mkString(",")}")
+    // r17: DROP TABLE is now part of the DDL surface — it removes the
+    // store and the name stops resolving (a throwaway store, not the
+    // shared staged fixture)
+    val dropRoot = "/tmp/graft_q/r14_drop_probe"
+    graft.Staging.rmTree(new java.io.File(dropRoot))
+    spark.sql("CREATE TABLE graft.r14_drop_probe (k BIGINT)")
+    spark.sql("DROP TABLE graft.r14_drop_probe")
+    assert(!new java.io.File(dropRoot).exists())
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.r14_drop_probe").collect()
+    }
   }
 
   // ---- stream_graft_sink (r14) ----------------------------------------------

@@ -11,8 +11,13 @@ import graft.operators.Maintenance.{DvLine, SnapshotConflictException}
 /** Round-17 gates: the r16 ADVICE fixes (dv-annotation percent
   * encoding, dataPlane merge on an already-encrypted store, history
   * overwrite-vs-compact ordering, time-travel-gated vacuum existence
-  * sweep) and the legacy-dv fail-closed + migration path (r16 verdict
-  * "Next round" #6).
+  * sweep), the legacy-dv fail-closed + migration path (r16 verdict
+  * #6), txn-registry exactly-once writes (#2), CDF commit provenance
+  * (#5), ALTER/DROP/RENAME TABLE DDL, z-order clustering on
+  * partitioned stores (#8), store-write parquet tuning passthrough
+  * (#9), SHOW PROCEDURES, endingTimestamp feed bounds, and the
+  * cross-feature composition gates (ALTER × encrypted control plane,
+  * streams × dv-less clustering rewrites).
   */
 class Round17Spec extends AnyFunSuite {
   import TestSession._
