@@ -474,6 +474,31 @@ private[graft] object GraftStore {
         require(mapping.size > 1, "cannot drop the last column")
         mapping = mapping.filterNot(_._1 == from)
         mappingChanged = true
+      case u: TableChange.UpdateColumnType =>
+        // type WIDENING (Delta 4 parity): a schema-log-only commit —
+        // Spark's vectorized parquet reader upcasts narrow physical
+        // values to the declared wider type, so old files never
+        // rewrite; anything non-widening is rejected at DDL (a
+        // narrowing read would corrupt or throw task-side)
+        val name = one(u.fieldNames(), "ALTER COLUMN TYPE")
+        val ph = mapping.collectFirst { case (lg, p) if lg == name => p }
+          .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+        val i = phys.fieldIndex(ph)
+        val from = phys.fields(i).dataType
+        val to = u.newDataType()
+        val widening = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widening,
+          s"only widening type changes are supported, got $from -> $to " +
+            s"for column $name (byte/short/int -> wider integral, float -> double)")
+        phys = StructType(phys.fields.updated(i,
+          phys.fields(i).copy(dataType = to)))
+        schemaChanged = true
       case other => throw new UnsupportedOperationException(
         s"graft stores support ALTER TABLE ADD/RENAME/DROP COLUMN, got $other")
     }

@@ -443,6 +443,46 @@ class Round17Spec extends AnyFunSuite {
     assert(feed.count() == spark.read.parquet(s"$data/newfile").count())
   }
 
+  test("r17: ALTER COLUMN TYPE widens metadata-only; narrowing is rejected") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", "/tmp/graft_q")
+    val root = "/tmp/graft_q/r17_widen"
+    graft.Staging.rmTree(new java.io.File(root))
+    spark.sql("CREATE TABLE graft.r17_widen (k INT, v FLOAT)")
+    spark.sql("INSERT INTO graft.r17_widen VALUES (1, 1.5), (2, 2.5)") // v2: int32/float files
+    val stamp = Maintenance.manifestPaths(root, 2).flatMap(g =>
+      Option(new java.io.File(g).listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getAbsolutePath, f.lastModified(), f.length())).toSeq).sorted
+    spark.sql("ALTER TABLE graft.r17_widen ALTER COLUMN k TYPE BIGINT")   // v3
+    spark.sql("ALTER TABLE graft.r17_widen ALTER COLUMN v TYPE DOUBLE")   // v4
+    // widened schema serves old narrow files by upcast — zero rewrites
+    val sch = spark.table("graft.r17_widen").schema
+    assert(sch("k").dataType == org.apache.spark.sql.types.LongType &&
+      sch("v").dataType == org.apache.spark.sql.types.DoubleType, sch.simpleString)
+    // a write AFTER widening lands wide values next to the narrow files
+    spark.sql("INSERT INTO graft.r17_widen VALUES (4000000000, 4.5)") // v5
+    val got = spark.sql(
+      "SELECT SUM(k), CAST(SUM(v) AS DECIMAL(10,1)) FROM graft.r17_widen").collect()(0)
+    assert(got.getLong(0) == 4000000003L && got.getDecimal(1).doubleValue == 8.5, got)
+    // the pre-widening files carry identical (mtime, length) — metadata only
+    val after = Maintenance.manifestPaths(root, 2).flatMap(g =>
+      Option(new java.io.File(g).listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getAbsolutePath, f.lastModified(), f.length())).toSeq).sorted
+    assert(after == stamp, "widening must move zero data bytes")
+    // time travel serves the ORIGINAL narrow schema
+    assert(spark.sql("SELECT * FROM graft.r17_widen VERSION AS OF 2")
+      .schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    // narrowing is rejected loudly — Spark's analyzer gates first
+    // (NOT_SUPPORTED_CHANGE_COLUMN: only up-castable changes resolve),
+    // and alterStore's own widening check backstops the API path
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.r17_widen ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widening"), e.getMessage)
+  }
+
   // ---- cross-feature composition -------------------------------------------
 
   test("r17: ALTER TABLE composes with an encrypted control plane") {
