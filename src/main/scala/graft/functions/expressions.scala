@@ -483,6 +483,8 @@ object GraftFunctions {
     graftshim.column(VecL2Sq(graftshim.expression(a), graftshim.expression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     graftshim.column(VecCosine(graftshim.expression(a), graftshim.expression(b)))
+  def adc_sum(code: Column, tab: Column): Column =
+    graftshim.column(AdcLookupSum(graftshim.expression(code), graftshim.expression(tab)))
   def zorder64(a: Column, b: Column): Column =
     graftshim.column(ZOrder64(graftshim.expression(a), graftshim.expression(b)))
   def stopword_scores(c: Column, lists: Seq[Seq[String]]): Column =
@@ -539,6 +541,7 @@ object GraftFunctions {
     ("graft_vec_dot", classOf[VecDot], es => VecDot(es.head, es(1))),
     ("graft_vec_l2sq", classOf[VecL2Sq], es => VecL2Sq(es.head, es(1))),
     ("graft_vec_cosine", classOf[VecCosine], es => VecCosine(es.head, es(1))),
+    ("graft_adc_sum", classOf[AdcLookupSum], es => AdcLookupSum(es.head, es(1))),
     ("graft_zorder64", classOf[ZOrder64], es => ZOrder64(es.head, es(1))),
     // graft_stopword_scores(words, 'w1,w2,...', 'w3,w4,...'): one
     // comma-joined string literal per language list
@@ -801,6 +804,73 @@ case class VecL2Sq(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd ADC table-lookup sum Σₘ tab[m][code[m]] — the inner loop
+  * of every PQ scoring pass (one row per (query, candidate) in the
+  * ANN/hybrid paths), replacing the interpreted
+  * `aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)`
+  * fold (higher-order functions don't codegen; measured the dominant
+  * CPU of the hybrid dense leg at sf0.1). Accumulates LEFT-TO-RIGHT in
+  * subspace order m = 0..M−1, exactly the fold order of the expression
+  * it replaces, so the IEEE double result is bit-identical. Null
+  * semantics match the fold's null-poisoning: mismatched lengths, a
+  * null element on either side, or an out-of-range code index all made
+  * some lambda result null, which `a + v` then carried to the end —
+  * here any of those returns null directly. */
+case class AdcLookupSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // nullable even for non-null children (the bad-shape guard returns
+  // null), else codegen folds ev.isNull to a literal and the guard
+  // assignment does not compile
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc_sum"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val code = l.asInstanceOf[ArrayData]
+    val tab = r.asInstanceOf[ArrayData]
+    val n = code.numElements()
+    if (tab.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (code.isNullAt(i) || tab.isNullAt(i)) return null
+      val c = code.getInt(i)
+      val row = tab.getArray(i)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getDouble(c)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, tab) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $code.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = ($tab.numElements() != $n);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($code.isNullAt($i) || $tab.isNullAt($i)) { $bad = true; break; }
+         |  int $c = $code.getInt($i);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $tab.getArray($i);
+         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) { $bad = true; break; }
+         |  $acc += $row.getDouble($c);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcLookupSum =
     copy(left = newLeft, right = newRight)
 }
 

@@ -716,7 +716,7 @@ object Similarity {
     val shortlist = codes.crossJoin(broadcast(dtabWide))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+        graft.functions.GraftFunctions.adc_sum($"code", $"tab").as("adist"))
       .withColumn("srank", row_number().over(wAdc)).filter($"srank" <= PqShortlist)
       .select($"query_id", $"neighbor_id")
     pqRerank(emb, shortlist, panel = evalPanel($"vec_id"))
@@ -797,7 +797,7 @@ object Similarity {
         .filter($"vec_id" =!= $"query_id")
         .join(broadcast(dtabWide), Seq("query_id"))
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+          graft.functions.GraftFunctions.adc_sum($"code", $"tab").as("adist"))
     }
   }
 
@@ -814,7 +814,7 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .join(broadcast(dtabQC), Seq("query_id", "pcell"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        expr("aggregate(zip_with(code, tab, (c, t) -> t[c]), 0D, (a, v) -> a + v)").as("adist"))
+        graft.functions.GraftFunctions.adc_sum($"code", $"tab").as("adist"))
   }
 
   /** Remap a codebook's cell ids onto the dense seed grid
