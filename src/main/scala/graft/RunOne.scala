@@ -24,7 +24,11 @@ object RunOne {
           val i = sc.stageInfo
           val secs = (for (a <- i.completionTime; b <- i.submissionTime)
             yield (a - b) / 1e3).getOrElse(-1.0)
-          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d time=$secs%6.2fs ${i.name.takeWhile(_ != '\n').take(90)}")
+          val m = i.taskMetrics
+          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d time=$secs%6.2fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%6.2fs run=${m.executorRunTime / 1e3}%6.2fs " +
+            f"in=${m.inputMetrics.recordsRead}%9d sRead=${m.shuffleReadMetrics.recordsRead}%9d " +
+            f"sWrite=${m.shuffleWriteMetrics.recordsWritten}%9d ${i.name.takeWhile(_ != '\n').take(60)}")
         }
       })
     }

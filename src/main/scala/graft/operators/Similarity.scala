@@ -1891,24 +1891,53 @@ object Similarity {
     // tok-bucketing satisfies the join's required distribution — zero
     // exchange), the hinted build side is the per-bucket slice of the
     // smaller relation, and only query-proportional rows ever move.
+    // idf and avgdl attach to the QUERY-TERM relation (599 rows at
+    // sf0.1), not to the scoring join's output (~2M posting matches):
+    // the former 2M-row path re-joined df, cross-joined stats and
+    // evaluated log() once per posting match (measured: the scoring
+    // stage carried 13.9 s of its 22 s CPU). Same doubles through the
+    // same operation order, so every contrib is bit-identical — the
+    // log's operands are (n_docs, df) exactly as before.
     val qtoks = qall.join(dfa.hint("shuffle_hash"), "tok")
       .withColumn("tr", row_number().over(selW)).filter($"tr" <= QTerms)
-      .select($"query_id", $"tok")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"tok",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0).as("idf"),
+        $"avgdl")
     val lexW = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
     // scoring: postings stay put (bucketed side of the tok join); only
     // the query-proportional qtoks relation shuffles to the bucket
-    // layout and builds the per-partition hash side. df attaches
-    // bucket-co-located. Scoring df == staged df because the restricted
-    // postings contain every row of each selected term.
+    // layout and builds the per-partition hash side. Scoring df ==
+    // staged df because the restricted postings contain every row of
+    // each selected term.
     val lex = tf.join(qtoks.hint("shuffle_hash"), "tok")
       .filter($"doc_id" =!= $"query_id")
-      .join(dfa.hint("shuffle_hash"), "tok")
-      .crossJoin(broadcast(stats))
       .withColumn("contrib",
-        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+        $"idf" *
           ($"tf" * (k1 + 1.0)) /
           ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
-      .groupBy($"query_id", $"doc_id").agg(dsum($"contrib").as("score"))
+      .select($"query_id", $"doc_id", $"contrib")
+      // shuffle the raw contribs to the group layout BEFORE aggregating:
+      // inside a tok bucket (query, doc) pairs are ~unique (a pair
+      // recurs only via different toks, which live in other buckets), so
+      // the pre-shuffle partial agg built a posting-matches-sized
+      // hashmap that combined nothing (measured: rows into the exchange
+      // == rows out of the scoring join). Partitioned by the group key
+      // first, partial+final aggregation run post-shuffle where
+      // combining actually works; decimal sums are exact and
+      // order-insensitive, so the score is unchanged.
+      .repartition($"query_id", $"doc_id")
+      // dsum at decimal(8,6) instead of (18,6): a BM25 term contribution
+      // is idf × tf-norm < 100 for any corpus under e^45 docs (idf ≤
+      // ln(2·n_docs), tf-norm ≤ k1+1), so the narrow cast is lossless
+      // and the same HALF_UP rounding yields the identical decimal —
+      // but sum(decimal(8,6)) stays at decimal(18,6), which fits a LONG
+      // aggregation buffer; (18,6) summed to (28,6), a heap BigDecimal
+      // per group (measured: the dominant CPU of the scoring
+      // aggregation). Final value and output type (double) unchanged.
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib".cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+        .cast("double").as("score"))
       .withColumn("lex_rank", row_number().over(lexW))
       .filter($"lex_rank" <= LegDepth)
       .select($"query_id", $"doc_id", $"lex_rank")
