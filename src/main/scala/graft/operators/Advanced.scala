@@ -568,14 +568,29 @@ object Advanced {
     // parquet file = one split — the mediaTable rule); n per group
     // falls out of the ROOT level (every cent value < 2^26, so the
     // root node is 0 and its count is n) instead of a second pass.
+    // the (g, l, node) aggregation key packs into ONE long — node < 2^26
+    // (the declared universe), l ≤ 26 (5 bits), g is TPC-H CHAR(1) so its
+    // single ASCII code point (8 bits) round-trips via char(). A single
+    // long key halves the hash/compare/shuffle-key bytes of the two
+    // aggregation stages that dominate this query (the 8.4M-row explode
+    // partial agg and the 2.2M-group final agg).
     val lv = Tables.lineitem(s, d)
       .select($"l_returnflag".as("g"),
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
       .repartition(s.sparkContext.defaultParallelism, $"g", $"v")
-      .select($"g", $"v", explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
-      .withColumn("node", expr("shiftright(v, l)"))
-    val sub0 = lv.groupBy($"g", $"l", $"node").agg(count(lit(1)).as("sc"))
-    qdigestQuantiles(sub0, "l_returnflag")
+      .select(expr("ascii(g)").as("a"), $"v",
+        explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
+      .select(expr("shiftleft(shiftright(v, l), 13) + shiftleft(l, 8) + a").as("pk"))
+    val sub0 = lv.groupBy($"pk").agg(count(lit(1)).as("sc"))
+      .select(expr("char(pk % 256)").as("g"),
+        expr("CAST(shiftright(pk, 8) % 32 AS INT)").as("l"),
+        expr("shiftright(pk, 13)").as("node"), $"sc")
+    // per-group totals straight off the base table: every value lands in
+    // exactly one root node, so this equals the root-level sum — without
+    // re-running the explode pipeline just to read 3 rows back out
+    val nTot = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag".as("ng")).agg(count(lit(1)).as("n"))
+    qdigestQuantiles(sub0, "l_returnflag", Some(nTot))
   }
 
   /** Q-digest epilogue shared by the batch sketch and its streaming
@@ -584,16 +599,21 @@ object Advanced {
     * stream state is bit-identical to the batch aggregate — to
     * per-group p50/p95/p99. Any drift between the twins is a compile
     * error, not a test failure (the rollingActivesFrom rule). */
-  private[graft] def qdigestQuantiles(sub0: DataFrame, gOut: String)
-      : DataFrame = {
+  private[graft] def qdigestQuantiles(sub0: DataFrame, gOut: String,
+      nTotOpt: Option[DataFrame] = None): DataFrame = {
     val s = sub0.sparkSession
     import s.implicits._
     // alias-break the totals side: the state frame and its aggregate
     // share attribute ids (visible when the input is a memory-sink
-    // table), so the join keys must be fresh attributes
-    val nTot = sub0.filter($"l" === QdLevels)
+    // table), so the join keys must be fresh attributes.
+    // Callers whose sub0 is an expensive subplan (the batch explode
+    // pipeline) pass the per-group totals precomputed as (ng, n) —
+    // deriving them from sub0's root level is value-identical (each
+    // value lands in exactly one root node) but re-executes the whole
+    // subtree aggregation just to read |groups| rows back out.
+    val nTot = nTotOpt.getOrElse(sub0.filter($"l" === QdLevels)
       .groupBy($"g").agg(sum($"sc").as("n"))
-      .select($"g".as("ng"), $"n")
+      .select($"g".as("ng"), $"n"))
     val sub = sub0
       .join(broadcast(nTot), $"g" === $"ng").drop("ng")
       .withColumn("t", greatest(lit(1L), expr(s"n div $QdK")))
@@ -609,16 +629,17 @@ object Advanced {
       // the root (l = levels) has no parent row, so a light root is
       // maximal by definition — it can't arrive via the semi-join
       .unionByName(sub.filter($"sc" <= $"t" && $"l" === QdLevels))
-      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"))
+      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"), $"n")
     // heavy leaves: a single value's count above T stays at its leaf
     val heavyLeaves = sub.filter($"sc" > $"t" && $"l" === 0)
-      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"))
+      .select($"g", $"l".as("lvl"), $"node".as("pnode"), $"sc".as("dc"), $"n")
     val digest = frontier.unionByName(heavyLeaves)
       .withColumn("ub", expr("shiftleft(pnode + 1, lvl) - 1"))
     val wCum = Window.partitionBy($"g").orderBy($"ub", $"lvl", $"pnode")
+    // n rides each digest row (per-group constant) instead of a second
+    // broadcast(nTot) join, whose build side re-ran sub0's whole plan
     digest
       .withColumn("cum", sum($"dc").over(wCum))
-      .join(broadcast(nTot), $"g" === $"ng").drop("ng")
       .groupBy($"g")
       .agg(
         (min(when($"cum" >= ceil(lit(0.5) * $"n"), $"ub")) / 100.0).as("p50"),
