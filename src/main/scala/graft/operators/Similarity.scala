@@ -2383,17 +2383,27 @@ object Similarity {
     // otherwise — rounded at float precision on this side only, while
     // the oracle multiplies doubles (a one-ulp drift that compounds
     // through the iteration)
+    // the i·j moment pairs come from chaining two Generates over the SAME
+    // row's array — the former vec_id self-join shuffled the exploded
+    // corpus twice and pushed every (i,j) pair through join row assembly;
+    // the Generate chain is narrow (zero Exchange before the 64×64-cell
+    // aggregate) and feeds the same floor-quantized products
     val ex = Tables.embeddings(s, d)
       .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
       .select($"vec_id", $"i", $"x".cast("double").as("x"))
-      .localCheckpoint() // feeds first moments + both sides of the pair join
-    val cnt = ex.filter($"i" === 0).agg(count(lit(1)).as("nn"))
+    val cnt = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
     val s1 = ex
       .select($"i", floor($"x" * 1e6 + 0.5).cast("long").as("k"))
       .groupBy($"i").agg(sum($"k".cast(dec)).as("sk"))
-    val s2 = ex.as("a").join(ex.as("b"), "vec_id")
-      .select($"a.i".as("i"), $"b.i".as("j"),
-        floor($"a.x" * $"b.x" * 1e12 + 0.5).cast("long").as("kij"))
+    val s2 = Tables.embeddings(s, d)
+      // one local parquet file = one split: size the 4096-per-row
+      // fan-out stage by CPU, not input bytes (the mediaTable rule)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"embedding", posexplode($"embedding").as(Seq("i", "xi")))
+      .select($"i", $"xi".cast("double").as("xi"),
+        posexplode($"embedding").as(Seq("j", "xj")))
+      .select($"i", $"j",
+        floor($"xi" * $"xj".cast("double") * 1e12 + 0.5).cast("long").as("kij"))
       .groupBy($"i", $"j").agg(sum($"kij".cast(dec)).as("skij"))
     val m = s2
       .join(s1.select($"i", $"sk".as("si")), "i")
