@@ -1019,12 +1019,17 @@ object Dedup {
       // (label(x) ← label(label(x))) — collapses label chains
       // geometrically, so long components converge in O(log diameter)
       // rounds instead of O(diameter)
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round schedules ONE job, not two (the
+      // loop is scheduling-bound — every round's stages are milliseconds
+      // at any graph the candidates stage admits; the eager-checkpoint
+      // job + count job pair doubled the per-round barrier cost)
       val next = viaNbr.as("x")
         .join(labels.select($"id".as("jid"), $"label".as("jlabel")), $"l1" === $"jid", "left")
         .select($"x.id",
           least($"l1", coalesce($"jlabel", $"l1")).as("next_label"),
           $"prev_label")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextBlocks = checkpointRdds(next)
       changed = next.filter($"next_label" < $"prev_label").count()
       labels = next.select($"id", $"next_label".as("label"))

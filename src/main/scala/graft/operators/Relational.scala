@@ -1120,14 +1120,19 @@ object Relational {
     // plan — no per-round checkpoint barriers, no broadcast-collect jobs
     // — and only the two final score tables materialize (each feeds a
     // max and the output union).
-    var hub = edges.select($"cust").distinct()
-      .withColumn("h", lit(1L).cast("decimal(38,0)")).localCheckpoint()
-    var auth: DataFrame = null
-    for (_ <- 1 to HitsRounds) {
-      auth = edges.join(broadcast(hub), "cust")
-        .groupBy($"part").agg(sum($"h").as("a"))
+    // round 1 folds away: every edge's cust is in the all-ones hub init,
+    // so sum(h)=count(*) per part — the first authority pass is the part
+    // DEGREE, straight off the edge list. That deletes the hub-init
+    // distinct (a full shuffle), its checkpoint job, and one broadcast
+    // join pass over the edges; rounds 2..n are unchanged.
+    var auth = edges.groupBy($"part")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
+    var hub: DataFrame = null
+    for (_ <- 2 to HitsRounds) {
       hub = edges.join(broadcast(auth), "part")
         .groupBy($"cust").agg(sum($"a").as("h"))
+      auth = edges.join(broadcast(hub), "cust")
+        .groupBy($"part").agg(sum($"h").as("a"))
     }
     auth = auth.localCheckpoint()
     hub = edges.join(broadcast(auth), "part")
