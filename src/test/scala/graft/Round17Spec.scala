@@ -561,4 +561,30 @@ class Round17Spec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("vacuumed"),
       s"pinned read of a vacuumed snapshot must fail closed: $ex")
   }
+
+  // ---- optimization round: packed Q-digest aggregation key -----------------
+  // qQuantileSketch aggregates on ONE long packing (g, l, node) —
+  // node << 13 | l << 8 | ascii(g) — which is injective iff g is a
+  // single character and node < 2^26 (the declared universe). This
+  // pins the packed path against the straightforward three-column
+  // aggregation end-to-end through the shared digest epilogue.
+  test("r17-opt: packed digest key reproduces the unpacked (g,l,node) aggregation") {
+    import spark.implicits._
+    import graft.operators.Advanced.{QdLevels, QdStep, qdigestQuantiles}
+    val lv = Tables.lineitem(spark, sf)
+      .select($"l_returnflag".as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .select($"g", $"v",
+        explode(expr(s"sequence(0, $QdLevels, $QdStep)")).as("l"))
+      .withColumn("node", expr("shiftright(v, l)"))
+    val sub0 = lv.groupBy($"g", $"l", $"node").agg(count(lit(1)).as("sc"))
+    val nTot = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag".as("ng")).agg(count(lit(1)).as("n"))
+    val ref = qdigestQuantiles(sub0, "l_returnflag", Some(nTot))
+      .collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == ref,
+      s"packed-key digest diverged from the unpacked reference:\n$got\nvs\n$ref")
+  }
 }
