@@ -820,6 +820,12 @@ object Advanced {
       .orderBy(h.as("h"), $"l_orderkey", $"l_linenumber",
         $"l_extendedprice", $"l_discount")
     Tables.lineitem(s, d)
+      // WindowGroupLimit's partial top-K phase runs on the SCAN's
+      // partitioning — one local parquet file = a handful of splits, so
+      // each partial task sorted a third of the table; spreading the
+      // rows first sizes the partial sort by CPU (the mediaTable rule)
+      // and each task then emits at most K rows per class
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 500)
       .groupBy($"l_returnflag")
