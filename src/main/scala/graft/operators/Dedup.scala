@@ -360,17 +360,28 @@ object Dedup {
           least($"x.sz", $"y.sz") * dd >= greatest($"x.sz", $"y.sz") * n)
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+    // verification: the former shape re-exploded every candidate doc
+    // through two token equi-joins (candidate-pairs × |tokens| rows —
+    // 3.2M shuffled rows at sf0.1 for 44k pairs), then re-aggregated.
+    // The token SET of a doc is one array row, so the exact
+    // intersection is a row-local array_intersect after two id-keyed
+    // joins — the shuffles carry one array row per doc and one row per
+    // candidate pair, nothing explodes (guide §2.3: shuffle keys and
+    // payload once, not per token). shingleSet is distinct by
+    // construction, so |array_intersect| equals the old join count.
+    val sets = toks.groupBy($"doc_id")
+      .agg(collect_list($"tok").as("ts"), count(lit(1)).as("sz"))
     val inter = cand
       .hint("shuffle_hash")
-      .join(toks.as("ta"), $"doc_a" === $"ta.doc_id")
+      .join(sets.select($"doc_id".as("doc_a"), $"ts".as("ts_a"),
+        $"sz".as("sz_a")), "doc_a")
       .hint("shuffle_hash")
-      .join(toks.as("tb"), $"tb.doc_id" === $"doc_b" && $"tb.tok" === $"ta.tok")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sets.select($"doc_id".as("doc_b"), $"ts".as("ts_b"),
+        $"sz".as("sz_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ts_a", $"ts_b")).cast("long").as("inter"),
+        $"sz_a", $"sz_b")
     inter
-      .hint("shuffle_hash").join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .hint("shuffle_hash").join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b", $"inter",
-        $"sa.sz".as("sz_a"), $"sb.sz".as("sz_b"))
       .filter($"inter" * (n + dd) >= lit(n) * ($"sz_a" + $"sz_b"))
       .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
         expr("(inter * 1000000) div (sz_a + sz_b - inter)").as("jacc_micro"))
